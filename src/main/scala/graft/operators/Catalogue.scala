@@ -1,0 +1,477 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator catalogue.
+  *
+  * Each entry re-expresses one operator family from the reference
+  * (SURVEY.md §2, citations inline) over the driver's TPC-H-ish corpus so
+  * DuckDB can act as a differential oracle. Design rules:
+  *
+  *  - Money/measure aggregates are computed in integer cents
+  *    (`floor(x*100)` per row, then `sum` over longs) so results are
+  *    bit-exact across engines and summation orders — the same property
+  *    that makes them deterministic on a 1000-executor shuffle.
+  *  - Every result carries a total order (ORDER BY on both sides) so the
+  *    driver's hash compare is stable.
+  *  - Dimension joins are explicitly `broadcast()` — at 100 TB the fact
+  *    side never shuffles for these lookups.
+  */
+object Catalogue {
+  import graft.Tables._
+
+  /** floor(x*100) as long: deterministic, overflow-safe integer cents. */
+  private def cents(c: Column): Column = floor(c * lit(100.0)).cast("long")
+
+  // ---------------------------------------------------------------------
+  // q01 — A1/A2 success/fail style tallies as a grouped pricing summary
+  // (reference: store_notion_blocks.py:180-190, upload_notion_blocks.py:313-337)
+  // ---------------------------------------------------------------------
+  def q01PricingSummary(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(cents(col("l_quantity"))).as("sum_qty_c"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_c"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c,
+      |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_c,
+      |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS sum_disc_c,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q02 — F1 namespace whitelist + J3 broadcast dimension join
+  // (process-mw-dump.py:46-79, 91-104)
+  // ---------------------------------------------------------------------
+  def q02NsFilterJoin(s: SparkSession, d: String): DataFrame = {
+    nation(s, d)
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name").isin("AMERICA", "ASIA"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      .orderBy(col("n_nationkey"))
+  }
+  val q02Sql: String =
+    """SELECT n_nationkey, n_name, r_name
+      |FROM nation JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('AMERICA','ASIA')
+      |ORDER BY n_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q03 — S9 point lookup generalized: fact × broadcast dim equi-join
+  // (upload_notion_blocks.py:88-97)
+  // ---------------------------------------------------------------------
+  def q03LookupJoin(s: SparkSession, d: String): DataFrame = {
+    orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"),
+        cents(col("o_totalprice")).as("total_c"))
+      .orderBy(col("o_orderkey"))
+  }
+  val q03Sql: String =
+    """SELECT o_orderkey, c_name,
+      |  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS total_c
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE o_orderstatus = 'F'
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q04 — J1 get-or-create: left join + coalesce to a synthesized value
+  // (upload_notion_blocks.py:84-154)
+  // ---------------------------------------------------------------------
+  def q04GetOrCreate(s: SparkSession, d: String): DataFrame = {
+    val knownPages = customer(s, d).filter(col("c_custkey") % 10 =!= 0)
+    orders(s, d)
+      .join(broadcast(knownPages), col("o_custkey") === col("c_custkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("c_name"), concat(lit("CREATED:"), col("o_custkey")))
+          .as("page_url"))
+      .orderBy(col("o_orderkey"))
+  }
+  val q04Sql: String =
+    """SELECT o_orderkey,
+      |  coalesce(c_name, 'CREATED:' || CAST(o_custkey AS VARCHAR)) AS page_url
+      |FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 10 <> 0) c
+      |  ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q05 — J5/K6 left-anti pending-work set
+  // (upload_notion_blocks.py:299-309; upload-state-machine.asl.json:238-248)
+  // ---------------------------------------------------------------------
+  def q05AntiPending(s: SparkSession, d: String): DataFrame = {
+    val uploaded = orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"))
+    lineitem(s, d)
+      .join(uploaded, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("pending_blocks"))
+      .orderBy(col("l_orderkey"))
+  }
+  val q05Sql: String =
+    """SELECT l_orderkey, count(*) AS pending_blocks
+      |FROM lineitem
+      |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q06 — S8 existence probe as a semi join
+  // (upload-state-machine.asl.json:156-181)
+  // ---------------------------------------------------------------------
+  def q06SemiExists(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = orders(s, d).filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey"))
+    customer(s, d)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+  val q06Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q07 — W2/S7/W4 per-key ordered head-N (the drain step)
+  // (upload_notion_blocks.py:260-266)
+  // ---------------------------------------------------------------------
+  def q07DrainTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+  val q07Sql: String =
+    """SELECT user_id, rn, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events) t
+      |WHERE rn <= 5 ORDER BY user_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q08 — ST7/W3 latest status per key (argmax by recency)
+  // (notion_pages_custom_widget.py:73-76; status lifecycle)
+  // ---------------------------------------------------------------------
+  def q08LatestStatus(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_status"),
+        col("event_id").as("last_event_id"))
+      .orderBy(col("user_id"))
+  }
+  val q08Sql: String =
+    """SELECT user_id, event_type AS last_status, event_id AS last_event_id
+      |FROM (SELECT user_id, event_type, event_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) t
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q09 — A7 tumbling 1-minute windowed metric sums
+  // (mw_to_notion_stack.py:741-1108 dashboard widgets)
+  // ---------------------------------------------------------------------
+  def q09WindowMetrics(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("sum_value_c"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("sum_value_c"))
+      .orderBy(col("wstart"), col("event_type"))
+  }
+  val q09Sql: String =
+    """SELECT time_bucket(INTERVAL '1 minute', ts) AS wstart, event_type,
+      |  count(*) AS n,
+      |  sum(CAST(floor(value * 100.0) AS BIGINT)) AS sum_value_c
+      |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q10 — S10 time-range filtered scan + W3 recency sort
+  // (notion_pages_custom_widget.py:63-76)
+  // ---------------------------------------------------------------------
+  def q10TimeRange(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .filter(col("ts").between(
+        lit("2024-01-10 00:00:00").cast("timestamp"),
+        lit("2024-01-12 00:00:00").cast("timestamp")))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+  }
+  val q10Sql: String =
+    """SELECT event_id, user_id, event_type, ts FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+      |ORDER BY ts DESC, event_id DESC""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q11 — F2 first-colon de-prefix + F3 filename sanitization
+  // (process-mw-dump.py:114-115, 123-128)
+  // ---------------------------------------------------------------------
+  def q11TitleRules(s: SparkSession, d: String): DataFrame = {
+    part(s, d)
+      .withColumn("title", concat(col("p_brand"), lit(":"), col("p_name")))
+      .withColumn("deprefixed",
+        expr("substring(title, instr(title, ':') + 1)"))
+      .withColumn("fname",
+        rtrim(regexp_replace(col("deprefixed"), "[^A-Za-z0-9 ._-]", "")))
+      .select(col("p_partkey"), col("fname"))
+      .orderBy(col("p_partkey"))
+  }
+  val q11Sql: String =
+    """SELECT p_partkey,
+      |  rtrim(regexp_replace(substring(p_brand || ':' || p_name, strpos(p_brand || ':' || p_name, ':') + 1),
+      |    '[^A-Za-z0-9 ._-]', '', 'g')) AS fname
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q12 — T1/T2/T4/T6 ordered regex rewrite chain over documents
+  // (process-mw-dump.py:193-254)
+  // ---------------------------------------------------------------------
+  def q12DocPrepare(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .withColumn("wikitext",
+        concat(lit("[[Category:"), col("lang"), lit("]] <nowiki>"),
+          substring(col("text"), 1, 80),
+          lit("</nowiki> [[File:img.png|thumb|300px]] {{:Tmpl}}")))
+      .withColumn("prepared",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("wikitext"), "\\[\\[Category:[^\\]]+\\]\\]", ""),
+              "</?nowiki>", ""),
+            "\\[\\[File:([^|\\]]+)\\|[^\\]]+\\]\\]", "[[File:$1]]"),
+          "\\{\\{:[^}]+\\}\\}", ""))
+      .select(col("doc_id"), col("prepared"))
+      .orderBy(col("doc_id"))
+  }
+  val q12Sql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    '[[Category:' || lang || ']] <nowiki>' || substring(text, 1, 80) || '</nowiki> [[File:img.png|thumb|300px]] {{:Tmpl}}',
+      |    '\[\[Category:[^\]]+\]\]', '', 'g'),
+      |    '</?nowiki>', '', 'g'),
+      |    '\[\[File:([^|\]]+)\|[^\]]+\]\]', '[[File:\1]]', 'g'),
+      |    '\{\{:[^}]+\}\}', '', 'g') AS prepared
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q13 — T11/T12/W1 document → ordered blocks generator (posexplode)
+  // (store_notion_blocks.py:115-119)
+  // ---------------------------------------------------------------------
+  def q13ExplodeBlocks(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("block_index", "word")))
+      .orderBy(col("doc_id"), col("block_index"))
+  }
+  val q13Sql: String =
+    """SELECT doc_id,
+      |  generate_subscripts(string_split(text, ' '), 1) - 1 AS block_index,
+      |  unnest(string_split(text, ' ')) AS word
+      |FROM documents WHERE doc_id % 20 = 0
+      |ORDER BY doc_id, block_index""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q14 — §2.8 union of namespace flows
+  // ---------------------------------------------------------------------
+  def q14UnionNamespaces(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val main = docs.filter(col("lang") === "en")
+      .select(lit("Main").as("ns"), col("doc_id"))
+    val cat = docs.filter(col("lang") === "de")
+      .select(lit("Category").as("ns"), col("doc_id"))
+    main.union(cat)
+      .groupBy(col("ns")).agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("ns"))
+  }
+  val q14Sql: String =
+    """SELECT ns, count(*) AS n, sum(doc_id) AS id_sum FROM (
+      |  SELECT 'Main' AS ns, doc_id FROM documents WHERE lang = 'en'
+      |  UNION ALL
+      |  SELECT 'Category' AS ns, doc_id FROM documents WHERE lang = 'de') t
+      |GROUP BY ns ORDER BY ns""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q15 — A2 success/fail tally with result derivation
+  // (upload_notion_blocks.py:313-337)
+  // ---------------------------------------------------------------------
+  def q15FailTally(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("fail_count"),
+        sum(when(col("event_type") =!= "error", 1L).otherwise(0L)).as("success_count"))
+      .withColumn("result",
+        when(col("fail_count") > 0, "FAIL").otherwise("SUCCESS"))
+      .orderBy(col("user_id"))
+  }
+  val q15Sql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS fail_count,
+      |  sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS success_count,
+      |  CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0
+      |    THEN 'FAIL' ELSE 'SUCCESS' END AS result
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q16 — S5 nested JSON payload extraction
+  // (store_notion_blocks.py:76-98)
+  // ---------------------------------------------------------------------
+  def q16JsonProps(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+  val q16Sql: String =
+    """SELECT event_type,
+      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q17 — T16/T17 epoch-millis normalization
+  // (store_notion_blocks.py:145-147; store_notion_page_fails.py:57-59)
+  // ---------------------------------------------------------------------
+  def q17EpochMillis(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"),
+        unix_millis(col("ts")).as("status_time_ms"),
+        (unix_millis(col("ts")) - unix_millis(col("ts")) % 1000)
+          .as("status_time_sec_ms"))
+      .orderBy(col("event_id"))
+  }
+  val q17Sql: String =
+    """SELECT event_id, epoch_ms(ts) AS status_time_ms,
+      |  epoch_ms(ts) - epoch_ms(ts) % 1000 AS status_time_sec_ms
+      |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q18 — F10 URL-style key decode ('+' → space)
+  // (store_notion_blocks.py:87)
+  // ---------------------------------------------------------------------
+  def q18KeyDecode(s: SparkSession, d: String): DataFrame = {
+    customer(s, d)
+      .withColumn("s3key",
+        concat(lit("Main/"), regexp_replace(col("c_name"), " ", "+"), lit(".md")))
+      .withColumn("decoded_key", regexp_replace(col("s3key"), "\\+", " "))
+      .withColumn("page_name",
+        regexp_replace(
+          expr("element_at(split(decoded_key, '/'), -1)"), "\\.md$", ""))
+      .select(col("c_custkey"), col("decoded_key"), col("page_name"))
+      .orderBy(col("c_custkey"))
+  }
+  val q18Sql: String =
+    """SELECT c_custkey,
+      |  replace('Main/' || replace(c_name, ' ', '+') || '.md', '+', ' ') AS decoded_key,
+      |  regexp_replace(
+      |    list_extract(string_split(replace('Main/' || replace(c_name, ' ', '+') || '.md', '+', ' '), '/'), -1),
+      |    '\.md$', '') AS page_name
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q19 — J2/F9 per-directory config join (parenturl.txt semantics)
+  // (upload_notion_blocks.py:217-225)
+  // ---------------------------------------------------------------------
+  def q19ParentUrlJoin(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("key", concat(col("source"), lit("/"), col("doc_id"), lit(".md")))
+      .withColumn("dir", regexp_replace(col("key"), "/[^/]*$", ""))
+    val parentUrls = documents(s, d).select(col("source")).distinct()
+      .withColumn("parent_url", concat(lit("https://notion.test/"), col("source")))
+    docs.join(broadcast(parentUrls), docs("dir") === parentUrls("source"), "left")
+      .select(col("doc_id"), col("dir"), col("parent_url"))
+      .orderBy(col("doc_id"))
+  }
+  val q19Sql: String =
+    """SELECT d.doc_id,
+      |  regexp_replace(d.source || '/' || CAST(d.doc_id AS VARCHAR) || '.md', '/[^/]*$', '') AS dir,
+      |  p.parent_url
+      |FROM documents d LEFT JOIN (
+      |  SELECT DISTINCT source, 'https://notion.test/' || source AS parent_url
+      |  FROM documents) p
+      |ON regexp_replace(d.source || '/' || CAST(d.doc_id AS VARCHAR) || '.md', '/[^/]*$', '') = p.source
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q20 — ST3 fixed-size batch chunking arithmetic
+  // (mw_to_notion_stack.py:45; upload_notion_blocks.py:260-266)
+  // ---------------------------------------------------------------------
+  def q20BatchChunks(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("block_count"))
+      .withColumn("invocations", expr("(block_count + 4) div 5"))
+      .orderBy(col("l_orderkey"))
+  }
+  val q20Sql: String =
+    """SELECT l_orderkey, count(*) AS block_count,
+      |  (count(*) + 4) // 5 AS invocations
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** All relational-core queries keyed for SparkEntry. */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q01PricingSummary _,
+    "q02_ns_filter_join" -> q02NsFilterJoin _,
+    "q03_lookup_join" -> q03LookupJoin _,
+    "q04_get_or_create" -> q04GetOrCreate _,
+    "q05_anti_pending" -> q05AntiPending _,
+    "q06_semi_exists" -> q06SemiExists _,
+    "q07_drain_topk" -> q07DrainTopK _,
+    "q08_latest_status" -> q08LatestStatus _,
+    "q09_window_metrics" -> q09WindowMetrics _,
+    "q10_time_range" -> q10TimeRange _,
+    "q11_title_rules" -> q11TitleRules _,
+    "q12_doc_prepare" -> q12DocPrepare _,
+    "q13_explode_blocks" -> q13ExplodeBlocks _,
+    "q14_union_namespaces" -> q14UnionNamespaces _,
+    "q15_fail_tally" -> q15FailTally _,
+    "q16_json_props" -> q16JsonProps _,
+    "q17_epoch_millis" -> q17EpochMillis _,
+    "q18_key_decode" -> q18KeyDecode _,
+    "q19_parenturl_join" -> q19ParentUrlJoin _,
+    "q20_batch_chunks" -> q20BatchChunks _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_ns_filter_join" -> q02Sql,
+    "q03_lookup_join" -> q03Sql,
+    "q04_get_or_create" -> q04Sql,
+    "q05_anti_pending" -> q05Sql,
+    "q06_semi_exists" -> q06Sql,
+    "q07_drain_topk" -> q07Sql,
+    "q08_latest_status" -> q08Sql,
+    "q09_window_metrics" -> q09Sql,
+    "q10_time_range" -> q10Sql,
+    "q11_title_rules" -> q11Sql,
+    "q12_doc_prepare" -> q12Sql,
+    "q13_explode_blocks" -> q13Sql,
+    "q14_union_namespaces" -> q14Sql,
+    "q15_fail_tally" -> q15Sql,
+    "q16_json_props" -> q16Sql,
+    "q17_epoch_millis" -> q17Sql,
+    "q18_key_decode" -> q18Sql,
+    "q19_parenturl_join" -> q19Sql,
+    "q20_batch_chunks" -> q20Sql,
+  )
+}
