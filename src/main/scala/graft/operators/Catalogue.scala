@@ -428,6 +428,154 @@ object Catalogue {
       |  (count(*) + 4) // 5 AS invocations
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q21 — T5/T7/T9 full wikitext prepare pipeline as a UDF over documents.
+  // Stateful per-document scanner + template pack: not SQL-expressible,
+  // so no oracle (driver records rows-only). Correctness is pinned by the
+  // WikitextSpec golden tests against the reference's own outputs.
+  // ---------------------------------------------------------------------
+  def q21PrepareChain(s: SparkSession, d: String): DataFrame = {
+    val wikitext = concat(
+      lit("[[Category:"), col("lang"), lit("]]\n== Table of Contents ==\n__TOC__\n"),
+      lit("{{Attention}}"), substring(col("text"), 1, 60),
+      lit("\n  code '''"), col("source"), lit("''' sample\n\nplain {{source|"),
+      col("source"), lit("}} end\n"))
+    documents(s, d)
+      .withColumn("title", concat(lit("Page "), col("doc_id")))
+      .withColumn("prepared",
+        graft.text.WikitextColumns.prepareUdf(wikitext, col("title"), lit("Main")))
+      .select(col("doc_id"), col("prepared"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q22 — F4 empty-page + F5 redirect + F6 control-event filters
+  // (process-mw-dump.py:257-263; store_notion_blocks.py:79-80)
+  // ---------------------------------------------------------------------
+  def q22PageFilters(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .withColumn("text2",
+        when(col("doc_id") % 7 === 0, concat(lit("#REDIRECT [["), col("source"), lit("]]")))
+          .when(col("doc_id") % 11 === 0, lit(""))
+          .otherwise(col("text")))
+      .filter(col("text2").isNotNull && col("text2") =!= "" &&
+        substring(col("text2"), 1, 9) =!= "#REDIRECT")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+  val q22Sql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN doc_id % 7 = 0 THEN '#REDIRECT [[' || source || ']]'
+      |         WHEN doc_id % 11 = 0 THEN ''
+      |         ELSE text END AS text2
+      |  FROM documents) t
+      |WHERE text2 IS NOT NULL AND text2 <> '' AND substring(text2, 1, 9) <> '#REDIRECT'
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q23 — T15/K2 base64 encode/decode round-trip
+  // (process-mw-dump.py:160-177)
+  // ---------------------------------------------------------------------
+  def q23Base64(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .withColumn("payload", substring(col("text"), 1, 30))
+      .select(col("doc_id"),
+        base64(col("payload").cast("binary")).as("b64"),
+        unbase64(base64(col("payload").cast("binary"))).cast("string")
+          .as("roundtrip"))
+      .orderBy(col("doc_id"))
+  }
+  val q23Sql: String =
+    """SELECT doc_id,
+      |  to_base64(encode(substring(text, 1, 30))) AS b64,
+      |  decode(from_base64(to_base64(encode(substring(text, 1, 30))))) AS roundtrip
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q24 — T18 tz-aware dashboard time formatting
+  // (notion_pages_custom_widget.py:49-56,82-85)
+  // ---------------------------------------------------------------------
+  def q24TzFormat(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .filter(col("event_id") % 50 === 0)
+      .select(col("event_id"),
+        date_format(from_utc_timestamp(col("ts"), "America/New_York"),
+          "MMM dd HH:mm:ss").as("ftime"))
+      .orderBy(col("event_id"))
+  }
+  val q24Sql: String =
+    """SELECT event_id,
+      |  strftime(timezone('America/New_York', ts::TIMESTAMPTZ), '%b %d %H:%M:%S') AS ftime
+      |FROM events WHERE event_id % 50 = 0 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q25 — F8 pandoc comment-block filter (compound NOT(a AND b))
+  // (store_notion_blocks.py:119-127)
+  // ---------------------------------------------------------------------
+  def q25CommentFilter(s: SparkSession, d: String): DataFrame = {
+    documents(s, d)
+      .filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("block_index", "word")))
+      .withColumn("block_type",
+        when(col("word").rlike("^th"), "text").otherwise("bulleted_list"))
+      .filter(!(col("block_type") === "text" && col("word") === "the"))
+      .orderBy(col("doc_id"), col("block_index"))
+  }
+  val q25Sql: String =
+    """SELECT doc_id, block_index, word,
+      |  CASE WHEN regexp_matches(word, '^th') THEN 'text' ELSE 'bulleted_list' END AS block_type
+      |FROM (
+      |  SELECT doc_id,
+      |    generate_subscripts(string_split(text, ' '), 1) - 1 AS block_index,
+      |    unnest(string_split(text, ' ')) AS word
+      |  FROM documents WHERE doc_id % 50 = 0) t
+      |WHERE NOT (CASE WHEN regexp_matches(word, '^th') THEN 'text' ELSE 'bulleted_list' END = 'text'
+      |  AND word = 'the')
+      |ORDER BY doc_id, block_index""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q26 — T19 markdown table rendering of the status report
+  // (notion_pages_custom_widget.py:78-91)
+  // ---------------------------------------------------------------------
+  def q26MarkdownRender(s: SparkSession, d: String): DataFrame = {
+    events(s, d)
+      .filter(col("event_id") % 100 === 0)
+      .select(col("event_id"),
+        concat(lit("| "),
+          date_format(col("ts"), "MMM dd HH:mm:ss"), lit(" | user-"),
+          col("user_id"), lit(" | "), upper(col("event_type")), lit(" |"))
+          .as("md_row"))
+      .orderBy(col("event_id"))
+  }
+  val q26Sql: String =
+    """SELECT event_id,
+      |  '| ' || strftime(ts, '%b %d %H:%M:%S') || ' | user-' || CAST(user_id AS VARCHAR)
+      |    || ' | ' || upper(event_type) || ' |' AS md_row
+      |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q27 — S2 namespace registry with the "0" → "Main" rename + J3 join
+  // (process-mw-dump.py:40-45, 91-104)
+  // ---------------------------------------------------------------------
+  def q27NsRegistry(s: SparkSession, d: String): DataFrame = {
+    val registry = nation(s, d)
+      .select(col("n_nationkey").as("ns_key"),
+        when(col("n_nationkey") === 0, "Main").otherwise(col("n_name"))
+          .as("ns_name"))
+    customer(s, d)
+      .join(broadcast(registry), col("c_nationkey") === col("ns_key"))
+      .groupBy(col("ns_name"))
+      .agg(count(lit(1)).as("pages"))
+      .orderBy(col("ns_name"))
+  }
+  val q27Sql: String =
+    """SELECT CASE WHEN n_nationkey = 0 THEN 'Main' ELSE n_name END AS ns_name,
+      |  count(*) AS pages
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1 ORDER BY ns_name""".stripMargin
+
   /** All relational-core queries keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -450,6 +598,13 @@ object Catalogue {
     "q18_key_decode" -> q18KeyDecode _,
     "q19_parenturl_join" -> q19ParentUrlJoin _,
     "q20_batch_chunks" -> q20BatchChunks _,
+    "q21_prepare_chain" -> q21PrepareChain _,
+    "q22_page_filters" -> q22PageFilters _,
+    "q23_base64" -> q23Base64 _,
+    "q24_tz_format" -> q24TzFormat _,
+    "q25_comment_filter" -> q25CommentFilter _,
+    "q26_markdown_render" -> q26MarkdownRender _,
+    "q27_ns_registry" -> q27NsRegistry _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -473,5 +628,13 @@ object Catalogue {
     "q18_key_decode" -> q18Sql,
     "q19_parenturl_join" -> q19Sql,
     "q20_batch_chunks" -> q20Sql,
+    // q21 intentionally has no oracle: stateful per-document scanner +
+    // template pack are not SQL-expressible (rows-only check).
+    "q22_page_filters" -> q22Sql,
+    "q23_base64" -> q23Sql,
+    "q24_tz_format" -> q24Sql,
+    "q25_comment_filter" -> q25Sql,
+    "q26_markdown_render" -> q26Sql,
+    "q27_ns_registry" -> q27Sql,
   )
 }
