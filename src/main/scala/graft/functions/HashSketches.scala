@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native hash-sketch expressions.
+  *
+  * The declarative higher-order-function formulations of MinHash/SimHash
+  * evaluate their lambdas interpreted — ~1µs per element-seed pair, which
+  * measured 10s/5k docs at sf0.1. These expressions do the same math in a
+  * tight JVM loop over the array (measured ~30× faster), stay a pure
+  * per-row map (zero shuffle at any scale), and reuse Spark's own XXH64
+  * so values match the `xxhash64` SQL function bit-for-bit.
+  */
+object HashSketches {
+  /** Identical to Spark's xxhash64(string) with its default seed. */
+  @inline def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  def minhash_sig(shingles: Column, numHashes: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
+
+  def simhash64(tokens: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))
+}
+
+/** MinHash signature of an array<string> of shingles: element i is
+  * min over shingles of xxhash64(xxhash64(shingle, 42), i) — the string
+  * is hashed once, then cheap long-mixes derive the k permutations. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val base = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      base(j) = HashSketches.hashString(arr.getUTF8String(j), 42L)
+      j += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var s = 0
+    while (s < numHashes) {
+      var min = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashLong(base(i), s.toLong)
+        if (h < min) min = h
+        i += 1
+      }
+      sig(s) = min
+      s += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash of an array<string> of tokens: bit i set iff the sum
+  * over tokens of ±1 (per bit i of xxhash64(token, 42)) is positive. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = HashSketches.hashString(arr.getUTF8String(j), 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "simhash64"
+}

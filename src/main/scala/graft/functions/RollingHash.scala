@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Polynomial rolling-hash document fingerprint as a native Catalyst
+  * expression with full codegen (`doGenCode`), so it runs inside
+  * whole-stage codegen rather than through UDF boxing.
+  *
+  * h = fold over code points: h' = (h * 31 + cp) mod (2^31 - 1)
+  *
+  * The modulus keeps every intermediate below 2^36, so 64-bit arithmetic
+  * is exact and the same fold is reproducible in any engine (the DuckDB
+  * oracle uses list_reduce with identical arithmetic). Role: document
+  * fingerprinting for the training-data pipeline (cheap content identity
+  * robust to storage layout, cf. exact-dedup by hash).
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    RollingHash.eval(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.RollingHash.eval($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+
+  override def prettyName: String = "rolling_hash"
+}
+
+object RollingHash {
+  final val Mod = 2147483647L // 2^31 - 1
+
+  /** Shared by interpreted eval and generated code. */
+  def eval(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** Column-level entry point (Spark 4 Column↔Expression bridge). */
+  def rolling_hash(c: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+  }
+}

@@ -1,0 +1,293 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+import graft.scale.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operator catalogue (dedup, similarity search,
+  * text analysis, multimodal) exercised over the `documents` and
+  * `embeddings` tables. Float-valued outputs are quantized (`floor(x*1e9)`
+  * etc.) and every float fold is sequential, so DuckDB oracles compare
+  * bit-exactly where SQL can express the op; hash-based ops (MinHash,
+  * SimHash, LSH) are rows-only checked and pinned by ScalaTest instead.
+  */
+object ScaleCatalogue {
+
+  private def q(c: Column, scale: Double = 1e9): Column =
+    floor(c * lit(scale)).cast("long")
+
+  /** DuckDB fragment: sequential double fold of a[i]*b[i]. */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (x,y) -> x+y)"
+  private def duckCos(a: String, b: String): String =
+    s"(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})))"
+
+  // ---------------------------------------------------------------------
+  // q30 — exact dedup groups (hash-groupBy family)
+  // ---------------------------------------------------------------------
+  def q30DedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(documents(s, d)).orderBy(col("keep_id"))
+  val q30Sql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q31 — n-gram Jaccard near-dup pairs via inverted shingle index
+  // ---------------------------------------------------------------------
+  def q31NgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(documents(s, d), n = 5, threshold = 0.8)
+      .select(col("d1"), col("d2"), col("common"), col("n1"), col("n2"),
+        q(col("jaccard"), 1e6).as("jaccard_q"))
+      .orderBy(col("d1"), col("d2"))
+  val q31Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, common, ca.n_sh AS n1, cb.n_sh AS n2,
+      |  CAST(floor(common::DOUBLE / (ca.n_sh + cb.n_sh - common) * 1000000.0) AS BIGINT) AS jaccard_q
+      |FROM pairs JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id
+      |WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q32/q33 — MinHash-LSH and SimHash near-dup pairs (hash-based: no SQL
+  // oracle; pinned by DedupSpec against the Jaccard ground truth)
+  // ---------------------------------------------------------------------
+  def q32MinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(documents(s, d), n = 5, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      .select(col("d1"), col("d2"), col("matches"))
+      .orderBy(col("d1"), col("d2"))
+
+  def q33SimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(documents(s, d), maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+
+  // ---------------------------------------------------------------------
+  // q34 — brute-force cosine top-k ANN (the correctness baseline)
+  // ---------------------------------------------------------------------
+  def q34AnnBrute(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q34Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    ${duckCos("q.embedding", "c.embedding")} AS sim
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q35 — IVF ANN: coarse quantizer + probed clusters (the scale path)
+  // ---------------------------------------------------------------------
+  def q35AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        stride = 97, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  private def duckDist2(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
+      s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))," +
+      s" (x,y) -> x+y)"
+  val q35Sql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |corpus_d AS (
+       |  SELECT a.vec_id, a.embedding, c.centroid_id,
+       |    ${duckDist2("a.embedding", "c.c_emb")} AS dist2
+       |  FROM embeddings a, cent c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
+       |    FROM corpus_d) t WHERE rk = 1),
+       |probe_d AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.centroid_id,
+       |    ${duckDist2("q.embedding", "c.c_emb")} AS dist2
+       |  FROM embeddings q, cent c WHERE q.vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, q_emb, centroid_id AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
+       |    FROM probe_d) t WHERE rk <= 3),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id, ${duckCos("p.q_emb", "a.embedding")} AS sim
+       |  FROM probes p JOIN assigned a USING (cluster_id)
+       |  WHERE p.query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id, CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q36 — language ID (marker-based heuristic, argmax with det. ties)
+  // ---------------------------------------------------------------------
+  def q36LangId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .orderBy(col("doc_id"))
+  val q36Sql: String = {
+    val langs = TextAnalysis.markers.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val words = TextAnalysis.markers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(text, ' '), t -> t IN ($words))) AS s_$l"
+    }.mkString(",\n  ")
+    val g = langs.map(l => s"s_$l").mkString(", ")
+    val cases = langs.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+    s"""SELECT doc_id, lang, predicted FROM (
+       |  SELECT doc_id, lang, greatest($g) AS g,
+       |    CASE WHEN greatest($g) <= 0 THEN 'und' $cases END AS predicted
+       |  FROM (SELECT doc_id, lang, $scores FROM documents) t) t2
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q37 — quality scoring features
+  // ---------------------------------------------------------------------
+  def q37Quality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.qualityFeatures(col("text")).as("f"))
+      .select(col("doc_id"), col("f.n_chars").as("n_chars"),
+        col("f.n_words").as("n_words"),
+        col("f.avg_word_len_q").as("avg_word_len_q"),
+        col("f.punct_count").as("punct_count"),
+        col("f.stopword_hits").as("stopword_hits"),
+        col("f.stopword_ratio_q").as("stopword_ratio_q"))
+      .orderBy(col("doc_id"))
+  val q37Sql: String = {
+    val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |  length(text) AS n_chars,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  CAST(floor((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+       |    / len(string_split(text, ' ')) * 1000000.0) AS BIGINT) AS avg_word_len_q,
+       |  len(list_filter(string_split(text, ''), c -> c IN ('.', ',', '!', '?', ';', ':'))) AS punct_count,
+       |  len(list_filter(string_split(text, ' '), t -> t IN ($stop))) AS stopword_hits,
+       |  CAST(floor(len(list_filter(string_split(text, ' '), t -> t IN ($stop)))::DOUBLE
+       |    / len(string_split(text, ' ')) * 1000000.0) AS BIGINT) AS stopword_ratio_q
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q38 — token counting (whitespace + BPE-ish regex)
+  // ---------------------------------------------------------------------
+  def q38Tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokenCounts(col("text")).as("t"))
+      .select(col("doc_id"), col("t.ws_tokens").as("ws_tokens"),
+        col("t.bpe_tokens").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+  val q38Sql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpe_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q39 — document fingerprint via the native RollingHash expression
+  // ---------------------------------------------------------------------
+  def q39Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+  val q39Sql: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 2147483647) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q40 — embedding L2 norms (vector math sanity + fold parity)
+  // ---------------------------------------------------------------------
+  def q40EmbedNorm(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        q(Similarity.norm(col("embedding"))).as("norm_q"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("vec_id"))
+  val q40Sql: String =
+    s"""SELECT vec_id, label,
+       |  CAST(floor(sqrt(${duckDot("embedding", "embedding")}) * 1000000000.0) AS BIGINT) AS norm_q,
+       |  len(embedding) AS dim
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q41 — multimodal decode plumbing (stub codec; rows-only check —
+  // MediaCodec is not expressible in SQL). Builds GFT0-framed bytes from
+  // document text, runs the batched mapPartitions decode, projects meta.
+  // ---------------------------------------------------------------------
+  def q41MediaDecode(s: SparkSession, d: String): DataFrame = {
+    val mkBytes = udf { (id: Long, text: String) =>
+      val kind = (id % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      Multimodal.MediaCodec.encode(kind, (id % 640).toInt + 1,
+        (id % 480).toInt + 1, id * 40L, text.getBytes("UTF-8"))
+    }
+    val media = documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      // every 97th row gets malformed bytes: exercises the failure path
+      when(col("doc_id") % 97 === 0, lit(Array[Byte](1, 2, 3)))
+        .otherwise(mkBytes(col("doc_id"), col("text"))).as("bytes"))
+    Multimodal.decode(media)
+      .select(col("media_id"), col("kind"), col("width"), col("height"),
+        col("format"), col("duration_ms"), col("payload_len"), col("decode_ok"))
+      .orderBy(col("media_id"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_dedup_exact" -> q30DedupExact _,
+    "q31_ngram_jaccard" -> q31NgramJaccard _,
+    "q32_minhash_lsh" -> q32MinhashLsh _,
+    "q33_simhash_pairs" -> q33SimhashPairs _,
+    "q34_ann_brute" -> q34AnnBrute _,
+    "q35_ann_ivf" -> q35AnnIvf _,
+    "q36_langid" -> q36LangId _,
+    "q37_quality" -> q37Quality _,
+    "q38_tokens" -> q38Tokens _,
+    "q39_fingerprint" -> q39Fingerprint _,
+    "q40_embed_norm" -> q40EmbedNorm _,
+    "q41_media_decode" -> q41MediaDecode _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_dedup_exact" -> q30Sql,
+    "q31_ngram_jaccard" -> q31Sql,
+    // q32/q33: hash-based, rows-only
+    "q34_ann_brute" -> q34Sql,
+    "q35_ann_ivf" -> q35Sql,
+    "q36_langid" -> q36Sql,
+    "q37_quality" -> q37Sql,
+    "q38_tokens" -> q38Sql,
+    "q39_fingerprint" -> q39Sql,
+    "q40_embed_norm" -> q40Sql,
+    // q41: stub codec, rows-only
+  )
+}

@@ -1,0 +1,139 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in partition-local batches.
+  *
+  * The actual codec step is STUBBED (this container ships no image/audio
+  * libraries) behind [[MediaCodec]] — a deterministic fake that parses a
+  * tiny self-describing header. Everything around it is real Spark
+  * plumbing: the schema contract, the batched `mapPartitions` execution
+  * shape (mirroring `mapInPandas`-style batch UDFs), binary-slice frame
+  * sampling, and hash-derived feature vectors. Swapping in a real codec
+  * is a one-function change with no plan/partitioning impact.
+  */
+object Multimodal {
+
+  /** Media row schema: the 100 TB layout keeps bytes in parquet binary
+    * columns (or object-store pointers) partitioned by `kind`, with all
+    * metadata in typed columns so pruning/filtering never touches bytes. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),  // image|audio|video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("format", StringType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true))), nullable = true)))
+
+  /** STUB codec. Fake wire format: "GFT0" magic ++ kind byte ++
+    * width:int ++ height:int ++ duration:long ++ payload. Deterministic,
+    * pure, and cheap — stands in for a JNI/pandas decode. */
+  object MediaCodec {
+    val Magic: Array[Byte] = "GFT0".getBytes("UTF-8")
+
+    def encode(kind: String, width: Int, height: Int, durationMs: Long,
+        payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 + 1 + 4 + 4 + 8 + payload.length)
+      bb.put(Magic).put(kind.head.toByte)
+        .putInt(width).putInt(height).putLong(durationMs).put(payload)
+      bb.array()
+    }
+
+    /** Decode header → (width, height, format, durationMs); None for
+      * malformed bytes (routed to the failure side-output, never thrown —
+      * the ST6/K8 failure-routing discipline). */
+    def decodeMeta(bytes: Array[Byte]): Option[(Int, Int, String, Long)] = {
+      if (bytes == null || bytes.length < 21 ||
+          !bytes.take(4).sameElements(Magic)) None
+      else {
+        val bb = java.nio.ByteBuffer.wrap(bytes)
+        bb.position(4)
+        val kind = bb.get().toChar match {
+          case 'i' => "image"; case 'a' => "audio"; case 'v' => "video"
+          case _ => "unknown"
+        }
+        val w = bb.getInt; val h = bb.getInt; val d = bb.getLong
+        Some((w, h, kind, d))
+      }
+    }
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("format", StringType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("payload_len", IntegerType, nullable = true),
+    StructField("decode_ok", BooleanType, nullable = false)))
+
+  /** Batched decode over partitions. The iterator is grouped into
+    * fixed-size batches — the same execution shape as `mapInPandas`
+    * (arrow batch in, arrow batch out) so a vectorized codec drops in
+    * without changing the operator. */
+  def decode(media: DataFrame, batchSize: Int = 256): DataFrame = {
+    val spark = media.sparkSession
+    val enc = org.apache.spark.sql.Encoders.row(decodedSchema)
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // batch boundary = where a vectorized codec would process
+          // one arrow RecordBatch
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val kind = r.getString(1)
+            val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+            MediaCodec.decodeMeta(bytes) match {
+              case Some((w, h, fmt, d)) =>
+                Row(id, kind, w, h, fmt, d, bytes.length - 21, true)
+              case None =>
+                Row(id, kind, null, null, null, null,
+                  if (bytes == null) null else bytes.length, false)
+            }
+          }
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: slice the payload into `frameSize`-byte frames and
+    * emit every `stride`-th one, ordinally indexed — the binary-column
+    * analog of video frame extraction, expressed as a generator
+    * (1→N flatMap), so it parallelizes per-document with no shuffle. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64,
+      stride: Int = 4): DataFrame = {
+    val frameSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_index", IntegerType, nullable = false),
+      StructField("frame", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte]
+            else r.getAs[Array[Byte]](1)
+          val payload = if (bytes.length > 21) bytes.drop(21) else Array.empty[Byte]
+          payload.grouped(frameSize).zipWithIndex.collect {
+            case (frame, i) if i % stride == 0 => Row(id, i, frame)
+          }
+        }
+      }(enc)
+  }
+
+  /** Hash-derived feature vector (stub for a real embedding model):
+    * `dim` floats derived from xxhash64 of the bytes — Column-level, so
+    * it runs in codegen and demonstrates the feature-extraction plumbing
+    * (binary → fixed-width vector column). */
+  def featureVector(media: DataFrame, dim: Int = 8): DataFrame =
+    media.select(col("media_id"),
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (pmod(xxhash64(col("bytes"), i), lit(1000L)).cast("double") /
+          lit(1000.0)).cast("float"))
+        .as("features"))
+}

@@ -1,0 +1,142 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`vec_id: long,
+  * embedding: array<float>`).
+  *
+  * All dot products are computed in double precision with a sequential
+  * left-to-right fold so results are bit-deterministic across engines and
+  * partitionings. The brute-force path is the correctness baseline; the
+  * IVF path is the 100 TB shape: a coarse quantizer prunes the corpus to
+  * a few clusters per query, so the expensive scan touches a fraction of
+  * the data and the join key (cluster id) is small and shuffle-friendly.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two float-array columns in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: broadcast the (small) query set against
+    * the corpus, score every pair, keep the k best per query. The only
+    * shuffle is the per-query top-k window over scored (query, id, sim)
+    * triples — narrow rows, never raw vectors. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id"), col("embedding"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Deterministic coarse centroids: every `stride`-th corpus vector.
+    * (A k-means refinement would drop in here; centroid choice is
+    * orthogonal to the engine mechanics being exercised.) */
+  def strideCentroids(corpus: DataFrame, stride: Int): DataFrame =
+    corpus.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+
+  /** Assign each vector to its nearest centroid (broadcast argmin; ties
+    * break to the lowest centroid id). */
+  def assign(vectors: DataFrame, centroids: DataFrame,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        aggregate(
+          zip_with(col("embedding"), col("c_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk", "dist2", "c_emb")
+  }
+
+  /** IVF top-k: probe the `nProbe` nearest clusters per query, then
+    * brute-force only within those clusters. At 100 TB the corpus
+    * assignment is precomputed/bucketed by cluster_id, so a query reads
+    * only its probed buckets (partition pruning), and the candidate join
+    * shuffles on the small cluster id. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      stride: Int = 97, nProbe: Int = 3): DataFrame = {
+    val centroids = strideCentroids(corpus, stride)
+    val assigned = assign(corpus, centroids, "vec_id")
+      .withColumnRenamed("centroid_id", "cluster_id")
+    val qw = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist2").asc, col("centroid_id").asc)
+    val probes = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist2",
+        aggregate(
+          zip_with(col("q_emb"), col("c_emb"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("rk", row_number().over(qw))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("q_emb"), col("centroid_id").as("cluster_id"))
+    val scored = probes.join(assigned, "cluster_id")
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /** Random-hyperplane LSH signature (sign bits of projections onto
+    * `planes` pseudo-random hyperplanes). The "random" plane components
+    * are hash-derived — fully deterministic, no driver-side RNG state. */
+  def hyperplaneSignature(vectors: DataFrame, planes: Int, dim: Int): DataFrame = {
+    // plane p, component j -> pseudo-random double in [-1, 1)
+    def comp(p: Column, j: Column): Column =
+      (pmod(xxhash64(p * lit(dim) + j, lit(42)), lit(1000000L)).cast("double") /
+        lit(500000.0)) - lit(1.0)
+    val sig = aggregate(
+      zip_with(
+        transform(sequence(lit(0), lit(planes - 1)),
+          p => aggregate(
+            zip_with(col("embedding"), sequence(lit(0), lit(dim - 1)),
+              (x, j) => x.cast("double") * comp(p, j)),
+            lit(0.0), (acc, v) => acc + v)),
+        sequence(lit(0), lit(planes - 1)),
+        (proj, p) => when(proj > 0,
+          call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    vectors.select(col("vec_id"), col("embedding"), sig.as("bucket"))
+  }
+
+  /** Embedding near-dup pairs: bucket by hyperplane signature, verify
+    * candidates with exact cosine. The join key is the 16-bit-ish
+    * signature — collisions are the candidates. */
+  def cosineNearDupPairs(vectors: DataFrame, planes: Int = 12,
+      dim: Int = 64, threshold: Double = 0.9): DataFrame = {
+    val sigs = hyperplaneSignature(vectors, planes, dim)
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
+  }
+}

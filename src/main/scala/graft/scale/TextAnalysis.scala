@@ -1,0 +1,74 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, fingerprinting. All pure Column
+  * algebra (whole-stage codegen, zero shuffles — per-row only), with
+  * integer/quantized outputs so results are engine-exact.
+  */
+object TextAnalysis {
+
+  /** Marker word lists per language for the n-gram/stopword heuristic.
+    * Real pipelines plug fastText-style models in at the same spot; the
+    * engine mechanics (per-row scoring + argmax) are identical. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "est", "un"),
+    "zh" -> Seq("de", "shi", "he", "zai", "you"))
+
+  private def toks(text: Column): Column = split(text, " ")
+
+  /** Occurrence count of marker words for one language. */
+  def markerScore(text: Column, lang: String): Column =
+    size(filter(toks(text), t => t.isin(markers(lang): _*)))
+
+  /** Predicted language: argmax of marker scores, ties to the
+    * alphabetically-first language, 'und' (undetermined) when no marker
+    * hits at all. */
+  def langId(text: Column): Column = {
+    val langs = markers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(markerScore(text, l).as("s"), lit(l).as("l")))
+    val best = aggregate(
+      array(scored: _*),
+      struct(lit(-1).as("s"), lit("und").as("l")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+    when(best.getField("s") > 0, best.getField("l")).otherwise("und")
+  }
+
+  /** Quality-feature struct: lengths, ratios (quantized to 1e-6 for
+    * engine-exact comparison), and a composite score. */
+  def qualityFeatures(text: Column): Column = {
+    val words = toks(text)
+    val nChars = length(text)
+    val nWords = size(words)
+    val avgWordLenQ = floor(
+      (nChars - nWords + 1).cast("double") / nWords.cast("double") * 1000000L)
+      .cast("long")
+    val punct = size(filter(split(text, ""), c => c.isin(".", ",", "!", "?", ";", ":")))
+    val stopHits = size(filter(words, t => t.isin(markers("en"): _*)))
+    val stopRatioQ = floor(stopHits.cast("double") / nWords.cast("double") * 1000000L)
+      .cast("long")
+    struct(
+      nChars.as("n_chars"),
+      nWords.as("n_words"),
+      avgWordLenQ.as("avg_word_len_q"),
+      punct.as("punct_count"),
+      stopHits.as("stopword_hits"),
+      stopRatioQ.as("stopword_ratio_q"))
+  }
+
+  /** Whitespace token count and a BPE-ish regex token count (letter
+    * runs, digit runs, single punctuation — the pre-tokenizer shape of
+    * GPT-style BPE vocabularies). */
+  def tokenCounts(text: Column): Column = struct(
+    size(toks(text)).as("ws_tokens"),
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("bpe_tokens"))
+
+  /** Document fingerprint via the native RollingHash expression. */
+  def fingerprint(text: Column): Column =
+    graft.functions.RollingHash.rolling_hash(text)
+}

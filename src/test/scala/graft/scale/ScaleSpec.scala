@@ -1,0 +1,193 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exactGroups keeps min id per text") {
+    val d = docs(1L -> "a b c", 5L -> "a b c", 3L -> "x y z")
+    val got = Dedup.exactGroups(d).orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("exactByHash agrees with exactGroups on counts") {
+    val d = docs(1L -> "a b c", 5L -> "a b c", 3L -> "x y z", 9L -> "x y z")
+    val byHash = Dedup.exactByHash(d).orderBy("keep_id")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSeq
+    assert(byHash == Seq((1L, 2L), (3L, 2L)))
+  }
+
+  test("ngramJaccardPairs finds planted near-duplicate") {
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+    val other = (100 to 130).map(i => s"v$i").mkString(" ")
+    val d = docs(1L -> base, 2L -> nearDup, 3L -> other)
+    val pairs = Dedup.ngramJaccardPairs(d, n = 5, threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("identical docs have identical minhash signatures and full LSH match") {
+    val t = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(1L -> t, 2L -> t)
+    val pairs = Dedup.minhashLshPairs(d, n = 5, numHashes = 32, bands = 8,
+        threshold = 0.99)
+      .select("d1", "d2", "matches").as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 32)))
+  }
+
+  test("minhash LSH recall vs jaccard ground truth on real corpus") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val gt = Dedup.ngramJaccardPairs(d, n = 5, threshold = 0.8)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(d, n = 5, numHashes = 32, bands = 8,
+        threshold = 0.5)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(gt.nonEmpty, "corpus should contain planted near-dups")
+    val recall = (gt & lsh).size.toDouble / gt.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size})")
+  }
+
+  test("simhash of identical docs is identical; hamming 0 pair found") {
+    val t = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(7L -> t, 9L -> t)
+    val fps = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(fps(7L) == fps(9L))
+    val pairs = Dedup.simhashPairs(d, maxHamming = 3)
+      .select("d1", "d2", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(pairs == Seq((7L, 9L, 0)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by cosine") {
+    val q = vecs(0L -> Seq(1f, 0f, 0f))
+    val c = vecs(
+      1L -> Seq(1f, 0.01f, 0f),   // nearly parallel
+      2L -> Seq(0.5f, 0.5f, 0f),  // 45 degrees
+      3L -> Seq(0f, 1f, 0f))      // orthogonal
+    val got = Similarity.bruteForceTopK(q, c, k = 2)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSeq.sorted
+    assert(got == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("IVF with full probing matches brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    // probe ALL clusters -> identical to brute force
+    val nCent = emb.filter(col("vec_id") % 97 === 0).count().toInt
+    val ivfAll = Similarity.ivfTopK(q, emb, k = 5, stride = 97, nProbe = nCent)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(ivfAll == brute)
+  }
+
+  test("IVF recall@5 with 3 probes is reasonable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(q, emb, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(q, emb, k = 5, stride = 97, nProbe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall@5 $recall unexpectedly low")
+  }
+
+  test("near-dup pairs finds identical vectors") {
+    val v = Seq.tabulate(64)(i => (i % 7).toFloat - 3f)
+    val d = vecs(1L -> v, 2L -> v, 3L -> v.map(x => -x))
+    val pairs = Similarity.cosineNearDupPairs(d, planes = 12, dim = 64,
+        threshold = 0.99)
+      .select("v1", "v2").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import Multimodal._
+
+  private def media(): DataFrame = {
+    val rows = Seq(
+      (1L, "image", MediaCodec.encode("image", 640, 480, 0L, Array.fill[Byte](200)(7))),
+      (2L, "video", MediaCodec.encode("video", 1920, 1080, 60000L, Array.fill[Byte](512)(9))),
+      (3L, "audio", Array[Byte](1, 2, 3)),  // malformed
+      (4L, "audio", null))                  // null bytes
+    rows.toDF("media_id", "kind", "bytes")
+  }
+
+  test("decode extracts header meta; malformed/null rows flagged not thrown") {
+    val got = Multimodal.decode(media(), batchSize = 2)
+      .orderBy("media_id")
+      .select("media_id", "width", "height", "format", "duration_ms", "decode_ok")
+      .collect()
+    assert(got(0).getInt(1) == 640 && got(0).getString(3) == "image" &&
+      got(0).getBoolean(5))
+    assert(got(1).getInt(2) == 1080 && got(1).getLong(4) == 60000L)
+    assert(!got(2).getBoolean(5) && got(2).isNullAt(1))
+    assert(!got(3).getBoolean(5))
+  }
+
+  test("sampleFrames slices payload with stride and contiguous indices") {
+    val got = Multimodal.sampleFrames(media(), frameSize = 64, stride = 2)
+      .filter(col("media_id") === 2L)
+      .select("frame_index").as[Int].collect().toSeq.sorted
+    // payload 512 bytes -> 8 frames of 64 -> stride 2 keeps 0,2,4,6
+    assert(got == Seq(0, 2, 4, 6))
+  }
+
+  test("featureVector is deterministic and fixed-width") {
+    val f1 = Multimodal.featureVector(media(), dim = 8)
+      .orderBy("media_id").as[(Long, Seq[Float])].collect().toSeq
+    val f2 = Multimodal.featureVector(media(), dim = 8)
+      .orderBy("media_id").as[(Long, Seq[Float])].collect().toSeq
+    assert(f1 == f2)
+    assert(f1.forall(_._2.size == 8))
+  }
+}
+
+class RollingHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.functions.RollingHash
+
+  test("rolling_hash matches reference fold and runs in codegen") {
+    val d = Seq((1L, "abc"), (2L, ""), (3L, "the quick brown fox"))
+      .toDF("id", "t")
+    val got = d.select(col("id"), RollingHash.rolling_hash(col("t")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def ref(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 2147483647L)
+    assert(got(1L) == ref("abc"))
+    assert(got(2L) == 0L)
+    assert(got(3L) == ref("the quick brown fox"))
+  }
+}
