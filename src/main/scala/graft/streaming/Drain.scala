@@ -1,0 +1,175 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.util.CollectionAccumulator
+import graft.model.{NotionBlock, PageStatus}
+
+/** The ordered, rate-limited, fail-fast drain sink — the whole phase-2
+  * upload loop (SURVEY §3.3) as one batch-iterative operator:
+  *
+  *  - W2/S7: per-batch ordered head-`maxBlocks` chunks per iteration
+  *  - W4: upload order == blockIndex order, enforced by
+  *    `coalesce(1).sortWithinPartitions` feeding a single writer
+  *  - ST4: the global semaphore becomes structural — one sink partition
+  *  - K5: token-bucket rate limiting between API calls
+  *  - ST8: retry with exponential backoff on 429/502/503/504
+  *  - ST6: first failing block aborts its page for the iteration;
+  *    remaining blocks skipped
+  *  - ST2/K8: failed pages retry up to `maxAttempts` iterations (SQS
+  *    redelivery), then dead-letter into the failures output
+  *  - K6: uploaded blocks leave the pending set (delete-as-cursor), so
+  *    retries resume exactly at the failure point
+  *
+  * Results are reported through a CollectionAccumulator — the
+  * cluster-safe channel for sink-side outcomes.
+  */
+object Drain {
+
+  case class Config(
+      maxBlocks: Int = 50,
+      minIntervalMs: Long = 0L,
+      maxAttempts: Int = 5,
+      httpRetries: Int = 5,
+      backoffBaseMs: Long = 1L)
+
+  case class Report(
+      iterations: Int,
+      uploaded: Long,
+      succeededPages: Seq[String],
+      deadLetteredPages: Seq[String])
+
+  /** Run the drain to completion.
+    *
+    * @param blocks   pending blocks (NotionBlock shape)
+    * @param parents  (key dir → parentUrl) dimension, J2
+    * @return (finalPageStatus DataFrame, failures DataFrame, report)
+    */
+  def run(spark: SparkSession, blocks: DataFrame, parents: Map[String, String],
+      api: NotionApi, cfg: Config = Config()): (DataFrame, DataFrame, Report) = {
+    import spark.implicits._
+
+    var pending = blocks.as[NotionBlock].cache()
+    val attempts = scala.collection.mutable.Map.empty[String, Int]
+    val dead = scala.collection.mutable.Set.empty[String]
+    val done = scala.collection.mutable.Set.empty[String]
+    var uploadedTotal = 0L
+    var iter = 0
+    var stalled = false
+
+    while (!stalled && iter < 10000 && {
+      val livePending = pending.filter(!col("blockBatch").isin(dead.toSeq: _*))
+      !livePending.isEmpty
+    }) {
+      iter += 1
+      val live = pending.filter(!col("blockBatch").isin(dead.toSeq: _*))
+      // W2: ordered head-N per batch
+      val w = Window.partitionBy(col("blockBatch")).orderBy(col("blockIndex").asc)
+      val chunk = live.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= cfg.maxBlocks)
+        .drop("rn")
+        .as[NotionBlock]
+
+      val results: CollectionAccumulator[(String, Int, Boolean)] =
+        spark.sparkContext.collectionAccumulator[(String, Int, Boolean)]("drainResults")
+      val parentsB = spark.sparkContext.broadcast(parents)
+      val c = cfg
+
+      // ST4/W4: single ordered writer partition
+      chunk.orderBy(col("blockBatch"), col("blockIndex"))
+        .coalesce(1)
+        .sortWithinPartitions(col("blockBatch"), col("blockIndex"))
+        .foreachPartition { (it: Iterator[NotionBlock]) =>
+          var lastCall = 0L
+          val failedBatches = scala.collection.mutable.Set.empty[String]
+          it.foreach { b =>
+            if (failedBatches.contains(b.blockBatch)) {
+              // ST6 fail-fast: skip the rest of a failed page
+            } else {
+              val dir = b.key.lastIndexOf('/') match {
+                case -1 => ""
+                case i => b.key.substring(0, i)
+              }
+              val parentUrl = parentsB.value.getOrElse(dir, "https://notion.test/default")
+              val ok =
+                try {
+                  val pageUrl = api.getOrCreatePage(b.blockBatch, b.key, parentUrl)
+                  // K5 rate limit
+                  if (c.minIntervalMs > 0) {
+                    val since = (System.nanoTime() - lastCall) / 1000000L
+                    if (lastCall != 0L && since < c.minIntervalMs)
+                      Thread.sleep(c.minIntervalMs - since)
+                  }
+                  // ST8 retry with backoff
+                  var attempt = 0
+                  var success = false
+                  var lastErr: Throwable = null
+                  while (!success && attempt <= c.httpRetries) {
+                    try {
+                      api.uploadBlock(pageUrl, b)
+                      success = true
+                    } catch {
+                      case e: NotionApiError
+                          if NotionApiError.retryableStatuses(e.status) &&
+                            attempt < c.httpRetries =>
+                        lastErr = e
+                        Thread.sleep(c.backoffBaseMs * (1L << attempt))
+                        attempt += 1
+                      case e: Throwable =>
+                        lastErr = e
+                        attempt = c.httpRetries + 1
+                    }
+                  }
+                  lastCall = System.nanoTime()
+                  if (!success && lastErr != null) false else success
+                } catch {
+                  case _: Throwable => false
+                }
+              if (!ok) failedBatches += b.blockBatch
+              results.add((b.blockBatch, b.blockIndex, ok))
+            }
+          }
+        }
+
+      import scala.jdk.CollectionConverters._
+      val res = results.value.asScala.toSeq
+      val okRows = res.filter(_._3).map(r => (r._1, r._2))
+      val failedBatchesNow = res.filter(!_._3).map(_._1).distinct
+      uploadedTotal += okRows.size
+
+      failedBatchesNow.foreach { b =>
+        val a = attempts.getOrElse(b, 0) + 1
+        attempts(b) = a
+        if (a >= cfg.maxAttempts) dead += b  // K8 DLQ
+      }
+
+      // K6: delete uploaded rows (anti join on the composite key)
+      if (okRows.nonEmpty) {
+        val uploadedDf = okRows.toDF("blockBatch", "blockIndex")
+        val newPending = pending
+          .join(uploadedDf, Seq("blockBatch", "blockIndex"), "left_anti")
+          .as[NotionBlock].cache()
+        pending.unpersist()
+        pending = newPending
+      }
+      // batches fully drained and not failed -> SUCCESS
+      val stillPending = pending.select("blockBatch").distinct().as[String]
+        .collect().toSet
+      val seen = res.map(_._1).toSet
+      (seen -- stillPending -- dead).foreach(done += _)
+      // nothing progressed (e.g. all pending batches dead) — stop
+      stalled = okRows.isEmpty && failedBatchesNow.isEmpty
+    }
+
+    val now = System.currentTimeMillis()
+    val finalPages = (done.toSeq.map((_, PageStatus.Success)) ++
+      dead.toSeq.map((_, PageStatus.Fail)))
+      .toDF("blockBatch", "status")
+      .withColumn("statusTime", lit(now))
+    val failures = dead.toSeq.toDF("blockBatch")
+      .withColumn("eventTime", lit(now))
+    (finalPages, failures,
+      Report(iter, uploadedTotal, done.toSeq.sorted, dead.toSeq.sorted))
+  }
+}

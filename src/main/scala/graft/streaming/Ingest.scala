@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.convert.MarkdownBlocks
+
+/** Phase-2 ingest: staged `.md` objects → exploded, ordinally-indexed
+  * block rows in the blocks store (the StoreNotionBlocks lambda,
+  * SURVEY §3.2), as Structured Streaming.
+  *
+  *  - ST1: file source with `pathGlobFilter=*.md` (the S3-suffix
+  *    notification filter, pushed down to listing)
+  *  - T13: batch ids are deterministic — xxhash64(path, mtime) — so
+  *    replays are idempotent and "re-upload = new page" holds (keying
+  *    on (path, modificationTime), ST1's note)
+  *  - T11/T12: markdown → ordered blocks via a flatMap generator +
+  *    posexplode ordinal
+  *  - F8: pandoc comment artifacts filtered
+  *  - K3: idempotent append — left-anti against the existing store
+  *    inside foreachBatch, the MERGE-WHEN-NOT-MATCHED pattern (the
+  *    checkpoint already gives exactly-once; the anti-join also heals
+  *    manual re-runs)
+  */
+object Ingest {
+
+  private val parseUdf = udf { (text: String) =>
+    MarkdownBlocks.parse(text)
+      .filterNot { case (t, c) => MarkdownBlocks.isPandocCommentArtifact(t, c) }
+      .map { case (t, c) => (t, c) }
+  }
+
+  /** Shared batch transform: staged file rows → block rows.
+    * Input schema: (path string, modificationTime timestamp,
+    * content binary). */
+  def explodeBlocks(staged: DataFrame): DataFrame = {
+    staged
+      .withColumn("key",
+        regexp_replace(col("path"), "^file:/*", "/"))
+      .withColumn("blockBatch",
+        concat(lit("b"),
+          abs(xxhash64(col("key"), col("modificationTime"))).cast("string")))
+      .withColumn("markdown", col("content").cast("string"))
+      .select(col("blockBatch"), col("key"),
+        posexplode(parseUdf(col("markdown"))).as(Seq("blockIndex", "block")))
+      .select(col("blockBatch"),
+        col("blockIndex").cast("int").as("blockIndex"),
+        lit("staging").as("bucket"), col("key"),
+        col("block._1").as("blockType"), col("block._2").as("title"))
+  }
+
+  /** Start the streaming ingest into a parquet blocks store. */
+  def start(spark: SparkSession, stagingDir: String, blocksDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val staged = spark.readStream
+      .format("binaryFile")
+      .option("pathGlobFilter", "*.md")
+      .option("recursiveFileLookup", "true") // staging tree is per-namespace
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType))))
+      .load(stagingDir)
+    explodeBlocks(staged).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark2 = batch.sparkSession
+        val existing =
+          try spark2.read.parquet(blocksDir).select("blockBatch", "blockIndex")
+          catch { case _: Throwable => null }
+        val toWrite =
+          if (existing == null) batch
+          else batch.join(existing, Seq("blockBatch", "blockIndex"), "left_anti")
+        toWrite.write.mode("append").parquet(blocksDir)
+        ()
+      }
+      .start()
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.PageStatus
+import graft.pipeline.Phase1
+import graft.scale.SparkTestSession
+import graft.streaming.{Drain, Ingest, MockNotionApi}
+
+/** The reference's full journey (SURVEY §3): XML dump → markdown tree
+  * (phase 1) → streamed block store → ordered drain into the (mock)
+  * Notion API with page status — one test, end to end.
+  */
+class EndToEndSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dump to Notion: phase1 + ingest + drain") {
+    val tmp = Files.createTempDirectory("graft-e2e")
+    val xml = tmp.resolve("dump.xml")
+    Files.writeString(xml,
+      """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">
+        |  <siteinfo><namespaces>
+        |    <namespace key="0"/>
+        |    <namespace key="14">Category</namespace>
+        |  </namespaces></siteinfo>
+        |  <page><title>Alpha</title><ns>0</ns>
+        |    <revision><text>== A ==
+        |{{Needswork}}body of alpha
+        |* item1
+        |* item2</text></revision></page>
+        |  <page><title>Category:Nets</title><ns>14</ns>
+        |    <revision><text>About nets.</text></revision></page>
+        |</mediawiki>""".stripMargin)
+
+    // phase 1: dump -> markdown tree
+    val outDir = tmp.resolve("staging").toString
+    val (nPages, _, _) = Phase1.run(spark, xml.toString, outDir)
+    assert(nPages == 2)
+
+    // phase 2a: ingest the tree into the blocks store
+    val blocksDir = tmp.resolve("blocks").toString
+    Ingest.start(spark, outDir, blocksDir, tmp.resolve("ckpt").toString)
+      .awaitTermination()
+    val blocks = spark.read.parquet(blocksDir)
+    val alphaBatch = blocks.filter($"key".endsWith("Alpha.md"))
+      .select("blockBatch").distinct().as[String].collect()
+    assert(alphaBatch.length == 1)
+
+    // phase 2b: drain into the mock Notion API
+    MockNotionApi.reset("e2e")
+    val api = new MockNotionApi("e2e")
+    val dirs = blocks.select(
+        regexp_replace($"key", "/[^/]*$", "").as("dir"))
+      .distinct().as[String].collect()
+    val parents = dirs.map(d => d -> s"https://notion.test/${d.split('/').last}").toMap
+    val (pages, failures, report) = Drain.run(spark, blocks, parents, api,
+      Drain.Config(maxBlocks = 3))
+
+    assert(failures.isEmpty)
+    assert(pages.filter($"status" =!= PageStatus.Success).count() == 0)
+    // every stored block arrived, in order, under the right parent
+    val ups = MockNotionApi.uploadsOf("e2e")
+    assert(ups.size == blocks.count())
+    val alphaUploads = ups.filter(_._2.blockBatch == alphaBatch.head)
+    assert(alphaUploads.map(_._2.blockIndex) == alphaUploads.map(_._2.blockIndex).sorted)
+    assert(alphaUploads.head._1.contains("notion.test/Main"))
+    // content fidelity spot-check: template expanded, list itemized
+    val titles = alphaUploads.map(_._2.title)
+    assert(titles.exists(_.contains("🚧 body of alpha")))
+    assert(titles.count(_.startsWith("item")) == 2)
+  }
+}
