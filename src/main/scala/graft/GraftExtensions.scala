@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{MinHashSig, RollingHash, SimHash64}
+
+/** SQL surface for the native expressions.
+  *
+  * Two registration paths:
+  *  - `spark.sql.extensions=graft.GraftExtensions` (spark-submit /
+  *    cluster config) via [[GraftExtensions]]
+  *  - `GraftFunctions.register(spark)` on a live session
+  *
+  * After either, `SELECT rolling_hash(text), simhash64(split(text, ' ')),
+  * minhash_sig(shingles, 32) FROM docs` works from pure SQL.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+  override def apply(e: SparkSessionExtensions): Unit =
+    builders.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+    }
+}
+
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "rolling_hash" -> (exprs => RollingHash(exprs.head)),
+    "simhash64" -> (exprs => SimHash64(exprs.head)),
+    "minhash_sig" -> (exprs =>
+      MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig numHashes"))),
+  )
+}
+
+object GraftFunctions {
+  /** Register the native functions on a live session. */
+  def register(spark: SparkSession): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

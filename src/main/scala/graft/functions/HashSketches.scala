@@ -24,6 +24,16 @@ object HashSketches {
   @inline def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 
+  private[functions] def requireStringArray(child: Expression, fn: String) = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(_: org.apache.spark.sql.types.StringType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<string>, got ${other.sql}")
+    }
+  }
+
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(shingles), numHashes))
 
@@ -36,7 +46,10 @@ object HashSketches {
   * is hashed once, then cheap long-mixes derive the k permutations. */
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSketches.requireStringArray(child, prettyName)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
@@ -70,7 +83,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
   * over tokens of ±1 (per bit i of xxhash64(token, 42)) is positive. */
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    HashSketches.requireStringArray(child, prettyName)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
