@@ -576,6 +576,41 @@ object Catalogue {
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY 1 ORDER BY ns_name""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q28 — T10 wikitext→markdown conversion after the full prepare chain
+  // (process-mw-dump.py:276-292; native converter, not SQL-expressible →
+  // rows-only; fidelity pinned by WikiToMarkdownSpec + EndToEndSpec)
+  // ---------------------------------------------------------------------
+  def q28WikiToMd(s: SparkSession, d: String): DataFrame = {
+    val convertUdf = udf { (text: String, title: String, ns: String) =>
+      graft.convert.WikiToMarkdown.convert(
+        graft.text.Wikitext.prepare(text, title, ns))
+    }
+    documents(s, d)
+      .withColumn("wikitext", concat(
+        lit("== Section =="), lit("\n'''"), col("source"), lit("''' intro [[Linked Page]]\n"),
+        lit("* "), substring(col("text"), 1, 40), lit("\n  code sample\n\ndone {{source|"),
+        col("lang"), lit("}}\n")))
+      .select(col("doc_id"),
+        convertUdf(col("wikitext"), concat(lit("D"), col("doc_id")), lit("Main"))
+          .as("markdown"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q29 — skew-safe salted two-phase aggregation; the oracle is the PLAIN
+  // group-by, proving the salted plan computes identical results
+  // ---------------------------------------------------------------------
+  def q29SaltedTally(s: SparkSession, d: String): DataFrame =
+    graft.operators.Skew.saltedCountSum(
+        lineitem(s, d), col("l_orderkey"), cents(col("l_extendedprice")))
+      .withColumnRenamed("k", "l_orderkey")
+      .orderBy(col("l_orderkey"))
+  val q29Sql: String =
+    """SELECT l_orderkey, count(*) AS cnt,
+      |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_v
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** All relational-core queries keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -605,6 +640,8 @@ object Catalogue {
     "q25_comment_filter" -> q25CommentFilter _,
     "q26_markdown_render" -> q26MarkdownRender _,
     "q27_ns_registry" -> q27NsRegistry _,
+    "q28_wiki_to_md" -> q28WikiToMd _,
+    "q29_salted_tally" -> q29SaltedTally _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -636,5 +673,7 @@ object Catalogue {
     "q25_comment_filter" -> q25Sql,
     "q26_markdown_render" -> q26Sql,
     "q27_ns_registry" -> q27Sql,
+    // q28: native converter chain, rows-only
+    "q29_salted_tally" -> q29Sql,
   )
 }

@@ -262,6 +262,33 @@ object ScaleCatalogue {
       .orderBy(col("media_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q42 — text normalization for dedup preprocessing: NFC + lowercase +
+  // punctuation strip + whitespace collapse (the canonicalization step
+  // upstream of exact/fuzzy dedup in training-data pipelines)
+  // ---------------------------------------------------------------------
+  def q42Normalize(s: SparkSession, d: String): DataFrame = {
+    val nfc = udf { (t: String) =>
+      if (t == null) null
+      else java.text.Normalizer.normalize(t, java.text.Normalizer.Form.NFC)
+    }
+    documents(s, d)
+      .select(col("doc_id"),
+        trim(regexp_replace(
+          regexp_replace(lower(nfc(col("text"))), "[^\\p{L}\\p{N} ]", ""),
+          " +", " ")).as("norm_text"))
+      .withColumn("norm_hash", graft.functions.RollingHash.rolling_hash(col("norm_text")))
+      .orderBy(col("doc_id"))
+  }
+  val q42Sql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+      |  list_reduce(
+      |    list_prepend(0::BIGINT, list_transform(string_split(
+      |      trim(regexp_replace(regexp_replace(lower(nfc_normalize(text)), '[^\p{L}\p{N} ]', '', 'g'), ' +', ' ', 'g')), ''), c -> ascii(c)::BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 2147483647) AS norm_hash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -275,6 +302,7 @@ object ScaleCatalogue {
     "q39_fingerprint" -> q39Fingerprint _,
     "q40_embed_norm" -> q40EmbedNorm _,
     "q41_media_decode" -> q41MediaDecode _,
+    "q42_normalize" -> q42Normalize _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +317,6 @@ object ScaleCatalogue {
     "q39_fingerprint" -> q39Sql,
     "q40_embed_norm" -> q40Sql,
     // q41: stub codec, rows-only
+    "q42_normalize" -> q42Sql,
   )
 }
