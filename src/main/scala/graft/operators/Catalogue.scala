@@ -611,6 +611,42 @@ object Catalogue {
       |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_v
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q43 — J4/S12 media-reference resolution with F11 absolute-URL
+  // passthrough (upload_notion_blocks.py:193-212; unmatched relative
+  // refs become failure rows, FAQ.md:24-28 case-sensitivity)
+  // ---------------------------------------------------------------------
+  def q43MediaRefs(s: SparkSession, d: String): DataFrame = {
+    val refs = documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, concat(lit("https://cdn.test/"), col("doc_id"), lit(".png")))
+        .otherwise(concat(lit("img_"), col("doc_id"), lit(".png"))).as("ref"))
+    val files = documents(s, d).filter(col("doc_id") % 2 === 0)
+      .select(concat(lit("img_"), col("doc_id"), lit(".png")).as("fname"))
+    refs
+      .join(broadcast(files), col("ref") === col("fname"), "left")
+      .select(col("doc_id"), col("ref"),
+        when(col("ref").contains("://"), col("ref"))              // F11
+          .when(col("fname").isNotNull, concat(lit("File/"), col("fname")))
+          .otherwise(lit(null).cast("string")).as("resolved"))
+      .withColumn("is_failure", col("resolved").isNull)
+      .orderBy(col("doc_id"))
+  }
+  val q43Sql: String =
+    """SELECT r.doc_id, r.ref,
+      |  CASE WHEN r.ref LIKE '%://%' THEN r.ref
+      |       WHEN f.fname IS NOT NULL THEN 'File/' || f.fname
+      |       ELSE NULL END AS resolved,
+      |  CASE WHEN r.ref LIKE '%://%' THEN FALSE
+      |       WHEN f.fname IS NOT NULL THEN FALSE ELSE TRUE END AS is_failure
+      |FROM (SELECT doc_id,
+      |        CASE WHEN doc_id % 3 = 0 THEN 'https://cdn.test/' || CAST(doc_id AS VARCHAR) || '.png'
+      |             ELSE 'img_' || CAST(doc_id AS VARCHAR) || '.png' END AS ref
+      |      FROM documents) r
+      |LEFT JOIN (SELECT 'img_' || CAST(doc_id AS VARCHAR) || '.png' AS fname
+      |           FROM documents WHERE doc_id % 2 = 0) f
+      |ON r.ref = f.fname
+      |ORDER BY r.doc_id""".stripMargin
+
   /** All relational-core queries keyed for SparkEntry. */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q01PricingSummary _,
@@ -642,6 +678,7 @@ object Catalogue {
     "q27_ns_registry" -> q27NsRegistry _,
     "q28_wiki_to_md" -> q28WikiToMd _,
     "q29_salted_tally" -> q29SaltedTally _,
+    "q43_media_refs" -> q43MediaRefs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -675,5 +712,6 @@ object Catalogue {
     "q27_ns_registry" -> q27Sql,
     // q28: native converter chain, rows-only
     "q29_salted_tally" -> q29Sql,
+    "q43_media_refs" -> q43Sql,
   )
 }

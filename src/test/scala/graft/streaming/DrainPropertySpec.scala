@@ -1,0 +1,45 @@
+package graft.streaming
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.NotionBlock
+import graft.scale.SparkTestSession
+
+/** SURVEY §5.3's property target: for ANY page sizes and ANY chunk size,
+  * the concatenation of drained chunks equals the original block order
+  * (W2/W4), and every page drains exactly once. */
+class DrainPropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("drain invariant holds for random page sizes and chunk sizes") {
+    val gen = for {
+      nPages <- Gen.choose(1, 4)
+      sizes <- Gen.listOfN(nPages, Gen.choose(1, 12))
+      maxBlocks <- Gen.choose(1, 7)
+    } yield (sizes, maxBlocks)
+
+    val prop = Prop.forAllNoShrink(gen) { case (sizes, maxBlocks) =>
+      val name = s"prop-${sizes.mkString("_")}-$maxBlocks"
+      MockNotionApi.reset(name)
+      val api = new MockNotionApi(name)
+      val rows = sizes.zipWithIndex.flatMap { case (n, p) =>
+        (0 until n).map(i =>
+          NotionBlock(s"pg$p", i, "b", s"Main/pg$p.md", "text", s"pg$p-$i"))
+      }
+      val (_, failures, report) = Drain.run(spark, rows.toDF(),
+        Map("Main" -> "u"), api, Drain.Config(maxBlocks = maxBlocks))
+      val ups = MockNotionApi.uploadsOf(name)
+      val orderOk = sizes.indices.forall { p =>
+        ups.filter(_._2.blockBatch == s"pg$p").map(_._2.blockIndex) ==
+          (0 until sizes(p))
+      }
+      orderOk &&
+        report.uploaded == sizes.sum &&
+        report.succeededPages.size == sizes.size &&
+        failures.isEmpty
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+}

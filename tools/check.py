@@ -57,8 +57,10 @@ def main():
             n_fail += 1
             continue
         try:
-            mismatch = (got.astype(object).where(pd.notnull(got), None) !=
-                        exp.astype(object).where(pd.notnull(exp), None))
+            g = got.astype(object)
+            e = exp.astype(object)
+            # None/NaN on both sides is a match (pandas != treats it as NaN)
+            mismatch = (g != e) & ~(got.isnull() & exp.isnull())
             bad = mismatch.any(axis=1)
             if bad.any():
                 i = bad.idxmax()
