@@ -289,6 +289,28 @@ object ScaleCatalogue {
       |    (h, c) -> (h * 31 + c) % 2147483647) AS norm_hash
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q44 — corpus profile: the summary-statistics sweep a training-data
+  // pipeline runs before/after every filtering stage
+  // ---------------------------------------------------------------------
+  def q44CorpusProfile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        countDistinct(col("source")).as("sources"),
+        floor(avg(col("n_chars")) * 1000).cast("long").as("avg_chars_q"))
+      .orderBy(col("lang"))
+  val q44Sql: String =
+    """SELECT lang, count(*) AS docs, sum(n_chars) AS total_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+      |  count(DISTINCT source) AS sources,
+      |  CAST(floor(avg(n_chars) * 1000) AS BIGINT) AS avg_chars_q
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -303,6 +325,7 @@ object ScaleCatalogue {
     "q40_embed_norm" -> q40EmbedNorm _,
     "q41_media_decode" -> q41MediaDecode _,
     "q42_normalize" -> q42Normalize _,
+    "q44_corpus_profile" -> q44CorpusProfile _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -318,5 +341,6 @@ object ScaleCatalogue {
     "q40_embed_norm" -> q40Sql,
     // q41: stub codec, rows-only
     "q42_normalize" -> q42Sql,
+    "q44_corpus_profile" -> q44Sql,
   )
 }

@@ -70,5 +70,31 @@ class EndToEndSpec extends AnyFunSuite {
     val titles = alphaUploads.map(_._2.title)
     assert(titles.exists(_.contains("🚧 body of alpha")))
     assert(titles.count(_.startsWith("item")) == 2)
+
+    // phase 2c: status lifecycle fed by the actual run's events (ST7)
+    import graft.streaming.StatusMachine
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val keyOf = blocks.select("blockBatch", "key").distinct()
+      .as[(String, String)].collect().toMap
+    val mem = MemoryStream[StatusMachine.StatusEvent]
+    val q = StatusMachine.run(mem.toDS())
+      .writeStream.format("memory").queryName("e2e_status")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    val batches = keyOf.keys.toSeq.sorted
+    mem.addData(batches.map(b => StatusMachine.StatusEvent(b, keyOf(b), "stored", 1L)): _*)
+    mem.addData(batches.map(b => StatusMachine.StatusEvent(b, keyOf(b), "upload_start", 2L)): _*)
+    mem.addData(batches.map { b =>
+      val kind = if (report.deadLetteredPages.contains(b)) "upload_fail"
+        else "upload_success"
+      StatusMachine.StatusEvent(b, keyOf(b), kind, 3L)
+    }: _*)
+    q.processAllAvailable()
+    val finalStatus = spark.table("e2e_status")
+      .as[graft.model.PageRecord].collect()
+      .groupBy(_.blockBatch).map { case (k, v) => k -> v.maxBy(_.statusTime).status }
+    q.stop()
+    assert(finalStatus.values.forall(_ == PageStatus.Success))
+    assert(finalStatus.keySet == batches.toSet)
   }
 }

@@ -64,6 +64,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"status filter not pushed to parquet:\n$scans")
   }
 
+  test("partitioned layout prunes partitions at the scan") {
+    val d = "/root/testdata/sf0.001"
+    val part = Files.createTempDirectory("graft-part").resolve("docs").toString
+    graft.Tables.documents(spark, d)
+      .write.partitionBy("lang").mode("overwrite").parquet(part)
+    val q = spark.read.parquet(part).filter(col("lang") === "en")
+      .agg(count(lit(1)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(lang") || plan.contains("lang#"),
+      s"no partition filter in scan:\n$plan")
+    // the scan must read ONLY the en partition
+    val scanned = q.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    assert(!scanned.contains("lang=de"), "non-en partition files in scan")
+    q.collect()
+  }
+
   test("salted aggregation equals plain aggregation") {
     val d = "/root/testdata/sf0.001"
     val salted = Skew.saltedCountSum(

@@ -49,4 +49,51 @@ class WindowedMetricsSpec extends AnyFunSuite {
     assert(out("2024-01-01 10:00:00") == ((2L, 3.0)), s"got $out")   // late 100.0 dropped
     assert(out("2024-01-01 10:01:00") == ((1L, 4.0)), s"got $out")
   }
+
+  test("streaming windowed metrics equal the batch computation (q09 shape)") {
+    val d = "/root/testdata/sf0.001"
+    // batch reference
+    val batch = graft.operators.Catalogue.q09WindowMetrics(spark, d)
+      .select(col("wstart").cast("string"), col("event_type"), col("n"),
+        col("sum_value_c"))
+      .as[(String, String, Long, Long)].collect().toSet
+    // same aggregation as a file-source stream (complete drain, no
+    // watermark: the reference's dashboards aggregate ALL data)
+    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    // file stream sources need a directory — stage the single file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-evstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$d/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
+      .select(col("w.start").cast("string").as("wstart"), col("event_type"),
+        col("n"), col("sum_value_c"))
+    val q = stream.writeStream.format("memory").queryName("q09_stream")
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("q09_stream")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+  }
 }
