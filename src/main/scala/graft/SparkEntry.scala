@@ -30,10 +30,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.operators.Catalogue.all ++ graft.operators.ScaleCatalogue.all
+    graft.operators.Catalogue.all ++ graft.operators.ScaleCatalogue.all ++
+      graft.operators.WindowCatalogue.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.operators.Catalogue.oracles ++ graft.operators.ScaleCatalogue.oracles
+    graft.operators.Catalogue.oracles ++ graft.operators.ScaleCatalogue.oracles ++
+      graft.operators.WindowCatalogue.oracles
 }

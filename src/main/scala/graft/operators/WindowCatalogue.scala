@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Windowed-analytics extensions. The reference needs none of these
+  * (SURVEY §2.7/§2.6 marks them absent), but a query engine replacing it
+  * should offer them; all are shuffle-on-key window plans with exact
+  * DuckDB oracles.
+  */
+object WindowCatalogue {
+
+  // ---------------------------------------------------------------------
+  // q45 — sessionization (gaps-and-islands): 30-minute inactivity gap
+  // ---------------------------------------------------------------------
+  def q45Sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events(s, d)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+    sess.groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("ev"),
+        (max(unix_millis(col("ts"))) - min(unix_millis(col("ts")))).as("dur_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("sessions"),
+        sum(col("ev")).as("total_events"),
+        max(col("ev")).as("max_session_events"),
+        max(col("dur_ms")).as("longest_session_ms"))
+      .orderBy(col("user_id"))
+  }
+  val q45Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts,
+      |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM marked),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, count(*) AS ev,
+      |    max(epoch_ms(ts)) - min(epoch_ms(ts)) AS dur_ms
+      |  FROM sessions GROUP BY user_id, sess_id)
+      |SELECT user_id, count(*) AS sessions, sum(ev) AS total_events,
+      |  max(ev) AS max_session_events, max(dur_ms) AS longest_session_ms
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q46 — running aggregates with explicit frames
+  // ---------------------------------------------------------------------
+  def q46Running(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("run_cnt", count(lit(1)).over(w))
+      .withColumn("run_sum_c",
+        sum(floor(col("value") * 100).cast("long")).over(w))
+      .filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("user_id"), col("run_cnt"), col("run_sum_c"))
+      .orderBy(col("event_id"))
+  }
+  val q46Sql: String =
+    """SELECT event_id, user_id, run_cnt, run_sum_c FROM (
+      |  SELECT event_id, user_id,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
+      |    sum(CAST(floor(value * 100.0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_c
+      |  FROM events) t
+      |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q47 — rollup (hierarchical subtotals)
+  // ---------------------------------------------------------------------
+  def q47Rollup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .rollup(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  val q47Sql: String =
+    """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars
+      |FROM documents GROUP BY ROLLUP (lang, source)
+      |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q48 — lag/lead analytics: inter-event gap stats per user
+  // ---------------------------------------------------------------------
+  def q48EventGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .withColumn("gap_ms", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("gaps"),
+        min(col("gap_ms")).as("min_gap_ms"),
+        max(col("gap_ms")).as("max_gap_ms"),
+        sum(col("gap_ms")).as("total_gap_ms"))
+      .orderBy(col("user_id"))
+  }
+  val q48Sql: String =
+    """SELECT user_id, count(*) AS gaps, min(gap_ms) AS min_gap_ms,
+      |  max(gap_ms) AS max_gap_ms, sum(gap_ms) AS total_gap_ms
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      |  FROM events) t
+      |WHERE gap_ms IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_sessionize" -> q45Sessionize _,
+    "q46_running" -> q46Running _,
+    "q47_rollup" -> q47Rollup _,
+    "q48_event_gaps" -> q48EventGaps _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q45_sessionize" -> q45Sql,
+    "q46_running" -> q46Sql,
+    "q47_rollup" -> q47Sql,
+    "q48_event_gaps" -> q48Sql,
+  )
+}
