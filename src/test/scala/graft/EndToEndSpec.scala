@@ -97,4 +97,31 @@ class EndToEndSpec extends AnyFunSuite {
     assert(finalStatus.values.forall(_ == PageStatus.Success))
     assert(finalStatus.keySet == batches.toSet)
   }
+
+  test("Phase2.run one-call orchestration with parenturl.txt discovery") {
+    val tmp = Files.createTempDirectory("graft-p2")
+    val staging = tmp.resolve("staging")
+    Files.createDirectories(staging.resolve("Main"))
+    Files.createDirectories(staging.resolve("Category"))
+    Files.writeString(staging.resolve("Main").resolve("parenturl.txt"),
+      "https://notion.test/main-parent\n")
+    Files.writeString(staging.resolve("Category").resolve("parenturl.txt"),
+      "https://notion.test/cat-parent\n")
+    Files.writeString(staging.resolve("Main").resolve("One.md"), "# One\n\nbody\n")
+    Files.writeString(staging.resolve("Category").resolve("Two.md"), "# Two\n")
+
+    graft.streaming.MockNotionApi.reset("p2")
+    val api = new graft.streaming.MockNotionApi("p2")
+    val res = graft.streaming.Phase2.run(spark, staging.toString,
+      tmp.resolve("work").toString, api)
+
+    assert(res.report.deadLetteredPages.isEmpty)
+    assert(res.report.succeededPages.size == 2)
+    val ups = MockNotionApi.uploadsOf("p2")
+    // S11/J2: each page landed under ITS directory's parent url
+    val oneUrl = ups.find(_._2.key.endsWith("One.md")).get._1
+    val twoUrl = ups.find(_._2.key.endsWith("Two.md")).get._1
+    assert(oneUrl.startsWith("https://notion.test/main-parent/"))
+    assert(twoUrl.startsWith("https://notion.test/cat-parent/"))
+  }
 }
