@@ -133,7 +133,9 @@ object Drain {
         }
 
       import scala.jdk.CollectionConverters._
-      val res = results.value.asScala.toSeq
+      // distinct: a retried task would re-add its rows (at-least-once,
+      // same as the reference's SQS redelivery) — dedupe by composite key
+      val res = results.value.asScala.toSeq.distinct
       val okRows = res.filter(_._3).map(r => (r._1, r._2))
       val failedBatchesNow = res.filter(!_._3).map(_._1).distinct
       uploadedTotal += okRows.size
@@ -147,11 +149,15 @@ object Drain {
       // K6: delete uploaded rows (anti join on the composite key)
       if (okRows.nonEmpty) {
         val uploadedDf = okRows.toDF("blockBatch", "blockIndex")
-        val newPending = pending
+        var newPending = pending
           .join(uploadedDf, Seq("blockBatch", "blockIndex"), "left_anti")
-          .as[NotionBlock].cache()
+          .as[NotionBlock]
+        // truncate the growing anti-join lineage periodically, else a
+        // long drain recomputes the whole chain each iteration
+        if (iter % 8 == 0) newPending = newPending.localCheckpoint()
+        val cached = newPending.cache()
         pending.unpersist()
-        pending = newPending
+        pending = cached
       }
       // batches fully drained and not failed -> SUCCESS
       val stillPending = pending.select("blockBatch").distinct().as[String]
