@@ -311,6 +311,74 @@ object ScaleCatalogue {
       |  CAST(floor(avg(n_chars) * 1000) AS BIGINT) AS avg_chars_q
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q49 — corpus vocabulary: global term frequencies, top-k with
+  // deterministic ties (vocab building for tokenizer training)
+  // ---------------------------------------------------------------------
+  def q49Vocab(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(20)
+  val q49Sql: String =
+    """SELECT term, count(*) AS freq
+      |FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents) t
+      |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q50 — bigram counts (co-occurrence statistics)
+  // ---------------------------------------------------------------------
+  def q50Bigrams(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(Dedup.shingles(col("w"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("bigram").asc)
+      .limit(25)
+  val q50Sql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (SELECT DISTINCT doc_id, bigram FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i) t))
+      |SELECT bigram, count(*) AS freq FROM bg
+      |GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 25""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q51 — TF-IDF scores: the standard importance weighting; tf and df are
+  // exact ints, idf = ln(N/df) quantized for cross-engine compare
+  // ---------------------------------------------------------------------
+  def q51TfIdf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    tf.join(df, "term")
+      .withColumn("tfidf_q",
+        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000000L).cast("long"))
+      .filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf_q"))
+      .orderBy(col("doc_id"), col("term"))
+  }
+  val q51Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) t
+      |  GROUP BY term),
+      |n AS (SELECT count(*)::DOUBLE AS n FROM documents)
+      |SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |  CAST(floor(tf.tf * ln(n.n / df.df) * 1000000.0) AS BIGINT) AS tfidf_q
+      |FROM tf JOIN df USING (term), n
+      |WHERE tf.doc_id % 25 = 0
+      |ORDER BY tf.doc_id, tf.term""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -326,6 +394,9 @@ object ScaleCatalogue {
     "q41_media_decode" -> q41MediaDecode _,
     "q42_normalize" -> q42Normalize _,
     "q44_corpus_profile" -> q44CorpusProfile _,
+    "q49_vocab" -> q49Vocab _,
+    "q50_bigrams" -> q50Bigrams _,
+    "q51_tfidf" -> q51TfIdf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -342,5 +413,8 @@ object ScaleCatalogue {
     // q41: stub codec, rows-only
     "q42_normalize" -> q42Sql,
     "q44_corpus_profile" -> q44Sql,
+    "q49_vocab" -> q49Sql,
+    "q50_bigrams" -> q50Sql,
+    "q51_tfidf" -> q51Sql,
   )
 }
