@@ -327,15 +327,18 @@ object ScaleCatalogue {
       |GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q50 — bigram counts (co-occurrence statistics)
+  // q50 — bigram DOCUMENT frequency (co-occurrence statistics): counts
+  // documents containing each bigram, not total occurrences —
+  // Dedup.shingles array_distincts per doc, and the oracle's
+  // DISTINCT (doc_id, bigram) mirrors that exactly
   // ---------------------------------------------------------------------
   def q50Bigrams(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(Dedup.shingles(col("w"), 2)).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("freq"))
-      .orderBy(col("freq").desc, col("bigram").asc)
+      .groupBy(col("bigram")).agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("bigram").asc)
       .limit(25)
   val q50Sql: String =
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -343,8 +346,8 @@ object ScaleCatalogue {
       |bg AS (SELECT DISTINCT doc_id, bigram FROM (
       |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS bigram
       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i) t))
-      |SELECT bigram, count(*) AS freq FROM bg
-      |GROUP BY bigram ORDER BY freq DESC, bigram ASC LIMIT 25""".stripMargin
+      |SELECT bigram, count(*) AS doc_freq FROM bg
+      |GROUP BY bigram ORDER BY doc_freq DESC, bigram ASC LIMIT 25""".stripMargin
 
   // ---------------------------------------------------------------------
   // q51 — TF-IDF scores: the standard importance weighting; tf and df are
