@@ -143,6 +143,47 @@ object ScaleCatalogue {
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q52 — embedding-cosine near-dup: the fifth dedup family (exact,
+  // n-gram Jaccard, MinHash-LSH, SimHash, embedding-cosine). Blocked
+  // pairwise: candidates are generated only within a blocking key
+  // (`label` here — at 100 TB the block key is the hyperplane-LSH bucket
+  // from Similarity.cosineNearDupPairs, and the corpus is bucketed by it
+  // so the quadratic term is bounded per block and raw vectors never
+  // shuffle twice). Per block the top-3 most-similar pairs are the
+  // near-dup candidates; keep_id < dup_id is the survivorship rule.
+  // ---------------------------------------------------------------------
+  def q52EmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val a = emb.select(col("label"), col("vec_id").as("keep_id"),
+      col("embedding").as("e1"))
+    val b = emb.select(col("label"), col("vec_id").as("dup_id"),
+      col("embedding").as("e2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
+      .orderBy(col("sim").desc, col("keep_id").asc, col("dup_id").asc)
+    a.join(b, Seq("label")).filter(col("keep_id") < col("dup_id"))
+      .withColumn("sim", Similarity.cosine(col("e1"), col("e2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("label"), col("rank"), col("keep_id"), col("dup_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("label"), col("rank"))
+  }
+  val q52Sql: String =
+    s"""WITH p AS (
+       |  SELECT a.label, a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |    ${duckCos("a.embedding", "b.embedding")} AS sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id),
+       |ranked AS (
+       |  SELECT label, keep_id, dup_id, sim,
+       |    row_number() OVER (PARTITION BY label
+       |      ORDER BY sim DESC, keep_id ASC, dup_id ASC) AS rank
+       |  FROM p)
+       |SELECT label, rank, keep_id, dup_id,
+       |  CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
+       |FROM ranked WHERE rank <= 3 ORDER BY label, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q36 — language ID (marker-based heuristic, argmax with det. ties)
   // ---------------------------------------------------------------------
   def q36LangId(s: SparkSession, d: String): DataFrame =
@@ -261,6 +302,37 @@ object ScaleCatalogue {
         col("format"), col("duration_ms"), col("payload_len"), col("decode_ok"))
       .orderBy(col("media_id"))
   }
+
+  // ---------------------------------------------------------------------
+  // q53 — multimodal frame sampling: binary payload → every 4th 64-byte
+  // frame (the video-frame-extraction shape: a 1→N generator over the
+  // bytes column, zero shuffle). The projection (frame ordinal + length)
+  // is arithmetic on the payload size, so DuckDB can oracle it even
+  // though the frame bytes themselves come from the stub codec.
+  // ---------------------------------------------------------------------
+  def q53MediaFrames(s: SparkSession, d: String): DataFrame = {
+    val mkBytes = udf { (id: Long, text: String) =>
+      Multimodal.MediaCodec.encode("video", (id % 640).toInt + 1,
+        (id % 480).toInt + 1, id * 40L, text.getBytes("UTF-8"))
+    }
+    val media = documents(s, d).select(col("doc_id").as("media_id"),
+      mkBytes(col("doc_id"), col("text")).as("bytes"))
+    Multimodal.sampleFrames(media, frameSize = 64, stride = 4)
+      .select(col("media_id"), col("frame_index").cast("long").as("frame_index"),
+        length(col("frame")).cast("long").as("frame_len"))
+      .orderBy(col("media_id"), col("frame_index"))
+  }
+  val q53Sql: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, octet_length(encode(text)) AS plen
+      |  FROM documents),
+      |f AS (
+      |  SELECT media_id, unnest(range(0, (plen + 63) // 64)) AS frame_index, plen
+      |  FROM m WHERE plen > 0)
+      |SELECT media_id, frame_index,
+      |  least(64, plen - 64 * frame_index)::BIGINT AS frame_len
+      |FROM f WHERE frame_index % 4 = 0
+      |ORDER BY media_id, frame_index""".stripMargin
 
   // ---------------------------------------------------------------------
   // q42 — text normalization for dedup preprocessing: NFC + lowercase +
@@ -389,12 +461,14 @@ object ScaleCatalogue {
     "q33_simhash_pairs" -> q33SimhashPairs _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
+    "q52_embed_neardup" -> q52EmbedNearDup _,
     "q36_langid" -> q36LangId _,
     "q37_quality" -> q37Quality _,
     "q38_tokens" -> q38Tokens _,
     "q39_fingerprint" -> q39Fingerprint _,
     "q40_embed_norm" -> q40EmbedNorm _,
     "q41_media_decode" -> q41MediaDecode _,
+    "q53_media_frames" -> q53MediaFrames _,
     "q42_normalize" -> q42Normalize _,
     "q44_corpus_profile" -> q44CorpusProfile _,
     "q49_vocab" -> q49Vocab _,
@@ -408,12 +482,14 @@ object ScaleCatalogue {
     // q32/q33: hash-based, rows-only
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
+    "q52_embed_neardup" -> q52Sql,
     "q36_langid" -> q36Sql,
     "q37_quality" -> q37Sql,
     "q38_tokens" -> q38Sql,
     "q39_fingerprint" -> q39Sql,
     "q40_embed_norm" -> q40Sql,
     // q41: stub codec, rows-only
+    "q53_media_frames" -> q53Sql,
     "q42_normalize" -> q42Sql,
     "q44_corpus_profile" -> q44Sql,
     "q49_vocab" -> q49Sql,

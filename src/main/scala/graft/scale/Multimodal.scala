@@ -126,6 +126,49 @@ object Multimodal {
       }(enc)
   }
 
+  /** Resize: re-target an image/video to `targetW`×`targetH`. The codec
+    * math is STUBBED (deterministic byte subsample standing in for real
+    * interpolation) but the operator shape is production-true: batched
+    * `mapPartitions` over the binary column, header metadata rewritten to
+    * the new dimensions, malformed inputs passed through with
+    * `resize_ok=false` instead of throwing (ST6 failure routing). */
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+      batchSize: Int = 256): DataFrame = {
+    val resizedSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("resize_ok", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { r =>
+            val id = r.getLong(0)
+            val kind = r.getString(1)
+            val bytes = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+            MediaCodec.decodeMeta(bytes) match {
+              case Some((_, _, fmt, d)) =>
+                val payload = bytes.drop(21)
+                val target = targetW * targetH
+                // stub interpolation: uniform byte subsample to the
+                // target pixel budget (or pad-free truncate if smaller)
+                val stride = math.max(1, payload.length / math.max(1, target))
+                val out = payload.indices.by(stride).take(target)
+                  .map(payload).toArray
+                Row(id, kind,
+                  MediaCodec.encode(fmt, targetW, targetH, d, out),
+                  targetW, targetH, true)
+              case None =>
+                Row(id, kind, bytes, null, null, false)
+            }
+          }
+        }
+      }(enc)
+  }
+
   /** Hash-derived feature vector (stub for a real embedding model):
     * `dim` floats derived from xxhash64 of the bytes — Column-level, so
     * it runs in codegen and demonstrates the feature-extraction plumbing

@@ -164,6 +164,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Seq(0, 2, 4, 6))
   }
 
+  test("resize rewrites header dims, bounds payload, flags malformed") {
+    val got = Multimodal.resize(media(), targetW = 8, targetH = 4, batchSize = 2)
+      .orderBy("media_id").collect()
+    // well-formed rows: header re-encoded with target dims, decodable
+    for (i <- 0 to 1) {
+      assert(got(i).getBoolean(5))
+      assert(got(i).getInt(3) == 8 && got(i).getInt(4) == 4)
+      val meta = MediaCodec.decodeMeta(got(i).getAs[Array[Byte]](2))
+      assert(meta.exists { case (w, h, _, _) => w == 8 && h == 4 })
+      // payload bounded by the target pixel budget
+      assert(got(i).getAs[Array[Byte]](2).length - 21 <= 8 * 4)
+    }
+    // malformed + null bytes pass through flagged, not thrown
+    assert(!got(2).getBoolean(5) && got(2).isNullAt(3))
+    assert(!got(3).getBoolean(5) && got(3).isNullAt(2))
+  }
+
   test("featureVector is deterministic and fixed-width") {
     val f1 = Multimodal.featureVector(media(), dim = 8)
       .orderBy("media_id").as[(Long, Seq[Float])].collect().toSeq
