@@ -154,14 +154,16 @@ object ScaleCatalogue {
   // ---------------------------------------------------------------------
   def q52EmbedNearDup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
+    // norms once per row (O(n)), not per pair (O(n²)) — bit-identical fold
     val a = emb.select(col("label"), col("vec_id").as("keep_id"),
-      col("embedding").as("e1"))
+      col("embedding").as("e1"), Similarity.norm(col("embedding")).as("n1"))
     val b = emb.select(col("label"), col("vec_id").as("dup_id"),
-      col("embedding").as("e2"))
+      col("embedding").as("e2"), Similarity.norm(col("embedding")).as("n2"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("label"))
       .orderBy(col("sim").desc, col("keep_id").asc, col("dup_id").asc)
     a.join(b, Seq("label")).filter(col("keep_id") < col("dup_id"))
-      .withColumn("sim", Similarity.cosine(col("e1"), col("e2")))
+      .withColumn("sim",
+        Similarity.dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 3)
       .select(col("label"), col("rank"), col("keep_id"), col("dup_id"),

@@ -16,8 +16,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns in double. */
+  /** Sequential-fold dot product of two float-array columns in double —
+    * the native codegen expression (see [[graft.functions.DotProductF]]);
+    * bit-identical to the interpreted HOF fold [[dotHof]]. */
   def dot(a: Column, b: Column): Column =
+    graft.functions.VectorOps.dot_f(a, b)
+
+  /** The higher-order-function form of [[dot]], kept as the differential
+    * reference for the native expression (interpreted, ~order-of-magnitude
+    * slower per pair — do not use in the pairwise hot paths). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -29,13 +37,17 @@ object Similarity {
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus, score every pair, keep the k best per query. The only
     * shuffle is the per-query top-k window over scored (query, id, sim)
-    * triples — narrow rows, never raw vectors. */
+    * triples — narrow rows, never raw vectors. Norms are precomputed
+    * once per row (O(n), bit-identical to folding inside the pair loop)
+    * so the per-pair work is a single dot product. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
-      col("embedding").as("q_emb"))
-    val c = corpus.select(col("vec_id"), col("embedding"))
+      col("embedding").as("q_emb"), norm(col("embedding")).as("q_norm"))
+    val c = corpus.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("c_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
       .select(col("query_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -59,11 +71,7 @@ object Similarity {
       .orderBy(col("dist2").asc, col("centroid_id").asc)
     vectors.crossJoin(broadcast(centroids))
       .withColumn("dist2",
-        aggregate(
-          zip_with(col("embedding"), col("c_emb"),
-            (x, y) => (x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, v) => acc + v))
+        graft.functions.VectorOps.dist2_f(col("embedding"), col("c_emb")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("rk", "dist2", "c_emb")
@@ -79,23 +87,22 @@ object Similarity {
     val centroids = strideCentroids(corpus, stride)
     val assigned = assign(corpus, centroids, "vec_id")
       .withColumnRenamed("centroid_id", "cluster_id")
+      .withColumn("c_norm", norm(col("embedding")))
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("dist2").asc, col("centroid_id").asc)
     val probes = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("dist2",
-        aggregate(
-          zip_with(col("q_emb"), col("c_emb"),
-            (x, y) => (x.cast("double") - y.cast("double")) *
-              (x.cast("double") - y.cast("double"))),
-          lit(0.0), (acc, v) => acc + v))
+        graft.functions.VectorOps.dist2_f(col("q_emb"), col("c_emb")))
       .withColumn("rk", row_number().over(qw))
       .filter(col("rk") <= nProbe)
-      .select(col("query_id"), col("q_emb"), col("centroid_id").as("cluster_id"))
+      .select(col("query_id"), col("q_emb"), norm(col("q_emb")).as("q_norm"),
+        col("centroid_id").as("cluster_id"))
     val scored = probes.join(assigned, "cluster_id")
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("sim", cosine(col("q_emb"), col("embedding")))
+      .withColumn("sim",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
       .select(col("query_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -132,10 +139,12 @@ object Similarity {
   def cosineNearDupPairs(vectors: DataFrame, planes: Int = 12,
       dim: Int = 64, threshold: Double = 0.9): DataFrame = {
     val sigs = hyperplaneSignature(vectors, planes, dim)
+      .withColumn("nrm", norm(col("embedding")))
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("sim",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
   }

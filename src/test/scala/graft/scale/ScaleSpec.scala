@@ -191,6 +191,49 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import graft.functions.VectorOps
+
+  test("native dot/dist2 bit-equal to the interpreted HOF fold") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+      .filter(col("ida") < 20)
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+      .filter(col("idb") >= 20 && col("idb") < 40)
+    val pairs = a.crossJoin(b)
+    val diff = pairs.select(
+        VectorOps.dot_f(col("ea"), col("eb")).as("nat"),
+        Similarity.dotHof(col("ea"), col("eb")).as("hof"),
+        VectorOps.dist2_f(col("ea"), col("eb")).as("nat2"),
+        aggregate(zip_with(col("ea"), col("eb"),
+            (x, y) => (x.cast("double") - y.cast("double")) *
+              (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("hof2"))
+      // bitwise compare via IEEE-754 total equality on doubles
+      .filter(col("nat") =!= col("hof") || col("nat2") =!= col("hof2"))
+    assert(diff.count() == 0)
+  }
+
+  test("dot_f runs inside whole-stage codegen and from pure SQL") {
+    graft.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.createOrReplaceTempView("vo_emb")
+    val df = spark.sql(
+      "SELECT vec_id, dot_f(embedding, embedding) AS d2 FROM vo_emb")
+    // `*(n)` operator prefix = inside WholeStageCodegen stage n
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("dot_f"),
+      s"dot_f not inside a codegen stage:\n$plan")
+    val got = df.filter(col("vec_id") === 0).as[(Long, Double)].collect()(0)._2
+    val exp = emb.filter(col("vec_id") === 0)
+      .select(Similarity.dotHof(col("embedding"), col("embedding")))
+      .as[Double].collect()(0)
+    assert(got == exp)
+  }
+}
+
 class RollingHashSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
