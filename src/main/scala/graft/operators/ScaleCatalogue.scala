@@ -386,6 +386,34 @@ object ScaleCatalogue {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q54 — corpus length quantiles per language: the distribution sweep a
+  // training-data pipeline runs to set length-filter cutoffs. Exact
+  // `percentile` (linear interpolation) matches DuckDB quantile_cont;
+  // values quantized for bit-stable compare. At scale exact percentiles
+  // shuffle only (lang, n_chars) pairs; the approx_percentile variant
+  // (one pass, mergeable sketches) drops in when exactness can go.
+  // ---------------------------------------------------------------------
+  def q54LenQuantiles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("docs"),
+        q(expr("percentile(n_chars, 0.25)"), 1e6).as("p25_q"),
+        q(expr("percentile(n_chars, 0.5)"), 1e6).as("p50_q"),
+        q(expr("percentile(n_chars, 0.75)"), 1e6).as("p75_q"),
+        q(expr("percentile(n_chars, 0.95)"), 1e6).as("p95_q"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"))
+  val q54Sql: String =
+    """SELECT lang, count(*) AS docs,
+      |  CAST(floor(quantile_cont(n_chars, 0.25) * 1000000.0) AS BIGINT) AS p25_q,
+      |  CAST(floor(quantile_cont(n_chars, 0.5)  * 1000000.0) AS BIGINT) AS p50_q,
+      |  CAST(floor(quantile_cont(n_chars, 0.75) * 1000000.0) AS BIGINT) AS p75_q,
+      |  CAST(floor(quantile_cont(n_chars, 0.95) * 1000000.0) AS BIGINT) AS p95_q,
+      |  max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q49 — corpus vocabulary: global term frequencies, top-k with
   // deterministic ties (vocab building for tokenizer training)
   // ---------------------------------------------------------------------
@@ -473,6 +501,7 @@ object ScaleCatalogue {
     "q53_media_frames" -> q53MediaFrames _,
     "q42_normalize" -> q42Normalize _,
     "q44_corpus_profile" -> q44CorpusProfile _,
+    "q54_len_quantiles" -> q54LenQuantiles _,
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,
@@ -494,6 +523,7 @@ object ScaleCatalogue {
     "q53_media_frames" -> q53Sql,
     "q42_normalize" -> q42Sql,
     "q44_corpus_profile" -> q44Sql,
+    "q54_len_quantiles" -> q54Sql,
     "q49_vocab" -> q49Sql,
     "q50_bigrams" -> q50Sql,
     "q51_tfidf" -> q51Sql,
