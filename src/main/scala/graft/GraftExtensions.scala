@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProductF, L2Dist2F, MinHashSig, RollingHash, SimHash64}
+import graft.functions.{DotProductF, HyperplaneSig, L2Dist2F, MinHashSig, RollingHash, SimHash64}
 
 /** SQL surface for the native expressions.
   *
@@ -38,6 +38,8 @@ object GraftExtensions {
       MinHashSig(exprs.head, intArg(exprs(1), "minhash_sig numHashes"))),
     "dot_f" -> (exprs => DotProductF(exprs.head, exprs(1))),
     "dist2_f" -> (exprs => L2Dist2F(exprs.head, exprs(1))),
+    "hyperplane_sig" -> (exprs =>
+      HyperplaneSig(exprs.head, intArg(exprs(1), "hyperplane_sig planes"))),
   )
 }
 

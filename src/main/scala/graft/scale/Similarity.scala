@@ -113,8 +113,18 @@ object Similarity {
 
   /** Random-hyperplane LSH signature (sign bits of projections onto
     * `planes` pseudo-random hyperplanes). The "random" plane components
-    * are hash-derived — fully deterministic, no driver-side RNG state. */
-  def hyperplaneSignature(vectors: DataFrame, planes: Int, dim: Int): DataFrame = {
+    * are hash-derived — fully deterministic, no driver-side RNG state.
+    * Native expression with a cached component matrix; see
+    * [[graft.functions.HyperplaneSig]]. */
+  def hyperplaneSignature(vectors: DataFrame, planes: Int, dim: Int): DataFrame =
+    vectors.select(col("vec_id"), col("embedding"),
+      graft.functions.HyperplaneSig.hyperplane_sig(col("embedding"), planes)
+        .as("bucket"))
+
+  /** The declarative HOF formulation of [[hyperplaneSignature]] — kept as
+    * the differential reference for the native expression (interpreted
+    * lambdas + two hashes per component per row; do not use at scale). */
+  def hyperplaneSignatureHof(vectors: DataFrame, planes: Int, dim: Int): DataFrame = {
     // plane p, component j -> pseudo-random double in [-1, 1)
     def comp(p: Column, j: Column): Column =
       (pmod(xxhash64(p * lit(dim) + j, lit(42)), lit(1000000L)).cast("double") /

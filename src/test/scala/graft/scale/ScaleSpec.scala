@@ -216,6 +216,17 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("native hyperplane_sig bit-equal to the HOF formulation") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 100)
+    val nat = Similarity.hyperplaneSignature(emb, planes = 12, dim = 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    val hof = Similarity.hyperplaneSignatureHof(emb, planes = 12, dim = 64)
+      .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
+    assert(nat == hof)
+    assert(nat.values.toSet.size > 1, "signatures should spread across buckets")
+  }
+
   test("dot_f runs inside whole-stage codegen and from pure SQL") {
     graft.GraftFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
