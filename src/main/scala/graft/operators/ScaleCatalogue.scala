@@ -386,6 +386,72 @@ object ScaleCatalogue {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q55 — PII scrub-and-audit: redact emails/phones/IPv4s, count per
+  // class. The corpus is synthetic word-soup, so deterministic PII is
+  // injected from (doc_id, suffix) first — same derive-then-operate
+  // shape as q41's media bytes — making the scrub observable and the
+  // oracle exact. Patterns avoid backrefs/lookaround so Java regex and
+  // RE2 agree. Pure per-row Column algebra: zero shuffle at any scale.
+  // ---------------------------------------------------------------------
+  def q55PiiScrub(s: SparkSession, d: String): DataFrame = {
+    val injected = concat(col("text"),
+      lit(" user"), col("doc_id").cast("string"),
+      lit("@mail.example.org +1 555-010-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    documents(s, d)
+      .select(col("doc_id"), TextAnalysis.piiScrub(injected).as("p"))
+      .select(col("doc_id"), col("p.scrubbed").as("scrubbed"),
+        col("p.n_email").as("n_email"), col("p.n_phone").as("n_phone"),
+        col("p.n_ipv4").as("n_ipv4"))
+      .orderBy(col("doc_id"))
+  }
+  val q55Sql: String = {
+    def esc(p: String) = p.replace("'", "''")
+    val inj = "text || ' user' || doc_id || '@mail.example.org +1 555-010-' || " +
+      "lpad((doc_id % 10000)::VARCHAR, 4, '0') || ' ip 10.0.' || " +
+      "(doc_id % 256) || '.7'"
+    val Seq(em, ph, ip) = TextAnalysis.piiPatterns.map(p => esc(p._2))
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace($inj,
+       |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g')
+       |    AS scrubbed,
+       |  len(regexp_extract_all($inj, '$em')) AS n_email,
+       |  len(regexp_extract_all($inj, '$ph')) AS n_phone,
+       |  len(regexp_extract_all($inj, '$ip')) AS n_ipv4
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q56 — repetition features (Gopher-style boilerplate/spam filters):
+  // duplicate-word and duplicate-bigram fractions per document
+  // ---------------------------------------------------------------------
+  def q56Repetition(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"), TextAnalysis.repetitionFeatures(col("w")).as("r"))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.dup_word_ratio_q").as("dup_word_ratio_q"),
+        col("r.dup_bigram_ratio_q").as("dup_bigram_ratio_q"))
+      .orderBy(col("doc_id"))
+  val q56Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |f AS (
+      |  SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS ndw,
+      |    len(list_distinct(list_transform(range(1, len(w)),
+      |      i -> array_to_string(w[i:i+1], ' ')))) AS ndb
+      |  FROM tok)
+      |SELECT doc_id, nw AS n_words,
+      |  CAST(floor((nw - ndw)::DOUBLE / nw * 1000000.0) AS BIGINT)
+      |    AS dup_word_ratio_q,
+      |  CAST(floor((nw - 1 - ndb)::DOUBLE / (nw - 1) * 1000000.0) AS BIGINT)
+      |    AS dup_bigram_ratio_q
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q54 — corpus length quantiles per language: the distribution sweep a
   // training-data pipeline runs to set length-filter cutoffs. Exact
   // `percentile` (linear interpolation) matches DuckDB quantile_cont;
@@ -502,6 +568,8 @@ object ScaleCatalogue {
     "q42_normalize" -> q42Normalize _,
     "q44_corpus_profile" -> q44CorpusProfile _,
     "q54_len_quantiles" -> q54LenQuantiles _,
+    "q55_pii_scrub" -> q55PiiScrub _,
+    "q56_repetition" -> q56Repetition _,
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,
@@ -524,6 +592,8 @@ object ScaleCatalogue {
     "q42_normalize" -> q42Sql,
     "q44_corpus_profile" -> q44Sql,
     "q54_len_quantiles" -> q54Sql,
+    "q55_pii_scrub" -> q55Sql,
+    "q56_repetition" -> q56Sql,
     "q49_vocab" -> q49Sql,
     "q50_bigrams" -> q50Sql,
     "q51_tfidf" -> q51Sql,

@@ -71,4 +71,43 @@ object TextAnalysis {
   /** Document fingerprint via the native RollingHash expression. */
   def fingerprint(text: Column): Column =
     graft.functions.RollingHash.rolling_hash(text)
+
+  /** PII patterns, chosen to behave identically under Java regex and
+    * RE2-style engines (no backrefs, no lookaround): email, North-
+    * American-style phone, dotted-quad IPv4. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{1,2}[ -][0-9]{3}[ -][0-9]{3}[ -][0-9]{4}", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Redact PII in place (ordered regexp_replace chain) plus per-class
+    * match counts — the scrub-and-audit shape: the redacted text ships,
+    * the counts feed the pipeline's PII dashboard. */
+  def piiScrub(text: Column): Column = {
+    val scrubbed = piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(text, lit(pat)).as(s"n_$name")
+    }
+    struct((scrubbed.as("scrubbed") +: counts): _*)
+  }
+
+  /** Repetition features (Gopher-style quality filters): fraction of
+    * duplicate words and duplicate bigrams, quantized. High values mark
+    * boilerplate/spam for the filter stage. Callers guard size >= 2. */
+  def repetitionFeatures(words: Column): Column = {
+    val nW = size(words)
+    val nDW = size(array_distinct(words))
+    val bigrams = Dedup.shingles(words, 2)
+    // shingles() distincts; rebuild the raw count as nW - 1
+    val nB = nW - 1
+    val nDB = size(bigrams)
+    struct(
+      nW.as("n_words"),
+      floor((nW - nDW).cast("double") / nW.cast("double") * 1000000L)
+        .cast("long").as("dup_word_ratio_q"),
+      floor((nB - nDB).cast("double") / nB.cast("double") * 1000000L)
+        .cast("long").as("dup_bigram_ratio_q"))
+  }
 }

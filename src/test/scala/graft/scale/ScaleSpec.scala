@@ -191,6 +191,39 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class TextAnalysisOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("piiScrub redacts all three classes and counts on the original") {
+    val d = Seq((1L, "mail a.b+c@ex-1.org call +1 555 010 1234 host 192.168.0.1 end"),
+      (2L, "clean text no pii")).toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.piiScrub(col("text")).as("p"))
+      .select(col("doc_id"), col("p.scrubbed"), col("p.n_email"),
+        col("p.n_phone"), col("p.n_ipv4"))
+      .as[(Long, String, Int, Int, Int)].collect()
+      .map { case (k, v2, v3, v4, v5) => k -> ((v2, v3, v4, v5)) }.toMap
+    assert(got(1L)._1 == "mail <EMAIL> call <PHONE> host <IP> end")
+    assert(got(1L)._2 == 1 && got(1L)._3 == 1 && got(1L)._4 == 1)
+    assert(got(2L) == (("clean text no pii", 0, 0, 0)))
+  }
+
+  test("repetitionFeatures flags planted repetition") {
+    val d = Seq(
+      (1L, "spam spam spam spam"),           // all dup words + bigrams
+      (2L, "all words fully distinct here")) // no repetition
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.repetitionFeatures(split(col("text"), " ")).as("r"))
+      .select(col("doc_id"), col("r.dup_word_ratio_q"), col("r.dup_bigram_ratio_q"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, a, b) => k -> ((a, b)) }.toMap
+    assert(got(1L) == ((750000L, 666666L))) // 3/4 words dup, 2/3 bigrams dup
+    assert(got(2L) == ((0L, 0L)))
+  }
+}
+
 class VectorOpsSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
