@@ -386,6 +386,105 @@ object ScaleCatalogue {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q57 — deterministic train/val/test split: bucket = content hash mod
+  // 100 (rolling_hash so the oracle can reproduce the fold exactly);
+  // 0-79 train, 80-89 val, 90-99 test. Content-hash splitting is the
+  // standard leak-proof assignment: stable under re-partitioning,
+  // re-ordering, and incremental corpus growth. Zero-shuffle per row;
+  // the per-split tally shuffles only (lang, split) keys.
+  // ---------------------------------------------------------------------
+  def q57Split(s: SparkSession, d: String): DataFrame = {
+    val bucket = pmod(graft.functions.RollingHash.rolling_hash(col("text")), lit(100L))
+    documents(s, d)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
+      .orderBy(col("lang"), col("split"))
+  }
+  private val duckRollingHash =
+    """list_reduce(
+      |    list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)),
+      |    (h, c) -> (h * 31 + c) % 2147483647)""".stripMargin
+  val q57Sql: String =
+    s"""WITH b AS (
+       |  SELECT lang, n_chars, $duckRollingHash % 100 AS bucket
+       |  FROM documents),
+       |sp AS (
+       |  SELECT lang, n_chars,
+       |    CASE WHEN bucket < 80 THEN 'train'
+       |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+       |  FROM b)
+       |SELECT lang, split, count(*) AS docs, sum(n_chars) AS chars
+       |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q58 — weighted mixture sampling: per-source keep rates (the dataset
+  // mixing step when assembling a training corpus from sources of
+  // different quality). Deterministic: keep iff content-hash bucket
+  // falls under the source's rate — reproducible across runs/engines,
+  // no RNG state, rate precision 1/1000. Per-row filter, zero shuffle.
+  // ---------------------------------------------------------------------
+  def q58WeightedSample(s: SparkSession, d: String): DataFrame = {
+    // rates keyed by source-number parity: even kept at 90%, odd at 25%
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val rate = when(srcNum % 2 === 0, lit(900L)).otherwise(lit(250L))
+    val bucket = pmod(graft.functions.RollingHash.rolling_hash(col("text")), lit(1000L))
+    documents(s, d)
+      .withColumn("kept", (bucket < rate).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total"), sum(col("kept")).as("kept"),
+        floor(sum(col("kept")).cast("double") / count(lit(1)) * 1000000L)
+          .cast("long").as("rate_q"))
+      .orderBy(col("source"))
+  }
+  val q58Sql: String =
+    s"""WITH b AS (
+       |  SELECT source, $duckRollingHash % 1000 AS bucket FROM documents),
+       |k AS (
+       |  SELECT source,
+       |    CASE WHEN bucket < (CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 900 ELSE 250 END)
+       |      THEN 1 ELSE 0 END AS kept
+       |  FROM b)
+       |SELECT source, count(*) AS total, sum(kept) AS kept,
+       |  CAST(floor(sum(kept)::DOUBLE / count(*) * 1000000.0) AS BIGINT) AS rate_q
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q59 — sequence packing: assign documents (in stable doc_id order,
+  // per language) to fixed token-budget bins via running cumulative sum
+  // — the contiguous-packing pass that turns a filtered corpus into
+  // fixed-length training sequences. One shuffle on the partition key;
+  // the running sum is a single window scan.
+  // ---------------------------------------------------------------------
+  def q59Packing(s: SparkSession, d: String): DataFrame = {
+    val budget = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val toks = size(split(col("text"), " ")).cast("long")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), toks.as("tokens"))
+      .withColumn("cum_tokens", sum(col("tokens")).over(w))
+      .withColumn("bin", floor((col("cum_tokens") - col("tokens")) / budget).cast("long"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("docs"), sum(col("tokens")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+  val q59Sql: String =
+    """WITH t AS (
+      |  SELECT lang, doc_id, len(string_split(text, ' '))::BIGINT AS tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT lang, doc_id, tokens,
+      |    sum(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      |  FROM t)
+      |SELECT lang, CAST(floor((cum_tokens - tokens) / 512.0) AS BIGINT) AS bin,
+      |  count(*) AS docs, sum(tokens) AS bin_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q55 — PII scrub-and-audit: redact emails/phones/IPv4s, count per
   // class. The corpus is synthetic word-soup, so deterministic PII is
   // injected from (doc_id, suffix) first — same derive-then-operate
@@ -570,6 +669,9 @@ object ScaleCatalogue {
     "q54_len_quantiles" -> q54LenQuantiles _,
     "q55_pii_scrub" -> q55PiiScrub _,
     "q56_repetition" -> q56Repetition _,
+    "q57_split" -> q57Split _,
+    "q58_weighted_sample" -> q58WeightedSample _,
+    "q59_packing" -> q59Packing _,
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,
@@ -594,6 +696,9 @@ object ScaleCatalogue {
     "q54_len_quantiles" -> q54Sql,
     "q55_pii_scrub" -> q55Sql,
     "q56_repetition" -> q56Sql,
+    "q57_split" -> q57Sql,
+    "q58_weighted_sample" -> q58Sql,
+    "q59_packing" -> q59Sql,
     "q49_vocab" -> q49Sql,
     "q50_bigrams" -> q50Sql,
     "q51_tfidf" -> q51Sql,
