@@ -74,7 +74,15 @@ object Dedup {
           .select(col("sh"))
         sh0.join(keep, "sh")
       }
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Per-doc distinct-shingle counts: without a stop-shingle cut this is
+    // just the per-row array size (shingles() already distincts) — no
+    // second explode + shuffle + groupBy over the inverted index. With
+    // maxDf the count must reflect the surviving postings, so aggregate
+    // the filtered index.
+    val cnt =
+      if (maxDf == Long.MaxValue)
+        tok.select(col("doc_id"), size(shingles(col("w"), n)).cast("long").as("n_sh"))
+      else sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
