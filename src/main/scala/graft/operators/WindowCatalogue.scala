@@ -115,11 +115,59 @@ object WindowCatalogue {
       |  FROM events) t
       |WHERE gap_ms IS NOT NULL GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q60 — cube (all grouping combinations) with grouping-set markers:
+  // the full cross-dimensional profile (lang × source) in one pass.
+  // Spark plans cube as Expand + single-shuffle aggregate — the same
+  // shape that holds at 100 TB (rows expand ×4, keys stay small).
+  // ---------------------------------------------------------------------
+  def q60Cube(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"),
+        grouping(col("lang")).as("g_lang"), grouping(col("source")).as("g_source"))
+      .orderBy(col("g_lang"), col("g_source"),
+        col("lang").asc_nulls_first, col("source").asc_nulls_first)
+  val q60Sql: String =
+    """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars,
+      |  GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
+      |FROM documents GROUP BY CUBE (lang, source)
+      |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q61 — quality deciles: ntile over a composite quality score (the
+  // bucketing step before per-decile sampling decisions). Total order
+  // (score, doc_id) makes tile assignment engine-exact. The global
+  // window is the exact-semantics form; at 100 TB the same decision is
+  // made with q54's percentile cutoffs (broadcast boundaries + range
+  // bucketing) — global ntile is only for corpora that fit a sort.
+  // ---------------------------------------------------------------------
+  def q61QualityDeciles(s: SparkSession, d: String): DataFrame = {
+    val score = col("n_chars")
+    val w = Window.orderBy(score.asc, col("doc_id").asc)
+    documents(s, d)
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy(col("decile"))
+  }
+  val q61Sql: String =
+    """SELECT decile, count(*) AS docs, min(n_chars) AS min_chars,
+      |  max(n_chars) AS max_chars
+      |FROM (
+      |  SELECT doc_id, n_chars,
+      |    ntile(10) OVER (ORDER BY n_chars ASC, doc_id ASC) AS decile
+      |  FROM documents) t
+      |GROUP BY decile ORDER BY decile""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_sessionize" -> q45Sessionize _,
     "q46_running" -> q46Running _,
     "q47_rollup" -> q47Rollup _,
     "q48_event_gaps" -> q48EventGaps _,
+    "q60_cube" -> q60Cube _,
+    "q61_quality_deciles" -> q61QualityDeciles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,5 +175,7 @@ object WindowCatalogue {
     "q46_running" -> q46Sql,
     "q47_rollup" -> q47Sql,
     "q48_event_gaps" -> q48Sql,
+    "q60_cube" -> q60Sql,
+    "q61_quality_deciles" -> q61Sql,
   )
 }
