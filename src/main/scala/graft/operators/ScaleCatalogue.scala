@@ -628,10 +628,13 @@ object ScaleCatalogue {
       .agg(count(lit(1)).as("tf"))
     val df = terms.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val n = docs.count()
+    // corpus size as a broadcast scalar INSIDE the plan — a driver-side
+    // count() here would be a second full scan at 100 TB
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     tf.join(df, "term")
+      .crossJoin(broadcast(n))
       .withColumn("tfidf_q",
-        floor(col("tf") * log(lit(n.toDouble) / col("df")) * 1000000L).cast("long"))
+        floor(col("tf") * log(col("n_docs") / col("df")) * 1000000L).cast("long"))
       .filter(col("doc_id") % 25 === 0)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("tfidf_q"))
       .orderBy(col("doc_id"), col("term"))
