@@ -161,6 +161,74 @@ object WindowCatalogue {
       |  FROM documents) t
       |GROUP BY decile ORDER BY decile""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q62 — as-of join (nearest earlier event): each error event picks up
+  // the most recent preceding click of the same user. Spark has no
+  // native ASOF JOIN; the composition is `last(..., ignoreNulls) over an
+  // UNBOUNDED PRECEDING..1 PRECEDING frame` after a union-by-key — one
+  // shuffle on the key, one ordered scan, no point-lookup joins. The
+  // same plan drains as-of state at any scale (frame state is O(1)).
+  // ---------------------------------------------------------------------
+  def q62AsofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("click_ms",
+        last(when(col("event_type") === "click", unix_millis(col("ts"))),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error" && col("click_ms").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("err_ms"), col("click_ms"),
+        (unix_millis(col("ts")) - col("click_ms")).as("asof_gap_ms"))
+      .orderBy(col("event_id"))
+  }
+  val q62Sql: String =
+    """SELECT user_id, event_id, err_ms, click_ms, err_ms - click_ms AS asof_gap_ms
+      |FROM (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS err_ms,
+      |    last_value(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ms
+      |  FROM events) t
+      |WHERE event_type = 'error' AND click_ms IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q63 — range join (pairs within a time band): same-user event pairs
+  // ≤ 10 minutes apart. The naive form is a per-key theta join (the
+  // DuckDB oracle); the Spark plan is the scale form: bucket time into
+  // band-width bins, explode one side to its 3 candidate bins, equi-join
+  // on (user, bin), then apply the exact band predicate. Candidate cost
+  // is collision-proportional, never O(n²) per key.
+  // ---------------------------------------------------------------------
+  def q63RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val bandMs = 600000L
+    val e = events(s, d)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+    val a = e.select(col("user_id"), col("event_id").as("id1"),
+      col("ms").as("ms1"), floor(col("ms") / bandMs).cast("long").as("bin"))
+    val b = e.select(col("user_id"), col("event_id").as("id2"), col("ms").as("ms2"))
+      .withColumn("bin",
+        explode(array(floor(col("ms2") / bandMs).cast("long") - 1,
+          floor(col("ms2") / bandMs).cast("long"),
+          floor(col("ms2") / bandMs).cast("long") + 1)))
+    a.join(b, Seq("user_id", "bin"))
+      .filter(col("id1") < col("id2") && abs(col("ms1") - col("ms2")) <= bandMs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("pairs"),
+        min(abs(col("ms1") - col("ms2"))).as("min_gap_ms"),
+        max(abs(col("ms1") - col("ms2"))).as("max_gap_ms"))
+      .orderBy(col("user_id"))
+  }
+  val q63Sql: String =
+    """SELECT a.user_id, count(*) AS pairs,
+      |  min(abs(epoch_ms(a.ts) - epoch_ms(b.ts))) AS min_gap_ms,
+      |  max(abs(epoch_ms(a.ts) - epoch_ms(b.ts))) AS max_gap_ms
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_sessionize" -> q45Sessionize _,
     "q46_running" -> q46Running _,
@@ -168,6 +236,8 @@ object WindowCatalogue {
     "q48_event_gaps" -> q48EventGaps _,
     "q60_cube" -> q60Cube _,
     "q61_quality_deciles" -> q61QualityDeciles _,
+    "q62_asof_join" -> q62AsofJoin _,
+    "q63_range_join" -> q63RangeJoin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,5 +247,7 @@ object WindowCatalogue {
     "q48_event_gaps" -> q48Sql,
     "q60_cube" -> q60Sql,
     "q61_quality_deciles" -> q61Sql,
+    "q62_asof_join" -> q62Sql,
+    "q63_range_join" -> q63Sql,
   )
 }
