@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProductF, HyperplaneSig, L2Dist2F, MinHashSig, RollingHash, SimHash64}
+import graft.functions.{DotProductF, ExplodeBlocks, HyperplaneSig, L2Dist2F, MinHashSig, RollingHash, SimHash64}
 
 /** SQL surface for the native expressions.
   *
@@ -40,6 +40,7 @@ object GraftExtensions {
     "dist2_f" -> (exprs => L2Dist2F(exprs.head, exprs(1))),
     "hyperplane_sig" -> (exprs =>
       HyperplaneSig(exprs.head, intArg(exprs(1), "hyperplane_sig planes"))),
+    "explode_blocks" -> (exprs => ExplodeBlocks(exprs.head)),
   )
 }
 

@@ -68,3 +68,38 @@ class MarkdownBlocksSpec extends AnyFunSuite {
     assert(MarkdownBlocks.parse("```\nabc") == Seq(("code", "abc")))
   }
 }
+
+class ExplodeBlocksGeneratorSpec extends AnyFunSuite {
+  lazy val spark = graft.scale.SparkTestSession.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  private val md = "# Title\n\npara one\nstill one\n\n- item\n\n```\nc1\n```\n"
+
+  test("generator rows equal MarkdownBlocks.parse with ordinals") {
+    val got = Seq((1L, md)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.ExplodeBlocks.explode_blocks(col("text")))
+      .select("doc_id", "pos", "block_type", "title")
+      .as[(Long, Int, String, String)].collect().toSeq
+    val expected = MarkdownBlocks.parse(md).zipWithIndex.map {
+      case ((t, title), i) => (1L, i, t, title)
+    }
+    assert(got == expected)
+    // null markdown yields no rows, not a null row
+    val empty = Seq((2L, null: String)).toDF("doc_id", "text")
+      .select(graft.functions.ExplodeBlocks.explode_blocks(col("text")))
+    assert(empty.count() == 0)
+  }
+
+  test("callable from SQL via LATERAL VIEW") {
+    graft.GraftFunctions.register(spark)
+    Seq((1L, md)).toDF("doc_id", "text").createOrReplaceTempView("eb_docs")
+    val got = spark.sql(
+      """SELECT doc_id, b.pos, b.block_type, b.title
+        |FROM eb_docs LATERAL VIEW explode_blocks(text) b""".stripMargin)
+      .as[(Long, Int, String, String)].collect().toSeq
+    assert(got.map(r => (r._3, r._4)) == MarkdownBlocks.parse(md))
+    assert(got.map(_._2) == got.indices)
+  }
+}
