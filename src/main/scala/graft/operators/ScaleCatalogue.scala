@@ -579,6 +579,22 @@ object ScaleCatalogue {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q65 — approximate distinct profile: per-language vocabulary size via
+  // HLL++ (approx_count_distinct). At 100 TB the exact distinct is a
+  // full-vocabulary shuffle; the sketch is mergeable map-side state of a
+  // few KB per group. Deterministic for fixed data/plan but not
+  // SQL-oracle-able (engine-specific sketch) → rows-only check; the
+  // ±rsd error bound vs exact is pinned by ScalaTest instead.
+  // ---------------------------------------------------------------------
+  def q65ApproxProfile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("term"), rsd = 0.02).as("approx_vocab"),
+        count(lit(1)).as("tokens"))
+      .orderBy(col("lang"))
+
+  // ---------------------------------------------------------------------
   // q49 — corpus vocabulary: global term frequencies, top-k with
   // deterministic ties (vocab building for tokenizer training)
   // ---------------------------------------------------------------------
@@ -675,6 +691,7 @@ object ScaleCatalogue {
     "q57_split" -> q57Split _,
     "q58_weighted_sample" -> q58WeightedSample _,
     "q59_packing" -> q59Packing _,
+    "q65_approx_profile" -> q65ApproxProfile _,
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,

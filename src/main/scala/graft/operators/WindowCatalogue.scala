@@ -229,6 +229,34 @@ object WindowCatalogue {
       |  AND abs(epoch_ms(a.ts) - epoch_ms(b.ts)) <= 600000
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q64 — set operations (INTERSECT / EXCEPT): behavioral cohorts.
+  // SURVEY §2.8 marks these absent in the reference; an engine replacing
+  // it needs them. Both plan as distinct-aggregates over the key only —
+  // at scale the shuffle carries 8-byte user ids, never event payloads.
+  // ---------------------------------------------------------------------
+  def q64SetOps(s: SparkSession, d: String): DataFrame = {
+    def cohort(t: String) = events(s, d)
+      .filter(col("event_type") === t).select(col("user_id")).distinct()
+    val both = cohort("purchase").intersect(cohort("signup"))
+      .withColumn("cohort", lit("purchase_and_signup"))
+    val only = cohort("purchase").except(cohort("error"))
+      .withColumn("cohort", lit("purchase_no_error"))
+    both.unionByName(only)
+      .orderBy(col("cohort"), col("user_id"))
+  }
+  val q64Sql: String =
+    """SELECT user_id, 'purchase_and_signup' AS cohort FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') t1
+      |UNION ALL
+      |SELECT user_id, 'purchase_no_error' AS cohort FROM (
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t2
+      |ORDER BY cohort, user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_sessionize" -> q45Sessionize _,
     "q46_running" -> q46Running _,
@@ -238,6 +266,7 @@ object WindowCatalogue {
     "q61_quality_deciles" -> q61QualityDeciles _,
     "q62_asof_join" -> q62AsofJoin _,
     "q63_range_join" -> q63RangeJoin _,
+    "q64_set_ops" -> q64SetOps _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -249,5 +278,6 @@ object WindowCatalogue {
     "q61_quality_deciles" -> q61Sql,
     "q62_asof_join" -> q62Sql,
     "q63_range_join" -> q63Sql,
+    "q64_set_ops" -> q64Sql,
   )
 }

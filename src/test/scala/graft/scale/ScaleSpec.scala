@@ -209,6 +209,21 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got(2L) == (("clean text no pii", 0, 0, 0)))
   }
 
+  test("approx vocab within the HLL++ error bound of exact") {
+    val d = "/root/testdata/sf0.001"
+    val approx = graft.operators.ScaleCatalogue.q65ApproxProfile(spark, d)
+      .select("lang", "approx_vocab").as[(String, Long)].collect().toMap
+    val exact = spark.read.parquet(s"$d/documents.parquet")
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang")).agg(countDistinct(col("term")).as("v"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (lang, v) =>
+      val a = approx(lang)
+      assert(math.abs(a - v).toDouble / v <= 0.10,
+        s"lang=$lang approx=$a exact=$v drift > 10%")
+    }
+  }
+
   test("repetitionFeatures flags planted repetition") {
     val d = Seq(
       (1L, "spam spam spam spam"),           // all dup words + bigrams
