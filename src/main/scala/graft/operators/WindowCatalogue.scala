@@ -257,6 +257,31 @@ object WindowCatalogue {
       |  SELECT DISTINCT user_id FROM events WHERE event_type = 'error') t2
       |ORDER BY cohort, user_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q66 — pivot (long → wide reshaping): per-user event counts by type.
+  // Pivot values are given explicitly, so Spark skips the extra distinct
+  // pass and plans a single conditional aggregation — one shuffle on the
+  // grouping key regardless of pivot-column cardinality. The oracle uses
+  // the equivalent conditional sums (engine-neutral form).
+  // ---------------------------------------------------------------------
+  def q66Pivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
+  val q66Sql: String =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'error') AS error,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'view') AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_sessionize" -> q45Sessionize _,
     "q46_running" -> q46Running _,
@@ -267,6 +292,7 @@ object WindowCatalogue {
     "q62_asof_join" -> q62AsofJoin _,
     "q63_range_join" -> q63RangeJoin _,
     "q64_set_ops" -> q64SetOps _,
+    "q66_pivot" -> q66Pivot _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -279,5 +305,6 @@ object WindowCatalogue {
     "q62_asof_join" -> q62Sql,
     "q63_range_join" -> q63Sql,
     "q64_set_ops" -> q64Sql,
+    "q66_pivot" -> q66Sql,
   )
 }
