@@ -82,6 +82,31 @@ class PlanShapeSpec extends AnyFunSuite {
     q.collect()
   }
 
+  test("range join plans as equi-join, never a nested-loop product") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlanString(WindowCatalogue.q63RangeJoin(spark, d))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join degenerated to a product:\n$plan")
+  }
+
+  test("per-row text analysis prunes the scan to the referenced columns") {
+    val d = "/root/testdata/sf0.001"
+    val df = ScaleCatalogue.q38Tokens(spark, d)
+    val leaves = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    // only doc_id + text may be read; lang/source/n_chars must be pruned
+    assert(leaves.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"scan not pruned to (doc_id, text):\n$leaves")
+  }
+
+  test("embedding near-dup top-k uses WindowGroupLimit pushdown") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlanString(ScaleCatalogue.q52EmbedNearDup(spark, d))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k not pushed below the window sort:\n$plan")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val d = "/root/testdata/sf0.001"
     val salted = Skew.saltedCountSum(
