@@ -60,6 +60,44 @@ object ScaleCatalogue {
       |ORDER BY d1, d2""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q67 — dedup cluster resolution: near-dup pairs (q31's candidates) →
+  // connected components via min-label propagation; every document is
+  // labeled with its component's minimum doc id (the canonical keeper).
+  // Oracle: DuckDB recursive-CTE transitive closure over the same pairs.
+  // ---------------------------------------------------------------------
+  def q67DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.ngramJaccardPairs(documents(s, d), n = 5, threshold = 0.8)
+      .select(col("d1"), col("d2"))
+    Dedup.connectedComponents(pairs)
+      .withColumn("is_canonical", (col("doc_id") === col("cluster")).cast("int"))
+      .orderBy(col("cluster"), col("doc_id"))
+  }
+  val q67Sql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |np AS (
+      |  SELECT d1, d2 FROM pairs
+      |  JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id
+      |  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM np UNION SELECT d2, d1 FROM np),
+      |reach AS (
+      |  SELECT a AS v, a AS r FROM sym
+      |  UNION
+      |  SELECT s.a, t.r FROM sym s JOIN reach t ON s.b = t.v)
+      |SELECT v AS doc_id, min(r) AS cluster,
+      |  CASE WHEN v = min(r) THEN 1 ELSE 0 END AS is_canonical
+      |FROM reach GROUP BY v ORDER BY cluster, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q32/q33 — MinHash-LSH and SimHash near-dup pairs (hash-based: no SQL
   // oracle; pinned by DedupSpec against the Jaccard ground truth)
   // ---------------------------------------------------------------------
@@ -671,6 +709,7 @@ object ScaleCatalogue {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
+    "q67_dedup_clusters" -> q67DedupClusters _,
     "q32_minhash_lsh" -> q32MinhashLsh _,
     "q33_simhash_pairs" -> q33SimhashPairs _,
     "q34_ann_brute" -> q34AnnBrute _,
@@ -700,6 +739,7 @@ object ScaleCatalogue {
   val oracles: Map[String, String] = Map(
     "q30_dedup_exact" -> q30Sql,
     "q31_ngram_jaccard" -> q31Sql,
+    "q67_dedup_clusters" -> q67Sql,
     // q32/q33: hash-based, rows-only
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,

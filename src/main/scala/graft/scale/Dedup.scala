@@ -149,6 +149,40 @@ object Dedup {
       .select(col("d1"), col("d2"), col("matches"), col("est_jaccard"))
   }
 
+  /** Connected components over near-dup pairs (min-label propagation):
+    * turns the pairwise candidate output of any dedup family into
+    * clusters, labeling every member with the minimum doc id of its
+    * component — the canonical-document choice of the survivorship rule.
+    *
+    * Iterates label = min(label, neighbors' labels) to fixpoint; each
+    * round is one join + one aggregation on (id, label) pairs — 16-byte
+    * rows regardless of document size — and `localCheckpoint` truncates
+    * the growing lineage. Converges in O(component diameter) rounds;
+    * near-dup components are shallow (dups of dups), so a handful of
+    * rounds suffices even at corpus scale.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("v")).distinct()
+      .withColumn("label", col("v"))
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbr = sym.join(labels, sym("b") === labels("v"))
+        .select(sym("a").as("v"), col("label"))
+      val next = labels.union(nbr)
+        .groupBy(col("v")).agg(min(col("label")).as("next_label"))
+      val joined = labels.withColumnRenamed("label", "old_label")
+        .join(next, "v")
+      changed = joined.filter(col("next_label") < col("old_label")).count()
+      labels = joined.select(col("v"), col("next_label").as("label"))
+        .localCheckpoint()
+      i += 1
+    }
+    labels.select(col("v").as("doc_id"), col("label").as("cluster"))
+  }
+
   /** 64-bit SimHash of the token stream: bit i of the fingerprint is set
     * iff the sum over tokens of ±1 (according to bit i of the token's
     * 64-bit hash) is positive. Per-row fold — no shuffle. */

@@ -37,6 +37,16 @@ class DedupSpec extends AnyFunSuite {
     assert(byHash == Seq((1L, 2L), (3L, 2L)))
   }
 
+  test("connectedComponents labels chains and separate pairs correctly") {
+    // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("d1", "d2")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("ngramJaccardPairs finds planted near-duplicate") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
