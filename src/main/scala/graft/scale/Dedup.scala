@@ -163,7 +163,11 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    // materialize the (tiny) edge list once — every iteration joins
+    // against it, and without this the full upstream candidate
+    // generation (shingle self-join / LSH) would re-run per round
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("label", col("v"))
     var changed = 1L
