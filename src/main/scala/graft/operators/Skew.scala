@@ -26,4 +26,22 @@ object Skew {
     partial.groupBy(col("k"))
       .agg(sum(col("pc")).as("cnt"), sum(col("ps")).as("sum_v"))
   }
+
+  /** Salted equi-join for a skewed fact side: the fact rows get a
+    * random salt in [0, saltBuckets); the dimension side is replicated
+    * once per salt value; the join key becomes (key, salt), splitting a
+    * hot key across saltBuckets partitions. Result is row-identical to
+    * the plain join (every fact row still meets every matching dim row
+    * exactly once — in its salt bucket). Use when a key is too hot for
+    * AQE's runtime skew splitting, at the price of `saltBuckets`×
+    * dimension replication. Both inputs must expose `joinKey`. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, joinKey: String,
+      saltBuckets: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(monotonically_increasing_id()),
+      lit(saltBuckets.toLong))
+    val saltedFact = fact.withColumn("__salt", salt)
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    saltedFact.join(replicatedDim, Seq(joinKey, "__salt")).drop("__salt")
+  }
 }

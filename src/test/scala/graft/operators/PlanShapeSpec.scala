@@ -107,6 +107,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k not pushed below the window sort:\n$plan")
   }
 
+  test("salted join equals plain join") {
+    val d = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle path
+    try {
+      val fact = graft.Tables.lineitem(spark, d)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val dim = graft.Tables.orders(spark, d)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      val salted = Skew.saltedJoin(fact, dim, "l_orderkey", saltBuckets = 4)
+        .select("l_orderkey", "l_linenumber", "o_orderstatus")
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      val plain = fact.join(dim, Seq("l_orderkey"))
+        .select("l_orderkey", "l_linenumber", "o_orderstatus")
+        .as[(Long, Int, String)].collect().sorted.toSeq
+      assert(salted == plain)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val d = "/root/testdata/sf0.001"
     val salted = Skew.saltedCountSum(
