@@ -617,6 +617,34 @@ object ScaleCatalogue {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q68 — stratified sampling: exactly k documents per language, chosen
+  // by content-hash order (deterministic "random": stable under
+  // re-partitioning and engine choice, leak-free like q57). One window
+  // shuffle on the stratum key; Spark pushes rank<=k down as
+  // WindowGroupLimit so each partition keeps only k candidates.
+  // ---------------------------------------------------------------------
+  def q68StratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.RollingHash.rolling_hash(col("text"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    documents(s, d)
+      .withColumn("h", h)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rk"))
+  }
+  val q68Sql: String =
+    s"""WITH h AS (
+       |  SELECT lang, doc_id, n_chars, $duckRollingHash AS h FROM documents),
+       |r AS (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS rk
+       |  FROM h)
+       |SELECT lang, rk, doc_id, n_chars FROM r WHERE rk <= 20
+       |ORDER BY lang, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q65 — approximate distinct profile: per-language vocabulary size via
   // HLL++ (approx_count_distinct). At 100 TB the exact distinct is a
   // full-vocabulary shuffle; the sketch is mergeable map-side state of a
@@ -731,6 +759,7 @@ object ScaleCatalogue {
     "q58_weighted_sample" -> q58WeightedSample _,
     "q59_packing" -> q59Packing _,
     "q65_approx_profile" -> q65ApproxProfile _,
+    "q68_stratified_sample" -> q68StratifiedSample _,
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,
@@ -759,6 +788,7 @@ object ScaleCatalogue {
     "q57_split" -> q57Sql,
     "q58_weighted_sample" -> q58Sql,
     "q59_packing" -> q59Sql,
+    "q68_stratified_sample" -> q68Sql,
     "q49_vocab" -> q49Sql,
     "q50_bigrams" -> q50Sql,
     "q51_tfidf" -> q51Sql,

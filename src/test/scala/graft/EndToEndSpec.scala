@@ -16,6 +16,16 @@ class EndToEndSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("driver contract: entry smoke + every query declared runnable") {
+    // the driver's t1 gate: flagship returns rows with the result column
+    val e = SparkEntry.entry(spark)
+    assert(e.count() > 0)
+    assert(e.columns.contains("result"))
+    // every oracle key must have a query behind it
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
   test("dump to Notion: phase1 + ingest + drain") {
     val tmp = Files.createTempDirectory("graft-e2e")
     val xml = tmp.resolve("dump.xml")
