@@ -64,8 +64,13 @@ object Dedup {
     val tok = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
+    // the inverted index keys on xxhash64(shingle) — the self-join and
+    // groupBys shuffle 8-byte longs instead of ~n-word strings. A hash
+    // collision would merge two shingles (probability ~ vocab²/2⁶⁴ —
+    // negligible at any corpus size that fits an exact index at all)
     val sh0 = tok.select(col("doc_id"),
-      explode(shingles(col("w"), n)).as("sh"))
+      explode(shingles(col("w"), n)).as("sh_str"))
+      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
     val sh =
       if (maxDf == Long.MaxValue) sh0
       else {
