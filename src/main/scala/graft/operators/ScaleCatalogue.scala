@@ -617,6 +617,32 @@ object ScaleCatalogue {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q69 — decontamination: training docs sharing any 3-gram with the
+  // held-out eval slice (doc_id % 50 == 0 stands in for a benchmark
+  // set). Eval postings broadcast; the training side never shuffles.
+  // ---------------------------------------------------------------------
+  def q69Decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    Dedup.contaminationOverlap(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3)
+      .orderBy(col("doc_id"))
+  }
+  val q69Sql: String =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS shs
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |cand AS (
+      |  SELECT doc_id, unnest(shs) AS sh FROM sh WHERE doc_id % 50 <> 0),
+      |ev AS (
+      |  SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 50 = 0)
+      |SELECT doc_id, count(DISTINCT sh) AS overlap_shingles
+      |FROM cand JOIN ev USING (sh)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q68 — stratified sampling: exactly k documents per language, chosen
   // by content-hash order (deterministic "random": stable under
   // re-partitioning and engine choice, leak-free like q57). One window
@@ -760,6 +786,7 @@ object ScaleCatalogue {
     "q59_packing" -> q59Packing _,
     "q65_approx_profile" -> q65ApproxProfile _,
     "q68_stratified_sample" -> q68StratifiedSample _,
+    "q69_decontaminate" -> q69Decontaminate _,
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,
@@ -789,6 +816,7 @@ object ScaleCatalogue {
     "q58_weighted_sample" -> q58Sql,
     "q59_packing" -> q59Sql,
     "q68_stratified_sample" -> q68Sql,
+    "q69_decontaminate" -> q69Sql,
     "q49_vocab" -> q49Sql,
     "q50_bigrams" -> q50Sql,
     "q51_tfidf" -> q51Sql,

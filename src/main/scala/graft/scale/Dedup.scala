@@ -103,6 +103,26 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Decontamination: flag candidate documents sharing any word n-gram
+    * with a benchmark/eval set (the train-test overlap scrub every
+    * LLM corpus needs). Both sides reduce to hashed-shingle postings;
+    * the overlap is an inner join on the 8-byte shingle hash followed by
+    * a per-candidate distinct count — eval sets are small, so the eval
+    * posting list broadcasts and the candidate side never shuffles. */
+  def contaminationOverlap(candidates: DataFrame, evalSet: DataFrame,
+      n: Int = 3): DataFrame = {
+    def postings(df: DataFrame, idAs: String) = df
+      .select(col("doc_id").as(idAs), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col(idAs), explode(shingles(col("w"), n)).as("sh_str"))
+      .select(col(idAs), xxhash64(col("sh_str")).as("sh"))
+    val cand = postings(candidates, "doc_id")
+    val eval = postings(evalSet, "eval_id").select(col("sh")).distinct()
+    cand.join(broadcast(eval), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("overlap_shingles"))
+  }
+
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the minimum `xxhash64(shingle, seed)` over the document's shingles.
     * Computed per-row with higher-order functions — no shuffle. */
