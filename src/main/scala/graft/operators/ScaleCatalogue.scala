@@ -617,6 +617,24 @@ object ScaleCatalogue {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q70 — character entropy (gibberish / binary-noise filter signal):
+  // zero-shuffle per-row fold, deterministic summation order
+  // ---------------------------------------------------------------------
+  def q70CharEntropy(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.charEntropyQ(col("text")).as("entropy_q"))
+      .orderBy(col("doc_id"))
+  val q70Sql: String =
+    """SELECT doc_id,
+      |  CAST(floor(list_reduce(
+      |    list_prepend(0.0, list_transform(
+      |      list_sort(list_distinct(string_split(text, ''))),
+      |      c -> (length(text) - length(replace(text, c, '')))::DOUBLE / length(text))),
+      |    (acc, p) -> acc - p * ln(p)) * 1000000.0) AS BIGINT) AS entropy_q
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q69 — decontamination: training docs sharing any 3-gram with the
   // held-out eval slice (doc_id % 50 == 0 stands in for a benchmark
   // set). Eval postings broadcast; the training side never shuffles.
@@ -787,6 +805,7 @@ object ScaleCatalogue {
     "q65_approx_profile" -> q65ApproxProfile _,
     "q68_stratified_sample" -> q68StratifiedSample _,
     "q69_decontaminate" -> q69Decontaminate _,
+    "q70_char_entropy" -> q70CharEntropy _,
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,
@@ -817,6 +836,7 @@ object ScaleCatalogue {
     "q59_packing" -> q59Sql,
     "q68_stratified_sample" -> q68Sql,
     "q69_decontaminate" -> q69Sql,
+    "q70_char_entropy" -> q70Sql,
     "q49_vocab" -> q49Sql,
     "q50_bigrams" -> q50Sql,
     "q51_tfidf" -> q51Sql,

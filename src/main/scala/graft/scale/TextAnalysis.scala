@@ -93,6 +93,23 @@ object TextAnalysis {
     struct((scrubbed.as("scrubbed") +: counts): _*)
   }
 
+  /** Shannon entropy of the character distribution, in nats, quantized.
+    * Low entropy flags repeated-character junk; high entropy flags
+    * compressed/binary noise. Computed per row with a deterministic
+    * fold: distinct characters in sorted order, count via
+    * length-difference, -Σ p·ln(p) left-to-right — the same sequence of
+    * double ops any engine can replay, so it is hash-comparable. */
+  def charEntropyQ(text: Column): Column = {
+    val n = length(text).cast("double")
+    val chars = array_sort(array_distinct(split(text, "")))
+    val ent = aggregate(
+      transform(chars, c =>
+        (n - length(replace(text, c, lit("")))).cast("double") / n),
+      lit(0.0),
+      (acc, p) => acc - p * log(p))
+    floor(ent * 1000000L).cast("long")
+  }
+
   /** Repetition features (Gopher-style quality filters): fraction of
     * duplicate words and duplicate bigrams, quantized. High values mark
     * boilerplate/spam for the filter stage. Callers guard size >= 2. */
