@@ -107,7 +107,10 @@ object TextAnalysis {
         (n - length(replace(text, c, lit("")))).cast("double") / n),
       lit(0.0),
       (acc, p) => acc - p * log(p))
-    floor(ent * 1000000L).cast("long")
+    // empty/null text: no distribution — zero entropy, and the branch
+    // guard keeps the division un-evaluated under ANSI mode
+    when(length(text) === 0 || text.isNull, lit(0L))
+      .otherwise(floor(ent * 1000000L).cast("long"))
   }
 
   /** Repetition features (Gopher-style quality filters): fraction of

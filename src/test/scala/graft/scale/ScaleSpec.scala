@@ -234,6 +234,27 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("charEntropyQ edge cases: empty, uniform, single-char") {
+    val d = Seq((1L, ""), (2L, "aaaa"), (3L, "ab"), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        TextAnalysis.charEntropyQ(col("text")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) == 0L)               // no characters -> zero entropy
+    assert(got(2L) == 0L)               // single symbol -> zero entropy
+    assert(got(3L) == 693147L)          // ln(2) = 0.693147...
+    assert(got(4L) == 1386294L)         // ln(4) = 1.386294...
+  }
+
+  test("contaminationOverlap counts shared distinct n-grams only") {
+    val cand = Seq((1L, "a b c d e"), (2L, "x y z w v")).toDF("doc_id", "text")
+    val ev = Seq((100L, "a b c q r")).toDF("doc_id", "text")
+    // candidate 1 shares 3-grams "a b c" (and only that); candidate 2 none
+    val got = graft.scale.Dedup.contaminationOverlap(cand, ev, n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L))
+  }
+
   test("repetitionFeatures flags planted repetition") {
     val d = Seq(
       (1L, "spam spam spam spam"),           // all dup words + bigrams
