@@ -43,9 +43,9 @@ object Catalogue {
   }
   val q01Sql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS sum_qty_c,
-      |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_base_c,
-      |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS sum_disc_c,
+      |  CAST(sum(CAST(floor(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS BIGINT) AS sum_disc_c,
       |  count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -199,7 +199,7 @@ object Catalogue {
   val q09Sql: String =
     """SELECT time_bucket(INTERVAL '1 minute', ts) AS wstart, event_type,
       |  count(*) AS n,
-      |  sum(CAST(floor(value * 100.0) AS BIGINT)) AS sum_value_c
+      |  CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_value_c
       |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -302,7 +302,7 @@ object Catalogue {
       .orderBy(col("ns"))
   }
   val q14Sql: String =
-    """SELECT ns, count(*) AS n, sum(doc_id) AS id_sum FROM (
+    """SELECT ns, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum FROM (
       |  SELECT 'Main' AS ns, doc_id FROM documents WHERE lang = 'en'
       |  UNION ALL
       |  SELECT 'Category' AS ns, doc_id FROM documents WHERE lang = 'de') t
@@ -324,8 +324,8 @@ object Catalogue {
   }
   val q15Sql: String =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS fail_count,
-      |  sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS success_count,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS fail_count,
+      |  CAST(sum(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) AS BIGINT) AS success_count,
       |  CASE WHEN sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 0
       |    THEN 'FAIL' ELSE 'SUCCESS' END AS result
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -343,7 +343,7 @@ object Catalogue {
   }
   val q16Sql: String =
     """SELECT event_type,
-      |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       |  count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -608,7 +608,7 @@ object Catalogue {
       .orderBy(col("l_orderkey"))
   val q29Sql: String =
     """SELECT l_orderkey, count(*) AS cnt,
-      |  sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS sum_v
+      |  CAST(sum(CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_v
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   // ---------------------------------------------------------------------

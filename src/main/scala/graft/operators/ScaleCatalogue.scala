@@ -45,9 +45,14 @@ object ScaleCatalogue {
     """WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= 5),
-      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |tot AS (SELECT count(*) AS n_docs FROM documents),
+      |sh AS (
+      |  SELECT s.doc_id, s.sh FROM sh0 s
+      |  JOIN (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh) d ON s.sh = d.sh, tot
+      |  WHERE d.df <= greatest(100, CAST(ceil(tot.n_docs * 0.01) AS BIGINT))),
       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
@@ -76,9 +81,14 @@ object ScaleCatalogue {
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
       |  WHERE len(string_split(text, ' ')) >= 5),
-      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |tot AS (SELECT count(*) AS n_docs FROM documents),
+      |sh AS (
+      |  SELECT s.doc_id, s.sh FROM sh0 s
+      |  JOIN (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh) d ON s.sh = d.sh, tot
+      |  WHERE d.df <= greatest(100, CAST(ceil(tot.n_docs * 0.01) AS BIGINT))),
       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |pairs AS (
       |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
@@ -417,7 +427,7 @@ object ScaleCatalogue {
         floor(avg(col("n_chars")) * 1000).cast("long").as("avg_chars_q"))
       .orderBy(col("lang"))
   val q44Sql: String =
-    """SELECT lang, count(*) AS docs, sum(n_chars) AS total_chars,
+    """SELECT lang, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
       |  count(DISTINCT source) AS sources,
       |  CAST(floor(avg(n_chars) * 1000) AS BIGINT) AS avg_chars_q
@@ -453,7 +463,7 @@ object ScaleCatalogue {
        |    CASE WHEN bucket < 80 THEN 'train'
        |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
        |  FROM b)
-       |SELECT lang, split, count(*) AS docs, sum(n_chars) AS chars
+       |SELECT lang, split, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
        |FROM sp GROUP BY lang, split ORDER BY lang, split""".stripMargin
 
   // ---------------------------------------------------------------------
@@ -484,7 +494,7 @@ object ScaleCatalogue {
        |    CASE WHEN bucket < (CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 900 ELSE 250 END)
        |      THEN 1 ELSE 0 END AS kept
        |  FROM b)
-       |SELECT source, count(*) AS total, sum(kept) AS kept,
+       |SELECT source, count(*) AS total, CAST(sum(kept) AS BIGINT) AS kept,
        |  CAST(floor(sum(kept)::DOUBLE / count(*) * 1000000.0) AS BIGINT) AS rate_q
        |FROM k GROUP BY source ORDER BY source""".stripMargin
 
@@ -519,7 +529,7 @@ object ScaleCatalogue {
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
       |  FROM t)
       |SELECT lang, CAST(floor((cum_tokens - tokens) / 512.0) AS BIGINT) AS bin,
-      |  count(*) AS docs, sum(tokens) AS bin_tokens
+      |  count(*) AS docs, CAST(sum(tokens) AS BIGINT) AS bin_tokens
       |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin
 
   // ---------------------------------------------------------------------

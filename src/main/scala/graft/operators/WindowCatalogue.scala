@@ -50,7 +50,7 @@ object WindowCatalogue {
       |  SELECT user_id, sess_id, count(*) AS ev,
       |    max(epoch_ms(ts)) - min(epoch_ms(ts)) AS dur_ms
       |  FROM sessions GROUP BY user_id, sess_id)
-      |SELECT user_id, count(*) AS sessions, sum(ev) AS total_events,
+      |SELECT user_id, count(*) AS sessions, CAST(sum(ev) AS BIGINT) AS total_events,
       |  max(ev) AS max_session_events, max(dur_ms) AS longest_session_ms
       |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin
 
@@ -73,8 +73,8 @@ object WindowCatalogue {
       |  SELECT event_id, user_id,
       |    count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_cnt,
-      |    sum(CAST(floor(value * 100.0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_c
+      |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_sum_c
       |  FROM events) t
       |WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin
 
@@ -87,7 +87,7 @@ object WindowCatalogue {
       .agg(count(lit(1)).as("docs"), sum(col("n_chars")).as("chars"))
       .orderBy(col("lang").asc_nulls_first, col("source").asc_nulls_first)
   val q47Sql: String =
-    """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars
+    """SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars
       |FROM documents GROUP BY ROLLUP (lang, source)
       |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
@@ -108,7 +108,7 @@ object WindowCatalogue {
   }
   val q48Sql: String =
     """SELECT user_id, count(*) AS gaps, min(gap_ms) AS min_gap_ms,
-      |  max(gap_ms) AS max_gap_ms, sum(gap_ms) AS total_gap_ms
+      |  max(gap_ms) AS max_gap_ms, CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
       |FROM (
       |  SELECT user_id,
       |    epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
@@ -129,7 +129,7 @@ object WindowCatalogue {
       .orderBy(col("g_lang"), col("g_source"),
         col("lang").asc_nulls_first, col("source").asc_nulls_first)
   val q60Sql: String =
-    """SELECT lang, source, count(*) AS docs, sum(n_chars) AS chars,
+    """SELECT lang, source, count(*) AS docs, CAST(sum(n_chars) AS BIGINT) AS chars,
       |  GROUPING(lang) AS g_lang, GROUPING(source) AS g_source
       |FROM documents GROUP BY CUBE (lang, source)
       |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin

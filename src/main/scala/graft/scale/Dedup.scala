@@ -51,16 +51,25 @@ object Dedup {
   /** N-gram Jaccard near-dup pairs via an inverted shingle index.
     *
     * Self-join on the shingle value (the classic candidate-generation
-    * join); Jaccard computed from exact distinct-shingle counts. `maxDf`
-    * drops shingles present in more than that many documents — at scale
-    * this bounds the quadratic blowup on boilerplate shingles (same role
-    * as stop-shingle filtering in published dedup pipelines).
+    * join); Jaccard computed from exact distinct-shingle counts.
+    *
+    * The stop-shingle cut is ON by default: shingles present in more than
+    * `max(maxDfFloor, ceil(maxDfFrac × corpus docs))` documents are
+    * dropped from the index before the self-join. Without it a single
+    * boilerplate shingle (license header, nav bar) makes the self-join
+    * O(df²) — the one genuine scale-killer of this family at 100 TB. The
+    * cut is derived *in-plan* from a broadcast corpus count, so no
+    * driver-side action and the bound grows with the corpus. Pass
+    * `maxDfFloor = Long.MaxValue` for the exact unbounded variant (only
+    * sensible on corpora known to lack hot shingles).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
       n: Int = 5,
       threshold: Double = 0.8,
-      maxDf: Long = Long.MaxValue): DataFrame = {
+      maxDfFloor: Long = 100L,
+      maxDfFrac: Double = 0.01): DataFrame = {
+    val bounded = maxDfFloor != Long.MaxValue
     val tok = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
@@ -72,20 +81,28 @@ object Dedup {
       explode(shingles(col("w"), n)).as("sh_str"))
       .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
     val sh =
-      if (maxDf == Long.MaxValue) sh0
+      if (!bounded) sh0
       else {
+        // cut = max(floor, ceil(frac * |docs|)), computed in the plan via
+        // a broadcast single-row count — scales with the corpus, costs one
+        // extra pass over the (8-byte) postings, no driver round-trip
+        val total = docs.select(count(lit(1)).as("n_docs"))
         val keep = sh0.groupBy(col("sh"))
-          .agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
+          .agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(total))
+          .filter(col("df") <=
+            greatest(lit(maxDfFloor),
+              ceil(col("n_docs") * lit(maxDfFrac)).cast("long")))
           .select(col("sh"))
         sh0.join(keep, "sh")
       }
     // Per-doc distinct-shingle counts: without a stop-shingle cut this is
     // just the per-row array size (shingles() already distincts) — no
     // second explode + shuffle + groupBy over the inverted index. With
-    // maxDf the count must reflect the surviving postings, so aggregate
-    // the filtered index.
+    // the cut on, the count must reflect the surviving postings, so
+    // aggregate the filtered index.
     val cnt =
-      if (maxDf == Long.MaxValue)
+      if (!bounded)
         tok.select(col("doc_id"), size(shingles(col("w"), n)).cast("long").as("n_sh"))
       else sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")

@@ -56,6 +56,19 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
+        # dtype-kind gate: the driver's hash is type-sensitive across kinds
+        # (DuckDB HUGEINT from bare sum() arrives as float/object and fails
+        # there even when values coerce equal in pandas) but tolerates
+        # integer width (int8/int32 vs int64 hash identically) — mirror that
+        def kind(d):
+            s = str(d)
+            return "int" if s.startswith(("int", "uint")) else s
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype))
+                  for c in got.columns if kind(got[c].dtype) != kind(exp[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtype kind mismatch (spark vs duck): {dt_bad}")
+            n_fail += 1
+            continue
         try:
             g = got.astype(object)
             e = exp.astype(object)
