@@ -16,13 +16,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * loops of the ANN / embedding-near-dup operators — at 100 TB the dot
   * product runs O(pairs·dim) times, so it must be a tight primitive loop.
   *
-  * Semantics match the HOF form bit-exactly: a sequential left-to-right
-  * double-precision fold `acc += a[i]·b[i]` from index 0, so every DuckDB
-  * oracle (`list_reduce(list_transform(...))`) compares unchanged.
+  * Semantics match the HOF form bit-exactly, including its null cases:
+  * a sequential left-to-right double-precision fold `acc += a[i]·b[i]`
+  * from index 0; NULL when the array lengths differ (zip_with pads the
+  * shorter side with nulls, which poisons the fold) or when any element
+  * is null. The per-element null check is skipped entirely when both
+  * input types declare `containsNull = false` (the usual embedding
+  * schema), keeping the hot loop branch-free.
   */
 case class DotProductF(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -32,11 +37,21 @@ case class DotProductF(left: Expression, right: Expression)
         s"dot_f requires two array<float> arguments, got ${l.sql}, ${r.sql}")
     }
 
+  private lazy val checkElems: Boolean = Seq(left, right).exists {
+    e => e.dataType.asInstanceOf[ArrayType].containsNull
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.dotChecked(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], checkElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double ${ev.value}_r =
+      |  graft.functions.VectorOps.dotChecked($a, $b, $checkElems);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF =
@@ -46,12 +61,14 @@ case class DotProductF(left: Expression, right: Expression)
 }
 
 /** Squared L2 distance of two `array<float>` columns — same native-fold
-  * rationale as [[DotProductF]]; used by the IVF coarse quantizer where
-  * the assignment loop runs O(rows·centroids) times. Fold is
-  * `acc += (a[i]-b[i])²` from index 0, bit-matching the HOF form. */
+  * rationale and null semantics as [[DotProductF]]; used by the IVF
+  * coarse quantizer where the assignment loop runs O(rows·centroids)
+  * times. Fold is `acc += (a[i]-b[i])²` from index 0, bit-matching the
+  * HOF form; NULL on length mismatch or null elements. */
 case class L2Dist2F(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -61,11 +78,21 @@ case class L2Dist2F(left: Expression, right: Expression)
         s"dist2_f requires two array<float> arguments, got ${l.sql}, ${r.sql}")
     }
 
+  private lazy val checkElems: Boolean = Seq(left, right).exists {
+    e => e.dataType.asInstanceOf[ArrayType].containsNull
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dist2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.dist2Checked(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], checkElems)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dist2($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double ${ev.value}_r =
+      |  graft.functions.VectorOps.dist2Checked($a, $b, $checkElems);
+      |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2Dist2F =
@@ -75,29 +102,51 @@ case class L2Dist2F(left: Expression, right: Expression)
 }
 
 object VectorOps {
-  /** Shared by interpreted eval and generated code. Folds over the
-    * common prefix of the two arrays (embedding columns are fixed-dim,
-    * so in practice the full vectors). */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Shared by interpreted eval and generated code. NULL (boxed) on
+    * length mismatch, and — when `checkElems` — on any null element;
+    * otherwise a branch-free primitive fold. */
+  def dotChecked(a: ArrayData, b: ArrayData,
+      checkElems: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
-      i += 1
+    if (checkElems) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+        i += 1
+      }
     }
     acc
   }
 
-  /** Shared by interpreted eval and generated code. */
-  def dist2(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Shared by interpreted eval and generated code. Same null contract
+    * as [[dotChecked]]. */
+  def dist2Checked(a: ArrayData, b: ArrayData,
+      checkElems: Boolean): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
-      acc += d * d
-      i += 1
+    if (checkElems) {
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+        acc += d * d
+        i += 1
+      }
     }
     acc
   }

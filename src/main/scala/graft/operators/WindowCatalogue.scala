@@ -135,19 +135,55 @@ object WindowCatalogue {
       |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q61 — quality deciles: ntile over a composite quality score (the
-  // bucketing step before per-decile sampling decisions). Total order
-  // (score, doc_id) makes tile assignment engine-exact. The global
-  // window is the exact-semantics form; at 100 TB the same decision is
-  // made with q54's percentile cutoffs (broadcast boundaries + range
-  // bucketing) — global ntile is only for corpora that fit a sort.
+  // q61 — quality deciles: exact ntile semantics over a composite
+  // quality score (the bucketing step before per-decile sampling
+  // decisions), computed WITHOUT a global single-partition sort window.
+  // Distributed exact-rank recipe: (1) approx-percentile boundaries
+  // split the score into range buckets (ties share a bucket, so the
+  // (score, doc_id) total order never crosses buckets); (2) per-bucket
+  // row_number — the window partitions on the bucket, so every executor
+  // sorts only its slice; (3) per-bucket counts prefix-summed into
+  // offsets (control-plane: ≤ `buckets` longs) broadcast back; (4)
+  // global rank = offset + local rank, folded through the standard
+  // ntile size formula (first N%k tiles get ⌈N/k⌉ rows). Identical
+  // output to `ntile(10) OVER (ORDER BY …)` — the DuckDB oracle runs
+  // exactly that — with the single-partition Window replaced by a
+  // hash-partitioned one (PlanShapeSpec asserts no empty partitionSpec).
   // ---------------------------------------------------------------------
   def q61QualityDeciles(s: SparkSession, d: String): DataFrame = {
-    val score = col("n_chars")
-    val w = Window.orderBy(score.asc, col("doc_id").asc)
-    documents(s, d)
-      .withColumn("decile", ntile(10).over(w))
-      .groupBy(col("decile"))
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val buckets = 32
+    // interior boundaries: 31 doubles to the driver — control-plane
+    val bounds = docs.stat.approxQuantile("n_chars",
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      .distinct.sorted
+    val boundsArr = array(bounds.map(lit(_)): _*)
+    val bucketed = docs.withColumn("bucket",
+      size(filter(boundsArr, b => b < col("n_chars"))))
+    // per-bucket counts → exclusive prefix offsets (≤ `buckets` rows)
+    val counts = bucketed.groupBy(col("bucket")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }.tail.zip(counts).map { case ((b, end), (_, c)) => (b, end - c) }
+    val offsetDf = docs.sparkSession
+      .createDataFrame(offsets.toSeq).toDF("bucket", "offset")
+    val wLocal = Window.partitionBy(col("bucket"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val q = n / 10
+    val rem = n % 10
+    val ranked = bucketed
+      .join(broadcast(offsetDf), "bucket")
+      .withColumn("r", col("offset") + row_number().over(wLocal))
+      // standard ntile sizing: first `rem` tiles take q+1 rows, rest q
+      .withColumn("decile",
+        when(lit(q) === 0, col("r"))
+          .when(col("r") <= lit(rem * (q + 1)),
+            ((col("r") - 1) / lit(q + 1)).cast("int") + 1)
+          .otherwise(lit(rem) +
+            ((col("r") - lit(rem * (q + 1)) - 1) / lit(q)).cast("int") + 1))
+    ranked.groupBy(col("decile"))
       .agg(count(lit(1)).as("docs"),
         min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
       .orderBy(col("decile"))

@@ -196,12 +196,18 @@ object Dedup {
     * clusters, labeling every member with the minimum doc id of its
     * component — the canonical-document choice of the survivorship rule.
     *
-    * Iterates label = min(label, neighbors' labels) to fixpoint; each
-    * round is one join + one aggregation on (id, label) pairs — 16-byte
-    * rows regardless of document size — and `localCheckpoint` truncates
-    * the growing lineage. Converges in O(component diameter) rounds;
-    * near-dup components are shallow (dups of dups), so a handful of
-    * rounds suffices even at corpus scale.
+    * Iterates label = min(label, neighbors' labels) with pointer
+    * jumping — each round also shortcuts label ← min(label,
+    * label(label)), so a chain's minimum spreads by doubling and the
+    * loop converges in O(log diameter) rounds, not O(diameter); a
+    * million-link chain resolves in ~20 rounds. Each round is two joins
+    * + one aggregation on (id, label) pairs — 16-byte rows regardless of
+    * document size — and `localCheckpoint` truncates the growing
+    * lineage. The per-round driver `count()` is control-plane only.
+    *
+    * Throws if the fixpoint is not reached within `maxIter` rounds —
+    * silently returning half-propagated labels would split real
+    * clusters without any signal.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
@@ -217,8 +223,15 @@ object Dedup {
     while (changed > 0 && i < maxIter) {
       val nbr = sym.join(labels, sym("b") === labels("v"))
         .select(sym("a").as("v"), col("label"))
-      val next = labels.union(nbr)
-        .groupBy(col("v")).agg(min(col("label")).as("next_label"))
+      val prop = labels.union(nbr)
+        .groupBy(col("v")).agg(min(col("label")).as("p_label"))
+      // pointer jumping: every label value is itself a vertex present in
+      // `prop`, so label-of-label is an inner self-join; taking the min
+      // of the two shortcuts chains by doubling per round
+      val lofl = prop.select(col("v").as("lv"), col("p_label").as("l_of_l"))
+      val next = prop.join(lofl, prop("p_label") === lofl("lv"))
+        .select(prop("v"),
+          least(col("p_label"), col("l_of_l")).as("next_label"))
       val joined = labels.withColumnRenamed("label", "old_label")
         .join(next, "v")
       changed = joined.filter(col("next_label") < col("old_label")).count()
@@ -226,6 +239,10 @@ object Dedup {
         .localCheckpoint()
       i += 1
     }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents: not converged after $maxIter rounds " +
+          "(component diameter exceeds 2^maxIter); raise maxIter")
     labels.select(col("v").as("doc_id"), col("label").as("cluster"))
   }
 

@@ -107,6 +107,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k not pushed below the window sort:\n$plan")
   }
 
+  test("quality deciles never plan a single-partition window") {
+    val d = "/root/testdata/sf0.001"
+    val df = WindowCatalogue.q61QualityDeciles(spark, d)
+    val global = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      s"q61 still contains a global (empty-partitionSpec) window:\n" +
+        df.queryExecution.executedPlan)
+  }
+
   test("salted join equals plain join") {
     val d = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // shuffle path

@@ -295,6 +295,30 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(diff.count() == 0)
   }
 
+  test("dot/dist2 null semantics match the HOF fold on ragged/null input") {
+    // HOF zip_with pads the shorter array with nulls, which poisons the
+    // fold to NULL; a null element does the same. The native expressions
+    // must agree, not silently fold over a prefix / read null as 0.
+    val ragged = spark.range(1, 4).toDF("id")
+      // id 1: length mismatch; id 2: clean; id 3: null element
+      .withColumn("ea", when(col("id") === 3,
+          array(lit(1.0f), lit(null).cast("float")))
+        .otherwise(array(lit(1.0f), lit(2.0f))))
+      .withColumn("eb", when(col("id") === 1,
+          array(lit(1.0f), lit(2.0f), lit(3.0f)))
+        .otherwise(array(lit(1.0f), lit(2.0f))))
+    val got = ragged.select(col("id"),
+        VectorOps.dot_f(col("ea"), col("eb")).as("nat"),
+        Similarity.dotHof(col("ea"), col("eb")).as("hof"),
+        VectorOps.dist2_f(col("ea"), col("eb")).as("nat2"))
+      .orderBy("id")
+      .as[(Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(got.map(r => (r._1, r._2)) ===
+      Array((1L, None), (2L, Some(5.0)), (3L, None)))
+    assert(got.forall(r => r._2 == r._3), "native/HOF null behavior differs")
+    assert(got.map(_._4) === Array(None, Some(0.0), None))
+  }
+
   test("native hyperplane_sig bit-equal to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 100)
