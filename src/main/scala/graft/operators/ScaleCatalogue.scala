@@ -122,6 +122,81 @@ object ScaleCatalogue {
       .orderBy(col("d1"), col("d2"))
 
   // ---------------------------------------------------------------------
+  // q71/q72 — the portable sketch companions: the SAME MinHash-LSH /
+  // SimHash pipelines as q32/q33, but with md5-derived hash families
+  // that DuckDB reproduces bit-for-bit (md5_64 = first 15 hex chars of
+  // md5 as BIGINT). This moves the sketch family out of the rows-only
+  // bucket: signatures, banding, candidate generation AND verification
+  // are all hash-checked by an external engine. q32/q33 stay as the
+  // xxhash64 production paths (same shapes, ~20× cheaper hashing).
+  // ---------------------------------------------------------------------
+  def q71MinhashPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairsPortable(documents(s, d), n = 5, numHashes = 16,
+        bands = 4, minMatches = 8)
+      .orderBy(col("d1"), col("d2"))
+  val q71Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |hx AS (
+      |  SELECT doc_id, i,
+      |    min(CAST('0x' || substr(md5(sh || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
+      |  FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS i) h
+      |  GROUP BY doc_id, i),
+      |bk AS (
+      |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+      |  FROM hx GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id),
+      |m AS (
+      |  SELECT c.d1, c.d2,
+      |    CAST(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      |  FROM cand c
+      |  JOIN hx ha ON ha.doc_id = c.d1
+      |  JOIN hx hb ON hb.doc_id = c.d2 AND hb.i = ha.i
+      |  GROUP BY c.d1, c.d2)
+      |SELECT d1, d2, matches FROM m WHERE matches >= 8
+      |ORDER BY d1, d2""".stripMargin
+
+  def q72SimhashPortable(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairsPortable(documents(s, d), maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+  val q72Sql: String =
+    """WITH tk AS (SELECT DISTINCT doc_id, tk FROM (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+      |th AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h FROM tk),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th, LATERAL (SELECT unnest(range(0, 60)) AS i) r
+      |  GROUP BY doc_id, i),
+      |fp AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM bits GROUP BY doc_id),
+      |ch AS (
+      |  SELECT doc_id, fp, c AS ci, (fp >> (c * 15)) & 32767 AS cv
+      |  FROM fp, LATERAL (SELECT unnest(range(0, 4)) AS c) cc),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+      |  FROM ch a JOIN ch b
+      |    ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT c.d1, c.d2, bit_count(xor(fa.fp, fb.fp)) AS hamming
+      |FROM cand c
+      |JOIN fp fa ON fa.doc_id = c.d1
+      |JOIN fp fb ON fb.doc_id = c.d2
+      |WHERE bit_count(xor(fa.fp, fb.fp)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q34 — brute-force cosine top-k ANN (the correctness baseline)
   // ---------------------------------------------------------------------
   def q34AnnBrute(s: SparkSession, d: String): DataFrame = {
@@ -794,6 +869,8 @@ object ScaleCatalogue {
     "q67_dedup_clusters" -> q67DedupClusters _,
     "q32_minhash_lsh" -> q32MinhashLsh _,
     "q33_simhash_pairs" -> q33SimhashPairs _,
+    "q71_minhash_portable" -> q71MinhashPortable _,
+    "q72_simhash_portable" -> q72SimhashPortable _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
@@ -825,7 +902,10 @@ object ScaleCatalogue {
     "q30_dedup_exact" -> q30Sql,
     "q31_ngram_jaccard" -> q31Sql,
     "q67_dedup_clusters" -> q67Sql,
-    // q32/q33: hash-based, rows-only
+    // q32/q33: xxhash64-based fast paths, rows-only; q71/q72 are the
+    // same pipelines on portable md5-derived hashes, fully oracle-checked
+    "q71_minhash_portable" -> q71Sql,
+    "q72_simhash_portable" -> q72Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
     "q52_embed_neardup" -> q52Sql,

@@ -191,6 +191,99 @@ object Dedup {
       .select(col("d1"), col("d2"), col("matches"), col("est_jaccard"))
   }
 
+  /** Cross-engine 60-bit hash: the first 15 hex chars of md5 as a
+    * BIGINT. Any SQL engine reproduces it bit-for-bit
+    * (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)` in DuckDB), which is
+    * what makes the *portable* sketch variants below oracle-checkable.
+    * ~20× slower than xxhash64 — production paths keep xxhash64. */
+  private def md5_64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** MinHash + LSH near-dup pairs with md5-derived hash families —
+    * the oracle-checkable companion to [[minhashLshPairs]].
+    *
+    * Same algorithm (per-permutation min over shingles, banding, bucket
+    * equi-join, full-signature verification) but hash permutation `i` is
+    * `md5_64(shingle # i)`, reproducible in DuckDB SQL, so the ENTIRE
+    * pipeline — signatures, banding, candidate generation, verification
+    * — is pinned by a hash-exact external oracle rather than rows-only
+    * checks. The shuffle story is identical to the fast variant: the
+    * candidate join key is (band, band-key), never raw text.
+    */
+  def minhashLshPairsPortable(
+      docs: DataFrame,
+      n: Int = 5,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      minMatches: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+    val sh = tok.select(col("doc_id"), explode(shingles(col("w"), n)).as("sh"))
+    val hx = sh
+      .select(col("doc_id"), col("sh"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5_64(concat(col("sh"), lit("#"), col("i").cast("string"))).as("h"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+    val bk = hx
+      .withColumn("band", (col("i") / lit(r)).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(concat_ws(",",
+        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+          s => s.getField("mh").cast("string"))).as("bk"))
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val ha = hx.select(col("doc_id").as("d1"), col("i"), col("mh").as("mh1"))
+    val hb = hx.select(col("doc_id").as("d2"), col("i"), col("mh").as("mh2"))
+    cand.join(ha, "d1").join(hb, Seq("d2", "i"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).as("matches"))
+      .filter(col("matches") >= minMatches)
+  }
+
+  /** SimHash near-dup pairs with md5-derived token hashes — the
+    * oracle-checkable companion to [[simhashPairs]]. 60-bit fingerprint
+    * (md5_64 range) over DISTINCT tokens, four 15-bit chunks for the
+    * pigeonhole candidate join, Hamming verification via
+    * bit_count(xor). Every step reproduces in DuckDB SQL. */
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val th = docs
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("tk"))
+      .select(col("doc_id"), md5_64(col("tk")).as("h"))
+    val bits = th
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(59))).as("i"))
+      .groupBy(col("doc_id"), col("i"))
+      .agg(sum(when(shr(col("h"), col("i")).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as("s"))
+    val fp = bits.groupBy(col("doc_id"))
+      .agg(sum(when(col("s") > 0, shl(lit(1L), col("i"))).otherwise(0L))
+        .as("fp"))
+    val ch = fp.select(col("doc_id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        c => shr(col("fp"), c * lit(15)).bitwiseAND(lit(0x7FFFL))))
+        .as(Seq("ci", "cv")))
+    val cand = ch.as("a")
+      .join(ch.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    val fa = fp.select(col("doc_id").as("d1"), col("fp").as("fp1"))
+    val fb = fp.select(col("doc_id").as("d2"), col("fp").as("fp2"))
+    cand.join(fa, "d1").join(fb, "d2")
+      .select(col("d1"), col("d2"),
+        bit_count(col("fp1").bitwiseXOR(col("fp2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over near-dup pairs (min-label propagation):
     * turns the pairwise candidate output of any dedup family into
     * clusters, labeling every member with the minimum doc id of its
