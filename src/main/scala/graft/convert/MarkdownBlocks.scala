@@ -17,6 +17,15 @@ object MarkdownBlocks {
     * md2notion's block title attribute. */
   type Block = (String, String)
 
+  /** A block with its full payload (T14 parity: the reference pickles
+    * the whole md2notion block object, store_notion_blocks.py:134 —
+    * here the rich attributes are typed, prunable columns instead of an
+    * opaque blob). `language` is the code-fence info string (code
+    * blocks), `caption` the image alt text (image blocks); empty
+    * elsewhere. */
+  final case class RichBlock(
+      blockType: String, title: String, language: String, caption: String)
+
   private val headingRe = "^(#{1,6}) +(.*)$".r
   private val bulletRe = "^( *)- +(.*)$".r
   private val numberedRe = "^( *)\\d+\\. +(.*)$".r
@@ -24,48 +33,57 @@ object MarkdownBlocks {
 
   /** Parse one markdown document into its ordered block list. Pure and
     * total. Contiguous non-empty plain lines merge into one paragraph
-    * (text block); fenced code becomes a single code block; list items
-    * are one block each (matching md2notion's block-per-item shape). */
-  def parse(markdown: String): Seq[Block] = {
+    * (text block); fenced code becomes a single code block (keeping the
+    * fence's language tag); list items are one block each (matching
+    * md2notion's block-per-item shape); images keep their alt text as
+    * the caption. */
+  def parseRich(markdown: String): Seq[RichBlock] = {
     if (markdown == null || markdown.isEmpty) return Seq.empty
-    val out = Vector.newBuilder[Block]
+    val out = Vector.newBuilder[RichBlock]
     val para = new StringBuilder
     var inCode = false
+    var codeLang = ""
     val code = new StringBuilder
 
     def flushPara(): Unit = if (para.nonEmpty) {
-      out += (("text", para.toString))
+      out += RichBlock("text", para.toString, "", "")
       para.clear()
     }
 
     markdown.split("\n", -1).foreach { line =>
       if (inCode) {
-        if (line.startsWith("```")) { out += (("code", code.toString)); code.clear(); inCode = false }
-        else { if (code.nonEmpty) code.append('\n'); code.append(line) }
+        if (line.startsWith("```")) {
+          out += RichBlock("code", code.toString, codeLang, "")
+          code.clear(); inCode = false; codeLang = ""
+        } else { if (code.nonEmpty) code.append('\n'); code.append(line) }
       } else line match {
         case l if l.startsWith("```") =>
-          flushPara(); inCode = true
+          flushPara(); inCode = true; codeLang = l.substring(3).trim
         case headingRe(hashes, title) =>
           flushPara()
-          out += ((s"heading_${hashes.length}", title))
-        case imageRe(_, path) =>
-          flushPara(); out += (("image", path))
+          out += RichBlock(s"heading_${hashes.length}", title, "", "")
+        case imageRe(alt, path) =>
+          flushPara(); out += RichBlock("image", path, "", alt)
         case bulletRe(_, item) =>
-          flushPara(); out += (("bulleted_list_item", item))
+          flushPara(); out += RichBlock("bulleted_list_item", item, "", "")
         case numberedRe(_, item) =>
-          flushPara(); out += (("numbered_list_item", item))
+          flushPara(); out += RichBlock("numbered_list_item", item, "", "")
         case "" => flushPara()
         case l if l.trim == "---" =>
-          flushPara(); out += (("divider", ""))
+          flushPara(); out += RichBlock("divider", "", "", "")
         case l =>
           if (para.nonEmpty) para.append(' ')
           para.append(l)
       }
     }
-    if (inCode) out += (("code", code.toString))
+    if (inCode) out += RichBlock("code", code.toString, codeLang, "")
     flushPara()
     out.result()
   }
+
+  /** The (blockType, title) projection of [[parseRich]]. */
+  def parse(markdown: String): Seq[Block] =
+    parseRich(markdown).map(b => (b.blockType, b.title))
 
   /** The F8 filter predicate (store_notion_blocks.py:119-127): pandoc's
     * list-break comment artifacts must not become blocks. */

@@ -26,7 +26,9 @@ case class ExplodeBlocks(child: Expression)
   override def elementSchema: StructType = StructType(Seq(
     StructField("pos", IntegerType, nullable = false),
     StructField("block_type", StringType, nullable = false),
-    StructField("title", StringType, nullable = false)))
+    StructField("title", StringType, nullable = false),
+    StructField("language", StringType, nullable = false),
+    StructField("caption", StringType, nullable = false)))
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -38,10 +40,11 @@ case class ExplodeBlocks(child: Expression)
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val md = child.eval(input)
     if (md == null) Nil
-    else MarkdownBlocks.parse(md.asInstanceOf[UTF8String].toString)
-      .zipWithIndex.map { case ((blockType, title), i) =>
-        InternalRow(i, UTF8String.fromString(blockType),
-          UTF8String.fromString(title))
+    else MarkdownBlocks.parseRich(md.asInstanceOf[UTF8String].toString)
+      .zipWithIndex.map { case (b, i) =>
+        InternalRow(i, UTF8String.fromString(b.blockType),
+          UTF8String.fromString(b.title), UTF8String.fromString(b.language),
+          UTF8String.fromString(b.caption))
       }
   }
 

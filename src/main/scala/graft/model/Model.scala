@@ -9,15 +9,20 @@ case class WikiPage(ns: Int, nsName: String, title: String, text: String)
 /** Embedded upload from a File: page (process-mw-dump.py:147-155). */
 case class EmbeddedFile(filename: String, encoding: String, contents: String)
 
-/** One Notion block row (store_notion_blocks.py:116-137). Content is a
-  * typed struct — not a pickle (SURVEY T14). */
+/** One Notion block row (store_notion_blocks.py:116-137). The full
+  * block payload is typed columns — not a pickle (SURVEY T14): `title`
+  * is the text content, `language` the code-fence tag, `caption` the
+  * image alt text (empty where not applicable), so rich blocks survive
+  * the store→upload round trip losslessly. */
 case class NotionBlock(
     blockBatch: String,
     blockIndex: Int,
     bucket: String,
     key: String,
     blockType: String,
-    title: String)
+    title: String,
+    language: String = "",
+    caption: String = "")
 
 /** Page status record (store_notion_blocks.py:140-150;
   * upload_notion_blocks.py:129-149). */

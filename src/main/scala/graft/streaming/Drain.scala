@@ -58,12 +58,17 @@ object Drain {
     var iter = 0
     var stalled = false
 
-    while (!stalled && iter < 10000 && {
-      val livePending = pending.filter(!col("blockBatch").isin(dead.toSeq: _*))
-      !livePending.isEmpty
-    }) {
+    // drop dead-lettered batches via a broadcast anti-join — an
+    // `isin(dead...)` expression grows with the DLQ and would bloat the
+    // plan (and the driver) on a long-running drain
+    def withoutDead(df: org.apache.spark.sql.Dataset[NotionBlock]) =
+      if (dead.isEmpty) df
+      else df.join(broadcast(dead.toSeq.toDF("blockBatch")),
+        Seq("blockBatch"), "left_anti").as[NotionBlock]
+
+    while (!stalled && iter < 10000 && !withoutDead(pending).isEmpty) {
       iter += 1
-      val live = pending.filter(!col("blockBatch").isin(dead.toSeq: _*))
+      val live = withoutDead(pending)
       // W2: ordered head-N per batch
       val w = Window.partitionBy(col("blockBatch")).orderBy(col("blockIndex").asc)
       val chunk = live.withColumn("rn", row_number().over(w))
@@ -159,11 +164,19 @@ object Drain {
         pending.unpersist()
         pending = cached
       }
-      // batches fully drained and not failed -> SUCCESS
-      val stillPending = pending.select("blockBatch").distinct().as[String]
-        .collect().toSet
-      val seen = res.map(_._1).toSet
-      (seen -- stillPending -- dead).foreach(done += _)
+      // batches fully drained and not failed -> SUCCESS. Derived
+      // distributively: anti-join this iteration's touched batches
+      // (small — bounded by the chunk) against the pending set, so only
+      // the per-iteration drained DELTA is collected, never the full
+      // pending id set (which is unbounded on a large backlog).
+      val seen = res.map(_._1).distinct
+      if (seen.nonEmpty) {
+        val drained = seen.toDF("blockBatch")
+          .join(pending.select("blockBatch").distinct(),
+            Seq("blockBatch"), "left_anti")
+          .as[String].collect()
+        (drained.toSet -- dead).foreach(done += _)
+      }
       // nothing progressed (e.g. all pending batches dead) — stop
       stalled = okRows.isEmpty && failedBatchesNow.isEmpty
     }

@@ -25,9 +25,9 @@ import graft.convert.MarkdownBlocks
 object Ingest {
 
   private val parseUdf = udf { (text: String) =>
-    MarkdownBlocks.parse(text)
-      .filterNot { case (t, c) => MarkdownBlocks.isPandocCommentArtifact(t, c) }
-      .map { case (t, c) => (t, c) }
+    MarkdownBlocks.parseRich(text)
+      .filterNot(b => MarkdownBlocks.isPandocCommentArtifact(b.blockType, b.title))
+      .map(b => (b.blockType, b.title, b.language, b.caption))
   }
 
   /** Shared batch transform: staged file rows → block rows.
@@ -46,7 +46,8 @@ object Ingest {
       .select(col("blockBatch"),
         col("blockIndex").cast("int").as("blockIndex"),
         lit("staging").as("bucket"), col("key"),
-        col("block._1").as("blockType"), col("block._2").as("title"))
+        col("block._1").as("blockType"), col("block._2").as("title"),
+        col("block._3").as("language"), col("block._4").as("caption"))
   }
 
   /** Start the streaming ingest into a parquet blocks store. */

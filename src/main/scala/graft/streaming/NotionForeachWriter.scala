@@ -39,10 +39,17 @@ class NotionForeachWriter(
   }
 
   override def process(r: Row): Unit = {
+    // rich payload columns are optional in the incoming frame (older
+    // stores lack them) — default to empty rather than failing the sink
+    def optField(name: String): String =
+      if (r.schema.fieldNames.contains(name))
+        Option(r.getAs[String](name)).getOrElse("")
+      else ""
     val b = NotionBlock(
       r.getAs[String]("blockBatch"), r.getAs[Int]("blockIndex"),
       r.getAs[String]("bucket"), r.getAs[String]("key"),
-      r.getAs[String]("blockType"), r.getAs[String]("title"))
+      r.getAs[String]("blockType"), r.getAs[String]("title"),
+      optField("language"), optField("caption"))
     if (failedBatches.contains(b.blockBatch)) return // ST6 fail-fast
     val dir = b.key.lastIndexOf('/') match {
       case -1 => ""

@@ -98,7 +98,7 @@ class IngestSpec extends AnyFunSuite {
     val ckpt1 = tmp.resolve("ckpt1").toString
 
     Files.writeString(staging.resolve("a.md"),
-      "# A\n\npara a\n\n- x\n- y\n")
+      "# A\n\npara a\n\n- x\n- y\n\n```scala\nval z = 1\n```\n\n![diagram](img/d.png)\n")
     Files.writeString(staging.resolve("b.md"),
       "# B\n\n<!-- -->\n\npara b\n")
     Files.writeString(staging.resolve("ignore.txt"), "not md")
@@ -108,16 +108,29 @@ class IngestSpec extends AnyFunSuite {
     val stored = spark.read.parquet(blocksDir)
     // pathGlobFilter: only the two .md files
     assert(stored.select("key").distinct().count() == 2)
-    // ordinals contiguous from 0 per batch
+    // ordinals contiguous from 0 per batch; rich payload (language,
+    // caption) survives the store — T14 parity
     val aBlocks = stored.filter($"key".endsWith("a.md"))
       .orderBy("blockIndex")
-      .select("blockIndex", "blockType", "title")
-      .as[(Int, String, String)].collect().toSeq
+      .select("blockIndex", "blockType", "title", "language", "caption")
+      .as[(Int, String, String, String, String)].collect().toSeq
     assert(aBlocks == Seq(
-      (0, "heading_1", "A"), (1, "text", "para a"),
-      (2, "bulleted_list_item", "x"), (3, "bulleted_list_item", "y")))
+      (0, "heading_1", "A", "", ""), (1, "text", "para a", "", ""),
+      (2, "bulleted_list_item", "x", "", ""),
+      (3, "bulleted_list_item", "y", "", ""),
+      (4, "code", "val z = 1", "scala", ""),
+      (5, "image", "img/d.png", "", "diagram")))
     // F8: the comment artifact never became a block
     assert(stored.filter($"title" === "<!-- -->").count() == 0)
+
+    // store → upload round trip: the sink receives the rich payload
+    MockNotionApi.reset("ingest-rt")
+    NotionForeachWriter.sinkInto(
+        () => new MockNotionApi("ingest-rt"), Map.empty)(
+      stored.filter($"key".endsWith("a.md")).orderBy("blockIndex"), 0L)
+    val ups = MockNotionApi.uploadsOf("ingest-rt").map(_._2)
+    assert(ups.exists(b => b.blockType == "code" && b.language == "scala"))
+    assert(ups.exists(b => b.blockType == "image" && b.caption == "diagram"))
 
     // replay with a FRESH checkpoint (simulated redelivery): K3 anti-join
     // keeps the store exactly-once
