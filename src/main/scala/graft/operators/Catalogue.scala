@@ -598,6 +598,21 @@ object Catalogue {
   }
 
   // ---------------------------------------------------------------------
+  // q73 — T10's external-process conversion path: each document piped
+  // through a pandoc process (mapPartitions; the reference's actual
+  // converter, process-mw-dump.py:276-292), with per-document
+  // error→warning routing and hermetic native fallback where the binary
+  // is absent (as in this container). Environment-dependent output →
+  // rows-only; both paths pinned by PandocConvertSpec.
+  // ---------------------------------------------------------------------
+  def q73PandocConvert(s: SparkSession, d: String): DataFrame =
+    graft.convert.PandocConvert.convert(
+        documents(s, d).select(col("doc_id"),
+          concat(lit("== Section ==\n'''"), col("source"), lit("''' "),
+            substring(col("text"), 1, 60)).as("text")))
+      .orderBy(col("doc_id"))
+
+  // ---------------------------------------------------------------------
   // q29 — skew-safe salted two-phase aggregation; the oracle is the PLAIN
   // group-by, proving the salted plan computes identical results
   // ---------------------------------------------------------------------
@@ -677,6 +692,7 @@ object Catalogue {
     "q26_markdown_render" -> q26MarkdownRender _,
     "q27_ns_registry" -> q27NsRegistry _,
     "q28_wiki_to_md" -> q28WikiToMd _,
+    "q73_pandoc_convert" -> q73PandocConvert _,
     "q29_salted_tally" -> q29SaltedTally _,
     "q43_media_refs" -> q43MediaRefs _,
   )

@@ -1,6 +1,74 @@
 package graft.convert
 
+import java.nio.file.{Files, Path}
+import java.nio.file.attribute.PosixFilePermissions
 import org.scalatest.funsuite.AnyFunSuite
+
+class PandocConvertSpec extends AnyFunSuite {
+  lazy val spark = graft.scale.SparkTestSession.spark
+
+  /** A stand-in pandoc: answers --version, otherwise upper-cases stdin.
+    * Exercises the REAL process plumbing (spawn, threaded stdin feed,
+    * stdout/stderr drain, exit handling) without the binary the
+    * container lacks. */
+  private def fakePandoc(body: String): String = {
+    val f = Files.createTempFile("fake-pandoc", ".sh")
+    Files.writeString(f,
+      s"""#!/bin/sh
+         |if [ "$$1" = "--version" ]; then echo fake 1.0; exit 0; fi
+         |$body
+         |""".stripMargin)
+    Files.setPosixFilePermissions(f,
+      PosixFilePermissions.fromString("rwxr-xr-x"))
+    f.toString
+  }
+
+  test("process path pipes each doc through the binary") {
+    val bin = fakePandoc("tr '[:lower:]' '[:upper:]'")
+    assert(PandocConvert.binaryAvailable(bin))
+    assert(PandocConvert.convertDoc("hello '''world'''", bin) ==
+      Right("HELLO '''WORLD'''"))
+    // large doc: stdin feeding must not deadlock on the pipe buffer
+    val big = "x" * (1 << 20)
+    assert(PandocConvert.convertDoc(big, bin) == Right(big.toUpperCase))
+  }
+
+  test("process failure routes to warning + native fallback") {
+    val bad = fakePandoc("echo 'mediawiki parse error' >&2; exit 64")
+    val (md, warn) = PandocConvert.convertWithFallback(
+      "== T ==", bad, processAvailable = true)
+    assert(md == "## T") // native conversion still produced
+    assert(warn.startsWith("native: pandoc exit 64"))
+    assert(warn.contains("mediawiki parse error"))
+  }
+
+  test("absent binary falls back hermetically") {
+    val (md, warn) = PandocConvert.convertWithFallback(
+      "== T ==", "definitely-not-a-binary", processAvailable = false)
+    assert(md == "## T")
+    assert(warn == "native: binary unavailable")
+  }
+
+  test("DataFrame operator yields (doc_id, markdown, warning) rows") {
+    import spark.implicits._
+    val bin = fakePandoc("tr '[:lower:]' '[:upper:]'")
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val got = PandocConvert.convert(docs, bin)
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(got == Seq((1L, "ALPHA", ""), (2L, "BETA", "")))
+    // missing binary on the executor: every row converts natively
+    val fb = PandocConvert.convert(docs, "definitely-not-a-binary")
+      .orderBy("doc_id").as[(Long, String, String)].collect().toSeq
+    assert(fb.map(_._2) == Seq("alpha", "beta"))
+    assert(fb.forall(_._3 == "native: binary unavailable"))
+  }
+
+  test("real pandoc conversion when the binary exists") {
+    assume(PandocConvert.available, "pandoc not installed — skipping")
+    val Right(md) = PandocConvert.convertDoc("== Title ==\n'''bold'''")
+    assert(md.contains("## Title") && md.contains("**bold**"))
+  }
+}
 
 class WikiToMarkdownSpec extends AnyFunSuite {
   test("headings") {
