@@ -141,10 +141,15 @@ object ScaleCatalogue {
       |sh AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |h0 AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM sh),
       |hx AS (
       |  SELECT doc_id, i,
-      |    min(CAST('0x' || substr(md5(sh || '#' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)) AS mh
-      |  FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS i) h
+      |    min(((1000003 * (i + 1)) * (h >> 30) +
+      |         (999983 * (i + 1) + 12345) * (h & 1073741823) + i)
+      |        % 2305843009213693951) AS mh
+      |  FROM h0, LATERAL (SELECT unnest(range(0, 16)) AS i) r
       |  GROUP BY doc_id, i),
       |bk AS (
       |  SELECT doc_id, CAST(i // 4 AS INT) AS band,

@@ -203,12 +203,17 @@ object Dedup {
     * the oracle-checkable companion to [[minhashLshPairs]].
     *
     * Same algorithm (per-permutation min over shingles, banding, bucket
-    * equi-join, full-signature verification) but hash permutation `i` is
-    * `md5_64(shingle # i)`, reproducible in DuckDB SQL, so the ENTIRE
-    * pipeline — signatures, banding, candidate generation, verification
-    * — is pinned by a hash-exact external oracle rather than rows-only
-    * checks. The shuffle story is identical to the fast variant: the
-    * candidate join key is (band, band-key), never raw text.
+    * equi-join, full-signature verification) but the hash family is
+    * reproducible in DuckDB SQL, so the ENTIRE pipeline — signatures,
+    * banding, candidate generation, verification — is pinned by a
+    * hash-exact external oracle rather than rows-only checks. One md5
+    * per shingle; permutation `i` is a universal hash over the md5's
+    * split halves, `(A_i·(h>>30) + B_i·(h&2^30-1) + i) mod 2^61-1`,
+    * with coefficients small enough that every product stays below
+    * 2^55 — BIGINT-overflow-free in BOTH engines (DuckDB errors on
+    * overflow where Spark wraps, so wraparound must never happen).
+    * The shuffle story is identical to the fast variant: the candidate
+    * join key is (band, band-key), never raw text.
     */
   def minhashLshPairsPortable(
       docs: DataFrame,
@@ -221,12 +226,17 @@ object Dedup {
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
     val sh = tok.select(col("doc_id"), explode(shingles(col("w"), n)).as("sh"))
+    val P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
     val hx = sh
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), md5_64(col("sh")).as("h"))
+      .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
       .select(col("doc_id"), col("i"),
-        md5_64(concat(col("sh"), lit("#"), col("i").cast("string"))).as("h"))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h")).as("mh"))
+        (((lit(1000003L) * (col("i") + 1)) * shr(col("h"), lit(30)) +
+          (lit(999983L) * (col("i") + 1) + lit(12345L)) *
+            col("h").bitwiseAND(lit(1073741823L)) +
+          col("i")) % lit(P)).as("h2"))
+      .groupBy(col("doc_id"), col("i")).agg(min(col("h2")).as("mh"))
     val bk = hx
       .withColumn("band", (col("i") / lit(r)).cast("int"))
       .groupBy(col("doc_id"), col("band"))
@@ -257,6 +267,11 @@ object Dedup {
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tk"))
       .select(col("doc_id"), md5_64(col("tk")).as("h"))
+    // per-(doc, bit) explode + partial aggregation: tokens of one doc
+    // are colocated, so map-side combine shrinks the shuffle to
+    // 60 rows/doc regardless of token count. (A 60-conditional-sum wide
+    // aggregate was measured ~20% slower — the md5 per token dominates
+    // and the wide agg doesn't fuse better.)
     val bits = th
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(59))).as("i"))
