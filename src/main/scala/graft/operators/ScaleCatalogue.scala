@@ -751,6 +751,134 @@ object ScaleCatalogue {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q74 — bigram language-model document scoring (perplexity-style
+  // quality signal): train bigram/context counts over the corpus, score
+  // each document by the sum of quantized conditional log-probs
+  // ln(C(w1,w2)/C(w1·)). Per-bigram quantization BEFORE summation makes
+  // the float fold order-free (sum of longs), so the oracle is
+  // hash-exact. Shuffles carry (w1,w2) count keys, never documents; the
+  // count tables are vocabulary-sized, orders smaller than the corpus.
+  // ---------------------------------------------------------------------
+  def q74BigramLmScore(s: SparkSession, d: String): DataFrame = {
+    val bg = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("w")) - 2),
+          i => struct(element_at(col("w"), i + 1).as("w1"),
+            element_at(col("w"), i + 2).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+      .withColumn("logq",
+        floor(log(col("c2").cast("double") / col("c1")) * 1e6).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logq")).as("sum_logq"))
+      .orderBy(col("doc_id"))
+  }
+  val q74Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |bg AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+      |big AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+      |uni AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  CAST(sum(CAST(floor(ln(c2::DOUBLE / c1) * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_logq
+      |FROM bg JOIN big USING (w1, w2) JOIN uni USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q75 — BPE merge-pair counting (one tokenizer-training step):
+  // word-frequency table → adjacent character-pair counts weighted by
+  // word frequency → top merge candidates. The heavy reduction happens
+  // on the VOCABULARY (distinct words), not the corpus — the shape that
+  // makes BPE training tractable at 100 TB (corpus → word counts is one
+  // shuffle of word keys; everything after is vocabulary-sized).
+  // ---------------------------------------------------------------------
+  def q75BpePairs(s: SparkSession, d: String): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    words
+      .select(col("freq"),
+        explode(sequence(lit(1), length(col("word")) - 1)).as("i"),
+        col("word"))
+      .select(call_function("substr", col("word"), col("i"), lit(2)).as("pair"),
+        col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(20)
+  }
+  val q75Sql: String =
+    """WITH wf AS (
+      |  SELECT word, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      |  WHERE len(word) >= 2 GROUP BY word),
+      |pr AS (
+      |  SELECT substr(word, i, 2) AS pair, freq
+      |  FROM wf, LATERAL (SELECT unnest(range(1, len(word))) AS i) r)
+      |SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count FROM pr
+      |GROUP BY pair ORDER BY pair_count DESC, pair ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q76 — k-means Lloyd iteration on embeddings (IVF centroid training):
+  // broadcast the k current centroids, assign each vector to its nearest
+  // (exact dist2, ties to the lowest centroid id via a min-struct
+  // aggregate — 16-byte rows through the argmin shuffle, never vectors),
+  // then recompute per-dimension sums. Element quantization BEFORE the
+  // sum keeps the float reduction order-free, so the DuckDB oracle
+  // (same fold, QUALIFY argmin) is hash-exact. One Lloyd step is THE
+  // iterated unit of distributed k-means; at 100 TB each step is one
+  // broadcast + one narrow argmin shuffle + one (k×dim)-cell aggregate.
+  // ---------------------------------------------------------------------
+  def q76KmeansStep(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val k = 4
+    val cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val dists = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"),
+        struct(
+          graft.functions.VectorOps.dist2_f(col("embedding"), col("cvec"))
+            .as("d2"),
+          col("cid")).as("dc"))
+    val assign = dists.groupBy(col("vec_id"))
+      .agg(min(col("dc")).getField("cid").as("cid"))
+    assign.join(emb, "vec_id")
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .withColumn("eq", floor(col("e").cast("double") * 1e6).cast("long"))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n_vec"), sum(col("eq")).as("sum_q"))
+      .select(col("cid").as("cluster"), col("pos"), col("n_vec"), col("sum_q"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+  val q76Sql: String = {
+    val dist2 = "list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
+      "j -> (e.embedding[j]::DOUBLE - c.cvec[j]::DOUBLE) * " +
+      "(e.embedding[j]::DOUBLE - c.cvec[j]::DOUBLE))), (x,y) -> x+y)"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 4),
+       |a AS (
+       |  SELECT e.vec_id, c.cid FROM embeddings e CROSS JOIN cents c
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY $dist2 ASC, c.cid ASC) = 1),
+       |x AS (
+       |  SELECT a.cid, i - 1 AS pos,
+       |    CAST(floor(e.embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS eq
+       |  FROM a JOIN embeddings e USING (vec_id),
+       |    LATERAL (SELECT unnest(range(1, 65)) AS i) r)
+       |SELECT cid AS cluster, pos, count(*) AS n_vec,
+       |  CAST(sum(eq) AS BIGINT) AS sum_q
+       |FROM x GROUP BY 1, 2 ORDER BY cluster, pos""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q68 — stratified sampling: exactly k documents per language, chosen
   // by content-hash order (deterministic "random": stable under
   // re-partitioning and engine choice, leak-free like q57). One window
@@ -876,6 +1004,9 @@ object ScaleCatalogue {
     "q33_simhash_pairs" -> q33SimhashPairs _,
     "q71_minhash_portable" -> q71MinhashPortable _,
     "q72_simhash_portable" -> q72SimhashPortable _,
+    "q74_bigram_lm_score" -> q74BigramLmScore _,
+    "q75_bpe_pairs" -> q75BpePairs _,
+    "q76_kmeans_step" -> q76KmeansStep _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
@@ -911,6 +1042,9 @@ object ScaleCatalogue {
     // same pipelines on portable md5-derived hashes, fully oracle-checked
     "q71_minhash_portable" -> q71Sql,
     "q72_simhash_portable" -> q72Sql,
+    "q74_bigram_lm_score" -> q74Sql,
+    "q75_bpe_pairs" -> q75Sql,
+    "q76_kmeans_step" -> q76Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
     "q52_embed_neardup" -> q52Sql,
