@@ -107,6 +107,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k not pushed below the window sort:\n$plan")
   }
 
+  test("portable sketch queries never plan a cartesian product") {
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq(ScaleCatalogue.q71MinhashPortable _,
+        ScaleCatalogue.q72SimhashPortable _,
+        ScaleCatalogue.q74BigramLmScore _,
+        ScaleCatalogue.q75BpePairs _)) {
+      val plan = executedPlanString(q(spark, d))
+      assert(!plan.contains("CartesianProduct"),
+        s"candidate generation degraded to a cartesian product:\n$plan")
+    }
+  }
+
   test("quality deciles never plan a single-partition window") {
     val d = "/root/testdata/sf0.001"
     val df = WindowCatalogue.q61QualityDeciles(spark, d)

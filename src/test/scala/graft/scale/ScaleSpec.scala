@@ -47,6 +47,17 @@ class DedupSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents converges on a long chain and guards maxIter") {
+    // a 40-link chain needs ~6 pointer-jumping rounds, far under O(n)
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    assert(got.forall(_._2 == 1L) && got.length == 40)
+    // starved iteration budget must throw, never return partial labels
+    assertThrows[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1).collect()
+    }
+  }
+
   test("ngramJaccardPairs finds planted near-duplicate") {
     val base = (1 to 30).map(i => s"w$i").mkString(" ")
     val nearDup = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
