@@ -751,6 +751,92 @@ object ScaleCatalogue {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q77 — semantic decontamination: training vectors whose max cosine
+  // against the held-out eval slice crosses a threshold (the
+  // embedding-space complement of q69's n-gram decontamination — catches
+  // paraphrased eval leakage that lexical overlap misses). Eval side is
+  // broadcast; norms are hoisted per row, not per pair; max is
+  // order-free so the float compare is exact. At 100 TB the eval set is
+  // the small side by construction — the training side never shuffles.
+  // ---------------------------------------------------------------------
+  def q77EmbedDecontam(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.VectorOps.dot_f
+    val emb = embeddings(s, d)
+    val ev = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eid"),
+        col("embedding").as("evec"))
+    val tr = emb.filter(col("vec_id") % 50 =!= 0)
+    tr.select(col("vec_id"), col("embedding"),
+        sqrt(dot_f(col("embedding"), col("embedding"))).as("tn"))
+      .crossJoin(broadcast(
+        ev.select(col("evec"), sqrt(dot_f(col("evec"), col("evec"))).as("en"))))
+      .select(col("vec_id"),
+        (dot_f(col("embedding"), col("evec")) / (col("tn") * col("en")))
+          .as("cos"))
+      .groupBy(col("vec_id")).agg(max(col("cos")).as("mc"))
+      .filter(col("mc") >= 0.3)
+      .select(col("vec_id"), q(col("mc"), 1e6).as("max_cos_q"))
+      .orderBy(col("vec_id"))
+  }
+  val q77Sql: String =
+    s"""WITH ev AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+       |tr AS (SELECT * FROM embeddings WHERE vec_id % 50 <> 0),
+       |m AS (
+       |  SELECT t.vec_id, max(${duckCos("t.embedding", "e.embedding")}) AS mc
+       |  FROM tr t CROSS JOIN ev e GROUP BY 1)
+       |SELECT vec_id, CAST(floor(mc * 1000000.0) AS BIGINT) AS max_cos_q
+       |FROM m WHERE mc >= 0.3 ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q78 — composed cleaning pipeline (the C4-style pass): length,
+  // token-count, character-entropy, and exact-dedup-survivor filters
+  // evaluated as independent flags plus the conjunction, so every
+  // rejection is attributable — the observability a production cleaning
+  // stage needs. Flags are per-row Column algebra (zero shuffle); the
+  // dedup survivor flag is one window on the text key (at 100 TB: group
+  // on xxhash64(text) first, q30's pattern, so the shuffle carries
+  // 8-byte keys).
+  // ---------------------------------------------------------------------
+  def q78CleanPipeline(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    docs
+      .withColumn("len_ok",
+        (col("n_chars") >= 100 && col("n_chars") <= 100000).cast("int"))
+      .withColumn("tok_ok",
+        (size(split(col("text"), " ")) >= 20).cast("int"))
+      .withColumn("ent_ok",
+        (TextAnalysis.charEntropyQ(col("text")) >= 2800000L).cast("int"))
+      .withColumn("dup_keep",
+        (col("doc_id") ===
+          min(col("doc_id")).over(Window.partitionBy(col("text")))).cast("int"))
+      .withColumn("kept",
+        (col("len_ok") === 1 && col("tok_ok") === 1 &&
+          col("ent_ok") === 1 && col("dup_keep") === 1).cast("int"))
+      .select(col("doc_id"), col("len_ok"), col("tok_ok"), col("ent_ok"),
+        col("dup_keep"), col("kept"))
+      .orderBy(col("doc_id"))
+  }
+  val q78Sql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CASE WHEN n_chars >= 100 AND n_chars <= 100000 THEN 1 ELSE 0 END AS len_ok,
+      |    CASE WHEN len(string_split(text, ' ')) >= 20 THEN 1 ELSE 0 END AS tok_ok,
+      |    CASE WHEN CAST(floor(list_reduce(
+      |        list_prepend(0.0, list_transform(
+      |          list_sort(list_distinct(string_split(text, ''))),
+      |          c -> (length(text) - length(replace(text, c, '')))::DOUBLE / length(text))),
+      |        (acc, p) -> acc - p * ln(p)) * 1000000.0) AS BIGINT) >= 2800000
+      |      THEN 1 ELSE 0 END AS ent_ok,
+      |    CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+      |      THEN 1 ELSE 0 END AS dup_keep
+      |  FROM documents)
+      |SELECT doc_id, len_ok, tok_ok, ent_ok, dup_keep,
+      |  CASE WHEN len_ok = 1 AND tok_ok = 1 AND ent_ok = 1 AND dup_keep = 1
+      |    THEN 1 ELSE 0 END AS kept
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q74 — bigram language-model document scoring (perplexity-style
   // quality signal): train bigram/context counts over the corpus, score
   // each document by the sum of quantized conditional log-probs
@@ -1007,6 +1093,8 @@ object ScaleCatalogue {
     "q74_bigram_lm_score" -> q74BigramLmScore _,
     "q75_bpe_pairs" -> q75BpePairs _,
     "q76_kmeans_step" -> q76KmeansStep _,
+    "q77_embed_decontam" -> q77EmbedDecontam _,
+    "q78_clean_pipeline" -> q78CleanPipeline _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
@@ -1045,6 +1133,8 @@ object ScaleCatalogue {
     "q74_bigram_lm_score" -> q74Sql,
     "q75_bpe_pairs" -> q75Sql,
     "q76_kmeans_step" -> q76Sql,
+    "q77_embed_decontam" -> q77Sql,
+    "q78_clean_pipeline" -> q78Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
     "q52_embed_neardup" -> q52Sql,
