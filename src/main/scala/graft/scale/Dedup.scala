@@ -32,6 +32,13 @@ object Dedup {
 
   private def tokens(text: Column): Column = split(text, " ")
 
+  /** Distinct 8-byte hashes of the n-token shingles of `w`, hashed with
+    * multi-argument xxhash64 over the window tokens directly — no
+    * shingle string is ever built. */
+  private def shingleHashes(w: Column, n: Int): Column =
+    array_distinct(transform(sequence(lit(0), size(w) - n),
+      i => xxhash64((0 until n).map(j => element_at(w, i + j + 1)): _*)))
+
   /** Exact dedup via full-text grouping: keeps the minimum doc_id per
     * text (deterministic, unlike dropDuplicates). At scale, group on
     * `xxhash64(text)` first so the shuffle key is 8 bytes, then resolve
@@ -73,13 +80,17 @@ object Dedup {
     val tok = docs
       .select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
-    // the inverted index keys on xxhash64(shingle) — the self-join and
-    // groupBys shuffle 8-byte longs instead of ~n-word strings. A hash
-    // collision would merge two shingles (probability ~ vocab²/2⁶⁴ —
-    // negligible at any corpus size that fits an exact index at all)
+    // the inverted index keys on an 8-byte shingle hash — the self-join
+    // and groupBys shuffle longs instead of ~n-word strings. The hash is
+    // a multi-argument xxhash64 over the n window tokens directly: no
+    // joined shingle STRING is ever materialized (the string build was
+    // the dominant allocation cost of this operator), and the
+    // token-boundary ambiguity of separator-joined strings disappears.
+    // A hash collision would merge two shingles (probability ~
+    // vocab²/2⁶⁴ — negligible at any corpus size that fits an exact
+    // index at all).
     val sh0 = tok.select(col("doc_id"),
-      explode(shingles(col("w"), n)).as("sh_str"))
-      .select(col("doc_id"), xxhash64(col("sh_str")).as("sh"))
+      explode(shingleHashes(col("w"), n)).as("sh"))
     val sh =
       if (!bounded) sh0
       else {
@@ -97,13 +108,14 @@ object Dedup {
         sh0.join(keep, "sh")
       }
     // Per-doc distinct-shingle counts: without a stop-shingle cut this is
-    // just the per-row array size (shingles() already distincts) — no
+    // just the per-row array size (shingleHashes already distincts) — no
     // second explode + shuffle + groupBy over the inverted index. With
     // the cut on, the count must reflect the surviving postings, so
     // aggregate the filtered index.
     val cnt =
       if (!bounded)
-        tok.select(col("doc_id"), size(shingles(col("w"), n)).cast("long").as("n_sh"))
+        tok.select(col("doc_id"),
+          size(shingleHashes(col("w"), n)).cast("long").as("n_sh"))
       else sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val pairs = sh.as("a")
       .join(sh.as("b"),
