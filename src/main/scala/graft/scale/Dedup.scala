@@ -143,8 +143,7 @@ object Dedup {
     def postings(df: DataFrame, idAs: String) = df
       .select(col("doc_id").as(idAs), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
-      .select(col(idAs), explode(shingles(col("w"), n)).as("sh_str"))
-      .select(col(idAs), xxhash64(col("sh_str")).as("sh"))
+      .select(col(idAs), explode(shingleHashes(col("w"), n)).as("sh"))
     val cand = postings(candidates, "doc_id")
     val eval = postings(evalSet, "eval_id").select(col("sh")).distinct()
     cand.join(broadcast(eval), "sh")
