@@ -1,0 +1,81 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** Distributed Lloyd's k-means over an embeddings table — the iterative
+  * driver around the single step that q76 pins against its oracle
+  * (`ScaleCatalogue.q76KmeansStep`). Used to train the IVF coarse
+  * quantizer (`Similarity.ivfTopK`) instead of taking centroids as
+  * given.
+  *
+  * Scale shape per iteration (the same as Spark MLlib's k-means): the
+  * k×dim centroid matrix is control-plane state — collected to the
+  * driver (k·dim·4 bytes) and re-broadcast each round — while the data
+  * side does one broadcast-join assignment (argmin via min-struct on
+  * 16-byte rows, native codegen dist2) and one per-dimension partial
+  * aggregation. Nothing vector-sized ever shuffles; iteration count is
+  * bounded and convergence is measured by max centroid movement.
+  */
+object KMeans {
+
+  final case class Result(
+      assignments: DataFrame, // (vec_id, cid)
+      centroids: Array[Array[Float]], // indexed by cid
+      iterations: Int,
+      converged: Boolean)
+
+  def fit(emb: DataFrame, k: Int, maxIter: Int = 20,
+      tol: Double = 1e-4): Result = {
+    require(k >= 1, "k must be positive")
+    val spark = emb.sparkSession
+    import spark.implicits._
+
+    // deterministic init: the k lowest vec_ids (callers wanting k-means++
+    // style spread should pre-shuffle ids; determinism beats spread for
+    // a reproducible pipeline stage)
+    var cents: Array[Array[Float]] = emb.orderBy(col("vec_id")).limit(k)
+      .select(col("embedding")).as[Array[Float]].collect()
+    require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
+    val dim = cents.head.length
+
+    def centDf(c: Array[Array[Float]]) =
+      broadcast(spark.createDataFrame(
+        c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq)
+        .toDF("cid", "cvec")
+        .select(col("cid"), col("cvec").cast("array<float>").as("cvec")))
+
+    def assign(c: Array[Array[Float]]): DataFrame =
+      emb.select(col("vec_id"), col("embedding"))
+        .crossJoin(centDf(c))
+        .select(col("vec_id"),
+          struct(VectorOps.dist2_f(col("embedding"), col("cvec")).as("d2"),
+            col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).getField("cid").as("cid"))
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      iter += 1
+      // per-dimension means; k·dim cells to the driver (control-plane)
+      val sums = assign(cents).join(emb, "vec_id")
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "e")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("e")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val next = cents.map(_.clone())
+      sums.foreach { case (cid, pos, m) => next(cid)(pos) = m.toFloat }
+      // empty clusters keep their previous centroid (no rows → no update)
+      val shift = cents.zip(next).map { case (a, b) =>
+        var s = 0.0; var i = 0
+        while (i < dim) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+        s
+      }.max
+      cents = next
+      converged = shift < tol
+    }
+    Result(assign(cents), cents, iter, converged)
+  }
+}

@@ -83,8 +83,23 @@ object Similarity {
     * only its probed buckets (partition pruning), and the candidate join
     * shuffles on the small cluster id. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-      stride: Int = 97, nProbe: Int = 3): DataFrame = {
-    val centroids = strideCentroids(corpus, stride)
+      stride: Int = 97, nProbe: Int = 3): DataFrame =
+    ivfTopKWith(queries, corpus, strideCentroids(corpus, stride), k, nProbe)
+
+  /** IVF top-k against a caller-supplied coarse quantizer — plug in
+    * [[KMeans.fit]]-trained centroids for better-balanced buckets than
+    * the stride sample:
+    * {{{
+    * val km = KMeans.fit(corpus, k = 256)
+    * val cents = spark.createDataFrame(km.centroids.zipWithIndex
+    *   .map { case (v, i) => (i.toLong, v.toSeq) }).toDF("centroid_id", "c_emb")
+    *   .select(col("centroid_id"), col("c_emb").cast("array<float>").as("c_emb"))
+    * Similarity.ivfTopKWith(queries, corpus, cents, k = 10)
+    * }}}
+    * `centroids` schema: (centroid_id, c_emb array<float>). */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
+      centroids0: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+    val centroids = centroids0
     val assigned = assign(corpus, centroids, "vec_id")
       .withColumnRenamed("centroid_id", "cluster_id")
       .withColumn("c_norm", norm(col("embedding")))

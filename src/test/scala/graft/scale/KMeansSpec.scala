@@ -1,0 +1,71 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class KMeansSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("lloyd iterations recover well-separated blobs and converge") {
+    // three blobs at distance 10 in 4-d; ids interleaved (i % 3 = blob)
+    // so the deterministic lowest-id init starts with one seed per blob
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val pts = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      val jitter = 0.05f * ((i / 3) % 5 - 2)
+      (i.toLong, c.map(_ + jitter).toSeq)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+
+    val r = KMeans.fit(emb, k = 3, maxIter = 10, tol = 1e-6)
+    assert(r.converged, s"did not converge in ${r.iterations} iterations")
+    assert(r.iterations <= 5, s"expected fast convergence, took ${r.iterations}")
+    // every blob maps to exactly one cluster and vice versa
+    val got = r.assignments.as[(Long, Int)].collect().toMap
+    val byBlob = (0 until 30).groupBy(_ % 3)
+      .view.mapValues(_.map(i => got(i.toLong)).toSet).toMap
+    assert(byBlob.values.forall(_.size == 1), s"blob split across clusters: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3, s"clusters merged: $byBlob")
+    // each blob's cluster centroid lands on that blob's center (within jitter)
+    for ((blob, cids) <- byBlob) {
+      val c = r.centroids(cids.head)
+      val target = centers(blob)
+      val d2 = c.zip(target).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(d2 < 0.1, s"centroid ${c.toSeq} far from blob center ${target.toSeq}")
+    }
+  }
+
+  test("trained centroids drive IVF with good recall vs brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val km = KMeans.fit(emb, k = 8, maxIter = 10)
+    val cents = spark.createDataFrame(
+        km.centroids.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq)
+      .toDF("centroid_id", "c_emb")
+      .select(col("centroid_id"), col("c_emb").cast("array<float>").as("c_emb"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val ivf = Similarity.ivfTopKWith(queries, emb, cents, k = 5, nProbe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(ivf.size == 50, s"expected 10 queries x 5, got ${ivf.size}")
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall vs brute force too low: $recall")
+  }
+
+  test("empty clusters keep their centroid; k > distinct points allowed") {
+    val emb = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(0f, 0f)), (2L, Seq(5f, 5f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val r = KMeans.fit(emb, k = 3, maxIter = 5, tol = 1e-9)
+    assert(r.centroids.length == 3)
+    // the duplicate-point cluster absorbed both copies
+    val got = r.assignments.as[(Long, Int)].collect().toMap
+    assert(got(0L) == got(1L))
+    assert(got(0L) != got(2L))
+  }
+}
