@@ -17,11 +17,15 @@ import graft.functions.{DotProductF, ExplodeBlocks, HyperplaneSig, L2Dist2F, Min
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     builders.foreach { case (name, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // HOF dot-product pattern → native codegen DotProductF (see
+    // graft.plans.RewriteHofVectorOps for the safety argument)
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofVectorOps)
+  }
 }
 
 object GraftExtensions {
