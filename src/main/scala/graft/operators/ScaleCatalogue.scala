@@ -553,6 +553,72 @@ object ScaleCatalogue {
   // falls under the source's rate — reproducible across runs/engines,
   // no RNG state, rate precision 1/1000. Per-row filter, zero shuffle.
   // ---------------------------------------------------------------------
+  // ---------------------------------------------------------------------
+  // q79 — token-budgeted mixture sampling (the corpus-mixing step of an
+  // LLM data recipe): per-source mixture weights + a global token budget
+  // → per-source keep fractions B·w_s/M (M = Σ w_j·T_j), applied by
+  // deterministic content-hash bucketing. Every scalar (budget, weighted
+  // mass, per-source cut) is derived IN-PLAN from broadcast one-row
+  // aggregates — no driver arithmetic — and the cut compare is integer
+  // vs integer, so the sample is stable under re-partitioning and
+  // engine choice. Two tiny aggregates + one broadcast join at any
+  // corpus size.
+  // ---------------------------------------------------------------------
+  def q79BudgetMix(s: SparkSession, d: String): DataFrame = {
+    val srcNum = substring(col("source"), 4, 10).cast("int")
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("tokens"),
+        pmod(graft.functions.RollingHash.rolling_hash(col("text")),
+          lit(1000000L)).as("bucket"))
+      .withColumn("w", when(srcNum % 2 === 0, 3L).otherwise(1L))
+    val per = docs.groupBy(col("source"), col("w"))
+      .agg(sum(col("tokens")).as("t_s"))
+    val tot = per.agg(sum(col("w") * col("t_s")).as("m"),
+      sum(col("t_s")).as("t_all"))
+    val thr = per.crossJoin(broadcast(tot))
+      .withColumn("b_total", floor(col("t_all") * 0.4).cast("long"))
+      .withColumn("cut",
+        floor(lit(1000000.0) * col("b_total") * col("w") / col("m"))
+          .cast("long"))
+      .select(col("source"), col("cut"))
+    docs.join(broadcast(thr), "source")
+      .withColumn("kept", (col("bucket") < col("cut")).cast("int"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("total_docs"),
+        sum(col("kept")).as("kept_docs"),
+        sum(when(col("kept") === 1, col("tokens")).otherwise(0L))
+          .as("kept_tokens"),
+        min(col("cut")).as("cut_q"))
+      .orderBy(col("source"))
+  }
+  val q79Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |    len(string_split(text, ' '))::BIGINT AS tokens,
+       |    $duckRollingHash % 1000000 AS bucket,
+       |    CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 3 ELSE 1 END AS w
+       |  FROM documents),
+       |per AS (
+       |  SELECT source, w, CAST(sum(tokens) AS BIGINT) AS t_s
+       |  FROM t GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(w * t_s) AS BIGINT) AS m,
+       |    CAST(sum(t_s) AS BIGINT) AS t_all FROM per),
+       |thr AS (
+       |  SELECT source,
+       |    CAST(floor(1000000.0 * CAST(floor(t_all * 0.4) AS BIGINT) * w / m)
+       |      AS BIGINT) AS cut
+       |  FROM per, tot),
+       |k AS (
+       |  SELECT t.source, tokens, cut,
+       |    CASE WHEN bucket < cut THEN 1 ELSE 0 END AS kept
+       |  FROM t JOIN thr ON t.source = thr.source)
+       |SELECT source, count(*) AS total_docs,
+       |  CAST(sum(kept) AS BIGINT) AS kept_docs,
+       |  CAST(sum(CASE WHEN kept = 1 THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  min(cut) AS cut_q
+       |FROM k GROUP BY source ORDER BY source""".stripMargin
+
   def q58WeightedSample(s: SparkSession, d: String): DataFrame = {
     // rates keyed by source-number parity: even kept at 90%, odd at 25%
     val srcNum = substring(col("source"), 4, 10).cast("int")
@@ -1095,6 +1161,7 @@ object ScaleCatalogue {
     "q76_kmeans_step" -> q76KmeansStep _,
     "q77_embed_decontam" -> q77EmbedDecontam _,
     "q78_clean_pipeline" -> q78CleanPipeline _,
+    "q79_budget_mix" -> q79BudgetMix _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
@@ -1135,6 +1202,7 @@ object ScaleCatalogue {
     "q76_kmeans_step" -> q76Sql,
     "q77_embed_decontam" -> q77Sql,
     "q78_clean_pipeline" -> q78Sql,
+    "q79_budget_mix" -> q79Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
     "q52_embed_neardup" -> q52Sql,
