@@ -351,11 +351,14 @@ object Dedup {
       val next = prop.join(lofl, prop("p_label") === lofl("lv"))
         .select(prop("v"),
           least(col("p_label"), col("l_of_l")).as("next_label"))
+      // checkpoint BEFORE the convergence count: the count action and
+      // the next round's joins then both read the materialized rows —
+      // without this the whole round's join tree executes twice
       val joined = labels.withColumnRenamed("label", "old_label")
         .join(next, "v")
+        .localCheckpoint()
       changed = joined.filter(col("next_label") < col("old_label")).count()
       labels = joined.select(col("v"), col("next_label").as("label"))
-        .localCheckpoint()
       i += 1
     }
     if (changed > 0)
