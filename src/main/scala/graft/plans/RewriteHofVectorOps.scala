@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
-import graft.functions.DotProductF
+import graft.functions.{DotProductF, L2Dist2F}
 
 /** Optimizer rule: rewrite the interpreted higher-order-function dot
   * product — `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) ->
@@ -27,19 +27,37 @@ import graft.functions.DotProductF
   */
 object RewriteHofVectorOps extends Rule[LogicalPlan] {
 
+  private def strips(e: Expression): Expression = e match {
+    case Cast(c, DoubleType, _, _) => strips(c)
+    case other => other
+  }
+
   /** The zip lambda's multiply of its two (possibly double-cast)
     * lambda variables. */
   private def isElementMultiply(f: Expression): Boolean = f match {
     case LambdaFunction(Multiply(l, r, _), Seq(x: NamedLambdaVariable,
         y: NamedLambdaVariable), _) =>
-      def strips(e: Expression): Expression = e match {
-        case Cast(c, DoubleType, _, _) => strips(c)
-        case other => other
-      }
       (strips(l), strips(r)) match {
         case (lv: NamedLambdaVariable, rv: NamedLambdaVariable) =>
           (lv.exprId == x.exprId && rv.exprId == y.exprId) ||
             (lv.exprId == y.exprId && rv.exprId == x.exprId)
+        case _ => false
+      }
+    case _ => false
+  }
+
+  /** The zip lambda's squared difference (x-y)*(x-y) — or (y-x)*(y-x) —
+    * of its two (possibly double-cast) lambda variables. */
+  private def isElementSquaredDiff(f: Expression): Boolean = f match {
+    case LambdaFunction(
+        Multiply(Subtract(a1, b1, _), Subtract(a2, b2, _), _),
+        Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _) =>
+      (strips(a1), strips(b1), strips(a2), strips(b2)) match {
+        case (l1: NamedLambdaVariable, r1: NamedLambdaVariable,
+            l2: NamedLambdaVariable, r2: NamedLambdaVariable) =>
+          l1.exprId == l2.exprId && r1.exprId == r2.exprId &&
+            Set(l1.exprId, r1.exprId) == Set(x.exprId, y.exprId) &&
+            l1.exprId != r1.exprId
         case _ => false
       }
     case _ => false
@@ -78,5 +96,13 @@ object RewriteHofVectorOps extends Rule[LogicalPlan] {
             isElementMultiply(zipF) && isSumMerge(mergeF) &&
             isIdentityFinish(finishF) =>
         DotProductF(a, b)
+      // (x-y)² note: squared-difference is symmetric, so matching either
+      // operand order is sound
+      case ArrayAggregate(
+          ZipWith(a, b, zipF), Literal(0.0, DoubleType), mergeF, finishF)
+          if isFloatArray(a) && isFloatArray(b) &&
+            isElementSquaredDiff(zipF) && isSumMerge(mergeF) &&
+            isIdentityFinish(finishF) =>
+        L2Dist2F(a, b)
     }
 }

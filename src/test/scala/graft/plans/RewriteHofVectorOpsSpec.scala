@@ -28,6 +28,29 @@ class RewriteHofVectorOpsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("HOF squared-distance pattern rewrites to native dist2_f, bit-equal") {
+    def query() = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 30)
+      .crossJoin(spark.read
+        .parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .filter(col("vec_id") === 31).select(col("embedding").as("e2")))
+      .select(col("vec_id"), aggregate(
+        zip_with(col("embedding"), col("e2"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+        lit(0.0), (acc, v) => acc + v).as("d2"))
+    val base = query().as[(Long, Double)].collect().toMap
+    spark.experimental.extraOptimizations = Seq(RewriteHofVectorOps)
+    try {
+      val rewritten = query()
+      val opt = rewritten.queryExecution.optimizedPlan.toString
+      assert(opt.contains("dist2_f"),
+        s"squared-diff HOF not rewritten to L2Dist2F:\n$opt")
+      assert(rewritten.as[(Long, Double)].collect().toMap == base)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("non-canonical folds are left untouched") {
     spark.experimental.extraOptimizations = Seq(RewriteHofVectorOps)
     try {
