@@ -911,8 +911,12 @@ object ScaleCatalogue {
   // hash-exact. Shuffles carry (w1,w2) count keys, never documents; the
   // count tables are vocabulary-sized, orders smaller than the corpus.
   // ---------------------------------------------------------------------
-  def q74BigramLmScore(s: SparkSession, d: String): DataFrame = {
-    val bg = documents(s, d)
+  def q74BigramLmScore(s: SparkSession, d: String): DataFrame =
+    q74BigramLmScoreOn(documents(s, d))
+
+  /** q74 over an arbitrary documents-shaped frame (property tests). */
+  def q74BigramLmScoreOn(docs: DataFrame): DataFrame = {
+    val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
       .select(col("doc_id"),
@@ -951,8 +955,15 @@ object ScaleCatalogue {
   // makes BPE training tractable at 100 TB (corpus → word counts is one
   // shuffle of word keys; everything after is vocabulary-sized).
   // ---------------------------------------------------------------------
-  def q75BpePairs(s: SparkSession, d: String): DataFrame = {
-    val words = documents(s, d)
+  def q75BpePairs(s: SparkSession, d: String): DataFrame =
+    q75BpePairsOn(documents(s, d))
+      .orderBy(col("pair_count").desc, col("pair").asc)
+      .limit(20)
+
+  /** All BPE pair counts (no top-k) over an arbitrary documents-shaped
+    * frame (property tests). */
+  def q75BpePairsOn(docs: DataFrame): DataFrame = {
+    val words = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
@@ -963,8 +974,6 @@ object ScaleCatalogue {
       .select(call_function("substr", col("word"), col("i"), lit(2)).as("pair"),
         col("freq"))
       .groupBy(col("pair")).agg(sum(col("freq")).as("pair_count"))
-      .orderBy(col("pair_count").desc, col("pair").asc)
-      .limit(20)
   }
   val q75Sql: String =
     """WITH wf AS (
