@@ -26,6 +26,16 @@ object KMeans {
       iterations: Int,
       converged: Boolean)
 
+  /** Trained centroids in the (centroid_id, c_emb) shape
+    * [[Similarity.ivfTopKWith]] consumes. */
+  def centroidsDf(spark: org.apache.spark.sql.SparkSession,
+      r: Result): DataFrame =
+    spark.createDataFrame(
+        r.centroids.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq)
+      .toDF("centroid_id", "c_emb")
+      .select(col("centroid_id"),
+        col("c_emb").cast("array<float>").as("c_emb"))
+
   def fit(emb: DataFrame, k: Int, maxIter: Int = 20,
       tol: Double = 1e-4): Result = {
     require(k >= 1, "k must be positive")

@@ -91,10 +91,8 @@ object Similarity {
     * the stride sample:
     * {{{
     * val km = KMeans.fit(corpus, k = 256)
-    * val cents = spark.createDataFrame(km.centroids.zipWithIndex
-    *   .map { case (v, i) => (i.toLong, v.toSeq) }).toDF("centroid_id", "c_emb")
-    *   .select(col("centroid_id"), col("c_emb").cast("array<float>").as("c_emb"))
-    * Similarity.ivfTopKWith(queries, corpus, cents, k = 10)
+    * Similarity.ivfTopKWith(queries, corpus,
+    *   KMeans.centroidsDf(spark, km), k = 10)
     * }}}
     * `centroids` schema: (centroid_id, c_emb array<float>). */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,

@@ -42,10 +42,7 @@ class KMeansSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
     val km = KMeans.fit(emb, k = 8, maxIter = 10)
-    val cents = spark.createDataFrame(
-        km.centroids.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toSeq)
-      .toDF("centroid_id", "c_emb")
-      .select(col("centroid_id"), col("c_emb").cast("array<float>").as("c_emb"))
+    val cents = KMeans.centroidsDf(spark, km)
     val queries = emb.filter(col("vec_id") < 10)
     val ivf = Similarity.ivfTopKWith(queries, emb, cents, k = 5, nProbe = 3)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
