@@ -903,6 +903,52 @@ object ScaleCatalogue {
       |FROM f ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q80 — cross-document duplication profile (the decision metric for
+  // span-level dedup, complementing q56's WITHIN-document repetition):
+  // for each document, how many of its 8-token shingles occur in at
+  // least one OTHER document, as a fraction of its shingles. Inverted
+  // index on 8-byte hashed shingles (q31's machinery); df computed once
+  // per shingle, joined back to postings — shuffles carry hashes only.
+  // Documents with high cross-dup fractions are the candidates for
+  // passage excision or downweighting in a training-data pipeline.
+  // ---------------------------------------------------------------------
+  def q80DupProfile(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val tok = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+    val sh = tok.select(col("doc_id"),
+      explode(Dedup.shingleHashes(col("w"), n)).as("sh"))
+    val df = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    sh.join(df, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_shingles"))
+      .withColumn("dup_frac_q",
+        floor(col("dup_shingles").cast("double") / col("n_shingles") * 1e6)
+          .cast("long"))
+      .filter(col("dup_shingles") > 0)
+      .orderBy(col("doc_id"))
+  }
+  val q80Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+7], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-6)) AS i) t)),
+      |df AS (SELECT sh, count(DISTINCT doc_id) AS df FROM sh GROUP BY sh)
+      |SELECT doc_id, count(*) AS n_shingles,
+      |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles,
+      |  CAST(floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+      |    / count(*) * 1000000.0) AS BIGINT) AS dup_frac_q
+      |FROM sh JOIN df USING (sh)
+      |GROUP BY doc_id
+      |HAVING sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) > 0
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q74 — bigram language-model document scoring (perplexity-style
   // quality signal): train bigram/context counts over the corpus, score
   // each document by the sum of quantized conditional log-probs
@@ -1171,6 +1217,7 @@ object ScaleCatalogue {
     "q77_embed_decontam" -> q77EmbedDecontam _,
     "q78_clean_pipeline" -> q78CleanPipeline _,
     "q79_budget_mix" -> q79BudgetMix _,
+    "q80_dup_profile" -> q80DupProfile _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
@@ -1212,6 +1259,7 @@ object ScaleCatalogue {
     "q77_embed_decontam" -> q77Sql,
     "q78_clean_pipeline" -> q78Sql,
     "q79_budget_mix" -> q79Sql,
+    "q80_dup_profile" -> q80Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
     "q52_embed_neardup" -> q52Sql,

@@ -34,8 +34,9 @@ object Dedup {
 
   /** Distinct 8-byte hashes of the n-token shingles of `w`, hashed with
     * multi-argument xxhash64 over the window tokens directly — no
-    * shingle string is ever built. */
-  private def shingleHashes(w: Column, n: Int): Column =
+    * shingle string is ever built. Same guard as [[shingles]]: call
+    * sites must filter `size(w) >= n`. */
+  def shingleHashes(w: Column, n: Int): Column =
     array_distinct(transform(sequence(lit(0), size(w) - n),
       i => xxhash64((0 until n).map(j => element_at(w, i + j + 1)): _*)))
 
