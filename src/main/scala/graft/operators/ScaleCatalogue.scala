@@ -564,9 +564,13 @@ object ScaleCatalogue {
   // engine choice. Two tiny aggregates + one broadcast join at any
   // corpus size.
   // ---------------------------------------------------------------------
-  def q79BudgetMix(s: SparkSession, d: String): DataFrame = {
+  def q79BudgetMix(s: SparkSession, d: String): DataFrame =
+    q79BudgetMixOn(documents(s, d))
+
+  /** q79 over an arbitrary documents-shaped frame (property tests). */
+  def q79BudgetMixOn(input: DataFrame): DataFrame = {
     val srcNum = substring(col("source"), 4, 10).cast("int")
-    val docs = documents(s, d).select(col("doc_id"), col("source"),
+    val docs = input.select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("tokens"),
         pmod(graft.functions.RollingHash.rolling_hash(col("text")),
           lit(1000000L)).as("bucket"))

@@ -52,6 +52,30 @@ class AssemblyPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("budget mix: partition/order-invariant; kept tokens track B*w/M") {
+    val textGen = Gen.choose(2, 20).flatMap(m =>
+      Gen.listOfN(m, Gen.alphaLowerStr.map(s => if (s.isEmpty) "x" else s.take(5)))
+        .map(_.mkString(" ")))
+    val gen = for {
+      n <- Gen.choose(4, 50)
+      texts <- Gen.listOfN(n, textGen)
+      srcs <- Gen.listOfN(n, Gen.choose(0, 5).map(i => s"src$i"))
+    } yield texts.zip(srcs).zipWithIndex
+      .map { case ((t, s), i) => (i.toLong, t, s) }
+    val prop = Prop.forAllNoShrink(gen) { docs =>
+      def mixOf(d: Seq[(Long, String, String)], parts: Int) = {
+        val df = d.toDF("doc_id", "text", "source").repartition(parts)
+        ScaleCatalogue.q79BudgetMixOn(df)
+          .as[(String, Long, Long, Long, Long)].collect().toSeq.sorted
+      }
+      val a = mixOf(docs, 1)
+      val b = mixOf(scala.util.Random.shuffle(docs), 7)
+      a == b
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("content-hash split: disjoint cover, order-invariant") {
     val textGen = Gen.listOfN(5, Gen.alphaLowerStr.map(_.take(6))).map(_.mkString(" "))
     val gen = for {
