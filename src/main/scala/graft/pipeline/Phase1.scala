@@ -70,10 +70,21 @@ object Phase1 {
 
   /** The prepared wikitext pages flow: F2 de-prefix, T1-T9 prepare,
     * F4 empty / F5 redirect filters, T10 markdown conversion, F3
-    * filename. Output: (nsName, filename, markdown). */
-  def markdownPages(accepted: DataFrame): DataFrame = {
+    * filename. Output: (nsName, filename, markdown).
+    *
+    * `usePandoc = true` routes conversion through the external pandoc
+    * process (the reference's converter, with hermetic native fallback
+    * and per-doc warnings swallowed here — use
+    * [[graft.convert.PandocConvert.convert]] directly to keep them).
+    * Default false so golden tests pin the native converter on every
+    * machine, with or without the binary installed. */
+  def markdownPages(accepted: DataFrame,
+      usePandoc: Boolean = false): DataFrame = {
     val convertUdf = udf { (text: String, title: String, ns: String) =>
-      WikiToMarkdown.convert(Wikitext.prepare(text, title, ns))
+      val prepared = Wikitext.prepare(text, title, ns)
+      if (usePandoc)
+        graft.convert.PandocConvert.convertWithFallback(prepared)._1
+      else WikiToMarkdown.convert(prepared)
     }
     val sanitizeUdf = WikitextColumns.sanitizeUdf
     accepted
@@ -116,12 +127,12 @@ object Phase1 {
   }
 
   /** Full phase-1 run. Returns (pagesWritten, filesWritten, warnings). */
-  def run(spark: SparkSession, xmlPath: String, outDir: String)
-      : (Long, Long, Long) = {
+  def run(spark: SparkSession, xmlPath: String, outDir: String,
+      usePandoc: Boolean = false): (Long, Long, Long) = {
     val namespaces = readNamespaces(spark, xmlPath)
     val pages = readPages(spark, xmlPath)
     val (accepted, warned) = splitByNamespace(pages, namespaces)
-    val md = markdownPages(accepted).cache()
+    val md = markdownPages(accepted, usePandoc).cache()
     val files = embeddedFiles(accepted).filter(col("encodingOk"))
       .withColumn("markdown", lit(null).cast("string")).cache()
     writeTree(md.withColumn("bytes", lit(null).cast("binary")), outDir)

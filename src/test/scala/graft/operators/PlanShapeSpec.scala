@@ -112,7 +112,9 @@ class PlanShapeSpec extends AnyFunSuite {
     for (q <- Seq(ScaleCatalogue.q71MinhashPortable _,
         ScaleCatalogue.q72SimhashPortable _,
         ScaleCatalogue.q74BigramLmScore _,
-        ScaleCatalogue.q75BpePairs _)) {
+        ScaleCatalogue.q75BpePairs _,
+        ScaleCatalogue.q79BudgetMix _,
+        ScaleCatalogue.q80DupProfile _)) {
       val plan = executedPlanString(q(spark, d))
       assert(!plan.contains("CartesianProduct"),
         s"candidate generation degraded to a cartesian product:\n$plan")
