@@ -49,12 +49,17 @@ object PandocConvert {
         "--from", "mediawiki", "--to", "gfm", "--wrap", "none")
       val proc = pb.start()
       // writer thread: a doc larger than the pipe buffer would deadlock
-      // a single-threaded write-then-read
+      // a single-threaded write-then-read. stdin MUST close even when the
+      // write throws — otherwise pandoc reads stdin forever and the real
+      // error surfaces as a bogus 30 s timeout
+      val writeError = new java.util.concurrent.atomic.AtomicReference[String]()
       val writer = new Thread(() => {
-        try {
-          proc.getOutputStream.write(wikitext.getBytes(StandardCharsets.UTF_8))
-          proc.getOutputStream.close()
-        } catch { case _: Exception => () }
+        try proc.getOutputStream.write(wikitext.getBytes(StandardCharsets.UTF_8))
+        catch { case e: Exception => writeError.set(String.valueOf(e)) }
+        finally {
+          try proc.getOutputStream.close()
+          catch { case _: Exception => () }
+        }
       })
       writer.setDaemon(true)
       writer.start()
@@ -70,7 +75,9 @@ object PandocConvert {
         Left(s"pandoc timeout after ${timeoutMs}ms")
       } else {
         outT.join(1000); errT.join(1000)
-        if (proc.exitValue() == 0)
+        if (writeError.get != null)
+          Left(s"pandoc stdin write failed: ${writeError.get}")
+        else if (proc.exitValue() == 0)
           Right(out.toString(StandardCharsets.UTF_8))
         else
           Left(s"pandoc exit ${proc.exitValue()}: " +

@@ -151,7 +151,10 @@ object WindowCatalogue {
   // hash-partitioned one (PlanShapeSpec asserts no empty partitionSpec).
   // ---------------------------------------------------------------------
   def q61QualityDeciles(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    // cached: the projection feeds THREE consumers — the approx-quantile
+    // job, the per-bucket counts job, and the returned plan — and would
+    // otherwise be re-scanned by each
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars")).cache()
     val buckets = 32
     // interior boundaries: 31 doubles to the driver — control-plane
     val bounds = docs.stat.approxQuantile("n_chars",

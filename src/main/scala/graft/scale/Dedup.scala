@@ -274,7 +274,10 @@ object Dedup {
     * (md5_64 range) over DISTINCT tokens, four 15-bit chunks for the
     * pigeonhole candidate join, Hamming verification via
     * bit_count(xor). Every step reproduces in DuckDB SQL. */
-  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole banding only guarantees recall for hamming <= 3; " +
+        "raise the chunk count to support a larger radius")
     val th = docs
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tk"))
@@ -381,7 +384,10 @@ object Dedup {
     * hamming ≤ 3 guarantees a matching chunk); verify with bit_count of
     * the XOR. Join key is (chunk index, chunk value) — small and
     * well-distributed. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      "4-chunk pigeonhole banding only guarantees recall for hamming <= 3; " +
+        "raise the chunk count to support a larger radius")
     val fps = simhash(docs)
     val chunked = fps.select(col("doc_id"), col("simhash"),
       posexplode(transform(sequence(lit(0), lit(3)),

@@ -96,8 +96,7 @@ object Similarity {
     * }}}
     * `centroids` schema: (centroid_id, c_emb array<float>). */
   def ivfTopKWith(queries: DataFrame, corpus: DataFrame,
-      centroids0: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
-    val centroids = centroids0
+      centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     val assigned = assign(corpus, centroids, "vec_id")
       .withColumnRenamed("centroid_id", "cluster_id")
       .withColumn("c_norm", norm(col("embedding")))

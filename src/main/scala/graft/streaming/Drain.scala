@@ -50,7 +50,13 @@ object Drain {
       api: NotionApi, cfg: Config = Config()): (DataFrame, DataFrame, Report) = {
     import spark.implicits._
 
-    var pending = blocks.as[NotionBlock].cache()
+    // pad rich-payload columns absent from pre-upgrade block stores —
+    // case-class defaults are NOT applied by Spark encoders, so an old
+    // 6-column store would otherwise fail .as[NotionBlock] resolution
+    val padded = Seq("language", "caption").foldLeft(blocks) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
+    }
+    var pending = padded.as[NotionBlock].cache()
     val attempts = scala.collection.mutable.Map.empty[String, Int]
     val dead = scala.collection.mutable.Set.empty[String]
     val done = scala.collection.mutable.Set.empty[String]

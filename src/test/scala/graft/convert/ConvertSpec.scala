@@ -33,6 +33,16 @@ class PandocConvertSpec extends AnyFunSuite {
     assert(PandocConvert.convertDoc(big, bin) == Right(big.toUpperCase))
   }
 
+  test("null input surfaces a stdin-write warning, not a bogus timeout") {
+    val bin = fakePandoc("cat")
+    val t0 = System.nanoTime()
+    val r = PandocConvert.convertDoc(null, bin)
+    val tookMs = (System.nanoTime() - t0) / 1000000
+    assert(r.isLeft && r.swap.toOption.get.startsWith("pandoc stdin write failed"),
+      s"got $r")
+    assert(tookMs < 5000, s"write failure burned ${tookMs}ms (timeout path?)")
+  }
+
   test("process failure routes to warning + native fallback") {
     val bad = fakePandoc("echo 'mediawiki parse error' >&2; exit 64")
     val (md, warn) = PandocConvert.convertWithFallback(

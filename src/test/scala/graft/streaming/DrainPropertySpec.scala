@@ -12,6 +12,16 @@ class DrainPropertySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("drains a pre-upgrade 6-column block store (no language/caption)") {
+    MockNotionApi.reset("oldstore")
+    val api = new MockNotionApi("oldstore")
+    val oldStore = (0 until 3)
+      .map(i => ("pg0", i, "b", "Main/pg0.md", "text", s"t$i"))
+      .toDF("blockBatch", "blockIndex", "bucket", "key", "blockType", "title")
+    val (_, _, report) = Drain.run(spark, oldStore, Map("Main" -> "u"), api)
+    assert(report.uploaded == 3 && report.succeededPages == Seq("pg0"))
+  }
+
   test("drain invariant holds for random page sizes and chunk sizes") {
     val gen = for {
       nPages <- Gen.choose(1, 4)
