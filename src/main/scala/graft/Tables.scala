@@ -14,8 +14,23 @@ object Tables {
   import org.apache.spark.sql.functions._
   import org.apache.spark.sql.types.LongType
 
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // SCHEMA memoized per (session, path): every schema-less
+  // spark.read.parquet call re-reads the footer to infer the schema —
+  // measurable fixed cost when a catalogue of 80 queries opens the same
+  // handful of tables. Only the schema is cached, NOT the DataFrame:
+  // returning a shared relation object gives every caller the same
+  // attribute ids and breaks self-joins with ambiguity errors. The
+  // corpus is immutable for a session's lifetime (the driver's
+  // generated testdata), so the cached schema stays valid.
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), org.apache.spark.sql.types.StructType]
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate((spark, path),
+      spark.read.parquet(path).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 rejects
     * by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a
@@ -23,9 +38,17 @@ object Tables {
     * `div 1000` is lossless and matches DuckDB's view of the same instants.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    val schema = schemaCache.getOrElseUpdate((spark, path), {
+      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      catch { case _: Throwable => () }
+      spark.read.parquet(path).schema
+    })
+    // the nanosAsLong conf must be set before EXECUTION too, not just
+    // schema inference — ensure it even on the cached path
     try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     catch { case _: Throwable => () }
-    val df = spark.read.parquet(s"$dir/events.parquet")
+    val df = spark.read.schema(schema).parquet(path)
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
