@@ -50,7 +50,10 @@ object Phase2 {
     val blocksDir = s"$workDir/blocks"
     Ingest.start(spark, stagingDir, blocksDir, s"$workDir/checkpoint")
       .awaitTermination()
-    val blocks = spark.read.parquet(blocksDir)
+    // mergeSchema: a store written across the language/caption schema
+    // upgrade mixes 6- and 8-column files — without merging, Spark picks
+    // one file's schema and the rich columns can silently vanish
+    val blocks = spark.read.option("mergeSchema", "true").parquet(blocksDir)
     val parents = readParentUrls(spark, stagingDir)
     val (pages, failures, report) = Drain.run(spark, blocks, parents, api, cfg)
     Result(pages, failures, report)
