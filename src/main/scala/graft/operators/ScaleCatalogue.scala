@@ -953,6 +953,50 @@ object ScaleCatalogue {
       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q81 — repeated-passage span excision (the rewrite q80's profile
+  // motivates): excise every 8-token window occurring in ≥2 distinct
+  // documents, merge overlaps, reassemble the survivors. Spark side
+  // works on an inverted POSITIONAL shingle-hash index (16-byte shuffle
+  // rows, text only moves in the final doc-keyed join); the oracle
+  // replays the same semantics relationally on shingle strings. See
+  // Dedup.spanExcision for the scale notes.
+  // ---------------------------------------------------------------------
+  def q81SpanExcision(s: SparkSession, d: String): DataFrame =
+    Dedup.spanExcision(documents(s, d), n = 8)
+      .orderBy(col("doc_id"))
+  val q81Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r
+      |  WHERE len(w) >= 8),
+      |dup AS (SELECT sh FROM sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+      |cov AS (
+      |  SELECT DISTINCT s.doc_id, s.i + o AS p
+      |  FROM sh s JOIN dup USING (sh),
+      |       LATERAL (SELECT unnest(range(0, 8)) AS o) t),
+      |covn AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+      |tokpos AS (
+      |  SELECT doc_id, w[i] AS tk, i
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.tk, tp.i FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.doc_id = tp.doc_id AND c.p = tp.i)),
+      |agg AS (
+      |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS cleaned_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(cn.n_removed, 0) AS BIGINT) AS n_removed,
+      |  coalesce(a.cleaned_text, '') AS cleaned_text
+      |FROM tok t
+      |LEFT JOIN covn cn USING (doc_id)
+      |LEFT JOIN agg a ON a.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q74 — bigram language-model document scoring (perplexity-style
   // quality signal): train bigram/context counts over the corpus, score
   // each document by the sum of quantized conditional log-probs
@@ -1236,6 +1280,7 @@ object ScaleCatalogue {
     "q78_clean_pipeline" -> q78CleanPipeline _,
     "q79_budget_mix" -> q79BudgetMix _,
     "q80_dup_profile" -> q80DupProfile _,
+    "q81_span_excision" -> q81SpanExcision _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
@@ -1278,6 +1323,7 @@ object ScaleCatalogue {
     "q78_clean_pipeline" -> q78Sql,
     "q79_budget_mix" -> q79Sql,
     "q80_dup_profile" -> q80Sql,
+    "q81_span_excision" -> q81Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
     "q52_embed_neardup" -> q52Sql,

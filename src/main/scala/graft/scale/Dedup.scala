@@ -412,4 +412,52 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Repeated-passage span excision — the REWRITE step that acts on what
+    * the cross-document duplication profile (q80) measures: every
+    * n-token window whose shingle occurs in ≥ 2 distinct documents is
+    * removed from every document containing it (overlapping windows
+    * merge into one span), and the surviving tokens are reassembled in
+    * order. This is the span-level exact-substring dedup of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (ACL 2022), re-expressed relationally: an inverted
+    * positional shingle index replaces the suffix array.
+    *
+    * Scale shape: the duplicate-frequency shuffle carries (hash, doc_id)
+    * 16-byte rows — document text never moves until the final
+    * doc_id-keyed join, and the span merge + token filter are per-row
+    * array algebra (no token-level shuffle). A stop-shingle cut is
+    * unnecessary here: unlike the pairwise self-join in
+    * [[ngramJaccardPairs]], df≥2 detection is a plain aggregation, so
+    * hot shingles cost O(df), not O(df²).
+    *
+    * Returns (doc_id, n_tokens, n_removed, cleaned_text). */
+  def spanExcision(docs: DataFrame, n: Int = 8): DataFrame = {
+    val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    // positional shingle hashes: start index p (0-based) + 8-byte hash;
+    // deliberately NOT array_distinct — every occurrence needs excising
+    val sh = tok.filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => xxhash64((0 until n).map(j => element_at(col("w"), i + j + 1)): _*)))
+          .as(Seq("p", "sh")))
+    val dup = sh.groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("sh"))
+    val starts = sh.join(dup, "sh")
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("starts"))
+    tok.join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("starts"), array().cast("array<int>")).as("starts"))
+      .withColumn("covered",
+        array_distinct(flatten(transform(col("starts"),
+          s => sequence(s, s + n - 1)))))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(col("covered")).cast("long").as("n_removed"),
+        array_join(filter(col("w"),
+          (_, i) => !array_contains(col("covered"), i)), " ")
+          .as("cleaned_text"))
+  }
 }

@@ -89,6 +89,39 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size})")
   }
 
+  test("spanExcision removes shared passages from all docs, merges overlaps") {
+    // docs 1 and 2 share a 10-token passage (three overlapping 8-gram
+    // windows -> one merged 10-token span in each); doc 3 is untouched.
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val d = docs(
+      1L -> s"alpha beta $passage gamma delta",
+      2L -> s"one two three $passage four",
+      3L -> "unique text with no shared passage at all here now")
+    val got = Dedup.spanExcision(d, n = 8).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0) == ((1L, 14L, 10L, "alpha beta gamma delta")))
+    assert(got(1) == ((2L, 14L, 10L, "one two three four")))
+    assert(got(2)._3 == 0L)
+    assert(got(2)._4 == "unique text with no shared passage at all here now")
+  }
+
+  test("spanExcision excises a fully duplicated doc to empty text") {
+    val t = (1 to 8).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> t, 2L -> t)
+    val got = Dedup.spanExcision(d, n = 8).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(_._3) == Seq(8L, 8L))
+    assert(got.map(_._4) == Seq("", ""))
+  }
+
+  test("spanExcision leaves within-doc-only repetition alone (df is cross-doc)") {
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docs(1L -> s"$rep $rep", 2L -> "totally different words here man okay fine yes")
+    val got = Dedup.spanExcision(d, n = 8).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got(0)._3 == 0L)
+  }
+
   test("simhash of identical docs is identical; hamming 0 pair found") {
     val t = (1 to 40).map(i => s"tok$i").mkString(" ")
     val d = docs(7L -> t, 9L -> t)
