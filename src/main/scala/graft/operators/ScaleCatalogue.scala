@@ -1148,6 +1148,92 @@ object ScaleCatalogue {
   }
 
   // ---------------------------------------------------------------------
+  // q82 — TWO chained Lloyd rounds, hash-exact across engines: the
+  // multi-round extension of q76. The cross-engine hazard in iterating
+  // k-means is float drift — round 2's assignment depends on round 1's
+  // centroids, so any nondeterminism compounds. Eliminated by running
+  // the whole loop in quantized integer space: vectors quantize ONCE to
+  // long (floor(x·1e6)), distances are exact integer sums (≤ 64 dims ×
+  // (2e6)² ≈ 2.6e14, no overflow in either engine), and the centroid
+  // update floor(Σeq / n) is a single IEEE double division + floor —
+  // bit-identical in Spark and DuckDB. Scale shape per round is q76's:
+  // broadcast k quantized centroids, argmin via min-struct (16-byte
+  // shuffle rows), (k×dim)-cell update aggregate. Output: round-1
+  // centroid coordinate + round-2 membership stats per (cluster, pos).
+  // ---------------------------------------------------------------------
+  def q82KmeansTwoRounds(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val qemb = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6).cast("long")).as("qv"))
+    val c0 = qemb.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    // integer-exact argmin assignment against broadcast centroids
+    def assign(cents: DataFrame): DataFrame = {
+      val d2 = aggregate(
+        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+      qemb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(d2.as("d2"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).getField("cid").as("cid"))
+    }
+    val a1 = assign(c0)
+    // round-1 update in exploded form (the k×dim aggregate), kept both
+    // exploded (for the output join) and re-packed to arrays (for the
+    // round-2 broadcast)
+    val c1e = a1.join(qemb, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "eq")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(sum(col("eq")).cast("double") / count(lit(1)))
+        .cast("long").as("cq"))
+    val c1 = c1e.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+        x => x.getField("cq")).as("cv"))
+    val a2 = assign(c1)
+    val stats = a2.join(qemb, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "eq")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n_vec2"), sum(col("eq")).as("sum_q2"))
+    stats.join(c1e, Seq("cid", "pos"))
+      .select(col("cid").as("cluster"), col("pos"), col("cq").as("cq1"),
+        col("n_vec2"), col("sum_q2"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+  val q82Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, i - 1 AS pos,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS eq
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) r),
+      |c0 AS (SELECT vec_id AS cid, pos, eq AS cq FROM q WHERE vec_id < 4),
+      |d1 AS (
+      |  SELECT q.vec_id, c.cid, sum((q.eq - c.cq) * (q.eq - c.cq)) AS d2
+      |  FROM q JOIN c0 c USING (pos) GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM d1
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+      |c1 AS (
+      |  SELECT a1.cid, q.pos,
+      |    CAST(floor(sum(q.eq)::DOUBLE / count(*)) AS BIGINT) AS cq
+      |  FROM a1 JOIN q USING (vec_id) GROUP BY 1, 2),
+      |d2r AS (
+      |  SELECT q.vec_id, c.cid, sum((q.eq - c.cq) * (q.eq - c.cq)) AS d2
+      |  FROM q JOIN c1 c USING (pos) GROUP BY 1, 2),
+      |a2 AS (
+      |  SELECT vec_id, cid FROM d2r
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+      |st AS (
+      |  SELECT a2.cid, q.pos, count(*) AS n_vec2,
+      |    CAST(sum(q.eq) AS BIGINT) AS sum_q2
+      |  FROM a2 JOIN q USING (vec_id) GROUP BY 1, 2)
+      |SELECT st.cid AS cluster, st.pos AS pos, c1.cq AS cq1,
+      |  st.n_vec2, st.sum_q2
+      |FROM st JOIN c1 ON c1.cid = st.cid AND c1.pos = st.pos
+      |ORDER BY cluster, st.pos""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q68 — stratified sampling: exactly k documents per language, chosen
   // by content-hash order (deterministic "random": stable under
   // re-partitioning and engine choice, leak-free like q57). One window
@@ -1276,6 +1362,7 @@ object ScaleCatalogue {
     "q74_bigram_lm_score" -> q74BigramLmScore _,
     "q75_bpe_pairs" -> q75BpePairs _,
     "q76_kmeans_step" -> q76KmeansStep _,
+    "q82_kmeans_train" -> q82KmeansTwoRounds _,
     "q77_embed_decontam" -> q77EmbedDecontam _,
     "q78_clean_pipeline" -> q78CleanPipeline _,
     "q79_budget_mix" -> q79BudgetMix _,
@@ -1319,6 +1406,7 @@ object ScaleCatalogue {
     "q74_bigram_lm_score" -> q74Sql,
     "q75_bpe_pairs" -> q75Sql,
     "q76_kmeans_step" -> q76Sql,
+    "q82_kmeans_train" -> q82Sql,
     "q77_embed_decontam" -> q77Sql,
     "q78_clean_pipeline" -> q78Sql,
     "q79_budget_mix" -> q79Sql,
