@@ -1234,6 +1234,53 @@ object ScaleCatalogue {
       |ORDER BY cluster, st.pos""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q83 — product-quantization ANN (encode → ADC scan): corpus vectors
+  // compress to 8 one-byte subspace codes against broadcast codebooks;
+  // each query scans the CODES via a broadcast m×kc lookup table — the
+  // memory-bound ANN path past IVF (8 B/vector of scan state at any
+  // corpus size). Whole pipeline in quantized integer space, so the
+  // approximate index is still bit-reproducible by DuckDB. See
+  // Similarity.pqTopK.
+  // ---------------------------------------------------------------------
+  def q83AnnPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q83Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS j,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS eq
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) r),
+      |cent AS (SELECT vec_id AS cid, s, j, eq AS cq FROM q WHERE vec_id < 16),
+      |enc AS (
+      |  SELECT d.vec_id, d.s, c.cid, sum((d.eq - c.cq) * (d.eq - c.cq)) AS dd
+      |  FROM q d JOIN cent c ON c.s = d.s AND c.j = d.j
+      |  GROUP BY 1, 2, 3),
+      |codes AS (
+      |  SELECT vec_id, s, cid AS code FROM enc
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id, s ORDER BY dd ASC, cid ASC) = 1),
+      |lut AS (
+      |  SELECT d.vec_id AS query_id, d.s, c.cid,
+      |    sum((d.eq - c.cq) * (d.eq - c.cq)) AS dd
+      |  FROM q d JOIN cent c ON c.s = d.s AND c.j = d.j
+      |  WHERE d.vec_id < 10
+      |  GROUP BY 1, 2, 3),
+      |adc AS (
+      |  SELECT l.query_id, x.vec_id, CAST(sum(l.dd) AS BIGINT) AS adc_d2
+      |  FROM codes x JOIN lut l ON l.s = x.s AND l.cid = x.code
+      |  WHERE x.vec_id <> l.query_id
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT query_id, vec_id, adc_d2,
+      |    row_number() OVER (
+      |      PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+      |  FROM adc)
+      |SELECT query_id, rank, vec_id, adc_d2 FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q68 — stratified sampling: exactly k documents per language, chosen
   // by content-hash order (deterministic "random": stable under
   // re-partitioning and engine choice, leak-free like q57). One window
@@ -1370,6 +1417,7 @@ object ScaleCatalogue {
     "q81_span_excision" -> q81SpanExcision _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
+    "q83_ann_pq" -> q83AnnPq _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
     "q36_langid" -> q36LangId _,
     "q37_quality" -> q37Quality _,
@@ -1414,6 +1462,7 @@ object ScaleCatalogue {
     "q81_span_excision" -> q81Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
+    "q83_ann_pq" -> q83Sql,
     "q52_embed_neardup" -> q52Sql,
     "q36_langid" -> q36Sql,
     "q37_quality" -> q37Sql,

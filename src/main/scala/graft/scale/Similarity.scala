@@ -170,4 +170,69 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
   }
+
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the memory-bound scale path
+    * beyond IVF: vectors compress to `m` one-byte codes (one codebook of
+    * `kc` centroids per `dim/m`-dim subspace), and each query scans the
+    * CODES, not the vectors, via an Asymmetric Distance Computation
+    * lookup table.
+    *
+    * At 100 TB this is the shape that matters: the corpus-side state is
+    * m bytes per vector (64 B floats → 8 B codes here), the per-query
+    * LUT (m×kc distances) and the codebooks broadcast, and the scan is
+    * one narrow aggregation over (vec_id, s, code) rows — no vector ever
+    * moves after encoding.
+    *
+    * Runs entirely in quantized integer space (floor(x·1e6) longs, exact
+    * integer subspace distances ≤ (dim/m)·(2e6)² — no overflow in any
+    * engine) so the full train→encode→scan pipeline is reproducible
+    * bit-for-bit by an external SQL engine: approximate in what it
+    * RETRIEVES, deterministic in HOW. Codebooks are init-only (first
+    * `kc` vectors per subspace) — chain [[graft.scale.KMeans]] rounds
+    * per subspace for trained ones (same argmin machinery as q82).
+    *
+    * Returns top-`k` per query: (query_id, rank, vec_id, adc_d2). */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      m: Int = 8, dim: Int = 64, kc: Int = 16): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    def quantize(df: DataFrame) = df.select(col("vec_id"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6).cast("long")).as("qv"))
+    def subvecs(df: DataFrame) = quantize(df).select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        i => slice(col("qv"), i * sub + 1, lit(sub)))).as(Seq("s", "sv")))
+    def d2(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+    val sv = subvecs(corpus)
+    val cents = subvecs(corpus.filter(col("vec_id") < kc))
+      .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"))
+    // encode: per (vector, subspace) argmin over the broadcast codebook —
+    // corpus state after this is m small ints per vector
+    val codes = sv.join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        struct(d2(col("sv"), col("cv")).as("dd"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("dc")).getField("cid").as("code"))
+    // per-query ADC lookup table: m×kc exact query↔centroid distances
+    val lut = subvecs(queries)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"),
+        d2(col("qsv"), col("cv")).as("dd"))
+    // ADC scan: codes ⋈ broadcast LUT, one sum per (query, vector)
+    val adc = codes.join(broadcast(lut),
+        codes("s") === lut("s") && codes("code") === lut("cid"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dd")).as("adc_d2"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d2"))
+  }
 }
