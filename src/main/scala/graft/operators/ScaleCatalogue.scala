@@ -173,14 +173,16 @@ object ScaleCatalogue {
     Dedup.simhashPairsPortable(documents(s, d), maxHamming = 3)
       .orderBy(col("d1"), col("d2"))
   val q72Sql: String =
-    """WITH tk AS (SELECT DISTINCT doc_id, tk FROM (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)),
+    """WITH tk AS (
+      |  SELECT doc_id, tk, count(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents) t
+      |  GROUP BY doc_id, tk),
       |th AS (
-      |  SELECT doc_id,
+      |  SELECT doc_id, cnt,
       |    CAST('0x' || substr(md5(tk), 1, 15) AS BIGINT) AS h FROM tk),
       |bits AS (
       |  SELECT doc_id, i,
-      |    sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |    sum(CASE WHEN (h >> i) & 1 = 1 THEN cnt ELSE -cnt END) AS s
       |  FROM th, LATERAL (SELECT unnest(range(0, 60)) AS i) r
       |  GROUP BY doc_id, i),
       |fp AS (

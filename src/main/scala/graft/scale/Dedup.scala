@@ -271,39 +271,36 @@ object Dedup {
 
   /** SimHash near-dup pairs with md5-derived token hashes — the
     * oracle-checkable companion to [[simhashPairs]]. 60-bit fingerprint
-    * (md5_64 range) over DISTINCT tokens, four 15-bit chunks for the
-    * pigeonhole candidate join, Hamming verification via
-    * bit_count(xor). Every step reproduces in DuckDB SQL. */
+    * (md5_64 range) over FREQUENCY-WEIGHTED tokens (Charikar's
+    * construction; an unweighted distinct-token variant degenerates on
+    * low-vocabulary corpora — see [[graft.functions.SimHashAgg]]),
+    * four 15-bit chunks for the pigeonhole candidate join, Hamming
+    * verification via bit_count(xor). Every step reproduces in DuckDB
+    * SQL. */
   def simhashPairsPortable(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       "4-chunk pigeonhole banding only guarantees recall for hamming <= 3; " +
         "raise the chunk count to support a larger radius")
     val dt = docs
-      .select(col("doc_id"),
-        explode(array_distinct(tokens(col("text")))).as("tk"))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tk"))
+      .groupBy(col("doc_id"), col("tk"))
+      .agg(count(lit(1)).as("cnt"))
     // md5 is ~20× the cost of xxhash64, so hash each DISTINCT corpus
     // token once and join the (token, hash) vocabulary back — one
     // vocabulary-sized md5 pass plus a token-keyed shuffle join beats
     // per-occurrence md5. The vocabulary is orders smaller than the
     // corpus at any scale, and the join key is the token the postings
-    // are already exploded on.
+    // are already grouped on.
     val vocab = dt.select(col("tk")).distinct()
       .select(col("tk"), md5_64(col("tk")).as("h"))
-    val th = dt.join(vocab, "tk").select(col("doc_id"), col("h"))
-    // per-(doc, bit) explode + partial aggregation: tokens of one doc
-    // are colocated, so map-side combine shrinks the shuffle to
-    // 60 rows/doc regardless of token count. (A 60-conditional-sum wide
-    // aggregate was re-measured ~20% slower even after the vocabulary
-    // join removed per-occurrence md5 — 60 agg buffers don't fuse as
-    // well as the codegen'd explode.)
-    val bits = th
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("i"))
-      .groupBy(col("doc_id"), col("i"))
-      .agg(sum(when(shr(col("h"), col("i")).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as("s"))
-    val fp = bits.groupBy(col("doc_id"))
-      .agg(sum(when(col("s") > 0, shl(lit(1L), col("i"))).otherwise(0L))
+    val th = dt.join(vocab, "tk").select(col("doc_id"), col("h"), col("cnt"))
+    // one-pass native fold: 60 signed counters in a mergeable buffer
+    // per doc (map-side combine as usual) — replaces a 60× row blowup
+    // (per-(doc, bit) explode) in the composable-SQL form. Bit
+    // semantics pinned equal to the exploded form by DedupSpec and the
+    // q72 oracle.
+    val fp = th.groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhash_bits(col("h"), col("cnt"))
         .as("fp"))
     val ch = fp.select(col("doc_id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),

@@ -89,6 +89,26 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size})")
   }
 
+  test("native simhash_bits agg equals the exploded bit-sum form") {
+    val rnd = new scala.util.Random(42)
+    val rows = for (d <- 0L until 20L; _ <- 0 until 30)
+      yield (d, rnd.nextLong(), 1L + rnd.nextInt(5))
+    val df = rows.toDF("doc_id", "h", "cnt")
+    val native = df.groupBy($"doc_id")
+      .agg(graft.functions.SimHashAgg.simhash_bits($"h", $"cnt").as("fp"))
+      .as[(Long, Long)].collect().toMap
+    val exploded = df
+      .select($"doc_id", $"h", $"cnt", explode(sequence(lit(0), lit(59))).as("i"))
+      .groupBy($"doc_id", $"i")
+      .agg(sum(when(expr("(h >> i) & 1") === 1L, $"cnt")
+        .otherwise(-$"cnt")).as("s"))
+      .groupBy($"doc_id")
+      .agg(sum(when($"s" > 0, expr("CAST(1 AS BIGINT) << i")).otherwise(0L))
+        .as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(native == exploded)
+  }
+
   test("spanExcision removes shared passages from all docs, merges overlaps") {
     // docs 1 and 2 share a 10-token passage (three overlapping 8-gram
     // windows -> one merged 10-token span in each); doc 3 is untouched.
