@@ -207,9 +207,12 @@ object Dedup {
     * BIGINT. Any SQL engine reproduces it bit-for-bit
     * (`CAST('0x' || substr(md5(s),1,15) AS BIGINT)` in DuckDB), which is
     * what makes the *portable* sketch variants below oracle-checkable.
-    * ~20× slower than xxhash64 — production paths keep xxhash64. */
+    * Computed digest→long by [[graft.functions.Md5_64]] (differentially
+    * pinned against the composable `conv(substring(md5(c),1,15),16,10)`
+    * form, ≈ parity in cost — the digest dominates); still ~an order
+    * slower than xxhash64, so production paths keep xxhash64. */
   private def md5_64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    graft.functions.Md5_64.md5_64(c)
 
   /** MinHash + LSH near-dup pairs with md5-derived hash families —
     * the oracle-checkable companion to [[minhashLshPairs]].

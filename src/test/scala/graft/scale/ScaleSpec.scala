@@ -89,6 +89,17 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"LSH recall $recall too low (found ${lsh.size})")
   }
 
+  test("native md5_64 equals the composable conv(substring(md5)) form") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val terms = docs.select(explode(split(col("text"), " ")).as("t"))
+      .union(Seq("", "é", "ünïcode ☃", "a b  c").toDF("t"))
+    val diff = terms.select(
+        graft.functions.Md5_64.md5_64(col("t")).as("nat"),
+        conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long").as("sql"))
+      .filter(col("nat") =!= col("sql"))
+    assert(diff.count() == 0)
+  }
+
   test("native simhash_bits agg equals the exploded bit-sum form") {
     val rnd = new scala.util.Random(42)
     val rows = for (d <- 0L until 20L; _ <- 0 until 30)
