@@ -114,11 +114,27 @@ class PlanShapeSpec extends AnyFunSuite {
         ScaleCatalogue.q74BigramLmScore _,
         ScaleCatalogue.q75BpePairs _,
         ScaleCatalogue.q79BudgetMix _,
-        ScaleCatalogue.q80DupProfile _)) {
+        ScaleCatalogue.q80DupProfile _,
+        ScaleCatalogue.q81SpanExcision _)) {
       val plan = executedPlanString(q(spark, d))
       assert(!plan.contains("CartesianProduct"),
         s"candidate generation degraded to a cartesian product:\n$plan")
     }
+  }
+
+  test("PQ ANN broadcasts codebooks and LUT; corpus side never shuffles vectors") {
+    val d = "/root/testdata/sf0.001"
+    val df = ScaleCatalogue.q83AnnPq(spark, d)
+    val plan = executedPlanString(df)
+    assert(plan.contains("BroadcastExchange"), s"expected broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
+  }
+
+  test("two-round k-means broadcasts centroids both rounds") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlanString(ScaleCatalogue.q82KmeansTwoRounds(spark, d))
+    assert(plan.split("BroadcastExchange").length >= 3,
+      s"expected one broadcast per Lloyd round:\n$plan")
   }
 
   test("quality deciles never plan a single-partition window") {
