@@ -241,34 +241,32 @@ object Dedup {
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
       .filter(size(col("w")) >= n)
     val sh = tok.select(col("doc_id"), explode(shingles(col("w"), n)).as("sh"))
-    val P = 2305843009213693951L // 2^61 - 1 (Mersenne prime)
-    val hx = sh
-      .select(col("doc_id"), md5_64(col("sh")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("i"))
-      .select(col("doc_id"), col("i"),
-        (((lit(1000003L) * (col("i") + 1)) * shr(col("h"), lit(30)) +
-          (lit(999983L) * (col("i") + 1) + lit(12345L)) *
-            col("h").bitwiseAND(lit(1073741823L)) +
-          col("i")) % lit(P)).as("h2"))
-      .groupBy(col("doc_id"), col("i")).agg(min(col("h2")).as("mh"))
-    val bk = hx
-      .withColumn("band", (col("i") / lit(r)).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-          s => s.getField("mh").cast("string"))).as("bk"))
+    // one-pass native fold to the signature ARRAY (see
+    // MinHashPortableAgg for the universal-hash family, bit-identical
+    // to the oracle's composable form) — replaces a numHashes× row
+    // explosion + per-(doc, i) min + per-(doc, band) collect; banding
+    // and verification below are per-row array algebra on the signature
+    val sig = sh.select(col("doc_id"), md5_64(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash_portable(col("h"), numHashes)
+        .as("sig"))
+    val bk = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+          _.cast("string"))).as("bk"))
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
-    val ha = hx.select(col("doc_id").as("d1"), col("i"), col("mh").as("mh1"))
-    val hb = hx.select(col("doc_id").as("d2"), col("i"), col("mh").as("mh2"))
-    cand.join(ha, "d1").join(hb, Seq("d2", "i"))
-      .groupBy(col("d1"), col("d2"))
-      .agg(sum(when(col("mh1") === col("mh2"), 1L).otherwise(0L)).as("matches"))
+    val fa = sig.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val fb = sig.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    cand.join(fa, "d1").join(fb, "d2")
+      .select(col("d1"), col("d2"),
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          b => b)).cast("long").as("matches"))
       .filter(col("matches") >= minMatches)
   }
 
