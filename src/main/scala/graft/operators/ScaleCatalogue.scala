@@ -925,8 +925,10 @@ object ScaleCatalogue {
       .filter(size(col("w")) >= n)
     val sh = tok.select(col("doc_id"),
       explode(Dedup.shingleHashes(col("w"), n)).as("sh"))
-    val df = sh.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // (doc, shingle) pairs are distinct by construction (shingleHashes
+    // array_distincts per doc), so plain count IS the document
+    // frequency — no expand-based countDistinct pass needed
+    val df = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     sh.join(df, "sh")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
