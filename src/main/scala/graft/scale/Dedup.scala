@@ -147,9 +147,12 @@ object Dedup {
       .select(col(idAs), explode(shingleHashes(col("w"), n)).as("sh"))
     val cand = postings(candidates, "doc_id")
     val eval = postings(evalSet, "eval_id").select(col("sh")).distinct()
+    // (doc, shingle) is distinct by construction (shingleHashes
+    // array_distincts per doc) and the eval side is distinct, so plain
+    // count == distinct count — no expand pass
     cand.join(broadcast(eval), "sh")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("sh")).as("overlap_shingles"))
+      .agg(count(lit(1)).as("overlap_shingles"))
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
