@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{DotProductF, ExplodeBlocks, HyperplaneSig, L2Dist2F, MinHashSig, RollingHash, SimHash64}
+import graft.functions.{DotProductF, ExplodeBlocks, HyperplaneSig, L2Dist2F, Md5_64, MinHashPortableAgg, MinHashSig, RollingHash, SimHash64, SimHashBitsAgg}
 
 /** SQL surface for the native expressions.
   *
@@ -45,6 +45,14 @@ object GraftExtensions {
     "hyperplane_sig" -> (exprs =>
       HyperplaneSig(exprs.head, intArg(exprs(1), "hyperplane_sig planes"))),
     "explode_blocks" -> (exprs => ExplodeBlocks(exprs.head)),
+    "md5_64" -> (exprs => Md5_64(exprs.head)),
+    // aggregates: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression, so GROUP BY ... simhash_bits(h)
+    // works from pure SQL (weight defaults to 1)
+    "simhash_bits" -> (exprs => SimHashBitsAgg(exprs.head,
+      if (exprs.size > 1) exprs(1) else Literal(1L))),
+    "minhash_portable" -> (exprs => MinHashPortableAgg(exprs.head,
+      intArg(exprs(1), "minhash_portable numHashes"))),
   )
 }
 

@@ -32,6 +32,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
       })
   }
 
+  test("native aggregates and md5_64 callable from pure SQL") {
+    GraftFunctions.register(spark)
+    Seq((1L, "a b"), (1L, "c"), (2L, "a")).toDF("doc_id", "t")
+      .createOrReplaceTempView("agg_docs")
+    val rows = spark.sql(
+      """SELECT doc_id,
+        |  simhash_bits(xxhash64(t)) AS fp,
+        |  minhash_portable(md5_64(t), 4) AS sig
+        |FROM agg_docs GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[Long](2).size == 4)
+    // md5_64 in SQL equals the composable chain
+    val m = spark.sql(
+      """SELECT md5_64('abc') =
+        |  CAST(conv(substring(md5('abc'), 1, 15), 16, 10) AS BIGINT) AS ok
+        |""".stripMargin).collect()(0)
+    assert(m.getBoolean(0))
+  }
+
   test("extensions class injects without error") {
     val ext = new SparkSessionExtensions
     new GraftExtensions()(ext) // must not throw
