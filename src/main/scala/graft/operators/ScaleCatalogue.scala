@@ -410,9 +410,15 @@ object ScaleCatalogue {
        |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q41 — multimodal decode plumbing (stub codec; rows-only check —
-  // MediaCodec is not expressible in SQL). Builds GFT0-framed bytes from
-  // document text, runs the batched mapPartitions decode, projects meta.
+  // q41 — multimodal decode plumbing (stub codec). Builds GFT0-framed
+  // bytes from document text, runs the batched mapPartitions decode,
+  // projects meta. Oracle-checked since round 3: the media is
+  // SYNTHESIZED from (doc_id, text) by a known rule, so the oracle
+  // derives every output analytically (width = id%640+1, payload_len =
+  // utf8 length, every 97th row malformed, ...) WITHOUT parsing bytes —
+  // the Spark side must reproduce those values through the real
+  // encode→decode byte round-trip, which pins the header layout,
+  // byte order, and failure routing end to end.
   // ---------------------------------------------------------------------
   def q41MediaDecode(s: SparkSession, d: String): DataFrame = {
     val mkBytes = udf { (id: Long, text: String) =>
@@ -434,6 +440,24 @@ object ScaleCatalogue {
         col("format"), col("duration_ms"), col("payload_len"), col("decode_ok"))
       .orderBy(col("media_id"))
   }
+  val q41Sql: String =
+    """WITH k AS (
+      |  SELECT doc_id, text,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+      |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    doc_id % 97 = 0 AS bad
+      |  FROM documents)
+      |SELECT doc_id AS media_id, kind,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE CAST(doc_id % 640 + 1 AS INTEGER) END AS width,
+      |  CASE WHEN bad THEN NULL
+      |    ELSE CAST(doc_id % 480 + 1 AS INTEGER) END AS height,
+      |  CASE WHEN bad THEN NULL ELSE kind END AS format,
+      |  CASE WHEN bad THEN NULL ELSE CAST(doc_id * 40 AS BIGINT) END AS duration_ms,
+      |  CASE WHEN bad THEN CAST(3 AS INTEGER)
+      |    ELSE CAST(octet_length(encode(text)) AS INTEGER) END AS payload_len,
+      |  NOT bad AS decode_ok
+      |FROM k ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q53 — multimodal frame sampling: binary payload → every 4th 64-byte
@@ -1473,7 +1497,7 @@ object ScaleCatalogue {
     "q38_tokens" -> q38Sql,
     "q39_fingerprint" -> q39Sql,
     "q40_embed_norm" -> q40Sql,
-    // q41: stub codec, rows-only
+    "q41_media_decode" -> q41Sql,
     "q53_media_frames" -> q53Sql,
     "q42_normalize" -> q42Sql,
     "q44_corpus_profile" -> q44Sql,
