@@ -1025,6 +1025,52 @@ object ScaleCatalogue {
       |ORDER BY t.doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q84 — keep-first span excision: q81's rewrite with Lee et al.'s
+  // actual dedup policy — the globally FIRST occurrence of each
+  // repeated 8-token window (by doc_id, then position) survives, every
+  // other occurrence (cross-doc or within-doc) is excised, so exactly
+  // one copy of each passage remains in the corpus. Per-shingle window
+  // rank replaces q81's df aggregation; same one-shuffle shape.
+  // ---------------------------------------------------------------------
+  def q84SpanExcisionKeepFirst(s: SparkSession, d: String): DataFrame =
+    Dedup.spanExcision(documents(s, d), n = 8, keepFirst = true)
+      .orderBy(col("doc_id"))
+  val q84Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 6)) AS i) r
+      |  WHERE len(w) >= 8),
+      |exc AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i,
+      |      row_number() OVER (PARTITION BY sh ORDER BY doc_id, i) AS rn
+      |    FROM sh) t WHERE rn >= 2),
+      |cov AS (
+      |  SELECT DISTINCT e.doc_id, e.i + o AS p
+      |  FROM exc e, LATERAL (SELECT unnest(range(0, 8)) AS o) t),
+      |covn AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id),
+      |tokpos AS (
+      |  SELECT doc_id, w[i] AS tk, i
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) r),
+      |kept AS (
+      |  SELECT tp.doc_id, tp.tk, tp.i FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.doc_id = tp.doc_id AND c.p = tp.i)),
+      |agg AS (
+      |  SELECT doc_id, string_agg(tk, ' ' ORDER BY i) AS cleaned_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(t.w) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(cn.n_removed, 0) AS BIGINT) AS n_removed,
+      |  coalesce(a.cleaned_text, '') AS cleaned_text
+      |FROM tok t
+      |LEFT JOIN covn cn USING (doc_id)
+      |LEFT JOIN agg a ON a.doc_id = t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q74 — bigram language-model document scoring (perplexity-style
   // quality signal): train bigram/context counts over the corpus, score
   // each document by the sum of quantized conditional log-probs
@@ -1443,6 +1489,7 @@ object ScaleCatalogue {
     "q79_budget_mix" -> q79BudgetMix _,
     "q80_dup_profile" -> q80DupProfile _,
     "q81_span_excision" -> q81SpanExcision _,
+    "q84_span_excision_keep_first" -> q84SpanExcisionKeepFirst _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q83_ann_pq" -> q83AnnPq _,
@@ -1488,6 +1535,7 @@ object ScaleCatalogue {
     "q79_budget_mix" -> q79Sql,
     "q80_dup_profile" -> q80Sql,
     "q81_span_excision" -> q81Sql,
+    "q84_span_excision_keep_first" -> q84Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
     "q83_ann_pq" -> q83Sql,

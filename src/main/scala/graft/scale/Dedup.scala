@@ -432,8 +432,17 @@ object Dedup {
     * [[ngramJaccardPairs]], df≥2 detection is a plain aggregation, so
     * hot shingles cost O(df), not O(df²).
     *
+    * With `keepFirst = true`, the globally first occurrence of each
+    * repeated window (ordered by doc_id, then position) survives and
+    * every other occurrence — including within-document repeats — is
+    * excised: one copy of each passage remains in the corpus, the way
+    * Lee et al. deduplicate rather than delete. Same cost shape: a
+    * per-shingle window rank replaces the df aggregation (one shuffle
+    * on the shingle key either way).
+    *
     * Returns (doc_id, n_tokens, n_removed, cleaned_text). */
-  def spanExcision(docs: DataFrame, n: Int = 8): DataFrame = {
+  def spanExcision(docs: DataFrame, n: Int = 8,
+      keepFirst: Boolean = false): DataFrame = {
     val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
     // positional shingle hashes: start index p (0-based) + 8-byte hash;
     // deliberately NOT array_distinct — every occurrence needs excising
@@ -442,11 +451,23 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("w")) - n),
           i => xxhash64((0 until n).map(j => element_at(col("w"), i + j + 1)): _*)))
           .as(Seq("p", "sh")))
-    val dup = sh.groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") >= 2)
-      .select(col("sh"))
-    val starts = sh.join(dup, "sh")
+    val excised =
+      if (keepFirst) {
+        // rank every occurrence of every shingle; all but the
+        // (doc_id, p)-first of each repeated shingle are excised
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("sh")).orderBy(col("doc_id").asc, col("p").asc)
+        sh.withColumn("rn", row_number().over(w))
+          .filter(col("rn") >= 2)
+          .select(col("doc_id"), col("p"))
+      } else {
+        val dup = sh.groupBy(col("sh"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 2)
+          .select(col("sh"))
+        sh.join(dup, "sh").select(col("doc_id"), col("p"))
+      }
+    val starts = excised
       .groupBy(col("doc_id")).agg(collect_set(col("p")).as("starts"))
     tok.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("w"),

@@ -153,6 +153,32 @@ class DedupSpec extends AnyFunSuite {
     assert(got(0)._3 == 0L)
   }
 
+  test("keep-first excision leaves one copy of each passage corpus-wide") {
+    val passage = (1 to 8).map(i => s"p$i").mkString(" ")
+    val d = docs(
+      1L -> s"alpha beta $passage",
+      2L -> s"one two $passage three")
+    val got = Dedup.spanExcision(d, n = 8, keepFirst = true).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // doc 1 holds the first occurrence -> untouched; doc 2 loses it
+    assert(got(0) == ((1L, 10L, 0L, s"alpha beta $passage")))
+    assert(got(1) == ((2L, 11L, 8L, "one two three")))
+  }
+
+  test("keep-first excision also dedups within-document repeats") {
+    val rep = (1 to 8).map(i => s"r$i").mkString(" ")
+    val d = docs(
+      1L -> s"$rep $rep",
+      2L -> "totally different words here man okay fine yes")
+    val got = Dedup.spanExcision(d, n = 8, keepFirst = true).orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    // q81's df rule leaves within-doc repeats; keep-first excises the
+    // second copy (and the straddling windows it participates in)
+    assert(got(0)._3 > 0L)
+    assert(got(0)._4.startsWith(rep))
+    assert(got(0)._4.length < s"$rep $rep".length)
+  }
+
   test("simhash of identical docs is identical; hamming 0 pair found") {
     val t = (1 to 40).map(i => s"tok$i").mkString(" ")
     val d = docs(7L -> t, 9L -> t)
