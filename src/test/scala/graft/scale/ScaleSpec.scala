@@ -254,6 +254,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.25, s"PQ recall@10 $recall unexpectedly low")
   }
 
+  test("trained PQ codebooks keep kc size and the 1-round recall gain") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val cb = Similarity.pqTrainCodebooks(emb, rounds = 1)
+    // empty-cluster retention keeps every (cid, s) cell populated
+    assert(cb.count() == 16L * 8L)
+    assert(cb.filter(size(col("cv")) =!= 8).count() == 0)
+    val d2 = aggregate(
+      zip_with(col("q.embedding"), col("c.embedding"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = q.as("q").crossJoin(emb.as("c"))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val trained = Similarity.pqTopK(q, emb, k = 10, codebooks = Some(cb))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & trained).size.toDouble / exact.size
+    // deterministic: measures 0.34 (vs 0.31 init-only); see
+    // pqTrainCodebooks scaladoc for the non-monotonicity past 1 round
+    assert(recall >= 0.3, s"trained PQ recall@10 $recall unexpectedly low")
+  }
+
   test("near-dup pairs finds identical vectors") {
     val v = Seq.tabulate(64)(i => (i % 7).toFloat - 3f)
     val d = vecs(1L -> v, 2L -> v, 3L -> v.map(x => -x))
