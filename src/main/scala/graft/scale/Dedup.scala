@@ -342,13 +342,43 @@ object Dedup {
     * silently returning half-propagated labels would split real
     * clusters without any signal.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverMaxEdges: Long = 500000): DataFrame = {
     val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
     // materialize the (tiny) edge list once — every iteration joins
     // against it, and without this the full upstream candidate
     // generation (shingle self-join / LSH) would re-run per round
     val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
+    // hybrid control plane: near-dup edge lists are orders of magnitude
+    // smaller than the corpus (they're the output of the candidate
+    // cut), and the list is ALREADY materialized — counting it is free.
+    // Under the bound, driver union-find in O(E·α) replaces several
+    // distributed rounds of fixed job overhead; results are identical
+    // (min-member labels). The pointer-jumping path below remains the
+    // scale path and is exercised by spec with driverMaxEdges = 0.
+    if (sym.count() / 2 <= driverMaxEdges) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      sym.select(col("a"), col("b")).collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // union-by-min keeps every root the minimum of its component, so
+      // find(v) IS the min-member label
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
+      val s2 = pairs.sparkSession
+      import s2.implicits._
+      return out.toDF("doc_id", "cluster")
+    }
     var labels = sym.select(col("a").as("v")).distinct()
       .withColumn("label", col("v"))
     var changed = 1L

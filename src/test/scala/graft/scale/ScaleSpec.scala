@@ -41,20 +41,26 @@ class DedupSpec extends AnyFunSuite {
     // chain 1-2-3-4 (diameter 3) + isolated pair 10-11
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
       .toDF("d1", "d2")
-    val got = Dedup.connectedComponents(pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // both the driver union-find path (default) and the distributed one
+    assert(Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap == expect)
+    assert(Dedup.connectedComponents(pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap == expect)
   }
 
   test("connectedComponents converges on a long chain and guards maxIter") {
-    // a 40-link chain needs ~6 pointer-jumping rounds, far under O(n)
+    // a 40-link chain needs ~6 pointer-jumping rounds, far under O(n);
+    // driverMaxEdges = 0 forces the distributed path
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
-    val got = Dedup.connectedComponents(chain).as[(Long, Long)].collect()
+    val got = Dedup.connectedComponents(chain, driverMaxEdges = 0)
+      .as[(Long, Long)].collect()
     assert(got.forall(_._2 == 1L) && got.length == 40)
     // starved iteration budget must throw, never return partial labels
     assertThrows[IllegalStateException] {
-      Dedup.connectedComponents(chain, maxIter = 1).collect()
+      Dedup.connectedComponents(chain, maxIter = 1, driverMaxEdges = 0)
+        .collect()
     }
   }
 
