@@ -467,8 +467,10 @@ object Dedup {
     * every other occurrence — including within-document repeats — is
     * excised: one copy of each passage remains in the corpus, the way
     * Lee et al. deduplicate rather than delete. Same cost shape: a
-    * per-shingle window rank replaces the df aggregation (one shuffle
-    * on the shingle key either way).
+    * per-shingle min-struct aggregation replaces the df aggregation
+    * (one shuffle on the shingle key either way, both map-side
+    * combinable — deliberately not a row_number window, which would
+    * sort a hot shingle's occurrences in one partition).
     *
     * Returns (doc_id, n_tokens, n_removed, cleaned_text). */
   def spanExcision(docs: DataFrame, n: Int = 8,
@@ -483,12 +485,15 @@ object Dedup {
           .as(Seq("p", "sh")))
     val excised =
       if (keepFirst) {
-        // rank every occurrence of every shingle; all but the
-        // (doc_id, p)-first of each repeated shingle are excised
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("sh")).orderBy(col("doc_id").asc, col("p").asc)
-        sh.withColumn("rn", row_number().over(w))
-          .filter(col("rn") >= 2)
+        // the surviving occurrence is the per-shingle MIN of
+        // (doc_id, p) — a map-side-combinable min-struct aggregation,
+        // NOT a row_number window: a hot boilerplate shingle would make
+        // a window sort one giant partition, while the min folds it
+        val firsts = sh.groupBy(col("sh"))
+          .agg(min(struct(col("doc_id"), col("p"))).as("first"))
+        sh.join(firsts, "sh")
+          .filter(!(col("doc_id") === col("first.doc_id") &&
+            col("p") === col("first.p")))
           .select(col("doc_id"), col("p"))
       } else {
         val dup = sh.groupBy(col("sh"))
