@@ -101,6 +101,44 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(df.as[String].collect().length == 4)
   }
 
+  test("directory path reads every file, one partition per file") {
+    val dir = Files.createTempDirectory("graft-dsv2-dir")
+    Files.writeString(dir.resolve("a.xml"), fixtureXml)
+    Files.writeString(dir.resolve("b.xml"), fixtureXml)
+    val df = spark.read.format("mediawiki").load(dir.toString)
+    assert(df.count() == 8)
+    assert(df.rdd.getNumPartitions == 2)
+  }
+
+  test("pages with missing fields survive as nulls, not exceptions") {
+    val xml =
+      """<mediawiki>
+        |  <siteinfo><namespaces>
+        |    <namespace key="0"/>
+        |  </namespaces></siteinfo>
+        |  <page>
+        |    <title>No Revision</title>
+        |    <ns>0</ns>
+        |  </page>
+        |  <page>
+        |    <title>Unknown Namespace</title>
+        |    <ns>99</ns>
+        |    <revision><text>body</text></revision>
+        |  </page>
+        |</mediawiki>""".stripMargin
+    val tmp = Files.createTempDirectory("graft-dsv2-edge")
+    val p = tmp.resolve("edge.xml")
+    Files.writeString(p, xml)
+    val rows = spark.read.format("mediawiki").load(p.toString)
+      .select("title", "ns", "ns_name", "text")
+      .orderBy("title")
+      .collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "No Revision" && rows(0).isNullAt(3))
+    // ns 99 has no registry entry -> ns_name null, text still parsed
+    assert(rows(1).isNullAt(2) && rows(1).getString(3) == "body")
+  }
+
   test("matches the built-in xml reader + broadcast registry join") {
     val viaDsv2 = spark.read.format("mediawiki").load(dumpPath)
       .select("title", "ns", "ns_name", "text")
