@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -75,7 +76,8 @@ class MediaWikiDumpTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"mediawiki:$path"
   override def schema(): StructType = MediaWikiDumpTable.fullSchema
   override def capabilities(): JSet[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new MediaWikiScanBuilder(path)
 }
@@ -145,6 +147,60 @@ class MediaWikiScan(path: String, requiredSchema: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new MediaWikiReaderFactory(requiredSchema, nsFilter, nsNameFilter)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new MediaWikiMicroBatchStream(path, requiredSchema, nsFilter, nsNameFilter)
+}
+
+/** Offset = how many files of the lexicographically-sorted directory
+  * listing have been consumed. */
+case class MediaWikiOffset(n: Int) extends Offset {
+  override def json(): String = s"""{"files":$n}"""
+}
+
+/** Micro-batch streaming over a dump DIRECTORY: each new file becomes
+  * (part of) the next micro-batch, read by the same StAX partition
+  * reader — pruning and ns pushdown included — so
+  * `spark.readStream.format("mediawiki").load(dir)` incrementally
+  * processes dumps as they land.
+  *
+  * Contract (documented, not inferred): files are consumed in
+  * lexicographic path order and must arrive with monotonically
+  * increasing names (dump exports are date-stamped — e.g.
+  * `enwiki-20260801-...`, `enwiki-20260901-...`). A late file sorting
+  * below the consumed prefix is ignored; a file must be fully written
+  * before it becomes visible (write-then-rename, the standard file
+  * source convention).
+  */
+class MediaWikiMicroBatchStream(path: String, requiredSchema: StructType,
+    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]])
+    extends MicroBatchStream {
+
+  private def listing(): Array[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    if (!fs.exists(p)) Array.empty
+    else if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
+    else Array(path)
+  }
+
+  override def initialOffset(): Offset = MediaWikiOffset(0)
+  override def latestOffset(): Offset = MediaWikiOffset(listing().length)
+  override def deserializeOffset(json: String): Offset =
+    MediaWikiOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[MediaWikiOffset].n
+    val e = end.asInstanceOf[MediaWikiOffset].n
+    listing().slice(s, e).map(MediaWikiInputPartition(_): InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new MediaWikiReaderFactory(requiredSchema, nsFilter, nsNameFilter)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 class MediaWikiReaderFactory(requiredSchema: StructType,

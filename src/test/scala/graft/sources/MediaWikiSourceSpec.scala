@@ -139,6 +139,27 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2) && rows(1).getString(3) == "body")
   }
 
+  test("streams new dump files as micro-batches with pushdown intact") {
+    val dir = Files.createTempDirectory("graft-dsv2-stream")
+    Files.writeString(dir.resolve("dump-001.xml"), fixtureXml)
+    val q = spark.readStream.format("mediawiki").load(dir.toString)
+      .filter(col("ns_name").isin("Main", "Category"))
+      .select("title", "ns_name")
+      .writeStream.format("memory").queryName("mw_stream")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv2-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mw_stream").count() == 2) // Main + Category pages
+      Files.writeString(dir.resolve("dump-002.xml"), fixtureXml)
+      q.processAllAvailable()
+      assert(spark.table("mw_stream").count() == 4)
+      assert(spark.table("mw_stream").select("ns_name").distinct()
+        .as[String].collect().toSet == Set("Main", "Category"))
+    } finally q.stop()
+  }
+
   test("matches the built-in xml reader + broadcast registry join") {
     val viaDsv2 = spark.read.format("mediawiki").load(dumpPath)
       .select("title", "ns", "ns_name", "text")
