@@ -18,6 +18,7 @@ object Bench {
     // (substring match on query names). Unset = full catalogue.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // empty var == unset == full catalogue
     def selected(name: String): Boolean =
       only.forall(_.exists(name.contains))
     // Warmup at the smallest SF: JIT, codegen cache, file-index and

@@ -4,7 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.functions.lit
@@ -38,7 +38,12 @@ case class SimHashBitsAgg(
     right: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] with BinaryLike[Expression]
+  with ImplicitCastInputTypes {
+
+  // analysis-time typing: int arguments get implicit casts instead of a
+  // runtime ClassCastException in every task
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   private val bits = 60
 

@@ -1242,11 +1242,10 @@ object ScaleCatalogue {
         e => floor(e.cast("double") * 1e6).cast("long")).as("qv"))
     val c0 = qemb.filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"), col("qv").as("cv"))
-    // integer-exact argmin assignment against broadcast centroids
+    // integer-exact argmin assignment against broadcast centroids —
+    // the ONE shared integer-distance definition (Similarity.quantDist2)
     def assign(cents: DataFrame): DataFrame = {
-      val d2 = aggregate(
-        zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
+      val d2 = Similarity.quantDist2(col("qv"), col("cv"))
       qemb.crossJoin(broadcast(cents))
         .select(col("vec_id"), struct(d2.as("d2"), col("cid")).as("dc"))
         .groupBy(col("vec_id"))

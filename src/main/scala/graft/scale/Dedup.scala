@@ -344,7 +344,13 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverMaxEdges: Long = 500000): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+    // normalize ids to non-null longs so BOTH resolution paths accept
+    // int-typed pair columns; null endpoints carry no connectivity and
+    // are dropped (a null never equi-joins in the distributed path
+    // either)
+    val edges = pairs
+      .select(col("d1").cast("long").as("a"), col("d2").cast("long").as("b"))
+      .na.drop(Seq("a", "b"))
     // materialize the (tiny) edge list once — every iteration joins
     // against it, and without this the full upstream candidate
     // generation (shingle self-join / LSH) would re-run per round

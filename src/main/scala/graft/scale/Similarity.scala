@@ -171,30 +171,6 @@ object Similarity {
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
   }
 
-  /** Product-quantization ANN (Jégou et al., "Product Quantization for
-    * Nearest Neighbor Search", TPAMI 2011) — the memory-bound scale path
-    * beyond IVF: vectors compress to `m` one-byte codes (one codebook of
-    * `kc` centroids per `dim/m`-dim subspace), and each query scans the
-    * CODES, not the vectors, via an Asymmetric Distance Computation
-    * lookup table.
-    *
-    * At 100 TB this is the shape that matters: the corpus-side state is
-    * m bytes per vector (64 B floats → 8 B codes here), the per-query
-    * LUT (m×kc distances) and the codebooks broadcast, and the scan is
-    * one narrow aggregation over (vec_id, s, code) rows — no vector ever
-    * moves after encoding.
-    *
-    * Runs entirely in quantized integer space (floor(x·1e6) longs, exact
-    * integer subspace distances ≤ (dim/m)·(2e6)² — no overflow in any
-    * engine) so the full train→encode→scan pipeline is reproducible
-    * bit-for-bit by an external SQL engine: approximate in what it
-    * RETRIEVES, deterministic in HOW. Codebooks default to init-only
-    * (first `kc` vectors per subspace); pass
-    * `codebooks = Some(pqTrainCodebooks(corpus, ...))` for Lloyd-trained
-    * ones (same integer-space argmin machinery as q82 — recall gain
-    * pinned by spec).
-    *
-    * Returns top-`k` per query: (query_id, rank, vec_id, adc_d2). */
   /** Quantized subvectors: (vec_id, s, sv) with s the subspace index
     * and sv the `dim/m`-dim integer slice. */
   private def pqSubvecs(df: DataFrame, m: Int, sub: Int): DataFrame =
@@ -205,8 +181,14 @@ object Similarity {
         posexplode(transform(sequence(lit(0), lit(m - 1)),
           i => slice(col("qv"), i * sub + 1, lit(sub)))).as(Seq("s", "sv")))
 
-  private def pqD2(a: Column, b: Column): Column = aggregate(
+  /** Exact squared distance between equal-length quantized (long)
+    * vectors — THE one definition of the integer-space distance the
+    * cross-engine exactness argument depends on (shared by PQ
+    * encode/train/scan and q82's Lloyd rounds). */
+  def quantDist2(a: Column, b: Column): Column = aggregate(
     zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  private def pqD2(a: Column, b: Column): Column = quantDist2(a, b)
 
   /** Init-only PQ codebooks: the first `kc` corpus vectors, sliced per
     * subspace. Shape (cid, s, cv). */
@@ -257,6 +239,30 @@ object Similarity {
     cents
   }
 
+  /** Product-quantization ANN (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011) — the memory-bound scale path
+    * beyond IVF: vectors compress to `m` one-byte codes (one codebook of
+    * `kc` centroids per `dim/m`-dim subspace), and each query scans the
+    * CODES, not the vectors, via an Asymmetric Distance Computation
+    * lookup table.
+    *
+    * At 100 TB this is the shape that matters: the corpus-side state is
+    * m bytes per vector (64 B floats → 8 B codes here), the per-query
+    * LUT (m×kc distances) and the codebooks broadcast, and the scan is
+    * one narrow aggregation over (vec_id, s, code) rows — no vector ever
+    * moves after encoding.
+    *
+    * Runs entirely in quantized integer space (floor(x·1e6) longs, exact
+    * integer subspace distances ≤ (dim/m)·(2e6)² — no overflow in any
+    * engine) so the full train→encode→scan pipeline is reproducible
+    * bit-for-bit by an external SQL engine: approximate in what it
+    * RETRIEVES, deterministic in HOW. Codebooks default to init-only
+    * (first `kc` vectors per subspace); pass
+    * `codebooks = Some(pqTrainCodebooks(corpus, ...))` for Lloyd-trained
+    * ones (same integer-space argmin machinery as q82 — recall gain
+    * pinned by spec).
+    *
+    * Returns top-`k` per query: (query_id, rank, vec_id, adc_d2). */
   def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       m: Int = 8, dim: Int = 64, kc: Int = 16,
       codebooks: Option[DataFrame] = None): DataFrame = {

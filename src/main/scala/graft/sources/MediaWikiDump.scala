@@ -5,8 +5,11 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
 import scala.collection.mutable
 
+import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -58,7 +61,31 @@ class MediaWikiDumpDataSource extends TableProvider with DataSourceRegister {
   }
 }
 
+/** Java-serializable Hadoop Configuration wrapper so executors read
+  * files with the SESSION's conf (spark.hadoop.* credentials,
+  * fs.defaultFS, custom filesystems) instead of a blank default. */
+class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  @throws(classOf[IOException])
+  private def writeObject(out: ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  @throws(classOf[IOException])
+  private def readObject(in: ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 object MediaWikiDumpTable {
+  /** The active session's Hadoop conf on the driver; a plain default
+    * outside a session (tests constructing readers directly). */
+  def sessionHadoopConf(): SerializableHadoopConf =
+    new SerializableHadoopConf(
+      SparkSession.getActiveSession.map(_.sessionState.newHadoopConf())
+        .getOrElse(new Configuration()))
   /** Flattened page schema (FIXTURES.md §1): upload contents stay
     * base64-encoded — decoding is a one-expression `unbase64`
     * downstream, and most reads never touch them. */
@@ -128,6 +155,7 @@ case class MediaWikiInputPartition(file: String) extends InputPartition
 class MediaWikiScan(path: String, requiredSchema: StructType,
     nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]])
     extends Scan with Batch {
+  private val hconf = MediaWikiDumpTable.sessionHadoopConf()
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
@@ -137,7 +165,7 @@ class MediaWikiScan(path: String, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf.value)
     val files =
       if (fs.getFileStatus(p).isDirectory)
         fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
@@ -146,10 +174,11 @@ class MediaWikiScan(path: String, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MediaWikiReaderFactory(requiredSchema, nsFilter, nsNameFilter)
+    new MediaWikiReaderFactory(requiredSchema, nsFilter, nsNameFilter, hconf)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new MediaWikiMicroBatchStream(path, requiredSchema, nsFilter, nsNameFilter)
+    new MediaWikiMicroBatchStream(path, requiredSchema, nsFilter, nsNameFilter,
+      hconf)
 }
 
 /** Offset = how many files of the lexicographically-sorted directory
@@ -173,12 +202,13 @@ case class MediaWikiOffset(n: Int) extends Offset {
   * source convention).
   */
 class MediaWikiMicroBatchStream(path: String, requiredSchema: StructType,
-    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]])
+    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]],
+    hconf: SerializableHadoopConf)
     extends MicroBatchStream {
 
   private def listing(): Array[String] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hconf.value)
     if (!fs.exists(p)) Array.empty
     else if (fs.getFileStatus(p).isDirectory)
       fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
@@ -197,19 +227,20 @@ class MediaWikiMicroBatchStream(path: String, requiredSchema: StructType,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new MediaWikiReaderFactory(requiredSchema, nsFilter, nsNameFilter)
+    new MediaWikiReaderFactory(requiredSchema, nsFilter, nsNameFilter, hconf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
 class MediaWikiReaderFactory(requiredSchema: StructType,
-    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]])
+    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]],
+    hconf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new MediaWikiPartitionReader(
       partition.asInstanceOf[MediaWikiInputPartition].file,
-      requiredSchema, nsFilter, nsNameFilter)
+      requiredSchema, nsFilter, nsNameFilter, hconf)
 }
 
 /** StAX page reader for one file. The namespace registry is parsed from
@@ -217,7 +248,8 @@ class MediaWikiReaderFactory(requiredSchema: StructType,
   * (not materialized) when the pushed ns filters reject the page or the
   * projection doesn't need them. */
 class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
-    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]])
+    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]],
+    hconf: SerializableHadoopConf)
     extends PartitionReader[InternalRow] {
 
   private val needText = requiredSchema.fieldNames.contains("text")
@@ -226,7 +258,7 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
 
   private val input = {
     val p = new Path(file)
-    p.getFileSystem(new Configuration()).open(p)
+    p.getFileSystem(hconf.value).open(p)
   }
   private val xml: XMLStreamReader = {
     val f = XMLInputFactory.newInstance()
@@ -351,7 +383,13 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
             case "upload" => inUpload = false
             case "page" =>
               inPage = false
-              if (!pageRejected) { current = emit(); return true }
+              // a page with NO <ns> element never evaluated the pushed
+              // filters — re-check here so it can't leak past a filter
+              // the source claimed to apply (null fails =/IN, matching
+              // Spark's own semantics)
+              val passes = pageRejected == false &&
+                ((nsFilter.isEmpty && nsNameFilter.isEmpty) || nsAccepted)
+              if (passes) { current = emit(); return true }
             case _ => ()
           }
         case _ => ()

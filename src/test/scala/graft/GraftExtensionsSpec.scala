@@ -44,6 +44,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()
     assert(rows.length == 2)
     assert(rows(0).getSeq[Long](2).size == 4)
+    // int-typed arguments implicitly cast (ExpectsInputTypes) instead
+    // of crashing tasks with ClassCastException
+    val intW = spark.sql(
+      """SELECT simhash_bits(xxhash64(t), 2) AS fp
+        |FROM agg_docs GROUP BY doc_id""".stripMargin).collect()
+    assert(intW.length == 2)
     // md5_64 in SQL equals the composable chain
     val m = spark.sql(
       """SELECT md5_64('abc') =

@@ -48,6 +48,11 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap == expect)
     assert(Dedup.connectedComponents(pairs, driverMaxEdges = 0)
       .as[(Long, Long)].collect().toMap == expect)
+    // int-typed pair columns normalize to long instead of crashing the
+    // driver union-find path
+    val intPairs = Seq((1, 2), (2, 3), (3, 4), (10, 11)).toDF("d1", "d2")
+    assert(Dedup.connectedComponents(intPairs)
+      .as[(Long, Long)].collect().toMap == expect)
   }
 
   test("connectedComponents converges on a long chain and guards maxIter") {

@@ -139,6 +139,26 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(2) && rows(1).getString(3) == "body")
   }
 
+  test("a page missing <ns> cannot leak past a pushed ns filter") {
+    val xml =
+      """<mediawiki>
+        |  <siteinfo><namespaces><namespace key="0"/></namespaces></siteinfo>
+        |  <page><title>Has Ns</title><ns>0</ns>
+        |    <revision><text>x</text></revision></page>
+        |  <page><title>No Ns</title>
+        |    <revision><text>y</text></revision></page>
+        |</mediawiki>""".stripMargin
+    val tmp = Files.createTempDirectory("graft-dsv2-nons")
+    val p = tmp.resolve("nons.xml")
+    Files.writeString(p, xml)
+    // null ns fails = / IN exactly as Spark's own filter would decide
+    val got = spark.read.format("mediawiki").load(p.toString)
+      .filter(col("ns") === 0).select("title").as[String].collect().toSeq
+    assert(got == Seq("Has Ns"))
+    // without a filter the page still comes through (ns null)
+    assert(spark.read.format("mediawiki").load(p.toString).count() == 2)
+  }
+
   test("streams new dump files as micro-batches with pushdown intact") {
     val dir = Files.createTempDirectory("graft-dsv2-stream")
     Files.writeString(dir.resolve("dump-001.xml"), fixtureXml)
