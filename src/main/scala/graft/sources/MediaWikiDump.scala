@@ -1,14 +1,16 @@
 package graft.sources
 
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, IOException, InputStream, ObjectInputStream, ObjectOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
 import java.util.{Map => JMap, Set => JSet}
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
 
 import scala.collection.mutable
 
-import java.io.{IOException, ObjectInputStream, ObjectOutputStream}
-
+import org.apache.commons.compress.compressors.bzip2.BZip2CompressorInputStream
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -28,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * driver-resident namespace map (process-mw-dump.py:35-89); here the
   * same shape becomes a first-class Spark table:
   *
-  *  - **Streaming parse.** Each file is read with StAX — constant
+  *  - **Streaming parse.** Each split is read with StAX — constant
   *    memory per page, never a whole-file DOM. The `<siteinfo>`
   *    namespace registry at the head of the stream is resolved INSIDE
   *    the source, so `ns_name` arrives as a column and the usual
@@ -42,12 +44,25 @@ import org.apache.spark.unsafe.types.UTF8String
   *    and `ns_name` apply as soon as the page's `<ns>` element is seen
   *    (it precedes `<revision>` in the dump schema), so filtered-out
   *    pages never pay for their body.
-  *  - **Partitioning.** One input split per file. Production dumps ship
-  *    as multistream bz2 with a stream index; at 100 TB the index file
-  *    becomes the split list (one `InputPartition` per bz2 stream) and
-  *    this reader's per-partition logic is unchanged. Single-file
-  *    plain-XML reads are inherently one split — the same limit the
-  *    built-in `xml` reader has without a splittable codec.
+  *  - **Partitioning.** A 100 GB dump must not become one task. Three
+  *    split strategies, per file:
+  *      1. multistream bz2 with a companion `-index.txt[.bz2]`
+  *         (`offset:pageid:title` lines): the distinct stream offsets
+  *         are the split list — one `InputPartition` per stream range,
+  *         coalesced up to `splitSize`; each range is independently
+  *         decompressable by construction.
+  *      2. plain XML larger than `splitSize` (default 128 MiB): byte
+  *         ranges; each reader seeks to its range start and scans to
+  *         the next `<page>` boundary, owning pages whose start tag
+  *         falls inside `[start, end)` — the Hadoop text-split
+  *         convention. Sound because page content is XML-escaped, so a
+  *         literal `<page>` tag cannot occur inside a text node (the
+  *         long-standing Mahout `XmlInputFormat` premise).
+  *      3. everything else: one split per file (a bz2 dump WITHOUT an
+  *         index is not seekable — it falls back to a single
+  *         decompressing split, with a warning).
+  *    The namespace registry for split files is parsed ONCE from the
+  *    stream head on the driver and shipped inside each partition.
   */
 class MediaWikiDumpDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mediawiki"
@@ -80,6 +95,7 @@ class SerializableHadoopConf(@transient var value: Configuration)
 }
 
 object MediaWikiDumpTable {
+  val DefaultSplitSize: Long = 128L * 1024 * 1024
   /** The active session's Hadoop conf on the driver; a plain default
     * outside a session (tests constructing readers directly). */
   def sessionHadoopConf(): SerializableHadoopConf =
@@ -106,10 +122,11 @@ class MediaWikiDumpTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MediaWikiScanBuilder(path)
+    new MediaWikiScanBuilder(path,
+      options.getLong("splitSize", MediaWikiDumpTable.DefaultSplitSize))
 }
 
-class MediaWikiScanBuilder(path: String) extends ScanBuilder
+class MediaWikiScanBuilder(path: String, splitSize: Long) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var requiredSchema: StructType = MediaWikiDumpTable.fullSchema
   private var nsFilter: Option[Set[Int]] = None
@@ -147,13 +164,160 @@ class MediaWikiScanBuilder(path: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new MediaWikiScan(path, requiredSchema, nsFilter, nsNameFilter)
+    new MediaWikiScan(path, requiredSchema, nsFilter, nsNameFilter, splitSize)
 }
 
+/** One whole file per task; the reader parses the registry in-stream. */
 case class MediaWikiInputPartition(file: String) extends InputPartition
 
+/** A byte range of one file. `compressed = false`: plain XML — the
+  * reader seeks to `start` and owns pages whose `<page>` tag starts in
+  * `[start, end)`. `compressed = true`: `[start, end)` is a run of
+  * whole bz2 streams (from the multistream index) — every page that
+  * decompresses out of the range is owned. The namespace registry was
+  * parsed from the file head at planning time. */
+case class MediaWikiRangePartition(file: String, start: Long, end: Long,
+    compressed: Boolean, registry: Map[Int, String]) extends InputPartition
+
+/** Driver-side planning: listing hygiene, split computation, and the
+  * one-time head parse of the namespace registry for split files. */
+object MediaWikiPlanner extends Logging {
+  /** Spark file-source convention: '.'/'_' prefixed names are metadata
+    * (_SUCCESS, .crc, in-progress temp files), never data. */
+  def isHiddenFile(name: String): Boolean =
+    name.startsWith(".") || name.startsWith("_")
+  /** Companion multistream index files are split metadata, not dumps. */
+  def isIndexFile(name: String): Boolean =
+    name.endsWith("-index.txt") || name.endsWith("-index.txt.bz2")
+
+  def listDumpFiles(fs: FileSystem, p: Path): Array[FileStatus] = {
+    val st = fs.getFileStatus(p)
+    if (st.isDirectory)
+      fs.listStatus(p).filter(s => s.isFile &&
+          !isHiddenFile(s.getPath.getName) && !isIndexFile(s.getPath.getName))
+        .sortBy(_.getPath.toString)
+    else Array(st)
+  }
+
+  /** Candidate companion index paths for a `*.xml.bz2` dump
+    * (`enwiki-…-multistream.xml.bz2` → `enwiki-…-multistream-index.txt[.bz2]`). */
+  private def indexCandidates(dump: Path): Seq[Path] = {
+    val name = dump.getName
+    if (!name.endsWith(".xml.bz2")) Nil
+    else {
+      val base = name.dropRight(".xml.bz2".length)
+      Seq(s"$base-index.txt.bz2", s"$base-index.txt")
+        .map(n => new Path(dump.getParent, n))
+    }
+  }
+
+  /** Distinct sorted bz2-stream start offsets from an
+    * `offset:pageid:title` index file. */
+  def readIndexOffsets(fs: FileSystem, index: Path): Array[Long] = {
+    val raw: InputStream = fs.open(index)
+    val in = if (index.getName.endsWith(".bz2"))
+      new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
+    else raw
+    try {
+      val src = scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8)
+      src.getLines().filter(_.nonEmpty)
+        .map(l => l.substring(0, l.indexOf(':')).toLong)
+        .toArray.distinct.sorted
+    } finally in.close()
+  }
+
+  /** Parse the `<siteinfo>` namespace registry from the head of a dump
+    * (stops at `</namespaces>` or the first `<page>`). */
+  def parseRegistryFromHead(fs: FileSystem, file: Path): Map[Int, String] = {
+    val raw: InputStream = fs.open(file)
+    val in = if (file.getName.endsWith(".bz2"))
+      new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
+    else raw
+    val xml = MediaWikiXml.newReader(in)
+    try {
+      val reg = mutable.Map.empty[Int, String]
+      while (xml.hasNext) {
+        xml.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            xml.getLocalName match {
+              case "namespace" =>
+                var k: String = null
+                var i = 0
+                while (i < xml.getAttributeCount) {
+                  if (xml.getAttributeLocalName(i) == "key")
+                    k = xml.getAttributeValue(i)
+                  i += 1
+                }
+                if (k != null) {
+                  val key = k.toInt
+                  val label = xml.getElementText.trim
+                  reg(key) = if (key == 0) "Main" else label
+                }
+              case "page" => return reg.toMap
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT
+              if xml.getLocalName == "namespaces" => return reg.toMap
+          case _ => ()
+        }
+      }
+      reg.toMap
+    } finally { xml.close(); in.close() }
+  }
+
+  /** Coalesce consecutive `[bound(i), bound(i+1))` ranges greedily up to
+    * `splitSize` bytes per partition. */
+  def coalesceRanges(bounds: Seq[Long], splitSize: Long): Seq[(Long, Long)] = {
+    val out = mutable.ArrayBuffer.empty[(Long, Long)]
+    var s = bounds.head
+    var i = 1
+    while (i < bounds.length) {
+      val e = bounds(i)
+      if (e - s >= splitSize || i == bounds.length - 1) {
+        if (e > s) out += ((s, e))
+        s = e
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  def partitionsForFile(fs: FileSystem, st: FileStatus,
+      splitSize: Long): Seq[InputPartition] = {
+    val file = st.getPath
+    val len = st.getLen
+    if (file.getName.endsWith(".bz2")) {
+      indexCandidates(file).find(fs.exists) match {
+        case Some(idx) =>
+          val offsets = readIndexOffsets(fs, idx)
+          val registry = parseRegistryFromHead(fs, file)
+          val bounds = ((0L +: offsets.toSeq).distinct.sorted :+ len).distinct
+          coalesceRanges(bounds, splitSize).map { case (s, e) =>
+            MediaWikiRangePartition(file.toString, s, e, compressed = true,
+              registry)
+          }
+        case None =>
+          if (len > splitSize) logWarning(
+            s"mediawiki: $file is ${len} bytes of bz2 with no multistream " +
+              "index — reading as a single split; provide the companion " +
+              "-index.txt[.bz2] to parallelize")
+          Seq(MediaWikiInputPartition(file.toString))
+      }
+    } else if (len > splitSize) {
+      val registry = parseRegistryFromHead(fs, file)
+      val bounds = 0L.to(len, splitSize).toSeq ++
+        (if (len % splitSize == 0) Nil else Seq(len))
+      coalesceRanges(bounds.distinct.sorted, 1L).map { case (s, e) =>
+        MediaWikiRangePartition(file.toString, s, e, compressed = false,
+          registry)
+      }
+    } else Seq(MediaWikiInputPartition(file.toString))
+  }
+}
+
 class MediaWikiScan(path: String, requiredSchema: StructType,
-    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]])
+    nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]],
+    splitSize: Long)
     extends Scan with Batch {
   private val hconf = MediaWikiDumpTable.sessionHadoopConf()
   override def readSchema(): StructType = requiredSchema
@@ -166,11 +330,8 @@ class MediaWikiScan(path: String, requiredSchema: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(hconf.value)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
-      else Array(path)
-    files.map(MediaWikiInputPartition(_): InputPartition)
+    MediaWikiPlanner.listDumpFiles(fs, p)
+      .flatMap(MediaWikiPlanner.partitionsForFile(fs, _, splitSize))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -178,19 +339,28 @@ class MediaWikiScan(path: String, requiredSchema: StructType,
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new MediaWikiMicroBatchStream(path, requiredSchema, nsFilter, nsNameFilter,
-      hconf)
+      splitSize, hconf)
 }
 
-/** Offset = how many files of the lexicographically-sorted directory
-  * listing have been consumed. */
-case class MediaWikiOffset(n: Int) extends Offset {
-  override def json(): String = s"""{"files":$n}"""
+/** Offset = the NAME of the last consumed file plus the count of
+  * consumed files. Recording the name (not just a count of the sorted
+  * listing) makes contract violations detectable: if a consumed file is
+  * deleted the prefix count no longer matches and the stream fails
+  * loudly instead of silently re-reading or skipping shifted indices;
+  * a late file sorting below the consumed prefix is skipped with a
+  * warning rather than silently remapping every offset. */
+case class MediaWikiOffset(last: Option[String], count: Int) extends Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
+      .render(("last" -> last.orNull) ~ ("count" -> count)))
+  }
 }
 
 /** Micro-batch streaming over a dump DIRECTORY: each new file becomes
   * (part of) the next micro-batch, read by the same StAX partition
-  * reader — pruning and ns pushdown included — so
-  * `spark.readStream.format("mediawiki").load(dir)` incrementally
+  * reader — pruning, ns pushdown, and intra-file splitting included —
+  * so `spark.readStream.format("mediawiki").load(dir)` incrementally
   * processes dumps as they land.
   *
   * Contract (documented, not inferred): files are consumed in
@@ -203,27 +373,65 @@ case class MediaWikiOffset(n: Int) extends Offset {
   */
 class MediaWikiMicroBatchStream(path: String, requiredSchema: StructType,
     nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]],
-    hconf: SerializableHadoopConf)
-    extends MicroBatchStream {
+    splitSize: Long, hconf: SerializableHadoopConf)
+    extends MicroBatchStream with Logging {
 
-  private def listing(): Array[String] = {
+  private def fs(): FileSystem = new Path(path).getFileSystem(hconf.value)
+
+  private def listing(): Array[FileStatus] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(hconf.value)
-    if (!fs.exists(p)) Array.empty
-    else if (fs.getFileStatus(p).isDirectory)
-      fs.listStatus(p).filter(_.isFile).map(_.getPath.toString).sorted
-    else Array(path)
+    val f = fs()
+    if (!f.exists(p)) Array.empty
+    else MediaWikiPlanner.listDumpFiles(f, p)
   }
 
-  override def initialOffset(): Offset = MediaWikiOffset(0)
-  override def latestOffset(): Offset = MediaWikiOffset(listing().length)
-  override def deserializeOffset(json: String): Offset =
-    MediaWikiOffset("""\d+""".r.findFirstIn(json).map(_.toInt).getOrElse(0))
+  override def initialOffset(): Offset = MediaWikiOffset(None, 0)
+  override def latestOffset(): Offset = {
+    val files = listing()
+    MediaWikiOffset(files.lastOption.map(_.getPath.toString), files.length)
+  }
+  override def deserializeOffset(json: String): Offset = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val v = org.json4s.jackson.JsonMethods.parse(json)
+    (v \ "files") match {
+      // legacy count-only offsets: reconstruct the name from the current
+      // listing prefix (the pre-name-offset behavior, restart-time only)
+      case org.json4s.JInt(n) =>
+        val files = listing()
+        MediaWikiOffset(files.take(n.toInt).lastOption.map(_.getPath.toString),
+          n.toInt)
+      case _ =>
+        MediaWikiOffset((v \ "last").extractOpt[String],
+          (v \ "count").extract[Int])
+    }
+  }
+
+  /** Files whose path sorts at or below the offset's last consumed name;
+    * mismatch against the recorded count is a contract violation. */
+  private def checkPrefix(files: Array[FileStatus], off: MediaWikiOffset): Unit =
+    off.last.foreach { l =>
+      val prefix = files.count(_.getPath.toString <= l)
+      if (prefix < off.count) throw new IllegalStateException(
+        s"mediawiki stream over $path: ${off.count - prefix} consumed " +
+          s"file(s) up to '$l' no longer exist — the source directory is " +
+          "append-only by contract; restore the files or reset the checkpoint")
+      if (prefix > off.count) logWarning(
+        s"mediawiki stream over $path: ${prefix - off.count} late file(s) " +
+          s"sort below the consumed offset '$l' and will be SKIPPED — dump " +
+          "files must arrive in lexicographically increasing order")
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[MediaWikiOffset].n
-    val e = end.asInstanceOf[MediaWikiOffset].n
-    listing().slice(s, e).map(MediaWikiInputPartition(_): InputPartition)
+    val s = start.asInstanceOf[MediaWikiOffset]
+    val e = end.asInstanceOf[MediaWikiOffset]
+    val files = listing()
+    checkPrefix(files, s)
+    checkPrefix(files, e)
+    val f = fs()
+    files.filter { st =>
+      val name = st.getPath.toString
+      s.last.forall(name > _) && e.last.forall(name <= _)
+    }.flatMap(MediaWikiPlanner.partitionsForFile(f, _, splitSize))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -238,15 +446,67 @@ class MediaWikiReaderFactory(requiredSchema: StructType,
     hconf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new MediaWikiPartitionReader(
-      partition.asInstanceOf[MediaWikiInputPartition].file,
-      requiredSchema, nsFilter, nsNameFilter, hconf)
+    partition match {
+      case MediaWikiInputPartition(file) =>
+        new MediaWikiPartitionReader(file, requiredSchema, nsFilter,
+          nsNameFilter, hconf)
+      case r: MediaWikiRangePartition =>
+        new MediaWikiRangeReader(r, requiredSchema, nsFilter, nsNameFilter,
+          hconf)
+      case other =>
+        throw new IllegalArgumentException(s"unknown partition: $other")
+    }
 }
 
-/** StAX page reader for one file. The namespace registry is parsed from
-  * the stream head before any page is emitted; page bodies are skipped
-  * (not materialized) when the pushed ns filters reject the page or the
-  * projection doesn't need them. */
+/** Shared StAX configuration and row assembly for the two readers. */
+private[sources] object MediaWikiXml {
+  private val factory: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty("javax.xml.stream.isSupportingExternalEntities",
+      java.lang.Boolean.FALSE)
+    f
+  }
+  // XMLInputFactory is not thread-safe to configure but is safe to use
+  // once configured per the StAX spec; reader creation is synchronized
+  // to be safe across concurrent task threads.
+  def newReader(in: InputStream): XMLStreamReader =
+    factory.synchronized(factory.createXMLStreamReader(in))
+
+  def buildRow(requiredSchema: StructType, nsName: Int => Option[String],
+      title: String, ns: Integer, text: String,
+      upFile: String, upEnc: String, upContents: String): InternalRow = {
+    val row = new GenericInternalRow(requiredSchema.length)
+    var i = 0
+    requiredSchema.fieldNames.foreach { f =>
+      val v: Any = f match {
+        case "title" => if (title == null) null else UTF8String.fromString(title)
+        case "ns" => ns
+        case "ns_name" =>
+          if (ns == null) null
+          else nsName(ns.intValue()).map(UTF8String.fromString).orNull
+        case "text" => if (text == null) null else UTF8String.fromString(text)
+        case "upload_filename" =>
+          if (upFile == null) null else UTF8String.fromString(upFile)
+        case "upload_encoding" =>
+          if (upEnc == null) null else UTF8String.fromString(upEnc)
+        case "upload_contents" =>
+          if (upContents == null) null else UTF8String.fromString(upContents)
+        case other =>
+          throw new IllegalArgumentException(s"unknown column: $other")
+      }
+      row.update(i, v)
+      i += 1
+    }
+    row
+  }
+}
+
+/** StAX page reader for one WHOLE file (optionally bz2-compressed). The
+  * namespace registry is parsed from the stream head before any page is
+  * emitted; page bodies are skipped (not materialized) when the pushed
+  * ns filters reject the page or the projection doesn't need them. */
 class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
     nsFilter: Option[Set[Int]], nsNameFilter: Option[Set[String]],
     hconf: SerializableHadoopConf)
@@ -256,18 +516,14 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
   private val needUpload = requiredSchema.fieldNames
     .exists(_.startsWith("upload_"))
 
-  private val input = {
+  private val input: InputStream = {
     val p = new Path(file)
-    p.getFileSystem(hconf.value).open(p)
+    val raw = p.getFileSystem(hconf.value).open(p)
+    if (file.endsWith(".bz2"))
+      new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
+    else raw
   }
-  private val xml: XMLStreamReader = {
-    val f = XMLInputFactory.newInstance()
-    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
-    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
-    f.setProperty("javax.xml.stream.isSupportingExternalEntities",
-      java.lang.Boolean.FALSE)
-    f.createXMLStreamReader(input)
-  }
+  private val xml: XMLStreamReader = MediaWikiXml.newReader(input)
 
   private val registry = mutable.Map.empty[Int, String]
   private var registryDone = false
@@ -304,35 +560,7 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
 
   private def nsAccepted: Boolean =
     ns != null && nsFilter.forall(_.contains(ns.intValue())) &&
-      nsNameFilter.forall(_.contains(nsName(ns.intValue()).orNull))
-
-  private def nsName(k: Int): Option[String] = registry.get(k)
-
-  private def emit(): InternalRow = {
-    val row = new GenericInternalRow(requiredSchema.length)
-    var i = 0
-    requiredSchema.fieldNames.foreach { f =>
-      val v: Any = f match {
-        case "title" => if (title == null) null else UTF8String.fromString(title)
-        case "ns" => ns
-        case "ns_name" =>
-          if (ns == null) null
-          else nsName(ns.intValue()).map(UTF8String.fromString).orNull
-        case "text" => if (text == null) null else UTF8String.fromString(text)
-        case "upload_filename" =>
-          if (upFile == null) null else UTF8String.fromString(upFile)
-        case "upload_encoding" =>
-          if (upEnc == null) null else UTF8String.fromString(upEnc)
-        case "upload_contents" =>
-          if (upContents == null) null else UTF8String.fromString(upContents)
-        case other =>
-          throw new IllegalArgumentException(s"unknown column: $other")
-      }
-      row.update(i, v)
-      i += 1
-    }
-    row
-  }
+      nsNameFilter.forall(_.contains(registry.get(ns.intValue()).orNull))
 
   override def next(): Boolean = {
     var inPage = false
@@ -389,7 +617,11 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
               // Spark's own semantics)
               val passes = pageRejected == false &&
                 ((nsFilter.isEmpty && nsNameFilter.isEmpty) || nsAccepted)
-              if (passes) { current = emit(); return true }
+              if (passes) {
+                current = MediaWikiXml.buildRow(requiredSchema, registry.get,
+                  title, ns, text, upFile, upEnc, upContents)
+                return true
+              }
             case _ => ()
           }
         case _ => ()
@@ -400,4 +632,198 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
 
   override def get(): InternalRow = current
   override def close(): Unit = { xml.close(); input.close() }
+}
+
+/** Byte stream that exposes at most `limit` bytes of `in` (for bounding
+  * a bz2 stream-range read without closing the underlying file early). */
+private[sources] final class LimitedInputStream(in: InputStream, limit: Long)
+    extends InputStream {
+  private var remaining = limit
+  override def read(): Int =
+    if (remaining <= 0) -1
+    else { val b = in.read(); if (b >= 0) remaining -= 1; b }
+  override def read(b: Array[Byte], off: Int, len: Int): Int =
+    if (remaining <= 0) -1
+    else {
+      val n = in.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (n > 0) remaining -= n
+      n
+    }
+  override def close(): Unit = in.close()
+}
+
+/** Incremental scanner yielding `<page>…</page>` byte chunks and the
+  * absolute offset of each chunk's start tag. Sound because MediaWiki
+  * dump text content is XML-escaped — a literal `<page>`/`</page>`
+  * cannot occur inside a text node (the Mahout XmlInputFormat premise;
+  * dumps contain no CDATA or comments). */
+private[sources] final class PageChunkScanner(in: InputStream, basePos: Long) {
+  private val Start = "<page>".getBytes(UTF_8)
+  private val End = "</page>".getBytes(UTF_8)
+  private var pos = basePos
+
+  /** Offset of the next `<page>` start tag, or -1 at EOF. On return the
+    * start tag bytes have been consumed. ('<' occurs only at index 0 of
+    * the pattern, so the restart-on-mismatch rule below is exact.) */
+  private def findStart(): Long = {
+    var m = 0
+    var b = in.read()
+    while (b >= 0) {
+      pos += 1
+      if (b == Start(m)) {
+        m += 1
+        if (m == Start.length) return pos - Start.length
+      } else m = if (b == '<') 1 else 0
+      b = in.read()
+    }
+    -1L
+  }
+
+  /** Read the rest of the current page through `</page>` (inclusive). */
+  private def readChunk(): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(8 * 1024)
+    out.write(Start, 0, Start.length)
+    var m = 0
+    var b = in.read()
+    while (b >= 0) {
+      pos += 1
+      out.write(b)
+      if (b == End(m)) {
+        m += 1
+        if (m == End.length) return out.toByteArray
+      } else m = if (b == '<') 1 else 0
+      b = in.read()
+    }
+    throw new EOFException(
+      s"unterminated <page> element at offset ${pos} — truncated dump or a " +
+        "page straddling a bz2 stream boundary (pages must be wholly " +
+        "contained in their stream, as multistream dumps guarantee)")
+  }
+
+  /** Next page chunk whose start tag offset is `< maxStart`, else None. */
+  def next(maxStart: Long): Option[Array[Byte]] = {
+    val off = findStart()
+    if (off < 0 || off >= maxStart) None else Some(readChunk())
+  }
+}
+
+/** Reader for one byte-range split. Plain XML: seek to `start`, scan to
+  * the next `<page>` boundary, own pages whose start tag is in
+  * `[start, end)`. Compressed: decompress exactly the bz2 streams in
+  * `[start, end)` and own every page inside. Each chunk is parsed as a
+  * standalone StAX document with the same pruning/pushdown semantics as
+  * the whole-file reader. */
+class MediaWikiRangeReader(part: MediaWikiRangePartition,
+    requiredSchema: StructType, nsFilter: Option[Set[Int]],
+    nsNameFilter: Option[Set[String]], hconf: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
+
+  private val needText = requiredSchema.fieldNames.contains("text")
+  private val needUpload = requiredSchema.fieldNames
+    .exists(_.startsWith("upload_"))
+
+  private val raw = {
+    val p = new Path(part.file)
+    val in = p.getFileSystem(hconf.value).open(p)
+    if (part.start > 0) in.seek(part.start)
+    in
+  }
+  private val (scanner, maxStart) =
+    if (part.compressed) {
+      val bounded = new LimitedInputStream(raw, part.end - part.start)
+      val bz = new BZip2CompressorInputStream(
+        new BufferedInputStream(bounded, 64 * 1024), true)
+      (new PageChunkScanner(new BufferedInputStream(bz, 64 * 1024), 0L),
+        Long.MaxValue)
+    } else
+      (new PageChunkScanner(new BufferedInputStream(raw, 64 * 1024), part.start),
+        part.end)
+
+  private var current: InternalRow = _
+
+  private def nsAccepted(ns: Integer): Boolean =
+    ns != null && nsFilter.forall(_.contains(ns.intValue())) &&
+      nsNameFilter.forall(_.contains(part.registry.get(ns.intValue()).orNull))
+
+  /** Parse one page chunk; null if the pushed filters reject it (the
+    * parse stops at `<ns>` for rejected pages — the body, the bulk of
+    * the chunk, is never tokenized). */
+  private def parseChunk(chunk: Array[Byte]): InternalRow = {
+    var title: String = null
+    var ns: Integer = null
+    var text: String = null
+    var upFile: String = null
+    var upEnc: String = null
+    var upContents: String = null
+    val xml = MediaWikiXml.newReader(new ByteArrayInputStream(chunk))
+    try {
+      var inRevision = false
+      var inUpload = false
+      def skipElement(): Unit = {
+        var depth = 1
+        while (depth > 0 && xml.hasNext) {
+          xml.next() match {
+            case XMLStreamConstants.START_ELEMENT => depth += 1
+            case XMLStreamConstants.END_ELEMENT => depth -= 1
+            case _ => ()
+          }
+        }
+      }
+      def attr(local: String): String = {
+        var i = 0
+        while (i < xml.getAttributeCount) {
+          if (xml.getAttributeLocalName(i) == local)
+            return xml.getAttributeValue(i)
+          i += 1
+        }
+        null
+      }
+      while (xml.hasNext) {
+        xml.next() match {
+          case XMLStreamConstants.START_ELEMENT =>
+            xml.getLocalName match {
+              case "title" => title = xml.getElementText
+              case "ns" =>
+                ns = Integer.valueOf(xml.getElementText.trim.toInt)
+                if (!nsAccepted(ns) &&
+                    (nsFilter.nonEmpty || nsNameFilter.nonEmpty)) return null
+              case "revision" => inRevision = true
+              case "text" if inRevision =>
+                if (needText) text = xml.getElementText else skipElement()
+              case "upload" =>
+                if (needUpload) inUpload = true else skipElement()
+              case "filename" if inUpload => upFile = xml.getElementText
+              case "contents" if inUpload =>
+                upEnc = attr("encoding")
+                upContents = xml.getElementText
+              case _ => ()
+            }
+          case XMLStreamConstants.END_ELEMENT =>
+            xml.getLocalName match {
+              case "revision" => inRevision = false
+              case "upload" => inUpload = false
+              case _ => ()
+            }
+          case _ => ()
+        }
+      }
+    } finally xml.close()
+    // a page with NO <ns> element: null fails =/IN, matching Spark
+    if ((nsFilter.nonEmpty || nsNameFilter.nonEmpty) && !nsAccepted(ns)) null
+    else MediaWikiXml.buildRow(requiredSchema, part.registry.get,
+      title, ns, text, upFile, upEnc, upContents)
+  }
+
+  override def next(): Boolean = {
+    var chunk = scanner.next(maxStart)
+    while (chunk.isDefined) {
+      val row = parseChunk(chunk.get)
+      if (row != null) { current = row; return true }
+      chunk = scanner.next(maxStart)
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = raw.close()
 }

@@ -180,6 +180,168 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deleting a consumed file fails the stream loudly, not silently") {
+    val dir = Files.createTempDirectory("graft-dsv2-del")
+    val f1 = dir.resolve("dump-001.xml")
+    Files.writeString(f1, fixtureXml)
+    val q = spark.readStream.format("mediawiki").load(dir.toString)
+      .writeStream.format("memory").queryName("mw_del")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv2-del-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mw_del").count() == 4)
+      // violate the append-only contract: remove a consumed file
+      Files.delete(f1)
+      Files.writeString(dir.resolve("dump-002.xml"), fixtureXml)
+      val ex = intercept[Exception] { q.processAllAvailable() }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(ex).exists(_.getMessage != null) &&
+        causes(ex).exists(c => c.getMessage != null &&
+          c.getMessage.contains("no longer exist")),
+        s"expected loud deletion error, got: $ex")
+    } finally q.stop()
+  }
+
+  test("a late file sorting below the consumed offset is skipped, stream lives") {
+    val dir = Files.createTempDirectory("graft-dsv2-late")
+    Files.writeString(dir.resolve("dump-002.xml"), fixtureXml)
+    val q = spark.readStream.format("mediawiki").load(dir.toString)
+      .writeStream.format("memory").queryName("mw_late")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-dsv2-late-ckpt").toString)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("mw_late").count() == 4)
+      // dump-001 arrives AFTER dump-002 was consumed: contract violation,
+      // warned and skipped (not silently remapped into other offsets)
+      Files.writeString(dir.resolve("dump-001.xml"), fixtureXml)
+      Files.writeString(dir.resolve("dump-003.xml"), fixtureXml)
+      q.processAllAvailable()
+      assert(spark.table("mw_late").count() == 8)
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+  }
+
+  // ---- intra-file splitting ------------------------------------------
+
+  private def manyPagesXml(n: Int): String = {
+    val pages = (1 to n).map { i =>
+      s"""  <page>
+         |    <title>Page $i</title>
+         |    <ns>${if (i % 2 == 0) 0 else 14}</ns>
+         |    <revision><text>body of page $i with enough padding text that
+         |byte ranges cut through page bodies, not just between tags</text></revision>
+         |  </page>""".stripMargin
+    }.mkString("\n")
+    s"""<mediawiki>
+       |  <siteinfo><namespaces>
+       |    <namespace key="0"/>
+       |    <namespace key="14">Category</namespace>
+       |  </namespaces></siteinfo>
+       |$pages
+       |</mediawiki>""".stripMargin
+  }
+
+  test("large plain-XML file splits into byte ranges with identical rows") {
+    val tmp = Files.createTempDirectory("graft-dsv2-split")
+    val p = tmp.resolve("big.xml")
+    Files.writeString(p, manyPagesXml(40))
+    val whole = spark.read.format("mediawiki").load(p.toString)
+    assert(whole.rdd.getNumPartitions == 1)
+    val split = spark.read.format("mediawiki")
+      .option("splitSize", "512").load(p.toString)
+    assert(split.rdd.getNumPartitions > 4,
+      s"expected many byte-range splits, got ${split.rdd.getNumPartitions}")
+    val a = whole.select("title", "ns", "ns_name", "text")
+      .as[(String, Int, String, String)].collect().sortBy(_._1)
+    val b = split.select("title", "ns", "ns_name", "text")
+      .as[(String, Int, String, String)].collect().sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+    assert(b.count(_._3 == "Main") == 20)
+    // pushdown semantics survive splitting (ns precedes the body)
+    assert(split.filter(col("ns") === 14).count() == 20)
+    assert(split.filter(col("ns_name") === "Main").count() == 20)
+  }
+
+  private def bz2Bytes(s: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val bz = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos)
+    bz.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    bz.close()
+    bos.toByteArray
+  }
+
+  /** header + two page streams + footer, one bz2 stream each, plus the
+    * companion offset:pageid:title index. */
+  private def writeMultistream(dir: java.nio.file.Path, withIndex: Boolean,
+      compressIndex: Boolean = false): (String, Int) = {
+    def page(i: Int) =
+      s"  <page>\n    <title>Page $i</title>\n    <ns>${if (i % 2 == 0) 0 else 14}</ns>\n" +
+        s"    <revision><text>multistream body $i</text></revision>\n  </page>\n"
+    val header = bz2Bytes(
+      "<mediawiki>\n  <siteinfo><namespaces>\n    <namespace key=\"0\"/>\n" +
+        "    <namespace key=\"14\">Category</namespace>\n  </namespaces></siteinfo>\n")
+    val s1 = bz2Bytes((1 to 3).map(page).mkString)
+    val s2 = bz2Bytes((4 to 6).map(page).mkString)
+    val footer = bz2Bytes("</mediawiki>\n")
+    val dump = dir.resolve("wiki-multistream.xml.bz2")
+    Files.write(dump, header ++ s1 ++ s2 ++ footer)
+    if (withIndex) {
+      val off1 = header.length.toLong
+      val off2 = off1 + s1.length
+      val lines = ((1 to 3).map(i => s"$off1:$i:Page $i") ++
+        (4 to 6).map(i => s"$off2:$i:Page $i")).mkString("\n") + "\n"
+      if (compressIndex)
+        Files.write(dir.resolve("wiki-multistream-index.txt.bz2"),
+          bz2Bytes(lines))
+      else
+        Files.writeString(dir.resolve("wiki-multistream-index.txt"), lines)
+    }
+    (dump.toString, 6)
+  }
+
+  test("multistream bz2 + index: one partition per stream range, rows intact") {
+    val dir = Files.createTempDirectory("graft-dsv2-ms")
+    val (dump, n) = writeMultistream(dir, withIndex = true,
+      compressIndex = true)
+    val df = spark.read.format("mediawiki").option("splitSize", "1").load(dump)
+    // ranges: [0, s1), [s1, s2), [s2, eof) — header range holds no pages
+    assert(df.rdd.getNumPartitions == 3)
+    val rows = df.select("title", "ns", "ns_name")
+      .as[(String, Int, String)].collect().sortBy(_._1)
+    assert(rows.length == n)
+    assert(rows.map(_._1).toSeq == (1 to 6).map(i => s"Page $i"))
+    assert(rows.forall(r => r._3 == (if (r._2 == 0) "Main" else "Category")))
+    // pushdown still applies inside stream ranges
+    assert(df.filter(col("ns") === 0).count() == 3)
+  }
+
+  test("multistream bz2 without index falls back to one decompressing split") {
+    val dir = Files.createTempDirectory("graft-dsv2-ms-noidx")
+    val (dump, n) = writeMultistream(dir, withIndex = false)
+    val df = spark.read.format("mediawiki").load(dump)
+    assert(df.rdd.getNumPartitions == 1)
+    assert(df.count() == n)
+    assert(df.filter(col("ns_name") === "Main").count() == 3)
+  }
+
+  test("directory listing skips hidden, _metadata, and index files") {
+    val dir = Files.createTempDirectory("graft-dsv2-hygiene")
+    Files.writeString(dir.resolve("a.xml"), fixtureXml)
+    Files.writeString(dir.resolve("_SUCCESS"), "")
+    Files.writeString(dir.resolve(".a.xml.crc"), "not xml at all")
+    writeMultistream(dir, withIndex = true)
+    val df = spark.read.format("mediawiki").load(dir.toString)
+    // 4 pages from a.xml + 6 from the multistream dump; the index and
+    // metadata files are never opened as dumps
+    assert(df.count() == 10)
+  }
+
   test("matches the built-in xml reader + broadcast registry join") {
     val viaDsv2 = spark.read.format("mediawiki").load(dumpPath)
       .select("title", "ns", "ns_name", "text")
