@@ -34,7 +34,17 @@ object Phase2 {
           regexp_replace(col("content").cast("string"), "^\\s+|\\s+$", "")
             .as("url"))
         .collect()
-      catch { case _: Throwable => Array.empty[org.apache.spark.sql.Row] }
+      catch {
+        // only "nothing staged there" is a benign empty config — the
+        // reference treats a missing parenturl.txt the same way
+        // (upload_notion_blocks.py:217-225). Real IO faults (permissions,
+        // unknown scheme, transient FS errors) must propagate: swallowing
+        // them here would silently route every page to the failure path.
+        case _: org.apache.spark.sql.AnalysisException =>
+          Array.empty[org.apache.spark.sql.Row]
+        case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.spark.sql.Row]
+      }
     rows.map(r => r.getString(0) -> r.getString(1)).toMap
   }
 

@@ -91,6 +91,21 @@ class IngestSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("S11 readParentUrls: missing dir is empty config, bad FS propagates") {
+    val missing = Files.createTempDirectory("graft-parenturl").resolve("nope")
+    assert(Phase2.readParentUrls(spark, missing.toString).isEmpty)
+    // a present tree with one parenturl.txt resolves (trailing newline trimmed)
+    val staged = Files.createTempDirectory("graft-parenturl-ok")
+    val sub = Files.createDirectories(staged.resolve("Main"))
+    Files.writeString(sub.resolve("parenturl.txt"), "https://x.test/p1\n")
+    val got = Phase2.readParentUrls(spark, staged.toString)
+    assert(got.values.toSeq == Seq("https://x.test/p1"))
+    // a real FS fault (unknown scheme) is NOT swallowed into "no parents"
+    intercept[Exception] {
+      Phase2.readParentUrls(spark, "nosuchscheme://bucket/staging")
+    }
+  }
+
   test("streaming ingest: explode, ordinal order, idempotent replay") {
     val tmp = Files.createTempDirectory("graft-ingest")
     val staging = tmp.resolve("staging"); Files.createDirectories(staging)
