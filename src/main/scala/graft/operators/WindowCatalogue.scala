@@ -151,21 +151,30 @@ object WindowCatalogue {
   // hash-partitioned one (PlanShapeSpec asserts no empty partitionSpec).
   // ---------------------------------------------------------------------
   def q61QualityDeciles(s: SparkSession, d: String): DataFrame = {
-    // cached: the projection feeds THREE consumers — the approx-quantile
-    // job, the per-bucket counts job, and the returned plan — and would
-    // otherwise be re-scanned by each
-    val docs = documents(s, d).select(col("doc_id"), col("n_chars")).cache()
+    // cached for the TWO eager driver-side jobs below (approx-quantile +
+    // per-bucket counts); unpersisted before returning so no block stays
+    // pinned in executor memory across catalogue runs — the returned
+    // plan re-scans the pruned 2-column projection once instead, which
+    // is cheaper than a slow cache leak in a long-lived session
+    val cached = documents(s, d).select(col("doc_id"), col("n_chars")).cache()
     val buckets = 32
-    // interior boundaries: 31 doubles to the driver — control-plane
-    val bounds = docs.stat.approxQuantile("n_chars",
-      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      .distinct.sorted
+    val (bounds, counts) = try {
+      // interior boundaries: 31 doubles to the driver — control-plane
+      val b = cached.stat.approxQuantile("n_chars",
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        .distinct.sorted
+      val boundsArr = array(b.map(lit(_)): _*)
+      // per-bucket counts → exclusive prefix offsets (≤ `buckets` rows)
+      val c = cached.withColumn("bucket",
+          size(filter(boundsArr, x => x < col("n_chars"))))
+        .groupBy(col("bucket")).count()
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      (b, c)
+    } finally cached.unpersist()
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
     val boundsArr = array(bounds.map(lit(_)): _*)
     val bucketed = docs.withColumn("bucket",
       size(filter(boundsArr, b => b < col("n_chars"))))
-    // per-bucket counts → exclusive prefix offsets (≤ `buckets` rows)
-    val counts = bucketed.groupBy(col("bucket")).count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val n = counts.map(_._2).sum
     val offsets = counts.scanLeft((0, 0L)) {
       case ((_, acc), (b, c)) => (b, acc + c)

@@ -42,50 +42,60 @@ object KMeans {
     val spark = emb.sparkSession
     import spark.implicits._
 
-    // deterministic init: the k lowest vec_ids (callers wanting k-means++
-    // style spread should pre-shuffle ids; determinism beats spread for
-    // a reproducible pipeline stage)
-    var cents: Array[Array[Float]] = emb.orderBy(col("vec_id")).limit(k)
-      .select(col("embedding")).as[Array[Float]].collect()
-    require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
-    val dim = cents.head.length
+    // one source scan for the whole fit: every Lloyd round reads this
+    // projection twice (assignment + update), so a 20-round fit would
+    // otherwise cost 40 source scans
+    val data = emb.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: the k lowest vec_ids (callers wanting
+      // k-means++ style spread should pre-shuffle ids; determinism beats
+      // spread for a reproducible pipeline stage)
+      var cents: Array[Array[Float]] = data.orderBy(col("vec_id")).limit(k)
+        .select(col("embedding")).as[Array[Float]].collect()
+      require(cents.length == k, s"need at least $k vectors, got ${cents.length}")
+      val dim = cents.head.length
 
-    def centDf(c: Array[Array[Float]]) =
-      broadcast(spark.createDataFrame(
-        c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq)
-        .toDF("cid", "cvec")
-        .select(col("cid"), col("cvec").cast("array<float>").as("cvec")))
+      def centDf(c: Array[Array[Float]]) =
+        broadcast(spark.createDataFrame(
+          c.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq)
+          .toDF("cid", "cvec")
+          .select(col("cid"), col("cvec").cast("array<float>").as("cvec")))
 
-    def assign(c: Array[Array[Float]]): DataFrame =
-      emb.select(col("vec_id"), col("embedding"))
-        .crossJoin(centDf(c))
-        .select(col("vec_id"),
-          struct(VectorOps.dist2_f(col("embedding"), col("cvec")).as("d2"),
-            col("cid")).as("dc"))
-        .groupBy(col("vec_id"))
-        .agg(min(col("dc")).getField("cid").as("cid"))
+      def assign(src: DataFrame, c: Array[Array[Float]]): DataFrame =
+        src.select(col("vec_id"), col("embedding"))
+          .crossJoin(centDf(c))
+          .select(col("vec_id"),
+            struct(VectorOps.dist2_f(col("embedding"), col("cvec")).as("d2"),
+              col("cid")).as("dc"))
+          .groupBy(col("vec_id"))
+          .agg(min(col("dc")).getField("cid").as("cid"))
 
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      iter += 1
-      // per-dimension means; k·dim cells to the driver (control-plane)
-      val sums = assign(cents).join(emb, "vec_id")
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "e")))
-        .groupBy(col("cid"), col("pos"))
-        .agg(avg(col("e")).as("m"))
-        .as[(Int, Int, Double)].collect()
-      val next = cents.map(_.clone())
-      sums.foreach { case (cid, pos, m) => next(cid)(pos) = m.toFloat }
-      // empty clusters keep their previous centroid (no rows → no update)
-      val shift = cents.zip(next).map { case (a, b) =>
-        var s = 0.0; var i = 0
-        while (i < dim) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
-        s
-      }.max
-      cents = next
-      converged = shift < tol
-    }
-    Result(assign(cents), cents, iter, converged)
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        iter += 1
+        // per-dimension means; k·dim cells to the driver (control-plane)
+        val sums = assign(data, cents).join(data, "vec_id")
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "e")))
+          .groupBy(col("cid"), col("pos"))
+          .agg(avg(col("e")).as("m"))
+          .as[(Int, Int, Double)].collect()
+        val next = cents.map(_.clone())
+        sums.foreach { case (cid, pos, m) => next(cid)(pos) = m.toFloat }
+        // empty clusters keep their previous centroid (no rows → no update)
+        val shift = cents.zip(next).map { case (a, b) =>
+          var s = 0.0; var i = 0
+          while (i < dim) { val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1 }
+          s
+        }.max
+        cents = next
+        converged = shift < tol
+      }
+      // the returned assignments plan is built on the UNCACHED source so
+      // no block stays pinned after fit returns (one re-scan when the
+      // caller consumes it)
+      Result(assign(emb, cents), cents, iter, converged)
+    } finally data.unpersist()
   }
 }
