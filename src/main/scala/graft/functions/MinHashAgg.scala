@@ -36,6 +36,17 @@ case class MinHashPortableAgg(
   extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression]
   with ImplicitCastInputTypes {
 
+  // Overflow headroom gates numHashes: the accumulator is
+  // A_i·hi + B_i·lo + i with hi, lo < 2^30 and A_i, B_i < 1000003·numHashes,
+  // so the sum is < 2·1000003·numHashes·2^30. At numHashes = 4096 that is
+  // ~2^62.9 — still under Long.MaxValue; at ~8590 it wraps on the JVM
+  // (where DuckDB would raise), silently breaking cross-engine
+  // bit-identity. Enforced here so the SQL surface (minhash_portable)
+  // rejects bad literals at analysis time, not with wrong answers.
+  require(numHashes > 0 && numHashes <= 4096,
+    s"minhash_portable numHashes must be in [1, 4096], got $numHashes " +
+      "(beyond 4096 the universal-hash products overflow Long)")
+
   // analysis-time typing: int arguments get implicit casts instead of a
   // runtime ClassCastException in every task
   override def inputTypes: Seq[DataType] = Seq(LongType)

@@ -478,6 +478,17 @@ object Dedup {
     * combinable — deliberately not a row_number window, which would
     * sort a hot shingle's occurrences in one partition).
     *
+    * COLLISION ASSUMPTION: duplicate windows are detected by the 64-bit
+    * xxhash64 of the token window, not the tokens themselves. Unlike the
+    * read-only sketches that share this assumption, a collision here
+    * REWRITES data — it would excise a never-duplicated passage. The
+    * expected number of colliding window pairs is ~W²/2^65 for W distinct
+    * windows corpus-wide (birthday bound): negligible below ~10^8 windows,
+    * and ~0.03 expected false excisions at W = 10^9. For production runs
+    * above that scale, re-verify candidate spans against the token slice
+    * (a doc_id-keyed join back to `tok` on the excised positions) before
+    * rewriting, or widen the fingerprint to 128 bits.
+    *
     * Returns (doc_id, n_tokens, n_removed, cleaned_text). */
   def spanExcision(docs: DataFrame, n: Int = 8,
       keepFirst: Boolean = false): DataFrame = {

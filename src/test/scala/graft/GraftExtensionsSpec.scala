@@ -69,6 +69,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       spark.sql("SELECT minhash_sig(array('a'), length('xx'))").collect()
     }
   }
+
+  test("minhash_portable rejects out-of-range numHashes at analysis time") {
+    GraftFunctions.register(spark)
+    Seq((1L, "a")).toDF("doc_id", "t").createOrReplaceTempView("mh_bounds")
+    // beyond 4096 the universal-hash products can overflow Long (JVM
+    // wraps where DuckDB errors) — must fail before any task runs
+    for (bad <- Seq(0, -1, 4097, 8600)) {
+      val e = intercept[Exception] {
+        spark.sql(
+          s"SELECT minhash_portable(md5_64(t), $bad) FROM mh_bounds GROUP BY doc_id")
+          .collect()
+      }
+      assert(e.getMessage.contains("4096") || e.getMessage.contains("numHashes"),
+        s"numHashes=$bad: ${e.getMessage.take(200)}")
+    }
+    // the max legal width still evaluates
+    val ok = spark.sql(
+      "SELECT minhash_portable(md5_64(t), 4096) AS s FROM mh_bounds GROUP BY doc_id")
+      .collect()
+    assert(ok(0).getSeq[Long](0).size == 4096)
+  }
 }
 
 class CleanupSpec extends AnyFunSuite {
