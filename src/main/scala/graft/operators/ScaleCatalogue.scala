@@ -1385,17 +1385,33 @@ object ScaleCatalogue {
   // q65 — approximate distinct profile: per-language vocabulary size via
   // HLL++ (approx_count_distinct). At 100 TB the exact distinct is a
   // full-vocabulary shuffle; the sketch is mergeable map-side state of a
-  // few KB per group. Deterministic for fixed data/plan but not
-  // SQL-oracle-able (engine-specific sketch) → rows-only check; the
-  // ±rsd error bound vs exact is pinned by ScalaTest instead.
+  // few KB per group. The sketch VALUE is engine-specific, so the oracle
+  // compare is on (a) the exact distinct, hash-exact vs DuckDB, and
+  // (b) `approx_ok` — the sketch landing within 5·rsd of exact — which
+  // the oracle predicts as constant true. A broken sketch flips the
+  // boolean and fails the hash; the tighter ±3·rsd bound stays pinned by
+  // ScalaTest. The exact distinct here is verification apparatus: the
+  // production operator is the sketch alone.
   // ---------------------------------------------------------------------
   def q65ApproxProfile(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
       .groupBy(col("lang"))
       .agg(approx_count_distinct(col("term"), rsd = 0.02).as("approx_vocab"),
+        countDistinct(col("term")).as("exact_vocab"),
         count(lit(1)).as("tokens"))
+      .select(col("lang"), col("exact_vocab"), col("tokens"),
+        (abs(col("approx_vocab") - col("exact_vocab")) <=
+          lit(5 * 0.02) * col("exact_vocab")).as("approx_ok"))
       .orderBy(col("lang"))
+  val q65Sql: String =
+    """SELECT lang,
+      |  CAST(count(DISTINCT term) AS BIGINT) AS exact_vocab,
+      |  CAST(count(*) AS BIGINT) AS tokens,
+      |  true AS approx_ok
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS term
+      |      FROM documents) t
+      |GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------------
   // q49 — corpus vocabulary: global term frequencies, top-k with
@@ -1554,6 +1570,7 @@ object ScaleCatalogue {
     "q57_split" -> q57Sql,
     "q58_weighted_sample" -> q58Sql,
     "q59_packing" -> q59Sql,
+    "q65_approx_profile" -> q65Sql,
     "q68_stratified_sample" -> q68Sql,
     "q69_decontaminate" -> q69Sql,
     "q70_char_entropy" -> q70Sql,

