@@ -2,6 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.CheckpointBridge
 
 /** Large-scale deduplication operators over a `documents`-shaped table
   * (`doc_id: long, text: string`).
@@ -378,6 +379,9 @@ object Dedup {
         val ra = find(a); val rb = find(b)
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      // the edge list is fully consumed — release its checkpoint blocks
+      // now instead of waiting on the ContextCleaner
+      CheckpointBridge.unpinCheckpoint(sym)
       // union-by-min keeps every root the minimum of its component, so
       // find(v) IS the min-member label
       val out = parent.keys.toSeq.sorted.map(v => (v, find(v)))
@@ -389,6 +393,9 @@ object Dedup {
       .withColumn("label", col("v"))
     var changed = 1L
     var i = 0
+    // the previous round's checkpoint: superseded (and released) as soon
+    // as the next round's checkpoint has materialized from it
+    var prevRound: DataFrame = null
     while (changed > 0 && i < maxIter) {
       val nbr = sym.join(labels, sym("b") === labels("v"))
         .select(sym("a").as("v"), col("label"))
@@ -408,9 +415,18 @@ object Dedup {
         .join(next, "v")
         .localCheckpoint()
       changed = joined.filter(col("next_label") < col("old_label")).count()
+      // `joined` is materialized: round i-1's blocks can never be read
+      // again (lineage was truncated AT joined), so release them now
+      if (prevRound != null) CheckpointBridge.unpinCheckpoint(prevRound)
+      prevRound = joined
       labels = joined.select(col("v"), col("next_label").as("label"))
       i += 1
     }
+    // only the FINAL round's checkpoint backs the returned frame; the
+    // edge list is done. (The final checkpoint itself must stay pinned —
+    // truncated lineage makes it unrecomputable — and is released by the
+    // ContextCleaner when the returned frame is dropped.)
+    CheckpointBridge.unpinCheckpoint(sym)
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents: not converged after $maxIter rounds " +
