@@ -1,0 +1,206 @@
+package graft.sinks
+
+import java.io.{InputStreamReader, OutputStreamWriter}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** One committed write in the block store's transaction log.
+  *
+  * @param txn   replay identity — `"<queryId>#<epochId>"` for streaming
+  *              epochs, null for batch writes (no replay semantics)
+  * @param files data file names (relative to `data/`) made visible
+  * @param keys  blockBatch keys first written by this commit
+  * @param rows  rows across `files`
+  */
+case class GraftLogEntry(txn: Option[String], files: Seq[String],
+    keys: Seq[String], rows: Long)
+
+/** Log-backed visibility for the block store (the DynamoDB-tables role,
+  * reference store_notion_blocks.py:128-150 — `put_item` with
+  * `ConditionExpression=Attr("BlockBatch").not_exists()`).
+  *
+  * Layout under a store root:
+  * {{{
+  *   data/part-*.parquet     committed data files
+  *   _staging/<writeId>-*    task output, invisible until commit
+  *   _graft_log/<v20>.json   one entry per commit, ascending version
+  *   _graft_log/_schema      StructType JSON, written at first commit
+  * }}}
+  *
+  * A data file is VISIBLE iff a log entry lists it — readers never
+  * glob `data/`, so crash residue (staged or half-renamed files) can
+  * never surface. Log entries are made atomic by write-to-temp +
+  * rename, the same recipe as Spark's own streaming metadata logs.
+  *
+  * Scale note: `committedKeys` materializes every blockBatch key on the
+  * driver. Keys are one-per-document (not per-row), so a 100 TB corpus
+  * with ~1e8 documents is a few GiB of driver heap at worst — the same
+  * order as Spark's own file-source metadata log. Past that, shard the
+  * key index by `hash(key) % N` into per-shard files updated at commit
+  * and swap the writer-side exact set for bloom-filter + per-shard
+  * verify; the log format (keys per entry) already supports rebuilding
+  * such an index.
+  */
+object GraftBlocksLog extends Logging {
+  val LogDirName = "_graft_log"
+  val DataDirName = "data"
+  val StagingDirName = "_staging"
+  private val EntryName = """^(\d{20})\.json$""".r
+
+  def logDir(root: Path): Path = new Path(root, LogDirName)
+  def dataDir(root: Path): Path = new Path(root, DataDirName)
+  def stagingDir(root: Path): Path = new Path(root, StagingDirName)
+  def schemaFile(root: Path): Path = new Path(logDir(root), "_schema")
+
+  /** Per-root commit lock: commits within this JVM serialize, so the
+    * read-log/decide/append sequence is atomic. Cross-driver writers
+    * would need a locking catalog service (out of scope — the
+    * reference's DynamoDB provides this per-item; a single Spark
+    * driver owns a store here). */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  def lockFor(root: String): Object =
+    commitLocks.computeIfAbsent(root, _ => new Object)
+
+  def exists(fs: FileSystem, root: Path): Boolean = fs.exists(logDir(root))
+
+  /** All committed entries, ascending version order. */
+  def readEntries(fs: FileSystem, root: Path): Seq[GraftLogEntry] = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return Nil
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && EntryName.findFirstIn(s.getPath.getName).isDefined)
+      .sortBy(_.getPath.getName)
+      .map { s =>
+        val in = fs.open(s.getPath)
+        try {
+          val v = org.json4s.jackson.JsonMethods.parse(
+            new InputStreamReader(in, UTF_8))
+          GraftLogEntry(
+            (v \ "txn").extractOpt[String],
+            (v \ "files").extract[Seq[String]],
+            (v \ "keys").extract[Seq[String]],
+            (v \ "rows").extract[Long])
+        } finally in.close()
+      }
+  }
+
+  def committedKeys(entries: Seq[GraftLogEntry]): Set[String] =
+    entries.iterator.flatMap(_.keys).toSet
+  def committedTxns(entries: Seq[GraftLogEntry]): Set[String] =
+    entries.iterator.flatMap(_.txn).toSet
+  def committedFiles(entries: Seq[GraftLogEntry]): Seq[String] =
+    entries.flatMap(_.files)
+
+  private def nextVersion(fs: FileSystem, root: Path): Long = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) 0L
+    else fs.listStatus(dir).iterator
+      .flatMap(s => EntryName.findFirstMatchIn(s.getPath.getName))
+      .map(_.group(1).toLong)
+      .foldLeft(-1L)(math.max) + 1
+  }
+
+  /** Append one entry atomically (temp + rename; retries the version on
+    * a rename collision). Caller must hold `lockFor(root)`. */
+  def appendEntry(fs: FileSystem, root: Path, entry: GraftLogEntry): Unit = {
+    val dir = logDir(root)
+    fs.mkdirs(dir)
+    var v = nextVersion(fs, root)
+    var done = false
+    while (!done) {
+      val tmp = new Path(dir, f".$v%020d.json.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try {
+        import org.json4s.JsonDSL._
+        val json = ("txn" -> entry.txn.orNull) ~
+          ("files" -> entry.files) ~ ("keys" -> entry.keys) ~
+          ("rows" -> entry.rows)
+        val w = new OutputStreamWriter(out, UTF_8)
+        w.write(org.json4s.jackson.JsonMethods.compact(
+          org.json4s.jackson.JsonMethods.render(json)))
+        w.flush()
+      } finally out.close()
+      val target = new Path(dir, f"$v%020d.json")
+      if (fs.exists(target) || !fs.rename(tmp, target)) {
+        fs.delete(tmp, false) // lost the version race; retry above it
+        v = nextVersion(fs, root)
+      } else done = true
+    }
+  }
+
+  /** Record the store schema once (first commit wins; later writes may
+    * add columns — readers merge, mirroring the pre-sink store's
+    * mergeSchema contract). */
+  def writeSchemaIfAbsent(fs: FileSystem, root: Path, schema: StructType): Unit = {
+    val f = schemaFile(root)
+    if (fs.exists(f)) return
+    val tmp = new Path(logDir(root), s"._schema.${java.util.UUID.randomUUID()}.tmp")
+    fs.mkdirs(logDir(root))
+    val out = fs.create(tmp, false)
+    try {
+      val w = new OutputStreamWriter(out, UTF_8)
+      w.write(schema.json); w.flush()
+    } finally out.close()
+    if (!fs.rename(tmp, f)) fs.delete(tmp, false)
+  }
+
+  def readSchema(fs: FileSystem, root: Path): Option[StructType] = {
+    val f = schemaFile(root)
+    if (!fs.exists(f)) return None
+    val in = fs.open(f)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      Some(DataType.fromJson(new String(bytes.toByteArray, UTF_8))
+        .asInstanceOf[StructType])
+    } finally in.close()
+  }
+}
+
+/** User-facing read/inspect surface for a graft block store. */
+object GraftBlocksStore {
+  /** Read the store's committed contents.
+    *
+    * Visibility is log-driven — only files a commit published are read,
+    * through Spark's native vectorized parquet scan (a hand-rolled DSv2
+    * parquet reader here would only be slower; the connector's value is
+    * the WRITE protocol). A directory with no `_graft_log` is a legacy
+    * store written by the pre-sink `foreachBatch` path and is read as a
+    * plain parquet directory. `mergeSchema` in both paths: stores
+    * written across the language/caption schema upgrade mix 6- and
+    * 8-column files.
+    */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!GraftBlocksLog.exists(fs, p))
+      return spark.read.option("mergeSchema", "true").parquet(root)
+    val entries = GraftBlocksLog.readEntries(fs, p)
+    val files = GraftBlocksLog.committedFiles(entries)
+      .map(n => new Path(GraftBlocksLog.dataDir(p), n).toString)
+    if (files.isEmpty) {
+      val schema = GraftBlocksLog.readSchema(fs, p)
+        .getOrElse(GraftBlocksTableSink.DefaultSchema)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+    } else spark.read.option("mergeSchema", "true").parquet(files: _*)
+  }
+
+  /** Distinct blockBatch keys already committed (the conditional-insert
+    * predicate set). */
+  def committedKeys(spark: SparkSession, root: String): Set[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    GraftBlocksLog.committedKeys(GraftBlocksLog.readEntries(fs, p))
+  }
+}

@@ -1,0 +1,380 @@
+package graft.sinks
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopOutputFile
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.sources.SerializableHadoopConf
+
+/** DataSourceV2 WRITE path for the block store — the K3/K4
+  * conditional-insert semantics (reference
+  * store_notion_blocks.py:128-150: `put_item` with
+  * `ConditionExpression=Attr("BlockBatch").not_exists()`) as a proper
+  * `SupportsWrite` table:
+  *
+  * {{{
+  *   blocks.write.format("graft-blocks").option("path", dir)
+  *     .mode("append").save()                       // batch
+  *   blocks.writeStream.format("graft-blocks")...   // micro-batch
+  *   blocks.writeTo("graft.blocks").append()        // via GraftCatalog
+  * }}}
+  *
+  *  - **First-writer-wins.** A row whose `blockBatch` key was committed
+  *    by ANY earlier write is dropped, never overwritten — re-delivered
+  *    events and manual re-runs are no-ops, while a re-uploaded
+  *    document (new mtime → new batch key) lands as a new page, exactly
+  *    the reference's condition-expression contract. Enforced twice:
+  *    writers filter against the key snapshot taken at write planning
+  *    (the cheap, distributed path), and the commit re-checks under the
+  *    store lock (the authoritative path, healing writes planned
+  *    against a stale snapshot).
+  *  - **Exactly-once micro-batches.** A streaming epoch commits under a
+  *    `queryId#epochId` transaction id; a crash between sink-commit and
+  *    checkpoint-commit replays the epoch, the log already has the txn,
+  *    and the replay's staged files are discarded.
+  *  - **Atomic visibility.** Tasks write parquet to `_staging/` (via
+  *    Spark's own `ParquetWriteSupport`, so files are byte-identical to
+  *    native Spark output); commit renames them into `data/` and then
+  *    publishes ONE log entry. Readers only see logged files — a crash
+  *    at any point leaves invisible residue, never partial data.
+  *
+  * The store is append-only by design (so is the reference's — blocks
+  * are immutable once stored; pages supersede via new batch ids), so
+  * overwrite/truncate are deliberately unsupported.
+  */
+class GraftBlocksDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-blocks"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-blocks requires a path"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val p = new Path(pathOf(options))
+    val fs = p.getFileSystem(
+      graft.sources.MediaWikiDumpTable.sessionHadoopConf().value)
+    GraftBlocksLog.readSchema(fs, p).getOrElse(GraftBlocksTableSink.DefaultSchema)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    require(partitioning.isEmpty, "graft-blocks tables are unpartitioned")
+    new GraftBlocksTableSink(
+      Option(properties.get("path")).getOrElse(
+        throw new IllegalArgumentException("graft-blocks requires a path")),
+      schema,
+      Option(properties.get("keyColumn")).getOrElse("blockBatch"))
+  }
+}
+
+object GraftBlocksTableSink {
+  /** The blocks-store schema `Ingest.explodeBlocks` produces (reference
+    * blocks table: BlockBatch, BlockIndex, S3BucketName, S3ObjectKey,
+    * BlockContent — here with the pickle blob as typed columns). */
+  val DefaultSchema: StructType = StructType(Seq(
+    StructField("blockBatch", StringType),
+    StructField("blockIndex", IntegerType),
+    StructField("bucket", StringType),
+    StructField("key", StringType),
+    StructField("blockType", StringType),
+    StructField("title", StringType),
+    StructField("language", StringType),
+    StructField("caption", StringType)))
+}
+
+class GraftBlocksTableSink(path: String, tableSchema: StructType,
+    keyColumn: String) extends Table with SupportsWrite {
+  override def name(): String = s"graft-blocks:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): JSet[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val schema = info.schema()
+    val ord = schema.fieldNames.indexOf(keyColumn)
+    if (ord < 0 || schema(ord).dataType != StringType)
+      throw new IllegalArgumentException(
+        s"graft-blocks: key column '$keyColumn' must exist with string " +
+          s"type in the written schema (got ${schema.simpleString})")
+    new WriteBuilder {
+      override def build(): Write =
+        new GraftBlocksWrite(path, schema, ord, keyColumn, info.queryId())
+    }
+  }
+}
+
+case class GraftCommitMessage(file: Option[String], keys: Seq[String],
+    rows: Long) extends WriterCommitMessage
+
+/** One logical write: carries the key snapshot and a prepared Hadoop
+  * conf (ParquetWriteSupport settings mirrored from the session's
+  * SQLConf, as Spark's own parquet write path does) to the tasks. */
+class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
+    keyColumn: String, queryId: String)
+    extends Write with BatchWrite with StreamingWrite with Logging {
+
+  private val writeId = java.util.UUID.randomUUID().toString
+  private val hconf: SerializableHadoopConf = {
+    val session = SparkSession.active
+    val conf = session.sessionState.newHadoopConf()
+    val sql = session.sessionState.conf
+    ParquetWriteSupport.setSchema(dataSchema, conf)
+    // ParquetWriteSupport/SparkToParquetSchemaConverter read these keys
+    // with no default — mirror them from the session's SQLConf exactly
+    // as Spark's own ParquetUtils.prepareWrite does
+    Seq(SQLConf.PARQUET_WRITE_LEGACY_FORMAT,
+        SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE,
+        SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED,
+        SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE,
+        SQLConf.PARQUET_REBASE_MODE_IN_WRITE,
+        SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE)
+      .foreach(e => conf.set(e.key, sql.getConf(e).toString))
+    new SerializableHadoopConf(conf)
+  }
+  /** First-writer-wins snapshot for the distributed filter (see the
+    * scale note on [[GraftBlocksLog]] for the >1e8-document plan). */
+  private val existingKeys: Set[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(hconf.value)
+    GraftBlocksLog.committedKeys(GraftBlocksLog.readEntries(fs, p))
+  }
+
+  override def toBatch: BatchWrite = this
+  override def toStreaming: StreamingWrite = this
+  // BatchWrite and StreamingWrite both default this; disambiguate
+  override def useCommitCoordinator(): Boolean = true
+
+  // ---- batch ----
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(root, dataSchema, keyOrd, existingKeys, writeId,
+      None, hconf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommitter.commit(root, hconf.value, None, dataSchema, keyColumn,
+      writeId, messages.map(_.asInstanceOf[GraftCommitMessage]).toSeq)
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    GraftCommitter.abort(root, hconf.value, writeId)
+
+  // ---- streaming ----
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftWriterFactory(root, dataSchema, keyOrd, existingKeys, writeId,
+      Some(()), hconf)
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftCommitter.commit(root, hconf.value, Some(s"$queryId#$epochId"),
+      dataSchema, keyColumn, writeId,
+      messages.map(_.asInstanceOf[GraftCommitMessage]).toSeq)
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    GraftCommitter.abort(root, hconf.value, writeId)
+}
+
+class GraftWriterFactory(root: String, schema: StructType, keyOrd: Int,
+    existingKeys: Set[String], writeId: String, streaming: Option[Unit],
+    hconf: SerializableHadoopConf)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(root, schema, keyOrd, existingKeys,
+      s"$writeId-b-$partitionId-$taskId.parquet", hconf)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(root, schema, keyOrd, existingKeys,
+      s"$writeId-e$epochId-$partitionId-$taskId.parquet", hconf)
+}
+
+/** Task-side writer: filters first-writer-wins against the planning
+  * snapshot, opens the parquet file lazily (empty partitions leave no
+  * file), records the distinct keys it wrote for the commit check. */
+class GraftDataWriter(root: String, schema: StructType, keyOrd: Int,
+    existingKeys: Set[String], fileName: String,
+    hconf: SerializableHadoopConf) extends DataWriter[InternalRow] {
+
+  private val stagedPath =
+    new Path(GraftBlocksLog.stagingDir(new Path(root)), fileName)
+  private var writer: ParquetWriter[InternalRow] = _
+  private val keys = mutable.LinkedHashSet.empty[String]
+  private var rows = 0L
+
+  private def open(): Unit = {
+    val fs = stagedPath.getFileSystem(hconf.value)
+    fs.mkdirs(stagedPath.getParent)
+    writer = new GraftDataWriter.InternalRowWriterBuilder(
+      HadoopOutputFile.fromPath(stagedPath, hconf.value))
+      .withConf(hconf.value)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (row.isNullAt(keyOrd))
+      throw new IllegalArgumentException(
+        "graft-blocks: the batch key column must be non-null (it is the " +
+          "store's partition key, reference blocks table BlockBatch)")
+    val key = row.getUTF8String(keyOrd).toString
+    if (!existingKeys.contains(key)) {
+      if (writer == null) open()
+      writer.write(row)
+      keys += key
+      rows += 1L
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftCommitMessage(if (rows > 0) Some(fileName) else None,
+      keys.toSeq, rows)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    stagedPath.getFileSystem(hconf.value).delete(stagedPath, false)
+  }
+
+  override def close(): Unit = ()
+}
+
+object GraftDataWriter {
+  /** ParquetWriter over Spark's own InternalRow WriteSupport — staged
+    * files are indistinguishable from native Spark parquet output. */
+  private class InternalRowWriterBuilder(file: HadoopOutputFile)
+      extends ParquetWriter.Builder[InternalRow, InternalRowWriterBuilder](file) {
+    override def self(): InternalRowWriterBuilder = this
+    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport()
+  }
+}
+
+/** Driver-side commit protocol. All mutations of a store root are
+  * serialized by `GraftBlocksLog.lockFor`, so read-log → decide →
+  * rename → append-entry is atomic within the owning driver. */
+object GraftCommitter extends Logging {
+
+  def commit(root: String, conf: Configuration, txn: Option[String],
+      schema: StructType, keyColumn: String, writeId: String,
+      messages: Seq[GraftCommitMessage]): Unit = {
+    val rootPath = new Path(root)
+    GraftBlocksLog.lockFor(rootPath.toString).synchronized {
+      val fs = rootPath.getFileSystem(conf)
+      val staging = GraftBlocksLog.stagingDir(rootPath)
+      val entries = GraftBlocksLog.readEntries(fs, rootPath)
+
+      if (txn.exists(GraftBlocksLog.committedTxns(entries).contains)) {
+        // replayed epoch (crash between sink-commit and checkpoint
+        // commit): the data is already visible — discard the replay
+        logInfo(s"graft-blocks: epoch ${txn.get} already committed; " +
+          "discarding replayed staged files")
+        messages.flatMap(_.file)
+          .foreach(f => fs.delete(new Path(staging, f), false))
+        cleanupStaging(fs, staging, writeId)
+        return
+      }
+
+      val committedK = GraftBlocksLog.committedKeys(entries)
+      val dataD = GraftBlocksLog.dataDir(rootPath)
+      fs.mkdirs(dataD)
+      val visible = mutable.ArrayBuffer.empty[String]
+      val newKeys = mutable.LinkedHashSet.empty[String]
+      var rows = 0L
+
+      messages.foreach { m =>
+        m.file.foreach { f =>
+          val staged = new Path(staging, f)
+          val overlap = m.keys.filter(committedK.contains).toSet
+          if (overlap.isEmpty) {
+            if (!fs.rename(staged, new Path(dataD, f)))
+              throw new java.io.IOException(
+                s"graft-blocks: failed to publish $staged")
+            visible += f
+            newKeys ++= m.keys
+            rows += m.rows
+          } else if (m.keys.forall(committedK.contains)) {
+            // every key in the file lost the race — wholly superseded
+            fs.delete(staged, false)
+          } else {
+            // mixed file: written against a snapshot that went stale
+            // under a concurrent write in this JVM — keep only the rows
+            // whose keys are still first
+            val (healed, healedRows) =
+              heal(fs, staged, dataD, f, overlap, keyColumn)
+            visible += healed
+            newKeys ++= m.keys.filterNot(committedK.contains)
+            rows += healedRows
+          }
+        }
+      }
+
+      if (visible.nonEmpty || txn.isDefined) {
+        GraftBlocksLog.writeSchemaIfAbsent(fs, rootPath, schema)
+        GraftBlocksLog.appendEntry(fs, rootPath,
+          GraftLogEntry(txn, visible.toSeq, newKeys.toSeq, rows))
+      }
+      cleanupStaging(fs, staging, writeId)
+    }
+  }
+
+  def abort(root: String, conf: Configuration, writeId: String): Unit = {
+    val rootPath = new Path(root)
+    GraftBlocksLog.lockFor(rootPath.toString).synchronized {
+      val fs = rootPath.getFileSystem(conf)
+      cleanupStaging(fs, GraftBlocksLog.stagingDir(rootPath), writeId)
+    }
+  }
+
+  /** Remove every staged file this write produced (committed ones were
+    * renamed away already; what remains is task residue from failed or
+    * speculative attempts). Other writes' files are untouched. */
+  private def cleanupStaging(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, writeId: String): Unit =
+    if (fs.exists(staging))
+      fs.listStatus(staging)
+        .filter(_.getPath.getName.startsWith(s"$writeId-"))
+        .foreach(s => fs.delete(s.getPath, false))
+
+  /** Rewrite a staged file dropping rows whose keys were committed
+    * first elsewhere. Rare path (requires two same-JVM writes racing on
+    * the same keys), so a one-file Spark job is fine. */
+  private def heal(fs: org.apache.hadoop.fs.FileSystem, staged: Path,
+      dataD: Path, name: String, overlap: Set[String],
+      keyColumn: String): (String, Long) = {
+    val spark = SparkSession.active
+    val tmpOut = new Path(staged.getParent,
+      s".heal-${java.util.UUID.randomUUID()}")
+    val kept = spark.read.parquet(staged.toString)
+      .filter(!col(keyColumn).isin(overlap.toSeq: _*))
+    kept.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val part = fs.listStatus(tmpOut)
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"graft-blocks: heal produced no part file under $tmpOut"))
+    val healedName = s"h-$name"
+    if (!fs.rename(part, new Path(dataD, healedName)))
+      throw new java.io.IOException(s"graft-blocks: failed to publish $part")
+    val healedRows = spark.read
+      .parquet(new Path(dataD, healedName).toString).count()
+    fs.delete(staged, false)
+    fs.delete(tmpOut, true)
+    (healedName, healedRows)
+  }
+}

@@ -17,10 +17,12 @@ import graft.convert.MarkdownBlocks
   *  - T11/T12: markdown → ordered blocks via a flatMap generator +
   *    posexplode ordinal
   *  - F8: pandoc comment artifacts filtered
-  *  - K3: idempotent append — left-anti against the existing store
-  *    inside foreachBatch, the MERGE-WHEN-NOT-MATCHED pattern (the
-  *    checkpoint already gives exactly-once; the anti-join also heals
-  *    manual re-runs)
+  *  - K3: idempotent append through the `graft-blocks` DSv2 sink —
+  *    first-writer-wins on blockBatch (the reference's
+  *    `ConditionExpression=Attr("BlockBatch").not_exists()`), with
+  *    `queryId#epochId` transactional commits for exactly-once
+  *    micro-batches and log-driven visibility (see
+  *    [[graft.sinks.GraftBlocksDataSource]])
   */
 object Ingest {
 
@@ -68,19 +70,10 @@ object Ingest {
           org.apache.spark.sql.types.BinaryType))))
       .load(stagingDir)
     explodeBlocks(staged).writeStream
+      .format("graft-blocks")
+      .option("path", blocksDir)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark2 = batch.sparkSession
-        val existing =
-          try spark2.read.parquet(blocksDir).select("blockBatch", "blockIndex")
-          catch { case _: Throwable => null }
-        val toWrite =
-          if (existing == null) batch
-          else batch.join(existing, Seq("blockBatch", "blockIndex"), "left_anti")
-        toWrite.write.mode("append").parquet(blocksDir)
-        ()
-      }
       .start()
   }
 }

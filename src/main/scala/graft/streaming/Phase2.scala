@@ -60,10 +60,10 @@ object Phase2 {
     val blocksDir = s"$workDir/blocks"
     Ingest.start(spark, stagingDir, blocksDir, s"$workDir/checkpoint")
       .awaitTermination()
-    // mergeSchema: a store written across the language/caption schema
-    // upgrade mixes 6- and 8-column files — without merging, Spark picks
-    // one file's schema and the rich columns can silently vanish
-    val blocks = spark.read.option("mergeSchema", "true").parquet(blocksDir)
+    // log-driven read: only files a sink commit published are visible
+    // (legacy plain-parquet stores still read as before; mergeSchema in
+    // both paths covers stores mixing 6- and 8-column files)
+    val blocks = graft.sinks.GraftBlocksStore.read(spark, blocksDir)
     val parents = readParentUrls(spark, stagingDir)
     val (pages, failures, report) = Drain.run(spark, blocks, parents, api, cfg)
     Result(pages, failures, report)

@@ -53,7 +53,7 @@ class EndToEndSpec extends AnyFunSuite {
     val blocksDir = tmp.resolve("blocks").toString
     Ingest.start(spark, outDir, blocksDir, tmp.resolve("ckpt").toString)
       .awaitTermination()
-    val blocks = spark.read.parquet(blocksDir)
+    val blocks = graft.sinks.GraftBlocksStore.read(spark, blocksDir)
     val alphaBatch = blocks.filter($"key".endsWith("Alpha.md"))
       .select("blockBatch").distinct().as[String].collect()
     assert(alphaBatch.length == 1)

@@ -120,7 +120,7 @@ class IngestSpec extends AnyFunSuite {
 
     Ingest.start(spark, staging.toString, blocksDir, ckpt1)
       .awaitTermination()
-    val stored = spark.read.parquet(blocksDir)
+    val stored = graft.sinks.GraftBlocksStore.read(spark, blocksDir)
     // pathGlobFilter: only the two .md files
     assert(stored.select("key").distinct().count() == 2)
     // ordinals contiguous from 0 per batch; rich payload (language,
@@ -147,18 +147,18 @@ class IngestSpec extends AnyFunSuite {
     assert(ups.exists(b => b.blockType == "code" && b.language == "scala"))
     assert(ups.exists(b => b.blockType == "image" && b.caption == "diagram"))
 
-    // replay with a FRESH checkpoint (simulated redelivery): K3 anti-join
-    // keeps the store exactly-once
+    // replay with a FRESH checkpoint (simulated redelivery): K3
+    // first-writer-wins keeps the store exactly-once
     val before = stored.count()
     Ingest.start(spark, staging.toString, blocksDir, tmp.resolve("ckpt2").toString)
       .awaitTermination()
-    assert(spark.read.parquet(blocksDir).count() == before)
+    assert(graft.sinks.GraftBlocksStore.read(spark, blocksDir).count() == before)
 
     // new file arrives -> only its blocks are appended
     Files.writeString(staging.resolve("c.md"), "# C\n")
     Ingest.start(spark, staging.toString, blocksDir, tmp.resolve("ckpt3").toString)
       .awaitTermination()
-    val after = spark.read.parquet(blocksDir)
+    val after = graft.sinks.GraftBlocksStore.read(spark, blocksDir)
     assert(after.count() == before + 1)
     assert(after.filter($"title" === "C").count() == 1)
   }
