@@ -180,8 +180,54 @@ case class MediaWikiRangePartition(file: String, start: Long, end: Long,
     compressed: Boolean, registry: Map[Int, String]) extends InputPartition
 
 /** Driver-side planning: listing hygiene, split computation, and the
-  * one-time head parse of the namespace registry for split files. */
+  * one-time head parse of the namespace registry for split files.
+  *
+  * The head parse (and, for multistream bz2, the full companion-index
+  * read) happens on the DRIVER once per file per `planInputPartitions`
+  * call — for a streaming query over a high-file-count directory that
+  * would re-open every already-planned file each micro-batch. A memo
+  * keyed on (path, length, modificationTime) makes the per-file work
+  * once-per-lifetime: dump files are immutable once landed
+  * (write-then-rename contract), so the key only changes when a file
+  * is genuinely replaced. Bounded to [[MediaWikiPlanner.MemoMax]]
+  * entries (a registry is a few hundred bytes; an index offset array a
+  * few KB per GB of dump) with whole-cache reset on overflow — planner
+  * memos are a throughput optimization, never a correctness input. */
 object MediaWikiPlanner extends Logging {
+  private val MemoMax = 4096
+  private type MemoKey = (String, Long, Long)
+  private val registryMemo =
+    new java.util.concurrent.ConcurrentHashMap[MemoKey, Map[Int, String]]()
+  private val indexMemo =
+    new java.util.concurrent.ConcurrentHashMap[MemoKey, Array[Long]]()
+  /** Cold parses performed (spec observability). */
+  private[sources] val headParses = new java.util.concurrent.atomic.AtomicLong
+
+  private def memoKey(st: FileStatus): MemoKey =
+    (st.getPath.toString, st.getLen, st.getModificationTime)
+
+  private def memoized[V](cache: java.util.concurrent.ConcurrentHashMap[MemoKey, V],
+      st: FileStatus)(compute: => V): V = {
+    val k = memoKey(st)
+    val hit = cache.get(k)
+    if (hit != null) hit
+    else {
+      if (cache.size() >= MemoMax) cache.clear()
+      headParses.incrementAndGet()
+      val v = compute
+      cache.put(k, v)
+      v
+    }
+  }
+
+  /** Memoized [[parseRegistryFromHead]] keyed on the dump's status. */
+  def registryFor(fs: FileSystem, st: FileStatus): Map[Int, String] =
+    memoized(registryMemo, st)(parseRegistryFromHead(fs, st.getPath))
+
+  /** Memoized [[readIndexOffsets]] keyed on the index file's status. */
+  def indexOffsetsFor(fs: FileSystem, idx: Path): Array[Long] =
+    memoized(indexMemo, fs.getFileStatus(idx))(readIndexOffsets(fs, idx))
+
   /** Spark file-source convention: '.'/'_' prefixed names are metadata
     * (_SUCCESS, .crc, in-progress temp files), never data. */
   def isHiddenFile(name: String): Boolean =
@@ -289,8 +335,8 @@ object MediaWikiPlanner extends Logging {
     if (file.getName.endsWith(".bz2")) {
       indexCandidates(file).find(fs.exists) match {
         case Some(idx) =>
-          val offsets = readIndexOffsets(fs, idx)
-          val registry = parseRegistryFromHead(fs, file)
+          val offsets = indexOffsetsFor(fs, idx)
+          val registry = registryFor(fs, st)
           val bounds = ((0L +: offsets.toSeq).distinct.sorted :+ len).distinct
           coalesceRanges(bounds, splitSize).map { case (s, e) =>
             MediaWikiRangePartition(file.toString, s, e, compressed = true,
@@ -304,7 +350,7 @@ object MediaWikiPlanner extends Logging {
           Seq(MediaWikiInputPartition(file.toString))
       }
     } else if (len > splitSize) {
-      val registry = parseRegistryFromHead(fs, file)
+      val registry = registryFor(fs, st)
       val bounds = 0L.to(len, splitSize).toSeq ++
         (if (len % splitSize == 0) Nil else Seq(len))
       coalesceRanges(bounds.distinct.sorted, 1L).map { case (s, e) =>

@@ -342,6 +342,83 @@ class MediaWikiSourceSpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
+  test("planner memoizes registry head-parses and index reads per file") {
+    val dir = Files.createTempDirectory("graft-dsv2-memo")
+    val big = dir.resolve("big.xml")
+    Files.writeString(big, manyPagesXml(40))
+    writeMultistream(dir, withIndex = true)
+    def plan(): Unit =
+      assert(spark.read.format("mediawiki").option("splitSize", "512")
+        .load(dir.toString).count() == 46)
+    plan() // cold: one head parse per split file + one index read
+    val afterCold = MediaWikiPlanner.headParses.get()
+    plan(); plan() // warm: planning must not re-open any file head
+    assert(MediaWikiPlanner.headParses.get() == afterCold,
+      "replanning an unchanged directory re-parsed file heads")
+    // a genuinely replaced file (new length) is re-parsed
+    Files.writeString(big, manyPagesXml(41))
+    assert(spark.read.format("mediawiki").option("splitSize", "512")
+      .load(dir.toString).count() == 47)
+    assert(MediaWikiPlanner.headParses.get() > afterCold)
+  }
+
+  test("checkpoint restart resumes the stream exactly-once by file name") {
+    val dir = Files.createTempDirectory("graft-dsv2-restart")
+    val ckpt = Files.createTempDirectory("graft-dsv2-restart-ckpt").toString
+    val out = Files.createTempDirectory("graft-dsv2-restart-out").toString
+    Files.writeString(dir.resolve("dump-001.xml"), fixtureXml)
+    // parquet file sink: recoverable, and appends duplicates verbatim —
+    // so any replayed page would be VISIBLE as an extra row
+    def start() = spark.readStream.format("mediawiki")
+      .load(dir.toString)
+      .select("title", "ns")
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt)
+      .start()
+    val q1 = start()
+    try {
+      q1.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 4)
+    } finally q1.stop()
+    // file lands while the query is DOWN; restart from the checkpoint
+    Files.writeString(dir.resolve("dump-002.xml"), fixtureXml)
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      // exactly 8: dump-001 was not re-read (its rows would duplicate),
+      // dump-002 was not skipped
+      assert(spark.read.parquet(out).count() == 8)
+      Files.writeString(dir.resolve("dump-003.xml"), fixtureXml)
+      q2.processAllAvailable()
+      assert(spark.read.parquet(out).count() == 12)
+    } finally q2.stop()
+  }
+
+  test("legacy count-only offsets upgrade to name-based on deserialize") {
+    val dir = Files.createTempDirectory("graft-dsv2-legacy")
+    Files.writeString(dir.resolve("dump-001.xml"), fixtureXml)
+    Files.writeString(dir.resolve("dump-002.xml"), fixtureXml)
+    val stream = new MediaWikiMicroBatchStream(dir.toString,
+      MediaWikiDumpTable.fullSchema, None, None,
+      MediaWikiDumpTable.DefaultSplitSize,
+      MediaWikiDumpTable.sessionHadoopConf())
+    // pre-name checkpoints recorded {"files": N}: the upgrade pins the
+    // Nth file's NAME from the current listing so later contract checks
+    // (deletion, late files) have a name to verify against
+    val up = stream.deserializeOffset("""{"files": 1}""")
+      .asInstanceOf[MediaWikiOffset]
+    assert(up.count == 1 && up.last.exists(_.endsWith("dump-001.xml")))
+    val full = stream.deserializeOffset("""{"files": 2}""")
+      .asInstanceOf[MediaWikiOffset]
+    assert(full.count == 2 && full.last.exists(_.endsWith("dump-002.xml")))
+    // planning from the upgraded offset reads only the unconsumed suffix
+    val parts = stream.planInputPartitions(up, stream.latestOffset())
+    assert(parts.length == 1)
+    assert(parts.head.asInstanceOf[MediaWikiInputPartition]
+      .file.endsWith("dump-002.xml"))
+  }
+
   test("matches the built-in xml reader + broadcast registry join") {
     val viaDsv2 = spark.read.format("mediawiki").load(dumpPath)
       .select("title", "ns", "ns_name", "text")
