@@ -1,11 +1,38 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.Paths
 
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: one JSON line with per-query seconds.
+  *
+  * Protocol (round-5 verdict item 3): every query runs
+  * `SPARK_GRAFT_REPS` times (default 3) after a small-SF warmup and
+  * reports the per-query MEDIAN, plus a per-query relative spread
+  * ((max-min)/median) so run-to-run ghosts are visible in the artifact
+  * instead of being re-litigated from memory each round.
+  *
+  * Also measures the `mediawiki` DSv2 source at bench scale (round-5
+  * verdict item 2): two deterministic synthetic dumps (plain XML and
+  * multistream bz2 + index, cached under `target/bench-dump/`) are
+  * scanned with the text column materialized; the JSON carries the
+  * split counts the planner produced and the resulting MiB/s.
+  */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2)
+  }
+  private def spread(xs: Seq[Double]): Double = {
+    val m = median(xs)
+    if (m <= 0) 0.0 else (xs.max - xs.min) / m
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,16 +56,64 @@ object Bench {
         try fn(spark, "/root/testdata/sf0.001").count()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => selected(q._1)).map { case (name, fn) =>
+
+    def time(run: () => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try run() catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val samples: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq
+      .sortBy(_._1).filter(q => selected(q._1)).map { case (name, fn) =>
+        name -> (1 to reps).map(_ => time(() => fn(spark, sfDir).count()))
+      }
+
+    // ---- mediawiki source at bench scale (skipped under ONLY subsets
+    // unless requested; sized via SPARK_GRAFT_DUMP_MB, 0 disables) ----
+    val dumpMb = sys.env.getOrElse("SPARK_GRAFT_DUMP_MB", "384").toInt
+    val benchDir = Paths.get("target", "bench-dump")
+    val dumpStats = new scala.collection.mutable.LinkedHashMap[String, String]
+    val dumpSamples =
+      if (dumpMb <= 0 || !selected("dump_scan")) Nil
+      else {
+        val xml = BenchDump.plainXml(benchDir, dumpMb)
+        val (bz2, _) = BenchDump.multistreamBz2(benchDir, dumpMb / 2)
+        def scan(path: String, splitMb: Int) = spark.read
+          .format("mediawiki")
+          .option("splitSize", (splitMb.toLong * 1024 * 1024).toString)
+          .load(path)
+        def fullScan(path: String, splitMb: Int): Unit =
+          // materialize the text column — the scan pays for tokenizing
+          // page bodies, as any downstream pipeline would
+          scan(path, splitMb).agg(sum(length(col("text")))).collect()
+        // splitSize is in FILE bytes: bz2 stream offsets are compressed
+        // (~9x smaller than the XML they hold), so its splits coalesce
+        // at a smaller byte size to fan out comparably
+        val entries = Seq(
+          ("dump_scan_xml", xml, 32),
+          ("dump_scan_bz2", bz2, 2))
+        entries.map { case (name, path, splitMb) =>
+          val splits = scan(path.toString, splitMb).rdd.getNumPartitions
+          val times = (1 to reps).map(_ =>
+            time(() => fullScan(path.toString, splitMb)))
+          val mb = java.nio.file.Files.size(path) / 1e6
+          dumpStats += s"${name}_splits" -> splits.toString
+          dumpStats += s"${name}_mb" -> f"$mb%.1f"
+          dumpStats += s"${name}_mbps" -> f"${mb / median(times)}%.1f"
+          name -> times
+        }
+      }
+
+    val all = samples ++ dumpSamples
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + median(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sp = all.map { case (k, v) => "\"" + k + "\":" + f"${spread(v)}%.3f" }
+      .mkString("{", ",", "}")
+    val dumpJson = dumpStats
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = all.map(x => median(x._2)).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":$qs,"spread":$sp,"dump":$dumpJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
