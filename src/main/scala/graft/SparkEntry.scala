@@ -38,4 +38,12 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.operators.Catalogue.oracles ++ graft.operators.ScaleCatalogue.oracles ++
       graft.operators.WindowCatalogue.oracles
+
+  /** What Bench times: the production forms. Differs from `queries` only
+    * where the oracle-compared query deliberately carries verification
+    * apparatus the production operator doesn't pay for — q65's exact
+    * distinct alongside its HLL++ sketch (round-5 verdict item 5). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries + ("q65_approx_profile" ->
+      (graft.operators.ScaleCatalogue.q65SketchProfile _))
 }

@@ -1413,6 +1413,20 @@ object ScaleCatalogue {
       |      FROM documents) t
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q65's PRODUCTION form: the sketch alone — no exact distinct, so the
+    * plan never pays the full-vocabulary shuffle (the HLL++ buffer is a
+    * few KB of mergeable map-side state per group). `q65ApproxProfile`
+    * above is the verification apparatus (exact + `approx_ok` predicate)
+    * and stays the oracle-compared query; THIS is what Bench times
+    * (round-5 verdict item 5). */
+  def q65SketchProfile(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("lang"))
+      .agg(approx_count_distinct(col("term"), rsd = 0.02).as("approx_vocab"),
+        count(lit(1)).as("tokens"))
+      .orderBy(col("lang"))
+
   // ---------------------------------------------------------------------
   // q49 — corpus vocabulary: global term frequencies, top-k with
   // deterministic ties (vocab building for tokenizer training)
