@@ -96,7 +96,8 @@ object BenchDump {
   def multistreamBz2(dir: Path, mb: Int, pagesPerStream: Int = 64): (Path, Path) = {
     val dump = dir.resolve(s"multi-$mb.xml.bz2")
     val index = dir.resolve(s"multi-$mb-index.txt")
-    if (Files.exists(dump) && Files.exists(index)) return (dump, index)
+    if (Files.exists(dump) && Files.exists(index) &&
+      Files.exists(logicalSizeFile(dir, mb))) return (dump, index)
     Files.createDirectories(dir)
     val tmpD = dir.resolve(s".multi-$mb.xml.bz2.tmp")
     val tmpI = dir.resolve(s".multi-$mb-index.txt.tmp")
@@ -141,9 +142,20 @@ object BenchDump {
         }
       }
       stream { bz => bz.write("</mediawiki>\n".getBytes(UTF_8)); 0L }
+      uncompressed += "</mediawiki>\n".length
+      Files.write(logicalSizeFile(dir, mb),
+        uncompressed.toString.getBytes(UTF_8))
     } finally { counted.close(); idx.close() }
     Files.move(tmpD, dump)
     Files.move(tmpI, index)
     (dump, index)
   }
+
+  private def logicalSizeFile(dir: Path, mb: Int): Path =
+    dir.resolve(s"multi-$mb-logical.txt")
+
+  /** Uncompressed XML bytes inside `multi-<mb>.xml.bz2` — the honest
+    * denominator for a compressed container's scan throughput. */
+  def multistreamLogicalBytes(dir: Path, mb: Int): Long =
+    new String(Files.readAllBytes(logicalSizeFile(dir, mb)), UTF_8).trim.toLong
 }

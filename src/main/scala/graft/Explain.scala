@@ -19,9 +19,11 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    // benchQueries = the production forms (what Bench times), which is
+    // what plan review should look at
+    val names = if (args.nonEmpty) args.toSeq else SparkEntry.benchQueries.keys.toSeq.sorted
     names.foreach { name =>
-      SparkEntry.queries.get(name) match {
+      SparkEntry.benchQueries.get(name) match {
         case Some(fn) =>
           println(s"\n===== $name =====")
           fn(spark, sfDir).explain("formatted")

@@ -38,14 +38,14 @@ case class GraftLogEntry(txn: Option[String], files: Seq[String],
   * never surface. Log entries are made atomic by write-to-temp +
   * rename, the same recipe as Spark's own streaming metadata logs.
   *
-  * Scale note: `committedKeys` materializes every blockBatch key on the
-  * driver. Keys are one-per-document (not per-row), so a 100 TB corpus
-  * with ~1e8 documents is a few GiB of driver heap at worst — the same
-  * order as Spark's own file-source metadata log. Past that, shard the
-  * key index by `hash(key) % N` into per-shard files updated at commit
-  * and swap the writer-side exact set for bloom-filter + per-shard
-  * verify; the log format (keys per entry) already supports rebuilding
-  * such an index.
+  * Scale note: entries record their first-committed keys (the durable
+  * ledger), but neither write planning nor the task writers materialize
+  * the full key set any more — [[GraftKeyIndex]] maintains a sharded
+  * key index plus a compact bloom filter under `_graft_log/keys/`, so
+  * planning ships bloom bytes, tasks verify bloom hits against one
+  * shard, and the commit re-check reads only the shards the write's
+  * candidate keys hash into. `committedKeys` (the full-set accessor)
+  * remains for the legacy fallback, audits, and index rebuilds.
   */
 object GraftBlocksLog extends Logging {
   val LogDirName = "_graft_log"
@@ -59,31 +59,39 @@ object GraftBlocksLog extends Logging {
   def schemaFile(root: Path): Path = new Path(logDir(root), "_schema")
 
   /** Per-root commit lock: commits within this JVM serialize, so the
-    * read-log/decide/append sequence is atomic. Cross-driver writers
-    * would need a locking catalog service (out of scope — the
-    * reference's DynamoDB provides this per-item; a single Spark
-    * driver owns a store here). */
+    * read-log/decide/append sequence is atomic. Callers must pass a
+    * QUALIFIED path string (`fs.makeQualified(root).toString`) so
+    * equivalent spellings of one physical root ('file:/x' vs '/x',
+    * relative vs absolute) share a single lock. Cross-driver writers
+    * are excluded by [[GraftStoreLease]]. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  def lockFor(root: String): Object =
-    commitLocks.computeIfAbsent(root, _ => new Object)
+  def lockFor(qualifiedRoot: String): Object =
+    commitLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
 
   def exists(fs: FileSystem, root: Path): Boolean = fs.exists(logDir(root))
 
   /** All committed entries, ascending version order. */
-  def readEntries(fs: FileSystem, root: Path): Seq[GraftLogEntry] = {
+  def readEntries(fs: FileSystem, root: Path): Seq[GraftLogEntry] =
+    readEntriesWithVersion(fs, root).map(_._2)
+
+  /** All committed (version, entry) pairs, ascending version order —
+    * the version is what the key index's watermark is measured against. */
+  def readEntriesWithVersion(fs: FileSystem,
+      root: Path): Seq[(Long, GraftLogEntry)] = {
     val dir = logDir(root)
     if (!fs.exists(dir)) return Nil
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && EntryName.findFirstIn(s.getPath.getName).isDefined)
-      .sortBy(_.getPath.getName)
-      .map { s =>
-        val in = fs.open(s.getPath)
+      .flatMap(s => EntryName.findFirstMatchIn(s.getPath.getName)
+        .filter(_ => s.isFile).map(m => (m.group(1).toLong, s.getPath)))
+      .sortBy(_._1)
+      .map { case (version, path) =>
+        val in = fs.open(path)
         try {
           val v = org.json4s.jackson.JsonMethods.parse(
             new InputStreamReader(in, UTF_8))
-          GraftLogEntry(
+          version -> GraftLogEntry(
             (v \ "txn").extractOpt[String],
             (v \ "files").extract[Seq[String]],
             (v \ "keys").extract[Seq[String]],
@@ -109,8 +117,9 @@ object GraftBlocksLog extends Logging {
   }
 
   /** Append one entry atomically (temp + rename; retries the version on
-    * a rename collision). Caller must hold `lockFor(root)`. */
-  def appendEntry(fs: FileSystem, root: Path, entry: GraftLogEntry): Unit = {
+    * a rename collision). Caller must hold `lockFor(root)`. Returns the
+    * version the entry landed at (for the key index). */
+  def appendEntry(fs: FileSystem, root: Path, entry: GraftLogEntry): Long = {
     val dir = logDir(root)
     fs.mkdirs(dir)
     var v = nextVersion(fs, root)
@@ -134,6 +143,7 @@ object GraftBlocksLog extends Logging {
         v = nextVersion(fs, root)
       } else done = true
     }
+    v
   }
 
   /** Record the store schema once (first commit wins; later writes may

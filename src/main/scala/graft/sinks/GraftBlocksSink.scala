@@ -127,9 +127,10 @@ class GraftBlocksTableSink(path: String, tableSchema: StructType,
 case class GraftCommitMessage(file: Option[String], keys: Seq[String],
     rows: Long) extends WriterCommitMessage
 
-/** One logical write: carries the key snapshot and a prepared Hadoop
-  * conf (ParquetWriteSupport settings mirrored from the session's
-  * SQLConf, as Spark's own parquet write path does) to the tasks. */
+/** One logical write: carries the key probe (bloom bytes, not the key
+  * set) and a prepared Hadoop conf (ParquetWriteSupport settings
+  * mirrored from the session's SQLConf, as Spark's own parquet write
+  * path does) to the tasks. */
 class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
     keyColumn: String, queryId: String)
     extends Write with BatchWrite with StreamingWrite with Logging {
@@ -152,12 +153,13 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
       .foreach(e => conf.set(e.key, sql.getConf(e).toString))
     new SerializableHadoopConf(conf)
   }
-  /** First-writer-wins snapshot for the distributed filter (see the
-    * scale note on [[GraftBlocksLog]] for the >1e8-document plan). */
-  private val existingKeys: Set[String] = {
+  /** First-writer-wins snapshot for the distributed filter: bloom bytes
+    * (constant-size) for index-backed stores, never the exact key set —
+    * see [[GraftKeyIndex]]. */
+  private val keyProbe: GraftKeyProbe = {
     val p = new Path(root)
     val fs = p.getFileSystem(hconf.value)
-    GraftBlocksLog.committedKeys(GraftBlocksLog.readEntries(fs, p))
+    GraftKeyProbe.forStore(fs, fs.makeQualified(p), hconf)
   }
 
   override def toBatch: BatchWrite = this
@@ -167,7 +169,7 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
 
   // ---- batch ----
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root, dataSchema, keyOrd, existingKeys, writeId,
+    new GraftWriterFactory(root, dataSchema, keyOrd, keyProbe, writeId,
       None, hconf)
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     GraftCommitter.commit(root, hconf.value, None, dataSchema, keyColumn,
@@ -178,7 +180,7 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
   // ---- streaming ----
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftWriterFactory(root, dataSchema, keyOrd, existingKeys, writeId,
+    new GraftWriterFactory(root, dataSchema, keyOrd, keyProbe, writeId,
       Some(()), hconf)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -191,23 +193,24 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
 }
 
 class GraftWriterFactory(root: String, schema: StructType, keyOrd: Int,
-    existingKeys: Set[String], writeId: String, streaming: Option[Unit],
+    keyProbe: GraftKeyProbe, writeId: String, streaming: Option[Unit],
     hconf: SerializableHadoopConf)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(root, schema, keyOrd, existingKeys,
+    new GraftDataWriter(root, schema, keyOrd, keyProbe,
       s"$writeId-b-$partitionId-$taskId.parquet", hconf)
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(root, schema, keyOrd, existingKeys,
+    new GraftDataWriter(root, schema, keyOrd, keyProbe,
       s"$writeId-e$epochId-$partitionId-$taskId.parquet", hconf)
 }
 
-/** Task-side writer: filters first-writer-wins against the planning
-  * snapshot, opens the parquet file lazily (empty partitions leave no
-  * file), records the distinct keys it wrote for the commit check. */
+/** Task-side writer: filters first-writer-wins through the planning
+  * probe (bloom pre-filter + exact shard verify — see [[GraftKeyProbe]]),
+  * opens the parquet file lazily (empty partitions leave no file),
+  * records the distinct keys it wrote for the commit check. */
 class GraftDataWriter(root: String, schema: StructType, keyOrd: Int,
-    existingKeys: Set[String], fileName: String,
+    keyProbe: GraftKeyProbe, fileName: String,
     hconf: SerializableHadoopConf) extends DataWriter[InternalRow] {
 
   private val stagedPath =
@@ -232,7 +235,7 @@ class GraftDataWriter(root: String, schema: StructType, keyOrd: Int,
         "graft-blocks: the batch key column must be non-null (it is the " +
           "store's partition key, reference blocks table BlockBatch)")
     val key = row.getUTF8String(keyOrd).toString
-    if (!existingKeys.contains(key)) {
+    if (!keyProbe.committed(key)) {
       if (writer == null) open()
       writer.write(row)
       keys += key
@@ -266,18 +269,30 @@ object GraftDataWriter {
 }
 
 /** Driver-side commit protocol. All mutations of a store root are
-  * serialized by `GraftBlocksLog.lockFor`, so read-log → decide →
-  * rename → append-entry is atomic within the owning driver. */
+  * serialized by `GraftBlocksLog.lockFor` (keyed on the QUALIFIED root,
+  * so path spellings collapse to one lock) within the driver, and by
+  * [[GraftStoreLease]] across drivers — read-log → decide → rename →
+  * append-entry → index is atomic for the owning driver. */
 object GraftCommitter extends Logging {
 
   def commit(root: String, conf: Configuration, txn: Option[String],
       schema: StructType, keyColumn: String, writeId: String,
       messages: Seq[GraftCommitMessage]): Unit = {
-    val rootPath = new Path(root)
+    val fs = new Path(root).getFileSystem(conf)
+    val rootPath = fs.makeQualified(new Path(root))
     GraftBlocksLog.lockFor(rootPath.toString).synchronized {
-      val fs = rootPath.getFileSystem(conf)
+      // cross-driver exclusion: refuse (or steal an expired) foreign
+      // lease BEFORE any store mutation; renews our heartbeat otherwise
+      GraftStoreLease.acquire(fs, rootPath)
+      // pre-sink stores: fold unlogged root-level parquet into the log
+      // so their rows stay visible and their keys dedupe (one-time)
+      adoptLegacyFiles(fs, rootPath, keyColumn)
       val staging = GraftBlocksLog.stagingDir(rootPath)
-      val entries = GraftBlocksLog.readEntries(fs, rootPath)
+      val versioned = GraftBlocksLog.readEntriesWithVersion(fs, rootPath)
+      // index lagging the log (crash between publish and index, or a
+      // log that predates the key index): replay the missing entries
+      GraftKeyIndex.heal(fs, rootPath, versioned)
+      val entries = versioned.map(_._2)
 
       if (txn.exists(GraftBlocksLog.committedTxns(entries).contains)) {
         // replayed epoch (crash between sink-commit and checkpoint
@@ -290,7 +305,10 @@ object GraftCommitter extends Logging {
         return
       }
 
-      val committedK = GraftBlocksLog.committedKeys(entries)
+      // authoritative first-writer-wins check: exact, but reads only
+      // the shards this write's candidate keys hash into
+      val committedK = GraftKeyIndex.committedAmong(fs, rootPath,
+        messages.flatMap(_.keys))
       val dataD = GraftBlocksLog.dataDir(rootPath)
       fs.mkdirs(dataD)
       val visible = mutable.ArrayBuffer.empty[String]
@@ -326,19 +344,66 @@ object GraftCommitter extends Logging {
 
       if (visible.nonEmpty || txn.isDefined) {
         GraftBlocksLog.writeSchemaIfAbsent(fs, rootPath, schema)
-        GraftBlocksLog.appendEntry(fs, rootPath,
+        val version = GraftBlocksLog.appendEntry(fs, rootPath,
           GraftLogEntry(txn, visible.toSeq, newKeys.toSeq, rows))
+        // index AFTER the entry is live (visible segments only ever
+        // describe committed keys); a crash in between is healed above
+        GraftKeyIndex.recordCommit(fs, rootPath, version, newKeys.toSeq)
       }
       cleanupStaging(fs, staging, writeId)
     }
   }
 
   def abort(root: String, conf: Configuration, writeId: String): Unit = {
-    val rootPath = new Path(root)
+    val fs = new Path(root).getFileSystem(conf)
+    val rootPath = fs.makeQualified(new Path(root))
     GraftBlocksLog.lockFor(rootPath.toString).synchronized {
-      val fs = rootPath.getFileSystem(conf)
       cleanupStaging(fs, GraftBlocksLog.stagingDir(rootPath), writeId)
     }
+  }
+
+  /** Migration path for stores written by the pre-sink `foreachBatch`
+    * era: parquet files sitting directly under the root are unlogged, so
+    * the first log-driven commit would silently shadow them. Adopt them
+    * instead — move into `data/`, publish one log entry carrying their
+    * files and distinct key set — so existing rows stay readable and
+    * first-writer-wins dedupes against them. Idempotent (adopted files
+    * leave the root); fails fast when the legacy data lacks the key
+    * column rather than guessing. */
+  private def adoptLegacyFiles(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: Path, keyColumn: String): Unit = {
+    if (!fs.exists(rootPath)) return
+    val legacy = fs.listStatus(rootPath)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    if (legacy.isEmpty) return
+    val spark = SparkSession.active
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(legacy.map(_.toString): _*)
+    if (!df.columns.contains(keyColumn))
+      throw new IllegalStateException(
+        s"graft-blocks: cannot adopt ${legacy.length} pre-sink parquet " +
+          s"file(s) under $rootPath — they lack key column '$keyColumn'. " +
+          "Migrate or remove them before writing through the sink.")
+    val agg = df.agg(
+      org.apache.spark.sql.functions.collect_set(col(keyColumn)),
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))
+    ).head()
+    val keys = agg.getSeq[String](0)
+    val rows = agg.getLong(1)
+    val dataD = GraftBlocksLog.dataDir(rootPath)
+    fs.mkdirs(dataD)
+    val names = legacy.map { p =>
+      if (!fs.rename(p, new Path(dataD, p.getName)))
+        throw new java.io.IOException(
+          s"graft-blocks: failed to adopt legacy file $p")
+      p.getName
+    }
+    GraftBlocksLog.writeSchemaIfAbsent(fs, rootPath, df.schema)
+    GraftBlocksLog.appendEntry(fs, rootPath,
+      GraftLogEntry(None, names.toSeq, keys, rows))
+    logInfo(s"graft-blocks: adopted ${names.length} pre-sink parquet " +
+      s"file(s) (${keys.size} keys, $rows rows) under $rootPath")
   }
 
   /** Remove every staged file this write produced (committed ones were
@@ -368,11 +433,13 @@ object GraftCommitter extends Logging {
       .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(
         s"graft-blocks: heal produced no part file under $tmpOut"))
+    // row count from the parquet footer — metadata only, no second scan
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(part, fs.getConf))
+    val healedRows = try reader.getRecordCount finally reader.close()
     val healedName = s"h-$name"
     if (!fs.rename(part, new Path(dataD, healedName)))
       throw new java.io.IOException(s"graft-blocks: failed to publish $part")
-    val healedRows = spark.read
-      .parquet(new Path(dataD, healedName).toString).count()
     fs.delete(staged, false)
     fs.delete(tmpOut, true)
     (healedName, healedRows)

@@ -1,0 +1,56 @@
+package graft
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench artifact contract (round-5 verdict items 1–3): parseable
+  * JSON, medians as the LAST key so a tail-truncated capture keeps
+  * them, failing queries as "err" (excluded from the total), never a
+  * flattering near-zero time. */
+class BenchFormatSpec extends AnyFunSuite {
+  implicit val fmts: Formats = DefaultFormats
+
+  private val all: Seq[(String, Seq[Either[String, Double]])] = Seq(
+    "q01_fast" -> Seq(Right(0.100), Right(0.120), Right(0.110)),
+    "q02_slow" -> Seq(Right(1.000), Right(1.200), Right(1.100)),
+    "q99_broken" -> Seq(Right(0.001),
+      Left("""java.lang.RuntimeException: boom "quoted" path\with\slashes""")))
+
+  private val line = Bench.formatJson(3, "/root/testdata/sf0.1", all,
+    Seq("dump_scan_xml_splits" -> "13", "dump_scan_xml_file_mbps" -> "340.1"))
+
+  test("the line is valid JSON") {
+    assert(JsonMethods.parse(line) != JNothing)
+  }
+
+  test("per-query medians are the LAST key in the object") {
+    val keys = JsonMethods.parse(line).asInstanceOf[JObject].obj.map(_._1)
+    assert(keys.last == "queries",
+      s"queries must be last so a tail capture retains medians; got $keys")
+  }
+
+  test("a failing query reports err and is excluded from the total") {
+    val json = JsonMethods.parse(line)
+    assert((json \ "queries" \ "q99_broken").extract[String] == "err")
+    assert((json \ "errors" \ "q99_broken").extract[String]
+      .contains("RuntimeException"))
+    val total = (json \ "value").extract[Double]
+    assert(math.abs(total - (0.110 + 1.100)) < 1e-9,
+      s"total $total must be the sum of SUCCESSFUL medians only")
+  }
+
+  test("healthy queries carry their median; spread covers them only") {
+    val json = JsonMethods.parse(line)
+    assert((json \ "queries" \ "q01_fast").extract[Double] == 0.110)
+    assert((json \ "spread" \ "q02_slow").extract[Double] == 0.182)
+    assert((json \ "spread" \ "q99_broken") == JNothing)
+  }
+
+  test("a throwing rep is a Left, not a near-zero Right") {
+    val r = Bench.time(() => throw new IllegalStateException("deliberate"))
+    assert(r.isLeft)
+    assert(r.left.toOption.get.contains("deliberate"))
+    assert(Bench.time(() => ()).isRight)
+  }
+}

@@ -1,0 +1,184 @@
+package graft.sinks
+
+import java.io.{ByteArrayOutputStream, ObjectOutputStream}
+import java.nio.file.Files
+import java.util.ConcurrentModificationException
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.write.LogicalWriteInfo
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.scale.SparkTestSession
+
+/** Scale path for the block store's first-writer-wins check: sharded
+  * key index + bloom probe (never the exact key set in a task closure),
+  * legacy-store adoption, and the cross-driver lease. */
+class GraftKeyIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def rows(batch: String, n: Int) =
+    (0 until n).map(i => (batch, i, "staging", s"Main/$batch.md",
+      "text", s"$batch-$i", null: String, null: String))
+      .toDF("blockBatch", "blockIndex", "bucket", "key",
+        "blockType", "title", "language", "caption")
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft-keyidx").toString
+
+  private def fsFor(dir: String) =
+    new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def qualified(dir: String): Path =
+    fsFor(dir).makeQualified(new Path(dir))
+
+  private def javaSize(o: AnyRef): Int = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new ObjectOutputStream(bos)
+    oos.writeObject(o); oos.close()
+    bos.size()
+  }
+
+  test("writer-factory closure ships a constant-size bloom, not the key set") {
+    val dir = freshDir()
+    val root = qualified(dir)
+    val fs = fsFor(dir)
+    // fabricate a store with many committed keys straight through the
+    // log (no data needed for the planning-size question)
+    val manyKeys = (0 until 100000).map(i => f"batch-$i%06d-${i * 2654435761L}%x")
+    GraftBlocksLog.lockFor(root.toString).synchronized {
+      val v = GraftBlocksLog.appendEntry(fs, root,
+        GraftLogEntry(None, Nil, manyKeys, 0L))
+      GraftKeyIndex.heal(fs, root, Seq((v, GraftLogEntry(None, Nil, manyKeys, 0L))))
+    }
+    assert(GraftKeyIndex.exists(fs, root), "bloom must exist after heal")
+
+    val table = new GraftBlocksTableSink(dir,
+      GraftBlocksTableSink.DefaultSchema, "blockBatch")
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "plan-size"
+      override def schema(): StructType = GraftBlocksTableSink.DefaultSchema
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    }
+    val factory = table.newWriteBuilder(info).build().toBatch
+      .createBatchWriterFactory(null)
+    // the factory's size is bloom + serialized Hadoop conf — constant in
+    // the key count, where the exact set grows linearly
+    val factoryBytes = javaSize(factory)
+    val exactSetBytes = javaSize(manyKeys.toSet)
+    assert(factoryBytes * 4 < exactSetBytes,
+      s"factory ($factoryBytes B) must be far smaller than the exact key " +
+        s"set ($exactSetBytes B)")
+
+    // and the probe is still exact: dup keys dropped, new keys land
+    rows(manyKeys.head, 2).union(rows(manyKeys.last, 1)).union(rows("new-a", 3))
+      .write.format("graft-blocks").option("path", dir).mode("append").save()
+    val stored = GraftBlocksStore.read(spark, dir)
+    assert(stored.groupBy("blockBatch").count().as[(String, Long)]
+      .collect().toMap == Map("new-a" -> 3L))
+  }
+
+  test("first-writer-wins across many committed keys via bloom + shard verify") {
+    val dir = freshDir()
+    rows("k1", 2).union(rows("k2", 3)).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    // index now exists; second write plans from the bloom
+    assert(GraftKeyIndex.exists(fsFor(dir), qualified(dir)))
+    rows("k2", 3).union(rows("k3", 1)).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    val stored = GraftBlocksStore.read(spark, dir)
+    assert(stored.groupBy("blockBatch").count().as[(String, Long)]
+      .collect().toMap == Map("k1" -> 2L, "k2" -> 3L, "k3" -> 1L))
+    // shard files + watermark agree with the ledger
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    assert(GraftKeyIndex.committedAmong(fs, root,
+      Seq("k1", "k2", "k3", "k4")) == Set("k1", "k2", "k3"))
+    assert(GraftKeyIndex.readWatermark(fs, root) >= 1L)
+  }
+
+  test("index drift (crash between publish and index) heals at next commit") {
+    val dir = freshDir()
+    rows("d1", 2).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    // simulate a crash that lost the whole index
+    fs.delete(GraftKeyIndex.indexDir(root), true)
+    assert(!GraftKeyIndex.exists(fs, root))
+    // replaying d1 must STILL dedupe: planning falls back to the exact
+    // entries-derived set while the index is gone, commit heals it
+    rows("d1", 2).union(rows("d2", 5)).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    val stored = GraftBlocksStore.read(spark, dir)
+    assert(stored.groupBy("blockBatch").count().as[(String, Long)]
+      .collect().toMap == Map("d1" -> 2L, "d2" -> 5L))
+    assert(GraftKeyIndex.exists(fs, root), "commit must rebuild the index")
+    assert(GraftKeyIndex.committedAmong(fs, root, Seq("d1", "d2")) ==
+      Set("d1", "d2"))
+  }
+
+  test("pre-sink parquet at the root is adopted on first sink commit") {
+    val dir = freshDir()
+    // the foreachBatch-era layout: bare parquet files at the root
+    rows("old1", 3).union(rows("old2", 2)).coalesce(1)
+      .write.mode("append").parquet(dir)
+    // first sink write replays old2 and adds b1
+    rows("old2", 2).union(rows("b1", 4)).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    val stored = GraftBlocksStore.read(spark, dir)
+    assert(stored.groupBy("blockBatch").count().as[(String, Long)]
+      .collect().toMap ==
+      Map("old1" -> 3L, "old2" -> 2L, "b1" -> 4L),
+      "legacy rows must stay visible and legacy keys must dedupe")
+    assert(GraftBlocksStore.committedKeys(spark, dir) ==
+      Set("old1", "old2", "b1"))
+    // the root holds no unlogged parquet any more
+    val fs = fsFor(dir)
+    assert(!fs.listStatus(new Path(dir))
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+  }
+
+  test("a live foreign lease refuses the commit; an expired one is stolen") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    GraftStoreLease.acquire(fs, root, ownerId = "other-driver")
+    val ex = intercept[Exception] {
+      rows("x1", 2).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.isInstanceOf[ConcurrentModificationException]),
+      s"expected lease refusal, got $ex")
+    assert(GraftBlocksStore.read(spark, dir).isEmpty)
+
+    // age the foreign lease past expiry — next commit steals it
+    val lease = GraftStoreLease.leaseFile(root)
+    fs.setTimes(lease,
+      System.currentTimeMillis() - GraftStoreLease.DefaultExpiryMs - 60000, -1)
+    rows("x1", 2).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    assert(GraftBlocksStore.read(spark, dir).count() == 2)
+    assert(GraftStoreLease.currentOwner(fs, root).map(_._1)
+      .contains(GraftStoreLease.jvmOwnerId))
+
+    // release is owner-guarded
+    GraftStoreLease.release(fs, root, "not-the-owner")
+    assert(GraftStoreLease.currentOwner(fs, root).isDefined)
+    GraftStoreLease.release(fs, root)
+    assert(GraftStoreLease.currentOwner(fs, root).isEmpty)
+  }
+
+  test("equivalent root spellings share one commit lock") {
+    val dir = freshDir()
+    val q1 = qualified(dir).toString
+    val q2 = fsFor(dir).makeQualified(new Path(s"file:$dir")).toString
+    assert(q1 == q2)
+    assert(GraftBlocksLog.lockFor(q1) eq GraftBlocksLog.lockFor(q2))
+  }
+}
