@@ -59,7 +59,11 @@ case class MinHashPortableAgg(
   override def update(b: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long]
+      // the hash family (and the numHashes overflow bound above) is
+      // defined on the 60-bit md5_64 domain — mask full-range Long
+      // inputs (xxhash64, negatives) into it so hi, lo < 2^30 always
+      // holds and the products can never wrap
+      val h = v.asInstanceOf[Long] & 1152921504606846975L // 2^60 - 1
       val hi = h >> 30
       val lo = h & 1073741823L
       var i = 0

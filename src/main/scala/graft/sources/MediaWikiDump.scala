@@ -63,6 +63,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *         decompressing split, with a warning).
   *    The namespace registry for split files is parsed ONCE from the
   *    stream head on the driver and shipped inside each partition.
+  *
+  * **Landing contract.** Dump files must be immutable once visible:
+  * land them write-then-rename (or copy under a '.'/'_' prefix, which
+  * the source ignores, then rename). Planner metadata is memoized on
+  * (path, length, mtime), so overwriting a file IN PLACE with same
+  * length within the filesystem's mtime granularity can serve stale
+  * registry/split data — in-place rewrites are unsupported.
   */
 class MediaWikiDumpDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "mediawiki"

@@ -90,6 +90,27 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect()
     assert(ok(0).getSeq[Long](0).size == 4096)
   }
+
+  test("minhash_portable masks full-range Long input into the 60-bit domain") {
+    GraftFunctions.register(spark)
+    // a full-range input (here: negative) and its 60-bit-masked twin
+    // must produce the identical signature — the numHashes overflow
+    // bound is only valid on the documented md5_64 domain, so the
+    // aggregate masks rather than silently wrapping
+    val full = -1234567890123456789L
+    val masked = full & ((1L << 60) - 1)
+    Seq((1L, full)).toDF("doc_id", "h").createOrReplaceTempView("mh_full")
+    Seq((1L, masked)).toDF("doc_id", "h").createOrReplaceTempView("mh_masked")
+    val a = spark.sql(
+      "SELECT minhash_portable(h, 8) AS s FROM mh_full GROUP BY doc_id")
+      .collect()(0).getSeq[Long](0)
+    val b = spark.sql(
+      "SELECT minhash_portable(h, 8) AS s FROM mh_masked GROUP BY doc_id")
+      .collect()(0).getSeq[Long](0)
+    assert(a == b)
+    // and every signature slot is canonical (< 2^61 − 1, never negative)
+    assert(a.forall(x => x >= 0 && x < 2305843009213693951L))
+  }
 }
 
 class CleanupSpec extends AnyFunSuite {
