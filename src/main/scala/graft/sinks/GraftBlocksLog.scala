@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
 case class GraftLogEntry(txn: Option[String], files: Seq[String],
     keys: Seq[String], rows: Long)
 
+/** Accelerated view of a store's log: the newest checkpoint (if any)
+  * folded with the entries after it. `version` is the newest committed
+  * entry; `checkpointVersion` is -1 when no checkpoint exists; `tail`
+  * holds only the POST-checkpoint (version, entry) pairs — per-commit
+  * and per-read work is O(checkpoint + tail), not O(all history). */
+case class GraftStoreState(version: Long, checkpointVersion: Long,
+    files: Seq[String], txns: Set[String], tail: Seq[(Long, GraftLogEntry)])
+
 /** Log-backed visibility for the block store (the DynamoDB-tables role,
   * reference store_notion_blocks.py:128-150 — `put_item` with
   * `ConditionExpression=Attr("BlockBatch").not_exists()`).
@@ -52,6 +60,14 @@ object GraftBlocksLog extends Logging {
   val DataDirName = "data"
   val StagingDirName = "_staging"
   private val EntryName = """^(\d{20})\.json$""".r
+  private val CheckpointName = """^_checkpoint\.(\d{20})\.json$""".r
+
+  /** Checkpoint every N commits (0 disables). A `def` reading the
+    * system property so tests can shrink the interval; the default 100
+    * bounds a reader's tail to at most 100 entry files regardless of
+    * how long the store has been written. */
+  def checkpointInterval: Int =
+    sys.props.get("graft.blocks.checkpointInterval").map(_.toInt).getOrElse(100)
 
   def logDir(root: Path): Path = new Path(root, LogDirName)
   def dataDir(root: Path): Path = new Path(root, DataDirName)
@@ -71,9 +87,24 @@ object GraftBlocksLog extends Logging {
 
   def exists(fs: FileSystem, root: Path): Boolean = fs.exists(logDir(root))
 
-  /** All committed entries, ascending version order. */
+  /** All committed entries, ascending version order. Full-history scan
+    * — audits and index rebuilds; hot paths use [[readState]]. */
   def readEntries(fs: FileSystem, root: Path): Seq[GraftLogEntry] =
     readEntriesWithVersion(fs, root).map(_._2)
+
+  private def parseEntry(fs: FileSystem, path: Path): GraftLogEntry = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val in = fs.open(path)
+    try {
+      val v = org.json4s.jackson.JsonMethods.parse(
+        new InputStreamReader(in, UTF_8))
+      GraftLogEntry(
+        (v \ "txn").extractOpt[String],
+        (v \ "files").extract[Seq[String]],
+        (v \ "keys").extract[Seq[String]],
+        (v \ "rows").extract[Long])
+    } finally in.close()
+  }
 
   /** All committed (version, entry) pairs, ascending version order —
     * the version is what the key index's watermark is measured against. */
@@ -81,23 +112,81 @@ object GraftBlocksLog extends Logging {
       root: Path): Seq[(Long, GraftLogEntry)] = {
     val dir = logDir(root)
     if (!fs.exists(dir)) return Nil
-    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     fs.listStatus(dir).toSeq
       .flatMap(s => EntryName.findFirstMatchIn(s.getPath.getName)
         .filter(_ => s.isFile).map(m => (m.group(1).toLong, s.getPath)))
       .sortBy(_._1)
-      .map { case (version, path) =>
-        val in = fs.open(path)
+      .map { case (version, path) => version -> parseEntry(fs, path) }
+  }
+
+  /** Accelerated log view: newest checkpoint folded with the entries
+    * after it. Entries are never deleted — a checkpoint only shortcuts
+    * reads, so a lost/ignored checkpoint degrades to a full replay,
+    * never to data loss. */
+  def readState(fs: FileSystem, root: Path): GraftStoreState = {
+    val dir = logDir(root)
+    if (!fs.exists(dir))
+      return GraftStoreState(-1L, -1L, Nil, Set.empty, Nil)
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val statuses = fs.listStatus(dir).filter(_.isFile)
+    val entryPaths = statuses.toSeq
+      .flatMap(s => EntryName.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toLong, s.getPath)))
+      .sortBy(_._1)
+    val maxEntry = entryPaths.lastOption.map(_._1).getOrElse(-1L)
+    // a checkpoint newer than the newest entry would be corruption —
+    // ignore it and fall back to the one before (or a full replay)
+    val cp = statuses.toSeq
+      .flatMap(s => CheckpointName.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toLong, s.getPath)))
+      .filter(_._1 <= maxEntry)
+      .sortBy(_._1).lastOption
+    val (cpV, cpFiles, cpTxns) = cp match {
+      case Some((v, p)) =>
+        val in = fs.open(p)
         try {
-          val v = org.json4s.jackson.JsonMethods.parse(
+          val j = org.json4s.jackson.JsonMethods.parse(
             new InputStreamReader(in, UTF_8))
-          version -> GraftLogEntry(
-            (v \ "txn").extractOpt[String],
-            (v \ "files").extract[Seq[String]],
-            (v \ "keys").extract[Seq[String]],
-            (v \ "rows").extract[Long])
+          (v, (j \ "files").extract[Seq[String]],
+            (j \ "txns").extract[Seq[String]].toSet)
         } finally in.close()
-      }
+      case None => (-1L, Nil: Seq[String], Set.empty[String])
+    }
+    val tail = entryPaths.filter(_._1 > cpV)
+      .map { case (v, p) => v -> parseEntry(fs, p) }
+    GraftStoreState(maxEntry, cpV,
+      cpFiles ++ tail.flatMap(_._2.files),
+      cpTxns ++ tail.flatMap(_._2.txn),
+      tail)
+  }
+
+  /** Write `_checkpoint.<v>.json` summarizing all history ≤ v (files +
+    * txns; the keys live in the key index and in the entries). Keeps
+    * the two newest checkpoints, prunes older ones. Caller must hold
+    * `lockFor(root)`. */
+  def writeCheckpoint(fs: FileSystem, root: Path, version: Long,
+      files: Seq[String], txns: Set[String]): Unit = {
+    val dir = logDir(root)
+    val target = new Path(dir, f"_checkpoint.$version%020d.json")
+    if (fs.exists(target)) return
+    val tmp = new Path(dir,
+      f"._checkpoint.$version%020d.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try {
+      import org.json4s.JsonDSL._
+      val json = ("version" -> version) ~ ("files" -> files) ~
+        ("txns" -> txns.toSeq.sorted)
+      val w = new OutputStreamWriter(out, UTF_8)
+      w.write(org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(json)))
+      w.flush()
+    } finally out.close()
+    if (!fs.rename(tmp, target)) { fs.delete(tmp, false); return }
+    fs.listStatus(dir).toSeq
+      .flatMap(s => CheckpointName.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toLong, s.getPath)))
+      .sortBy(-_._1).drop(2)
+      .foreach { case (_, p) => fs.delete(p, false) }
   }
 
   def committedKeys(entries: Seq[GraftLogEntry]): Set[String] =
@@ -195,8 +284,7 @@ object GraftBlocksStore {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!GraftBlocksLog.exists(fs, p))
       return spark.read.option("mergeSchema", "true").parquet(root)
-    val entries = GraftBlocksLog.readEntries(fs, p)
-    val files = GraftBlocksLog.committedFiles(entries)
+    val files = GraftBlocksLog.readState(fs, p).files
       .map(n => new Path(GraftBlocksLog.dataDir(p), n).toString)
     if (files.isEmpty) {
       val schema = GraftBlocksLog.readSchema(fs, p)

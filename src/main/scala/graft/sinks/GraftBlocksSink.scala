@@ -288,13 +288,19 @@ object GraftCommitter extends Logging {
       // so their rows stay visible and their keys dedupe (one-time)
       adoptLegacyFiles(fs, rootPath, keyColumn)
       val staging = GraftBlocksLog.stagingDir(rootPath)
-      val versioned = GraftBlocksLog.readEntriesWithVersion(fs, rootPath)
+      val state = GraftBlocksLog.readState(fs, rootPath)
       // index lagging the log (crash between publish and index, or a
-      // log that predates the key index): replay the missing entries
-      GraftKeyIndex.heal(fs, rootPath, versioned)
-      val entries = versioned.map(_._2)
+      // log that predates the key index): replay the missing entries.
+      // Normally the lag is inside the post-checkpoint tail; a
+      // watermark older than the checkpoint (lost index) falls back to
+      // the full-history replay — slow, rare, correct.
+      if (GraftKeyIndex.readWatermark(fs, rootPath) < state.checkpointVersion)
+        GraftKeyIndex.heal(fs, rootPath,
+          GraftBlocksLog.readEntriesWithVersion(fs, rootPath))
+      else
+        GraftKeyIndex.heal(fs, rootPath, state.tail)
 
-      if (txn.exists(GraftBlocksLog.committedTxns(entries).contains)) {
+      if (txn.exists(state.txns.contains)) {
         // replayed epoch (crash between sink-commit and checkpoint
         // commit): the data is already visible — discard the replay
         logInfo(s"graft-blocks: epoch ${txn.get} already committed; " +
@@ -349,6 +355,12 @@ object GraftCommitter extends Logging {
         // index AFTER the entry is live (visible segments only ever
         // describe committed keys); a crash in between is healed above
         GraftKeyIndex.recordCommit(fs, rootPath, version, newKeys.toSeq)
+        // periodic checkpoint so readers and future commits replay a
+        // bounded tail instead of the whole history
+        val interval = GraftBlocksLog.checkpointInterval
+        if (interval > 0 && version > 0 && version % interval == 0)
+          GraftBlocksLog.writeCheckpoint(fs, rootPath, version,
+            state.files ++ visible, state.txns ++ txn)
       }
       cleanupStaging(fs, staging, writeId)
     }

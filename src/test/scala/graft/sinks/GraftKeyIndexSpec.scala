@@ -174,6 +174,78 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     assert(GraftStoreLease.currentOwner(fs, root).isEmpty)
   }
 
+  test("log checkpoints bound the replay tail; correctness spans the boundary") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    System.setProperty("graft.blocks.checkpointInterval", "3")
+    try {
+      // versions 0..4 — a checkpoint lands at v3
+      (0 until 5).foreach { i =>
+        rows(s"cp$i", 2).write.format("graft-blocks")
+          .option("path", dir).mode("append").save()
+      }
+      val logFiles = fs.listStatus(GraftBlocksLog.logDir(root))
+        .map(_.getPath.getName)
+      assert(logFiles.exists(_.startsWith("_checkpoint.")),
+        s"expected a checkpoint among ${logFiles.toSeq}")
+      val state = GraftBlocksLog.readState(fs, root)
+      assert(state.checkpointVersion == 3L)
+      assert(state.version == 4L)
+      assert(state.tail.map(_._1) == Seq(4L),
+        "post-checkpoint tail must hold only entries past the checkpoint")
+      // reads see everything, across the boundary
+      assert(GraftBlocksStore.read(spark, dir).count() == 10)
+      // first-writer-wins still dedupes PRE-checkpoint keys
+      rows("cp0", 2).union(rows("cp9", 1)).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+      val counts = GraftBlocksStore.read(spark, dir)
+        .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+      assert(counts("cp0") == 2L && counts("cp9") == 1L && counts.size == 6)
+      // lost index + checkpointed history → full-replay heal fallback
+      fs.delete(GraftKeyIndex.indexDir(root), true)
+      rows("cp1", 2).union(rows("cp8", 1)).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+      val counts2 = GraftBlocksStore.read(spark, dir)
+        .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+      assert(counts2("cp1") == 2L && counts2("cp8") == 1L && counts2.size == 7)
+      assert(GraftKeyIndex.exists(fs, root))
+    } finally System.clearProperty("graft.blocks.checkpointInterval")
+  }
+
+  test("streaming epoch replay is a no-op across a checkpoint boundary") {
+    val dir = freshDir()
+    System.setProperty("graft.blocks.checkpointInterval", "2")
+    try {
+      val table = new GraftBlocksTableSink(dir,
+        GraftBlocksTableSink.DefaultSchema, "blockBatch")
+      val info = new LogicalWriteInfo {
+        override def queryId(): String = "q-cp"
+        override def schema(): StructType = GraftBlocksTableSink.DefaultSchema
+        override def options(): CaseInsensitiveStringMap =
+          new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+      }
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(GraftBlocksTableSink.DefaultSchema)
+      val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+        .createSerializer()
+      def writeEpoch(epoch: Long, batch: String): Unit = {
+        val sw = table.newWriteBuilder(info).build().toStreaming
+        val w = sw.createStreamingWriterFactory(null).createWriter(0, 7L, epoch)
+        (0 until 3).foreach(i => w.write(ser(org.apache.spark.sql.Row(
+          s"$batch", i, "staging", s"Main/$batch.md", "text", s"$batch-$i",
+          null, null)).copy()))
+        sw.commit(epoch, Array(w.commit()))
+      }
+      (0L until 4L).foreach(e => writeEpoch(e, s"e$e")) // checkpoint at v2
+      assert(GraftBlocksStore.read(spark, dir).count() == 12)
+      // replay an epoch whose txn is now BEHIND the checkpoint — the
+      // folded txn set must still recognize it
+      writeEpoch(0L, "e0")
+      assert(GraftBlocksStore.read(spark, dir).count() == 12)
+    } finally System.clearProperty("graft.blocks.checkpointInterval")
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
