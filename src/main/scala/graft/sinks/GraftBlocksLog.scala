@@ -12,14 +12,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
 
 /** One committed write in the block store's transaction log.
   *
-  * @param txn   replay identity — `"<queryId>#<epochId>"` for streaming
-  *              epochs, null for batch writes (no replay semantics)
-  * @param files data file names (relative to `data/`) made visible
-  * @param keys  blockBatch keys first written by this commit
-  * @param rows  rows across `files`
+  * @param txn     replay identity — `"<queryId>#<epochId>"` for streaming
+  *                epochs, null for batch writes (no replay semantics)
+  * @param files   data file names (relative to `data/`) made visible
+  * @param keys    blockBatch keys first written by this commit
+  * @param rows    rows across `files`
+  * @param removed file names this commit makes INVISIBLE (compaction
+  *                rewrote their rows into `files`); physical deletion is
+  *                deferred to [[GraftBlocksStore.vacuum]] so concurrent
+  *                readers planned against an older state can finish
   */
 case class GraftLogEntry(txn: Option[String], files: Seq[String],
-    keys: Seq[String], rows: Long)
+    keys: Seq[String], rows: Long, removed: Seq[String] = Nil)
 
 /** Accelerated view of a store's log: the newest checkpoint (if any)
   * folded with the entries after it. `version` is the newest committed
@@ -102,7 +106,8 @@ object GraftBlocksLog extends Logging {
         (v \ "txn").extractOpt[String],
         (v \ "files").extract[Seq[String]],
         (v \ "keys").extract[Seq[String]],
-        (v \ "rows").extract[Long])
+        (v \ "rows").extract[Long],
+        (v \ "removed").extractOpt[Seq[String]].getOrElse(Nil))
     } finally in.close()
   }
 
@@ -155,7 +160,7 @@ object GraftBlocksLog extends Logging {
     val tail = entryPaths.filter(_._1 > cpV)
       .map { case (v, p) => v -> parseEntry(fs, p) }
     GraftStoreState(maxEntry, cpV,
-      cpFiles ++ tail.flatMap(_._2.files),
+      foldFiles(cpFiles, tail.map(_._2)),
       cpTxns ++ tail.flatMap(_._2.txn),
       tail)
   }
@@ -193,8 +198,16 @@ object GraftBlocksLog extends Logging {
     entries.iterator.flatMap(_.keys).toSet
   def committedTxns(entries: Seq[GraftLogEntry]): Set[String] =
     entries.iterator.flatMap(_.txn).toSet
+  /** Visible files after folding adds and removes in commit order. */
   def committedFiles(entries: Seq[GraftLogEntry]): Seq[String] =
-    entries.flatMap(_.files)
+    foldFiles(Nil, entries)
+
+  private[sinks] def foldFiles(base: Seq[String],
+      entries: Seq[GraftLogEntry]): Seq[String] = {
+    val files = mutable.LinkedHashSet(base: _*)
+    entries.foreach { e => files ++= e.files; files --= e.removed }
+    files.toSeq
+  }
 
   private def nextVersion(fs: FileSystem, root: Path): Long = {
     val dir = logDir(root)
@@ -220,7 +233,7 @@ object GraftBlocksLog extends Logging {
         import org.json4s.JsonDSL._
         val json = ("txn" -> entry.txn.orNull) ~
           ("files" -> entry.files) ~ ("keys" -> entry.keys) ~
-          ("rows" -> entry.rows)
+          ("rows" -> entry.rows) ~ ("removed" -> entry.removed)
         val w = new OutputStreamWriter(out, UTF_8)
         w.write(org.json4s.jackson.JsonMethods.compact(
           org.json4s.jackson.JsonMethods.render(json)))
@@ -300,5 +313,85 @@ object GraftBlocksStore {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     GraftBlocksLog.committedKeys(GraftBlocksLog.readEntries(fs, p))
+  }
+
+  /** Rewrite small committed files into ~`targetBytes` ones — the
+    * small-files answer for a store fed one file per task per epoch by
+    * a long-running stream. Atomic via the log: the compacted file is
+    * written to `data/` (invisible until logged), then ONE entry both
+    * adds it and marks the inputs `removed`. No keys change, so the
+    * key index and first-writer-wins are untouched. The inputs stay on
+    * disk (readers planned against an older state may still be
+    * scanning them) until [[vacuum]] reclaims them past its retention.
+    *
+    * Returns the number of files compacted away (0 = nothing to do). */
+  def compact(spark: SparkSession, root: String,
+      smallerThan: Long = 32L * 1024 * 1024,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = fs.makeQualified(new Path(root))
+    GraftBlocksLog.lockFor(rootPath.toString).synchronized {
+      GraftStoreLease.acquire(fs, rootPath)
+      val state = GraftBlocksLog.readState(fs, rootPath)
+      val dataD = GraftBlocksLog.dataDir(rootPath)
+      val smalls = state.files
+        .map(n => new Path(dataD, n))
+        .filter(fs.exists) // defensive: a vacuumed-early file can't be read
+        .map(fs.getFileStatus)
+        .filter(_.getLen < smallerThan)
+      if (smalls.length < 2) return 0
+      val totalBytes = smalls.map(_.getLen).sum
+      val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val tag = java.util.UUID.randomUUID().toString
+      val tmpOut = new Path(GraftBlocksLog.stagingDir(rootPath), s".compact-$tag")
+      spark.read.option("mergeSchema", "true")
+        .parquet(smalls.map(_.getPath.toString): _*)
+        .coalesce(nOut)
+        .write.mode("overwrite").parquet(tmpOut.toString)
+      val parts = fs.listStatus(tmpOut).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+      val newNames = parts.zipWithIndex.map { case (p, i) =>
+        val name = s"c-$tag-$i.parquet"
+        if (!fs.rename(p, new Path(dataD, name)))
+          throw new java.io.IOException(s"graft-blocks: failed to publish $p")
+        name
+      }
+      fs.delete(tmpOut, true)
+      val removed = smalls.map(_.getPath.getName).toSeq
+      val v = GraftBlocksLog.appendEntry(fs, rootPath, GraftLogEntry(
+        None, newNames.toSeq, Nil, 0L, removed)) // rows=0: nothing new
+      GraftKeyIndex.recordCommit(fs, rootPath, v, Nil) // keep watermark current
+      removed.size
+    }
+  }
+
+  /** Delete data files no committed state references (compacted-away
+    * inputs, residue) once older than `retentionMs`, plus stale staging
+    * files. The retention window protects readers that planned against
+    * a pre-compaction state — size it beyond your longest query, as
+    * Delta's VACUUM does. Returns the number of files deleted. */
+  def vacuum(spark: SparkSession, root: String,
+      retentionMs: Long = 7L * 24 * 3600 * 1000): Int = {
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = fs.makeQualified(new Path(root))
+    GraftBlocksLog.lockFor(rootPath.toString).synchronized {
+      GraftStoreLease.acquire(fs, rootPath)
+      val live = GraftBlocksLog.readState(fs, rootPath).files.toSet
+      val horizon = System.currentTimeMillis() - retentionMs
+      val dataD = GraftBlocksLog.dataDir(rootPath)
+      val staging = GraftBlocksLog.stagingDir(rootPath)
+      var deleted = 0
+      if (fs.exists(dataD))
+        fs.listStatus(dataD)
+          .filter(s => s.isFile && !live.contains(s.getPath.getName) &&
+            s.getModificationTime < horizon)
+          .foreach { s => if (fs.delete(s.getPath, false)) deleted += 1 }
+      if (fs.exists(staging))
+        fs.listStatus(staging)
+          .filter(_.getModificationTime < horizon)
+          .foreach { s => if (fs.delete(s.getPath, s.isDirectory)) deleted += 1 }
+      deleted
+    }
   }
 }

@@ -246,6 +246,48 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.blocks.checkpointInterval")
   }
 
+  test("compaction rewrites small files atomically; vacuum reclaims inputs") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    // a stream's worth of small per-epoch files
+    (0 until 6).foreach { i =>
+      rows(s"m$i", 3).coalesce(1).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+    }
+    val dataD = GraftBlocksLog.dataDir(root)
+    val before = fs.listStatus(dataD).count(_.isFile)
+    assert(before >= 6)
+    val expect = GraftBlocksStore.read(spark, dir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+
+    val compacted = GraftBlocksStore.compact(spark, dir)
+    assert(compacted == before, "all small files should compact")
+    // one visible file now; contents identical
+    val state = GraftBlocksLog.readState(fs, root)
+    assert(state.files.size == 1 && state.files.head.startsWith("c-"))
+    assert(GraftBlocksStore.read(spark, dir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap == expect)
+    // keys and first-writer-wins untouched by compaction
+    assert(GraftBlocksStore.committedKeys(spark, dir) == expect.keySet)
+    rows("m0", 3).union(rows("m9", 1)).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    val after = GraftBlocksStore.read(spark, dir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+    assert(after == expect + ("m9" -> 1L))
+
+    // inputs still on disk (reader protection) until vacuum's horizon
+    assert(fs.listStatus(dataD).count(_.isFile) > state.files.size)
+    assert(GraftBlocksStore.vacuum(spark, dir) == 0, "inside retention: keep")
+    val reclaimed = GraftBlocksStore.vacuum(spark, dir, retentionMs = -1000)
+    assert(reclaimed == before, s"expected $before reclaimed, got $reclaimed")
+    assert(GraftBlocksStore.read(spark, dir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap == after)
+    // idempotent second pass
+    assert(GraftBlocksStore.compact(spark, dir,
+      smallerThan = 1024) >= 0)
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
