@@ -288,6 +288,53 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       smallerThan = 1024) >= 0)
   }
 
+  test("key index agrees with a naive model under randomized commit batches") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    val hconf = new graft.sources.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val rnd = new scala.util.Random(7)
+    val committed = scala.collection.mutable.Set.empty[String]
+    GraftBlocksLog.lockFor(root.toString).synchronized {
+      for (_ <- 0 until 20) {
+        val keys = Seq.fill(rnd.nextInt(50) + 1)(s"k${rnd.nextInt(500)}")
+          .distinct.filterNot(committed)
+        val v = GraftBlocksLog.appendEntry(fs, root,
+          GraftLogEntry(None, Nil, keys, 0L))
+        GraftKeyIndex.recordCommit(fs, root, v, keys)
+        committed ++= keys
+      }
+    }
+    val universe = (0 until 600).map(i => s"k$i")
+    assert(GraftKeyIndex.committedAmong(fs, root, universe) == committed.toSet)
+    // the task-side probe (bloom + shard verify) gives the same answers
+    val probe = GraftKeyProbe.forStore(fs, root, hconf)
+    universe.foreach { k =>
+      assert(probe.committed(k) == committed(k), s"probe disagrees on $k")
+    }
+  }
+
+  test("bloom rebuilds at larger capacity when the key count outgrows it") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    val many = (0 until (GraftKeyIndex.InitialBloomCapacity + 10000).toInt)
+      .map(i => s"big-$i")
+    GraftBlocksLog.lockFor(root.toString).synchronized {
+      val v = GraftBlocksLog.appendEntry(fs, root,
+        GraftLogEntry(None, Nil, many, 0L))
+      GraftKeyIndex.recordCommit(fs, root, v, many)
+    }
+    val Some((expected, count, _)) = GraftKeyIndex.readBloom(fs, root)
+    assert(count == many.size.toLong)
+    assert(expected >= many.size * 4L, s"rebuild must grow capacity, got $expected")
+    // exactness survives the rebuild
+    assert(GraftKeyIndex.committedAmong(fs, root,
+      Seq("big-0", s"big-${many.size - 1}", "absent")) ==
+      Set("big-0", s"big-${many.size - 1}"))
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
