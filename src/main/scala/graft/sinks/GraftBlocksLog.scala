@@ -124,6 +124,14 @@ object GraftBlocksLog extends Logging {
       .map { case (version, path) => version -> parseEntry(fs, path) }
   }
 
+  /** One entry read directly by version (entry files are named by their
+    * version, so this is a point read — no history scan). */
+  def readEntryAt(fs: FileSystem, root: Path,
+      version: Long): Option[GraftLogEntry] = {
+    val p = new Path(logDir(root), f"$version%020d.json")
+    if (fs.exists(p)) Some(parseEntry(fs, p)) else None
+  }
+
   /** Accelerated log view: newest checkpoint folded with the entries
     * after it. Entries are never deleted — a checkpoint only shortcuts
     * reads, so a lost/ignored checkpoint degrades to a full replay,
@@ -313,6 +321,45 @@ object GraftBlocksStore {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     GraftBlocksLog.committedKeys(GraftBlocksLog.readEntries(fs, p))
+  }
+
+  /** Keyed point read — the reference's DynamoDB `get_item` shape (S9,
+    * upload_notion_blocks.py reads blocks by BlockBatch): resolve each
+    * key to the log version that first committed it via the sharded key
+    * index, then scan ONLY that commit's files instead of the whole
+    * store. O(|keys| shard reads + first-commit files), not O(store).
+    *
+    * Compaction caveat: when a resolved commit's files were compacted
+    * away, the rows live in compaction outputs (`c-*` files), which are
+    * added conservatively — a fully-compacted store degrades toward a
+    * filtered full read, which is then bounded by compaction's own
+    * targetBytes file count. Legacy (log-less) stores fall back to a
+    * filtered full read. */
+  def readForKeys(spark: SparkSession, root: String, keys: Seq[String],
+      keyColumn: String = "blockBatch"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = fs.makeQualified(new Path(root))
+    def keyFilter(df: DataFrame) = df.filter(col(keyColumn).isin(keys: _*))
+    if (!GraftBlocksLog.exists(fs, rootPath))
+      return keyFilter(read(spark, root))
+    val state = GraftBlocksLog.readState(fs, rootPath)
+    val live = state.files.toSet
+    val versions = GraftKeyIndex.versionsFor(fs, rootPath, keys).values.toSet
+    val resolved = versions.toSeq.sorted.flatMap(v =>
+      GraftBlocksLog.readEntryAt(fs, rootPath, v).toSeq.flatMap(_.files))
+    val (liveFiles, compactedAway) = resolved.distinct.partition(live.contains)
+    val files = (liveFiles ++
+      (if (compactedAway.nonEmpty) live.filter(_.startsWith("c-")) else Nil))
+      .distinct
+    if (files.isEmpty) {
+      val schema = GraftBlocksLog.readSchema(fs, rootPath)
+        .getOrElse(GraftBlocksTableSink.DefaultSchema)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    keyFilter(spark.read.option("mergeSchema", "true").parquet(
+      files.map(n => new Path(GraftBlocksLog.dataDir(rootPath), n).toString): _*))
   }
 
   /** Rewrite small committed files into ~`targetBytes` ones — the

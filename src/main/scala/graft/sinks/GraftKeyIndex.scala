@@ -130,6 +130,42 @@ object GraftKeyIndex extends Logging {
     }.toSet
   }
 
+  /** The log version that first committed each of `candidates` (absent
+    * keys are absent from the map) — the point-lookup resolver: a
+    * segment file is named by its entry version, so finding the segment
+    * holding a key names the commit whose files hold its rows. Reads
+    * only the shards the candidates hash into. */
+  def versionsFor(fs: FileSystem, root: Path,
+      candidates: Iterable[String]): Map[String, Long] = {
+    val byShard = candidates.toSeq.distinct.groupBy(shardOf)
+    byShard.iterator.flatMap { case (shard, ks) =>
+      val dir = shardDir(root, shard)
+      if (!fs.exists(dir)) Iterator.empty
+      else {
+        val pending = mutable.Set(ks: _*)
+        val found = mutable.Map.empty[String, Long]
+        val segs = fs.listStatus(dir)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".keys"))
+          .sortBy(_.getPath.getName)
+        val it = segs.iterator
+        while (it.hasNext && pending.nonEmpty) {
+          val s = it.next()
+          val v = s.getPath.getName.stripSuffix(".keys").toLong
+          val in = new BufferedReader(
+            new InputStreamReader(fs.open(s.getPath), UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null && pending.nonEmpty) {
+              if (pending.remove(line)) found(line) = v
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+        found.iterator
+      }
+    }.toMap
+  }
+
   // ---- bloom ----
 
   /** (expectedCapacity, keyCount, filter). */

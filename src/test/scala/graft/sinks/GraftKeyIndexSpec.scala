@@ -335,6 +335,33 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       Set("big-0", s"big-${many.size - 1}"))
   }
 
+  test("keyed point read touches only the owning commit's files") {
+    val dir = freshDir()
+    (0 until 8).foreach { i =>
+      rows(s"p$i", 3).coalesce(1).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+    }
+    assert(GraftBlocksStore.read(spark, dir).inputFiles.length == 8)
+    val hit = GraftBlocksStore.readForKeys(spark, dir, Seq("p5"))
+    assert(hit.inputFiles.length == 1,
+      s"point read must touch one commit's files, got ${hit.inputFiles.length}")
+    assert(hit.count() == 3)
+    assert(hit.select("title").as[String].collect().toSet ==
+      Set("p5-0", "p5-1", "p5-2"))
+    // multi-key read unions the owning commits only
+    val two = GraftBlocksStore.readForKeys(spark, dir, Seq("p1", "p6"))
+    assert(two.inputFiles.length == 2 && two.count() == 6)
+    // absent key: empty with the store schema
+    val miss = GraftBlocksStore.readForKeys(spark, dir, Seq("nope"))
+    assert(miss.isEmpty && miss.columns.contains("blockBatch"))
+    // rows survive compaction (conservative c-* widening)
+    GraftBlocksStore.compact(spark, dir)
+    val after = GraftBlocksStore.readForKeys(spark, dir, Seq("p5"))
+    assert(after.count() == 3)
+    assert(after.select("title").as[String].collect().toSet ==
+      Set("p5-0", "p5-1", "p5-2"))
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
