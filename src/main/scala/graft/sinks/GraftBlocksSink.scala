@@ -156,11 +156,12 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
   /** First-writer-wins snapshot for the distributed filter: bloom bytes
     * (constant-size) for index-backed stores, never the exact key set —
     * see [[GraftKeyIndex]]. */
-  private val keyProbe: GraftKeyProbe = {
+  private def freshProbe(): GraftKeyProbe = {
     val p = new Path(root)
     val fs = p.getFileSystem(hconf.value)
     GraftKeyProbe.forStore(fs, fs.makeQualified(p), hconf)
   }
+  private val keyProbe: GraftKeyProbe = freshProbe()
 
   override def toBatch: BatchWrite = this
   override def toStreaming: StreamingWrite = this
@@ -178,9 +179,14 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
     GraftCommitter.abort(root, hconf.value, writeId)
 
   // ---- streaming ----
+  // a StreamingWrite lives for the whole query, but Spark plans each
+  // micro-batch afresh and calls this per epoch — re-reading the bloom
+  // here (one small file) keeps the writer-side filter current with the
+  // keys earlier epochs committed, so re-delivered batches drop at the
+  // task instead of surviving to commit-side deletion
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftWriterFactory(root, dataSchema, keyOrd, keyProbe, writeId,
+    new GraftWriterFactory(root, dataSchema, keyOrd, freshProbe(), writeId,
       Some(()), hconf)
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =

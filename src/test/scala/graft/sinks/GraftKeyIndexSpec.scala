@@ -362,6 +362,39 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       Set("p5-0", "p5-1", "p5-2"))
   }
 
+  test("streaming epochs get a fresh probe: re-delivered keys drop at the task") {
+    val dir = freshDir()
+    val table = new GraftBlocksTableSink(dir,
+      GraftBlocksTableSink.DefaultSchema, "blockBatch")
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "q-fresh"
+      override def schema(): StructType = GraftBlocksTableSink.DefaultSchema
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Map.of("path", dir))
+    }
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(GraftBlocksTableSink.DefaultSchema)
+    val ser = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(enc)
+      .createSerializer()
+    def internalRows(batch: String) = (0 until 3).map(i =>
+      ser(org.apache.spark.sql.Row(batch, i, "staging", s"Main/$batch.md",
+        "text", s"$batch-$i", null, null)).copy())
+    // ONE StreamingWrite spanning both epochs, as in a real query run
+    val sw = table.newWriteBuilder(info).build().toStreaming
+    val w0 = sw.createStreamingWriterFactory(null).createWriter(0, 1L, 0L)
+    internalRows("dup").foreach(w0.write)
+    sw.commit(0L, Array(w0.commit()))
+    // epoch 1 re-delivers the SAME key: the per-epoch factory must carry
+    // a refreshed probe, so the task writes nothing at all
+    val w1 = sw.createStreamingWriterFactory(null).createWriter(0, 2L, 1L)
+    internalRows("dup").foreach(w1.write)
+    val msg = w1.commit().asInstanceOf[GraftCommitMessage]
+    assert(msg.file.isEmpty && msg.rows == 0,
+      s"re-delivered key must be dropped task-side, wrote $msg")
+    sw.commit(1L, Array(msg))
+    assert(GraftBlocksStore.read(spark, dir).count() == 3)
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
