@@ -107,6 +107,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rank<=k not pushed below the window sort:\n$plan")
   }
 
+  test("benched q65 is sketch-only: no exact distinct in the plan") {
+    val d = "/root/testdata/sf0.001"
+    // the oracle-compared q65 deliberately carries the exact distinct as
+    // verification apparatus; the PRODUCTION (benched) twin must never
+    // pay that full-vocabulary shuffle
+    // assert on what Bench actually times — the registered entry
+    val plan = executedPlanString(
+      graft.SparkEntry.benchQueries("q65_approx_profile")(spark, d))
+    assert(!plan.toLowerCase.contains("count(distinct") &&
+      !plan.contains("Expand"),
+      s"production q65 must not compute an exact distinct:\n$plan")
+    assert(plan.contains("approx_count_distinct"),
+      s"production q65 must keep the HLL++ sketch:\n$plan")
+  }
+
   test("portable sketch queries never plan a cartesian product") {
     val d = "/root/testdata/sf0.001"
     for (q <- Seq(ScaleCatalogue.q71MinhashPortable _,

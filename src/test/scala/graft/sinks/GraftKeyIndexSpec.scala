@@ -395,6 +395,29 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     assert(GraftBlocksStore.read(spark, dir).count() == 3)
   }
 
+  test("concurrent overlapping writes: every key lands exactly once") {
+    val dir = freshDir()
+    // 6 threads, each writing 4 keys with heavy overlap: key ki is
+    // attempted by threads i%3, i%3+1, i%3+2 — the lock + commit
+    // re-check must let exactly one attempt win per key
+    val threads = (0 until 6).map { t =>
+      new Thread(() => {
+        val batch = (0 until 4).map(i => s"k${(t + i) % 8}").distinct
+        val df = batch.map(b => rows(b, 2)).reduce(_ union _)
+        df.write.format("graft-blocks").option("path", dir)
+          .mode("append").save()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    val counts = GraftBlocksStore.read(spark, dir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == (0 until 8).map(i => s"k$i").toSet)
+    assert(counts.values.forall(_ == 2L),
+      s"every key must land exactly once (2 rows each), got $counts")
+    assert(GraftBlocksStore.committedKeys(spark, dir).size == 8)
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
