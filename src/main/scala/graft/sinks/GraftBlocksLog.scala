@@ -204,12 +204,8 @@ object GraftBlocksLog extends Logging {
 
   def committedKeys(entries: Seq[GraftLogEntry]): Set[String] =
     entries.iterator.flatMap(_.keys).toSet
-  def committedTxns(entries: Seq[GraftLogEntry]): Set[String] =
-    entries.iterator.flatMap(_.txn).toSet
-  /** Visible files after folding adds and removes in commit order. */
-  def committedFiles(entries: Seq[GraftLogEntry]): Seq[String] =
-    foldFiles(Nil, entries)
 
+  /** Visible files after folding adds and removes in commit order. */
   private[sinks] def foldFiles(base: Seq[String],
       entries: Seq[GraftLogEntry]): Seq[String] = {
     val files = mutable.LinkedHashSet(base: _*)
@@ -321,6 +317,21 @@ object GraftBlocksStore {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     GraftBlocksLog.committedKeys(GraftBlocksLog.readEntries(fs, p))
+  }
+
+  /** The store's commit history as a DataFrame — version, txn, files
+    * added/removed, first-committed key count, rows. The ops surface for
+    * "what happened to this store" (Delta's DESCRIBE HISTORY shape);
+    * full-history scan by design. */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val rootPath = fs.makeQualified(new Path(root))
+    GraftBlocksLog.readEntriesWithVersion(fs, rootPath)
+      .map { case (v, e) => (v, e.txn, e.files.size, e.removed.size,
+        e.keys.size, e.rows) }
+      .toDF("version", "txn", "files_added", "files_removed",
+        "keys", "rows")
   }
 
   /** Keyed point read — the reference's DynamoDB `get_item` shape (S9,

@@ -418,6 +418,24 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     assert(GraftBlocksStore.committedKeys(spark, dir).size == 8)
   }
 
+  test("history reports every commit with adds, removes, keys, rows") {
+    val dir = freshDir()
+    rows("h1", 2).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    rows("h2", 3).coalesce(1).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    GraftBlocksStore.compact(spark, dir, smallerThan = Long.MaxValue)
+    val h = GraftBlocksStore.history(spark, dir)
+      .orderBy("version")
+      .as[(Long, Option[String], Int, Int, Int, Long)].collect()
+    assert(h.length == 3)
+    assert(h(0)._5 == 1 && h(0)._6 == 2L) // h1: one key, two rows
+    assert(h(1)._5 == 1 && h(1)._6 == 3L)
+    val compaction = h(2)
+    assert(compaction._4 >= 2 && compaction._5 == 0 && compaction._6 == 0L,
+      s"compaction entry must remove inputs and add no keys/rows: $compaction")
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
