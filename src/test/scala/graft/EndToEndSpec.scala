@@ -108,6 +108,47 @@ class EndToEndSpec extends AnyFunSuite {
     assert(finalStatus.keySet == batches.toSet)
   }
 
+  test("store maintenance cycle: re-ingest after compact+vacuum stays exactly-once") {
+    val tmp = Files.createTempDirectory("graft-maint")
+    val staging = tmp.resolve("staging")
+    Files.createDirectories(staging.resolve("Main"))
+    Files.writeString(staging.resolve("Main").resolve("A.md"),
+      "# A\n\nfirst body\n\n- one\n- two\n")
+    Files.writeString(staging.resolve("Main").resolve("B.md"), "# B\n\nother\n")
+    val blocksDir = tmp.resolve("blocks").toString
+
+    Ingest.start(spark, staging.toString, blocksDir,
+      tmp.resolve("ckpt1").toString).awaitTermination()
+    val store = graft.sinks.GraftBlocksStore
+    val before = store.read(spark, blocksDir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+    assert(before.size == 2)
+
+    // maintenance: compact everything, reclaim the inputs immediately
+    assert(store.compact(spark, blocksDir, smallerThan = Long.MaxValue) >= 2)
+    assert(store.vacuum(spark, blocksDir, retentionMs = -1000) >= 2)
+    // keyed point read still serves every batch afterwards
+    before.foreach { case (batch, n) =>
+      assert(store.readForKeys(spark, blocksDir, Seq(batch)).count() == n)
+    }
+
+    // re-ingest the SAME staged files with a fresh checkpoint: same
+    // mtimes mint the same deterministic batch ids, so first-writer-wins
+    // must drop every re-delivered row through the bloom+shard probe
+    Ingest.start(spark, staging.toString, blocksDir,
+      tmp.resolve("ckpt2").toString).awaitTermination()
+    val after = store.read(spark, blocksDir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+    assert(after == before, s"re-ingest must be a no-op: $before -> $after")
+
+    // the audit trail records ingest commits and the compaction swap
+    val hist = store.history(spark, blocksDir)
+      .as[(Long, Option[String], Int, Int, Int, Long)].collect()
+    assert(hist.exists(h => h._4 >= 2 && h._5 == 0), "compaction entry missing")
+    assert(hist.map(_._6).sum == before.values.sum,
+      "history row totals must equal the stored rows")
+  }
+
   test("Phase2.run one-call orchestration with parenturl.txt discovery") {
     val tmp = Files.createTempDirectory("graft-p2")
     val staging = tmp.resolve("staging")
