@@ -48,8 +48,17 @@ object Bench {
     }
   }
 
+  /** JSON string literal via json4s (correct escaping of control chars,
+    * quotes, backslashes — not a hand-rolled subset). */
   private def jsonStr(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(org.json4s.JString(s)))
+
+  /** Locale-independent fixed-point: the f interpolator follows the JVM
+    * default locale, which renders decimal COMMAS on e.g. de_DE and
+    * breaks the JSON artifact. */
+  private[graft] def num(x: Double, scale: Int = 3): String =
+    String.format(java.util.Locale.ROOT, s"%.${scale}f", Double.box(x))
 
   /** Render the artifact line. Pure — unit-tested in BenchFormatSpec. */
   private[graft] def formatJson(reps: Int, sfDir: String,
@@ -60,20 +69,19 @@ object Bench {
     val failed = all.collect { case (k, v) if v.exists(_.isLeft) =>
       k -> v.collectFirst { case Left(e) => e }.get }
     val total = ok.map(x => median(x._2)).sum
-    val sp = ok.map { case (k, v) => jsonStr(k) + ":" + f"${spread(v)}%.3f" }
+    val sp = ok.map { case (k, v) => jsonStr(k) + ":" + num(spread(v)) }
       .mkString("{", ",", "}")
     val errs = failed.map { case (k, e) => jsonStr(k) + ":" + jsonStr(e) }
       .mkString("{", ",", "}")
     val dump = dumpStats.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
     // medians LAST: a tail capture of this line must retain them
-    val qs = (ok.map { case (k, v) => k -> f"${median(v)}%.3f" } ++
+    val qs = (ok.map { case (k, v) => k -> num(median(v)) } ++
       failed.map { case (k, _) => k -> "\"err\"" })
       .sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val totalStr = f"$total%.3f"
-    s"""{"metric":"total","value":$totalStr,"unit":"sec","reps":$reps,""" +
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       s""""sf":${jsonStr(sfDir)},"spread":$sp,"errors":$errs,""" +
       s""""dump":$dump,"queries":$qs}"""
   }
@@ -150,11 +158,11 @@ object Bench {
           // the honest throughput denominator for a compressed container
           val logicalMb = logicalBytes / 1e6
           dumpStats += s"${name}_splits" -> splits.toString
-          dumpStats += s"${name}_file_mb" -> f"$fileMb%.1f"
-          dumpStats += s"${name}_logical_mb" -> f"$logicalMb%.1f"
+          dumpStats += s"${name}_file_mb" -> num(fileMb, 1)
+          dumpStats += s"${name}_logical_mb" -> num(logicalMb, 1)
           if (okTimes.nonEmpty) {
-            dumpStats += s"${name}_file_mbps" -> f"${fileMb / median(okTimes)}%.1f"
-            dumpStats += s"${name}_logical_mbps" -> f"${logicalMb / median(okTimes)}%.1f"
+            dumpStats += s"${name}_file_mbps" -> num(fileMb / median(okTimes), 1)
+            dumpStats += s"${name}_logical_mbps" -> num(logicalMb / median(okTimes), 1)
           }
           name -> times
         }

@@ -85,7 +85,7 @@ object BenchDump {
       }
       w.write("</mediawiki>\n")
     } finally w.close()
-    Files.move(tmp, out)
+    Files.move(tmp, out, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     out
   }
 
@@ -146,8 +146,11 @@ object BenchDump {
       Files.write(logicalSizeFile(dir, mb),
         uncompressed.toString.getBytes(UTF_8))
     } finally { counted.close(); idx.close() }
-    Files.move(tmpD, dump)
-    Files.move(tmpI, index)
+    // REPLACE_EXISTING: a cache left by an older code version may hold
+    // the dump+index without the logical-size sidecar — the incomplete
+    // trio regenerates, and the move must overwrite the stale halves
+    Files.move(tmpD, dump, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.move(tmpI, index, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     (dump, index)
   }
 

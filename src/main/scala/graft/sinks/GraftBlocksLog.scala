@@ -356,9 +356,21 @@ object GraftBlocksStore {
       return keyFilter(read(spark, root))
     val state = GraftBlocksLog.readState(fs, rootPath)
     val live = state.files.toSet
-    val versions = GraftKeyIndex.versionsFor(fs, rootPath, keys).values.toSet
-    val resolved = versions.toSeq.sorted.flatMap(v =>
-      GraftBlocksLog.readEntryAt(fs, rootPath, v).toSeq.flatMap(_.files))
+    val found = GraftKeyIndex.versionsFor(fs, rootPath, keys)
+    // keys the index doesn't know CAN still be committed when the index
+    // lags the log (crash between publish and index, pre-index store):
+    // a lagging watermark means "absent from the index" is not evidence
+    // of absence, so widen to the unindexed entries' files (or, past a
+    // checkpoint, to a filtered full read) rather than silently missing
+    val watermark = GraftKeyIndex.readWatermark(fs, rootPath)
+    val unindexedFiles =
+      if (found.size == keys.distinct.size || watermark >= state.version) Nil
+      else if (watermark < state.checkpointVersion) return keyFilter(read(spark, root))
+      else state.tail.filter(_._1 > watermark).flatMap(_._2.files)
+    val versions = found.values.toSet
+    val resolved = (versions.toSeq.sorted.flatMap(v =>
+      GraftBlocksLog.readEntryAt(fs, rootPath, v).toSeq.flatMap(_.files)) ++
+      unindexedFiles)
     val (liveFiles, compactedAway) = resolved.distinct.partition(live.contains)
     val files = (liveFiles ++
       (if (compactedAway.nonEmpty) live.filter(_.startsWith("c-")) else Nil))
@@ -391,6 +403,14 @@ object GraftBlocksStore {
     GraftBlocksLog.lockFor(rootPath.toString).synchronized {
       GraftStoreLease.acquire(fs, rootPath)
       val state = GraftBlocksLog.readState(fs, rootPath)
+      // heal BEFORE recording our own entry: recordCommit below advances
+      // the watermark, which would otherwise skip (and permanently
+      // un-index) any entries a crash or the pre-index era left behind
+      if (GraftKeyIndex.readWatermark(fs, rootPath) < state.checkpointVersion)
+        GraftKeyIndex.heal(fs, rootPath,
+          GraftBlocksLog.readEntriesWithVersion(fs, rootPath))
+      else
+        GraftKeyIndex.heal(fs, rootPath, state.tail)
       val dataD = GraftBlocksLog.dataDir(rootPath)
       val smalls = state.files
         .map(n => new Path(dataD, n))

@@ -74,8 +74,13 @@ object GraftKeyIndex extends Logging {
   def readWatermark(fs: FileSystem, root: Path): Long = {
     val f = watermarkFile(root)
     if (!fs.exists(f)) return -1L
-    val in = new BufferedReader(new InputStreamReader(fs.open(f), UTF_8))
-    try in.readLine().trim.toLong finally in.close()
+    // the writer replaces this file via delete+rename; a read landing in
+    // that window sees "absent", which every caller treats as "index
+    // may lag" — the safe direction
+    try {
+      val in = new BufferedReader(new InputStreamReader(fs.open(f), UTF_8))
+      try in.readLine().trim.toLong finally in.close()
+    } catch { case _: java.io.FileNotFoundException => -1L }
   }
 
   private def writeWatermark(fs: FileSystem, root: Path, v: Long): Unit =
@@ -168,16 +173,20 @@ object GraftKeyIndex extends Logging {
 
   // ---- bloom ----
 
-  /** (expectedCapacity, keyCount, filter). */
+  /** (expectedCapacity, keyCount, filter). Absent (or mid-replacement —
+    * the writer swaps it via delete+rename) reads as None: callers fall
+    * back to the exact entries-derived set, the safe direction. */
   def readBloom(fs: FileSystem, root: Path): Option[(Long, Long, BloomFilter)] = {
     val f = bloomFile(root)
     if (!fs.exists(f)) return None
-    val in = new DataInputStream(fs.open(f))
     try {
-      val expected = in.readLong()
-      val count = in.readLong()
-      Some((expected, count, BloomFilter.readFrom(in)))
-    } finally in.close()
+      val in = new DataInputStream(fs.open(f))
+      try {
+        val expected = in.readLong()
+        val count = in.readLong()
+        Some((expected, count, BloomFilter.readFrom(in)))
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Raw bloom bytes for shipping to tasks (header stripped). */

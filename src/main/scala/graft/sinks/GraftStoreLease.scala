@@ -43,13 +43,20 @@ object GraftStoreLease extends Logging {
   def leaseFile(root: Path): Path =
     new Path(GraftBlocksLog.logDir(root), "_lease")
 
-  /** (ownerId, mtime) of the current lease, if any. */
+  /** (ownerId, mtime) of the current lease, if any. A just-created
+    * lease whose owner id is not yet written reads as a live foreign
+    * owner "" (refusing is correct: someone IS mid-acquire); a lease
+    * deleted by a racing stealer between the exists check and the open
+    * reads as None (the caller's retry loop re-arbitrates). */
   def currentOwner(fs: FileSystem, root: Path): Option[(String, Long)] = {
     val f = leaseFile(root)
     if (!fs.exists(f)) return None
-    val st = fs.getFileStatus(f)
-    val in = new BufferedReader(new InputStreamReader(fs.open(f), UTF_8))
-    try Some((in.readLine().trim, st.getModificationTime)) finally in.close()
+    try {
+      val st = fs.getFileStatus(f)
+      val in = new BufferedReader(new InputStreamReader(fs.open(f), UTF_8))
+      try Some((Option(in.readLine()).getOrElse("").trim,
+        st.getModificationTime)) finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Acquire or renew the store lease for `ownerId`. Throws

@@ -436,6 +436,49 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       s"compaction entry must remove inputs and add no keys/rows: $compaction")
   }
 
+  test("compact on a lagging index heals first instead of skipping entries") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    rows("lag1", 2).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    // simulate a crash between appendEntry and recordCommit: an entry
+    // whose keys never reached the index, watermark left behind
+    GraftBlocksLog.lockFor(root.toString).synchronized {
+      GraftBlocksLog.appendEntry(fs, root,
+        GraftLogEntry(None, Nil, Seq("lag2"), 0L))
+    }
+    assert(GraftKeyIndex.committedAmong(fs, root, Seq("lag2")).isEmpty)
+    // compact appends its own entry + recordCommit — it must NOT advance
+    // the watermark past the unindexed lag2 entry
+    GraftBlocksStore.compact(spark, dir, smallerThan = Long.MaxValue)
+    assert(GraftKeyIndex.committedAmong(fs, root, Seq("lag1", "lag2")) ==
+      Set("lag1", "lag2"),
+      "heal must run before compaction's watermark bump")
+    // and first-writer-wins still holds for the once-lagging key
+    rows("lag2", 5).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    assert(GraftBlocksStore.read(spark, dir)
+      .filter($"blockBatch" === "lag2").count() == 0)
+  }
+
+  test("point read still finds keys when the index lags or is missing") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    (0 until 3).foreach { i =>
+      rows(s"u$i", 2).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+    }
+    // lose the whole index: "not in the index" is no longer evidence of
+    // absence, so the point read must widen rather than return empty
+    fs.delete(GraftKeyIndex.indexDir(root), true)
+    val hit = GraftBlocksStore.readForKeys(spark, dir, Seq("u1"))
+    assert(hit.count() == 2, "lost index must not hide committed keys")
+    assert(hit.select("title").as[String].collect().toSet ==
+      Set("u1-0", "u1-1"))
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
