@@ -117,6 +117,26 @@ class GraftBlocksTableSink(path: String, tableSchema: StructType,
       throw new IllegalArgumentException(
         s"graft-blocks: key column '$keyColumn' must exist with string " +
           s"type in the written schema (got ${schema.simpleString})")
+    // fail fast on type conflicts with the stored schema: new columns
+    // are fine (readers mergeSchema) and missing columns are fine, but
+    // a same-named column with a different type would poison every
+    // future merged read — reject it before any task runs
+    val p = new Path(path)
+    val fs = p.getFileSystem(
+      graft.sources.MediaWikiDumpTable.sessionHadoopConf().value)
+    GraftBlocksLog.readSchema(fs, fs.makeQualified(p)).foreach { stored =>
+      val conflicts = schema.fields.flatMap { f =>
+        stored.fields.find(_.name.equalsIgnoreCase(f.name))
+          .filter(_.dataType != f.dataType)
+          .map(s => s"${f.name}: writing ${f.dataType.simpleString}, " +
+            s"store has ${s.dataType.simpleString}")
+      }
+      if (conflicts.nonEmpty)
+        throw new IllegalArgumentException(
+          "graft-blocks: written schema conflicts with the store schema " +
+            s"(${conflicts.mkString("; ")}); a type change would break " +
+            "merged reads of existing data")
+    }
     new WriteBuilder {
       override def build(): Write =
         new GraftBlocksWrite(path, schema, ord, keyColumn, info.queryId())

@@ -479,6 +479,29 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       Set("u1-0", "u1-1"))
   }
 
+  test("type-conflicting schema is rejected at write build; widening is allowed") {
+    val dir = freshDir()
+    rows("s1", 2).write.format("graft-blocks")
+      .option("path", dir).mode("append").save()
+    // same column name, different type → refused before any task runs
+    val bad = Seq(("s2", "not-an-int")).toDF("blockBatch", "blockIndex")
+    val ex = intercept[Exception] {
+      bad.write.format("graft-blocks").option("path", dir)
+        .mode("append").save()
+    }
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => Option(t.getMessage).exists(_.contains("conflicts"))),
+      s"expected schema-conflict refusal, got $ex")
+    // widening with a NEW column is fine (readers mergeSchema)
+    Seq(("s3", 0, "extra")).toDF("blockBatch", "blockIndex", "annotation")
+      .write.format("graft-blocks").option("path", dir).mode("append").save()
+    val stored = GraftBlocksStore.read(spark, dir)
+    assert(stored.count() == 3)
+    assert(GraftBlocksStore.committedKeys(spark, dir) == Set("s1", "s3"))
+  }
+
   test("equivalent root spellings share one commit lock") {
     val dir = freshDir()
     val q1 = qualified(dir).toString
