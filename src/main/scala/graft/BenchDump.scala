@@ -143,14 +143,18 @@ object BenchDump {
       }
       stream { bz => bz.write("</mediawiki>\n".getBytes(UTF_8)); 0L }
       uncompressed += "</mediawiki>\n".length
-      Files.write(logicalSizeFile(dir, mb),
+      Files.write(dir.resolve(s".multi-$mb-logical.tmp"),
         uncompressed.toString.getBytes(UTF_8))
     } finally { counted.close(); idx.close() }
     // REPLACE_EXISTING: a cache left by an older code version may hold
     // the dump+index without the logical-size sidecar — the incomplete
-    // trio regenerates, and the move must overwrite the stale halves
+    // trio regenerates, and the move must overwrite the stale halves.
+    // The sidecar moves LAST: its presence is what marks the trio
+    // complete, so a crash mid-sequence always re-triggers regeneration
     Files.move(tmpD, dump, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     Files.move(tmpI, index, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.move(dir.resolve(s".multi-$mb-logical.tmp"), logicalSizeFile(dir, mb),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     (dump, index)
   }
 

@@ -361,12 +361,18 @@ object GraftBlocksStore {
     // lags the log (crash between publish and index, pre-index store):
     // a lagging watermark means "absent from the index" is not evidence
     // of absence, so widen to the unindexed entries' files (or, past a
-    // checkpoint, to a filtered full read) rather than silently missing
-    val watermark = GraftKeyIndex.readWatermark(fs, rootPath)
+    // checkpoint, to a filtered full read) rather than silently missing.
+    // The watermark is only consulted when some key went unresolved —
+    // the common all-found case stays at one shard read per key.
     val unindexedFiles =
-      if (found.size == keys.distinct.size || watermark >= state.version) Nil
-      else if (watermark < state.checkpointVersion) return keyFilter(read(spark, root))
-      else state.tail.filter(_._1 > watermark).flatMap(_._2.files)
+      if (found.size == keys.distinct.size) Nil
+      else {
+        val watermark = GraftKeyIndex.readWatermark(fs, rootPath)
+        if (watermark >= state.version) Nil
+        else if (watermark < state.checkpointVersion)
+          return keyFilter(read(spark, root))
+        else state.tail.filter(_._1 > watermark).flatMap(_._2.files)
+      }
     val versions = found.values.toSet
     val resolved = (versions.toSeq.sorted.flatMap(v =>
       GraftBlocksLog.readEntryAt(fs, rootPath, v).toSeq.flatMap(_.files)) ++
@@ -406,11 +412,7 @@ object GraftBlocksStore {
       // heal BEFORE recording our own entry: recordCommit below advances
       // the watermark, which would otherwise skip (and permanently
       // un-index) any entries a crash or the pre-index era left behind
-      if (GraftKeyIndex.readWatermark(fs, rootPath) < state.checkpointVersion)
-        GraftKeyIndex.heal(fs, rootPath,
-          GraftBlocksLog.readEntriesWithVersion(fs, rootPath))
-      else
-        GraftKeyIndex.heal(fs, rootPath, state.tail)
+      GraftKeyIndex.healFromState(fs, rootPath, state)
       val dataD = GraftBlocksLog.dataDir(rootPath)
       val smalls = state.files
         .map(n => new Path(dataD, n))

@@ -89,6 +89,36 @@ class GraftBlocksDataSource extends TableProvider with DataSourceRegister {
 }
 
 object GraftBlocksTableSink {
+  /** Schema-compatibility rule for appends: new columns are fine
+    * (readers mergeSchema) and missing columns are fine, but (a) a
+    * same-named column with a different type — nullability aside, which
+    * parquet merging accepts — would poison every merged read, and (b) a
+    * case-VARIANT of an existing name would merge into two half-null
+    * columns that ambiguous-reference under Spark's case-insensitive
+    * resolution. Both are rejected. Called at write planning (fail-fast
+    * UX) AND under the commit lock (authoritative — two writes racing a
+    * fresh store both plan against no schema). */
+  def assertSchemaCompatible(stored: StructType, writing: StructType,
+      where: String): Unit = {
+    val conflicts = writing.fields.flatMap { f =>
+      stored.fields.find(_.name.equalsIgnoreCase(f.name)).flatMap { s =>
+        if (s.name != f.name)
+          Some(s"${f.name}: store spells it ${s.name} (case-sensitive " +
+            "parquet merge would create both)")
+        else if (!org.apache.spark.sql.types.DataType.equalsStructurally(
+            s.dataType, f.dataType, ignoreNullability = true))
+          Some(s"${f.name}: writing ${f.dataType.simpleString}, " +
+            s"store has ${s.dataType.simpleString}")
+        else None
+      }
+    }
+    if (conflicts.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft-blocks: written schema conflicts with the store schema " +
+          s"at $where (${conflicts.mkString("; ")}); this would break " +
+          "merged reads of existing data")
+  }
+
   /** The blocks-store schema `Ingest.explodeBlocks` produces (reference
     * blocks table: BlockBatch, BlockIndex, S3BucketName, S3ObjectKey,
     * BlockContent — here with the pickle blob as typed columns). */
@@ -117,25 +147,14 @@ class GraftBlocksTableSink(path: String, tableSchema: StructType,
       throw new IllegalArgumentException(
         s"graft-blocks: key column '$keyColumn' must exist with string " +
           s"type in the written schema (got ${schema.simpleString})")
-    // fail fast on type conflicts with the stored schema: new columns
-    // are fine (readers mergeSchema) and missing columns are fine, but
-    // a same-named column with a different type would poison every
-    // future merged read — reject it before any task runs
+    // fail fast at planning; the authoritative check re-runs under the
+    // commit lock (see GraftCommitter.commit)
     val p = new Path(path)
     val fs = p.getFileSystem(
       graft.sources.MediaWikiDumpTable.sessionHadoopConf().value)
     GraftBlocksLog.readSchema(fs, fs.makeQualified(p)).foreach { stored =>
-      val conflicts = schema.fields.flatMap { f =>
-        stored.fields.find(_.name.equalsIgnoreCase(f.name))
-          .filter(_.dataType != f.dataType)
-          .map(s => s"${f.name}: writing ${f.dataType.simpleString}, " +
-            s"store has ${s.dataType.simpleString}")
-      }
-      if (conflicts.nonEmpty)
-        throw new IllegalArgumentException(
-          "graft-blocks: written schema conflicts with the store schema " +
-            s"(${conflicts.mkString("; ")}); a type change would break " +
-            "merged reads of existing data")
+      GraftBlocksTableSink.assertSchemaCompatible(stored, schema,
+        "write planning")
     }
     new WriteBuilder {
       override def build(): Write =
@@ -316,15 +335,13 @@ object GraftCommitter extends Logging {
       val staging = GraftBlocksLog.stagingDir(rootPath)
       val state = GraftBlocksLog.readState(fs, rootPath)
       // index lagging the log (crash between publish and index, or a
-      // log that predates the key index): replay the missing entries.
-      // Normally the lag is inside the post-checkpoint tail; a
-      // watermark older than the checkpoint (lost index) falls back to
-      // the full-history replay — slow, rare, correct.
-      if (GraftKeyIndex.readWatermark(fs, rootPath) < state.checkpointVersion)
-        GraftKeyIndex.heal(fs, rootPath,
-          GraftBlocksLog.readEntriesWithVersion(fs, rootPath))
-      else
-        GraftKeyIndex.heal(fs, rootPath, state.tail)
+      // log that predates the key index): replay the missing entries
+      GraftKeyIndex.healFromState(fs, rootPath, state)
+      // authoritative schema check: two writes racing a fresh store both
+      // plan against no stored schema, so planning alone can't catch a
+      // conflict — the loser must be refused here, under the lock
+      GraftBlocksLog.readSchema(fs, rootPath).foreach(stored =>
+        GraftBlocksTableSink.assertSchemaCompatible(stored, schema, "commit"))
 
       if (txn.exists(state.txns.contains)) {
         // replayed epoch (crash between sink-commit and checkpoint

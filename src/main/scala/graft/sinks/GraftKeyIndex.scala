@@ -241,6 +241,18 @@ object GraftKeyIndex extends Logging {
     writeWatermark(fs, root, pending.map(_._1).max)
   }
 
+  /** Heal dispatch from a [[GraftStoreState]] view — THE one policy for
+    * both commit and compaction: lag inside the post-checkpoint tail
+    * replays just the tail; a watermark older than the checkpoint (lost
+    * index) falls back to the full-history replay. Caller holds the
+    * store lock. */
+  def healFromState(fs: FileSystem, root: Path,
+      state: GraftStoreState): Unit =
+    if (readWatermark(fs, root) < state.checkpointVersion)
+      heal(fs, root, GraftBlocksLog.readEntriesWithVersion(fs, root))
+    else
+      heal(fs, root, state.tail)
+
   /** Record a just-published entry (the normal per-commit path). */
   def recordCommit(fs: FileSystem, root: Path, version: Long,
       keys: Seq[String]): Unit = {

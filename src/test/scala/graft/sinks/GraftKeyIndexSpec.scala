@@ -494,12 +494,51 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     assert(chain(ex).exists(_.getMessage != null) &&
       chain(ex).exists(t => Option(t.getMessage).exists(_.contains("conflicts"))),
       s"expected schema-conflict refusal, got $ex")
+    // a case-VARIANT of an existing column is refused even at the same
+    // type: parquet merging is case-sensitive and would create both
+    val caseVar = Seq(("s4", 7)).toDF("blockBatch", "BlockIndex")
+    val ex2 = intercept[Exception] {
+      caseVar.write.format("graft-blocks").option("path", dir)
+        .mode("append").save()
+    }
+    assert(chain(ex2).exists(t =>
+      Option(t.getMessage).exists(_.contains("case-sensitive"))), s"got $ex2")
     // widening with a NEW column is fine (readers mergeSchema)
     Seq(("s3", 0, "extra")).toDF("blockBatch", "blockIndex", "annotation")
       .write.format("graft-blocks").option("path", dir).mode("append").save()
     val stored = GraftBlocksStore.read(spark, dir)
     assert(stored.count() == 3)
     assert(GraftBlocksStore.committedKeys(spark, dir) == Set("s1", "s3"))
+    // nullability differences are merge-compatible, never a conflict
+    import org.apache.spark.sql.types._
+    GraftBlocksTableSink.assertSchemaCompatible(
+      StructType(Seq(StructField("blockBatch", StringType),
+        StructField("tags", ArrayType(StringType, containsNull = false)))),
+      StructType(Seq(StructField("blockBatch", StringType),
+        StructField("tags", ArrayType(StringType, containsNull = true)))),
+      "spec")
+  }
+
+  test("schema conflict is also refused at commit when planning saw no schema") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    // both writes plan against the EMPTY store (no schema yet) — the
+    // planning check cannot fire for either
+    import org.apache.spark.sql.types._
+    val intSchema = StructType(Seq(StructField("blockBatch", StringType),
+      StructField("blockIndex", IntegerType)))
+    val strSchema = StructType(Seq(StructField("blockBatch", StringType),
+      StructField("blockIndex", StringType)))
+    // simulate the loser's commit arriving after the winner recorded the
+    // store schema
+    GraftBlocksLog.writeSchemaIfAbsent(fs, root, intSchema)
+    val ex = intercept[IllegalArgumentException] {
+      GraftCommitter.commit(dir, spark.sessionState.newHadoopConf(), None,
+        strSchema, "blockBatch", "w-loser", Nil)
+    }
+    assert(ex.getMessage.contains("commit"),
+      s"conflict must be caught under the commit lock: ${ex.getMessage}")
   }
 
   test("equivalent root spellings share one commit lock") {
