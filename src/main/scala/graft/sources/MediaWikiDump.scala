@@ -128,9 +128,15 @@ class MediaWikiDumpTable(path: String) extends Table with SupportsRead {
   override def capabilities(): JSet[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new MediaWikiScanBuilder(path,
-      options.getLong("splitSize", MediaWikiDumpTable.DefaultSplitSize))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val splitSize =
+      options.getLong("splitSize", MediaWikiDumpTable.DefaultSplitSize)
+    // a non-positive split silently plans ZERO partitions for large
+    // files (empty range fold) — refuse at the option boundary
+    require(splitSize > 0,
+      s"mediawiki: splitSize must be positive, got $splitSize")
+    new MediaWikiScanBuilder(path, splitSize)
+  }
 }
 
 class MediaWikiScanBuilder(path: String, splitSize: Long) extends ScanBuilder
@@ -265,17 +271,33 @@ object MediaWikiPlanner extends Logging {
   }
 
   /** Distinct sorted bz2-stream start offsets from an
-    * `offset:pageid:title` index file. */
+    * `offset:pageid:title` index file. Malformed lines (no ':', BOM,
+    * partial-download fragments) are skipped with a warning — a dropped
+    * offset only coalesces two streams into one split, never corrupts
+    * data (ranges decompress concatenated streams regardless). */
   def readIndexOffsets(fs: FileSystem, index: Path): Array[Long] = {
     val raw: InputStream = fs.open(index)
-    val in = if (index.getName.endsWith(".bz2"))
-      new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
-    else raw
+    val in =
+      try {
+        if (index.getName.endsWith(".bz2"))
+          new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
+        else raw
+      } catch { case t: Throwable => raw.close(); throw t }
     try {
+      var skipped = 0L
       val src = scala.io.Source.fromInputStream(in)(scala.io.Codec.UTF8)
-      src.getLines().filter(_.nonEmpty)
-        .map(l => l.substring(0, l.indexOf(':')).toLong)
-        .toArray.distinct.sorted
+      val offsets = src.getLines().filter(_.nonEmpty).flatMap { l =>
+        val c = l.indexOf(':')
+        val parsed =
+          if (c <= 0) None
+          else try Some(l.substring(0, c).trim.toLong)
+          catch { case _: NumberFormatException => None }
+        if (parsed.isEmpty) skipped += 1
+        parsed
+      }.toArray.distinct.sorted
+      if (skipped > 0) logWarning(
+        s"mediawiki: skipped $skipped malformed line(s) in index $index")
+      offsets
     } finally in.close()
   }
 
@@ -283,10 +305,15 @@ object MediaWikiPlanner extends Logging {
     * (stops at `</namespaces>` or the first `<page>`). */
   def parseRegistryFromHead(fs: FileSystem, file: Path): Map[Int, String] = {
     val raw: InputStream = fs.open(file)
-    val in = if (file.getName.endsWith(".bz2"))
-      new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
-    else raw
-    val xml = MediaWikiXml.newReader(in)
+    val in =
+      try {
+        if (file.getName.endsWith(".bz2"))
+          new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
+        else raw
+      } catch { case t: Throwable => raw.close(); throw t }
+    val xml =
+      try MediaWikiXml.newReader(in)
+      catch { case t: Throwable => in.close(); throw t }
     try {
       val reg = mutable.Map.empty[Int, String]
       while (xml.hasNext) {
@@ -303,8 +330,7 @@ object MediaWikiPlanner extends Logging {
                 }
                 if (k != null) {
                   val key = k.toInt
-                  val label = xml.getElementText.trim
-                  reg(key) = if (key == 0) "Main" else label
+                  reg(key) = MediaWikiXml.nsLabel(key, xml.getElementText.trim)
                 }
               case "page" => return reg.toMap
               case _ => ()
@@ -339,6 +365,15 @@ object MediaWikiPlanner extends Logging {
       splitSize: Long): Seq[InputPartition] = {
     val file = st.getPath
     val len = st.getLen
+    // only plain XML and multistream .bz2 are supported — fail with the
+    // real problem instead of a StAX "Content is not allowed in prolog"
+    // when someone points the source at a .gz stub dump
+    val lower = file.getName.toLowerCase(java.util.Locale.ROOT)
+    if (Seq(".gz", ".zst", ".xz", ".7z", ".zip", ".lz4").exists(lower.endsWith))
+      throw new IllegalArgumentException(
+        s"mediawiki: unsupported compression for $file — only plain XML " +
+          "and multistream .bz2 (with optional -index.txt[.bz2]) are " +
+          "readable; decompress or re-land as multistream bz2")
     if (file.getName.endsWith(".bz2")) {
       indexCandidates(file).find(fs.exists) match {
         case Some(idx) =>
@@ -358,11 +393,12 @@ object MediaWikiPlanner extends Logging {
       }
     } else if (len > splitSize) {
       val registry = registryFor(fs, st)
-      val bounds = 0L.to(len, splitSize).toSeq ++
-        (if (len % splitSize == 0) Nil else Seq(len))
-      coalesceRanges(bounds.distinct.sorted, 1L).map { case (s, e) =>
-        MediaWikiRangePartition(file.toString, s, e, compressed = false,
-          registry)
+      // equal byte ranges computed directly — never materializes a
+      // bounds list longer than the partition count
+      val n = ((len + splitSize - 1) / splitSize).toInt
+      (0 until n).map { i =>
+        MediaWikiRangePartition(file.toString, i * splitSize,
+          math.min((i + 1) * splitSize, len), compressed = false, registry)
       }
     } else Seq(MediaWikiInputPartition(file.toString))
   }
@@ -513,7 +549,11 @@ class MediaWikiReaderFactory(requiredSchema: StructType,
 
 /** Shared StAX configuration and row assembly for the two readers. */
 private[sources] object MediaWikiXml {
-  private val factory: XMLInputFactory = {
+  /** A configured factory for exclusive single-threaded use. The range
+    * reader creates one per PARTITION and calls it once per page chunk
+    * — a global synchronized factory there would serialize every task
+    * thread in the JVM on one monitor in the hot path. */
+  def newFactory(): XMLInputFactory = {
     val f = XMLInputFactory.newInstance()
     f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
     f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
@@ -521,11 +561,41 @@ private[sources] object MediaWikiXml {
       java.lang.Boolean.FALSE)
     f
   }
+  private val factory: XMLInputFactory = newFactory()
   // XMLInputFactory is not thread-safe to configure but is safe to use
-  // once configured per the StAX spec; reader creation is synchronized
-  // to be safe across concurrent task threads.
+  // once configured per the StAX spec; reader creation on the SHARED
+  // factory is synchronized for the once-per-file paths (whole-file
+  // reader, head parses) where a monitor is noise.
   def newReader(in: InputStream): XMLStreamReader =
     factory.synchronized(factory.createXMLStreamReader(in))
+
+  /** Consume the reader's current element entirely (no text built). */
+  def skipElement(xml: XMLStreamReader): Unit = {
+    var depth = 1
+    while (depth > 0 && xml.hasNext) {
+      xml.next() match {
+        case XMLStreamConstants.START_ELEMENT => depth += 1
+        case XMLStreamConstants.END_ELEMENT => depth -= 1
+        case _ => ()
+      }
+    }
+  }
+
+  /** Value of the current element's attribute `local`, or null. */
+  def attr(xml: XMLStreamReader, local: String): String = {
+    var i = 0
+    while (i < xml.getAttributeCount) {
+      if (xml.getAttributeLocalName(i) == local) return xml.getAttributeValue(i)
+      i += 1
+    }
+    null
+  }
+
+  /** THE namespace-label rule (reference process-mw-dump.py:41-43):
+    * key 0's empty label renders as "Main". One definition shared by
+    * the head parser and the whole-file reader. */
+  def nsLabel(key: Int, label: String): String =
+    if (key == 0) "Main" else label
 
   def buildRow(requiredSchema: StructType, nsName: Int => Option[String],
       title: String, ns: Integer, text: String,
@@ -572,11 +642,17 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
   private val input: InputStream = {
     val p = new Path(file)
     val raw = p.getFileSystem(hconf.value).open(p)
-    if (file.endsWith(".bz2"))
-      new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
-    else raw
+    // Spark never calls close() on a reader whose constructor threw —
+    // a corrupt bz2 header must not leak the open file handle
+    try {
+      if (file.endsWith(".bz2"))
+        new BZip2CompressorInputStream(new BufferedInputStream(raw, 64 * 1024), true)
+      else raw
+    } catch { case t: Throwable => raw.close(); throw t }
   }
-  private val xml: XMLStreamReader = MediaWikiXml.newReader(input)
+  private val xml: XMLStreamReader =
+    try MediaWikiXml.newReader(input)
+    catch { case t: Throwable => input.close(); throw t }
 
   private val registry = mutable.Map.empty[Int, String]
   private var registryDone = false
@@ -590,26 +666,8 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
   private var upEnc: String = _
   private var upContents: String = _
 
-  private def attr(local: String): String = {
-    var i = 0
-    while (i < xml.getAttributeCount) {
-      if (xml.getAttributeLocalName(i) == local) return xml.getAttributeValue(i)
-      i += 1
-    }
-    null
-  }
-
-  /** Consume the current element entirely without building its text. */
-  private def skipElement(): Unit = {
-    var depth = 1
-    while (depth > 0 && xml.hasNext) {
-      xml.next() match {
-        case XMLStreamConstants.START_ELEMENT => depth += 1
-        case XMLStreamConstants.END_ELEMENT => depth -= 1
-        case _ => ()
-      }
-    }
-  }
+  private def attr(local: String): String = MediaWikiXml.attr(xml, local)
+  private def skipElement(): Unit = MediaWikiXml.skipElement(xml)
 
   private def nsAccepted: Boolean =
     ns != null && nsFilter.forall(_.contains(ns.intValue())) &&
@@ -628,9 +686,7 @@ class MediaWikiPartitionReader(file: String, requiredSchema: StructType,
               val k = attr("key")
               if (k != null) {
                 val key = k.toInt
-                val label = xml.getElementText.trim
-                registry(key) =
-                  if (key == 0) "Main" else label
+                registry(key) = MediaWikiXml.nsLabel(key, xml.getElementText.trim)
               }
             case "page" =>
               inPage = true; pageRejected = false
@@ -714,20 +770,42 @@ private[sources] final class PageChunkScanner(in: InputStream, basePos: Long) {
   private val Start = "<page>".getBytes(UTF_8)
   private val End = "</page>".getBytes(UTF_8)
   private var pos = basePos
+  // block-buffered scanning: the match state machine runs over a local
+  // byte array, not per-byte InputStream.read() virtual calls (every
+  // BufferedInputStream method is synchronized — at ~10^8 bytes per
+  // split that monitor dominates the scan this splitter exists to speed
+  // up). The match state (m) carries across block boundaries.
+  private val buf = new Array[Byte](64 * 1024)
+  private var bufLen = 0
+  private var bufOff = 0
+
+  /** Refill the window; false at EOF. */
+  private def fill(): Boolean = {
+    if (bufOff < bufLen) return true
+    var n = in.read(buf)
+    while (n == 0) n = in.read(buf)
+    bufOff = 0
+    bufLen = math.max(n, 0)
+    n > 0
+  }
 
   /** Offset of the next `<page>` start tag, or -1 at EOF. On return the
     * start tag bytes have been consumed. ('<' occurs only at index 0 of
     * the pattern, so the restart-on-mismatch rule below is exact.) */
   private def findStart(): Long = {
     var m = 0
-    var b = in.read()
-    while (b >= 0) {
-      pos += 1
-      if (b == Start(m)) {
-        m += 1
-        if (m == Start.length) return pos - Start.length
-      } else m = if (b == '<') 1 else 0
-      b = in.read()
+    while (fill()) {
+      var i = bufOff
+      while (i < bufLen) {
+        val b = buf(i)
+        i += 1
+        pos += 1
+        if (b == Start(m)) {
+          m += 1
+          if (m == Start.length) { bufOff = i; return pos - Start.length }
+        } else m = if (b == '<') 1 else 0
+      }
+      bufOff = i
     }
     -1L
   }
@@ -737,15 +815,24 @@ private[sources] final class PageChunkScanner(in: InputStream, basePos: Long) {
     val out = new java.io.ByteArrayOutputStream(8 * 1024)
     out.write(Start, 0, Start.length)
     var m = 0
-    var b = in.read()
-    while (b >= 0) {
-      pos += 1
-      out.write(b)
-      if (b == End(m)) {
-        m += 1
-        if (m == End.length) return out.toByteArray
-      } else m = if (b == '<') 1 else 0
-      b = in.read()
+    while (fill()) {
+      val segStart = bufOff
+      var i = bufOff
+      while (i < bufLen) {
+        val b = buf(i)
+        i += 1
+        pos += 1
+        if (b == End(m)) {
+          m += 1
+          if (m == End.length) {
+            out.write(buf, segStart, i - segStart)
+            bufOff = i
+            return out.toByteArray
+          }
+        } else m = if (b == '<') 1 else 0
+      }
+      out.write(buf, segStart, bufLen - segStart)
+      bufOff = i
     }
     throw new EOFException(
       s"unterminated <page> element at offset ${pos} — truncated dump or a " +
@@ -781,16 +868,24 @@ class MediaWikiRangeReader(part: MediaWikiRangePartition,
     if (part.start > 0) in.seek(part.start)
     in
   }
+  // the scanner block-buffers internally, so no BufferedInputStream
+  // wrapper on top; the bz2 DECODER still wants a buffered source under
+  // it. A corrupt bz2 header throwing here must not leak the handle —
+  // Spark never closes a reader whose constructor threw.
   private val (scanner, maxStart) =
-    if (part.compressed) {
-      val bounded = new LimitedInputStream(raw, part.end - part.start)
-      val bz = new BZip2CompressorInputStream(
-        new BufferedInputStream(bounded, 64 * 1024), true)
-      (new PageChunkScanner(new BufferedInputStream(bz, 64 * 1024), 0L),
-        Long.MaxValue)
-    } else
-      (new PageChunkScanner(new BufferedInputStream(raw, 64 * 1024), part.start),
-        part.end)
+    try {
+      if (part.compressed) {
+        val bounded = new LimitedInputStream(raw, part.end - part.start)
+        val bz = new BZip2CompressorInputStream(
+          new BufferedInputStream(bounded, 64 * 1024), true)
+        (new PageChunkScanner(bz, 0L), Long.MaxValue)
+      } else
+        (new PageChunkScanner(raw, part.start), part.end)
+    } catch { case t: Throwable => raw.close(); throw t }
+
+  // one factory per partition: parseChunk creates a reader per PAGE,
+  // and the global factory's monitor would serialize all task threads
+  private val xmlFactory = MediaWikiXml.newFactory()
 
   private var current: InternalRow = _
 
@@ -808,29 +903,12 @@ class MediaWikiRangeReader(part: MediaWikiRangePartition,
     var upFile: String = null
     var upEnc: String = null
     var upContents: String = null
-    val xml = MediaWikiXml.newReader(new ByteArrayInputStream(chunk))
+    val xml = xmlFactory.createXMLStreamReader(new ByteArrayInputStream(chunk))
     try {
       var inRevision = false
       var inUpload = false
-      def skipElement(): Unit = {
-        var depth = 1
-        while (depth > 0 && xml.hasNext) {
-          xml.next() match {
-            case XMLStreamConstants.START_ELEMENT => depth += 1
-            case XMLStreamConstants.END_ELEMENT => depth -= 1
-            case _ => ()
-          }
-        }
-      }
-      def attr(local: String): String = {
-        var i = 0
-        while (i < xml.getAttributeCount) {
-          if (xml.getAttributeLocalName(i) == local)
-            return xml.getAttributeValue(i)
-          i += 1
-        }
-        null
-      }
+      def skipElement(): Unit = MediaWikiXml.skipElement(xml)
+      def attr(local: String): String = MediaWikiXml.attr(xml, local)
       while (xml.hasNext) {
         xml.next() match {
           case XMLStreamConstants.START_ELEMENT =>

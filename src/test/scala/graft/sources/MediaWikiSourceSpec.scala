@@ -419,6 +419,43 @@ class MediaWikiSourceSpec extends AnyFunSuite {
       .file.endsWith("dump-002.xml"))
   }
 
+  test("non-positive splitSize and unsupported compression fail loudly") {
+    val tmp = Files.createTempDirectory("graft-dsv2-guard")
+    val p = tmp.resolve("small.xml")
+    Files.writeString(p, manyPagesXml(2))
+    def chain(t: Throwable) =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    // splitSize=-5 previously planned ZERO partitions silently
+    val ex = intercept[Exception] {
+      spark.read.format("mediawiki").option("splitSize", "-5")
+        .load(p.toString).count()
+    }
+    assert(chain(ex).exists(t =>
+      Option(t.getMessage).exists(_.contains("positive"))), s"got $ex")
+    // a .gz dump names the real problem instead of a StAX prolog error
+    val gz = tmp.resolve("dump.xml.gz")
+    Files.write(gz, Array[Byte](0x1f, 0x8b.toByte, 8, 0))
+    val ex2 = intercept[Exception] {
+      spark.read.format("mediawiki").load(gz.toString).count()
+    }
+    assert(chain(ex2).exists(t =>
+      Option(t.getMessage).exists(_.contains("unsupported compression"))),
+      s"got $ex2")
+  }
+
+  test("malformed index lines are skipped, not fatal; splits still planned") {
+    val tmp = Files.createTempDirectory("graft-dsv2-idx")
+    val fs = new org.apache.hadoop.fs.Path(tmp.toString)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val idx = tmp.resolve("x-index.txt")
+    Files.writeString(idx,
+      "﻿0:1:First\n\n:::\ngarbage line\n100:2:Second\nnotanum:3:T\n")
+    val offsets = MediaWikiPlanner.readIndexOffsets(fs,
+      new org.apache.hadoop.fs.Path(idx.toString))
+    assert(offsets.toSeq == Seq(100L),
+      s"only the well-formed offset should survive, got ${offsets.toSeq}")
+  }
+
   test("matches the built-in xml reader + broadcast registry join") {
     val viaDsv2 = spark.read.format("mediawiki").load(dumpPath)
       .select("title", "ns", "ns_name", "text")
