@@ -25,7 +25,7 @@ import graft.model.{NotionBlock, PageStatus}
   * Results are reported through a CollectionAccumulator — the
   * cluster-safe channel for sink-side outcomes.
   */
-object Drain {
+object Drain extends org.apache.spark.internal.Logging {
 
   case class Config(
       maxBlocks: Int = 50,
@@ -40,6 +40,17 @@ object Drain {
       succeededPages: Seq[String],
       deadLetteredPages: Seq[String])
 
+  /** Resolve at-least-once accumulator rows per (batch, index): a
+    * retried task re-adds its rows (the reference's SQS redelivery) and
+    * a retry can CHANGE an outcome — fail on attempt 1, succeed on the
+    * replay. Any recorded success means the block IS uploaded; treating
+    * the stale failure as authoritative would dead-letter a fully
+    * uploaded page. */
+  private[streaming] def resolveOutcomes(
+      rows: Seq[(String, Int, Boolean)]): Seq[(String, Int, Boolean)] =
+    rows.distinct.groupBy(r => (r._1, r._2))
+      .map { case ((b, i), vs) => (b, i, vs.exists(_._3)) }.toSeq
+
   /** Run the drain to completion.
     *
     * @param blocks   pending blocks (NotionBlock shape)
@@ -49,6 +60,9 @@ object Drain {
   def run(spark: SparkSession, blocks: DataFrame, parents: Map[String, String],
       api: NotionApi, cfg: Config = Config()): (DataFrame, DataFrame, Report) = {
     import spark.implicits._
+    // the parents dimension never changes — ONE broadcast for the whole
+    // drain, not one per iteration
+    val parentsB = spark.sparkContext.broadcast(parents)
 
     // pad rich-payload columns absent from pre-upgrade block stores —
     // case-class defaults are NOT applied by Spark encoders, so an old
@@ -84,16 +98,20 @@ object Drain {
 
       val results: CollectionAccumulator[(String, Int, Boolean)] =
         spark.sparkContext.collectionAccumulator[(String, Int, Boolean)]("drainResults")
-      val parentsB = spark.sparkContext.broadcast(parents)
       val c = cfg
 
-      // ST4/W4: single ordered writer partition
-      chunk.orderBy(col("blockBatch"), col("blockIndex"))
-        .coalesce(1)
+      // ST4/W4: single ordered writer partition (coalesce(1) makes a
+      // global sort redundant — sortWithinPartitions IS the total order)
+      chunk.coalesce(1)
         .sortWithinPartitions(col("blockBatch"), col("blockIndex"))
         .foreachPartition { (it: Iterator[NotionBlock]) =>
           var lastCall = 0L
           val failedBatches = scala.collection.mutable.Set.empty[String]
+          // rows arrive sorted by batch: get-or-create once per PAGE,
+          // not once per block (and the real API call stays throttled
+          // by the K5 interval below, reference-faithful)
+          var cachedBatch: String = null
+          var cachedPageUrl: String = null
           it.foreach { b =>
             if (failedBatches.contains(b.blockBatch)) {
               // ST6 fail-fast: skip the rest of a failed page
@@ -105,7 +123,12 @@ object Drain {
               val parentUrl = parentsB.value.getOrElse(dir, "https://notion.test/default")
               val ok =
                 try {
-                  val pageUrl = api.getOrCreatePage(b.blockBatch, b.key, parentUrl)
+                  val pageUrl =
+                    if (b.blockBatch == cachedBatch) cachedPageUrl
+                    else {
+                      val u = api.getOrCreatePage(b.blockBatch, b.key, parentUrl)
+                      cachedBatch = b.blockBatch; cachedPageUrl = u; u
+                    }
                   // K5 rate limit
                   if (c.minIntervalMs > 0) {
                     val since = (System.nanoTime() - lastCall) / 1000000L
@@ -133,9 +156,16 @@ object Drain {
                     }
                   }
                   lastCall = System.nanoTime()
-                  if (!success && lastErr != null) false else success
+                  if (!success && lastErr != null)
+                    Drain.logWarning(s"drain: giving up on block " +
+                      s"(${b.blockBatch}, ${b.blockIndex}) after " +
+                      s"$attempt attempt(s)", lastErr)
+                  success
                 } catch {
-                  case _: Throwable => false
+                  case t: Throwable =>
+                    Drain.logWarning(s"drain: page setup failed for " +
+                      s"(${b.blockBatch}, ${b.blockIndex})", t)
+                    false
                 }
               if (!ok) failedBatches += b.blockBatch
               results.add((b.blockBatch, b.blockIndex, ok))
@@ -144,9 +174,7 @@ object Drain {
         }
 
       import scala.jdk.CollectionConverters._
-      // distinct: a retried task would re-add its rows (at-least-once,
-      // same as the reference's SQS redelivery) — dedupe by composite key
-      val res = results.value.asScala.toSeq.distinct
+      val res = resolveOutcomes(results.value.asScala.toSeq)
       val okRows = res.filter(_._3).map(r => (r._1, r._2))
       val failedBatchesNow = res.filter(!_._3).map(_._1).distinct
       uploadedTotal += okRows.size
@@ -185,6 +213,18 @@ object Drain {
       }
       // nothing progressed (e.g. all pending batches dead) — stop
       stalled = okRows.isEmpty && failedBatchesNow.isEmpty
+    }
+    parentsB.destroy()
+
+    // pages still pending at loop exit (the iteration cap, or a stall)
+    // must not vanish from the outputs: dead-letter them loudly so the
+    // status lifecycle receives a terminal state
+    val leftover = withoutDead(pending).select("blockBatch").distinct()
+      .as[String].collect().filterNot(done.contains)
+    if (leftover.nonEmpty) {
+      logWarning(s"drain: ${leftover.length} page(s) still pending at " +
+        s"loop exit after $iter iteration(s) — dead-lettering")
+      dead ++= leftover
     }
 
     val now = System.currentTimeMillis()

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{ForeachWriter, Row}
+import org.apache.spark.util.CollectionAccumulator
 import graft.model.NotionBlock
 
 /** Streaming-native form of the upload sink: a `ForeachWriter` with
@@ -15,6 +16,12 @@ import graft.model.NotionBlock
   * only order-safe if the upstream produces ordered single-partition
   * batches.
   *
+  * Failure routing: a page whose upload ultimately fails must never
+  * vanish silently — every give-up is logged with its cause, and when a
+  * `failures` accumulator is supplied (driver-side, readable after each
+  * epoch) the (blockBatch, error) pair is recorded there for K8
+  * dead-letter routing, mirroring Drain's failures output.
+  *
   * The API client is constructed lazily in `open` on the executor — the
   * reference's warm-container client cache (upload_notion_blocks.py:51,
   * 157-160) becomes a per-writer lazy singleton.
@@ -24,17 +31,22 @@ class NotionForeachWriter(
     parents: Map[String, String],
     minIntervalMs: Long = 0L,
     httpRetries: Int = 5,
-    backoffBaseMs: Long = 1L)
-  extends ForeachWriter[Row] {
+    backoffBaseMs: Long = 1L,
+    failures: CollectionAccumulator[(String, String)] = null)
+  extends ForeachWriter[Row] with org.apache.spark.internal.Logging {
 
   @transient private var api: NotionApi = _
   @transient private var lastCall = 0L
   @transient private var failedBatches: scala.collection.mutable.Set[String] = _
+  @transient private var cachedBatch: String = _
+  @transient private var cachedPageUrl: String = _
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     api = apiFactory()
     lastCall = 0L
     failedBatches = scala.collection.mutable.Set.empty[String]
+    cachedBatch = null
+    cachedPageUrl = null
     true
   }
 
@@ -57,24 +69,39 @@ class NotionForeachWriter(
     }
     val parentUrl = parents.getOrElse(dir, "https://notion.test/default")
     try {
-      val pageUrl = api.getOrCreatePage(b.blockBatch, b.key, parentUrl)
+      // rows arrive batch-sorted: one get-or-create per PAGE
+      val pageUrl =
+        if (b.blockBatch == cachedBatch) cachedPageUrl
+        else {
+          val u = api.getOrCreatePage(b.blockBatch, b.key, parentUrl)
+          cachedBatch = b.blockBatch; cachedPageUrl = u; u
+        }
       if (minIntervalMs > 0 && lastCall != 0L) {
         val since = (System.nanoTime() - lastCall) / 1000000L
         if (since < minIntervalMs) Thread.sleep(minIntervalMs - since)
       }
-      var attempt = 0
-      var done = false
-      while (!done) {
-        try { api.uploadBlock(pageUrl, b); done = true }
-        catch {
-          case e: NotionApiError
-              if NotionApiError.retryableStatuses(e.status) && attempt < httpRetries =>
-            Thread.sleep(backoffBaseMs * (1L << attempt)); attempt += 1
+      try {
+        var attempt = 0
+        var done = false
+        while (!done) {
+          try { api.uploadBlock(pageUrl, b); done = true }
+          catch {
+            case e: NotionApiError
+                if NotionApiError.retryableStatuses(e.status) && attempt < httpRetries =>
+              Thread.sleep(backoffBaseMs * (1L << attempt)); attempt += 1
+          }
         }
-      }
-      lastCall = System.nanoTime()
+      } finally lastCall = System.nanoTime()
+      // throttle clock advances even when the upload gave up — a failed
+      // block must not let the next one bypass the K5 interval
     } catch {
-      case _: Throwable => failedBatches += b.blockBatch
+      case t: Throwable =>
+        logWarning(s"streaming upload: giving up on page ${b.blockBatch} " +
+          s"at block ${b.blockIndex}", t)
+        if (failures != null)
+          failures.add((b.blockBatch,
+            Option(t.getMessage).getOrElse(t.getClass.getName)))
+        failedBatches += b.blockBatch
     }
   }
 
@@ -86,15 +113,19 @@ object NotionForeachWriter {
 
   /** The ordered foreachBatch sink: sort each micro-batch into one
     * partition (W4/ST4) and drive the writer over it. Use as
-    * `blocks.writeStream.foreachBatch(NotionForeachWriter.sinkInto(...))`. */
+    * `blocks.writeStream.foreachBatch(NotionForeachWriter.sinkInto(...))`.
+    * Pass a `failures` accumulator to receive (blockBatch, error) pairs
+    * for dead-letter routing after each epoch. */
   def sinkInto(apiFactory: () => NotionApi, parents: Map[String, String],
-      minIntervalMs: Long = 0L): (DataFrame, Long) => Unit = {
+      minIntervalMs: Long = 0L,
+      failures: CollectionAccumulator[(String, String)] = null): (DataFrame, Long) => Unit = {
     (batch: DataFrame, epochId: Long) =>
       batch.coalesce(1)
         .sortWithinPartitions(org.apache.spark.sql.functions.col("blockBatch"),
           org.apache.spark.sql.functions.col("blockIndex"))
         .foreachPartition { (it: Iterator[Row]) =>
-          val w = new NotionForeachWriter(apiFactory, parents, minIntervalMs)
+          val w = new NotionForeachWriter(apiFactory, parents, minIntervalMs,
+            failures = failures)
           if (w.open(0L, epochId)) {
             try it.foreach(w.process)
             finally w.close(null)

@@ -51,7 +51,7 @@ object StatusMachine {
   private def updateFn(
       batch: String,
       events: Iterator[StatusEvent],
-      state: GroupState[PageRecord]): PageRecord = {
+      state: GroupState[PageRecord]): Iterator[PageRecord] = {
     var cur: Option[PageRecord] = state.getOption
     events.toSeq.sortBy(e => (e.timeMs, rank.getOrElse(
       e.kind match {
@@ -63,15 +63,20 @@ object StatusMachine {
       }, 0))).foreach { e =>
       cur = transition(cur, e)
     }
-    val rec = cur.getOrElse(PageRecord(batch, "", PageStatus.New, 0L, None))
-    state.update(rec)
-    rec
+    cur match {
+      // a group whose only events had unknown kinds (and no prior
+      // state) is IGNORED — fabricating a NEW record with empty key and
+      // time 0 would emit (and persist) a phantom page
+      case None => Iterator.empty
+      case Some(rec) => state.update(rec); Iterator.single(rec)
+    }
   }
 
   /** Streaming form: one output row per updated page per micro-batch. */
   def run(events: Dataset[StatusEvent]): Dataset[PageRecord] = {
     import events.sparkSession.implicits._
     events.groupByKey(_.blockBatch)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(updateFn)
   }
 }

@@ -12,6 +12,17 @@ class DrainPropertySpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("task-retry outcome conflicts resolve to success (at-least-once)") {
+    // attempt 1 recorded a failure; the task replay succeeded — the
+    // block IS uploaded, and the stale failure must not dead-letter it
+    val resolved = Drain.resolveOutcomes(Seq(
+      ("b", 3, false), ("b", 3, true),   // conflict -> success wins
+      ("b", 4, true), ("b", 4, true),    // plain replay dup
+      ("c", 0, false)))                  // genuine failure stays
+      .sortBy(r => (r._1, r._2))
+    assert(resolved == Seq(("b", 3, true), ("b", 4, true), ("c", 0, false)))
+  }
+
   test("drains a pre-upgrade 6-column block store (no language/caption)") {
     MockNotionApi.reset("oldstore")
     val api = new MockNotionApi("oldstore")

@@ -185,6 +185,21 @@ class StatusMachineSpec extends AnyFunSuite {
     assert(s2.get.status == PageStatus.Uploading)
   }
 
+  test("unknown-kind events for an unknown batch emit nothing (no phantom NEW)") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StatusEvent]
+    val q = StatusMachine.run(mem.toDS())
+      .writeStream.format("memory").queryName("status_phantom")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(StatusEvent("ghost", "k", "upload_done", 5)) // typo'd kind
+    mem.addData(StatusEvent("real", "k2", "stored", 6))
+    q.processAllAvailable()
+    val out = spark.table("status_phantom").as[PageRecord].collect()
+    q.stop()
+    assert(out.map(_.blockBatch).toSet == Set("real"),
+      s"phantom record emitted: ${out.toSeq}")
+  }
+
   test("streaming mapGroupsWithState over MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatusEvent]
