@@ -56,6 +56,7 @@ object Bpe {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var rounds = 0
     var exhausted = false
+    var vocabCheckpointed = false
     while (rounds < numMerges && !exhausted) {
       // count adjacent symbol pairs weighted by word frequency;
       // deterministic argmax (count desc, then pair asc)
@@ -76,11 +77,23 @@ object Bpe {
       top.headOption match {
         case Some((a, b, cnt)) if cnt >= minPairCount =>
           merges += ((a, b))
-          val applied = vocab.map { case (w, f, syms) =>
+          val mapped = vocab.map { case (w, f, syms) =>
             (w, f, applyMerge(syms, a, b))
-          }.cache()
-          applied.count() // materialize before dropping the parent
-          vocab.unpersist()
+          }
+          // cache bounds RECOMPUTE but not the logical plan, which
+          // would otherwise nest one map layer per round — O(R²)
+          // analysis and a driver StackOverflow at production
+          // numMerges. Truncate lineage periodically, releasing the
+          // superseded checkpoint like the other iterative loops do.
+          val checkpointRound = (rounds + 1) % 16 == 0
+          val applied =
+            if (checkpointRound) mapped.localCheckpoint() // eager
+            else { val c = mapped.cache(); c.count(); c }
+          if (vocabCheckpointed)
+            org.apache.spark.sql.graftbridge.CheckpointBridge
+              .unpinCheckpoint(vocab.toDF())
+          else vocab.unpersist()
+          vocabCheckpointed = checkpointRound
           vocab = applied
           rounds += 1
         case _ => exhausted = true
@@ -96,7 +109,10 @@ object Bpe {
       merges: Seq[(String, String)]): org.apache.spark.sql.Column = {
     val tokUdf = udf { (s: String) =>
       if (s == null) Seq.empty[String]
-      else s.split(" ").toSeq.flatMap { w =>
+      // filter the empties java's split keeps for consecutive/leading
+      // spaces — train() never saw "" (length >= 1 filter), so emitting
+      // it would produce tokens outside the learned vocabulary
+      else s.split(" ").toSeq.filter(_.nonEmpty).flatMap { w =>
         var syms: Seq[String] = w.split("").toSeq
         merges.foreach { case (a, b) => syms = applyMerge(syms, a, b) }
         syms

@@ -50,8 +50,13 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .select(col("keep_id"), col("dup_count"))
 
-  /** Exact dedup on 8-byte hash keys — the 100 TB-shaped variant: the
-    * shuffle moves (hash, id) pairs, not documents. */
+  /** Dedup on 8-byte hash keys — the 100 TB-shaped variant: the shuffle
+    * moves (hash, id) pairs, not documents. Collision honesty: this is
+    * hash-keyed, NOT exact — two distinct texts colliding on xxhash64
+    * are conflated and one is dropped, and at billions of documents
+    * birthday-bound 64-bit collisions are expected. Use [[exactGroups]]
+    * (full-text key) where that matters, or re-key on
+    * (md5, length) as [[graft.streaming.StreamingDedup]] does. */
   def exactByHash(docs: DataFrame): DataFrame =
     docs.select(xxhash64(col("text")).as("h"), col("doc_id"))
       .groupBy(col("h"))

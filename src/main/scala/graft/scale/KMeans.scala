@@ -90,7 +90,10 @@ object KMeans {
           s
         }.max
         cents = next
-        converged = shift < tol
+        // shift is the max SQUARED movement — compare against tol² so
+        // `tol` means what it says (max centroid MOVEMENT), not its
+        // square root (100x looser at the 1e-4 default)
+        converged = shift < tol * tol
       }
       // the returned assignments plan is built on the UNCACHED source so
       // no block stays pinned after fit returns (one re-scan when the

@@ -118,7 +118,13 @@ object Multimodal {
           val id = r.getLong(0)
           val bytes = if (r.isNullAt(1)) Array.empty[Byte]
             else r.getAs[Array[Byte]](1)
-          val payload = if (bytes.length > 21) bytes.drop(21) else Array.empty[Byte]
+          // malformed media (bad magic/truncated header) yields NO
+          // frames — decode() flags it decode_ok=false, and fabricating
+          // "frames" from arbitrary bytes here would hand garbage to a
+          // pipeline that filtered on decode_ok but read frames raw
+          val payload =
+            if (MediaCodec.decodeMeta(bytes).isDefined) bytes.drop(21)
+            else Array.empty[Byte]
           payload.grouped(frameSize).zipWithIndex.collect {
             case (frame, i) if i % stride == 0 => Row(id, i, frame)
           }

@@ -32,7 +32,16 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    safeRatio(dot(a, b), norm(a) * norm(b))
+
+  /** Similarity division that yields NULL for a zero norm product
+    * instead of throwing: Spark 4 runs ANSI mode by default, where a
+    * double division by zero raises DIVIDE_BY_ZERO — one all-zero
+    * embedding (a common failed-embedding artifact) must rank last /
+    * fail thresholds, not kill the whole job. */
+  private def safeRatio(num: Column, den: Column): Column =
+    when(den =!= 0.0, num / den)
 
   /** Brute-force cosine top-k: broadcast the (small) query set against
     * the corpus, score every pair, keep the k best per query. The only
@@ -46,8 +55,8 @@ object Similarity {
     val c = corpus.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("c_norm"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("vec_id"))
-      .withColumn("sim",
-        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+      .withColumn("sim", safeRatio(
+        dot(col("q_emb"), col("embedding")), col("q_norm") * col("c_norm")))
       .select(col("query_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -64,17 +73,23 @@ object Similarity {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
 
   /** Assign each vector to its nearest centroid (broadcast argmin; ties
-    * break to the lowest centroid id). */
+    * break to the lowest centroid id). The argmin is a min-struct
+    * AGGREGATE over (dist2, cid) — 16-byte rows with map-side combine —
+    * never a window over the vectors×centroids product, which would
+    * shuffle nCentroids copies of every raw embedding (the same
+    * invariant [[KMeans]] documents). The winning cid then joins back to
+    * the vectors, shuffling each embedding once. */
   def assign(vectors: DataFrame, centroids: DataFrame,
       idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("dist2").asc, col("centroid_id").asc)
-    vectors.crossJoin(broadcast(centroids))
-      .withColumn("dist2",
-        graft.functions.VectorOps.dist2_f(col("embedding"), col("c_emb")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("rk", "dist2", "c_emb")
+    val best = vectors.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), struct(
+        graft.functions.VectorOps.dist2_f(col("embedding"), col("c_emb"))
+          .as("dd"),
+        col("centroid_id").as("cid")).as("dc"))
+      .groupBy(col(idCol))
+      .agg(min(col("dc")).getField("cid").as("centroid_id"))
+    vectors.join(best, idCol)
   }
 
   /** IVF top-k: probe the `nProbe` nearest clusters per query, then
@@ -113,8 +128,8 @@ object Similarity {
         col("centroid_id").as("cluster_id"))
     val scored = probes.join(assigned, "cluster_id")
       .filter(col("query_id") =!= col("vec_id"))
-      .withColumn("sim",
-        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+      .withColumn("sim", safeRatio(
+        dot(col("q_emb"), col("embedding")), col("q_norm") * col("c_norm")))
       .select(col("query_id"), col("vec_id"), col("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id").asc)
@@ -126,9 +141,11 @@ object Similarity {
   /** Random-hyperplane LSH signature (sign bits of projections onto
     * `planes` pseudo-random hyperplanes). The "random" plane components
     * are hash-derived — fully deterministic, no driver-side RNG state.
-    * Native expression with a cached component matrix; see
+    * Native expression with a cached component matrix (dim is derived
+    * from the array itself; the HOF twin below needs it passed, and the
+    * differential spec feeds both the same value); see
     * [[graft.functions.HyperplaneSig]]. */
-  def hyperplaneSignature(vectors: DataFrame, planes: Int, dim: Int): DataFrame =
+  def hyperplaneSignature(vectors: DataFrame, planes: Int): DataFrame =
     vectors.select(col("vec_id"), col("embedding"),
       graft.functions.HyperplaneSig.hyperplane_sig(col("embedding"), planes)
         .as("bucket"))
@@ -159,14 +176,14 @@ object Similarity {
     * candidates with exact cosine. The join key is the 16-bit-ish
     * signature — collisions are the candidates. */
   def cosineNearDupPairs(vectors: DataFrame, planes: Int = 12,
-      dim: Int = 64, threshold: Double = 0.9): DataFrame = {
-    val sigs = hyperplaneSignature(vectors, planes, dim)
+      threshold: Double = 0.9): DataFrame = {
+    val sigs = hyperplaneSignature(vectors, planes)
       .withColumn("nrm", norm(col("embedding")))
     sigs.as("a")
       .join(sigs.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
-      .withColumn("sim",
-        dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")))
+      .withColumn("sim", safeRatio(
+        dot(col("a.embedding"), col("b.embedding")), col("a.nrm") * col("b.nrm")))
       .filter(col("sim") >= threshold)
       .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("sim"))
   }
@@ -190,11 +207,14 @@ object Similarity {
 
   private def pqD2(a: Column, b: Column): Column = quantDist2(a, b)
 
-  /** Init-only PQ codebooks: the first `kc` corpus vectors, sliced per
-    * subspace. Shape (cid, s, cv). */
+  /** Init-only PQ codebooks: the `kc` lowest-id corpus vectors, sliced
+    * per subspace. Shape (cid, s, cv). Selected by ordered limit, not
+    * `vec_id < kc` — an id space that doesn't cover 0..kc-1 (offset or
+    * sparse ids) would otherwise yield an undersized or empty codebook
+    * and pqTopK would silently return nothing. */
   def pqInitCodebooks(corpus: DataFrame, m: Int = 8, dim: Int = 64,
       kc: Int = 16): DataFrame =
-    pqSubvecs(corpus.filter(col("vec_id") < kc), m, dim / m)
+    pqSubvecs(corpus.orderBy(col("vec_id")).limit(kc), m, dim / m)
       .select(col("vec_id").as("cid"), col("s"), col("sv").as("cv"))
 
   /** Train the PQ codebooks with `rounds` Lloyd iterations per

@@ -295,7 +295,7 @@ class SimilaritySpec extends AnyFunSuite {
   test("near-dup pairs finds identical vectors") {
     val v = Seq.tabulate(64)(i => (i % 7).toFloat - 3f)
     val d = vecs(1L -> v, 2L -> v, 3L -> v.map(x => -x))
-    val pairs = Similarity.cosineNearDupPairs(d, planes = 12, dim = 64,
+    val pairs = Similarity.cosineNearDupPairs(d, planes = 12,
         threshold = 0.99)
       .select("v1", "v2").as[(Long, Long)].collect().toSeq
     assert(pairs == Seq((1L, 2L)))
@@ -490,7 +490,7 @@ class VectorOpsSpec extends AnyFunSuite {
   test("native hyperplane_sig bit-equal to the HOF formulation") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 100)
-    val nat = Similarity.hyperplaneSignature(emb, planes = 12, dim = 64)
+    val nat = Similarity.hyperplaneSignature(emb, planes = 12)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
     val hof = Similarity.hyperplaneSignatureHof(emb, planes = 12, dim = 64)
       .select("vec_id", "bucket").as[(Long, Long)].collect().toMap
