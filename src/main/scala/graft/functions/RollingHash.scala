@@ -29,12 +29,17 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val s = input.asInstanceOf[UTF8String].toString
-    RollingHash.eval(s)
+    RollingHash.hash(s)
   }
 
+  // NOTE: the helper must not be named `eval` — the case class inherits
+  // UnaryExpression.eval(InternalRow), and a same-named companion member
+  // suppresses the static forwarder, so the generated Java would only see
+  // the instance method and Janino would fail to compile (falling back to
+  // interpreted projections). CodegenCompileSpec guards this.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.RollingHash.eval($c.toString())")
+      s"graft.functions.RollingHash.hash($c.toString())")
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
@@ -46,7 +51,7 @@ object RollingHash {
   final val Mod = 2147483647L // 2^31 - 1
 
   /** Shared by interpreted eval and generated code. */
-  def eval(s: String): Long = {
+  def hash(s: String): Long = {
     var h = 0L
     var i = 0
     val n = s.length

@@ -17,7 +17,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         |  simhash64(split(t, ' ')) AS sh,
         |  minhash_sig(split(t, ' '), 8) AS mh
         |FROM ext_docs""".stripMargin).collect()(0)
-    assert(row.getLong(0) == graft.functions.RollingHash.eval("the quick fox"))
+    assert(row.getLong(0) == graft.functions.RollingHash.hash("the quick fox"))
     assert(row.getSeq[Long](2).size == 8)
     // simhash of a singleton token list = that token's hash bits exactly
     val rows2 = spark.sql(
