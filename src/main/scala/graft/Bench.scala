@@ -86,6 +86,31 @@ object Bench {
       s""""dump":$dump,"queries":$qs}"""
   }
 
+  /** Second, self-contained artifact line (round-6 verdict item 3): the
+    * full record is ~6 KB but the driver's stdout tail window keeps only
+    * ~2 KB, so a capture of the full line alone truncates the front brace
+    * and is unparseable. This line is printed LAST, carries only the
+    * total and the per-query medians under shortened keys (`q01_agg` →
+    * `q01`; dump stats keep their names), and stays well under 2 KB, so
+    * the tail window always holds one complete JSON document. */
+  private[graft] def formatCompactJson(
+      all: Seq[(String, Seq[Either[String, Double]])]): String = {
+    val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
+      k -> v.collect { case Right(t) => t } }
+    val failed = all.collect { case (k, v) if v.exists(_.isLeft) => k }
+    val total = ok.map(x => median(x._2)).sum
+    // qNN_long_name → qNN (unique per catalogue numbering); non-query
+    // entries (dump_scan_*) keep their full names — no collisions
+    def short(k: String) =
+      if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    val qs = (ok.map { case (k, v) => short(k) -> num(median(v)) } ++
+      failed.map(k => short(k) -> "\"err\""))
+      .sortBy(_._1)
+      .map { case (k, v) => jsonStr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -174,6 +199,9 @@ object Bench {
     Files.write(Paths.get("target", "bench.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
+    // compact line LAST so a ~2 KB stdout tail capture parses (the full
+    // record above is ~6 KB and truncates at the front in such a window)
+    println(formatCompactJson(samples ++ dumpSamples))
     spark.stop()
   }
 }

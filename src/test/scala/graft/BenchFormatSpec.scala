@@ -67,6 +67,27 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((json \ "queries" \ "qbad").extract[String] == "err")
   }
 
+  test("compact line parses, keeps medians/err, and fits a 2 KB tail window") {
+    val compact = Bench.formatCompactJson(all)
+    val json = JsonMethods.parse(compact)
+    assert((json \ "queries" \ "q01").extract[Double] == 0.110)
+    assert((json \ "queries" \ "q99").extract[String] == "err")
+    assert((json \ "value").extract[Double] == 1.210)
+    // worst case: a full catalogue of long names + both dump scans must
+    // stay under the driver's ~2 KB stdout tail window
+    val catalogue = (1 to 84).map(i =>
+      f"q$i%02d_span_excision_keep_first" ->
+        Seq[Either[String, Double]](Right(123.456))) ++ Seq(
+      "dump_scan_xml" -> Seq[Either[String, Double]](Right(1.0)),
+      "dump_scan_bz2" -> Seq[Either[String, Double]](Right(2.0)))
+    val big = Bench.formatCompactJson(catalogue)
+    assert(big.getBytes("UTF-8").length < 2000,
+      s"compact line is ${big.length} bytes; must fit a 2 KB tail capture")
+    val keys = (JsonMethods.parse(big) \ "queries").asInstanceOf[JObject]
+      .obj.map(_._1)
+    assert(keys.distinct.size == 86, "shortened keys must stay unique")
+  }
+
   test("a throwing rep is a Left, not a near-zero Right") {
     val r = Bench.time(() => throw new IllegalStateException("deliberate"))
     assert(r.isLeft)
