@@ -430,9 +430,13 @@ object Catalogue {
 
   // ---------------------------------------------------------------------
   // q21 — T5/T7/T9 full wikitext prepare pipeline as a UDF over documents.
-  // Stateful per-document scanner + template pack: not SQL-expressible,
-  // so no oracle (driver records rows-only). Correctness is pinned by the
-  // WikitextSpec golden tests against the reference's own outputs.
+  // The oracle replays the whole chain relationally in DuckDB: T1-T4
+  // regex rewrites, then the T5 stateful fence scan as a per-line state
+  // machine — opener/closer lines become events, the in-code flag is a
+  // last_value(... IGNORE NULLS) running state over (doc, line_no), the
+  // close-time right-trim of the previous line is a lead()-driven rtrim —
+  // then T6 and the full 18-rule template pack. Golden fidelity vs the
+  // reference's own outputs is additionally pinned by WikitextSpec.
   // ---------------------------------------------------------------------
   def q21PrepareChain(s: SparkSession, d: String): DataFrame = {
     val wikitext = concat(
@@ -447,6 +451,111 @@ object Catalogue {
       .select(col("doc_id"), col("prepared"))
       .orderBy(col("doc_id"))
   }
+  val q21Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    '[[Category:' || lang || ']]' || chr(10) || '== Table of Contents ==' || chr(10) || '__TOC__' || chr(10)
+      |    || '{{Attention}}' || substr(text, 1, 60)
+      |    || chr(10) || '  code ' || repeat(chr(39),3) || source || repeat(chr(39),3) || ' sample'
+      |    || chr(10) || chr(10) || 'plain {{source|' || source || '}} end' || chr(10) AS w
+      |  FROM documents
+      |), t14 AS (
+      |  SELECT doc_id,
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |      w,
+      |      '\[\[Category:.+\]\]', '', 'g'),
+      |      '</?nowiki>', '', 'g'),
+      |      '=+ Table of Contents =+' || chr(10) || '__TOC__', '', 'g'),
+      |      '__TOC__', '', 'g'),
+      |      '\[\[File:([^|]+)\|.+\]\]', '[[File:\1]]', 'g') AS w
+      |  FROM base
+      |), split AS (
+      |  SELECT doc_id, string_split(w, chr(10)) AS parts FROM t14
+      |), lines AS (
+      |  -- splitlines(keepends): split on \n, re-attach \n to every part but
+      |  -- the last; trailing-newline text yields an empty last part, dropped
+      |  SELECT doc_id, i, parts[i] AS content, len(parts) AS nparts
+      |  FROM split, LATERAL (SELECT unnest(range(1, len(parts) + 1)) AS i) u
+      |  WHERE NOT (i = len(parts) AND parts[i] = '')
+      |), ev AS (
+      |  -- T5 events: an indented non-blank line opens, a flush-left line
+      |  -- closes, anything else carries the running state (ASCII classes,
+      |  -- matching the scanner's re.ASCII)
+      |  SELECT doc_id, i, content, nparts,
+      |    content SIMILAR TO '[ \t\x0B\f\r]+[^ \t\x0B\f\r].*' AS opener,
+      |    regexp_matches(content, '^[^ \t\x0B\f\r]') AS closer,
+      |    CASE WHEN content SIMILAR TO '[ \t\x0B\f\r]+[^ \t\x0B\f\r].*' THEN true
+      |         WHEN regexp_matches(content, '^[^ \t\x0B\f\r]') THEN false
+      |         ELSE NULL END AS evt
+      |  FROM lines
+      |), st AS (
+      |  SELECT *,
+      |    coalesce(last_value(evt IGNORE NULLS) OVER
+      |      (PARTITION BY doc_id ORDER BY i
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), false) AS aft,
+      |    coalesce(last_value(evt IGNORE NULLS) OVER
+      |      (PARTITION BY doc_id ORDER BY i
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), false) AS bef
+      |  FROM ev
+      |), rend AS (
+      |  -- bold/italic rewrites apply to lines INSIDE a block (after-state)
+      |  SELECT *,
+      |    CASE WHEN aft THEN
+      |      regexp_replace(regexp_replace(
+      |        content || CASE WHEN i < nparts THEN chr(10) ELSE '' END,
+      |        repeat(chr(39),3) || '(.+)' || repeat(chr(39),3), '`**\1**`', 'g'),
+      |        repeat(chr(39),2) || '(.+)' || repeat(chr(39),2), '`*\1*`', 'g')
+      |    ELSE content || CASE WHEN i < nparts THEN chr(10) ELSE '' END
+      |    END AS txt
+      |  FROM st
+      |), trimmed AS (
+      |  -- the closer right-trims the PREVIOUS emitted line (incl. its \n);
+      |  -- the EOF force-close does not trim
+      |  SELECT *,
+      |    CASE WHEN aft AND coalesce(lead(closer) OVER
+      |        (PARTITION BY doc_id ORDER BY i), false)
+      |      THEN rtrim(txt, ' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12))
+      |      ELSE txt END AS txt2
+      |  FROM rend
+      |), fenced AS (
+      |  SELECT doc_id,
+      |    string_agg(
+      |      CASE WHEN closer AND bef THEN '</pre>' || chr(10) || chr(10) ELSE '' END
+      |      || CASE WHEN opener AND NOT bef THEN '<pre>' || chr(10) ELSE '' END
+      |      || txt2, '' ORDER BY i)
+      |    || CASE WHEN bool_or(aft AND i = nparts) THEN '</pre>' ELSE '' END AS w
+      |  FROM trimmed GROUP BY doc_id
+      |), t6 AS (
+      |  SELECT doc_id, regexp_replace(w, '\{\{:.+\}\}', '', 'g') AS w FROM fenced
+      |), pack AS (
+      |  -- T9: the 18 ordered template-pack rules (Main namespace)
+      |  SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    w,
+      |    '\{\{anchor\|.+\}\}', '', 'g'),
+      |    '(?i)\{\{Attention\}\}', '💡 ', 'g'),
+      |    '(?i)\{\{Book\|(.+)\|(\d+)\}\}', '(source: \1/ISBN \2)', 'g'),
+      |    '\{\{Ciscobug\|(.+)\}\}', '[https://bst.cloudapps.cisco.com/bugsearch/bug/\1]', 'g'),
+      |    '\{\{CiscoCase\|(\d+)\}\}', '[http://tools.cisco.com/ServiceRequestTool/query/QueryCaseSearchAction.do?method=doQueryByCase&caseType=ciscoServiceRequest&SRNumber=\1 \1]', 'g'),
+      |    '\{\{CiscoTACCC\|(\w+)\}\}', '[http://www.ciscotaccc.com/lanswitching/showcase?case=\1]', 'g'),
+      |    '\{\{href\|(\S+)\s+([^|]+)\|(.+)\}\}', '[\1 \2] (\3)', 'g'),
+      |    '\{\{JuniperKB\|(\d+)\|(.+)\}\}', '[http://kb.juniper.net/index?page=content&id=KB\1 \2]', 'g'),
+      |    '\{\{leftoffat\|(.+)\}\}', '<aside>💡 You left off at: \1</aside>', 'g'),
+      |    '(?i)\{\{Msgid\|(\S+)\|(.+)\}\}', '[http://marc.info/?i=\1 \2]', 'g'),
+      |    '\{\{MSKB\|(\d+)\|(.+)\}\}', '[http://support.microsoft.com/kb/\1 \2]', 'g'),
+      |    '(?i)\{\{Needsclarification\}\}', '⚠️  ', 'g'),
+      |    '(?i)\{\{Needswork\}\}', '🚧 ', 'g'),
+      |    '\{\{RFC\|([-\w\d]+)(?:\|(.+))?\}\}', '[https://tools.ietf.org/html/\1 RFC \1 \2]', 'g'),
+      |    '(?i)\{\{source\|(.+?)\}\}', '(source: \1)', 'g'),
+      |    '\{\{sourcelink\|(\S+)\|(.+?)\}\}', '(source: [\1 \2])', 'g'),
+      |    '\{\{sourcelink\|(\S+)\s(.+?)\|.+?\}\}', '(source: [\1 \2])', 'g'),
+      |    '\{\{VMwareKB\|(\d+)(?:\|(.+))?\}\}', '[http://kb.vmware.com/kb/\1 \2]', 'g') AS prepared
+      |  FROM t6
+      |)
+      |SELECT doc_id, prepared FROM pack ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
   // q22 — F4 empty-page + F5 redirect + F6 control-event filters
@@ -718,8 +827,7 @@ object Catalogue {
     "q18_key_decode" -> q18Sql,
     "q19_parenturl_join" -> q19Sql,
     "q20_batch_chunks" -> q20Sql,
-    // q21 intentionally has no oracle: stateful per-document scanner +
-    // template pack are not SQL-expressible (rows-only check).
+    "q21_prepare_chain" -> q21Sql,
     "q22_page_filters" -> q22Sql,
     "q23_base64" -> q23Sql,
     "q24_tz_format" -> q24Sql,
