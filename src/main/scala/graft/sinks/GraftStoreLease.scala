@@ -16,24 +16,37 @@ import org.apache.spark.internal.Logging
   * store_notion_blocks.py:128-150). This closes that gap with an
   * atomic-create lease file:
   *
-  * {{{ _graft_log/_lease   owner id in the body, heartbeat = mtime }}}
+  * {{{ _graft_log/_lease   line 1: owner id, line 2: heartbeat millis }}}
   *
   *  - First `fs.create(..., overwrite = false)` wins — Hadoop's exclusive
   *    create is atomic on every filesystem this project targets.
-  *  - The owning driver renews by touching the mtime at every commit.
+  *  - The owning driver renews at every commit by REWRITING the lease
+  *    with a fresh body timestamp. `FileSystem.setTimes` is deliberately
+  *    not used: its Hadoop base-class default is a silent no-op and
+  *    object-store implementations (e.g. S3A) don't override it, so an
+  *    mtime-touch heartbeat would never advance there and a live lease
+  *    would look abandoned after expiry. The rewrite produces a new file
+  *    object (mtime advances everywhere) AND carries the explicit
+  *    timestamp for filesystems with coarse or unreliable mtime; liveness
+  *    is judged on `max(mtime, body timestamp)`.
+  *  - A renewal first checks the lease's own age: if the owner failed to
+  *    heartbeat within the expiry (GC pause, network partition), its
+  *    lease may have been legitimately stolen, so it must fail loudly
+  *    rather than overwrite a potential new owner's lease.
   *  - A different live owner → `ConcurrentModificationException`, loudly,
   *    before any store mutation.
-  *  - A lease whose mtime is older than the expiry is considered
-  *    abandoned (crashed driver) and is stolen; the exclusive create
-  *    arbitrates racing stealers, the loser re-reads and fails on the
-  *    winner's live lease.
+  *  - A lease older than the expiry is considered abandoned (crashed
+  *    driver) and is stolen; the exclusive create arbitrates racing
+  *    stealers, the loser re-reads and fails on the winner's live lease.
   *
   * Ownership persists across commits (a driver owns a store for its
   * lifetime, matching the documented single-driver model); `release` is
-  * for deliberate hand-off. The steal path assumes expiry >> the gap
-  * between a reader's staleness check and its delete — with the default
-  * 10-minute expiry against per-commit heartbeats this holds by orders
-  * of magnitude.
+  * for deliberate hand-off, and a driver that shuts down cleanly SHOULD
+  * call it — one that exits without releasing leaves the store locked to
+  * other drivers for up to `expiryMs`. The steal path assumes expiry >>
+  * the gap between a reader's staleness check and its delete — with the
+  * default 10-minute expiry against per-commit heartbeats this holds by
+  * orders of magnitude.
   */
 object GraftStoreLease extends Logging {
   val DefaultExpiryMs: Long = 10 * 60 * 1000L
@@ -43,9 +56,10 @@ object GraftStoreLease extends Logging {
   def leaseFile(root: Path): Path =
     new Path(GraftBlocksLog.logDir(root), "_lease")
 
-  /** (ownerId, mtime) of the current lease, if any. A just-created
-    * lease whose owner id is not yet written reads as a live foreign
-    * owner "" (refusing is correct: someone IS mid-acquire); a lease
+  /** (ownerId, heartbeatMillis) of the current lease, if any, where the
+    * heartbeat is `max(mtime, body timestamp)`. A just-created lease
+    * whose owner id is not yet written reads as a live foreign owner ""
+    * (refusing is correct: someone IS mid-acquire/mid-renewal); a lease
     * deleted by a racing stealer between the exists check and the open
     * reads as None (the caller's retry loop re-arbitrates). */
   def currentOwner(fs: FileSystem, root: Path): Option[(String, Long)] = {
@@ -54,14 +68,26 @@ object GraftStoreLease extends Logging {
     try {
       val st = fs.getFileStatus(f)
       val in = new BufferedReader(new InputStreamReader(fs.open(f), UTF_8))
-      try Some((Option(in.readLine()).getOrElse("").trim,
-        st.getModificationTime)) finally in.close()
+      try {
+        val owner = Option(in.readLine()).getOrElse("").trim
+        val bodyTs = Option(in.readLine()).map(_.trim)
+          .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(0L)
+        Some((owner, math.max(st.getModificationTime, bodyTs)))
+      } finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  private def writeLease(fs: FileSystem, f: Path, ownerId: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(f, overwrite)
+    try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes(UTF_8))
+    finally out.close()
   }
 
   /** Acquire or renew the store lease for `ownerId`. Throws
     * [[ConcurrentModificationException]] when a different owner holds a
-    * live (unexpired) lease. */
+    * live (unexpired) lease, or when this owner's own lease has expired
+    * (it may have been stolen; overwriting would clobber the thief). */
   def acquire(fs: FileSystem, root: Path,
       ownerId: String = jvmOwnerId,
       expiryMs: Long = DefaultExpiryMs): Unit = {
@@ -70,14 +96,23 @@ object GraftStoreLease extends Logging {
     while (attempts < 5) {
       attempts += 1
       currentOwner(fs, root) match {
-        case Some((owner, _)) if owner == ownerId =>
-          fs.setTimes(f, System.currentTimeMillis(), -1) // heartbeat
+        case Some((owner, hb)) if owner == ownerId =>
+          if (System.currentTimeMillis() - hb > expiryMs)
+            throw new ConcurrentModificationException(
+              s"graft-blocks: this driver's lease on $root expired " +
+                s"${System.currentTimeMillis() - hb} ms ago and may have " +
+                "been stolen by another driver; refusing to renew — " +
+                "re-acquire after verifying no other writer is active")
+          // heartbeat: rewrite-in-place. A concurrent foreign reader that
+          // catches a partial body sees a fresh mtime and refuses — the
+          // unsafe direction (live lease judged expired) cannot happen.
+          writeLease(fs, f, ownerId, overwrite = true)
           return
-        case Some((owner, mtime))
-            if System.currentTimeMillis() - mtime <= expiryMs =>
+        case Some((owner, hb))
+            if System.currentTimeMillis() - hb <= expiryMs =>
           throw new ConcurrentModificationException(
             s"graft-blocks: store $root is lease-held by writer $owner " +
-              s"(heartbeat ${System.currentTimeMillis() - mtime} ms ago); " +
+              s"(heartbeat ${System.currentTimeMillis() - hb} ms ago); " +
               "a store accepts one driver at a time — release the lease " +
               "or wait for expiry")
         case Some((owner, _)) =>
@@ -87,8 +122,7 @@ object GraftStoreLease extends Logging {
       }
       fs.mkdirs(f.getParent)
       try {
-        val out = fs.create(f, false) // atomic exclusive create
-        try out.write(ownerId.getBytes(UTF_8)) finally out.close()
+        writeLease(fs, f, ownerId, overwrite = false) // atomic exclusive create
         return
       } catch {
         case _: java.io.IOException => () // lost the create race; re-read

@@ -157,10 +157,14 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       s"expected lease refusal, got $ex")
     assert(GraftBlocksStore.read(spark, dir).isEmpty)
 
-    // age the foreign lease past expiry — next commit steals it
+    // age the foreign lease past expiry — next commit steals it. Liveness
+    // is max(mtime, body timestamp), so BOTH must be aged: rewrite the
+    // body with a stale heartbeat and push the mtime back too.
     val lease = GraftStoreLease.leaseFile(root)
-    fs.setTimes(lease,
-      System.currentTimeMillis() - GraftStoreLease.DefaultExpiryMs - 60000, -1)
+    val stale = System.currentTimeMillis() - GraftStoreLease.DefaultExpiryMs - 60000
+    val out = fs.create(lease, true)
+    try out.write(s"other-driver\n$stale".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(lease, stale, -1)
     rows("x1", 2).write.format("graft-blocks")
       .option("path", dir).mode("append").save()
     assert(GraftBlocksStore.read(spark, dir).count() == 2)
@@ -172,6 +176,33 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     assert(GraftStoreLease.currentOwner(fs, root).isDefined)
     GraftStoreLease.release(fs, root)
     assert(GraftStoreLease.currentOwner(fs, root).isEmpty)
+  }
+
+  test("heartbeat rewrites the lease (no setTimes) and self-expiry refuses renewal") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    GraftStoreLease.acquire(fs, root, ownerId = "hb-owner")
+    val hb1 = GraftStoreLease.currentOwner(fs, root).get._2
+    Thread.sleep(5)
+    // renewal must advance the BODY timestamp — the heartbeat that
+    // object-store filesystems (setTimes no-op) would otherwise lose
+    GraftStoreLease.acquire(fs, root, ownerId = "hb-owner")
+    val hb2 = GraftStoreLease.currentOwner(fs, root).get._2
+    assert(hb2 > hb1, s"renewal must advance the heartbeat ($hb1 -> $hb2)")
+
+    // an owner whose OWN lease expired must refuse to renew (it may have
+    // been stolen; overwriting would clobber the thief's live lease)
+    val stale = System.currentTimeMillis() - GraftStoreLease.DefaultExpiryMs - 60000
+    val lease = GraftStoreLease.leaseFile(root)
+    val out = fs.create(lease, true)
+    try out.write(s"hb-owner\n$stale".getBytes("UTF-8")) finally out.close()
+    fs.setTimes(lease, stale, -1)
+    val ex = intercept[ConcurrentModificationException] {
+      GraftStoreLease.acquire(fs, root, ownerId = "hb-owner")
+    }
+    assert(ex.getMessage.contains("expired"))
+    GraftStoreLease.release(fs, root, "hb-owner")
   }
 
   test("log checkpoints bound the replay tail; correctness spans the boundary") {
