@@ -401,9 +401,19 @@ object GraftCommitter extends Logging {
         // periodic checkpoint so readers and future commits replay a
         // bounded tail instead of the whole history
         val interval = GraftBlocksLog.checkpointInterval
-        if (interval > 0 && version > 0 && version % interval == 0)
+        if (interval > 0 && version > 0 && version % interval == 0) {
           GraftBlocksLog.writeCheckpoint(fs, rootPath, version,
             state.files ++ visible, state.txns ++ txn)
+          // fold the bloom forward here (amortized), not per commit:
+          // add the keys of every entry since the bloom's covered
+          // version — they are all within the pre-commit tail + this
+          // commit, because folds ride every checkpoint
+          val covered = GraftKeyIndex.readBloomFull(fs, rootPath)
+            .map(_._3).getOrElse(-1L)
+          GraftKeyIndex.foldBloom(fs, rootPath,
+            state.tail.filter(_._1 > covered).flatMap(_._2.keys) ++ newKeys,
+            version)
+        }
       }
       cleanupStaging(fs, staging, writeId)
     }

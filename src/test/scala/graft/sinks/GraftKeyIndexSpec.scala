@@ -356,6 +356,9 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       val v = GraftBlocksLog.appendEntry(fs, root,
         GraftLogEntry(None, Nil, many, 0L))
       GraftKeyIndex.recordCommit(fs, root, v, many)
+      // per-commit path leaves the bloom alone; the fold (checkpoint
+      // time in production) performs the capacity-growing rebuild
+      GraftKeyIndex.foldBloom(fs, root, many, v)
     }
     val Some((expected, count, _)) = GraftKeyIndex.readBloom(fs, root)
     assert(count == many.size.toLong)
@@ -364,6 +367,82 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     assert(GraftKeyIndex.committedAmong(fs, root,
       Seq("big-0", s"big-${many.size - 1}", "absent")) ==
       Set("big-0", s"big-${many.size - 1}"))
+  }
+
+  test("steady-state commits never rewrite the bloom; folds ride checkpoints") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    System.setProperty("graft.blocks.checkpointInterval", "3")
+    try {
+      rows("s0", 1).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+      assert(GraftKeyIndex.exists(fs, root), "first commit bootstraps the bloom")
+      val t0 = fs.getFileStatus(GraftKeyIndex.bloomFile(root)).getModificationTime
+      val c0 = GraftKeyIndex.readBloomFull(fs, root).get._3
+      // v1, v2: steady-state — the bloom file must not be touched
+      rows("s1", 1).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+      rows("s2", 1).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+      assert(fs.getFileStatus(GraftKeyIndex.bloomFile(root))
+        .getModificationTime == t0,
+        "per-commit path must not rewrite the bloom (O(new keys) contract)")
+      // ...yet planning still sees the uncovered keys via the log tail
+      val hconf = new graft.sources.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      val probe = GraftKeyProbe.forStore(fs, root, hconf)
+      assert(Seq("s0", "s1", "s2").forall(probe.committed))
+      assert(!probe.committed("s-absent"))
+      // v3 lands on the checkpoint interval: the fold advances coverage
+      rows("s3", 1).write.format("graft-blocks")
+        .option("path", dir).mode("append").save()
+      val c3 = GraftKeyIndex.readBloomFull(fs, root).get._3
+      assert(c3 > c0, s"checkpoint fold must advance coveredVersion ($c0 -> $c3)")
+    } finally System.clearProperty("graft.blocks.checkpointInterval")
+  }
+
+  test("index re-shards when shards outgrow the target; reads stay exact") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    // tiny target: 64 shards * 8 keys = 512-key threshold
+    System.setProperty("graft.blocks.targetKeysPerShard", "8")
+    try {
+      val keysByVersion = (0 until 3).map { b =>
+        b -> (0 until 400).map(i => s"rs-$b-$i")
+      }
+      GraftBlocksLog.lockFor(root.toString).synchronized {
+        keysByVersion.foreach { case (_, ks) =>
+          val v = GraftBlocksLog.appendEntry(fs, root,
+            GraftLogEntry(None, Nil, ks, 0L))
+          GraftKeyIndex.recordCommit(fs, root, v, ks)
+        }
+        // fold with 1200 total keys: must re-shard 64 -> >=256
+        GraftKeyIndex.foldBloom(fs, root,
+          keysByVersion.flatMap(_._2), 2L)
+      }
+      val meta = GraftKeyIndex.readMeta(fs, root)
+      assert(meta.gen >= 1 && meta.shards > GraftKeyIndex.DefaultShards,
+        s"expected a re-shard, got $meta")
+      assert(meta.shards % GraftKeyIndex.DefaultShards == 0,
+        "shard count must refine (power-of-two multiple)")
+      // exactness and version resolution survive the generation swap
+      val all = keysByVersion.flatMap(_._2)
+      assert(GraftKeyIndex.committedAmong(fs, root, all :+ "rs-absent") ==
+        all.toSet)
+      val vf = GraftKeyIndex.versionsFor(fs, root, Seq("rs-0-7", "rs-2-399"))
+      assert(vf == Map("rs-0-7" -> 0L, "rs-2-399" -> 2L),
+        s"versions must survive re-sharding, got $vf")
+      // the probe verifies bloom hits against the NEW layout
+      val hconf = new graft.sources.SerializableHadoopConf(
+        spark.sessionState.newHadoopConf())
+      val probe = GraftKeyProbe.forStore(fs, root, hconf)
+      assert(probe.committed("rs-1-123") && !probe.committed("rs-9-9"))
+      // old-generation shard dirs are gone
+      assert(!fs.exists(new Path(GraftKeyIndex.indexDir(root), "s00")),
+        "legacy gen-0 shard dirs must be deleted after the swap")
+    } finally System.clearProperty("graft.blocks.targetKeysPerShard")
   }
 
   test("keyed point read touches only the owning commit's files") {
