@@ -34,11 +34,28 @@ object Drain extends org.apache.spark.internal.Logging {
       httpRetries: Int = 5,
       backoffBaseMs: Long = 1L)
 
+  /** Drain outcome. `succeededPages`/`deadLetteredPages` are a sorted
+    * driver-side convenience CAPPED at [[ReportPageCap]] ids each (the
+    * full sets are the returned status/failures DataFrames);
+    * `succeededPageCount`/`deadLetteredPageCount` always carry the full
+    * cardinalities. */
   case class Report(
       iterations: Int,
       uploaded: Long,
       succeededPages: Seq[String],
-      deadLetteredPages: Seq[String])
+      deadLetteredPages: Seq[String],
+      succeededPageCount: Long = -1L,
+      deadLetteredPageCount: Long = -1L,
+      /** Peak size of the only cross-iteration driver-held id state (the
+        * retry counters for batches whose last touch failed) — the
+        * observable witness that a drain holds O(failing), not
+        * O(backlog), ids on the driver. */
+      peakRetryTracked: Int = -1)
+
+  /** Cap on the page-id lists materialized into [[Report]] — keeps the
+    * driver O(1) in the backlog size even when a month-long drain
+    * completes millions of pages. */
+  val ReportPageCap = 10000
 
   /** Resolve at-least-once accumulator rows per (batch, index): a
     * retried task re-adds its rows (the reference's SQS redelivery) and
@@ -71,20 +88,28 @@ object Drain extends org.apache.spark.internal.Logging {
       if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
     }
     var pending = padded.as[NotionBlock].cache()
+    // cross-iteration page-id state lives in DataFrames, NOT driver
+    // collections: a full backlog drain completes every page, and a
+    // driver Set holding every drained id is exactly the scale bug the
+    // key-set closure fix removed from the sink. The driver holds only
+    // per-iteration deltas (bounded by the touched chunk) plus the
+    // `attempts` counters for batches whose LAST touch was a failure.
+    var doneDf = spark.emptyDataset[String].toDF("blockBatch")
+    var deadDf = spark.emptyDataset[String].toDF("blockBatch")
+    var deadNonEmpty = false
+    var doneNonEmpty = false
     val attempts = scala.collection.mutable.Map.empty[String, Int]
-    val dead = scala.collection.mutable.Set.empty[String]
-    val done = scala.collection.mutable.Set.empty[String]
+    var peakRetry = 0
     var uploadedTotal = 0L
     var iter = 0
     var stalled = false
 
-    // drop dead-lettered batches via a broadcast anti-join — an
-    // `isin(dead...)` expression grows with the DLQ and would bloat the
-    // plan (and the driver) on a long-running drain
+    // drop dead-lettered batches via an anti-join — an `isin(dead...)`
+    // expression (or a driver-collected set) grows with the DLQ and
+    // would bloat the plan and the driver on a long-running drain
     def withoutDead(df: org.apache.spark.sql.Dataset[NotionBlock]) =
-      if (dead.isEmpty) df
-      else df.join(broadcast(dead.toSeq.toDF("blockBatch")),
-        Seq("blockBatch"), "left_anti").as[NotionBlock]
+      if (!deadNonEmpty) df
+      else df.join(deadDf, Seq("blockBatch"), "left_anti").as[NotionBlock]
 
     while (!stalled && iter < 10000 && !withoutDead(pending).isEmpty) {
       iter += 1
@@ -179,11 +204,22 @@ object Drain extends org.apache.spark.internal.Logging {
       val failedBatchesNow = res.filter(!_._3).map(_._1).distinct
       uploadedTotal += okRows.size
 
-      failedBatchesNow.foreach { b =>
+      val deadDelta = failedBatchesNow.filter { b =>
         val a = attempts.getOrElse(b, 0) + 1
         attempts(b) = a
-        if (a >= cfg.maxAttempts) dead += b  // K8 DLQ
+        a >= cfg.maxAttempts  // K8 DLQ
       }
+      if (deadDelta.nonEmpty) {
+        deadDf = deadDf.union(deadDelta.toDF("blockBatch"))
+        deadNonEmpty = true
+        deadDelta.foreach(attempts.remove) // dead batches never retry
+      }
+      // a batch whose touch this iteration was all-success is progressing:
+      // reset its counter so `attempts` holds only batches whose LAST
+      // touch failed (K8 counts consecutive failed deliveries)
+      okRows.map(_._1).distinct.diff(failedBatchesNow)
+        .foreach(attempts.remove)
+      peakRetry = math.max(peakRetry, attempts.size)
 
       // K6: delete uploaded rows (anti join on the composite key)
       if (okRows.nonEmpty) {
@@ -200,16 +236,26 @@ object Drain extends org.apache.spark.internal.Logging {
       }
       // batches fully drained and not failed -> SUCCESS. Derived
       // distributively: anti-join this iteration's touched batches
-      // (small — bounded by the chunk) against the pending set, so only
-      // the per-iteration drained DELTA is collected, never the full
-      // pending id set (which is unbounded on a large backlog).
+      // (driver-held, bounded by the chunk) against the pending set and
+      // the DLQ — the drained DELTA is unioned into the done DataFrame
+      // without ever collecting an id to the driver.
       val seen = res.map(_._1).distinct
       if (seen.nonEmpty) {
         val drained = seen.toDF("blockBatch")
           .join(pending.select("blockBatch").distinct(),
             Seq("blockBatch"), "left_anti")
-          .as[String].collect()
-        (drained.toSet -- dead).foreach(done += _)
+        val drainedLive =
+          if (deadNonEmpty)
+            drained.join(deadDf, Seq("blockBatch"), "left_anti")
+          else drained
+        doneDf = doneDf.union(drainedLive)
+        doneNonEmpty = true
+      }
+      // truncate the growing union/anti-join lineage on the same cycle
+      // as `pending` — a month-long drain must not recompute the chain
+      if (iter % 8 == 0) {
+        doneDf = doneDf.localCheckpoint()
+        if (deadNonEmpty) deadDf = deadDf.localCheckpoint()
       }
       // nothing progressed (e.g. all pending batches dead) — stop
       stalled = okRows.isEmpty && failedBatchesNow.isEmpty
@@ -219,22 +265,39 @@ object Drain extends org.apache.spark.internal.Logging {
     // pages still pending at loop exit (the iteration cap, or a stall)
     // must not vanish from the outputs: dead-letter them loudly so the
     // status lifecycle receives a terminal state
-    val leftover = withoutDead(pending).select("blockBatch").distinct()
-      .as[String].collect().filterNot(done.contains)
-    if (leftover.nonEmpty) {
-      logWarning(s"drain: ${leftover.length} page(s) still pending at " +
-        s"loop exit after $iter iteration(s) — dead-lettering")
-      dead ++= leftover
+    val leftoverDf = {
+      val base = withoutDead(pending).select("blockBatch").distinct()
+      if (doneNonEmpty) base.join(doneDf, Seq("blockBatch"), "left_anti")
+      else base
     }
+    val leftoverCount = leftoverDf.count()
+    if (leftoverCount > 0) {
+      logWarning(s"drain: $leftoverCount page(s) still pending at " +
+        s"loop exit after $iter iteration(s) — dead-lettering")
+      deadDf = deadDf.union(leftoverDf)
+      deadNonEmpty = true
+    }
+    doneDf = doneDf.distinct().localCheckpoint()
+    deadDf = deadDf.distinct().localCheckpoint()
 
     val now = System.currentTimeMillis()
-    val finalPages = (done.toSeq.map((_, PageStatus.Success)) ++
-      dead.toSeq.map((_, PageStatus.Fail)))
-      .toDF("blockBatch", "status")
+    val finalPages = doneDf
+      .select(col("blockBatch"), lit(PageStatus.Success).as("status"))
+      .union(deadDf
+        .select(col("blockBatch"), lit(PageStatus.Fail).as("status")))
       .withColumn("statusTime", lit(now))
-    val failures = dead.toSeq.toDF("blockBatch")
-      .withColumn("eventTime", lit(now))
+    val failures = deadDf.withColumn("eventTime", lit(now))
+    // Report id lists: sorted, CAPPED — the DataFrames above are the
+    // authoritative full sets
+    val doneCount = doneDf.count()
+    val deadCount = deadDf.count()
+    val doneSample = doneDf.orderBy("blockBatch").limit(ReportPageCap)
+      .as[String].collect().toSeq
+    val deadSample = deadDf.orderBy("blockBatch").limit(ReportPageCap)
+      .as[String].collect().toSeq
+    pending.unpersist()
     (finalPages, failures,
-      Report(iter, uploadedTotal, done.toSeq.sorted, dead.toSeq.sorted))
+      Report(iter, uploadedTotal, doneSample, deadSample,
+        doneCount, deadCount, peakRetry))
   }
 }

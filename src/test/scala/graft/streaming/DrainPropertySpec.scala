@@ -33,6 +33,32 @@ class DrainPropertySpec extends AnyFunSuite {
     assert(report.uploaded == 3 && report.succeededPages == Seq("pg0"))
   }
 
+  test("multi-iteration drain holds O(failing) ids on the driver, not O(backlog)") {
+    val name = "bounded-driver"
+    MockNotionApi.reset(name)
+    val api = new MockNotionApi(name)
+    // one page fails persistently (non-retryable status -> one attempt
+    // per iteration); 60 healthy pages of 3 blocks drain over 3
+    // iterations at maxBlocks=1
+    MockNotionApi.state(name).failStatus.set(400)
+    MockNotionApi.state(name).failWhen.set(b => b.blockBatch == "sick")
+    val rows = (0 until 60).flatMap { p =>
+      (0 until 3).map(i =>
+        NotionBlock(s"pg$p%03d", i, "b", s"Main/pg$p.md", "text", s"pg$p-$i"))
+    } :+ NotionBlock("sick", 0, "b", "Main/sick.md", "text", "s0")
+    val (pages, failures, report) = Drain.run(spark, rows.toDF(),
+      Map("Main" -> "u"), api, Drain.Config(maxBlocks = 1, maxAttempts = 2))
+    assert(report.succeededPageCount == 60 && report.deadLetteredPageCount == 1)
+    assert(report.succeededPages.size == 60)
+    assert(report.deadLetteredPages == Seq("sick"))
+    // the ONLY cross-iteration driver-held ids are the retry counters for
+    // currently-failing batches — 1 here, never the 61-page backlog
+    assert(report.peakRetryTracked == 1,
+      s"driver held ${report.peakRetryTracked} retry ids; must track only " +
+        "failing batches, not the backlog")
+    assert(pages.count() == 61 && failures.count() == 1)
+  }
+
   test("drain invariant holds for random page sizes and chunk sizes") {
     val gen = for {
       nPages <- Gen.choose(1, 4)
