@@ -68,18 +68,31 @@ object Drain extends org.apache.spark.internal.Logging {
     rows.distinct.groupBy(r => (r._1, r._2))
       .map { case ((b, i), vs) => (b, i, vs.exists(_._3)) }.toSeq
 
+  val DefaultParentUrl = "https://notion.test/default"
+
+  /** Map-dimension convenience (tests, small configs): the map becomes
+    * the (dir, url) dimension DataFrame of the join form. */
+  def run(spark: SparkSession, blocks: DataFrame, parents: Map[String, String],
+      api: NotionApi, cfg: Config): (DataFrame, DataFrame, Report) = {
+    import spark.implicits._
+    run(spark, blocks, parents.toSeq.toDF("dir", "url"), api, cfg)
+  }
+  def run(spark: SparkSession, blocks: DataFrame, parents: Map[String, String],
+      api: NotionApi): (DataFrame, DataFrame, Report) =
+    run(spark, blocks, parents, api, Config())
+
   /** Run the drain to completion.
     *
-    * @param blocks   pending blocks (NotionBlock shape)
-    * @param parents  (key dir → parentUrl) dimension, J2
+    * @param blocks     pending blocks (NotionBlock shape)
+    * @param parentsDim (dir, url) dimension DataFrame, J2 — joined onto
+    *                   the blocks by key directory (the reference's
+    *                   per-directory parenturl.txt resolution), never
+    *                   collected to the driver
     * @return (finalPageStatus DataFrame, failures DataFrame, report)
     */
-  def run(spark: SparkSession, blocks: DataFrame, parents: Map[String, String],
+  def run(spark: SparkSession, blocks: DataFrame, parentsDim: DataFrame,
       api: NotionApi, cfg: Config = Config()): (DataFrame, DataFrame, Report) = {
     import spark.implicits._
-    // the parents dimension never changes — ONE broadcast for the whole
-    // drain, not one per iteration
-    val parentsB = spark.sparkContext.broadcast(parents)
 
     // pad rich-payload columns absent from pre-upgrade block stores —
     // case-class defaults are NOT applied by Spark encoders, so an old
@@ -87,7 +100,21 @@ object Drain extends org.apache.spark.internal.Logging {
     val padded = Seq("language", "caption").foldLeft(blocks) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(""))
     }
-    var pending = padded.as[NotionBlock].cache()
+    // J2 as a JOIN: key directory → parent URL, resolved once up front.
+    // The dimension is one row per staged directory — dimension-sized,
+    // so the optimizer broadcasts it; a driver-collected Map would cap
+    // the config at driver memory for no reason.
+    val withParent = padded
+      .withColumn("dir",
+        when(col("key").contains("/"),
+          expr("substring(key, 1, length(key) - locate('/', reverse(key)))"))
+          .otherwise(lit("")))
+      .join(parentsDim.withColumnRenamed("url", "__parentUrl"),
+        Seq("dir"), "left")
+      .withColumn("parentUrl",
+        coalesce(col("__parentUrl"), lit(DefaultParentUrl)))
+      .drop("dir", "__parentUrl")
+    var pending = withParent.cache()
     // cross-iteration page-id state lives in DataFrames, NOT driver
     // collections: a full backlog drain completes every page, and a
     // driver Set holding every drained id is exactly the scale bug the
@@ -107,9 +134,9 @@ object Drain extends org.apache.spark.internal.Logging {
     // drop dead-lettered batches via an anti-join — an `isin(dead...)`
     // expression (or a driver-collected set) grows with the DLQ and
     // would bloat the plan and the driver on a long-running drain
-    def withoutDead(df: org.apache.spark.sql.Dataset[NotionBlock]) =
+    def withoutDead(df: DataFrame): DataFrame =
       if (!deadNonEmpty) df
-      else df.join(deadDf, Seq("blockBatch"), "left_anti").as[NotionBlock]
+      else df.join(deadDf, Seq("blockBatch"), "left_anti")
 
     while (!stalled && iter < 10000 && !withoutDead(pending).isEmpty) {
       iter += 1
@@ -119,7 +146,6 @@ object Drain extends org.apache.spark.internal.Logging {
       val chunk = live.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= cfg.maxBlocks)
         .drop("rn")
-        .as[NotionBlock]
 
       val results: CollectionAccumulator[(String, Int, Boolean)] =
         spark.sparkContext.collectionAccumulator[(String, Int, Boolean)]("drainResults")
@@ -129,7 +155,12 @@ object Drain extends org.apache.spark.internal.Logging {
       // global sort redundant — sortWithinPartitions IS the total order)
       chunk.coalesce(1)
         .sortWithinPartitions(col("blockBatch"), col("blockIndex"))
-        .foreachPartition { (it: Iterator[NotionBlock]) =>
+        .select(struct(
+          col("blockBatch"), col("blockIndex"), col("bucket"), col("key"),
+          col("blockType"), col("title"), col("language"), col("caption"))
+          .as("_1"), col("parentUrl").as("_2"))
+        .as[(NotionBlock, String)]
+        .foreachPartition { (it: Iterator[(NotionBlock, String)]) =>
           var lastCall = 0L
           val failedBatches = scala.collection.mutable.Set.empty[String]
           // rows arrive sorted by batch: get-or-create once per PAGE,
@@ -137,15 +168,10 @@ object Drain extends org.apache.spark.internal.Logging {
           // by the K5 interval below, reference-faithful)
           var cachedBatch: String = null
           var cachedPageUrl: String = null
-          it.foreach { b =>
+          it.foreach { case (b, parentUrl) =>
             if (failedBatches.contains(b.blockBatch)) {
               // ST6 fail-fast: skip the rest of a failed page
             } else {
-              val dir = b.key.lastIndexOf('/') match {
-                case -1 => ""
-                case i => b.key.substring(0, i)
-              }
-              val parentUrl = parentsB.value.getOrElse(dir, "https://notion.test/default")
               val ok =
                 try {
                   val pageUrl =
@@ -226,7 +252,6 @@ object Drain extends org.apache.spark.internal.Logging {
         val uploadedDf = okRows.toDF("blockBatch", "blockIndex")
         var newPending = pending
           .join(uploadedDf, Seq("blockBatch", "blockIndex"), "left_anti")
-          .as[NotionBlock]
         // truncate the growing anti-join lineage periodically, else a
         // long drain recomputes the whole chain each iteration
         if (iter % 8 == 0) newPending = newPending.localCheckpoint()
@@ -260,7 +285,6 @@ object Drain extends org.apache.spark.internal.Logging {
       // nothing progressed (e.g. all pending batches dead) — stop
       stalled = okRows.isEmpty && failedBatchesNow.isEmpty
     }
-    parentsB.destroy()
 
     // pages still pending at loop exit (the iteration cap, or a stall)
     // must not vanish from the outputs: dead-letter them loudly so the

@@ -12,16 +12,19 @@ import graft.model.PageStatus
 object Phase2 {
 
   /** S11: per-directory `parenturl.txt` config discovery
-    * (upload_notion_blocks.py:217-225; layout README.md:139-168). */
-  def readParentUrls(spark: SparkSession, stagingDir: String): Map[String, String] = {
+    * (upload_notion_blocks.py:217-225; layout README.md:139-168) as the
+    * (dir, url) dimension DataFrame the drain joins on (J2) — never
+    * collected to the driver, so the config scales with the staging
+    * tree, not with driver memory. */
+  def readParentUrls(spark: SparkSession, stagingDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("path", StringType),
       StructField("modificationTime", TimestampType),
       StructField("length", LongType),
       StructField("content", BinaryType)))
-    val rows =
-      try spark.read.format("binaryFile")
+    try {
+      val dim = spark.read.format("binaryFile")
         .option("pathGlobFilter", "parenturl.txt")
         .option("recursiveFileLookup", "true")
         .schema(schema)
@@ -33,19 +36,27 @@ object Phase2 {
           // (the file usually ends with a newline)
           regexp_replace(col("content").cast("string"), "^\\s+|\\s+$", "")
             .as("url"))
-        .collect()
-      catch {
-        // only "nothing staged there" is a benign empty config — the
-        // reference treats a missing parenturl.txt the same way
-        // (upload_notion_blocks.py:217-225). Real IO faults (permissions,
-        // unknown scheme, transient FS errors) must propagate: swallowing
-        // them here would silently route every page to the failure path.
-        case _: org.apache.spark.sql.AnalysisException =>
-          Array.empty[org.apache.spark.sql.Row]
-        case _: java.io.FileNotFoundException =>
-          Array.empty[org.apache.spark.sql.Row]
-      }
-    rows.map(r => r.getString(0) -> r.getString(1)).toMap
+      // force the file-index resolution NOW so a bad root fails here,
+      // with the intended missing-vs-fault distinction, not mid-drain
+      dim.queryExecution.assertAnalyzed()
+      dim.isEmpty
+      dim
+    } catch {
+      // only "nothing staged there" is a benign empty config — the
+      // reference treats a missing parenturl.txt the same way
+      // (upload_notion_blocks.py:217-225). Real IO faults (permissions,
+      // unknown scheme, transient FS errors) must propagate: swallowing
+      // them here would silently route every page to the failure path.
+      case _: org.apache.spark.sql.AnalysisException =>
+        emptyDim(spark)
+      case _: java.io.FileNotFoundException =>
+        emptyDim(spark)
+    }
+  }
+
+  private def emptyDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, String)].toDF("dir", "url")
   }
 
   case class Result(

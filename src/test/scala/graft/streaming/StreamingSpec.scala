@@ -99,7 +99,7 @@ class IngestSpec extends AnyFunSuite {
     val sub = Files.createDirectories(staged.resolve("Main"))
     Files.writeString(sub.resolve("parenturl.txt"), "https://x.test/p1\n")
     val got = Phase2.readParentUrls(spark, staged.toString)
-    assert(got.values.toSeq == Seq("https://x.test/p1"))
+    assert(got.select("url").as[String].collect().toSeq == Seq("https://x.test/p1"))
     // a real FS fault (unknown scheme) is NOT swallowed into "no parents"
     intercept[Exception] {
       Phase2.readParentUrls(spark, "nosuchscheme://bucket/staging")
