@@ -1,0 +1,48 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The materialized IVF layout: the corpus written once, bucketed by its
+  * coarse-quantizer cluster, so a probe READS only its clusters.
+  *
+  * [[Similarity.ivfTopKWith]] prunes compute (only probed clusters are
+  * scored) but still SCANS the whole corpus to assign clusters on every
+  * query batch. At 100 TB the assignment must be precomputed: `build`
+  * writes the corpus as parquet partitioned by `cluster_id`
+  * (Hive-layout `cluster_id=N/` directories), and `topK` turns the
+  * probe set into a partition filter, so the scan touches only the
+  * probed buckets — partition pruning visible in the plan
+  * (`PartitionFilters: [cluster_id IN (...)]`) and in the scan's
+  * numFiles metric. IvfIndexSpec proves both the pruning and result
+  * equality with the in-memory path.
+  *
+  * The probed cluster ids are collected to the driver to form the
+  * filter — bounded by `queries × nProbe` and by the centroid count
+  * (hundreds), control-plane-sized by construction.
+  */
+object IvfIndex {
+
+  /** Assign every corpus vector to its nearest centroid and write the
+    * bucketed layout. One full corpus pass; queries then never scan
+    * unprobed buckets. */
+  def build(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
+    Similarity.assign(corpus, centroids, "vec_id")
+      .withColumnRenamed("centroid_id", "cluster_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+
+  /** IVF top-k over a built index: identical results to
+    * [[Similarity.ivfTopKWith]] on the same corpus/centroids/k/nProbe,
+    * but the corpus scan is pruned to the probed cluster partitions. */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val probes = Similarity.probesFor(queries, centroids, nProbe)
+    val probed = probes.select(col("cluster_id").cast("long"))
+      .distinct().as[Long].collect().sorted
+    val assigned = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probed: _*))
+      .withColumn("c_norm", Similarity.norm(col("embedding")))
+    Similarity.scoreProbed(probes, assigned, k)
+  }
+}

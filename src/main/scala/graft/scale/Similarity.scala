@@ -115,9 +115,16 @@ object Similarity {
     val assigned = assign(corpus, centroids, "vec_id")
       .withColumnRenamed("centroid_id", "cluster_id")
       .withColumn("c_norm", norm(col("embedding")))
+    scoreProbed(probesFor(queries, centroids, nProbe), assigned, k)
+  }
+
+  /** The `nProbe` nearest clusters per query: (query_id, q_emb, q_norm,
+    * cluster_id). Centroids broadcast; ties broken on centroid id. */
+  private[scale] def probesFor(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int): DataFrame = {
     val qw = Window.partitionBy(col("query_id"))
       .orderBy(col("dist2").asc, col("centroid_id").asc)
-    val probes = queries
+    queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .crossJoin(broadcast(centroids))
       .withColumn("dist2",
@@ -126,6 +133,14 @@ object Similarity {
       .filter(col("rk") <= nProbe)
       .select(col("query_id"), col("q_emb"), norm(col("q_emb")).as("q_norm"),
         col("centroid_id").as("cluster_id"))
+  }
+
+  /** Score probes against a cluster-assigned corpus slice
+    * (cluster_id, vec_id, embedding, c_norm) and keep each query's
+    * top-k. Shared by the in-memory path ([[ivfTopKWith]]) and the
+    * bucketed-layout path ([[IvfIndex.topK]]). */
+  private[scale] def scoreProbed(probes: DataFrame, assigned: DataFrame,
+      k: Int): DataFrame = {
     val scored = probes.join(assigned, "cluster_id")
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("sim", safeRatio(

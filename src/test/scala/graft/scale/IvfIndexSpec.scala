@@ -1,0 +1,73 @@
+package graft.scale
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed IVF layout: probed queries must (a) return exactly the
+  * in-memory path's results and (b) physically SKIP unprobed cluster
+  * partitions — asserted from the executed plan's partition filters and
+  * file-count metrics, not from wall-clock. */
+class IvfIndexSpec extends AnyFunSuite {
+  lazy val spark = graft.scale.SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("index-backed IVF equals the in-memory path and prunes unprobed buckets") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val nClusters = centroids.count()
+    assert(nClusters >= 6, s"need several clusters for a pruning test, got $nClusters")
+    val queries = emb.filter(col("vec_id") === 1)
+
+    val dir = Files.createTempDirectory("graft-ivf-index").toString
+    IvfIndex.build(emb, centroids, dir)
+
+    // drive THIS DataFrame's queryExecution (a derived orderBy would
+    // plan a separate query and leave these metrics at zero)
+    val fromIndex = IvfIndex.topK(spark, dir, queries, centroids,
+      k = 5, nProbe = 3).orderBy("query_id", "rank")
+    val inMemory = Similarity.ivfTopKWith(queries, emb, centroids,
+      k = 5, nProbe = 3)
+    // collect Rows straight off fromIndex (.as[...] would derive yet
+    // another Dataset and execute that one instead)
+    val a = fromIndex.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = inMemory.orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a == b, "bucketed path must be result-identical to the in-memory path")
+    assert(a.size == 5)
+
+    // ---- pruning proof, from the executed plan ----
+    // AQE nests executed subtrees inside QueryStageExec nodes that do
+    // not expose them as children — recurse through both wrappers
+    def scans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      plan match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case p => p.children.flatMap(scans)
+      }
+    val indexScan = scans(fromIndex.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-index")))
+      .getOrElse(fail("no file scan over the index in the plan"))
+    assert(indexScan.partitionFilters.exists(_.toString.contains("cluster_id")),
+      s"probe filter must be a PARTITION filter, got ${indexScan.partitionFilters}")
+    // the scan touched only the probed partitions' files
+    val scannedFiles = indexScan.metrics("numFiles").value
+    val allFiles = {
+      val root = new java.io.File(dir)
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(root).count(f => f.getName.endsWith(".parquet"))
+    }
+    assert(scannedFiles > 0 && scannedFiles < allFiles,
+      s"expected a pruned scan: $scannedFiles of $allFiles files " +
+        s"(${nClusters} clusters, 3 probed)")
+  }
+}
