@@ -37,7 +37,11 @@ object IvfIndex {
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     import spark.implicits._
+    // materialize the probe assignment once: it is read twice (collected
+    // for the partition filter, then joined in scoring) and is
+    // control-plane-sized (queries × nProbe rows)
     val probes = Similarity.probesFor(queries, centroids, nProbe)
+      .localCheckpoint()
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
     val assigned = spark.read.parquet(path)

@@ -406,13 +406,25 @@ object GraftCommitter extends Logging {
             state.files ++ visible, state.txns ++ txn)
           // fold the bloom forward here (amortized), not per commit:
           // add the keys of every entry since the bloom's covered
-          // version — they are all within the pre-commit tail + this
-          // commit, because folds ride every checkpoint
-          val covered = GraftKeyIndex.readBloomFull(fs, rootPath)
-            .map(_._3).getOrElse(-1L)
-          GraftKeyIndex.foldBloom(fs, rootPath,
-            state.tail.filter(_._1 > covered).flatMap(_._2.keys) ++ newKeys,
-            version)
+          // version. Normally those all sit in the pre-commit tail +
+          // this commit (folds ride every checkpoint) — but a crash
+          // between a previous checkpoint and ITS fold leaves covered
+          // behind the tail's reach, and folding past that gap would
+          // orphan the skipped interval's keys from the bloom forever
+          // (under-filtering on every rewrite of them). Detect the gap
+          // and take the full-history read once, like
+          // effectiveBloomBytes does. Header-only read: the covered
+          // version lives in the fixed-size header, so this does not
+          // deserialize the count-proportional filter bytes twice.
+          val covered = GraftKeyIndex.readBloomCovered(fs, rootPath)
+            .getOrElse(-1L)
+          val tailMin = state.tail.map(_._1).minOption.getOrElse(version)
+          val uncovered =
+            if (covered >= 0 && covered + 1 < tailMin)
+              GraftBlocksLog.readEntriesWithVersion(fs, rootPath)
+                .filter(_._1 > covered).flatMap(_._2.keys)
+            else state.tail.filter(_._1 > covered).flatMap(_._2.keys)
+          GraftKeyIndex.foldBloom(fs, rootPath, uncovered ++ newKeys, version)
         }
       }
       cleanupStaging(fs, staging, writeId)

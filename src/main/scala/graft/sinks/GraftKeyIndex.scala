@@ -90,7 +90,13 @@ object GraftKeyIndex extends Logging {
 
   def indexDir(root: Path): Path = new Path(GraftBlocksLog.logDir(root), "keys")
   def bloomFile(root: Path): Path = new Path(indexDir(root), "_bloom")
-  private def metaFile(root: Path): Path = new Path(indexDir(root), "_meta")
+  // one meta file PER generation (never replaced in place): readers pick
+  // the highest generation present, so there is no delete+rename window
+  // in which no meta exists — a reader racing a re-shard sees either the
+  // old or the new generation, both complete at that moment
+  private def metaFile(root: Path, gen: Int): Path =
+    new Path(indexDir(root), f"_meta.g$gen%05d")
+  private val MetaName = """^_meta\.g(\d{5})$""".r
   private def watermarkFile(root: Path): Path = new Path(indexDir(root), "_watermark")
   private def genDir(root: Path, gen: Int): Path =
     if (gen == 0) indexDir(root) else new Path(indexDir(root), s"g$gen")
@@ -101,19 +107,33 @@ object GraftKeyIndex extends Logging {
     new Path(shardDir(root, meta, shard), f"$version%020d.keys")
 
   def readMeta(fs: FileSystem, root: Path): IndexMeta = {
-    val f = metaFile(root)
-    if (!fs.exists(f)) return IndexMeta(0, DefaultShards)
-    try {
-      val in = new BufferedReader(new InputStreamReader(fs.open(f), UTF_8))
-      try {
-        val parts = in.readLine().trim.split("\\s+")
-        IndexMeta(parts(0).toInt, parts(1).toInt)
-      } finally in.close()
-    } catch { case _: java.io.FileNotFoundException => IndexMeta(0, DefaultShards) }
+    val dir = indexDir(root)
+    if (!fs.exists(dir)) return IndexMeta(0, DefaultShards)
+    val newest = fs.listStatus(dir).iterator
+      .flatMap(s => MetaName.findFirstMatchIn(s.getPath.getName)
+        .map(m => (m.group(1).toInt, s.getPath)))
+      .foldLeft(Option.empty[(Int, Path)]) {
+        case (acc, c) => if (acc.forall(_._1 < c._1)) Some(c) else acc
+      }
+    newest match {
+      case None => IndexMeta(0, DefaultShards)
+      case Some((gen, p)) =>
+        try {
+          val in = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+          try {
+            val parts = in.readLine().trim.split("\\s+")
+            IndexMeta(parts(0).toInt, parts(1).toInt)
+          } finally in.close()
+        } catch {
+          // deleted by a racing cleanup between list and open — the next
+          // lower generation is still complete; re-list
+          case _: java.io.FileNotFoundException => readMeta(fs, root)
+        }
+    }
   }
 
   private def writeMeta(fs: FileSystem, root: Path, meta: IndexMeta): Unit =
-    atomicWrite(fs, metaFile(root)) { out =>
+    atomicWrite(fs, metaFile(root, meta.gen)) { out =>
       val w = new OutputStreamWriter(out, UTF_8)
       w.write(s"${meta.gen} ${meta.shards}"); w.flush()
     }
@@ -199,7 +219,7 @@ object GraftKeyIndex extends Logging {
   def shardKeys(fs: FileSystem, root: Path, shard: Int): Set[String] =
     shardKeys(fs, root, readMeta(fs, root), shard)
 
-  private def shardKeys(fs: FileSystem, root: Path, meta: IndexMeta,
+  private[sinks] def shardKeys(fs: FileSystem, root: Path, meta: IndexMeta,
       shard: Int): Set[String] = {
     val out = Set.newBuilder[String]
     foreachShardLine(fs, root, meta, shard) { (_, k) => out += k; true }
@@ -283,6 +303,23 @@ object GraftKeyIndex extends Logging {
           val count = in.readLong()
           Some((first, count, readWatermark(fs, root), BloomFilter.readFrom(in)))
         }
+      } finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** Just the bloom's covered log version — reads the fixed-size header
+    * only, never the filter bytes (which are count-proportional: ~120 MB
+    * at the 1e8-key design point). None when no bloom exists. Legacy
+    * headers read as covering the watermark, as in [[readBloomFull]]. */
+  def readBloomCovered(fs: FileSystem, root: Path): Option[Long] = {
+    val f = bloomFile(root)
+    if (!fs.exists(f)) return None
+    try {
+      val in = new DataInputStream(fs.open(f))
+      try {
+        val first = in.readLong()
+        if (first == BloomMagic) { in.readLong(); in.readLong(); Some(in.readLong()) }
+        else Some(readWatermark(fs, root))
       } finally in.close()
     } catch { case _: java.io.FileNotFoundException => None }
   }
@@ -501,7 +538,10 @@ class GraftKeyProbe private (bloomBytes: Array[Byte],
       val shard = GraftKeyIndex.shardOf(key, meta.shards)
       var cached = shardCache.get(shard)
       if (cached == null) {
-        cached = GraftKeyIndex.shardKeys(fs, rootPath, shard)
+        // pass the probe's cached meta: the shard number above was
+        // computed with it, and re-resolving meta per miss would cost an
+        // extra FS round-trip on the task hot path
+        cached = GraftKeyIndex.shardKeys(fs, rootPath, meta, shard)
         shardCache.put(shard, cached)
       }
       cached.contains(key)

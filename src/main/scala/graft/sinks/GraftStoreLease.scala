@@ -80,8 +80,17 @@ object GraftStoreLease extends Logging {
   private def writeLease(fs: FileSystem, f: Path, ownerId: String,
       overwrite: Boolean): Unit = {
     val out = fs.create(f, overwrite)
-    try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes(UTF_8))
-    finally out.close()
+    var ok = false
+    try {
+      out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes(UTF_8))
+      ok = true
+    } finally {
+      try out.close() catch { case e: java.io.IOException => if (ok) throw e }
+      // a half-written lease (created but body lost) would read as a
+      // live foreign owner "" and lock EVERY driver out until expiry —
+      // remove the husk before surfacing the failure
+      if (!ok) fs.delete(f, false)
+    }
   }
 
   /** Acquire or renew the store lease for `ownerId`. Throws
@@ -97,17 +106,25 @@ object GraftStoreLease extends Logging {
       attempts += 1
       currentOwner(fs, root) match {
         case Some((owner, hb)) if owner == ownerId =>
-          if (System.currentTimeMillis() - hb > expiryMs)
-            throw new ConcurrentModificationException(
-              s"graft-blocks: this driver's lease on $root expired " +
-                s"${System.currentTimeMillis() - hb} ms ago and may have " +
-                "been stolen by another driver; refusing to renew — " +
-                "re-acquire after verifying no other writer is active")
-          // heartbeat: rewrite-in-place. A concurrent foreign reader that
-          // catches a partial body sees a fresh mtime and refuses — the
-          // unsafe direction (live lease judged expired) cannot happen.
-          writeLease(fs, f, ownerId, overwrite = true)
-          return
+          if (System.currentTimeMillis() - hb > expiryMs) {
+            // our own lease expired (commit gap, GC pause). The read
+            // above shows it STILL bears our id, so nobody has stolen it
+            // yet — but a thief may be mid-steal, so do NOT renew in
+            // place: go through the same delete + exclusive-create
+            // arbitration as a foreign steal. A permanent refusal here
+            // would wedge an idle-but-healthy driver forever.
+            logWarning(s"graft-blocks: own lease on $root expired " +
+              s"${System.currentTimeMillis() - hb} ms ago; re-acquiring " +
+              "via steal arbitration")
+            fs.delete(f, false)
+          } else {
+            // heartbeat: rewrite-in-place. A concurrent foreign reader
+            // that catches a partial body sees a fresh mtime and refuses
+            // — the unsafe direction (live lease judged expired) cannot
+            // happen.
+            writeLease(fs, f, ownerId, overwrite = true)
+            return
+          }
         case Some((owner, hb))
             if System.currentTimeMillis() - hb <= expiryMs =>
           throw new ConcurrentModificationException(

@@ -57,6 +57,14 @@ object Drain extends org.apache.spark.internal.Logging {
     * completes millions of pages. */
   val ReportPageCap = 10000
 
+  /** Directory of a storage key/path: everything before the last '/',
+    * "" when there is none. THE dir derivation for the J2 parent-URL
+    * join — [[Phase2.readParentUrls]] keys its dimension with the same
+    * helper, so the two sides cannot drift. */
+  def dirOf(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(key.contains("/"), regexp_replace(key, "/[^/]*$", ""))
+      .otherwise(lit(""))
+
   /** Resolve at-least-once accumulator rows per (batch, index): a
     * retried task re-adds its rows (the reference's SQS redelivery) and
     * a retry can CHANGE an outcome — fail on attempt 1, succeed on the
@@ -105,10 +113,7 @@ object Drain extends org.apache.spark.internal.Logging {
     // so the optimizer broadcasts it; a driver-collected Map would cap
     // the config at driver memory for no reason.
     val withParent = padded
-      .withColumn("dir",
-        when(col("key").contains("/"),
-          expr("substring(key, 1, length(key) - locate('/', reverse(key)))"))
-          .otherwise(lit("")))
+      .withColumn("dir", dirOf(col("key")))
       .join(parentsDim.withColumnRenamed("url", "__parentUrl"),
         Seq("dir"), "left")
       .withColumn("parentUrl",
@@ -273,11 +278,15 @@ object Drain extends org.apache.spark.internal.Logging {
           if (deadNonEmpty)
             drained.join(deadDf, Seq("blockBatch"), "left_anti")
           else drained
-        doneDf = doneDf.union(drainedLive)
+        // materialize the chunk-bounded delta NOW: its plan references
+        // THIS iteration's pending snapshot, whose cache is unpersisted
+        // next iteration — a lazy union would recompute the whole
+        // anti-join chain from the last checkpoint when it finally runs
+        doneDf = doneDf.union(drainedLive.localCheckpoint())
         doneNonEmpty = true
       }
-      // truncate the growing union/anti-join lineage on the same cycle
-      // as `pending` — a month-long drain must not recompute the chain
+      // flatten the growing union tree periodically (cheap — every
+      // branch is an in-memory checkpointed delta)
       if (iter % 8 == 0) {
         doneDf = doneDf.localCheckpoint()
         if (deadNonEmpty) deadDf = deadDf.localCheckpoint()

@@ -30,8 +30,7 @@ object Phase2 {
         .schema(schema)
         .load(stagingDir)
         .select(
-          regexp_replace(regexp_replace(col("path"), "^file:/*", "/"), "/[^/]*$", "")
-            .as("dir"),
+          Drain.dirOf(regexp_replace(col("path"), "^file:/*", "/")).as("dir"),
           // NB: Spark's trim() strips only spaces — strip all whitespace
           // (the file usually ends with a newline)
           regexp_replace(col("content").cast("string"), "^\\s+|\\s+$", "")

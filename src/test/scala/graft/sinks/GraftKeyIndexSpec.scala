@@ -191,18 +191,27 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     val hb2 = GraftStoreLease.currentOwner(fs, root).get._2
     assert(hb2 > hb1, s"renewal must advance the heartbeat ($hb1 -> $hb2)")
 
-    // an owner whose OWN lease expired must refuse to renew (it may have
-    // been stolen; overwriting would clobber the thief's live lease)
+    // an owner whose OWN lease expired re-acquires through the steal
+    // arbitration (no in-place renew, but no permanent wedge either)
     val stale = System.currentTimeMillis() - GraftStoreLease.DefaultExpiryMs - 60000
     val lease = GraftStoreLease.leaseFile(root)
     val out = fs.create(lease, true)
     try out.write(s"hb-owner\n$stale".getBytes("UTF-8")) finally out.close()
     fs.setTimes(lease, stale, -1)
-    val ex = intercept[ConcurrentModificationException] {
+    GraftStoreLease.acquire(fs, root, ownerId = "hb-owner")
+    val Some((owner3, hb3)) = GraftStoreLease.currentOwner(fs, root)
+    assert(owner3 == "hb-owner" &&
+      System.currentTimeMillis() - hb3 < GraftStoreLease.DefaultExpiryMs,
+      "expired self-lease must be re-acquired fresh, not wedged")
+
+    // ...but a thief who got there first still refuses the old owner
+    val out2 = fs.create(lease, true)
+    try out2.write(s"thief\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+    finally out2.close()
+    intercept[ConcurrentModificationException] {
       GraftStoreLease.acquire(fs, root, ownerId = "hb-owner")
     }
-    assert(ex.getMessage.contains("expired"))
-    GraftStoreLease.release(fs, root, "hb-owner")
+    GraftStoreLease.release(fs, root, "thief")
   }
 
   test("log checkpoints bound the replay tail; correctness spans the boundary") {
