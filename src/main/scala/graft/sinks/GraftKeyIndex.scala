@@ -502,8 +502,10 @@ object GraftKeyIndex extends Logging {
 }
 
 /** Task-side first-writer-wins membership probe. What ships in the
-  * writer-factory closure is EITHER the compact bloom bytes (index-backed
-  * stores — constant-size regardless of key count) OR, for legacy stores
+  * writer-factory closure is EITHER a BROADCAST handle to the bloom
+  * bytes (index-backed stores — the filter is count-proportional, ~120
+  * MB at 1e8 keys, so it rides Spark's torrent broadcast and lands once
+  * per executor instead of once per task closure) OR, for legacy stores
   * whose log predates the key index, the exact set one last time (the
   * first commit with this code heals the index and retires the fallback).
   *
@@ -516,12 +518,13 @@ object GraftKeyIndex extends Logging {
   * under-filtering only, healed by the commit's authoritative re-check
   * ([[GraftCommitter.commit]]).
   */
-class GraftKeyProbe private (bloomBytes: Array[Byte],
+class GraftKeyProbe private (
+    bloomBc: org.apache.spark.broadcast.Broadcast[Array[Byte]],
     exactFallback: Set[String], root: String, hconf: SerializableHadoopConf)
     extends Serializable {
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBc.value))
   @transient private lazy val rootPath = new Path(root)
   @transient private lazy val fs = rootPath.getFileSystem(hconf.value)
   @transient private lazy val shardCache =
@@ -533,7 +536,7 @@ class GraftKeyProbe private (bloomBytes: Array[Byte],
   @transient private lazy val meta = GraftKeyIndex.readMeta(fs, rootPath)
 
   def committed(key: String): Boolean =
-    if (bloomBytes == null) exactFallback.contains(key)
+    if (bloomBc == null) exactFallback.contains(key)
     else bloom.mightContainString(key) && {
       val shard = GraftKeyIndex.shardOf(key, meta.shards)
       var cached = shardCache.get(shard)
@@ -559,7 +562,13 @@ object GraftKeyProbe {
       hconf: SerializableHadoopConf): GraftKeyProbe = {
     val state = GraftBlocksLog.readState(fs, root)
     GraftKeyIndex.effectiveBloomBytes(fs, root, state.tail) match {
-      case Some(bytes) => new GraftKeyProbe(bytes, null, root.toString, hconf)
+      case Some(bytes) =>
+        // planning runs on the driver: ship the (count-proportional)
+        // filter via torrent broadcast, once per executor — the factory
+        // closure then carries only the broadcast handle
+        val bc = org.apache.spark.sql.SparkSession.active
+          .sparkContext.broadcast(bytes)
+        new GraftKeyProbe(bc, null, root.toString, hconf)
       case None => new GraftKeyProbe(null,
         GraftBlocksLog.committedKeys(GraftBlocksLog.readEntries(fs, root)),
         root.toString, hconf)
