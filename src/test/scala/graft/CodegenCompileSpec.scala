@@ -135,6 +135,20 @@ class CodegenCompileSpec extends AnyFunSuite {
     }
   }
 
+  test("the rolling_hash catalogue queries run under CODEGEN_ONLY") {
+    // the six queries the round-6 verdict found silently interpreted
+    // (q39, q42, q57, q58, q68, q79 share the fingerprint/bucketing
+    // path) — pin the fast representatives end-to-end on real data
+    withConf(codegenOnly) {
+      val sf = "/root/testdata/sf0.001"
+      Seq("q39_fingerprint", "q57_split", "q68_stratified_sample")
+        .foreach { name =>
+          val df = graft.SparkEntry.queries(name)(spark, sf)
+          assert(df.count() > 0, s"$name returned no rows under CODEGEN_ONLY")
+        }
+    }
+  }
+
   test("sql-registered functions survive CODEGEN_ONLY") {
     withConf(codegenOnly) {
       graft.GraftFunctions.register(spark)
