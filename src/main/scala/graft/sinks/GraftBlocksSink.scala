@@ -223,10 +223,19 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
   // here (one small file) keeps the writer-side filter current with the
   // keys earlier epochs committed, so re-delivered batches drop at the
   // task instead of surviving to commit-side deletion
+  private var lastEpochProbe: GraftKeyProbe = null
   override def createStreamingWriterFactory(
-      info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftWriterFactory(root, dataSchema, keyOrd, freshProbe(), writeId,
+      info: PhysicalWriteInfo): StreamingDataWriterFactory = {
+    val probe = freshProbe()
+    // micro-batches are sequential: the previous epoch's tasks are done,
+    // so its probe's broadcast blocks can be released now — otherwise a
+    // short trigger interval accumulates one filter-sized broadcast per
+    // epoch until ContextCleaner's GC-driven pass
+    if (lastEpochProbe != null) lastEpochProbe.release()
+    lastEpochProbe = probe
+    new GraftWriterFactory(root, dataSchema, keyOrd, probe, writeId,
       Some(()), hconf)
+  }
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     GraftCommitter.commit(root, hconf.value, Some(s"$queryId#$epochId"),

@@ -22,8 +22,10 @@ import graft.sources.SerializableHadoopConf
   * adds is *access paths that never materialize the full key set*:
   *
   * {{{
-  *   _graft_log/keys/_meta           generation + shard count (absent =
-  *                                   legacy layout: gen 0, 64 shards)
+  *   _graft_log/keys/_meta.gNNNNN    generation + shard count, one file
+  *                                   per generation, readers take the
+  *                                   highest (absent = legacy layout:
+  *                                   gen 0, 64 shards)
   *   _graft_log/keys/_bloom          (expected, count, coveredVersion)
   *                                   header + BloomFilter over all keys
   *                                   committed through coveredVersion
@@ -109,27 +111,44 @@ object GraftKeyIndex extends Logging {
   def readMeta(fs: FileSystem, root: Path): IndexMeta = {
     val dir = indexDir(root)
     if (!fs.exists(dir)) return IndexMeta(0, DefaultShards)
-    val newest = fs.listStatus(dir).iterator
-      .flatMap(s => MetaName.findFirstMatchIn(s.getPath.getName)
-        .map(m => (m.group(1).toInt, s.getPath)))
-      .foldLeft(Option.empty[(Int, Path)]) {
-        case (acc, c) => if (acc.forall(_._1 < c._1)) Some(c) else acc
-      }
-    newest match {
-      case None => IndexMeta(0, DefaultShards)
-      case Some((gen, p)) =>
-        try {
-          val in = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
-          try {
-            val parts = in.readLine().trim.split("\\s+")
-            IndexMeta(parts(0).toInt, parts(1).toInt)
-          } finally in.close()
-        } catch {
-          // deleted by a racing cleanup between list and open — the next
-          // lower generation is still complete; re-list
-          case _: java.io.FileNotFoundException => readMeta(fs, root)
-        }
+    def parse(p: Path): IndexMeta = {
+      val in = new BufferedReader(new InputStreamReader(fs.open(p), UTF_8))
+      try {
+        val parts = in.readLine().trim.split("\\s+")
+        IndexMeta(parts(0).toInt, parts(1).toInt)
+      } finally in.close()
     }
+    var attempts = 0
+    while (attempts < 3) {
+      attempts += 1
+      val newest = fs.listStatus(dir).iterator
+        .flatMap(s => MetaName.findFirstMatchIn(s.getPath.getName)
+          .map(m => (m.group(1).toInt, s.getPath)))
+        .foldLeft(Option.empty[(Int, Path)]) {
+          case (acc, c) => if (acc.forall(_._1 < c._1)) Some(c) else acc
+        }
+      newest match {
+        case Some((_, p)) =>
+          try return parse(p)
+          catch {
+            // vanished between list and open (racing maintenance) —
+            // re-list, bounded: a silent gen-0 fallback here would read
+            // the wrong layout and break first-writer-wins
+            case _: java.io.FileNotFoundException => ()
+          }
+        case None =>
+          // one-time compat: a store written by the short-lived plain
+          // `_meta` format (single replaced file)
+          val legacy = new Path(dir, "_meta")
+          if (fs.exists(legacy)) {
+            try return parse(legacy)
+            catch { case _: java.io.FileNotFoundException => () }
+          } else return IndexMeta(0, DefaultShards)
+      }
+    }
+    throw new java.io.IOException(
+      s"graft-blocks: could not read key-index meta under $dir after " +
+        s"$attempts attempts")
   }
 
   private def writeMeta(fs: FileSystem, root: Path, meta: IndexMeta): Unit =
@@ -549,6 +568,13 @@ class GraftKeyProbe private (
       }
       cached.contains(key)
     }
+
+  /** Release this probe's broadcast blocks (driver-side). Called when a
+    * streaming epoch replaces its probe — without it, per-epoch
+    * broadcasts of a count-proportional filter accumulate until a
+    * GC-driven ContextCleaner pass. */
+  private[sinks] def release(): Unit =
+    if (bloomBc != null) bloomBc.destroy()
 }
 
 object GraftKeyProbe {

@@ -80,18 +80,33 @@ object GraftStoreLease extends Logging {
   private def writeLease(fs: FileSystem, f: Path, ownerId: String,
       overwrite: Boolean): Unit = {
     val out = fs.create(f, overwrite)
-    var ok = false
     try {
-      out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes(UTF_8))
-      ok = true
-    } finally {
-      try out.close() catch { case e: java.io.IOException => if (ok) throw e }
-      // a half-written lease (created but body lost) would read as a
-      // live foreign owner "" and lock EVERY driver out until expiry —
-      // remove the husk before surfacing the failure
-      if (!ok) fs.delete(f, false)
+      try out.write(s"$ownerId\n${System.currentTimeMillis()}".getBytes(UTF_8))
+      finally out.close() // buffered streams surface IO failures at close
+    } catch {
+      case e: Throwable =>
+        // a half-written lease (created but body lost — including a
+        // close()-time flush failure) would read as a live foreign
+        // owner "" and lock EVERY driver out until expiry: remove the
+        // husk before surfacing the failure
+        try fs.delete(f, false)
+        catch { case t: Throwable => e.addSuppressed(t) }
+        throw e
     }
   }
+
+  /** Steal guard: re-read immediately before deleting, and delete only
+    * if the lease still shows the (owner, heartbeat) the caller decided
+    * on — narrows the read→delete ABA window (a thief completing its
+    * exclusive create in between) to a single round-trip. The residual
+    * window is the documented expiry >> check-to-delete-gap assumption. */
+  private def deleteIfUnchanged(fs: FileSystem, root: Path,
+      owner: String, hb: Long): Unit =
+    currentOwner(fs, root) match {
+      case Some((o, h)) if o == owner && h == hb =>
+        fs.delete(leaseFile(root), false)
+      case _ => () // changed under us — the retry loop re-arbitrates
+    }
 
   /** Acquire or renew the store lease for `ownerId`. Throws
     * [[ConcurrentModificationException]] when a different owner holds a
@@ -116,7 +131,7 @@ object GraftStoreLease extends Logging {
             logWarning(s"graft-blocks: own lease on $root expired " +
               s"${System.currentTimeMillis() - hb} ms ago; re-acquiring " +
               "via steal arbitration")
-            fs.delete(f, false)
+            deleteIfUnchanged(fs, root, owner, hb)
           } else {
             // heartbeat: rewrite-in-place. A concurrent foreign reader
             // that catches a partial body sees a fresh mtime and refuses
@@ -132,9 +147,9 @@ object GraftStoreLease extends Logging {
               s"(heartbeat ${System.currentTimeMillis() - hb} ms ago); " +
               "a store accepts one driver at a time — release the lease " +
               "or wait for expiry")
-        case Some((owner, _)) =>
+        case Some((owner, hb)) =>
           logWarning(s"graft-blocks: stealing expired lease of $owner on $root")
-          fs.delete(f, false) // expired — steal; create below arbitrates
+          deleteIfUnchanged(fs, root, owner, hb) // create below arbitrates
         case None => ()
       }
       fs.mkdirs(f.getParent)

@@ -144,7 +144,11 @@ class CodegenCompileSpec extends AnyFunSuite {
       Seq("q39_fingerprint", "q57_split", "q68_stratified_sample")
         .foreach { name =>
           val df = graft.SparkEntry.queries(name)(spark, sf)
-          assert(df.count() > 0, s"$name returned no rows under CODEGEN_ONLY")
+          // collect(), not count(): count() lets column pruning drop a
+          // deterministic rolling_hash projection from the plan entirely,
+          // and the pruned plan would pass even with broken codegen
+          assert(df.collect().length > 0,
+            s"$name returned no rows under CODEGEN_ONLY")
         }
     }
   }
