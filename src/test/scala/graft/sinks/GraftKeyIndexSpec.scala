@@ -411,6 +411,35 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.blocks.checkpointInterval")
   }
 
+  test("effective bloom falls back to full history when the tail misses the fold gap") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    GraftBlocksLog.lockFor(root.toString).synchronized {
+      // v0 bootstraps the bloom (covered=0); v1/v2 index segments only —
+      // simulating a crash that skipped the folds
+      Seq("gap-a", "gap-b", "gap-c").zipWithIndex.foreach { case (k, i) =>
+        val v = GraftBlocksLog.appendEntry(fs, root,
+          GraftLogEntry(None, Nil, Seq(k), 0L))
+        GraftKeyIndex.recordCommit(fs, root, v, Seq(k))
+        assert(v == i.toLong)
+      }
+    }
+    assert(GraftKeyIndex.readBloomCovered(fs, root).contains(0L))
+    val bf = (tail: Seq[(Long, GraftLogEntry)]) =>
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(
+          GraftKeyIndex.effectiveBloomBytes(fs, root, tail).get))
+    // a tail that reaches back to covered+1 folds in memory
+    val entries = GraftBlocksLog.readEntriesWithVersion(fs, root)
+    assert(bf(entries.filter(_._1 > 0)).mightContainString("gap-b"))
+    // a tail starting PAST the gap (as after a later checkpoint) must
+    // take the full-history read — gap-b is v1, not in the tail
+    val gappedTail = entries.filter(_._1 >= 2)
+    assert(bf(gappedTail).mightContainString("gap-b"),
+      "fold gap keys must come from the full-history fallback")
+  }
+
   test("index re-shards when shards outgrow the target; reads stay exact") {
     val dir = freshDir()
     val fs = fsFor(dir)
