@@ -237,6 +237,34 @@ object ScaleCatalogue {
         q(col("sim")).as("sim_q"))
       .orderBy(col("query_id"), col("rank"))
   }
+  // ---------------------------------------------------------------------
+  // q85 — IVF ANN over the MATERIALIZED bucketed layout (scale/IvfIndex):
+  // same coarse quantizer and scoring as q35, but the corpus is read
+  // from a parquet layout partitioned by cluster_id and the probe set
+  // becomes a partition filter, so only probed buckets are scanned
+  // (IvfIndexSpec proves the pruned scan from the executed plan). The
+  // oracle is q35's SQL verbatim — the two paths are result-identical
+  // by construction. The index is built once per dataset (marker file)
+  // and reused, mirroring the build-once/query-many production shape.
+  // ---------------------------------------------------------------------
+  def q85AnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = new java.io.File(
+      "target/ivf-index", new java.io.File(d).getName).getPath
+    val marker = new java.io.File(dir, "_graft_built")
+    if (!marker.exists()) {
+      graft.scale.IvfIndex.build(emb, centroids, dir)
+      marker.createNewFile()
+    }
+    graft.scale.IvfIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   private def duckDist2(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))," +
@@ -1521,6 +1549,7 @@ object ScaleCatalogue {
     "q84_span_excision_keep_first" -> q84SpanExcisionKeepFirst _,
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
+    "q85_ann_ivf_indexed" -> q85AnnIvfIndexed _,
     "q83_ann_pq" -> q83AnnPq _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
     "q36_langid" -> q36LangId _,
@@ -1567,6 +1596,8 @@ object ScaleCatalogue {
     "q84_span_excision_keep_first" -> q84Sql,
     "q34_ann_brute" -> q34Sql,
     "q35_ann_ivf" -> q35Sql,
+    // q85 is q35 over the bucketed layout — result-identical, same oracle
+    "q85_ann_ivf_indexed" -> q35Sql,
     "q83_ann_pq" -> q83Sql,
     "q52_embed_neardup" -> q52Sql,
     "q36_langid" -> q36Sql,

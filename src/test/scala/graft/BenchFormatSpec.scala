@@ -75,7 +75,7 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((json \ "value").extract[Double] == 1.210)
     // worst case: a full catalogue of long names + both dump scans must
     // stay under the driver's ~2 KB stdout tail window
-    val catalogue = (1 to 84).map(i =>
+    val catalogue = (1 to 96).map(i =>
       f"q$i%02d_span_excision_keep_first" ->
         Seq[Either[String, Double]](Right(123.456))) ++ Seq(
       "dump_scan_xml" -> Seq[Either[String, Double]](Right(1.0)),
@@ -85,7 +85,7 @@ class BenchFormatSpec extends AnyFunSuite {
       s"compact line is ${big.length} bytes; must fit a 2 KB tail capture")
     val keys = (JsonMethods.parse(big) \ "queries").asInstanceOf[JObject]
       .obj.map(_._1)
-    assert(keys.distinct.size == 86, "shortened keys must stay unique")
+    assert(keys.distinct.size == 98, "shortened keys must stay unique")
   }
 
   test("a throwing rep is a Left, not a near-zero Right") {
