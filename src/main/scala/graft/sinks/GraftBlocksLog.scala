@@ -471,6 +471,11 @@ object GraftBlocksStore {
         fs.listStatus(staging)
           .filter(_.getModificationTime < horizon)
           .foreach { s => if (fs.delete(s.getPath, s.isDirectory)) deleted += 1 }
+      // key-index residue: a crash between a re-shard's _meta swap and
+      // its old-generation deletion leaves complete-but-dead g<N> dirs
+      // (and gen-0 s<NN> dirs) behind — sweep generations below the
+      // active one, honoring the same retention horizon
+      deleted += GraftKeyIndex.vacuumStaleGenerations(fs, rootPath, horizon)
       deleted
     }
   }

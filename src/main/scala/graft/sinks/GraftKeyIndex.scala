@@ -505,6 +505,34 @@ object GraftKeyIndex extends Logging {
     if (!exists(fs, root)) rebuildBloom(fs, root, version)
   }
 
+  /** Remove shard-segment directories of generations BELOW the active
+    * one — the residue of a re-shard that crashed between its `_meta`
+    * swap and its old-generation cleanup. Only dirs older than
+    * `horizonMs` go (same retention contract as the data vacuum; a
+    * reader mid-flight on the old generation re-resolves on its retry).
+    * Caller holds the store lock. Returns the number of dirs deleted. */
+  private[sinks] def vacuumStaleGenerations(fs: FileSystem, root: Path,
+      horizonMs: Long): Int = {
+    val meta = readMeta(fs, root)
+    val dir = indexDir(root)
+    if (!fs.exists(dir)) return 0
+    var deleted = 0
+    val GenName = """^g(\d+)$""".r
+    val ShardName = """^s\d+$""".r
+    fs.listStatus(dir).foreach { s =>
+      val name = s.getPath.getName
+      val stale = name match {
+        case GenName(g) => s.isDirectory && g.toInt < meta.gen
+        // gen-0 legacy layout: bare shard dirs directly under keys/
+        case ShardName() => s.isDirectory && meta.gen > 0
+        case _ => false
+      }
+      if (stale && s.getModificationTime < horizonMs &&
+          fs.delete(s.getPath, true)) deleted += 1
+    }
+    deleted
+  }
+
   private def atomicWrite(fs: FileSystem, target: Path)(
       body: java.io.OutputStream => Unit): Unit = {
     fs.mkdirs(target.getParent)

@@ -480,6 +480,17 @@ class GraftKeyIndexSpec extends AnyFunSuite {
       // old-generation shard dirs are gone
       assert(!fs.exists(new Path(GraftKeyIndex.indexDir(root), "s00")),
         "legacy gen-0 shard dirs must be deleted after the swap")
+
+      // crash residue: recreate a dead gen-0 shard dir (as if the
+      // re-shard died between the meta swap and its cleanup) — vacuum
+      // sweeps it; the live generation survives
+      val residue = new Path(GraftKeyIndex.indexDir(root), "s00")
+      fs.mkdirs(residue)
+      fs.setTimes(residue, System.currentTimeMillis() - 1000, -1)
+      assert(GraftBlocksStore.vacuum(spark, dir, retentionMs = 0) >= 1)
+      assert(!fs.exists(residue), "vacuum must sweep dead-generation dirs")
+      assert(GraftKeyIndex.committedAmong(fs, root, Seq("rs-1-123")) ==
+        Set("rs-1-123"), "the active generation must survive the sweep")
     } finally System.clearProperty("graft.blocks.targetKeysPerShard")
   }
 
