@@ -411,6 +411,32 @@ class GraftKeyIndexSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.blocks.checkpointInterval")
   }
 
+  test("legacy plain _meta file is honored (no silent gen-0 reset)") {
+    val dir = freshDir()
+    val fs = fsFor(dir)
+    val root = qualified(dir)
+    // a store re-sharded by the short-lived plain-_meta build: single
+    // replaced meta file naming gen 1 / 256 shards
+    val keysDir = GraftKeyIndex.indexDir(root)
+    fs.mkdirs(keysDir)
+    val out = fs.create(new Path(keysDir, "_meta"), true)
+    try out.write("1 256".getBytes("UTF-8")) finally out.close()
+    assert(GraftKeyIndex.readMeta(fs, root) ==
+      GraftKeyIndex.IndexMeta(1, 256),
+      "plain _meta must be read, not reset to the gen-0/64 default " +
+        "(which would make committed keys invisible)")
+    // writes land in the gen-1 layout and remain readable
+    GraftBlocksLog.lockFor(root.toString).synchronized {
+      val v = GraftBlocksLog.appendEntry(fs, root,
+        GraftLogEntry(None, Nil, Seq("legacy-meta-k"), 0L))
+      GraftKeyIndex.recordCommit(fs, root, v, Seq("legacy-meta-k"))
+    }
+    assert(GraftKeyIndex.committedAmong(fs, root, Seq("legacy-meta-k")) ==
+      Set("legacy-meta-k"))
+    assert(fs.exists(new Path(keysDir, "g1")),
+      "segments must land in the generation the legacy meta names")
+  }
+
   test("effective bloom falls back to full history when the tail misses the fold gap") {
     val dir = freshDir()
     val fs = fsFor(dir)
