@@ -265,6 +265,54 @@ object ScaleCatalogue {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ---------------------------------------------------------------------
+  // q86 — SemDeDup-style semantic dedup: k-means-blocked exact cosine
+  // (Abbas et al. 2023). The coarse quantizer that serves q35/q85 as an
+  // ANN index doubles as the dedup blocking key — pair cost is
+  // Σ(cluster²), never corpus², and the join key is the small cluster
+  // id. The catalogue form keeps each cluster's top-2 most similar
+  // pairs (rank-based, SF-robust) rather than a fixed threshold.
+  // ---------------------------------------------------------------------
+  def q86SemanticDedup(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val pairs = graft.scale.Similarity
+      .semanticDedupPairs(emb, centroids, threshold = 0.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("sim").desc, col("d1").asc, col("d2").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("cluster_id"), col("rank"), col("d1"), col("d2"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("cluster_id"), col("rank"))
+  }
+  val q86Sql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |corpus_d AS (
+       |  SELECT a.vec_id, a.embedding, c.centroid_id,
+       |    ${duckDist2("a.embedding", "c.c_emb")} AS dist2
+       |  FROM embeddings a, cent c),
+       |assigned AS (
+       |  SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
+       |    FROM corpus_d) t WHERE rk = 1),
+       |p AS (
+       |  SELECT a.cluster_id, a.vec_id AS d1, b.vec_id AS d2,
+       |    ${duckCos("a.embedding", "b.embedding")} AS sim
+       |  FROM assigned a JOIN assigned b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+       |ranked AS (
+       |  SELECT cluster_id, d1, d2, sim,
+       |    row_number() OVER (PARTITION BY cluster_id
+       |      ORDER BY sim DESC, d1 ASC, d2 ASC) AS rank
+       |  FROM p)
+       |SELECT cluster_id, rank, d1, d2,
+       |  CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
+       |FROM ranked WHERE rank <= 2 ORDER BY cluster_id, rank""".stripMargin
+
   private def duckDist2(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))," +
@@ -1550,6 +1598,7 @@ object ScaleCatalogue {
     "q34_ann_brute" -> q34AnnBrute _,
     "q35_ann_ivf" -> q35AnnIvf _,
     "q85_ann_ivf_indexed" -> q85AnnIvfIndexed _,
+    "q86_semantic_dedup" -> q86SemanticDedup _,
     "q83_ann_pq" -> q83AnnPq _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
     "q36_langid" -> q36LangId _,
@@ -1598,6 +1647,7 @@ object ScaleCatalogue {
     "q35_ann_ivf" -> q35Sql,
     // q85 is q35 over the bucketed layout — result-identical, same oracle
     "q85_ann_ivf_indexed" -> q35Sql,
+    "q86_semantic_dedup" -> q86Sql,
     "q83_ann_pq" -> q83Sql,
     "q52_embed_neardup" -> q52Sql,
     "q36_langid" -> q36Sql,

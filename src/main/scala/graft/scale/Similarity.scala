@@ -153,6 +153,31 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
 
+  /** SemDeDup-style semantic dedup candidates (Abbas et al. 2023): block
+    * the corpus by its coarse-quantizer (k-means) cluster, then verify
+    * cosine similarity EXACTLY only within each cluster — the classic
+    * embedding-dedup shape for web-scale corpora, complementary to the
+    * hyperplane-LSH blocking of [[embeddingNearDupPairs]] (k-means blocks
+    * follow the data distribution; LSH blocks are distribution-free).
+    * Pair cost is Σ(cluster size²), never corpus²; the join key is the
+    * small cluster id; norms are computed once per ROW (O(n)), not per
+    * pair. Returns (cluster_id, d1, d2, sim) for pairs with
+    * `sim >= threshold` (threshold 0.0 = all within-cluster pairs, for
+    * rank-based downstream selection). */
+  def semanticDedupPairs(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double): DataFrame = {
+    val assigned = assign(corpus, centroids, "vec_id")
+      .withColumnRenamed("centroid_id", "cluster_id")
+    val a = assigned.select(col("cluster_id"), col("vec_id").as("d1"),
+      col("embedding").as("e1"), norm(col("embedding")).as("n1"))
+    val b = assigned.select(col("cluster_id"), col("vec_id").as("d2"),
+      col("embedding").as("e2"), norm(col("embedding")).as("n2"))
+    a.join(b, Seq("cluster_id")).filter(col("d1") < col("d2"))
+      .withColumn("sim", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("sim") >= threshold)
+      .select(col("cluster_id"), col("d1"), col("d2"), col("sim"))
+  }
+
   /** Random-hyperplane LSH signature (sign bits of projections onto
     * `planes` pseudo-random hyperplanes). The "random" plane components
     * are hash-derived — fully deterministic, no driver-side RNG state.
