@@ -90,9 +90,12 @@ object Bench {
     * full record is ~6 KB but the driver's stdout tail window keeps only
     * ~2 KB, so a capture of the full line alone truncates the front brace
     * and is unparseable. This line is printed LAST, carries only the
-    * total and the per-query medians under shortened keys (`q01_agg` →
-    * `q01`; dump stats keep their names), and stays well under 2 KB, so
-    * the tail window always holds one complete JSON document. */
+    * total, the five noisiest queries' absolute rep deltas (max-min
+    * seconds — so cross-round drift debates can cite measured noise
+    * instead of re-running; round-7 verdict item 8), and the per-query
+    * medians under shortened keys (`q01_agg` → `q01`; dump stats keep
+    * their names), and stays well under 2 KB, so the tail window always
+    * holds one complete JSON document. */
   private[graft] def formatCompactJson(
       all: Seq[(String, Seq[Either[String, Double]])]): String = {
     val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
@@ -103,12 +106,17 @@ object Bench {
     // entries (dump_scan_*) keep their full names — no collisions
     def short(k: String) =
       if (k.matches("q\\d+_.*")) k.takeWhile(_ != '_') else k
+    val noisiest = ok.map { case (k, v) => short(k) -> (v.max - v.min) }
+      .sortBy(-_._2).take(5)
+      .map { case (k, d) => jsonStr(k) + ":" + num(d) }
+      .mkString("{", ",", "}")
     val qs = (ok.map { case (k, v) => short(k) -> num(median(v)) } ++
       failed.map(k => short(k) -> "\"err\""))
       .sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":$qs}"""
+    s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""noise_top5":$noisiest,"queries":$qs}"""
   }
 
   def main(args: Array[String]): Unit = {

@@ -247,15 +247,38 @@ object ScaleCatalogue {
   // by construction. The index is built once per dataset (marker file)
   // and reused, mirroring the build-once/query-many production shape.
   // ---------------------------------------------------------------------
+  /** Identity fingerprint of a parquet dataset (single file or
+    * directory of part files): file count, total bytes, max mtime.
+    * Regenerating the dataset in place (same path, new contents)
+    * changes it, so a cached derived layout keyed on it can never
+    * silently serve stale data. */
+  private def datasetFingerprint(path: java.io.File): String = {
+    val fs =
+      if (path.isFile) Array(path)
+      else Option(path.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith("."))
+    s"n=${fs.length};bytes=${fs.map(_.length).sum};mtime=${
+      (0L +: fs.map(_.lastModified)).max}"
+  }
+
   def q85AnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
     val dir = new java.io.File(
       "target/ivf-index", new java.io.File(d).getName).getPath
     val marker = new java.io.File(dir, "_graft_built")
-    if (!marker.exists()) {
+    // marker carries the SOURCE fingerprint: a regenerated dataset at
+    // the same basename invalidates the cached index instead of being
+    // silently served stale results
+    val fp = datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
+    val stale = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) != fp
+    if (stale) {
       graft.scale.IvfIndex.build(emb, centroids, dir)
-      marker.createNewFile()
+      java.nio.file.Files.write(marker.toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     graft.scale.IvfIndex
       .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
@@ -276,8 +299,11 @@ object ScaleCatalogue {
   def q86SemanticDedup(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    // NegativeInfinity: the oracle keeps ALL within-cluster pairs, so
+    // the Spark side must too — a 0.0 threshold would silently drop
+    // negative-cosine pairs the DuckDB ranking still sees
     val pairs = graft.scale.Similarity
-      .semanticDedupPairs(emb, centroids, threshold = 0.0)
+      .semanticDedupPairs(emb, centroids, threshold = Double.NegativeInfinity)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("sim").desc, col("d1").asc, col("d2").asc)
@@ -312,6 +338,41 @@ object ScaleCatalogue {
        |SELECT cluster_id, rank, d1, d2,
        |  CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
        |FROM ranked WHERE rank <= 2 ORDER BY cluster_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q87 — two-level (hierarchical) coarse-quantizer assignment, FORCED
+  // down the O(n·√k) super-cluster path regardless of centroid count:
+  // the oracle replays the FLAT n×k argmin relationally, so a hash-exact
+  // pass is a machine-checked proof that the triangle-inequality-pruned
+  // hierarchical assignment is bit-identical to the brute-force one on
+  // this corpus — the equivalence the 1e8-doc scale design rests on
+  // (Similarity.assignTwoLevel). Stride 23 (not 97) so the centroid set
+  // is dense enough that pruning actually discards supers at sf gate
+  // scales.
+  // ---------------------------------------------------------------------
+  def q87TwoLevelAssign(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    // the centroid plan is a pruned parquet filter — cheap to
+    // re-evaluate, so no persist (CacheHygieneSpec: catalogue queries
+    // must leave the block store untouched)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 23)
+    graft.scale.Similarity.assignTwoLevel(emb, centroids, "vec_id")
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+  val q87Sql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 23 = 0),
+       |corpus_d AS (
+       |  SELECT a.vec_id, c.centroid_id,
+       |    ${duckDist2("a.embedding", "c.c_emb")} AS dist2
+       |  FROM embeddings a, cent c)
+       |SELECT vec_id, centroid_id AS cluster_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY dist2 ASC, centroid_id ASC) AS rk
+       |  FROM corpus_d) t WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
 
   private def duckDist2(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
@@ -1599,6 +1660,7 @@ object ScaleCatalogue {
     "q35_ann_ivf" -> q35AnnIvf _,
     "q85_ann_ivf_indexed" -> q85AnnIvfIndexed _,
     "q86_semantic_dedup" -> q86SemanticDedup _,
+    "q87_two_level_assign" -> q87TwoLevelAssign _,
     "q83_ann_pq" -> q83AnnPq _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
     "q36_langid" -> q36LangId _,
@@ -1648,6 +1710,9 @@ object ScaleCatalogue {
     // q85 is q35 over the bucketed layout — result-identical, same oracle
     "q85_ann_ivf_indexed" -> q35Sql,
     "q86_semantic_dedup" -> q86Sql,
+    // q87's oracle is the FLAT argmin: hash-exact == proof that the
+    // forced two-level path reproduces it bit-for-bit
+    "q87_two_level_assign" -> q87Sql,
     "q83_ann_pq" -> q83Sql,
     "q52_embed_neardup" -> q52Sql,
     "q36_langid" -> q36Sql,

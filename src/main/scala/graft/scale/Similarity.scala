@@ -72,17 +72,151 @@ object Similarity {
     corpus.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
 
-  /** Assign each vector to its nearest centroid (broadcast argmin; ties
-    * break to the lowest centroid id). The argmin is a min-struct
-    * AGGREGATE over (dist2, cid) — 16-byte rows with map-side combine —
-    * never a window over the vectors×centroids product, which would
-    * shuffle nCentroids copies of every raw embedding (the same
-    * invariant [[KMeans]] documents). The winning cid then joins back to
-    * the vectors, shuffling each embedding once. */
+  /** Assign each vector to its nearest centroid (ties break to the
+    * lowest centroid id). Dispatches on the centroid count: below
+    * [[TwoLevelMin]] the flat broadcast argmin runs (one KB–MB
+    * broadcast, O(n·k·dim) compute — right for control-plane-sized
+    * quantizers); at or above it, the hierarchical [[assignTwoLevel]]
+    * path runs, which is the 100 TB shape when k must scale with n
+    * (SemDeDup keeps within-cluster pair cost Σ(cluster²) bounded only
+    * if k ∝ n — at the 1e8-doc design point k ≈ 1e6, where the flat
+    * path's broadcast is ~256 MB per executor and its compute O(n·k·dim)
+    * ≈ 1e15 flops; two-level does O(n·√k·dim) with a ~300 KB broadcast).
+    * Both paths produce bit-identical assignments ([[assignTwoLevel]]'s
+    * pruning proof; pinned by TwoLevelAssignSpec and by q87's DuckDB
+    * oracle, which replays the FLAT argmin relationally).
+    *
+    * The centroid plan is evaluated a handful of times (the dispatch
+    * count, then 1 broadcast on the flat path / ~3 passes on the
+    * two-level one). Deliberately NOT cached internally: a function
+    * returning a lazy plan has no deterministic point to unpersist, so
+    * an internal persist would pin executor blocks for the session
+    * (CacheHygieneSpec guards exactly this). Callers whose centroid
+    * table is an expensive derived plan should materialize it
+    * themselves (persist + unpersist around consumption, or write it
+    * out — [[IvfIndex.build]]'s bucketed layout is the 100 TB form). */
   def assign(vectors: DataFrame, centroids: DataFrame,
+      idCol: String): DataFrame = {
+    val cents = centroids.select(col("centroid_id"), col("c_emb"))
+    if (cents.count() < TwoLevelMin) assignFlat(vectors, cents, idCol)
+    else assignTwoLevel(vectors, cents, idCol)
+  }
+
+  /** Below this centroid count the flat broadcast argmin wins (the
+    * two-level machinery's extra jobs cost more than they save); at or
+    * above it [[assign]] goes hierarchical. At 64 centroids the flat
+    * broadcast is ~16 KB and the crossJoin 64 evals/row — either path
+    * is cheap, so the exact cutover is uncritical. */
+  val TwoLevelMin = 64
+
+  /** The flat broadcast argmin: one crossJoin against the whole centroid
+    * table. The argmin is a min-struct AGGREGATE over (dist2, cid) —
+    * 16-byte rows with map-side combine — never a window over the
+    * vectors×centroids product, which would shuffle nCentroids copies of
+    * every raw embedding (the same invariant [[KMeans]] documents). The
+    * winning cid then joins back to the vectors, shuffling each
+    * embedding once. */
+  private[scale] def assignFlat(vectors: DataFrame, centroids: DataFrame,
       idCol: String): DataFrame = {
     val best = vectors.select(col(idCol), col("embedding"))
       .crossJoin(broadcast(centroids))
+      .select(col(idCol), struct(
+        graft.functions.VectorOps.dist2_f(col("embedding"), col("c_emb"))
+          .as("dd"),
+        col("centroid_id").as("cid")).as("dc"))
+      .groupBy(col(idCol))
+      .agg(min(col("dc")).getField("cid").as("centroid_id"))
+    vectors.join(best, idCol)
+  }
+
+  /** EXACT hierarchical nearest-centroid assignment — identical results
+    * to [[assignFlat]] (same dist2 expression, same (dist2, cid)
+    * struct-min tie-break), at O(n·√k·dim) compute with a √k-sized
+    * broadcast instead of O(n·k·dim) with a k-sized one.
+    *
+    * Mechanics: the centroids are grouped under ~√k "super-centroids"
+    * (every ⌈√k⌉-th centroid in centroid_id order; each centroid joins
+    * its geometrically nearest super, radius r_j = max member↔super
+    * distance). Per vector, one pass over the broadcast super table
+    * (√k·dim·4 B ≈ 300 KB at k=1e6) computes every super distance
+    * d_j INSIDE the row via higher-order functions — no n×√k shuffle —
+    * and the upper bound U = min_j(d_j + r_j) ≥ d(v, nearest centroid).
+    * A super can hold the winner only if d_j − r_j ≤ U (triangle
+    * inequality), so only those supers' members are scored exactly; the
+    * winner's super always survives (d_winner ≥ d_j* − r_j* and
+    * d_winner ≤ U), so the final min-struct argmin sees every centroid
+    * that could win — including all tie candidates — and reproduces the
+    * flat result bit-for-bit. The bound is inflated by a 1e-12
+    * relative+absolute slack so double rounding (~1e-16 per op) can only
+    * ADD candidates, never drop the true winner.
+    *
+    * Data movement at the 1e8-doc / k=1e6 design point: the member
+    * scoring is a shuffle join on super id — each embedding moves ~1–3
+    * times (its candidate supers), centroids once; the argmin shuffles
+    * 16-byte partial aggregates. Nothing k-proportional is broadcast and
+    * nothing n×k-proportional ever shuffles. Well-separated clusters
+    * prune to ~1 candidate super per vector; the worst case (all supers
+    * candidates) degrades to flat-assign COMPUTE but still without the
+    * k-sized broadcast.
+    *
+    * `centroids` is read ~3 times (supers, member map, scoring) and the
+    * member-map subplan twice (members, radii) — all centroid-table-
+    * sized work, deliberately recomputed rather than cached (see
+    * [[assign]] on why internal persists are banned); callers with an
+    * expensive centroid plan should materialize it first. */
+  def assignTwoLevel(vectors: DataFrame, centroids: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = vectors.sparkSession
+    val k = centroids.count()
+    require(k > 0, "assignTwoLevel needs a non-empty centroid table")
+    val stride = math.ceil(math.sqrt(k.toDouble)).toInt
+    // every stride-th centroid in id order is a super. The global
+    // row_number window runs on ONE partition — k narrow rows, the same
+    // control-plane scale KMeans collects — then everything fans back out.
+    val wAll = Window.orderBy(col("centroid_id"))
+    val supers = centroids.withColumn("rk", row_number().over(wAll))
+      .filter((col("rk") - lit(1)) % stride === 0)
+      .select(col("centroid_id").as("sid"), col("c_emb").as("s_emb"))
+    // member map: each centroid under its nearest super (flat argmin
+    // over the √k-sized broadcast super table — O(k·√k·dim), centroid-
+    // table-sized work), with the member↔super distance kept for radii
+    val memberBest = centroids.crossJoin(broadcast(supers))
+      .select(col("centroid_id"), struct(
+        sqrt(graft.functions.VectorOps.dist2_f(col("c_emb"), col("s_emb")))
+          .as("d"),
+        col("sid")).as("ds"))
+      .groupBy(col("centroid_id"))
+      .agg(min(col("ds")).as("best"))
+      .select(col("centroid_id"), col("best.sid").as("sid"),
+        col("best.d").as("dmem"))
+    val members = memberBest.join(centroids, "centroid_id")
+      .select(col("sid"), col("centroid_id"), col("c_emb"))
+    val radii = memberBest.groupBy(col("sid")).agg(max(col("dmem")).as("r"))
+    // the whole super layer as ONE array row (√k entries): broadcast it
+    // and compute every per-vector super distance inside the row with
+    // higher-order functions — the n×√k distance matrix never exists as
+    // rows, so nothing n×√k-sized shuffles
+    val supArr = supers.join(radii, Seq("sid"))
+      .agg(collect_list(struct(col("sid"), col("s_emb"), col("r"))).as("sup"))
+    val ds = transform(col("sup"), x =>
+      struct(sqrt(graft.functions.VectorOps.dist2_f(
+        col("embedding"), x.getField("s_emb"))).as("d"),
+        x.getField("r").as("r"), x.getField("sid").as("sid")))
+    val cand = vectors.select(col(idCol), col("embedding"))
+      .crossJoin(broadcast(supArr))
+      .withColumn("ds", ds)
+      .withColumn("u", array_min(transform(col("ds"),
+        x => x.getField("d") + x.getField("r"))))
+      .select(col(idCol), col("embedding"),
+        explode(filter(col("ds"), x =>
+          x.getField("d") - x.getField("r") <=
+            col("u") * lit(1.0 + 1e-12) + lit(1e-12))).as("c"))
+      .select(col(idCol), col("embedding"), col("c.sid").as("sid"))
+    // exact scoring over candidate supers' members: a SHUFFLE join on
+    // sid (the k-sized member table must not be broadcast — avoiding
+    // that broadcast is the point), then the same 16-byte min-struct
+    // argmin as the flat path
+    val best = cand.join(members, "sid")
       .select(col(idCol), struct(
         graft.functions.VectorOps.dist2_f(col("embedding"), col("c_emb"))
           .as("dd"),
@@ -162,8 +296,10 @@ object Similarity {
     * Pair cost is Σ(cluster size²), never corpus²; the join key is the
     * small cluster id; norms are computed once per ROW (O(n)), not per
     * pair. Returns (cluster_id, d1, d2, sim) for pairs with
-    * `sim >= threshold` (threshold 0.0 = all within-cluster pairs, for
-    * rank-based downstream selection). */
+    * `sim >= threshold` (pass `Double.NegativeInfinity` to keep ALL
+    * within-cluster pairs — including negative-cosine ones — for
+    * rank-based downstream selection; a zero-norm embedding yields NULL
+    * sim and drops at the filter instead of throwing under ANSI). */
   def semanticDedupPairs(corpus: DataFrame, centroids: DataFrame,
       threshold: Double): DataFrame = {
     val assigned = assign(corpus, centroids, "vec_id")
@@ -173,7 +309,8 @@ object Similarity {
     val b = assigned.select(col("cluster_id"), col("vec_id").as("d2"),
       col("embedding").as("e2"), norm(col("embedding")).as("n2"))
     a.join(b, Seq("cluster_id")).filter(col("d1") < col("d2"))
-      .withColumn("sim", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .withColumn("sim", safeRatio(dot(col("e1"), col("e2")),
+        col("n1") * col("n2")))
       .filter(col("sim") >= threshold)
       .select(col("cluster_id"), col("d1"), col("d2"), col("sim"))
   }

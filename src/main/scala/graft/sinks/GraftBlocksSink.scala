@@ -200,7 +200,9 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
     val fs = p.getFileSystem(hconf.value)
     GraftKeyProbe.forStore(fs, fs.makeQualified(p), hconf)
   }
-  private val keyProbe: GraftKeyProbe = freshProbe()
+  // created at batch planning (the streaming path takes a fresh probe
+  // per epoch instead), released at batch commit/abort
+  private var batchProbe: GraftKeyProbe = null
 
   override def toBatch: BatchWrite = this
   override def toStreaming: StreamingWrite = this
@@ -208,14 +210,23 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
   override def useCommitCoordinator(): Boolean = true
 
   // ---- batch ----
-  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new GraftWriterFactory(root, dataSchema, keyOrd, keyProbe, writeId,
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    batchProbe = freshProbe()
+    new GraftWriterFactory(root, dataSchema, keyOrd, batchProbe, writeId,
       None, hconf)
+  }
+  // tasks are done once commit/abort runs: the probe's broadcast can go
+  // now (a long-lived driver doing many batch writes would otherwise
+  // hold one filter-sized broadcast per write until a GC-driven pass)
+  private def releaseBatchProbe(): Unit =
+    if (batchProbe != null) { batchProbe.release(); batchProbe = null }
   override def commit(messages: Array[WriterCommitMessage]): Unit =
-    GraftCommitter.commit(root, hconf.value, None, dataSchema, keyColumn,
+    try GraftCommitter.commit(root, hconf.value, None, dataSchema, keyColumn,
       writeId, messages.map(_.asInstanceOf[GraftCommitMessage]).toSeq)
+    finally releaseBatchProbe()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    GraftCommitter.abort(root, hconf.value, writeId)
+    try GraftCommitter.abort(root, hconf.value, writeId)
+    finally releaseBatchProbe()
 
   // ---- streaming ----
   // a StreamingWrite lives for the whole query, but Spark plans each
@@ -236,14 +247,22 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
     new GraftWriterFactory(root, dataSchema, keyOrd, probe, writeId,
       Some(()), hconf)
   }
+  // the epoch's tasks are done by commit/abort time, so its probe's
+  // broadcast is released HERE (not only on replacement at the next
+  // epoch's planning) — this also covers the FINAL epoch of a query,
+  // whose probe previously lived until ContextCleaner noticed
+  private def releaseEpochProbe(): Unit =
+    if (lastEpochProbe != null) { lastEpochProbe.release(); lastEpochProbe = null }
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    GraftCommitter.commit(root, hconf.value, Some(s"$queryId#$epochId"),
+    try GraftCommitter.commit(root, hconf.value, Some(s"$queryId#$epochId"),
       dataSchema, keyColumn, writeId,
       messages.map(_.asInstanceOf[GraftCommitMessage]).toSeq)
+    finally releaseEpochProbe()
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    GraftCommitter.abort(root, hconf.value, writeId)
+    try GraftCommitter.abort(root, hconf.value, writeId)
+    finally releaseEpochProbe()
 }
 
 class GraftWriterFactory(root: String, schema: StructType, keyOrd: Int,

@@ -598,11 +598,15 @@ class GraftKeyProbe private (
     }
 
   /** Release this probe's broadcast blocks (driver-side). Called when a
-    * streaming epoch replaces its probe — without it, per-epoch
-    * broadcasts of a count-proportional filter accumulate until a
-    * GC-driven ContextCleaner pass. */
+    * streaming epoch's tasks finish (commit/abort) or its probe is
+    * replaced, and after a batch write commits/aborts — without it, a
+    * long-lived driver accumulates one count-proportional filter
+    * broadcast per write until a GC-driven ContextCleaner pass.
+    * Idempotent: the epoch-commit and factory-replacement paths can
+    * both reach the same probe. */
+  @transient private var released = false
   private[sinks] def release(): Unit =
-    if (bloomBc != null) bloomBc.destroy()
+    if (bloomBc != null && !released) { released = true; bloomBc.destroy() }
 }
 
 object GraftKeyProbe {

@@ -73,6 +73,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((json \ "queries" \ "q01").extract[Double] == 0.110)
     assert((json \ "queries" \ "q99").extract[String] == "err")
     assert((json \ "value").extract[Double] == 1.210)
+    // noisiest-first absolute rep deltas (max-min seconds), healthy
+    // queries only, medians still the LAST key
+    assert((json \ "noise_top5" \ "q02").extract[Double] == 0.2)
+    assert((json \ "noise_top5" \ "q99") == JNothing)
+    val ckeys = json.asInstanceOf[JObject].obj.map(_._1)
+    assert(ckeys.last == "queries")
     // worst case: a full catalogue of long names + both dump scans must
     // stay under the driver's ~2 KB stdout tail window
     val catalogue = (1 to 96).map(i =>

@@ -44,7 +44,7 @@ class DrainPropertySpec extends AnyFunSuite {
     MockNotionApi.state(name).failWhen.set(b => b.blockBatch == "sick")
     val rows = (0 until 60).flatMap { p =>
       (0 until 3).map(i =>
-        NotionBlock(s"pg$p%03d", i, "b", s"Main/pg$p.md", "text", s"pg$p-$i"))
+        NotionBlock(f"pg$p%03d", i, "b", s"Main/pg$p.md", "text", s"pg$p-$i"))
     } :+ NotionBlock("sick", 0, "b", "Main/sick.md", "text", "s0")
     val (pages, failures, report) = Drain.run(spark, rows.toDF(),
       Map("Main" -> "u"), api, Drain.Config(maxBlocks = 1, maxAttempts = 2))
