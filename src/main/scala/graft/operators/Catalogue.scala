@@ -451,15 +451,28 @@ object Catalogue {
       .select(col("doc_id"), col("prepared"))
       .orderBy(col("doc_id"))
   }
-  val q21Sql: String =
-    """WITH base AS (
-      |  SELECT doc_id,
-      |    '[[Category:' || lang || ']]' || chr(10) || '== Table of Contents ==' || chr(10) || '__TOC__' || chr(10)
+  /** The full relational prepare-chain replay (T1–T4 rewrites, T5 fence
+    * state machine, T6, the T9 18-rule pack) parameterized by the
+    * wikitext construction — ONE definition shared by q21's and q28's
+    * oracles, so both hash-exact checks exercise the identical chain
+    * over different input mixes. Composed by concatenation (not
+    * interpolation: the chain is full of regex backslashes). */
+  private def prepareChainOracle(baseW: String): String =
+    "WITH base AS (\n  SELECT doc_id,\n    " + baseW +
+      " AS w\n  FROM documents\n" + prepareChainTail
+
+  private val q21BaseW: String =
+    """'[[Category:' || lang || ']]' || chr(10) || '== Table of Contents ==' || chr(10) || '__TOC__' || chr(10)
       |    || '{{Attention}}' || substr(text, 1, 60)
       |    || chr(10) || '  code ' || repeat(chr(39),3) || source || repeat(chr(39),3) || ' sample'
-      |    || chr(10) || chr(10) || 'plain {{source|' || source || '}} end' || chr(10) AS w
-      |  FROM documents
-      |), t14 AS (
+      |    || chr(10) || chr(10) || 'plain {{source|' || source || '}} end' || chr(10)""".stripMargin
+
+  // lazy: referenced by prepareChainOracle during q21Sql's init, which
+  // precedes this declaration in the object body
+  val q21Sql: String = prepareChainOracle(q21BaseW)
+
+  private lazy val prepareChainTail: String =
+    """), t14 AS (
       |  SELECT doc_id,
       |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       |      w,
@@ -686,25 +699,31 @@ object Catalogue {
       |GROUP BY 1 ORDER BY ns_name""".stripMargin
 
   // ---------------------------------------------------------------------
-  // q28 — T10 wikitext→markdown conversion after the full prepare chain
-  // (process-mw-dump.py:276-292; native converter, not SQL-expressible →
-  // rows-only; fidelity pinned by WikiToMarkdownSpec + EndToEndSpec)
+  // q28 — the T10 conversion stage's PREPARE half, hash-checked
+  // (round-7 verdict item 4): the pre-pandoc chain
+  // (process-mw-dump.py:276-292) on q28's own input mix — a section
+  // heading, bold intro, wiki link, list item, indented code block, and
+  // a {{source}} template — against the same relational DuckDB replay
+  // machinery as q21 (prepareChainOracle). The wikitext→markdown call
+  // itself is inherently external to SQL and stays pinned by
+  // WikiToMarkdownSpec + EndToEndSpec goldens and exercised in the
+  // catalogue by q73's converter path.
   // ---------------------------------------------------------------------
-  def q28WikiToMd(s: SparkSession, d: String): DataFrame = {
-    val convertUdf = udf { (text: String, title: String, ns: String) =>
-      graft.convert.WikiToMarkdown.convert(
-        graft.text.Wikitext.prepare(text, title, ns))
-    }
+  def q28ConvertPrepare(s: SparkSession, d: String): DataFrame = {
     documents(s, d)
       .withColumn("wikitext", concat(
         lit("== Section =="), lit("\n'''"), col("source"), lit("''' intro [[Linked Page]]\n"),
         lit("* "), substring(col("text"), 1, 40), lit("\n  code sample\n\ndone {{source|"),
         col("lang"), lit("}}\n")))
       .select(col("doc_id"),
-        convertUdf(col("wikitext"), concat(lit("D"), col("doc_id")), lit("Main"))
-          .as("markdown"))
+        graft.text.WikitextColumns.prepareUdf(col("wikitext"),
+          concat(lit("D"), col("doc_id")), lit("Main")).as("prepared"))
       .orderBy(col("doc_id"))
   }
+  val q28Sql: String = prepareChainOracle(
+    """'== Section ==' || chr(10) || repeat(chr(39),3) || source || repeat(chr(39),3) || ' intro [[Linked Page]]' || chr(10)
+      |    || '* ' || substr(text, 1, 40) || chr(10) || '  code sample' || chr(10) || chr(10)
+      |    || 'done {{source|' || lang || '}}' || chr(10)""".stripMargin)
 
   // ---------------------------------------------------------------------
   // q73 — T10's external-process conversion path: each document piped
@@ -800,7 +819,7 @@ object Catalogue {
     "q25_comment_filter" -> q25CommentFilter _,
     "q26_markdown_render" -> q26MarkdownRender _,
     "q27_ns_registry" -> q27NsRegistry _,
-    "q28_wiki_to_md" -> q28WikiToMd _,
+    "q28_convert_prepare" -> q28ConvertPrepare _,
     "q73_pandoc_convert" -> q73PandocConvert _,
     "q29_salted_tally" -> q29SaltedTally _,
     "q43_media_refs" -> q43MediaRefs _,
@@ -834,7 +853,7 @@ object Catalogue {
     "q25_comment_filter" -> q25Sql,
     "q26_markdown_render" -> q26Sql,
     "q27_ns_registry" -> q27Sql,
-    // q28: native converter chain, rows-only
+    "q28_convert_prepare" -> q28Sql,
     "q29_salted_tally" -> q29Sql,
     "q43_media_refs" -> q43Sql,
   )

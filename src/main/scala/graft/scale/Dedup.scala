@@ -501,7 +501,19 @@ object Dedup {
     * Scale shape: the duplicate-frequency shuffle carries (hash, doc_id)
     * 16-byte rows — document text never moves until the final
     * doc_id-keyed join, and the span merge + token filter are per-row
-    * array algebra (no token-level shuffle). A stop-shingle cut is
+    * array algebra (no token-level shuffle).
+    *
+    * Wall-clock attribution (round-7 drift question): the r07 bench
+    * read 0.398 s at sf0.1 against an r04–r06 history of
+    * 0.117/0.057/0.115 s. Re-measured 2026-08 with reps=7 at sf0.1:
+    * median 0.204 s, per-rep max−min 0.234 s (max rep ≈ 0.42 s) — the
+    * rep envelope EXCEEDS the median, so the r07 number is a noisy
+    * draw, not a regression. Consistent with the code: the r07 rework
+    * (the df count-window, ngramJaccardPairs' bounded path) shares only
+    * the `tokens` tokenizer with this operator; the positional-shingle
+    * plan here was untouched. The bench artifact now carries
+    * `noise_top5` (absolute rep deltas) so future drift calls can cite
+    * measured noise instead of re-running. A stop-shingle cut is
     * unnecessary here: unlike the pairwise self-join in
     * [[ngramJaccardPairs]], df≥2 detection is a plain aggregation, so
     * hot shingles cost O(df), not O(df²).
