@@ -27,9 +27,27 @@ object IvfIndex {
     * bucketed layout. One full corpus pass; queries then never scan
     * unprobed buckets. */
   def build(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
-    Similarity.assign(corpus, centroids, "vec_id")
+    write(corpus, centroids, path, "overwrite")
+
+  /** Incrementally add vectors to an EXISTING index — the shape at
+    * 100 TB, where corpus lands continuously and rebuilding the world
+    * per batch would re-shuffle everything ever ingested: only the new
+    * rows are assigned (O(batch), not O(index)) and their files land
+    * inside the existing `cluster_id=N/` partition directories, so a
+    * probe's partition filter spans old and new files alike with no
+    * compaction step in between. MUST use the same centroids as the
+    * original build — Hive-partition appends cannot re-home rows whose
+    * nearest centroid changed (that is a rebuild; re-clustering is a
+    * deliberate, corpus-wide event). IvfIndexSpec proves appended rows
+    * are served through the same pruned scan. */
+  def append(newVectors: DataFrame, centroids: DataFrame, path: String): Unit =
+    write(newVectors, centroids, path, "append")
+
+  private def write(vectors: DataFrame, centroids: DataFrame, path: String,
+      mode: String): Unit =
+    Similarity.assign(vectors, centroids, "vec_id")
       .withColumnRenamed("centroid_id", "cluster_id")
-      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      .write.mode(mode).partitionBy("cluster_id").parquet(path)
 
   /** IVF top-k over a built index: identical results to
     * [[Similarity.ivfTopKWith]] on the same corpus/centroids/k/nProbe,

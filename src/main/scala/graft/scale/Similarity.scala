@@ -230,7 +230,14 @@ object Similarity {
     * brute-force only within those clusters. At 100 TB the corpus
     * assignment is precomputed/bucketed by cluster_id, so a query reads
     * only its probed buckets (partition pruning), and the candidate join
-    * shuffles on the small cluster id. */
+    * shuffles on the small cluster id.
+    *
+    * The nProbe=3 default measures recall@10 = 0.67 vs exact brute-force
+    * cosine on the sf0.001 corpus (0.68 at sf0.01; deterministic,
+    * cross-checked against a DuckDB replay and pinned with a band by
+    * ScaleSpec) — raise nProbe toward the cluster count to trade scan
+    * volume for recall, reaching exactness when every cluster is probed
+    * (also spec-pinned). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       stride: Int = 97, nProbe: Int = 3): DataFrame =
     ivfTopKWith(queries, corpus, strideCentroids(corpus, stride), k, nProbe)

@@ -70,4 +70,59 @@ class IvfIndexSpec extends AnyFunSuite {
       s"expected a pruned scan: $scannedFiles of $allFiles files " +
         s"(${nClusters} clusters, 3 probed)")
   }
+
+  test("append serves new vectors through the same pruned scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val queries = emb.filter(col("vec_id") === 1)
+
+    // build from half the corpus, append the other half — results must
+    // equal the in-memory path over the FULL corpus, proving appended
+    // files participate in scoring
+    val half = emb.count() / 2
+    val dir = Files.createTempDirectory("graft-ivf-append").toString
+    IvfIndex.build(emb.filter(col("vec_id") < half), centroids, dir)
+    val filesAfterBuild = countParquet(dir)
+    IvfIndex.append(emb.filter(col("vec_id") >= half), centroids, dir)
+    assert(countParquet(dir) > filesAfterBuild,
+      "append must add files, not rewrite the index")
+
+    val fromIndex = IvfIndex.topK(spark, dir, queries, centroids,
+      k = 5, nProbe = 3).orderBy("query_id", "rank")
+    val a = fromIndex.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = Similarity.ivfTopKWith(queries, emb, centroids, k = 5, nProbe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a == b, "appended index must equal the in-memory full-corpus path")
+    // the top-5 must MIX pre-build and appended ids, or the equality
+    // above would not actually witness the appended files being read
+    val ids = a.map(_._3)
+    assert(ids.exists(_ < half) && ids.exists(_ >= half),
+      s"test corpus must yield neighbors from both halves, got $ids")
+
+    // pruning survives the append: still a partition-filtered scan over
+    // a strict subset of the (now larger) file set
+    def scans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      plan match {
+        case s: FileSourceScanExec => Seq(s)
+        case ad: AdaptiveSparkPlanExec => scans(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case p => p.children.flatMap(scans)
+      }
+    val indexScan = scans(fromIndex.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivf-append")))
+      .getOrElse(fail("no file scan over the appended index in the plan"))
+    assert(indexScan.partitionFilters.exists(_.toString.contains("cluster_id")))
+    val scanned = indexScan.metrics("numFiles").value
+    assert(scanned > 0 && scanned < countParquet(dir),
+      s"expected pruned scan over old+new files: $scanned of ${countParquet(dir)}")
+  }
+
+  private def countParquet(dir: String): Int = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+  }
 }
