@@ -52,10 +52,11 @@ object Ingest {
         col("block._3").as("language"), col("block._4").as("caption"))
   }
 
-  /** Start the streaming ingest into a parquet blocks store. */
-  def start(spark: SparkSession, stagingDir: String, blocksDir: String,
-      checkpointDir: String): StreamingQuery = {
-    val staged = spark.readStream
+  /** The staged-`.md` file-source stream (ST1): shared by the
+    * batch-drain pipeline ([[start]]) and the continuous one
+    * ([[Phase2.runContinuous]]). */
+  def stagedStream(spark: SparkSession, stagingDir: String): DataFrame =
+    spark.readStream
       .format("binaryFile")
       .option("pathGlobFilter", "*.md")
       .option("recursiveFileLookup", "true") // staging tree is per-namespace
@@ -69,11 +70,14 @@ object Ingest {
         org.apache.spark.sql.types.StructField("content",
           org.apache.spark.sql.types.BinaryType))))
       .load(stagingDir)
-    explodeBlocks(staged).writeStream
+
+  /** Start the streaming ingest into a parquet blocks store. */
+  def start(spark: SparkSession, stagingDir: String, blocksDir: String,
+      checkpointDir: String): StreamingQuery =
+    explodeBlocks(stagedStream(spark, stagingDir)).writeStream
       .format("graft-blocks")
       .option("path", blocksDir)
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
-  }
 }

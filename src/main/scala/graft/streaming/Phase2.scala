@@ -78,4 +78,82 @@ object Phase2 {
     val (pages, failures, report) = Drain.run(spark, blocks, parents, api, cfg)
     Result(pages, failures, report)
   }
+
+  /** The reference's EVENT-DRIVEN form end-to-end: one continuously
+    * running streaming query in which each micro-batch of staged `.md`
+    * files is exploded to blocks, committed idempotently into the block
+    * store (K3 first-writer-wins), and drained to the API (K5/ST4-ST8)
+    * — mid-stream uploads drain without a restart, unlike [[run]]'s
+    * ingest-to-termination-then-drain staging.
+    *
+    * The cross-epoch cursor is a STATUS STORE (`workDir/statuses`,
+    * parquet append of [[Drain]]'s terminal per-page statuses): each
+    * epoch drains `store − statuses` (left-anti on blockBatch), so
+    *  - a crash between store commit and status append re-drains the
+    *    affected pages on recovery (at-least-once toward the API — the
+    *    reference's SQS redelivery semantics, ST2), never losing them;
+    *  - replayed input files dedup at the store (deterministic batch
+    *    ids + first-writer-wins), so re-delivery never re-uploads an
+    *    already-drained page;
+    *  - dead-lettered pages hold their terminal Fail status across
+    *    epochs instead of retrying forever (K8, sticky-terminal ST7).
+    * A catch-up drain runs before the stream starts so pages stranded
+    * by a previous crash drain immediately, not on the next file drop.
+    *
+    * Scale shape per epoch: the drain input is `store − statuses`, both
+    * log/file-backed DataFrames; nothing epoch-spanning is held on the
+    * driver, so the query can run for months (the reference runs as a
+    * perpetual Step Functions loop) with driver state O(in-flight
+    * failures), exactly as [[Drain.run]] documents. */
+  def runContinuous(spark: SparkSession, stagingDir: String, workDir: String,
+      api: NotionApi, cfg: Drain.Config = Drain.Config(),
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("1 second"))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val blocksDir = s"$workDir/blocks"
+    val statusDir = s"$workDir/statuses"
+    drainPending(spark, stagingDir, blocksDir, statusDir, api, cfg)
+    Ingest.explodeBlocks(Ingest.stagedStream(spark, stagingDir)).writeStream
+      .option("checkpointLocation", s"$workDir/checkpoint")
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        // 1. idempotent store commit (batch-path DSv2 write; duplicate
+        //    keys from replays drop at the first-writer-wins probe)
+        batch.write.format("graft-blocks").option("path", blocksDir)
+          .mode("append").save()
+        // 2. drain everything stored but not yet terminal
+        drainPending(spark, stagingDir, blocksDir, statusDir, api, cfg)
+        ()
+      }
+      .start()
+  }
+
+  /** Drain `store − statuses` and append the resulting terminal
+    * statuses. No-ops when the store is empty or fully drained. */
+  private def drainPending(spark: SparkSession, stagingDir: String,
+      blocksDir: String, statusDir: String, api: NotionApi,
+      cfg: Drain.Config): Unit = {
+    val stored =
+      try graft.sinks.GraftBlocksStore.read(spark, blocksDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val pending = stored.join(readStatuses(spark, statusDir),
+      Seq("blockBatch"), "left_anti")
+    if (!pending.isEmpty) {
+      val parents = readParentUrls(spark, stagingDir)
+      val (pages, _, _) = Drain.run(spark, pending, parents, api, cfg)
+      pages.write.mode("append").parquet(statusDir)
+    }
+  }
+
+  /** Terminal page statuses recorded by prior drains: (blockBatch,
+    * status, statusTime); empty before the first drain completes. */
+  def readStatuses(spark: SparkSession, statusDir: String): DataFrame =
+    try spark.read.parquet(statusDir)
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        import spark.implicits._
+        Seq.empty[(String, String, Long)]
+          .toDF("blockBatch", "status", "statusTime")
+    }
 }
