@@ -229,10 +229,28 @@ object ScaleCatalogue {
   // ---------------------------------------------------------------------
   // q35 — IVF ANN: coarse quantizer + probed clusters (the scale path)
   // ---------------------------------------------------------------------
+  /** Centroid count of the stride quantizer over a dataset's embeddings,
+    * memoized per (dir, stride, source fingerprint): threading a KNOWN
+    * count into Similarity.assign makes its flat-vs-two-level dispatch
+    * run ZERO extra Spark jobs in steady state (round 8 paid one count
+    * job per q35/q86 run — verdict item 2; the first call per dataset
+    * still pays one tiny count over the pruned centroid scan, and the
+    * fingerprint keys out in-place regeneration like q85's marker). */
+  private val strideCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def strideCentroidCount(s: SparkSession, d: String,
+      stride: Int): Long = {
+    val key = s"$d#$stride#${
+      datasetFingerprint(new java.io.File(d, "embeddings.parquet"))}"
+    strideCountCache.computeIfAbsent(key, _ =>
+      graft.scale.Similarity.strideCentroids(embeddings(s, d), stride).count())
+  }
+
   def q35AnnIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
-        stride = 97, nProbe = 3)
+        stride = 97, nProbe = 3,
+        centroidCount = Some(strideCentroidCount(s, d, 97)))
       .select(col("query_id"), col("rank"), col("vec_id"),
         q(col("sim")).as("sim_q"))
       .orderBy(col("query_id"), col("rank"))
@@ -271,12 +289,16 @@ object ScaleCatalogue {
     // marker carries the SOURCE fingerprint: a regenerated dataset at
     // the same basename invalidates the cached index instead of being
     // silently served stale results
-    val fp = datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
+    // "v2": index format version (dist2 column + _ivf_meta.json) — a
+    // round-8 cached index predates both and must rebuild once
+    val fp = "v2;" +
+      datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
     val stale = !marker.exists() ||
       new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8) != fp
     if (stale) {
-      graft.scale.IvfIndex.build(emb, centroids, dir)
+      graft.scale.IvfIndex.build(emb, centroids, dir,
+        centroidCount = Some(strideCentroidCount(s, d, 97)))
       java.nio.file.Files.write(marker.toPath,
         fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
@@ -303,7 +325,8 @@ object ScaleCatalogue {
     // the Spark side must too — a 0.0 threshold would silently drop
     // negative-cosine pairs the DuckDB ranking still sees
     val pairs = graft.scale.Similarity
-      .semanticDedupPairs(emb, centroids, threshold = Double.NegativeInfinity)
+      .semanticDedupPairs(emb, centroids, threshold = Double.NegativeInfinity,
+        centroidCount = Some(strideCentroidCount(s, d, 97)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
       .orderBy(col("sim").desc, col("d1").asc, col("d2").asc)
@@ -356,7 +379,8 @@ object ScaleCatalogue {
     // re-evaluate, so no persist (CacheHygieneSpec: catalogue queries
     // must leave the block store untouched)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 23)
-    graft.scale.Similarity.assignTwoLevel(emb, centroids, "vec_id")
+    graft.scale.Similarity.assignTwoLevel(emb, centroids, "vec_id",
+      knownK = Some(strideCentroidCount(s, d, 23)))
       .select(col("vec_id"), col("centroid_id").as("cluster_id"))
       .orderBy(col("vec_id"))
   }

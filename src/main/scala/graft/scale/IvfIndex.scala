@@ -1,5 +1,8 @@
 package graft.scale
 
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -21,13 +24,14 @@ import org.apache.spark.sql.functions._
   * filter — bounded by `queries × nProbe` and by the centroid count
   * (hundreds), control-plane-sized by construction.
   */
-object IvfIndex {
+object IvfIndex extends org.apache.spark.internal.Logging {
 
   /** Assign every corpus vector to its nearest centroid and write the
     * bucketed layout. One full corpus pass; queries then never scan
     * unprobed buckets. */
-  def build(corpus: DataFrame, centroids: DataFrame, path: String): Unit =
-    write(corpus, centroids, path, "overwrite")
+  def build(corpus: DataFrame, centroids: DataFrame, path: String,
+      centroidCount: Option[Long] = None): Unit =
+    write(corpus, centroids, path, "overwrite", centroidCount)
 
   /** Incrementally add vectors to an EXISTING index — the shape at
     * 100 TB, where corpus lands continuously and rebuilding the world
@@ -39,15 +43,94 @@ object IvfIndex {
     * original build — Hive-partition appends cannot re-home rows whose
     * nearest centroid changed (that is a rebuild; re-clustering is a
     * deliberate, corpus-wide event). IvfIndexSpec proves appended rows
-    * are served through the same pruned scan. */
-  def append(newVectors: DataFrame, centroids: DataFrame, path: String): Unit =
-    write(newVectors, centroids, path, "append")
+    * are served through the same pruned scan.
+    *
+    * Returns the batch's CENTROID-DRIFT fraction: the share of appended
+    * vectors whose nearest-centroid distance exceeds the BUILD-time p95
+    * (recorded in `_ivf_meta.json`; NaN for a pre-metric legacy index).
+    * This is the observable that tells an operator when the frozen
+    * same-centroids contract has decayed: by construction ~5% of the
+    * build corpus sits beyond its own p95, so an append drawn from the
+    * SAME distribution measures ≈0.05, while a shifted corpus lands its
+    * mass in the quantizer's tails and the fraction climbs toward 1
+    * (recall falls with it — appended vectors far from every centroid
+    * bucket arbitrarily). Rebuild policy: re-cluster and [[build]] anew
+    * when the fraction exceeds [[RebuildDriftThreshold]] (5× the
+    * stationary rate) — spec-pinned on a shifted corpus by
+    * IvfIndexSpec. O(batch) extra compute: one narrow pass over the
+    * appended rows; nothing index-sized is touched. */
+  def append(newVectors: DataFrame, centroids: DataFrame, path: String,
+      centroidCount: Option[Long] = None): Double = {
+    write(newVectors, centroids, path, "append", centroidCount)
+    val spark = newVectors.sparkSession
+    readMeta(spark, path) match {
+      case Some(p95) =>
+        val row = withOwnDist2(
+            Similarity.assign(newVectors, centroids, "vec_id", centroidCount)
+              .withColumnRenamed("centroid_id", "cluster_id"), centroids)
+          .agg(avg(when(col("dist2") > p95, 1.0).otherwise(0.0)))
+          .head()
+        val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+        if (d > RebuildDriftThreshold)
+          logWarning(s"ivf-index: append drift fraction $d exceeds " +
+            s"$RebuildDriftThreshold — the frozen centroids no longer fit " +
+            s"the appended distribution; schedule a rebuild")
+        d
+      case None => Double.NaN
+    }
+  }
+
+  /** Appends measuring a drift fraction above this call for a rebuild
+    * (5× the ~0.05 a same-distribution batch measures against the
+    * build-time p95 — see [[append]]). */
+  val RebuildDriftThreshold = 0.25
 
   private def write(vectors: DataFrame, centroids: DataFrame, path: String,
-      mode: String): Unit =
-    Similarity.assign(vectors, centroids, "vec_id")
+      mode: String, centroidCount: Option[Long]): Unit = {
+    val assigned = Similarity.assign(vectors, centroids, "vec_id", centroidCount)
       .withColumnRenamed("centroid_id", "cluster_id")
+    withOwnDist2(assigned, centroids)
       .write.mode(mode).partitionBy("cluster_id").parquet(path)
+    if (mode == "overwrite") writeMeta(vectors.sparkSession, path)
+  }
+
+  /** Own-centroid squared distance per assigned row — the drift
+    * observable, persisted as a `dist2` column (query reads never
+    * select it, so column pruning keeps it free). A shuffle join on
+    * cluster_id, NOT a broadcast: the centroid table is k-sized (~256 MB
+    * at the k=1e6 design point, exactly the broadcast the two-level
+    * assignment exists to avoid). */
+  private def withOwnDist2(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned.join(
+        centroids.select(col("centroid_id").as("cluster_id"), col("c_emb")),
+        "cluster_id")
+      .withColumn("dist2",
+        graft.functions.VectorOps.dist2_f(col("embedding"), col("c_emb")))
+      .drop("c_emb")
+
+  /** Record the build corpus's p95 own-centroid dist2 (approx_percentile
+    * — sketch-mergeable, scale-safe) next to the data files. */
+  private def writeMeta(spark: SparkSession, path: String): Unit = {
+    val row = spark.read.parquet(path)
+      .agg(expr("approx_percentile(dist2, 0.95)")).head()
+    val p95 = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(new Path(path, "_ivf_meta.json"), true)
+    try out.write(s"""{"p95_dist2":$p95}""".getBytes(UTF_8)) finally out.close()
+  }
+
+  private def readMeta(spark: SparkSession, path: String): Option[Double] = {
+    val p = new Path(path, "_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    try {
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some((org.json4s.jackson.JsonMethods.parse(
+        new java.io.InputStreamReader(in, UTF_8)) \ "p95_dist2")
+        .extract[Double])
+    } finally in.close()
+  }
 
   /** IVF top-k over a built index: identical results to
     * [[Similarity.ivfTopKWith]] on the same corpus/centroids/k/nProbe,

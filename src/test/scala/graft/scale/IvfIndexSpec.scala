@@ -120,6 +120,48 @@ class IvfIndexSpec extends AnyFunSuite {
       s"expected pruned scan over old+new files: $scanned of ${countParquet(dir)}")
   }
 
+  test("append emits a centroid-drift fraction: low in-distribution, high shifted") {
+    // build on the real corpus; append (a) more of the SAME distribution
+    // — drift ≈ the stationary ~5% beyond the build-time p95 — and
+    // (b) the same vectors SHIFTED far outside every centroid's reach —
+    // drift ≈ 1. The gap is the rebuild observable: a frozen quantizer
+    // silently degrades as appended mass lands in its tails, and this
+    // fraction is what makes "when is a rebuild due" measurable
+    // (IvfIndex.RebuildDriftThreshold documents the policy).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val half = emb.count() / 2
+    val dir = Files.createTempDirectory("graft-ivf-drift").toString
+    IvfIndex.build(emb.filter(col("vec_id") < half), centroids, dir)
+
+    val inDist = IvfIndex.append(
+      emb.filter(col("vec_id") >= half), centroids, dir)
+    assert(!inDist.isNaN, "built index must carry the p95 meta")
+    assert(inDist < IvfIndex.RebuildDriftThreshold,
+      s"same-distribution append must stay under the rebuild threshold, got $inDist")
+
+    val shifted = emb.filter(col("vec_id") >= half)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(100.0f))
+          .cast("array<float>").as("embedding"))
+    val far = IvfIndex.append(shifted, centroids, dir)
+    assert(far > 0.9,
+      s"a shifted distribution must land nearly all mass past the p95, got $far")
+  }
+
+  test("append on a pre-metric legacy index reports NaN, not a throw") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val dir = Files.createTempDirectory("graft-ivf-legacy").toString
+    // legacy layout: assigned parquet without dist2 and without meta
+    Similarity.assign(emb.filter(col("vec_id") < 50), centroids, "vec_id")
+      .withColumnRenamed("centroid_id", "cluster_id")
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(dir)
+    val d = IvfIndex.append(emb.filter(col("vec_id") >= 50)
+      .limit(20), centroids, dir)
+    assert(d.isNaN)
+  }
+
   private def countParquet(dir: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)

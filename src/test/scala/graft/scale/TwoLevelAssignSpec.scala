@@ -68,7 +68,9 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     // NON-nearest super. Only the triangle-inequality candidate set
     // (d_j − r_j ≤ U), not nearest-super-only assignment, finds it.
     def v(x: Float) = Seq(x, 0f)
-    // 100 centroids -> ⌈√100⌉ = 10 supers (ids 0,10,…,90)
+    // 100 centroids -> ~⌈√100⌉ = 10 supers (hash-bucket min-id
+    // selection; WHICH ids lead supers is irrelevant to the equality —
+    // the candidate bound covers any deterministic super set)
     val cents = ((0 until 60).map(i => (i.toLong, v(i * 0.01f))) ++ // near 0
       (60 until 99).map(i => (i.toLong, v(10f + (i - 60) * 0.01f))) ++ // near 10
       Seq((99L, v(6f)))) // straggler
@@ -86,6 +88,45 @@ class TwoLevelAssignSpec extends AnyFunSuite {
     // nearest SUPER is the x≈0 group — the expansion case, not trivial
     assert(flat.find(_._1 == 0L).get._2 == 99L)
     assert(flat.find(_._1 == 1L).get._2 == 99L)
+  }
+
+  test("no window (global sort) anywhere in the executed two-level plan") {
+    // round-8 selected supers with a single-partition global row_number
+    // — all k embedding-carrying rows through ONE task (~300 MB at
+    // k=1e6). The hash-bucket min-id selection needs no sort at all, so
+    // the executed plan must contain ZERO window operators.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = Similarity.strideCentroids(emb, 23).localCheckpoint()
+    val df = Similarity.assignTwoLevel(emb, cents, "vec_id")
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def windows(p: SparkPlan): Seq[SparkPlan] = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExec => Seq(w)
+      case a: AdaptiveSparkPlanExec => windows(a.executedPlan)
+      case q: QueryStageExec => windows(q.plan)
+      case o => o.children.flatMap(windows)
+    }
+    assert(windows(df.queryExecution.executedPlan).isEmpty,
+      "two-level assignment must contain no window operator")
+  }
+
+  test("large-magnitude embeddings: equality survives (magnitude-scaled slack)") {
+    // the pruning slack must scale with d_j/r_j, not only with U —
+    // with 1e6-magnitude components the cancellation error of d_j − r_j
+    // is ~1e-10 absolute, far above a 1e-12 absolute-only slack
+    // (round-8 ADVICE). Equality with flat is the whole guarantee, so
+    // pin it on the same corpus geometry scaled up and scaled down.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for (scale <- Seq(1e6f, 1e-6f)) {
+      val scaled = emb.select(col("vec_id"),
+        transform(col("embedding"), x => x * lit(scale))
+          .cast("array<float>").as("embedding"))
+      val cents = Similarity.strideCentroids(scaled, 23).localCheckpoint()
+      val flat = collectAssign(Similarity.assignFlat(scaled, cents, "vec_id"))
+      val two = collectAssign(Similarity.assignTwoLevel(scaled, cents, "vec_id"))
+      assert(two == flat, s"scale=$scale: two-level diverged from flat")
+    }
   }
 
   test("assign dispatches: flat below TwoLevelMin, two-level at/above it") {
