@@ -119,6 +119,49 @@ object Bench {
       s""""noise_top5":$noisiest,"queries":$qs}"""
   }
 
+  /** One end-to-end pass of the reference's event-driven form
+    * ([[graft.streaming.Phase2.runContinuous]]): 16 staged pages drain
+    * from a cold start, then 8 more drop MID-STREAM and drain with no
+    * restart. Deterministic content; the in-memory mock API so the
+    * number measures the ENGINE (ingest epochs, store commits, bounded
+    * per-epoch drains, status-cursor appends), not network. */
+  private def benchPhase2Continuous(spark: SparkSession): Unit = {
+    import graft.streaming.{Drain, MockNotionApi, Phase2}
+    val tmp = Files.createTempDirectory("graft-bench-phase2")
+    val staging = tmp.resolve("staging").resolve("Main")
+    Files.createDirectories(staging)
+    Files.write(staging.resolve("parenturl.txt"),
+      "https://notion.test/bench\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    def page(i: Int): String =
+      s"# Page $i\n\npara one of page $i\n\npara two\n\n```scala\nval x = $i\n```\n"
+    for (i <- 0 until 16)
+      Files.write(staging.resolve(f"page$i%02d.md"),
+        page(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val apiName = s"bench-${java.util.UUID.randomUUID()}"
+    MockNotionApi.reset(apiName)
+    val api = new MockNotionApi(apiName)
+    def terminal(): Long =
+      Phase2.readStatuses(spark, s"${tmp.resolve("work")}/statuses").count()
+    def waitFor(n: Long): Unit = {
+      val deadline = System.currentTimeMillis() + 120000
+      while (terminal() < n && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      if (terminal() < n)
+        throw new IllegalStateException(s"phase2 bench: ${terminal()} of $n " +
+          "pages terminal after 120s")
+    }
+    val q = Phase2.runContinuous(spark, tmp.resolve("staging").toString,
+      tmp.resolve("work").toString, api, Drain.Config(maxBlocks = 10),
+      org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
+    try {
+      waitFor(16)
+      for (i <- 16 until 24)
+        Files.write(staging.resolve(f"page$i%02d.md"),
+          page(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      waitFor(24)
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -148,11 +191,44 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
+    // q85 builds its bucketed IVF index lazily on first touch per
+    // dataset (build-once/query-many); that one-off build belongs to no
+    // rep — round-8's noise_top5 put q85's spread at 1.574 vs a 0.446
+    // median, which was exactly the first TARGET-SF rep paying the
+    // build the sf0.001 warmup can't cache. Warm it at the target SF so
+    // the timed reps measure the probe path only.
+    val warmAtTarget = Set("q85_ann_ivf_indexed")
+    SparkEntry.benchQueries.toSeq
+      .filter(q => warmAtTarget(q._1) && selected(q._1))
+      .foreach { case (_, fn) =>
+        try fn(spark, sfDir).count()
+        catch { case _: Throwable => () }
+      }
+
     val samples: Seq[(String, Seq[Either[String, Double]])] =
       SparkEntry.benchQueries.toSeq
         .sortBy(_._1).filter(q => selected(q._1)).map { case (name, fn) =>
           name -> (1 to reps).map(_ => time(() => fn(spark, sfDir).count()))
         }
+
+    // ---- the event-driven pipeline at bench scale (round-8 verdict
+    // item 5: runContinuous had zero bench presence; the bounded
+    // per-epoch drain fix must be measurable round over round). One
+    // wall-clock sample per rep: start the continuous query over a
+    // staged tree, wait for the initial pages to reach terminal
+    // status, drop more files MID-STREAM, wait for those to drain
+    // too, stop. Fresh dirs per rep — the scenario measures
+    // ingest+store+drain epochs, not cache reuse. ----
+    val phase2Samples: Seq[(String, Seq[Either[String, Double]])] =
+      if (!selected("phase2_continuous")) Nil
+      else {
+        // one unmeasured pass first: the streaming machinery's JIT and
+        // checkpoint-codepath warmup cost ~2x a steady pass and belongs
+        // to no rep (same reasoning as the q85 index warm above)
+        try benchPhase2Continuous(spark) catch { case _: Throwable => () }
+        Seq("phase2_continuous" ->
+          (1 to reps).map(_ => time(() => benchPhase2Continuous(spark))))
+      }
 
     // ---- mediawiki source at bench scale (skipped under ONLY subsets
     // unless requested; sized via SPARK_GRAFT_DUMP_MB, 0 disables) ----
@@ -201,7 +277,7 @@ object Bench {
         }
       }
 
-    val line = formatJson(reps, sfDir, samples ++ dumpSamples,
+    val line = formatJson(reps, sfDir, samples ++ phase2Samples ++ dumpSamples,
       dumpStats.toSeq)
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target", "bench.json"),
@@ -209,7 +285,7 @@ object Bench {
     println(line)
     // compact line LAST so a ~2 KB stdout tail capture parses (the full
     // record above is ~6 KB and truncates at the front in such a window)
-    println(formatCompactJson(samples ++ dumpSamples))
+    println(formatCompactJson(samples ++ phase2Samples ++ dumpSamples))
     spark.stop()
   }
 }

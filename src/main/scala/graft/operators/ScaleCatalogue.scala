@@ -1607,7 +1607,13 @@ object ScaleCatalogue {
   // q50 — bigram DOCUMENT frequency (co-occurrence statistics): counts
   // documents containing each bigram, not total occurrences —
   // Dedup.shingles array_distincts per doc, and the oracle's
-  // DISTINCT (doc_id, bigram) mirrors that exactly
+  // DISTINCT (doc_id, bigram) mirrors that exactly.
+  // Bench-noise attribution (round-8 verdict item 7, measured round 9
+  // at sf0.1 reps=7): median 0.565 s with an ABSOLUTE rep spread of
+  // 0.616 s in one session — the r7→r8 drift (0.46→0.615) sits well
+  // inside single-session rep noise; no code on this path changed in
+  // either round. The shuffle (explode → groupBy on ~1e5 distinct
+  // bigrams) is the noise source, same class as q31/q32's spreads.
   // ---------------------------------------------------------------------
   def q50Bigrams(s: SparkSession, d: String): DataFrame =
     documents(s, d)

@@ -159,6 +159,15 @@ object Phase2 {
     * stranded set, resolved through the store's keyed point-read, minus
     * already-terminal pages. Package-private so BoundedDrainSpec can
     * pin its scan metrics. */
+  /** Above this many batch ids an epoch's keyed point-read loses to one
+    * full `store − statuses` pass: readForKeys pays one index-shard
+    * read per key and the isin predicate grows with the id list, so a
+    * BURST epoch (e.g. the first trigger over a large pre-staged
+    * backlog, with no maxFilesPerTrigger cap) dispatches to the
+    * catch-up path instead. Steady-state epochs (a handful of drops)
+    * stay on the bounded path. */
+  val PointReadMaxKeys = 4096
+
   private[streaming] def drainBatches(spark: SparkSession, stagingDir: String,
       blocksDir: String, statusDir: String, ids: Seq[String], api: NotionApi,
       cfg: Drain.Config): Unit = {
@@ -166,6 +175,11 @@ object Phase2 {
       StatusStore.readStranded(spark, statusDir)
     val all = (ids ++ strandedIds).distinct
     if (all.isEmpty) return
+    if (all.size > PointReadMaxKeys) {
+      drainPending(spark, stagingDir, blocksDir, statusDir, api, cfg)
+      StatusStore.clearStranded(spark, statusDir, strandedFiles)
+      return
+    }
     val pending = pendingFor(spark, blocksDir, statusDir, all)
     if (!pending.isEmpty) {
       val parents = readParentUrls(spark, stagingDir)

@@ -90,7 +90,23 @@ object StatusStore extends Logging {
       GraftBlocksLog.appendEntry(fs, rootPath, entry)
       if (GraftBlocksLog.readState(fs, rootPath).files.size >= CompactAt)
         compact(spark, root)
+      else maybeCheckpoint(fs, rootPath)
     }
+  }
+
+  /** Roll a log checkpoint when the post-checkpoint tail reaches the
+    * block store's interval: without this, a months-long runContinuous
+    * appends one entry per draining epoch and every epoch's readState
+    * re-lists and re-parses the WHOLE entry history — O(epochs)
+    * control-plane work per epoch, the log-level twin of the data-file
+    * growth [[CompactAt]] bounds. With it, per-epoch log reads are
+    * O(checkpoint + interval). Caller holds the lock. */
+  private def maybeCheckpoint(fs: FileSystem, rootPath: Path): Unit = {
+    val st = GraftBlocksLog.readState(fs, rootPath)
+    if (st.tail.size >= GraftBlocksLog.checkpointInterval &&
+        GraftBlocksLog.checkpointInterval > 0)
+      GraftBlocksLog.writeCheckpoint(fs, rootPath, st.version, st.files,
+        st.txns)
   }
 
   /** Fold the live rows to the newest row per blockBatch (ties prefer
@@ -105,6 +121,7 @@ object StatusStore extends Logging {
       val old = GraftBlocksLog.readState(fs, rootPath).files
       if (old.size < 2) return 0
       rewrite(spark, fs, rootPath, latestPerBatch(read(spark, root)), old)
+      maybeCheckpoint(fs, rootPath)
       old.size
     }
   }

@@ -107,6 +107,35 @@ class BoundedDrainSpec extends AnyFunSuite {
     assert(all == (0 until 40).map(i => s"e$i").toSet)
   }
 
+  test("status log rolls checkpoints: per-epoch log reads stay O(interval), not O(epochs)") {
+    // data files are bounded by CompactAt, but the LOG grows one entry
+    // per epoch — without checkpoints every readState re-parses the
+    // whole entry history. Shrink the interval and prove the tail
+    // resets.
+    val prev = sys.props.get("graft.blocks.checkpointInterval")
+    sys.props("graft.blocks.checkpointInterval") = "10"
+    try {
+      val tmp = Files.createTempDirectory("graft-statusckpt").toString
+      val statusDir = s"$tmp/statuses"
+      for (i <- 0 until 25)
+        StatusStore.append(spark, statusDir, statusesFor(Seq(s"c$i")))
+      val fs = new Path(statusDir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val st = GraftBlocksLog.readState(fs, fs.makeQualified(new Path(statusDir)))
+      assert(st.checkpointVersion >= 0,
+        "25 appends at interval 10 must have rolled a checkpoint")
+      assert(st.tail.size <= 12, // interval + the entries since the roll
+        s"post-checkpoint tail must stay bounded, got ${st.tail.size}")
+      // checkpointed state still reads complete
+      assert(StatusStore.read(spark, statusDir).count() == 25)
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.blocks.checkpointInterval") = v
+        case None => sys.props.remove("graft.blocks.checkpointInterval")
+      }
+    }
+  }
+
   test("append is crash-atomic: staged-but-uncommitted files never surface") {
     val tmp = Files.createTempDirectory("graft-statusatomic").toString
     val statusDir = s"$tmp/statuses"

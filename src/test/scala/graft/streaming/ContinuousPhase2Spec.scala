@@ -89,6 +89,48 @@ class ContinuousPhase2Spec extends AnyFunSuite {
       .filter($"status" === PageStatus.Success).count() == 3)
   }
 
+  test("redrive during a RUNNING query: outage-dead-lettered page re-drains next epoch") {
+    // the reference's SQS redelivers once an API outage clears (ST2);
+    // our Fail status is sticky-terminal by design, so redriveFailed is
+    // the operator path back — and it must work WITHOUT a restart: the
+    // redriven ids join the stranded set and the next epoch's bounded
+    // drain picks them up
+    val tmp = Files.createTempDirectory("graft-redrive-live")
+    val staging = tmp.resolve("staging")
+    val work = tmp.resolve("work").toString
+    writeMd(staging, "down.md", "page staged during the outage\n")
+
+    MockNotionApi.reset("redrive-live")
+    val api = new MockNotionApi("redrive-live")
+    // total outage: every upload fails non-retryably until cleared
+    MockNotionApi.state("redrive-live").failStatus.set(500)
+    MockNotionApi.state("redrive-live").failWhen.set(_ => true)
+
+    val q = Phase2.runContinuous(spark, staging.toString, work, api,
+      Drain.Config(maxBlocks = 2, maxAttempts = 1, httpRetries = 0),
+      Trigger.ProcessingTime("500 milliseconds"))
+    try {
+      // outage dead-letters the page; Fail is sticky across epochs
+      eventually()(Phase2.readStatuses(spark, s"$work/statuses")
+        .filter($"status" === PageStatus.Fail).count() == 1)
+
+      // outage clears; redrive while the query keeps running
+      MockNotionApi.state("redrive-live").failWhen.set(null)
+      val redriven = Phase2.redriveFailed(spark, work)
+      assert(redriven.size == 1)
+      // a new drop triggers the next epoch; the stranded page must
+      // drain alongside it with no restart
+      writeMd(staging, "after.md", "page dropped after the outage\n")
+      eventually()(Phase2.readStatuses(spark, s"$work/statuses")
+        .filter($"status" === PageStatus.Success).count() == 2)
+    } finally q.stop()
+    val keys = MockNotionApi.uploadsOf("redrive-live").map(_._2.key)
+    assert(keys.exists(_.endsWith("down.md")) &&
+      keys.exists(_.endsWith("after.md")))
+    assert(Phase2.readStatuses(spark, s"$work/statuses")
+      .filter($"status" === PageStatus.Fail).isEmpty)
+  }
+
   test("catch-up drain clears pages stored but never drained by a crashed session") {
     val tmp = Files.createTempDirectory("graft-catchup")
     val staging = tmp.resolve("staging")
