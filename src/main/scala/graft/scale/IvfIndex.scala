@@ -30,8 +30,13 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * bucketed layout. One full corpus pass; queries then never scan
     * unprobed buckets. */
   def build(corpus: DataFrame, centroids: DataFrame, path: String,
-      centroidCount: Option[Long] = None): Unit =
-    write(corpus, centroids, path, "overwrite", centroidCount)
+      centroidCount: Option[Long] = None): Unit = {
+    val assigned = Similarity.assign(corpus, centroids, "vec_id", centroidCount)
+      .withColumnRenamed("centroid_id", "cluster_id")
+    withOwnDist2(assigned, centroids)
+      .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    writeMeta(corpus.sparkSession, path)
+  }
 
   /** Incrementally add vectors to an EXISTING index — the shape at
     * 100 TB, where corpus lands continuously and rebuilding the world
@@ -61,38 +66,37 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * appended rows; nothing index-sized is touched. */
   def append(newVectors: DataFrame, centroids: DataFrame, path: String,
       centroidCount: Option[Long] = None): Double = {
-    write(newVectors, centroids, path, "append", centroidCount)
-    val spark = newVectors.sparkSession
-    readMeta(spark, path) match {
-      case Some(p95) =>
-        val row = withOwnDist2(
-            Similarity.assign(newVectors, centroids, "vec_id", centroidCount)
-              .withColumnRenamed("centroid_id", "cluster_id"), centroids)
-          .agg(avg(when(col("dist2") > p95, 1.0).otherwise(0.0)))
-          .head()
-        val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
-        if (d > RebuildDriftThreshold)
-          logWarning(s"ivf-index: append drift fraction $d exceeds " +
-            s"$RebuildDriftThreshold — the frozen centroids no longer fit " +
-            s"the appended distribution; schedule a rebuild")
-        d
-      case None => Double.NaN
-    }
+    // one assignment for BOTH the write and the drift aggregate: the
+    // O(batch·√k·dim) assignment dominates an append, so recomputing it
+    // for the metric would double every append's cost. persist + a
+    // deterministic unpersist in finally (the CacheHygiene rule: no
+    // function-scoped persist may outlive its function).
+    val assigned = withOwnDist2(
+      Similarity.assign(newVectors, centroids, "vec_id", centroidCount)
+        .withColumnRenamed("centroid_id", "cluster_id"), centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assigned.write.mode("append").partitionBy("cluster_id").parquet(path)
+      readMeta(newVectors.sparkSession, path) match {
+        case Some(p95) =>
+          val row = assigned
+            .agg(avg(when(col("dist2") > p95, 1.0).otherwise(0.0)))
+            .head()
+          val d = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+          if (d > RebuildDriftThreshold)
+            logWarning(s"ivf-index: append drift fraction $d exceeds " +
+              s"$RebuildDriftThreshold — the frozen centroids no longer " +
+              s"fit the appended distribution; schedule a rebuild")
+          d
+        case None => Double.NaN
+      }
+    } finally assigned.unpersist()
   }
 
   /** Appends measuring a drift fraction above this call for a rebuild
     * (5× the ~0.05 a same-distribution batch measures against the
     * build-time p95 — see [[append]]). */
   val RebuildDriftThreshold = 0.25
-
-  private def write(vectors: DataFrame, centroids: DataFrame, path: String,
-      mode: String, centroidCount: Option[Long]): Unit = {
-    val assigned = Similarity.assign(vectors, centroids, "vec_id", centroidCount)
-      .withColumnRenamed("centroid_id", "cluster_id")
-    withOwnDist2(assigned, centroids)
-      .write.mode(mode).partitionBy("cluster_id").parquet(path)
-    if (mode == "overwrite") writeMeta(vectors.sparkSession, path)
-  }
 
   /** Own-centroid squared distance per assigned row — the drift
     * observable, persisted as a `dist2` column (query reads never
@@ -109,27 +113,46 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .drop("c_emb")
 
   /** Record the build corpus's p95 own-centroid dist2 (approx_percentile
-    * — sketch-mergeable, scale-safe) next to the data files. */
+    * — sketch-mergeable, scale-safe) next to the data files. Temp+rename
+    * so a crash mid-write can never leave a torn file (the same recipe
+    * every other commit point in the repo uses). */
   private def writeMeta(spark: SparkSession, path: String): Unit = {
     val row = spark.read.parquet(path)
       .agg(expr("approx_percentile(dist2, 0.95)")).head()
     val p95 = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(new Path(path, "_ivf_meta.json"), true)
+    val tmp = new Path(path, s"._ivf_meta.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
     try out.write(s"""{"p95_dist2":$p95}""".getBytes(UTF_8)) finally out.close()
+    val target = new Path(path, "_ivf_meta.json")
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"ivf-index: failed to publish $target")
+    }
   }
 
+  /** The build-time p95, or None when the index predates the metric OR
+    * the meta file is unreadable — a corrupt meta must degrade appends
+    * to the NaN legacy behavior, not hard-fail them forever. */
   private def readMeta(spark: SparkSession, path: String): Option[Double] = {
     val p = new Path(path, "_ivf_meta.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return None
-    val in = fs.open(p)
     try {
-      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
-      Some((org.json4s.jackson.JsonMethods.parse(
-        new java.io.InputStreamReader(in, UTF_8)) \ "p95_dist2")
-        .extract[Double])
-    } finally in.close()
+      val in = fs.open(p)
+      try {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        Some((org.json4s.jackson.JsonMethods.parse(
+          new java.io.InputStreamReader(in, UTF_8)) \ "p95_dist2")
+          .extract[Double])
+      } finally in.close()
+    } catch {
+      case e: Exception =>
+        logWarning(s"ivf-index: unreadable _ivf_meta.json at $path — " +
+          s"drift metric degrades to NaN until the next build", e)
+        None
+    }
   }
 
   /** IVF top-k over a built index: identical results to

@@ -133,15 +133,22 @@ object Phase2 {
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           _: Long) =>
-        // 1. idempotent store commit (batch-path DSv2 write; duplicate
-        //    keys from replays drop at the first-writer-wins probe)
-        batch.write.format("graft-blocks").option("path", blocksDir)
-          .mode("append").save()
-        // 2. bounded drain: this epoch's pages + any stranded redrives
-        //    (the batch id set is epoch-sized — control-plane rows)
-        val ids = batch.select("blockBatch").distinct()
-          .collect().map(_.getString(0)).toSeq
-        drainBatches(spark, stagingDir, blocksDir, statusDir, ids, api, cfg)
+        // persist: the epoch's exploded blocks feed TWO actions (store
+        // write + id collect) — without it each would re-read and
+        // re-parse every staged .md in the epoch
+        val cached = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          // 1. idempotent store commit (batch-path DSv2 write; duplicate
+          //    keys from replays drop at the first-writer-wins probe)
+          cached.write.format("graft-blocks").option("path", blocksDir)
+            .mode("append").save()
+          // 2. bounded drain: this epoch's pages + any stranded redrives
+          //    (the batch id set is epoch-sized — control-plane rows)
+          val ids = cached.select("blockBatch").distinct()
+            .collect().map(_.getString(0)).toSeq
+          drainBatches(spark, stagingDir, blocksDir, statusDir, ids, api, cfg)
+        } finally cached.unpersist()
         ()
       }
       .start()
@@ -155,10 +162,6 @@ object Phase2 {
       batches: Seq[String] = Nil): Seq[String] =
     StatusStore.redrive(spark, s"$workDir/statuses", batches)
 
-  /** The per-epoch bounded drain: `ids` (this epoch's batches) plus the
-    * stranded set, resolved through the store's keyed point-read, minus
-    * already-terminal pages. Package-private so BoundedDrainSpec can
-    * pin its scan metrics. */
   /** Above this many batch ids an epoch's keyed point-read loses to one
     * full `store − statuses` pass: readForKeys pays one index-shard
     * read per key and the isin predicate grows with the id list, so a
@@ -168,6 +171,10 @@ object Phase2 {
     * stay on the bounded path. */
   val PointReadMaxKeys = 4096
 
+  /** The per-epoch bounded drain: `ids` (this epoch's batches) plus the
+    * stranded set, resolved through the store's keyed point-read, minus
+    * already-terminal pages. Package-private so BoundedDrainSpec can
+    * pin its scan metrics. */
   private[streaming] def drainBatches(spark: SparkSession, stagingDir: String,
       blocksDir: String, statusDir: String, ids: Seq[String], api: NotionApi,
       cfg: Drain.Config): Unit = {

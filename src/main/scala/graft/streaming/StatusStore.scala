@@ -79,14 +79,15 @@ object StatusStore extends Logging {
 
   /** Append one status delta atomically, then compact if the visible
     * file count reached [[CompactAt]]. A legacy plain-parquet dir is
-    * adopted on first log append (its files move under `data/` and
-    * join the first entry) so an upgraded pipeline keeps its history. */
+    * adopted on the first log operation (see [[adoptLegacy]] for the
+    * crash-window argument) so an upgraded pipeline keeps its
+    * history. */
   def append(spark: SparkSession, root: String, statuses: DataFrame): Unit = {
     val (fs, rootPath) = fsFor(spark, root)
     GraftBlocksLog.lockFor(rootPath.toString).synchronized {
-      val adopted = adoptLegacy(fs, rootPath)
+      adoptLegacy(spark, fs, rootPath)
       val staged = stageParquet(spark, rootPath, statuses)
-      val entry = GraftLogEntry(None, adopted ++ staged, Nil, -1L)
+      val entry = GraftLogEntry(None, staged, Nil, -1L)
       GraftBlocksLog.appendEntry(fs, rootPath, entry)
       if (GraftBlocksLog.readState(fs, rootPath).files.size >= CompactAt)
         compact(spark, root)
@@ -137,7 +138,7 @@ object StatusStore extends Logging {
     import spark.implicits._
     val (fs, rootPath) = fsFor(spark, root)
     GraftBlocksLog.lockFor(rootPath.toString).synchronized {
-      adoptLegacyIntoEntry(spark, fs, rootPath)
+      adoptLegacy(spark, fs, rootPath)
       val live = latestPerBatch(read(spark, root))
       val isTarget =
         if (batches.isEmpty) col("status") === graft.model.PageStatus.Fail
@@ -263,42 +264,53 @@ object StatusStore extends Logging {
   }
 
   /** Publish `df` as the new live set: stage its files, then ONE entry
-    * adds them and removes every `old` file. Caller holds the lock. */
+    * adds them and removes every `old` file. Caller holds the lock.
+    * The snapshot partition count is capped STRICTLY below [[CompactAt]]
+    * — a snapshot of >= CompactAt files would make every subsequent
+    * append see an over-threshold store and re-compact full history on
+    * every epoch, the exact O(history) loop compaction exists to
+    * prevent (under the 200-partition default, numShufflePartitions/8
+    * alone would be 25 files and self-defeat). */
   private def rewrite(spark: SparkSession, fs: FileSystem, rootPath: Path,
       df: DataFrame, old: Seq[String]): Unit = {
-    val snap = df.repartitionByRange(
-        math.max(1, spark.sessionState.conf.numShufflePartitions / 8),
-        col("blockBatch"))
+    val parts = math.min(CompactAt / 2,
+      math.max(1, spark.sessionState.conf.numShufflePartitions / 8))
+    val snap = df.repartitionByRange(parts, col("blockBatch"))
     val names = stageParquet(spark, rootPath, snap)
     GraftBlocksLog.appendEntry(fs, rootPath,
       GraftLogEntry(None, names, Nil, -1L, removed = old))
   }
 
-  /** Move a legacy dir's top-level parquet files under `data/` so they
-    * join the first log entry. Returns their new names. */
-  private def adoptLegacy(fs: FileSystem, rootPath: Path): Seq[String] = {
-    if (GraftBlocksLog.exists(fs, rootPath) || !fs.exists(rootPath)) return Nil
+  /** Crash-safe adoption of a legacy (pre-log) dir: COPY the top-level
+    * parquet files under `data/`, publish them in their OWN entry, then
+    * best-effort delete the originals. Copy-then-log, never rename —
+    * a crash mid-copy leaves the log absent so readers still use the
+    * complete legacy root scan (half-copied data files are unlogged and
+    * invisible; the retry re-copies under fresh names and the strays
+    * are [[vacuum]] food), and a crash after the entry but before the
+    * deletes leaves junk root files that are never re-adopted (adoption
+    * only runs while no log exists). At no window can a committed
+    * status row disappear from `read`. Caller holds the lock. */
+  private def adoptLegacy(spark: SparkSession, fs: FileSystem,
+      rootPath: Path): Unit = {
+    if (GraftBlocksLog.exists(fs, rootPath) || !fs.exists(rootPath)) return
     val legacy = fs.listStatus(rootPath).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (legacy.isEmpty) return Nil
+    if (legacy.isEmpty) return
     val dataD = GraftBlocksLog.dataDir(rootPath)
     fs.mkdirs(dataD)
-    legacy.zipWithIndex.map { case (s, i) =>
-      val name = s"legacy-$i-${s.getPath.getName}"
-      if (!fs.rename(s.getPath, new Path(dataD, name)))
+    val conf = spark.sessionState.newHadoopConf()
+    val tag = java.util.UUID.randomUUID().toString
+    val names = legacy.zipWithIndex.map { case (s, i) =>
+      val name = s"legacy-$tag-$i.parquet"
+      if (!org.apache.hadoop.fs.FileUtil.copy(fs, s.getPath, fs,
+          new Path(dataD, name), false, conf))
         throw new java.io.IOException(
           s"status-store: failed to adopt legacy file ${s.getPath}")
       name
     }
-  }
-
-  /** Redrive on a never-appended legacy dir still needs the adoption
-    * entry first so `read` sees log-driven state. */
-  private def adoptLegacyIntoEntry(spark: SparkSession, fs: FileSystem,
-      rootPath: Path): Unit = {
-    val adopted = adoptLegacy(fs, rootPath)
-    if (adopted.nonEmpty)
-      GraftBlocksLog.appendEntry(fs, rootPath,
-        GraftLogEntry(None, adopted, Nil, -1L))
+    GraftBlocksLog.appendEntry(fs, rootPath,
+      GraftLogEntry(None, names, Nil, -1L))
+    legacy.foreach(s => fs.delete(s.getPath, false))
   }
 }

@@ -36,8 +36,14 @@ class BoundedDrainSpec extends AnyFunSuite {
     }
 
   private def statusesFor(ids: Seq[String]): DataFrame =
+    statusesFor(ids, spark)
+
+  private def statusesFor(ids: Seq[String],
+      s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
     ids.map(b => (b, PageStatus.Success, 1L))
       .toDF("blockBatch", "status", "statusTime")
+  }
 
   /** File-scan metrics over the block store in df's EXECUTED plan. */
   private def storeScanFiles(df: DataFrame, dirFragment: String): Long = {
@@ -105,6 +111,29 @@ class BoundedDrainSpec extends AnyFunSuite {
     val all = StatusStore.read(spark, statusDir)
       .select("blockBatch").as[String].collect().toSet
     assert(all == (0 until 40).map(i => s"e$i").toSet)
+  }
+
+  test("compaction converges under the 200-shuffle-partition default (no re-compact loop)") {
+    // the snapshot partition count must stay STRICTLY below CompactAt:
+    // with numShufflePartitions/8 alone, the 200-partition default
+    // yields 25 snapshot files >= CompactAt and every subsequent append
+    // re-compacts the full history — the O(history) loop this store
+    // exists to prevent. An isolated session pins the default config.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", 200)
+    val tmp = Files.createTempDirectory("graft-statusparts").toString
+    val statusDir = s"$tmp/statuses"
+    for (i <- 0 until 24)
+      StatusStore.append(s2, statusDir, statusesFor(Seq(s"p$i"), s2))
+    val fs = new Path(statusDir).getFileSystem(spark.sessionState.newHadoopConf())
+    val st = GraftBlocksLog.readState(fs, fs.makeQualified(new Path(statusDir)))
+    assert(st.files.size < StatusStore.CompactAt,
+      s"post-compaction visible files must sit under CompactAt even at " +
+        s"200 shuffle partitions, got ${st.files.size}")
+    // compaction actually ran (an entry with removals exists)
+    assert(GraftBlocksLog.readEntries(fs,
+      fs.makeQualified(new Path(statusDir))).exists(_.removed.nonEmpty))
+    assert(StatusStore.read(s2, statusDir).count() == 24)
   }
 
   test("status log rolls checkpoints: per-epoch log reads stay O(interval), not O(epochs)") {
