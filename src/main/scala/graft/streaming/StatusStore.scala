@@ -123,6 +123,12 @@ object StatusStore extends Logging {
       if (old.size < 2) return 0
       rewrite(spark, fs, rootPath, latestPerBatch(read(spark, root)), old)
       maybeCheckpoint(fs, rootPath)
+      // opportunistic vacuum: compaction inputs accumulate ~1 dead file
+      // per draining epoch; reclaiming those older than the retention
+      // here bounds on-disk growth for a months-long run without an
+      // operator cron (readers planned inside the window still finish —
+      // same contract as the block store's vacuum)
+      vacuum(spark, root)
       old.size
     }
   }

@@ -223,6 +223,39 @@ class BoundedDrainSpec extends AnyFunSuite {
     assert(StatusStore.readStranded(spark, statusDir)._1.isEmpty)
   }
 
+  test("concurrent appends and a mid-flight redrive serialize without losing a status") {
+    // the single-writer contract is per-JVM lock-based (one streaming
+    // driver + an operator's redrive in the same process); hammer it:
+    // 4 appender threads x 10 epochs each, with a redrive racing in the
+    // middle. Every appended id must be present and exactly one
+    // terminal row per id must survive compactions.
+    val tmp = Files.createTempDirectory("graft-statusrace").toString
+    val statusDir = s"$tmp/statuses"
+    StatusStore.append(spark, statusDir,
+      Seq(("doomed", PageStatus.Fail, 1L))
+        .toDF("blockBatch", "status", "statusTime"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val threads = (0 until 4).map { t =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 10)
+            StatusStore.append(spark, statusDir, statusesFor(Seq(s"t$t-e$i")))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    } :+ new Thread(() => {
+      try { StatusStore.redrive(spark, statusDir) }
+      catch { case e: Throwable => errs.add(e) }
+    })
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errs.isEmpty, s"concurrent status ops threw: ${errs.peek()}")
+    val rows = StatusStore.read(spark, statusDir)
+      .groupBy("blockBatch").count().as[(String, Long)].collect().toMap
+    val expected = (for (t <- 0 until 4; i <- 0 until 10) yield s"t$t-e$i").toSet
+    assert(rows.keySet == expected, "every appended id survives; Fail redriven away")
+    // stranded set carries the redriven id for the next epoch
+    assert(StatusStore.readStranded(spark, statusDir)._1 == Seq("doomed"))
+  }
+
   test("legacy plain-parquet status dir is adopted on first log append") {
     val tmp = Files.createTempDirectory("graft-statuslegacy").toString
     val statusDir = s"$tmp/statuses"
