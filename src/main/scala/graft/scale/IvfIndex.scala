@@ -98,6 +98,45 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * build-time p95 — see [[append]]). */
   val RebuildDriftThreshold = 0.25
 
+  /** Re-cluster the index in place — the deliberate, corpus-wide event
+    * the [[append]] drift metric calls for: every stored vector is
+    * re-assigned under `newCentroids` (typically re-trained on the
+    * CURRENT corpus, e.g. `KMeans.fit` over `corpus(spark, path)`) and
+    * the bucketed layout, `dist2` column, and `_ivf_meta.json` p95 are
+    * rebuilt from scratch, resetting the drift baseline.
+    *
+    * One full index pass — O(index), by design; this is the operation
+    * whose amortization [[append]]'s O(batch) exists to enable. The
+    * swap is publish-then-retire: the new layout builds beside the old
+    * (`<path>.__rebuild`), the old moves aside, the new renames in,
+    * and only then is the old deleted — no crash window loses the only
+    * bucketed copy (a crash mid-swap leaves the old layout recoverable
+    * under `<path>.__retired-*`; re-running rebuild heals). Readers are
+    * NOT isolated across the swap (single-operator maintenance op, as
+    * documented on [[append]]'s same-centroids contract). */
+  def rebuild(spark: SparkSession, path: String, newCentroids: DataFrame,
+      centroidCount: Option[Long] = None): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(new Path(path))
+    val tmp = new Path(target.getParent, target.getName + ".__rebuild")
+    fs.delete(tmp, true) // residue from a crashed earlier attempt
+    build(corpus(spark, path), newCentroids, tmp.toString, centroidCount)
+    val retired = new Path(target.getParent,
+      target.getName + s".__retired-${java.util.UUID.randomUUID()}")
+    if (!fs.rename(target, retired))
+      throw new java.io.IOException(s"ivf-index: failed to retire $target")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(retired, target) // roll back; the old index stays live
+      throw new java.io.IOException(s"ivf-index: failed to publish $tmp")
+    }
+    fs.delete(retired, true)
+  }
+
+  /** The stored corpus in the (vec_id, embedding) shape [[build]]
+    * consumes — what a re-train ([[KMeans.fit]]) and [[rebuild]] read. */
+  def corpus(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).select(col("vec_id"), col("embedding"))
+
   /** Own-centroid squared distance per assigned row — the drift
     * observable, persisted as a `dist2` column (query reads never
     * select it, so column pruning keeps it free). A shuffle join on

@@ -149,6 +149,51 @@ class IvfIndexSpec extends AnyFunSuite {
       s"a shifted distribution must land nearly all mass past the p95, got $far")
   }
 
+  test("rebuild re-homes drifted mass, resets the drift baseline, stays result-exact") {
+    // lifecycle: build → shifted appends drift ≈ 1 → rebuild with
+    // centroids covering the CURRENT corpus → further appends from the
+    // shifted region are back in-distribution. The drift metric says
+    // WHEN; this is the HOW it calls for.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    def shifted(offset: Long) = emb
+      .select((col("vec_id") + lit(offset)).as("vec_id"),
+        transform(col("embedding"), x => x + lit(100.0f))
+          .cast("array<float>").as("embedding"))
+    val dir = Files.createTempDirectory("graft-ivf-rebuild")
+      .resolve("idx").toString
+    val oldCents = Similarity.strideCentroids(emb, stride = 50)
+    IvfIndex.build(emb, oldCents, dir)
+    val driftBefore = IvfIndex.append(shifted(1000000L), oldCents, dir)
+    assert(driftBefore > IvfIndex.RebuildDriftThreshold,
+      s"shifted append must trip the rebuild policy, got $driftBefore")
+
+    // re-cluster over the index's CURRENT corpus and rebuild in place
+    val newCents = Similarity.strideCentroids(
+      IvfIndex.corpus(spark, dir), stride = 50).localCheckpoint()
+    IvfIndex.rebuild(spark, dir, newCents)
+    val driftAfter = IvfIndex.append(shifted(2000000L), newCents, dir)
+    assert(driftAfter < IvfIndex.RebuildDriftThreshold,
+      s"post-rebuild shifted-region appends must be in-distribution, " +
+        s"got $driftAfter")
+    assert(!new java.io.File(new java.io.File(dir).getParentFile.getPath)
+      .listFiles().exists(_.getName.contains("__")),
+      "no rebuild/retired residue may remain after a clean swap")
+
+    // the rebuilt + appended index answers exactly like the in-memory
+    // path over the same full corpus and new quantizer
+    val full = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(shifted(1000000L)).unionByName(shifted(2000000L))
+    val queries = emb.filter(col("vec_id") === 1)
+    val a = IvfIndex.topK(spark, dir, queries, newCents, k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val b = Similarity.ivfTopKWith(queries, full, newCents, k = 5, nProbe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(a == b, "rebuilt index must equal the in-memory path")
+  }
+
   test("append on a pre-metric legacy index reports NaN, not a throw") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = Similarity.strideCentroids(emb, stride = 50)
