@@ -34,4 +34,47 @@ object StreamingDedup {
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("content_hash", "content_len")
       .drop("content_len")
+
+  /** Streaming NEAR-dup admission: first-seen wins over the document's
+    * full n-gram MinHash SIGNATURE (the [[graft.scale.Dedup
+    * .minhashSignature]] sketch, computed per-row with the native
+    * expression — no shuffle beyond the dedup's own) within the
+    * watermark horizon.
+    *
+    * Operating curve, stated not hidden: two documents collide on the
+    * FULL signature with probability J^numHashes (J = shingle
+    * Jaccard), so this is a HIGH-PRECISION near-dup gate — at the
+    * default 8 hashes, J=0.95 twins are dropped ~66% of the time,
+    * J=0.7 cousins ~6%, unrelated documents never (beyond the 128-bit
+    * key hash). Lower `numHashes` for more recall at the cost of
+    * conflating more distant pairs. The RECALL-oriented banded-LSH
+    * form stays a batch operator ([[graft.scale.Dedup
+    * .minhashLshPairs]]): per-band admission needs a second stateful
+    * aggregation over band verdicts, and candidate pairs need exact
+    * verification against the at-rest corpus — run it as the
+    * compaction pass over what this gate admits (the same
+    * stream-gate + batch-compact split the class doc describes).
+    *
+    * State honesty (same pattern as [[firstSeen]]): the key is the
+    * md5 of the signature bytes plus the signature length — 128-bit,
+    * constant-size per key, never the document, never a
+    * birthday-bound 64-bit value. Documents with fewer than `n`
+    * tokens have no shingle signature and fall back to the exact
+    * content key, so shorts dedup exactly instead of being dropped
+    * or conflated. */
+  def nearDupFirstSeen(docs: DataFrame, tsCol: String, horizon: String,
+      n: Int = 5, numHashes: Int = 8): DataFrame = {
+    val w = split(col("text"), " ")
+    val sig = graft.functions.HashSketches
+      .minhash_sig(graft.scale.Dedup.shingles(w, n), numHashes)
+    val key = when(size(w) >= n, md5(to_binary(sig.cast("string"), lit("utf-8"))))
+      .otherwise(md5(to_binary(col("text"), lit("utf-8"))))
+    docs
+      .withColumn("near_key", key)
+      .withColumn("near_len",
+        when(size(w) >= n, lit(numHashes)).otherwise(-length(col("text"))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicatesWithinWatermark("near_key", "near_len")
+      .drop("near_len")
+  }
 }

