@@ -163,7 +163,7 @@ object WindowCatalogue {
       val b = cached.stat.approxQuantile("n_chars",
         (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
         .distinct.sorted
-      val boundsArr = array(b.map(lit(_)): _*)
+      val boundsArr = array(b.toIndexedSeq.map(lit(_)): _*)
       // per-bucket counts → exclusive prefix offsets (≤ `buckets` rows)
       val c = cached.withColumn("bucket",
           size(filter(boundsArr, x => x < col("n_chars"))))
@@ -172,7 +172,7 @@ object WindowCatalogue {
       (b, c)
     } finally cached.unpersist()
     val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
-    val boundsArr = array(bounds.map(lit(_)): _*)
+    val boundsArr = array(bounds.toIndexedSeq.map(lit(_)): _*)
     val bucketed = docs.withColumn("bucket",
       size(filter(boundsArr, b => b < col("n_chars"))))
     val n = counts.map(_._2).sum

@@ -208,7 +208,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
     val assigned = spark.read.parquet(path)
-      .filter(col("cluster_id").isin(probed: _*))
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .withColumn("c_norm", Similarity.norm(col("embedding")))
     Similarity.scoreProbed(probes, assigned, k)
   }
