@@ -1515,6 +1515,155 @@ object ScaleCatalogue {
       |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q90 — IVF+PQ composed ANN (the FAISS IVFPQ shape): q35's coarse
+  // quantizer prunes WHICH vectors are candidates (probed clusters
+  // only), q83's product quantizer compresses HOW each candidate is
+  // scored (8 one-byte codes via a broadcast ADC table). The corpus-side
+  // state is a cluster id + 8 code bytes per vector; at 100 TB the codes
+  // are bucketed by cluster_id like IvfIndex so the probe set becomes a
+  // partition filter over an already-8-byte-per-vector table — the two
+  // prunings multiply. IVF half in float space (= q35), PQ half in
+  // quantized integer space (= q83), so DuckDB replays the composition
+  // end to end. See Similarity.ivfPqTopK.
+  // ---------------------------------------------------------------------
+  def q90AnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb,
+      Similarity.strideCentroids(emb, 97), k = 10, nProbe = 3,
+      centroidCount = Some(strideCentroidCount(s, d, 97)))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q90Sql: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding AS c_emb
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |corpus_d AS (
+       |  SELECT a.vec_id, c.centroid_id,
+       |    ${duckDist2("a.embedding", "c.c_emb")} AS dist2
+       |  FROM embeddings a, cent c),
+       |assigned AS (
+       |  SELECT vec_id, centroid_id AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist2 ASC, centroid_id ASC) AS rk
+       |    FROM corpus_d) t WHERE rk = 1),
+       |probe_d AS (
+       |  SELECT q.vec_id AS query_id, c.centroid_id,
+       |    ${duckDist2("q.embedding", "c.c_emb")} AS dist2
+       |  FROM embeddings q, cent c WHERE q.vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, centroid_id AS cluster_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY dist2 ASC, centroid_id ASC) AS rk
+       |    FROM probe_d) t WHERE rk <= 3),
+       |q AS (
+       |  SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS j,
+       |    CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS eq
+       |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) r),
+       |pqc AS (SELECT vec_id AS cid, s, j, eq AS cq FROM q WHERE vec_id < 16),
+       |enc AS (
+       |  SELECT d.vec_id, d.s, c.cid, sum((d.eq - c.cq) * (d.eq - c.cq)) AS dd
+       |  FROM q d JOIN pqc c ON c.s = d.s AND c.j = d.j
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM enc
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY dd ASC, cid ASC) = 1),
+       |lut AS (
+       |  SELECT d.vec_id AS query_id, d.s, c.cid,
+       |    sum((d.eq - c.cq) * (d.eq - c.cq)) AS dd
+       |  FROM q d JOIN pqc c ON c.s = d.s AND c.j = d.j
+       |  WHERE d.vec_id < 10
+       |  GROUP BY 1, 2, 3),
+       |cand AS (
+       |  SELECT p.query_id, a.vec_id
+       |  FROM probes p JOIN assigned a USING (cluster_id)
+       |  WHERE a.vec_id <> p.query_id),
+       |adc AS (
+       |  SELECT n.query_id, n.vec_id, CAST(sum(l.dd) AS BIGINT) AS adc_d2
+       |  FROM cand n JOIN codes x ON x.vec_id = n.vec_id
+       |  JOIN lut l ON l.query_id = n.query_id
+       |    AND l.s = x.s AND l.cid = x.code
+       |  GROUP BY 1, 2),
+       |r AS (
+       |  SELECT query_id, vec_id, adc_d2,
+       |    row_number() OVER (
+       |      PARTITION BY query_id ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+       |  FROM adc)
+       |SELECT query_id, rank, vec_id, adc_d2 FROM r WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q88 — hashed linear quality classifier (fastText family, Joulin et
+  // al. 2017): the model class behind CCNet/LLaMA-style corpus quality
+  // filters. Unigram+bigram features → hashing trick into 4096 weight
+  // slots → per-doc integer score, all as a zero-shuffle per-row fold;
+  // the frozen md5-derived weight table makes the whole model
+  // bit-replayable in DuckDB (a trained model swaps in a broadcast
+  // lookup at the same spot). See TextAnalysis.classifierScore.
+  // ---------------------------------------------------------------------
+  def q88QualityClassifier(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("doc_id"),
+        TextAnalysis.classifierScore(col("w")).as("c"))
+      .select(col("doc_id"), col("c.n_feat").as("n_feat"),
+        col("c.score").as("score"),
+        (col("c.score") > 0).cast("int").as("keep"))
+      .orderBy(col("doc_id"))
+  val q88Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 2),
+      |feat AS (
+      |  SELECT doc_id, unnest(w) AS f FROM tok
+      |  UNION ALL
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] AS f
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w))) AS i) t),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_feat,
+      |    sum(CAST('0x' || substr(md5(CAST(
+      |          CAST('0x' || substr(md5(f), 1, 15) AS BIGINT) % 4096
+      |        AS VARCHAR)), 1, 15) AS BIGINT) % 2001 - 1000) AS score
+      |  FROM feat GROUP BY doc_id)
+      |SELECT doc_id, n_feat, CAST(score AS BIGINT) AS score,
+      |  CASE WHEN score > 0 THEN 1 ELSE 0 END AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q89 — deterministic shuffle-shard export: the LAST step of a
+  // training-data pipeline, turning the filtered corpus into S balanced
+  // shards in a pseudo-random but fully reproducible global order
+  // (content-hash as the permutation key — re-running the pipeline, on
+  // any engine, at any partitioning, yields byte-identical shards).
+  // shard = md5_64(text) mod S balances in expectation; the in-shard
+  // ordinal is a per-shard sort — exactly how a distributed shard
+  // writer works at 100 TB: one shuffle on the shard id, each writer
+  // task sorts and streams out its own shard, no global sort anywhere.
+  // ---------------------------------------------------------------------
+  def q89ShardExport(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("h").asc, col("doc_id").asc)
+    documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.Md5_64.md5_64(col("text")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+      .withColumn("ordinal", row_number().over(w))
+      .select(col("shard"), col("ordinal"), col("doc_id"), col("h"))
+      .orderBy(col("shard"), col("ordinal"))
+  }
+  val q89Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT h % 8 AS shard,
+      |  row_number() OVER (PARTITION BY h % 8
+      |    ORDER BY h ASC, doc_id ASC) AS ordinal,
+      |  doc_id, h
+      |FROM h ORDER BY shard, ordinal""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q68 — stratified sampling: exactly k documents per language, chosen
   // by content-hash order (deterministic "random": stable under
   // re-partitioning and engine choice, leak-free like q57). One window
@@ -1692,6 +1841,9 @@ object ScaleCatalogue {
     "q86_semantic_dedup" -> q86SemanticDedup _,
     "q87_two_level_assign" -> q87TwoLevelAssign _,
     "q83_ann_pq" -> q83AnnPq _,
+    "q90_ann_ivfpq" -> q90AnnIvfPq _,
+    "q88_quality_classifier" -> q88QualityClassifier _,
+    "q89_shard_export" -> q89ShardExport _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
     "q36_langid" -> q36LangId _,
     "q37_quality" -> q37Quality _,
@@ -1744,6 +1896,9 @@ object ScaleCatalogue {
     // forced two-level path reproduces it bit-for-bit
     "q87_two_level_assign" -> q87Sql,
     "q83_ann_pq" -> q83Sql,
+    "q90_ann_ivfpq" -> q90Sql,
+    "q88_quality_classifier" -> q88Sql,
+    "q89_shard_export" -> q89Sql,
     "q52_embed_neardup" -> q52Sql,
     "q36_langid" -> q36Sql,
     "q37_quality" -> q37Sql,

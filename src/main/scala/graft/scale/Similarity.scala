@@ -552,4 +552,71 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d2"))
   }
+
+  /** IVF+PQ ANN — the composed index FAISS calls IVFPQ (Jégou et al.
+    * TPAMI 2011 §V): the coarse quantizer of [[ivfTopKWith]] prunes WHICH
+    * vectors are candidates (only the `nProbe` probed clusters per
+    * query), and the product quantizer of [[pqTopK]] compresses HOW each
+    * candidate is scored (m one-byte codes through a broadcast ADC
+    * lookup table, never the raw vector).
+    *
+    * This is the shape that serves web-scale retrieval: corpus-side
+    * state after encoding is `m` bytes + a cluster id per vector; at
+    * 100 TB the codes live bucketed by `cluster_id` exactly like
+    * [[IvfIndex]]'s layout (the probe set becomes a partition filter
+    * over the CODES, ~1/k'th of an already 8-byte-per-vector table),
+    * and the per-query work is |probed clusters| × m lookups instead of
+    * a full-corpus ADC scan — the multiplicative win of the two
+    * prunings. Here the composition runs in-memory over the same
+    * dataframes as q35/q83 so the result is oracle-replayable.
+    *
+    * Candidate generation joins the code rows to the broadcast
+    * (query, cluster) probe set on the small cluster id; scoring joins
+    * the broadcast per-query LUT on (query, subspace, code). Both
+    * broadcast sides are control-plane-sized (queries × nProbe and
+    * queries × m × kc). IVF assignment/probing run in float space
+    * (identical to [[ivfTopKWith]]); encode/ADC run in the quantized
+    * integer space of [[pqTopK]] — both halves individually
+    * bit-reproducible in external SQL, so the composition is too.
+    *
+    * Returns top-`k` per query: (query_id, rank, vec_id, adc_d2),
+    * ranked by ADC distance with vec_id tie-break. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 3,
+      m: Int = 8, dim: Int = 64, kc: Int = 16,
+      centroidCount: Option[Long] = None,
+      codebooks: Option[DataFrame] = None): DataFrame = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    // IVF half: cluster id per corpus vector, probed clusters per query
+    val clusterOf = assign(corpus, centroids, "vec_id", centroidCount)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+    val probes = probesFor(queries, centroids, nProbe)
+      .select(col("query_id"), col("cluster_id"))
+    // PQ half: encode the corpus, build the per-query LUT
+    val cents = codebooks.getOrElse(pqInitCodebooks(corpus, m, dim, kc))
+    val codes = pqSubvecs(corpus, m, sub).join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        struct(pqD2(col("sv"), col("cv")).as("dd"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("dc")).getField("cid").as("code"))
+      .join(clusterOf, "vec_id")
+    val lut = pqSubvecs(queries, m, sub)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid").as("code"),
+        pqD2(col("qsv"), col("cv")).as("dd"))
+    // ADC restricted to probed clusters: candidate = code row × the
+    // queries that probed its cluster; LUT lookup on (query, s, code)
+    val adc = codes.join(broadcast(probes), "cluster_id")
+      .join(broadcast(lut), Seq("query_id", "s", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("dd")).as("adc_d2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2").asc, col("vec_id").asc)
+    adc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc_d2"))
+  }
 }

@@ -130,4 +130,44 @@ object TextAnalysis {
       floor((nB - nDB).cast("double") / nB.cast("double") * 1000000L)
         .cast("long").as("dup_bigram_ratio_q"))
   }
+
+  /** Feature-hashing buckets of the linear classifier — the fastText
+    * dimensioning knob (Joulin et al. 2017 use 1e7 for bigram models;
+    * 4096 keeps the toy weight table inspectable). */
+  val ClassifierBuckets = 4096L
+
+  /** fastText-style hashed linear document classifier (Joulin et al.,
+    * "Bag of Tricks for Efficient Text Classification", 2017) — the
+    * model family behind the quality filters of CCNet/LLaMA-style
+    * corpus pipelines: features are unigrams + word bigrams, the
+    * hashing trick maps each feature to one of [[ClassifierBuckets]]
+    * weight slots, and the document score is the sum of its features'
+    * weights. Everything a real deployment does at scale is here — the
+    * per-row feature fold is pure Column algebra (zero shuffle,
+    * whole-stage codegen), the weight table is O(buckets) and lives in
+    * the plan, and scoring cost is linear in tokens.
+    *
+    * The weights here are a frozen pseudo-random table derived from the
+    * bucket id (md5 → [-1000, 1000]) so the whole score is
+    * integer-exact and externally replayable; a TRAINED model swaps in
+    * a broadcast lookup at the same spot without touching the plan
+    * shape. Portable md5_64 hashing end to end: feature → bucket and
+    * bucket → weight both reproduce bit-for-bit in external SQL.
+    *
+    * Callers guard `size(words) >= 2` (bigram window). Returns
+    * struct(n_feat, score): feature count (n + n-1, bag semantics —
+    * repeated features count each occurrence, as fastText's mean-pool
+    * does) and the integer score. */
+  def classifierScore(words: Column): Column = {
+    def md5_64(c: Column): Column = graft.functions.Md5_64.md5_64(c)
+    val bigrams = transform(sequence(lit(0), size(words) - 2),
+      i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2)))
+    val feats = concat(words, bigrams)
+    def weight(f: Column): Column =
+      pmod(md5_64(pmod(md5_64(f), lit(ClassifierBuckets)).cast("string")),
+        lit(2001L)) - lit(1000L)
+    struct(
+      size(feats).cast("long").as("n_feat"),
+      aggregate(feats, lit(0L), (acc, f) => acc + weight(f)).as("score"))
+  }
 }

@@ -308,6 +308,53 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class IvfPqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("IVF+PQ with full probing equals the pure PQ ADC scan") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 3)
+    val cents = Similarity.strideCentroids(emb, 97)
+    val nCent = cents.count().toInt
+    // probing every cluster makes the candidate set the whole corpus, so
+    // the composition must reproduce pqTopK exactly (same ADC, same ties)
+    val full = Similarity.ivfPqTopK(q, emb, cents, k = 10, nProbe = nCent)
+      .select("query_id", "rank", "vec_id", "adc_d2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(q, emb, k = 10)
+      .select("query_id", "rank", "vec_id", "adc_d2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(full == pq && full.nonEmpty)
+  }
+
+  test("IVF+PQ recall@10 vs exact L2 is far above chance") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    val d2 = aggregate(
+      zip_with(col("q.embedding"), col("c.embedding"),
+        (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id").asc)
+    val exact = q.as("q").crossJoin(emb.as("c"))
+      .filter(col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("vec_id"),
+        d2.as("d2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqTopK(q, emb,
+        Similarity.strideCentroids(emb, 97), k = 10, nProbe = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    // the two prunings compound: IVF@3 probes alone measures 0.67, PQ
+    // alone 0.31 — the composition can't beat either half. Chance is
+    // 10/499 ≈ 2%; pin well above chance, below the PQ ceiling.
+    assert(recall >= 0.10 && recall <= 0.31,
+      s"IVF+PQ recall@10 $recall outside the expected composed band")
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
@@ -427,6 +474,47 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     val got = graft.scale.Dedup.contaminationOverlap(cand, ev, n = 3)
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L))
+  }
+
+  test("classifierScore replays the md5 hashing trick bit-for-bit") {
+    // independent JVM-side reimplementation of feature -> bucket -> weight
+    def md5_64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def weight(f: String): Long = {
+      val b = java.lang.Math.floorMod(md5_64(f), 4096L)
+      java.lang.Math.floorMod(md5_64(b.toString), 2001L) - 1000L
+    }
+    val text = "the quick brown fox jumps"
+    val toks = text.split(" ").toSeq
+    val feats = toks ++ toks.sliding(2).map(_.mkString(" "))
+    val got = Seq((1L, text)).toDF("doc_id", "text")
+      .select(TextAnalysis.classifierScore(split(col("text"), " ")).as("c"))
+      .select(col("c.n_feat"), col("c.score")).as[(Long, Long)].head()
+    assert(got == ((feats.size.toLong, feats.map(weight).sum)))
+  }
+
+  test("q88/q89 catalogue shapes: keep flag consistent, shards contiguous") {
+    val d = "/root/testdata/sf0.001"
+    val q88 = graft.operators.ScaleCatalogue.q88QualityClassifier(spark, d)
+      .select("score", "keep").as[(Long, Int)].collect()
+    assert(q88.nonEmpty && q88.forall { case (s, k) => (s > 0) == (k == 1) })
+    // both classes occur on the corpus, else the filter is degenerate
+    assert(q88.exists(_._2 == 1) && q88.exists(_._2 == 0))
+    val q89 = graft.operators.ScaleCatalogue.q89ShardExport(spark, d)
+    val byShard = q89.groupBy("shard")
+      .agg(count(lit(1)).as("n"), min(col("ordinal")).as("mn"),
+        max(col("ordinal")).as("mx"))
+      .as[(Long, Long, Int, Int)].collect()
+    assert(byShard.length == 8, s"expected 8 shards, got ${byShard.length}")
+    byShard.foreach { case (sh, n, mn, mx) =>
+      assert(mn == 1 && mx.toLong == n, s"shard $sh ordinals not contiguous")
+    }
+    val total = spark.read.parquet(s"$d/documents.parquet").count()
+    assert(byShard.map(_._2).sum == total)
   }
 
   test("repetitionFeatures flags planted repetition") {
