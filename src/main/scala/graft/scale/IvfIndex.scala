@@ -107,22 +107,48 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     *
     * One full index pass — O(index), by design; this is the operation
     * whose amortization [[append]]'s O(batch) exists to enable. The
-    * swap is publish-then-retire: the new layout builds beside the old
-    * (`<path>.__rebuild`), the old moves aside, the new renames in,
-    * and only then is the old deleted — no crash window loses the only
-    * bucketed copy (a crash mid-swap leaves the old layout recoverable
-    * under `<path>.__retired-*`; re-running rebuild heals). Readers are
-    * NOT isolated across the swap (single-operator maintenance op, as
-    * documented on [[append]]'s same-centroids contract). */
+    * swap is build-retire-publish: the new layout builds beside the old
+    * (`<path>.__rebuild`), the old moves aside (`<path>.__retired`),
+    * the new renames in, and only then is the old deleted — no crash
+    * window loses the only complete copy, and RE-RUNNING REBUILD HEALS
+    * every window: a crash between retire and publish leaves the
+    * completed new layout at `__rebuild` (its `_ivf_meta.json`, written
+    * last by [[build]], marks completeness) and the next run publishes
+    * it before proceeding; a crash during the build itself leaves a
+    * meta-less `__rebuild` that is discarded; a crash after publish but
+    * before the retired delete leaves a `__retired` copy that the next
+    * run vacuums. Readers are NOT isolated across the swap
+    * (single-operator maintenance op, as documented on [[append]]'s
+    * same-centroids contract). */
   def rebuild(spark: SparkSession, path: String, newCentroids: DataFrame,
       centroidCount: Option[Long] = None): Unit = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val target = fs.makeQualified(new Path(path))
     val tmp = new Path(target.getParent, target.getName + ".__rebuild")
-    fs.delete(tmp, true) // residue from a crashed earlier attempt
-    build(corpus(spark, path), newCentroids, tmp.toString, centroidCount)
-    val retired = new Path(target.getParent,
-      target.getName + s".__retired-${java.util.UUID.randomUUID()}")
+    val retired = new Path(target.getParent, target.getName + ".__retired")
+    // heal a crashed earlier swap before touching anything
+    if (!fs.exists(target)) {
+      if (fs.exists(new Path(tmp, "_ivf_meta.json"))) {
+        // died between retire and publish: the new layout is complete
+        // (meta is build's last write) — finish the publish it started
+        if (!fs.rename(tmp, target))
+          throw new java.io.IOException(s"ivf-index: failed to heal-publish $tmp")
+        fs.delete(retired, true)
+      } else if (fs.exists(retired)) {
+        // no complete new layout — roll the retired copy back
+        if (!fs.rename(retired, target))
+          throw new java.io.IOException(s"ivf-index: failed to restore $retired")
+      } else {
+        throw new java.io.FileNotFoundException(
+          s"ivf-index: no index at $target and no crash residue to heal")
+      }
+    } else {
+      // died after publish: the retired copy is a leak — vacuum it
+      fs.delete(retired, true)
+    }
+    fs.delete(tmp, true) // meta-less residue of a crashed build
+    build(corpus(spark, target.toString), newCentroids, tmp.toString,
+      centroidCount)
     if (!fs.rename(target, retired))
       throw new java.io.IOException(s"ivf-index: failed to retire $target")
     if (!fs.rename(tmp, target)) {

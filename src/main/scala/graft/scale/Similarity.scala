@@ -426,6 +426,30 @@ object Similarity {
 
   private def pqD2(a: Column, b: Column): Column = quantDist2(a, b)
 
+  /** Per-(vector, subspace) argmin over the broadcast codebook — THE one
+    * encode definition (tie-break dd asc, cid asc) shared by
+    * [[pqTopK]], [[ivfPqTopK]], and [[pqTrainCodebooks]]'s assignment
+    * step, so the cross-engine exactness contract lives in one place.
+    * Input: a [[pqSubvecs]]-shaped frame; output (vec_id, s, `as`). */
+  private def pqEncode(sv: DataFrame, cents: DataFrame,
+      as: String = "code"): DataFrame =
+    sv.join(broadcast(cents), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        struct(pqD2(col("sv"), col("cv")).as("dd"), col("cid")).as("dc"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min(col("dc")).getField("cid").as(as))
+
+  /** Per-query ADC lookup table: exact integer distances from each
+    * query subvector to every codebook centroid — (query_id, s, cid,
+    * dd), m×kc rows per query, broadcast-sized by construction. */
+  private def pqLut(queries: DataFrame, cents: DataFrame,
+      m: Int, sub: Int): DataFrame =
+    pqSubvecs(queries, m, sub)
+      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
+      .join(broadcast(cents), Seq("s"))
+      .select(col("query_id"), col("s"), col("cid"),
+        pqD2(col("qsv"), col("cv")).as("dd"))
+
   /** Init-only PQ codebooks: the `kc` lowest-id corpus vectors, sliced
     * per subspace. Shape (cid, s, cv). Selected by ordered limit, not
     * `vec_id < kc` — an id space that doesn't cover 0..kc-1 (offset or
@@ -471,11 +495,7 @@ object Similarity {
     val sv = pqSubvecs(corpus, m, sub)
     var cents = pqInitCodebooks(corpus, m, dim, kc)
     for (_ <- 0 until rounds) {
-      val assigned = sv.join(broadcast(cents), Seq("s"))
-        .select(col("vec_id"), col("s"),
-          struct(pqD2(col("sv"), col("cv")).as("dd"), col("cid")).as("dc"))
-        .groupBy(col("vec_id"), col("s"))
-        .agg(min(col("dc")).getField("cid").as("cid"))
+      val assigned = pqEncode(sv, cents, as = "cid")
       val updated = assigned.join(sv, Seq("vec_id", "s"))
         .select(col("s"), col("cid"), posexplode(col("sv")).as(Seq("j", "e")))
         .groupBy(col("s"), col("cid"), col("j"))
@@ -521,24 +541,13 @@ object Similarity {
       codebooks: Option[DataFrame] = None): DataFrame = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sub = dim / m
-    def subvecs(df: DataFrame) = pqSubvecs(df, m, sub)
-    def d2(a: Column, b: Column): Column = pqD2(a, b)
 
-    val sv = subvecs(corpus)
     val cents = codebooks.getOrElse(pqInitCodebooks(corpus, m, dim, kc))
     // encode: per (vector, subspace) argmin over the broadcast codebook —
     // corpus state after this is m small ints per vector
-    val codes = sv.join(broadcast(cents), Seq("s"))
-      .select(col("vec_id"), col("s"),
-        struct(d2(col("sv"), col("cv")).as("dd"), col("cid")).as("dc"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(col("dc")).getField("cid").as("code"))
+    val codes = pqEncode(pqSubvecs(corpus, m, sub), cents)
     // per-query ADC lookup table: m×kc exact query↔centroid distances
-    val lut = subvecs(queries)
-      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
-      .join(broadcast(cents), Seq("s"))
-      .select(col("query_id"), col("s"), col("cid"),
-        d2(col("qsv"), col("cv")).as("dd"))
+    val lut = pqLut(queries, cents, m, sub)
     // ADC scan: codes ⋈ broadcast LUT, one sum per (query, vector)
     val adc = codes.join(broadcast(lut),
         codes("s") === lut("s") && codes("code") === lut("cid"))
@@ -595,17 +604,10 @@ object Similarity {
       .select(col("query_id"), col("cluster_id"))
     // PQ half: encode the corpus, build the per-query LUT
     val cents = codebooks.getOrElse(pqInitCodebooks(corpus, m, dim, kc))
-    val codes = pqSubvecs(corpus, m, sub).join(broadcast(cents), Seq("s"))
-      .select(col("vec_id"), col("s"),
-        struct(pqD2(col("sv"), col("cv")).as("dd"), col("cid")).as("dc"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(min(col("dc")).getField("cid").as("code"))
+    val codes = pqEncode(pqSubvecs(corpus, m, sub), cents)
       .join(clusterOf, "vec_id")
-    val lut = pqSubvecs(queries, m, sub)
-      .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
-      .join(broadcast(cents), Seq("s"))
-      .select(col("query_id"), col("s"), col("cid").as("code"),
-        pqD2(col("qsv"), col("cv")).as("dd"))
+    val lut = pqLut(queries, cents, m, sub)
+      .withColumnRenamed("cid", "code")
     // ADC restricted to probed clusters: candidate = code row × the
     // queries that probed its cluster; LUT lookup on (query, s, code)
     val adc = codes.join(broadcast(probes), "cluster_id")

@@ -142,17 +142,24 @@ object TextAnalysis {
     * corpus pipelines: features are unigrams + word bigrams, the
     * hashing trick maps each feature to one of [[ClassifierBuckets]]
     * weight slots, and the document score is the sum of its features'
-    * weights. Everything a real deployment does at scale is here — the
-    * per-row feature fold is pure Column algebra (zero shuffle,
-    * whole-stage codegen), the weight table is O(buckets) and lives in
-    * the plan, and scoring cost is linear in tokens.
+    * weights. The engine shape a real deployment needs is here — the
+    * per-row feature fold is pure Column algebra with zero shuffle, the
+    * weight table is O(buckets) and lives in the plan, and scoring cost
+    * is linear in tokens.
     *
     * The weights here are a frozen pseudo-random table derived from the
     * bucket id (md5 → [-1000, 1000]) so the whole score is
     * integer-exact and externally replayable; a TRAINED model swaps in
     * a broadcast lookup at the same spot without touching the plan
     * shape. Portable md5_64 hashing end to end: feature → bucket and
-    * bucket → weight both reproduce bit-for-bit in external SQL.
+    * bucket → weight both reproduce bit-for-bit in external SQL — and
+    * that portability is paid for in the execution path: the fold runs
+    * as an interpreted HOF and Md5_64 is CodegenFallback (the ~order
+    * slower-than-xxhash64 tradeoff documented where [[graft.scale
+    * .Dedup]] introduces md5_64), which a gate-SF corpus absorbs but a
+    * production 100 TB scoring pass must not — there, swap the hash to
+    * xxhash64 (same plan, no oracle) exactly as the production dedup
+    * paths do.
     *
     * Callers guard `size(words) >= 2` (bigram window). Returns
     * struct(n_feat, score): feature count (n + n-1, bag semantics —

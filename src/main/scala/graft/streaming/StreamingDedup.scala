@@ -56,18 +56,22 @@ object StreamingDedup {
     * stream-gate + batch-compact split the class doc describes).
     *
     * State honesty (same pattern as [[firstSeen]]): the key is the
-    * md5 of the signature bytes plus the signature length — 128-bit,
-    * constant-size per key, never the document, never a
-    * birthday-bound 64-bit value. Documents with fewer than `n`
-    * tokens have no shingle signature and fall back to the exact
-    * content key, so shorts dedup exactly instead of being dropped
-    * or conflated. */
+    * md5 of the signature VALUES (comma-joined decimal longs — a
+    * serialization this operator owns, NOT Spark's complex-type cast
+    * rendering, whose display format has changed across majors and
+    * would silently re-key months-old checkpoint state on an engine
+    * upgrade) plus the signature length — 128-bit, constant-size per
+    * key, never the document, never a birthday-bound 64-bit value.
+    * Documents with fewer than `n` tokens have no shingle signature
+    * and fall back to the exact content key, so shorts dedup exactly
+    * instead of being dropped or conflated. */
   def nearDupFirstSeen(docs: DataFrame, tsCol: String, horizon: String,
       n: Int = 5, numHashes: Int = 8): DataFrame = {
     val w = split(col("text"), " ")
     val sig = graft.functions.HashSketches
       .minhash_sig(graft.scale.Dedup.shingles(w, n), numHashes)
-    val key = when(size(w) >= n, md5(to_binary(sig.cast("string"), lit("utf-8"))))
+    val sigRepr = concat_ws(",", transform(sig, x => x.cast("string")))
+    val key = when(size(w) >= n, md5(to_binary(sigRepr, lit("utf-8"))))
       .otherwise(md5(to_binary(col("text"), lit("utf-8"))))
     docs
       .withColumn("near_key", key)

@@ -194,6 +194,58 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(a == b, "rebuilt index must equal the in-memory path")
   }
 
+  test("rebuild heals every crash window on re-run") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = Similarity.strideCentroids(emb, stride = 50).localCheckpoint()
+    val root = Files.createTempDirectory("graft-ivf-heal")
+    val dir = root.resolve("idx").toString
+    IvfIndex.build(emb, cents, dir)
+    val expected = IvfIndex.topK(spark, dir, emb.filter(col("vec_id") === 1),
+        cents, k = 5, nProbe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val target = fs.makeQualified(new org.apache.hadoop.fs.Path(dir))
+    val tmp = new org.apache.hadoop.fs.Path(root.toString, "idx.__rebuild")
+    val retired = new org.apache.hadoop.fs.Path(root.toString, "idx.__retired")
+
+    // window 1: died between retire and publish — complete layout at
+    // __rebuild (meta present), old at __retired, nothing at the path
+    assert(fs.rename(target, retired))
+    IvfIndex.build(IvfIndex.corpus(spark, retired.toString), cents,
+      tmp.toString)
+    IvfIndex.rebuild(spark, dir, cents)
+    assert(fs.exists(target) && !fs.exists(tmp) && !fs.exists(retired))
+
+    // window 2: died during the build — meta-less __rebuild residue,
+    // index still live at the path
+    fs.mkdirs(tmp)
+    IvfIndex.rebuild(spark, dir, cents)
+    assert(fs.exists(target) && !fs.exists(tmp) && !fs.exists(retired))
+
+    // window 3: died after publish, before the retired delete — leaked
+    // __retired copy next to a live index
+    fs.mkdirs(retired)
+    IvfIndex.rebuild(spark, dir, cents)
+    assert(fs.exists(target) && !fs.exists(tmp) && !fs.exists(retired))
+
+    // window 4: died between retire and publish with an INCOMPLETE
+    // build — no meta at __rebuild, old layout at __retired
+    assert(fs.rename(target, retired))
+    fs.mkdirs(tmp) // meta-less partial build
+    IvfIndex.rebuild(spark, dir, cents)
+    assert(fs.exists(target) && !fs.exists(tmp) && !fs.exists(retired))
+
+    // after all four heals + rebuilds the index still answers exactly
+    val got = IvfIndex.topK(spark, dir, emb.filter(col("vec_id") === 1),
+        cents, k = 5, nProbe = 3)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("append on a pre-metric legacy index reports NaN, not a throw") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = Similarity.strideCentroids(emb, stride = 50)
