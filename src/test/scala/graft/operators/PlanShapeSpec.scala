@@ -145,6 +145,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
   }
 
+  test("q88 classifier scoring is a zero-shuffle per-row pass") {
+    val d = "/root/testdata/sf0.001"
+    // strip the catalogue's presentation orderBy: the operator under
+    // test is the scoring pass, not the display sort
+    val df = ScaleCatalogue.q88QualityClassifier(spark, d)
+    val scorePlan = executedPlanString(
+      spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          graft.scale.TextAnalysis.classifierScore(col("w")).as("c")))
+    assert(!scorePlan.contains("ShuffleExchange") &&
+        !scorePlan.contains("Exchange hashpartitioning"),
+      s"classifier scoring must not shuffle:\n$scorePlan")
+    assert(df.count() > 0)
+  }
+
+  test("q89 shard export shuffles once, on the shard id") {
+    val d = "/root/testdata/sf0.001"
+    // the executed-plan string prints the final AND the initial AQE
+    // plan — count exchanges in the final section only
+    val plan = executedPlanString(ScaleCatalogue.q89ShardExport(spark, d))
+      .split("== Initial Plan ==").head
+    // one hash exchange for the per-shard window, partitioned on the
+    // shard id; the trailing presentation orderBy adds a range
+    // exchange — nothing else
+    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+      s"expected exactly one hash exchange:\n$plan")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"the window shuffle must partition by the shard id:\n$plan")
+  }
+
+  test("IVF+PQ broadcasts probes and LUT; ADC never sees a cartesian product") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlanString(ScaleCatalogue.q90AnnIvfPq(spark, d))
+    assert(plan.contains("BroadcastExchange"), s"expected broadcasts:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected product:\n$plan")
+  }
+
   test("two-round k-means broadcasts centroids both rounds") {
     val d = "/root/testdata/sf0.001"
     val plan = executedPlanString(ScaleCatalogue.q82KmeansTwoRounds(spark, d))
