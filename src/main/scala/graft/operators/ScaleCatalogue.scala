@@ -1593,6 +1593,41 @@ object ScaleCatalogue {
        |ORDER BY query_id, rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q91 — IVF+PQ over the MATERIALIZED bucketed code layout
+  // (scale/IvfPqIndex): same quantizers and ADC scoring as q90, but the
+  // corpus was PQ-encoded once at build time into parquet partitioned by
+  // cluster_id (one m-byte code row per vector, codebooks stored with
+  // the index), and the probe set becomes a partition filter — the ANN
+  // serving read at 100 TB lists nProbe/k of the partitions and scans
+  // codes, never embeddings. Oracle is q90's SQL verbatim: the two
+  // paths are result-identical by construction (IvfPqIndexSpec proves
+  // the pruned scan and the equality). Built once per dataset (marker
+  // file), reused — the build-once/query-many production shape.
+  // ---------------------------------------------------------------------
+  def q91AnnIvfPqIndexed(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = new java.io.File(
+      "target/ivfpq-index", new java.io.File(d).getName).getPath
+    val marker = new java.io.File(dir, "_graft_built")
+    val fp = "v1;" +
+      datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
+    val stale = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8) != fp
+    if (stale) {
+      graft.scale.IvfPqIndex.build(emb, centroids, dir,
+        centroidCount = Some(strideCentroidCount(s, d, 97)))
+      java.nio.file.Files.write(marker.toPath,
+        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    graft.scale.IvfPqIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
   // q88 — hashed linear quality classifier (fastText family, Joulin et
   // al. 2017): the model class behind CCNet/LLaMA-style corpus quality
   // filters. Unigram+bigram features → hashing trick into 4096 weight
@@ -1842,6 +1877,7 @@ object ScaleCatalogue {
     "q87_two_level_assign" -> q87TwoLevelAssign _,
     "q83_ann_pq" -> q83AnnPq _,
     "q90_ann_ivfpq" -> q90AnnIvfPq _,
+    "q91_ann_ivfpq_indexed" -> q91AnnIvfPqIndexed _,
     "q88_quality_classifier" -> q88QualityClassifier _,
     "q89_shard_export" -> q89ShardExport _,
     "q52_embed_neardup" -> q52EmbedNearDup _,
@@ -1897,6 +1933,8 @@ object ScaleCatalogue {
     "q87_two_level_assign" -> q87Sql,
     "q83_ann_pq" -> q83Sql,
     "q90_ann_ivfpq" -> q90Sql,
+    // q91 is q90 over the bucketed code layout — result-identical, same oracle
+    "q91_ann_ivfpq_indexed" -> q90Sql,
     "q88_quality_classifier" -> q88Sql,
     "q89_shard_export" -> q89Sql,
     "q52_embed_neardup" -> q52Sql,

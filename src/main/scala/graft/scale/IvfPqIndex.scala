@@ -1,0 +1,86 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The materialized IVF+PQ layout — the serving shape of
+  * [[Similarity.ivfPqTopK]], and the composition [[IvfIndex]] is half
+  * of: the corpus is PQ-encoded ONCE and written as one compact row per
+  * vector (`vec_id`, the m-byte code array) partitioned by its
+  * coarse-quantizer `cluster_id`, so a query's probe set becomes a
+  * partition filter over a table whose data cells are m bytes per
+  * vector. At 100 TB this is what an ANN serving layer reads: the two
+  * prunings multiply — only nProbe/k of the partitions are LISTED, and
+  * what is scanned is codes, never embeddings. Raw vectors are read
+  * exactly once, at build time.
+  *
+  * The codebooks are part of the index (written under `_pq_codebooks`,
+  * an underscore path that partition discovery ignores) because codes
+  * are meaningless under any other codebook — the same frozen-artifact
+  * contract as [[IvfIndex.append]]'s same-centroids rule. Queries read
+  * them back for the ADC lookup table, so a query session needs only
+  * the index path and the coarse centroids.
+  *
+  * IvfPqIndexSpec pins result-equality with the in-memory
+  * [[Similarity.ivfPqTopK]] on the same inputs and proves the pruned
+  * scan from the executed plan (partition filters + numFiles), the same
+  * machine-checked guarantees [[IvfIndex]] carries for the uncompressed
+  * layout.
+  */
+object IvfPqIndex {
+
+  /** PQ-encode the corpus, attach its nearest coarse centroid, and
+    * write the bucketed code layout. One full corpus pass — the only
+    * time raw vectors are read. */
+  def build(corpus: DataFrame, centroids: DataFrame, path: String,
+      m: Int = 8, dim: Int = 64, kc: Int = 16,
+      centroidCount: Option[Long] = None,
+      codebooks: Option[DataFrame] = None): Unit = {
+    require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
+    val sub = dim / m
+    // the codebook plan is consumed by the encode AND written out —
+    // checkpoint so both read the same materialized rows
+    val cents = codebooks.getOrElse(
+      Similarity.pqInitCodebooks(corpus, m, dim, kc)).localCheckpoint()
+    val clusterOf = Similarity.assign(corpus, centroids, "vec_id",
+        centroidCount)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+    // one row per vector: codes ordered by subspace (struct sort on s)
+    val codes = Similarity.pqEncode(
+        Similarity.pqSubvecs(corpus, m, sub), cents)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .join(clusterOf, "vec_id")
+    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    // after the data write: overwrite mode clears the directory first
+    cents.write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+  }
+
+  /** IVF+PQ top-k over a built index: identical results to
+    * [[Similarity.ivfPqTopK]] with the same corpus/centroids/codebooks,
+    * but the scan is pruned to the probed clusters' code files. The
+    * probed ids are collected to the driver for the partition filter —
+    * bounded by queries × nProbe, control-plane-sized by construction
+    * (the same shape as [[IvfIndex.topK]]). */
+  def topK(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int = 3,
+      m: Int = 8, dim: Int = 64): DataFrame = {
+    import spark.implicits._
+    val sub = dim / m
+    val cents = spark.read.parquet(s"$path/_pq_codebooks")
+    val probes = Similarity.probesFor(queries, centroids, nProbe)
+      .select(col("query_id"), col("cluster_id"))
+      .localCheckpoint()
+    val probed = probes.select(col("cluster_id").cast("long"))
+      .distinct().as[Long].collect().sorted
+    val codeCells = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("cluster_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val lut = Similarity.pqLut(queries, cents, m, sub)
+      .withColumnRenamed("cid", "code")
+    Similarity.adcTopK(
+      codeCells.join(broadcast(probes), "cluster_id"), lut, k)
+  }
+}

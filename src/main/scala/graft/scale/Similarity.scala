@@ -409,7 +409,7 @@ object Similarity {
 
   /** Quantized subvectors: (vec_id, s, sv) with s the subspace index
     * and sv the `dim/m`-dim integer slice. */
-  private def pqSubvecs(df: DataFrame, m: Int, sub: Int): DataFrame =
+  private[scale] def pqSubvecs(df: DataFrame, m: Int, sub: Int): DataFrame =
     df.select(col("vec_id"),
         transform(col("embedding"),
           e => floor(e.cast("double") * 1e6).cast("long")).as("qv"))
@@ -431,7 +431,7 @@ object Similarity {
     * [[pqTopK]], [[ivfPqTopK]], and [[pqTrainCodebooks]]'s assignment
     * step, so the cross-engine exactness contract lives in one place.
     * Input: a [[pqSubvecs]]-shaped frame; output (vec_id, s, `as`). */
-  private def pqEncode(sv: DataFrame, cents: DataFrame,
+  private[scale] def pqEncode(sv: DataFrame, cents: DataFrame,
       as: String = "code"): DataFrame =
     sv.join(broadcast(cents), Seq("s"))
       .select(col("vec_id"), col("s"),
@@ -442,7 +442,7 @@ object Similarity {
   /** Per-query ADC lookup table: exact integer distances from each
     * query subvector to every codebook centroid — (query_id, s, cid,
     * dd), m×kc rows per query, broadcast-sized by construction. */
-  private def pqLut(queries: DataFrame, cents: DataFrame,
+  private[scale] def pqLut(queries: DataFrame, cents: DataFrame,
       m: Int, sub: Int): DataFrame =
     pqSubvecs(queries, m, sub)
       .select(col("vec_id").as("query_id"), col("s"), col("sv").as("qsv"))
@@ -610,7 +610,17 @@ object Similarity {
       .withColumnRenamed("cid", "code")
     // ADC restricted to probed clusters: candidate = code row × the
     // queries that probed its cluster; LUT lookup on (query, s, code)
-    val adc = codes.join(broadcast(probes), "cluster_id")
+    adcTopK(codes.join(broadcast(probes), "cluster_id"), lut, k)
+  }
+
+  /** ADC scoring + per-query top-k — THE one ranking definition
+    * (adc_d2 asc, vec_id asc tie-break) shared by the in-memory
+    * [[ivfPqTopK]] and the materialized [[IvfPqIndex.topK]] path.
+    * `cand`: (query_id, vec_id, s, code) candidate code cells;
+    * `lut`: a [[pqLut]] table with `cid` renamed to `code`. */
+  private[scale] def adcTopK(cand: DataFrame, lut: DataFrame,
+      k: Int): DataFrame = {
+    val adc = cand
       .join(broadcast(lut), Seq("query_id", "s", "code"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id"))

@@ -1,0 +1,89 @@
+package graft.scale
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bucketed IVF+PQ code layout: queries must (a) return exactly the
+  * in-memory ivfPqTopK results and (b) physically SKIP unprobed cluster
+  * partitions AND never read an embedding column — both asserted from
+  * the executed plan, not wall-clock. */
+class IvfPqIndexSpec extends AnyFunSuite {
+  lazy val spark = graft.scale.SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("indexed IVF+PQ equals the in-memory path and prunes to probed code buckets") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val nClusters = centroids.count()
+    assert(nClusters >= 6, s"need several clusters to prune, got $nClusters")
+    val queries = emb.filter(col("vec_id") < 3)
+
+    val dir = Files.createTempDirectory("graft-ivfpq-index").toString
+    IvfPqIndex.build(emb, centroids, dir)
+
+    val fromIndex = IvfPqIndex.topK(spark, dir, queries, centroids,
+      k = 10, nProbe = 3).orderBy("query_id", "rank")
+    val inMemory = Similarity.ivfPqTopK(queries, emb, centroids,
+      k = 10, nProbe = 3)
+    val a = fromIndex.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val b = inMemory.orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(a == b, "bucketed code path must equal the in-memory path")
+    assert(a.nonEmpty)
+
+    // ---- pruning proof, from the executed plan ----
+    def scans(plan: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      plan match {
+        case s: FileSourceScanExec => Seq(s)
+        case ad: AdaptiveSparkPlanExec => scans(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case p => p.children.flatMap(scans)
+      }
+    val indexScan = scans(fromIndex.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("graft-ivfpq-index")))
+      .getOrElse(fail("no file scan over the code index in the plan"))
+    assert(indexScan.partitionFilters.exists(_.toString.contains("cluster_id")),
+      s"probe filter must be a PARTITION filter, got ${indexScan.partitionFilters}")
+    // the codes scan reads codes, never an embedding column
+    assert(!indexScan.schema.fieldNames.contains("embedding"),
+      s"code scan must not read embeddings: ${indexScan.schema.fieldNames.toSeq}")
+    val scannedFiles = indexScan.metrics("numFiles").value
+    val allFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(f =>
+        f.getName.endsWith(".parquet") && !f.getPath.contains("_pq_codebooks"))
+    }
+    assert(scannedFiles > 0 && scannedFiles < allFiles,
+      s"expected a pruned scan: $scannedFiles of $allFiles code files " +
+        s"($nClusters clusters, 3 probed)")
+  }
+
+  test("codebooks are part of the index: a fresh session needs only path + centroids") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val dir = Files.createTempDirectory("graft-ivfpq-cb").toString
+    // build with TRAINED codebooks — topK must read them back from the
+    // index, not re-derive init-only ones (codes are meaningless under
+    // any other codebook)
+    val trained = Similarity.pqTrainCodebooks(emb, rounds = 1)
+    IvfPqIndex.build(emb, centroids, dir, codebooks = Some(trained))
+    val queries = emb.filter(col("vec_id") < 3)
+    val a = IvfPqIndex.topK(spark, dir, queries, centroids, k = 5, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val b = Similarity.ivfPqTopK(queries, emb, centroids, k = 5, nProbe = 3,
+        codebooks = Some(trained))
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(a == b, "stored codebooks must drive the ADC, not re-derived ones")
+  }
+}
