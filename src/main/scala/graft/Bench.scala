@@ -191,13 +191,13 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
-    // q85 builds its bucketed IVF index lazily on first touch per
+    // q85/q91 build their bucketed index lazily on first touch per
     // dataset (build-once/query-many); that one-off build belongs to no
     // rep — round-8's noise_top5 put q85's spread at 1.574 vs a 0.446
     // median, which was exactly the first TARGET-SF rep paying the
-    // build the sf0.001 warmup can't cache. Warm it at the target SF so
-    // the timed reps measure the probe path only.
-    val warmAtTarget = Set("q85_ann_ivf_indexed")
+    // build the sf0.001 warmup can't cache. Warm them at the target SF
+    // so the timed reps measure the probe path only.
+    val warmAtTarget = Set("q85_ann_ivf_indexed", "q91_ann_ivfpq_indexed")
     SparkEntry.benchQueries.toSeq
       .filter(q => warmAtTarget(q._1) && selected(q._1))
       .foreach { case (_, fn) =>

@@ -39,22 +39,27 @@ object IvfPqIndex {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sub = dim / m
     // the codebook plan is consumed by the encode AND written out —
-    // checkpoint so both read the same materialized rows
+    // checkpoint so both read the same materialized rows; released
+    // before return (CacheHygiene: no function-scoped pin may outlive
+    // its function)
     val cents = codebooks.getOrElse(
       Similarity.pqInitCodebooks(corpus, m, dim, kc)).localCheckpoint()
-    val clusterOf = Similarity.assign(corpus, centroids, "vec_id",
-        centroidCount)
-      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
-    // one row per vector: codes ordered by subspace (struct sort on s)
-    val codes = Similarity.pqEncode(
-        Similarity.pqSubvecs(corpus, m, sub), cents)
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-        x => x.getField("code")).as("codes"))
-      .join(clusterOf, "vec_id")
-    codes.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    // after the data write: overwrite mode clears the directory first
-    cents.write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+    try {
+      val clusterOf = Similarity.assign(corpus, centroids, "vec_id",
+          centroidCount)
+        .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+      // one row per vector: codes ordered by subspace (struct sort on s)
+      val codes = Similarity.pqEncode(
+          Similarity.pqSubvecs(corpus, m, sub), cents)
+        .groupBy(col("vec_id"))
+        .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+          x => x.getField("code")).as("codes"))
+        .join(clusterOf, "vec_id")
+      codes.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      // after the data write: overwrite mode clears the directory first
+      cents.write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+    } finally org.apache.spark.sql.graftbridge.CheckpointBridge
+      .unpinCheckpoint(cents)
   }
 
   /** IVF+PQ top-k over a built index: identical results to
