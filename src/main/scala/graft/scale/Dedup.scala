@@ -207,8 +207,18 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = minhashSignature(docs, n, numHashes)
-    val banded = sig.select(col("doc_id"), col("sig"),
+    // the signature table is read three times (band hashing + both
+    // sides of the verification join-back) — materialize it once; it is
+    // doc-count-sized (numHashes longs per doc), orders smaller than
+    // the corpus, and exactly what a 100 TB pipeline persists anyway
+    val sig = minhashSignature(docs, n, numHashes).localCheckpoint()
+    // candidate generation carries ONLY (doc_id, band, bucket): the
+    // banded self-join and the pair-dedup shuffle 16-byte rows, and the
+    // signatures attach AFTER the distinct — the prior form shuffled
+    // bands× copies of every signature through the join and ran the
+    // distinct over ~0.5 KB signature-pair rows (collision-proportional
+    // volume, the quantity LSH does NOT bound)
+    val banded = sig.select(col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("sig"), b * lit(rows) + lit(1), lit(rows)))))
         .as(Seq("band", "bucket")))
@@ -216,10 +226,11 @@ object Dedup {
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
     cand
+      .join(sig.select(col("doc_id").as("d1"), col("sig").as("sig1")), "d1")
+      .join(sig.select(col("doc_id").as("d2"), col("sig").as("sig2")), "d2")
       .withColumn("matches",
         size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
           b => b)))
