@@ -280,27 +280,38 @@ object ScaleCatalogue {
       (0L +: fs.map(_.lastModified)).max}"
   }
 
+  /** Build-once/query-many cache of a derived index layout under
+    * `target/<family>/<dataset-basename>`. The marker file carries a
+    * format VERSION plus the source-dataset fingerprint, so a format
+    * bump (bump the version at the call site) or a regenerated dataset
+    * rebuilds the layout instead of silently serving stale results —
+    * ONE staleness definition for every cached index family. Returns
+    * the index dir. */
+  private def cachedIndexDir(family: String, d: String, version: String)(
+      buildFn: String => Unit): String = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    val dir = new java.io.File(
+      s"target/$family", new java.io.File(d).getName).getPath
+    val marker = new java.io.File(dir, "_graft_built")
+    val fp = version + ";" +
+      datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
+    val stale = !marker.exists() ||
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), utf8) != fp
+    if (stale) {
+      buildFn(dir)
+      java.nio.file.Files.write(marker.toPath, fp.getBytes(utf8))
+    }
+    dir
+  }
+
   def q85AnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
-    val dir = new java.io.File(
-      "target/ivf-index", new java.io.File(d).getName).getPath
-    val marker = new java.io.File(dir, "_graft_built")
-    // marker carries the SOURCE fingerprint: a regenerated dataset at
-    // the same basename invalidates the cached index instead of being
-    // silently served stale results
     // "v2": index format version (dist2 column + _ivf_meta.json) — a
     // round-8 cached index predates both and must rebuild once
-    val fp = "v2;" +
-      datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
-    val stale = !marker.exists() ||
-      new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        java.nio.charset.StandardCharsets.UTF_8) != fp
-    if (stale) {
-      graft.scale.IvfIndex.build(emb, centroids, dir,
+    val dir = cachedIndexDir("ivf-index", d, "v2") { p =>
+      graft.scale.IvfIndex.build(emb, centroids, p,
         centroidCount = Some(strideCentroidCount(s, d, 97)))
-      java.nio.file.Files.write(marker.toPath,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     graft.scale.IvfIndex
       .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
@@ -1607,19 +1618,9 @@ object ScaleCatalogue {
   def q91AnnIvfPqIndexed(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
-    val dir = new java.io.File(
-      "target/ivfpq-index", new java.io.File(d).getName).getPath
-    val marker = new java.io.File(dir, "_graft_built")
-    val fp = "v1;" +
-      datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
-    val stale = !marker.exists() ||
-      new String(java.nio.file.Files.readAllBytes(marker.toPath),
-        java.nio.charset.StandardCharsets.UTF_8) != fp
-    if (stale) {
-      graft.scale.IvfPqIndex.build(emb, centroids, dir,
+    val dir = cachedIndexDir("ivfpq-index", d, "v1") { p =>
+      graft.scale.IvfPqIndex.build(emb, centroids, p,
         centroidCount = Some(strideCentroidCount(s, d, 97)))
-      java.nio.file.Files.write(marker.toPath,
-        fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     graft.scale.IvfPqIndex
       .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,

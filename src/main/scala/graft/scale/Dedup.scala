@@ -208,10 +208,18 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // the signature table is read three times (band hashing + both
-    // sides of the verification join-back) — materialize it once; it is
-    // doc-count-sized (numHashes longs per doc), orders smaller than
-    // the corpus, and exactly what a 100 TB pipeline persists anyway
-    val sig = minhashSignature(docs, n, numHashes).localCheckpoint()
+    // sides of the verification join-back) and its compute is the
+    // per-shingle hash loop — materialize it once rather than run that
+    // loop thrice. LAZY checkpoint: constructing this (lazy) plan must
+    // not run a Spark job, so materialization happens at the caller's
+    // first action; the blocks back the returned plan and are reaped by
+    // the ContextCleaner when the caller drops it (the IvfIndex.topK
+    // probe-checkpoint lifecycle — an in-function unpin would free rows
+    // the returned frame still needs). Doc-count × numHashes longs,
+    // orders smaller than the corpus, and exactly what a 100 TB
+    // pipeline persists anyway.
+    val sig = minhashSignature(docs, n, numHashes)
+      .localCheckpoint(eager = false)
     // candidate generation carries ONLY (doc_id, band, bucket): the
     // banded self-join and the pair-dedup shuffle 16-byte rows, and the
     // signatures attach AFTER the distinct — the prior form shuffled

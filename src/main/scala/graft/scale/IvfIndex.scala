@@ -133,7 +133,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         // (meta is build's last write) — finish the publish it started
         if (!fs.rename(tmp, target))
           throw new java.io.IOException(s"ivf-index: failed to heal-publish $tmp")
-        fs.delete(retired, true)
+        vacuum(fs, retired)
       } else if (fs.exists(retired)) {
         // no complete new layout — roll the retired copy back
         if (!fs.rename(retired, target))
@@ -143,10 +143,17 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           s"ivf-index: no index at $target and no crash residue to heal")
       }
     } else {
-      // died after publish: the retired copy is a leak — vacuum it
-      fs.delete(retired, true)
+      // died after publish: the retired copy is a leak — vacuum it,
+      // along with any __retired-<uuid> residue of the pre-heal naming
+      // scheme (each is a full index-sized copy). Failed vacuums must
+      // fail HERE: a surviving __retired would corrupt the retire
+      // rename below into a nest/overwrite instead of a swap.
+      vacuum(fs, retired)
+      Option(fs.globStatus(new Path(target.getParent,
+          target.getName + ".__retired-*")))
+        .getOrElse(Array.empty).foreach(st => vacuum(fs, st.getPath))
     }
-    fs.delete(tmp, true) // meta-less residue of a crashed build
+    vacuum(fs, tmp) // meta-less residue of a crashed build
     build(corpus(spark, target.toString), newCentroids, tmp.toString,
       centroidCount)
     if (!fs.rename(target, retired))
@@ -157,6 +164,12 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     }
     fs.delete(retired, true)
   }
+
+  /** Delete-or-throw: a vacuum whose failure would corrupt a later
+    * rename into a nest/overwrite must fail fast instead. */
+  private def vacuum(fs: org.apache.hadoop.fs.FileSystem, p: Path): Unit =
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"ivf-index: failed to vacuum $p")
 
   /** The stored corpus in the (vec_id, embedding) shape [[build]]
     * consumes — what a re-train ([[KMeans.fit]]) and [[rebuild]] read. */

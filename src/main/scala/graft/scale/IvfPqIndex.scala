@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * vector. At 100 TB this is what an ANN serving layer reads: the two
   * prunings multiply — only nProbe/k of the partitions are LISTED, and
   * what is scanned is codes, never embeddings. Raw vectors are read
-  * exactly once, at build time.
+  * only at build time.
   *
   * The codebooks are part of the index (written under `_pq_codebooks`,
   * an underscore path that partition discovery ignores) because codes
@@ -30,8 +30,11 @@ import org.apache.spark.sql.functions._
 object IvfPqIndex {
 
   /** PQ-encode the corpus, attach its nearest coarse centroid, and
-    * write the bucketed code layout. One full corpus pass — the only
-    * time raw vectors are read. */
+    * write the bucketed code layout. Raw vectors are read only at build
+    * time — two scans of them (the coarse assignment and the subvector
+    * encode; plus the codebook init's ordered-limit scan when no
+    * trained codebooks are passed), after which queries touch codes
+    * only. */
   def build(corpus: DataFrame, centroids: DataFrame, path: String,
       m: Int = 8, dim: Int = 64, kc: Int = 16,
       centroidCount: Option[Long] = None,
@@ -67,13 +70,20 @@ object IvfPqIndex {
     * but the scan is pruned to the probed clusters' code files. The
     * probed ids are collected to the driver for the partition filter —
     * bounded by queries × nProbe, control-plane-sized by construction
-    * (the same shape as [[IvfIndex.topK]]). */
+    * (the same shape as [[IvfIndex.topK]]).
+    *
+    * The PQ geometry (m subspaces × sub dims) is DERIVED from the
+    * stored codebooks, not passed in: codes are meaningless under any
+    * other slicing, so a caller-supplied m/dim that disagreed with the
+    * build would silently score null distances — deriving it makes the
+    * mismatch unrepresentable (one KB-sized driver read). */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
-      centroids: DataFrame, k: Int, nProbe: Int = 3,
-      m: Int = 8, dim: Int = 64): DataFrame = {
+      centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     import spark.implicits._
-    val sub = dim / m
     val cents = spark.read.parquet(s"$path/_pq_codebooks")
+    val geo = cents.agg(max(col("s")), max(size(col("cv")))).head()
+    val m = geo.getInt(0) + 1
+    val sub = geo.getInt(1)
     val probes = Similarity.probesFor(queries, centroids, nProbe)
       .select(col("query_id"), col("cluster_id"))
       .localCheckpoint()

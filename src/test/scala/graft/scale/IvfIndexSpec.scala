@@ -238,6 +238,15 @@ class IvfIndexSpec extends AnyFunSuite {
     IvfIndex.rebuild(spark, dir, cents)
     assert(fs.exists(target) && !fs.exists(tmp) && !fs.exists(retired))
 
+    // window 5: index-sized __retired-<uuid> residue of the pre-heal
+    // UUID naming scheme next to a live index — vacuumed, not leaked
+    val legacy = new org.apache.hadoop.fs.Path(root.toString,
+      "idx.__retired-0d9f2a7e-dead-beef-cafe-0123456789ab")
+    fs.mkdirs(legacy)
+    IvfIndex.rebuild(spark, dir, cents)
+    assert(fs.exists(target) && !fs.exists(legacy),
+      "legacy __retired-<uuid> residue must be vacuumed by rebuild")
+
     // after all four heals + rebuilds the index still answers exactly
     val got = IvfIndex.topK(spark, dir, emb.filter(col("vec_id") === 1),
         cents, k = 5, nProbe = 3)
