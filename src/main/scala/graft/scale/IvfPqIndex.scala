@@ -48,21 +48,51 @@ object IvfPqIndex {
     val cents = codebooks.getOrElse(
       Similarity.pqInitCodebooks(corpus, m, dim, kc)).localCheckpoint()
     try {
-      val clusterOf = Similarity.assign(corpus, centroids, "vec_id",
-          centroidCount)
-        .select(col("vec_id"), col("centroid_id").as("cluster_id"))
-      // one row per vector: codes ordered by subspace (struct sort on s)
-      val codes = Similarity.pqEncode(
-          Similarity.pqSubvecs(corpus, m, sub), cents)
-        .groupBy(col("vec_id"))
-        .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
-          x => x.getField("code")).as("codes"))
-        .join(clusterOf, "vec_id")
-      codes.write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      codeRows(corpus, centroids, cents, m, sub, centroidCount)
+        .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
       // after the data write: overwrite mode clears the directory first
       cents.write.mode("overwrite").parquet(s"$path/_pq_codebooks")
     } finally org.apache.spark.sql.graftbridge.CheckpointBridge
       .unpinCheckpoint(cents)
+  }
+
+  /** Incrementally add vectors to an EXISTING code index — the growth
+    * path at 100 TB, where corpus lands continuously and re-encoding
+    * the world per batch would re-shuffle everything ever ingested:
+    * only the new rows are assigned and encoded (O(batch), not
+    * O(index)) and their code files land inside the existing
+    * `cluster_id=N/` partition dirs, so a probe's partition filter
+    * spans old and new files alike. The frozen-artifact contracts are
+    * BOTH of this file's: the same coarse `centroids` as the build
+    * (Hive-partition appends cannot re-home rows — [[IvfIndex.append]]'s
+    * rule, and its drift metric is the rebuild signal for the shared
+    * coarse quantizer), and the STORED codebooks, read back for the
+    * encode — appended codes under any other codebook would be
+    * garbage, so the caller cannot supply them at all. */
+  def append(newVectors: DataFrame, centroids: DataFrame, path: String,
+      centroidCount: Option[Long] = None): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/_pq_codebooks")
+    val geo = cents.agg(max(col("s")), max(size(col("cv")))).head()
+    codeRows(newVectors, centroids, cents,
+        m = geo.getInt(0) + 1, sub = geo.getInt(1), centroidCount)
+      .write.mode("append").partitionBy("cluster_id").parquet(path)
+  }
+
+  /** One code row per vector — (vec_id, codes ordered by subspace,
+    * cluster_id) — THE one row-building definition shared by [[build]]
+    * and [[append]]. */
+  private def codeRows(vectors: DataFrame, centroids: DataFrame,
+      cents: DataFrame, m: Int, sub: Int,
+      centroidCount: Option[Long]): DataFrame = {
+    val clusterOf = Similarity.assign(vectors, centroids, "vec_id",
+        centroidCount)
+      .select(col("vec_id"), col("centroid_id").as("cluster_id"))
+    Similarity.pqEncode(Similarity.pqSubvecs(vectors, m, sub), cents)
+      .groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("s"), col("code")))),
+        x => x.getField("code")).as("codes"))
+      .join(clusterOf, "vec_id")
   }
 
   /** IVF+PQ top-k over a built index: identical results to

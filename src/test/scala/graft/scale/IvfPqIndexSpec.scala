@@ -67,6 +67,35 @@ class IvfPqIndexSpec extends AnyFunSuite {
         s"($nClusters clusters, 3 probed)")
   }
 
+  test("append serves new vectors through the same pruned code scan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = Files.createTempDirectory("graft-ivfpq-append").toString
+    val base = emb.filter(col("vec_id") < 400)
+    val batch = emb.filter(col("vec_id") >= 400)
+    IvfPqIndex.build(base, centroids, dir)
+    IvfPqIndex.append(batch, centroids, dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val a = IvfPqIndex.topK(spark, dir, queries, centroids, k = 10, nProbe = 3)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // the in-memory reference over the FULL corpus, with the same
+    // codebooks the index froze at build time (init-only over `base`)
+    val cb = Similarity.pqInitCodebooks(base)
+    val b = Similarity.ivfPqTopK(queries, emb, centroids, k = 10, nProbe = 3,
+        codebooks = Some(cb))
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(a == b, "appended rows must be served exactly like built rows")
+    // appended vectors are actually reachable: at least one result id
+    // from the appended range appears for some probing query
+    assert(a.exists(_._3 >= 400L) ||
+      Similarity.ivfPqTopK(queries, emb, centroids, k = 10, nProbe = 3,
+        codebooks = Some(cb)).filter(col("vec_id") >= 400).isEmpty,
+      "appended vectors must be candidates when their cluster is probed")
+  }
+
   test("codebooks are part of the index: a fresh session needs only path + centroids") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val centroids = Similarity.strideCentroids(emb, stride = 50)
