@@ -143,16 +143,19 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           s"ivf-index: no index at $target and no crash residue to heal")
       }
     } else {
-      // died after publish: the retired copy is a leak — vacuum it,
-      // along with any __retired-<uuid> residue of the pre-heal naming
-      // scheme (each is a full index-sized copy). Failed vacuums must
-      // fail HERE: a surviving __retired would corrupt the retire
-      // rename below into a nest/overwrite instead of a swap.
+      // died after publish: the retired copy is a leak — vacuum it.
+      // Failed vacuums must fail HERE: a surviving __retired would
+      // corrupt the retire rename below into a nest/overwrite instead
+      // of a swap.
       vacuum(fs, retired)
-      Option(fs.globStatus(new Path(target.getParent,
-          target.getName + ".__retired-*")))
-        .getOrElse(Array.empty).foreach(st => vacuum(fs, st.getPath))
     }
+    // __retired-<uuid> residue of the pre-heal naming scheme (each a
+    // full index-sized copy) — vacuumed on EVERY branch, heal paths
+    // included; the glob's mandatory '-' can never match the plain
+    // __retired this run uses
+    Option(fs.globStatus(new Path(target.getParent,
+        target.getName + ".__retired-*")))
+      .getOrElse(Array.empty).foreach(st => vacuum(fs, st.getPath))
     vacuum(fs, tmp) // meta-less residue of a crashed build
     build(corpus(spark, target.toString), newCentroids, tmp.toString,
       centroidCount)

@@ -41,6 +41,14 @@ object IvfPqIndex {
       codebooks: Option[DataFrame] = None): Unit = {
     require(dim % m == 0, s"dim=$dim must split into m=$m subspaces")
     val sub = dim / m
+    requireDim(corpus, m, sub)
+    // caller-supplied codebooks must agree with the m/dim args — codes
+    // sliced under a disagreeing geometry would be permanent garbage
+    codebooks.foreach { cb =>
+      val (cm, cs) = geometry(cb)
+      require(cm == m && cs == sub,
+        s"codebook geometry (m=$cm, sub=$cs) != build args (m=$m, sub=$sub)")
+    }
     // the codebook plan is consumed by the encode AND written out —
     // checkpoint so both read the same materialized rows; released
     // before return (CacheHygiene: no function-scoped pin may outlive
@@ -73,11 +81,31 @@ object IvfPqIndex {
       centroidCount: Option[Long] = None): Unit = {
     val spark = newVectors.sparkSession
     val cents = spark.read.parquet(s"$path/_pq_codebooks")
-    val geo = cents.agg(max(col("s")), max(size(col("cv")))).head()
-    codeRows(newVectors, centroids, cents,
-        m = geo.getInt(0) + 1, sub = geo.getInt(1), centroidCount)
+    val (m, sub) = geometry(cents)
+    requireDim(newVectors, m, sub)
+    codeRows(newVectors, centroids, cents, m, sub, centroidCount)
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
+
+  /** The PQ geometry (m, sub) frozen in a codebook table — THE one
+    * derivation, shared by [[append]] and [[topK]]. */
+  private def geometry(cents: DataFrame): (Int, Int) = {
+    val geo = cents.agg(max(col("s")), max(size(col("cv")))).head()
+    require(!geo.isNullAt(0) && !geo.isNullAt(1), "empty PQ codebook table")
+    (geo.getInt(0) + 1, geo.getInt(1))
+  }
+
+  /** Fail fast when a batch's embedding width disagrees with the frozen
+    * geometry: pqSubvecs would silently slice (or null-pad) a
+    * wrong-width vector and the resulting codes would be PERMANENT
+    * garbage in the layout. Sample-based — one row bounds the cost, and
+    * the embeddings table is fixed-width by schema contract. */
+  private def requireDim(vectors: DataFrame, m: Int, sub: Int): Unit =
+    vectors.select(size(col("embedding")).as("d")).limit(1).collect()
+      .foreach { r =>
+        require(r.getInt(0) == m * sub,
+          s"embedding dim ${r.getInt(0)} != index geometry m*sub = ${m * sub}")
+      }
 
   /** One code row per vector — (vec_id, codes ordered by subspace,
     * cluster_id) — THE one row-building definition shared by [[build]]
@@ -111,9 +139,7 @@ object IvfPqIndex {
       centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/_pq_codebooks")
-    val geo = cents.agg(max(col("s")), max(size(col("cv")))).head()
-    val m = geo.getInt(0) + 1
-    val sub = geo.getInt(1)
+    val (m, sub) = geometry(cents)
     val probes = Similarity.probesFor(queries, centroids, nProbe)
       .select(col("query_id"), col("cluster_id"))
       .localCheckpoint()

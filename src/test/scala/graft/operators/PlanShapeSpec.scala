@@ -150,7 +150,11 @@ class PlanShapeSpec extends AnyFunSuite {
     // assert on the SHIPPED catalogue query, not a reconstruction: the
     // scoring pass must add no hash exchange — the only shuffle in the
     // whole plan is the trailing presentation orderBy's range exchange
-    val plan = executedPlanString(ScaleCatalogue.q88QualityClassifier(spark, d))
+    val df = ScaleCatalogue.q88QualityClassifier(spark, d)
+    // non-empty first: an empty relation would make the shuffle
+    // assertions below pass vacuously
+    assert(df.collect().nonEmpty, "q88 must score a non-empty corpus")
+    val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     assert(!plan.contains("Exchange hashpartitioning"),
       s"classifier scoring must not hash-shuffle:\n$plan")
