@@ -1853,6 +1853,161 @@ object ScaleCatalogue {
       |WHERE tf.doc_id % 25 = 0
       |ORDER BY tf.doc_id, tf.term""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q92 — BM25 top-k retrieval (Okapi BM25, Lucene idf variant): the
+  // lexical-retrieval half of a RAG/retrieval pipeline, via an
+  // inverted-postings probe — the broadcast query-term join means only
+  // docs containing a query term are ever scored. Per-term scores are
+  // quantized to longs BEFORE the per-doc sum so the fold is integer and
+  // order-independent; DuckDB replays the identical arithmetic. The
+  // query is data-derived (the distinct terms of doc 1, first 8 by term
+  // order) so the probe is deterministic at every SF.
+  // ---------------------------------------------------------------------
+  def q92Bm25TopK(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val qTerms = docs.filter(col("doc_id") === 1)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .distinct().orderBy(col("term").asc).limit(8)
+    graft.scale.Bm25.topK(docs, qTerms, k = 15)
+  }
+  /** Shared BM25 CTE chain (→ `lexranked(doc_id, score_q, n_hit,
+    * rank)`): q92 slices its top 15, q94 reuses the identical ranking
+    * as the lexical half of the fusion. */
+  private val bm25Ctes: String =
+    """toks AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      |  FROM toks GROUP BY 1, 2),
+      |qt AS (SELECT DISTINCT term FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+      |  WHERE doc_id = 1) ORDER BY term ASC LIMIT 8),
+      |probed AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+      |df AS (SELECT term, count(*) AS df FROM probed GROUP BY term),
+      |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+      |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+      |scored AS (
+      |  SELECT p.doc_id, CAST(floor(
+      |    ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+      |    ((p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))) *
+      |    1000000.0) AS BIGINT) AS sc
+      |  FROM probed p JOIN df USING (term), stats s),
+      |agg AS (SELECT doc_id, sum(sc)::BIGINT AS score_q, count(*) AS n_hit
+      |  FROM scored GROUP BY doc_id),
+      |lexranked AS (SELECT doc_id, score_q, n_hit,
+      |  row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank
+      |  FROM agg)""".stripMargin
+  val q92Sql: String =
+    s"""WITH $bm25Ctes
+       |SELECT rank, doc_id, n_hit, score_q FROM lexranked
+       |WHERE rank <= 15 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q93 — SQ8 scalar-quantized ANN (FAISS QT_8bit shape): per-dimension
+  // corpus (min, max) maps every float to an 8-bit code (4× scan-bytes
+  // reduction on the serving read); serving is ADC — the query stays
+  // full-precision and each corpus code decodes to lo + code·(hi−lo)/255
+  // at score time, ranked by cosine. Third point on the compression
+  // ladder: q34 float32 / q93 SQ8 / q83 PQ. The oracle replays code,
+  // decode, and the sequential cosine fold token for token; recall@5 vs
+  // the float baseline is pinned in RetrievalSpec.
+  // ---------------------------------------------------------------------
+  def q93AnnSq8(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    graft.scale.Sq8.topK(emb.filter(col("vec_id") < 10), emb, k = 5)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q93Sql: String =
+    s"""WITH dims AS (
+       |  SELECT i AS dim, min(embedding[i]::DOUBLE) AS lo,
+       |    max(embedding[i]::DOUBLE) AS hi
+       |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) r
+       |  GROUP BY i),
+       |dec AS (
+       |  SELECT vec_id, list(val ORDER BY dim) AS dec FROM (
+       |    SELECT e.vec_id, d.dim,
+       |      d.lo + ((CASE WHEN d.hi = d.lo THEN 0 ELSE
+       |        least(255, greatest(0, CAST(floor(
+       |          (e.embedding[d.dim]::DOUBLE - d.lo) / (d.hi - d.lo)
+       |          * 255.0 + 0.5) AS INT))) END)::DOUBLE * (d.hi - d.lo))
+       |        / 255.0 AS val
+       |    FROM embeddings e, dims d) t GROUP BY vec_id),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id,
+       |    ${duckDot("q.embedding", "c.dec")} /
+       |      (sqrt(${duckDot("q.embedding", "q.embedding")}) *
+       |       sqrt(${duckDot("c.dec", "c.dec")})) AS sim
+       |  FROM embeddings q, dec c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT query_id, vec_id, sim, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, vec_id,
+       |  CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
+       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q94 — hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+  // 2009): q92's BM25 ranking (lexical) fused with a cosine ANN ranking
+  // (semantic) for the SAME query document — rrf(d) = Σ 1/(60+rank),
+  // absent lists contribute 0, so no cross-retriever score calibration
+  // is ever needed. Only the two top-20 lists reach the fusion (O(k)
+  // rows per query at any corpus size); the fused sum is a fixed-order
+  // two-term double add, replayed term for term by the oracle. Rank 0
+  // in the output = "not surfaced by that retriever".
+  // ---------------------------------------------------------------------
+  def q94HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val qTerms = docs.filter(col("doc_id") === 1)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .distinct().orderBy(col("term").asc).limit(8)
+    val lex = graft.scale.Bm25.topK(docs, qTerms, k = 20)
+      .select(col("doc_id").as("id"), col("rank"))
+    val emb = embeddings(s, d)
+    val sem = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") === 1), emb, k = 20)
+      .select(col("vec_id").as("id"), col("rank"))
+    val fused = graft.scale.Hybrid.rrf(Seq(lex, sem))
+      .filter(col("id") =!= 1) // the query document itself
+      .select(col("id").as("doc_id"),
+        coalesce(col("rank_0"), lit(0)).as("lex_rank"),
+        coalesce(col("rank_1"), lit(0)).as("sem_rank"),
+        floor(col("rrf") * lit(1e9)).cast("long").as("rrf_q"))
+    val top = fused.orderBy(col("rrf_q").desc, col("doc_id").asc).limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_q"))
+  }
+  val q94Sql: String =
+    s"""WITH $bm25Ctes,
+       |sem0 AS (
+       |  SELECT c.vec_id AS id, ${duckCos("q.embedding", "c.embedding")} AS sim
+       |  FROM embeddings q, embeddings c
+       |  WHERE q.vec_id = 1 AND c.vec_id <> 1),
+       |sem AS (SELECT id, row_number() OVER (
+       |  ORDER BY sim DESC, id ASC) AS sem_rank FROM sem0),
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.id) AS doc_id,
+       |    coalesce(l.rank, 0) AS lex_rank,
+       |    coalesce(s.sem_rank, 0) AS sem_rank,
+       |    CAST(floor((
+       |      (CASE WHEN l.rank IS NULL THEN 0.0
+       |            ELSE 1.0 / (60 + l.rank) END) +
+       |      (CASE WHEN s.sem_rank IS NULL THEN 0.0
+       |            ELSE 1.0 / (60 + s.sem_rank) END)) * 1000000000.0)
+       |      AS BIGINT) AS rrf_q
+       |  FROM (SELECT doc_id, rank FROM lexranked WHERE rank <= 20) l
+       |  FULL OUTER JOIN (SELECT id, sem_rank FROM sem
+       |    WHERE sem_rank <= 20) s ON l.doc_id = s.id
+       |  WHERE coalesce(l.doc_id, s.id) <> 1)
+       |SELECT row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS rank,
+       |  doc_id, lex_rank, sem_rank, rrf_q
+       |FROM fused ORDER BY rank LIMIT 10""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -1904,6 +2059,9 @@ object ScaleCatalogue {
     "q49_vocab" -> q49Vocab _,
     "q50_bigrams" -> q50Bigrams _,
     "q51_tfidf" -> q51TfIdf _,
+    "q92_bm25_topk" -> q92Bm25TopK _,
+    "q93_ann_sq8" -> q93AnnSq8 _,
+    "q94_hybrid_rrf" -> q94HybridRrf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -1961,5 +2119,8 @@ object ScaleCatalogue {
     "q49_vocab" -> q49Sql,
     "q50_bigrams" -> q50Sql,
     "q51_tfidf" -> q51Sql,
+    "q92_bm25_topk" -> q92Sql,
+    "q93_ann_sq8" -> q93Sql,
+    "q94_hybrid_rrf" -> q94Sql,
   )
 }
