@@ -12,7 +12,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
   import org.apache.spark.sql.functions._
-  import org.apache.spark.sql.types.LongType
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
   // SCHEMA memoized per (session, path): every schema-less
   // spark.read.parquet call re-reads the footer to infer the schema —
@@ -32,10 +32,20 @@ object Tables {
     spark.read.schema(schema).parquet(path)
   }
 
-  /** events.parquet stores `ts` as TIMESTAMP(NANOS), which Spark 4 rejects
-    * by default (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a
-    * TimestampType column — the data is microsecond-precision, so the
-    * `div 1000` is lossless and matches DuckDB's view of the same instants.
+  /** events.parquet's `ts` has shipped in two parquet encodings across
+    * testdata generations, both of which need normalization to a plain
+    * TimestampType column holding the instants DuckDB sees:
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 rejects it by default
+    *    (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild via
+    *    `timestamp_micros(ts div 1000)` — the data is
+    *    microsecond-precision, so the division is lossless.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+    *    TIMESTAMP_NTZ (inferTimestampNTZ defaults on), on which
+    *    `unix_millis` and timestamp arithmetic fail analysis. Cast to
+    *    TimestampType — the session timezone is pinned to UTC in every
+    *    entrypoint, so the cast reinterprets the naive values as UTC
+    *    instants, exactly DuckDB's reading of the same file.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
@@ -52,6 +62,8 @@ object Tables {
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }
