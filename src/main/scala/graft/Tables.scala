@@ -40,29 +40,31 @@ object Tables {
     *    (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild via
     *    `timestamp_micros(ts div 1000)` — the data is
     *    microsecond-precision, so the division is lossless.
-    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
-    *    TIMESTAMP_NTZ (inferTimestampNTZ defaults on), on which
-    *    `unix_millis` and timestamp arithmetic fail analysis. Cast to
-    *    TimestampType — the session timezone is pinned to UTC in every
-    *    entrypoint, so the cast reinterprets the naive values as UTC
-    *    instants, exactly DuckDB's reading of the same file.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): with
+    *    inferTimestampNTZ left at its default Spark 4 would infer
+    *    TIMESTAMP_NTZ, forcing a session-timezone-DEPENDENT cast back
+    *    to TimestampType that also blocks parquet predicate pushdown
+    *    on ts (the filter lands on the cast, not the column). Instead
+    *    inferTimestampNTZ is disabled before schema inference, so the
+    *    column is read natively as TimestampType: timezone-independent
+    *    (parquet micros-since-epoch interpreted as instants, exactly
+    *    DuckDB's reading) and filters reach the scan as PushedFilters.
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    val schema = schemaCache.getOrElseUpdate((spark, path), {
-      try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      catch { case _: Throwable => () }
-      spark.read.parquet(path).schema
-    })
-    // the nanosAsLong conf must be set before EXECUTION too, not just
-    // schema inference — ensure it even on the cached path
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
+    // both confs must hold at EXECUTION too, not just schema
+    // inference — set them even on the schema-cached path
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    } catch { case _: Throwable => () }
+    val schema = schemaCache.getOrElseUpdate((spark, path),
+      spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
     df.schema("ts").dataType match {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType =>
+      case TimestampNTZType => // pre-conf cached schema; same reinterpretation
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }

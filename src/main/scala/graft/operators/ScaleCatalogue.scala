@@ -2008,6 +2008,159 @@ object ScaleCatalogue {
        |  doc_id, lex_rank, sem_rank, rrf_q
        |FROM fused ORDER BY rank LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q95 — link-graph degree profile: the bipartite co-purchase graph
+  // (customer ↔ part via orders⨝lineitem, distinct pairs) profiled by
+  // node degree — the hub/authority sweep run before any graph-aware
+  // sampling or dedup decision. Edge derivation shuffles 16-byte pairs,
+  // never full rows; top-100 is limit-then-rank so the window sorts
+  // 100 rows, not the node set.
+  // ---------------------------------------------------------------------
+  private def withRankKind(top: DataFrame, order: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(order: _*)
+    top.withColumn("rank", row_number().over(w))
+      .withColumn("kind",
+        when(col("node") >= lit(graft.scale.Graph.PartBase), lit("part"))
+          .otherwise(lit("customer")))
+  }
+  def q95LinkGraph(s: SparkSession, d: String): DataFrame = {
+    val deg = graft.scale.Graph.degrees(
+      graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d)))
+    val top = deg.orderBy(col("degree").desc, col("node").asc).limit(100)
+    withRankKind(top, Seq(col("degree").desc, col("node").asc))
+      .select(col("rank"), col("node"), col("kind"), col("degree"))
+      .orderBy(col("rank"))
+  }
+  /** Shared edge/degree CTEs (node encoding: part = 10000000 + key). */
+  private val graphCtes: String =
+    """cp AS (
+      |  SELECT DISTINCT o_custkey AS c, l_partkey + 10000000 AS p
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |edges AS (SELECT c AS src, p AS dst FROM cp
+      |  UNION ALL SELECT p AS src, c AS dst FROM cp),
+      |deg AS (SELECT src AS node, count(*) AS degree FROM edges
+      |  GROUP BY src)""".stripMargin
+  private val kindSql =
+    "CASE WHEN node >= 10000000 THEN 'part' ELSE 'customer' END AS kind"
+  val q95Sql: String =
+    s"""WITH $graphCtes
+       |SELECT row_number() OVER (ORDER BY degree DESC, node ASC) AS rank,
+       |  node, $kindSql, degree
+       |FROM deg ORDER BY rank LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q96 — PageRank over the co-purchase graph: 3 join-iterated rounds
+  // of the integer-space recurrence (scale/Graph.pageRankQ — damping
+  // 85/100, all divisions integer, so every per-node sum is an exact
+  // long fold and the DuckDB oracle unrolls the identical recurrence
+  // round for round). The edge table is shuffled once and reused by
+  // all three iterations (ReusedExchange, spec-asserted); each round's
+  // only new shuffle carries 16-byte (dst, contrib) rows.
+  // ---------------------------------------------------------------------
+  def q96PageRank(s: SparkSession, d: String): DataFrame = {
+    val pr = graft.scale.Graph.pageRankQ(
+      graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d)),
+      iterations = 3)
+    val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
+    withRankKind(top, Seq(col("pr_q").desc, col("node").asc))
+      .select(col("rank"), col("node"), col("kind"), col("degree"),
+        col("pr_q"))
+      .orderBy(col("rank"))
+  }
+  val q96Sql: String = {
+    // unrolled integer recurrence; r_i kept BIGINT (sums are HUGEINT in
+    // DuckDB — cast back each round so 85*s stays in int64 range)
+    val rounds = (1 to 3).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, sum(r.r // r.degree) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |r$i AS (SELECT d.node, d.degree, CAST(
+         |    (150000000000 // n.n) + (85 * coalesce(s$i.s, 0)) // 100
+         |    AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN s$i ON d.node = s$i.node, n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |n AS (SELECT count(*) AS n FROM deg),
+       |r0 AS (SELECT node, degree, 1000000000000 // n.n AS r FROM deg, n),
+       |$rounds
+       |SELECT row_number() OVER (ORDER BY r DESC, node ASC) AS rank,
+       |  node, $kindSql, degree, r AS pr_q
+       |FROM r3 ORDER BY rank LIMIT 100""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q97 — priority sampling (Duffield-Lund-Thorup): weighted sampling
+  // without replacement with priority w/u — u the content-hash uniform
+  // (md5_64 + 1) / 2^60, so the sample is a pure function of the data
+  // (leak-free and re-runnable like q57/q68, but WEIGHTED: longer docs
+  // proportionally likelier). Both factors of w·2^60/(h+1) are exactly
+  // representable and IEEE ops are exactly rounded, so the double
+  // priorities — and hence the top-k — are bit-identical cross-engine;
+  // the output carries only integer columns. Top-k is limit-then-rank:
+  // TakeOrderedAndProject, never a global-window sort.
+  // ---------------------------------------------------------------------
+  /** Priority sample of `docs` weighted by `n_chars`: top-k by
+    * w·2^60/(md5_64(text)+1). Public so specs can vary k (the top-k'
+    * sample is a prefix of top-k for k' < k — the property that lets a
+    * 100 TB pipeline cut a smaller sample out of a bigger one without
+    * recomputing). */
+  def prioritySample(docs: DataFrame, k: Int): DataFrame = {
+    val pr = docs
+      .select(col("doc_id"), col("n_chars"),
+        graft.functions.Md5_64.md5_64(col("text")).as("h"))
+      .withColumn("priority",
+        col("n_chars").cast("double") * lit(1152921504606846976L).cast("double")
+          / (col("h") + lit(1L)).cast("double"))
+    val top = pr.orderBy(col("priority").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("priority").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("n_chars"), col("h"))
+      .orderBy(col("rank"))
+  }
+  def q97PrioritySample(s: SparkSession, d: String): DataFrame =
+    prioritySample(documents(s, d), 100)
+  val q97Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      |  FROM documents),
+      |p AS (SELECT doc_id, n_chars, h,
+      |  (n_chars::DOUBLE * 1152921504606846976.0) / ((h + 1)::DOUBLE)
+      |    AS priority FROM h)
+      |SELECT row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank,
+      |  doc_id, n_chars, h
+      |FROM p ORDER BY rank LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q98 — Z-order (Morton) box read: events bucketed to (user_id mod
+  // 256, epoch-minute mod 256), bit-interleaved to a z-value (pure
+  // codegen'd bit algebra, scale/Layout.zValue), filtered to an
+  // axis-aligned box. The oracle replays the interleave bit for bit.
+  // The LAYOUT half — z-sorted files whose min/max stats prune the box
+  // read to a file subset — is ZOrderSpec's measured claim; this query
+  // pins the z arithmetic the layout and its serving reads share.
+  // ---------------------------------------------------------------------
+  def q98ZOrderBox(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+      .withColumn("z", graft.scale.Layout.zValue(col("xb"), col("yb")))
+      .filter(col("xb").between(16, 31) && col("yb").between(32, 63))
+      .orderBy(col("event_id"))
+  val q98Sql: String = {
+    val zExpr = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT event_id, user_id % 256 AS xb,
+       |    (epoch_ms(ts) // 60000) % 256 AS yb
+       |  FROM events)
+       |SELECT event_id, xb, yb, CAST($zExpr AS BIGINT) AS z
+       |FROM b WHERE xb BETWEEN 16 AND 31 AND yb BETWEEN 32 AND 63
+       |ORDER BY event_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2062,6 +2215,10 @@ object ScaleCatalogue {
     "q92_bm25_topk" -> q92Bm25TopK _,
     "q93_ann_sq8" -> q93AnnSq8 _,
     "q94_hybrid_rrf" -> q94HybridRrf _,
+    "q95_link_graph" -> q95LinkGraph _,
+    "q96_pagerank" -> q96PageRank _,
+    "q97_priority_sample" -> q97PrioritySample _,
+    "q98_zorder_box" -> q98ZOrderBox _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2122,5 +2279,9 @@ object ScaleCatalogue {
     "q92_bm25_topk" -> q92Sql,
     "q93_ann_sq8" -> q93Sql,
     "q94_hybrid_rrf" -> q94Sql,
+    "q95_link_graph" -> q95Sql,
+    "q96_pagerank" -> q96Sql,
+    "q97_priority_sample" -> q97Sql,
+    "q98_zorder_box" -> q98Sql,
   )
 }

@@ -82,6 +82,22 @@ class PlanShapeSpec extends AnyFunSuite {
     q.collect()
   }
 
+  test("events ts reads natively as TimestampType and ts filters push down") {
+    val d = "/root/testdata/sf0.001"
+    val ev = graft.Tables.events(spark, d)
+    // native TimestampType straight off the scan — no session-timezone-
+    // dependent NTZ cast wrapping the column (ADVICE r10)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val f = ev.filter(col("ts") >= lit("2020-01-01 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+    val leaves = f.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString
+    // a cast-wrapped ts would leave PushedFilters empty for this predicate
+    assert(leaves.contains("GreaterThanOrEqual(ts,"),
+      s"ts filter did not reach the parquet scan:\n$leaves")
+  }
+
   test("range join plans as equi-join, never a nested-loop product") {
     val d = "/root/testdata/sf0.001"
     val plan = executedPlanString(WindowCatalogue.q63RangeJoin(spark, d))

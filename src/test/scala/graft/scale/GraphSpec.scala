@@ -1,0 +1,86 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Graph family: integer-space PageRank pinned against an independent
+  * in-test reimplementation of the recurrence, corpus invariants, and
+  * the one-edge-shuffle plan property q96's scaladoc claims. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val Scale = 1000000000000L
+
+  /** Independent pure-Scala replay of Graph.pageRankQ's recurrence —
+    * same integer ops, no Spark. */
+  private def prRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val n = deg.size
+    var r: Map[Long, Long] = deg.map { case (k, _) => k -> Scale / n }
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = deg.map { case (k, _) =>
+        k -> ((Scale * 15L / 100L) / n + 85L * in.getOrElse(k, 0L) / 100L)
+      }
+    }
+    r
+  }
+
+  private def edgesDf(pairs: Seq[(Long, Long)]): DataFrame =
+    pairs.toDF("src", "dst")
+
+  test("pageRankQ matches the independent integer recurrence exactly") {
+    // asymmetric bipartite graph: c1-{p10,p20}, c2-{p10} (symmetrized)
+    val und = Seq(1L -> 10L, 2L -> 10L, 1L -> 20L)
+    val pairs = und ++ und.map(_.swap)
+    for (iters <- Seq(0, 1, 3)) {
+      val got = Graph.pageRankQ(edgesDf(pairs), iters)
+        .as[(Long, Long, Long)].collect()
+        .map { case (node, _, pr) => node -> pr }.toMap
+      assert(got == prRef(pairs, iters), s"divergence at iters=$iters")
+    }
+  }
+
+  test("hub gets the highest rank; mass stays within floor losses") {
+    // star: hub 1 connected to 100..104 — the hub must dominate
+    val und = (100L to 104L).map(1L -> _)
+    val pairs = und ++ und.map(_.swap)
+    val pr = Graph.pageRankQ(edgesDf(pairs), 3)
+      .as[(Long, Long, Long)].collect()
+    val byNode = pr.map { case (n, _, r) => n -> r }.toMap
+    assert((100L to 104L).forall(l => byNode(1L) > byNode(l)))
+    // every floor drops < 1 unit; per iteration the total loses at most
+    // (#edges + 2·N) units — negligible vs Scale
+    val total = pr.map(_._3).sum
+    assert(total > Scale * 95L / 100L && total <= Scale,
+      s"mass off: $total vs $Scale")
+  }
+
+  test("corpus PageRank: every edge-endpoint ranked, parts and customers both surface") {
+    val d = "/root/testdata/sf0.001"
+    val top = graft.operators.ScaleCatalogue.q96PageRank(spark, d)
+      .as[(Int, Long, String, Long, Long)].collect()
+    assert(top.length == 100)
+    assert(top.map(_._3).toSet == Set("customer", "part"))
+    // ranks strictly ordered by (pr_q desc, node asc)
+    val ord = top.sortBy(_._1).map(t => (-t._5, t._2)).toSeq
+    assert(ord == ord.sorted, "output not ordered by (pr_q desc, node)")
+  }
+
+  test("the edge table shuffles once: iterations reuse the exchange") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.operators.ScaleCatalogue.q96PageRank(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // 3 iterations + the degree table all consume the edge relation;
+    // Catalyst must materialize that shuffle once and reuse it
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"edge exchange not reused across iterations:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "PageRank planned a cartesian product")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Z-order layout: interleave correctness (column vs driver twins),
+  * the box-in-interval bound the serving read relies on, and the
+  * measured claim — a z-clustered parquet table serves an axis-aligned
+  * box read from a strict subset of its files. */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("column zValue equals the driver-side twin on the corpus buckets") {
+    val rows = graft.Tables.events(spark, d)
+      .select(pmod(col("user_id"), lit(256L)).as("x"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("y"))
+      .withColumn("z", Layout.zValue(col("x"), col("y")))
+      .as[(Long, Long, Long)].collect()
+    rows.foreach { case (x, y, z) =>
+      assert(z == Layout.zValueOf(x, y), s"mismatch at ($x,$y)")
+    }
+  }
+
+  test("interleave is spread(x) + 2*spread(y): monotone, so boxes map into [z(lo),z(hi)]") {
+    for (x <- 0L to 63L; y <- 0L to 63L) {
+      val z = Layout.zValueOf(x, y)
+      assert(z == Layout.zValueOf(x, 0) + Layout.zValueOf(0, y))
+      if (x > 0) assert(Layout.zValueOf(x - 1, y) < z)
+      if (y > 0) assert(Layout.zValueOf(x, y - 1) < z)
+    }
+    val (zlo, zhi) = Layout.zRange(16, 31, 32, 63)
+    for (x <- 16L to 31L; y <- 32L to 63L) {
+      val z = Layout.zValueOf(x, y)
+      assert(z >= zlo && z <= zhi)
+    }
+  }
+
+  test("z-clustered layout serves a box read from a strict subset of files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
+      .resolve("events_z").toString
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+    Layout.writeZOrdered(ev, col("xb"), col("yb"), dir)
+
+    val zdf = spark.read.parquet(dir)
+    // sf0.001 user ids span 0..14, so the x band must sit inside that
+    val box = Layout.boxScan(zdf, col("xb"), col("yb"), 4, 7, 32, 63)
+    box.collect()
+
+    // correctness: identical to the brute filter with no z machinery
+    val brute = ev.filter(col("xb").between(4, 7) && col("yb").between(32, 63))
+      .select("event_id").as[Long].collect().toSet
+    assert(box.select("event_id").as[Long].collect().toSet == brute)
+    assert(brute.nonEmpty, "box landed on no rows — test data drifted")
+
+    // pruning: the bucket-range filter must be a PARTITION filter and
+    // keep the scan off most bucket directories
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val scan = scans(box.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("events_z")))
+      .getOrElse(fail("no file scan over the z layout"))
+    assert(scan.partitionFilters.exists(_.toString.contains("z_bucket")),
+      s"bucket range must be a partition filter, got ${scan.partitionFilters}")
+    val scanned = scan.metrics("numFiles").value
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val written = walk(new java.io.File(dir))
+      .count(_.getName.endsWith(".parquet"))
+    assert(written >= 4, s"layout produced only $written files")
+    assert(scanned > 0 && scanned < written,
+      s"box read not pruned: scanned $scanned of $written z-sorted files")
+  }
+}

@@ -59,29 +59,27 @@ class WindowedMetricsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long)].collect().toSet
     // same aggregation as a file-source stream (complete drain, no
     // watermark: the reference's dashboards aggregate ALL data)
-    try spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
+    // normalize ts the same way Tables.eventsRaw does — the testdata
+    // generation decides whether the footer is TIMESTAMP(NANOS) (read
+    // as long, rebuilt below) or TIMESTAMP(MICROS) (read natively as
+    // TimestampType, no rebuild) — a hard-coded LongType schema would
+    // silently misread a MICROS generation 1000× off
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    } catch { case _: Throwable => () }
+    val schema = spark.read.parquet(s"$d/events.parquet").schema
+    val tsIsNanosLong =
+      schema("ts").dataType == org.apache.spark.sql.types.LongType
     // file stream sources need a directory — stage the single file
     val streamDir = java.nio.file.Files.createTempDirectory("graft-evstream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$d/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val stream = (if (tsIsNanosLong)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw)
       .groupBy(window(col("ts"), "1 minute").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("sum_value_c"))
