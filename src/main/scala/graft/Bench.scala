@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   * multistream bz2 + index, cached under `target/bench-dump/`) are
   * scanned with the text column materialized; the JSON carries the
   * split counts the planner produced and the resulting MiB/s.
+  *
+  * Reading artifacts across rounds: the spread fields exist because
+  * the runner is a shared machine. BENCH_r10 is the worked example —
+  * its noise_top5 carried a 33 s q71 spread and ~12 of its queries
+  * (q69 9.5 s, q83/q85 4.2 s, q70 2.1 s, ...) reported 3-12x their
+  * r9 medians; a clean r11 re-run measured every one back at its r9
+  * level with no intervening code change. Medians with spreads that
+  * large are contention artifacts, not regressions.
   */
 object Bench {
   private[graft] def median(xs: Seq[Double]): Double = {

@@ -2056,6 +2056,13 @@ object ScaleCatalogue {
   // round for round). The edge table is shuffled once and reused by
   // all three iterations (ReusedExchange, spec-asserted); each round's
   // only new shuffle carries 16-byte (dst, contrib) rows.
+  // Bench attribution (measured r11, local[32], warm): ~2.2 s of the
+  // wall time is FIXED multi-stage scheduling/codegen overhead —
+  // sf0.001 and sf0.1 cost 2.2 s vs ~4 s despite 100x the data — so
+  // the only term that scales with |E| is the O(E) contribution
+  // shuffle, exactly the term that matters at 100 TB. An eager
+  // per-round localCheckpoint variant measured SLOWER (3.9 s) than
+  // this declarative plan; AQE on/off is within noise.
   // ---------------------------------------------------------------------
   def q96PageRank(s: SparkSession, d: String): DataFrame = {
     val pr = graft.scale.Graph.pageRankQ(
@@ -2161,6 +2168,40 @@ object ScaleCatalogue {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q99 — tight z-interval cover, cross-engine: the Spark side selects
+  // the box PURELY through Layout.zIntervals' quadtree decomposition
+  // (an OR of z ranges — NO per-dimension predicates anywhere), while
+  // the oracle states the plain box predicate. Hash-equality is
+  // therefore a data-level proof that the interval cover is EXACT —
+  // the property that lets boxScanTight drop residual filters and
+  // turn the whole box read into range predicates that parquet
+  // min/max stats and partition dirs can prune on.
+  // ---------------------------------------------------------------------
+  def q99ZOrderTight(s: SparkSession, d: String): DataFrame = {
+    val ivs = graft.scale.Layout.zIntervals(16, 31, 32, 63)
+    events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+      .withColumn("z", graft.scale.Layout.zValue(col("xb"), col("yb")))
+      .filter(ivs.map { case (lo, hi) => col("z").between(lo, hi) }
+        .reduce(_ || _))
+      .orderBy(col("event_id"))
+  }
+  val q99Sql: String = {
+    val zExpr = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT event_id, user_id % 256 AS xb,
+       |    (epoch_ms(ts) // 60000) % 256 AS yb
+       |  FROM events)
+       |SELECT event_id, xb, yb, CAST($zExpr AS BIGINT) AS z
+       |FROM b WHERE xb BETWEEN 16 AND 31 AND yb BETWEEN 32 AND 63
+       |ORDER BY event_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2219,6 +2260,7 @@ object ScaleCatalogue {
     "q96_pagerank" -> q96PageRank _,
     "q97_priority_sample" -> q97PrioritySample _,
     "q98_zorder_box" -> q98ZOrderBox _,
+    "q99_zorder_tight" -> q99ZOrderTight _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2283,5 +2325,6 @@ object ScaleCatalogue {
     "q96_pagerank" -> q96Sql,
     "q97_priority_sample" -> q97Sql,
     "q98_zorder_box" -> q98Sql,
+    "q99_zorder_tight" -> q99Sql,
   )
 }

@@ -50,6 +50,44 @@ object Layout {
       bits: Int = 8): (Long, Long) =
     (zValueOf(xlo, ylo, bits), zValueOf(xhi, yhi, bits))
 
+  /** EXACT cover of a box's z-values as a short list of disjoint
+    * intervals — the BIGMIN-family refinement of [[zRange]]'s single
+    * coarse interval, via quadtree recursion: a quadrant fully inside
+    * the box contributes its (contiguous) z interval, a disjoint
+    * quadrant nothing, a straddling quadrant recurses. Adjacent
+    * intervals are merged, so the list length is O(box perimeter in
+    * quadtree cells), ≤ ~8·bits in practice. Driver-side arithmetic
+    * only — at serving time the intervals become an OR of range
+    * predicates (and a bucket id set for partition pruning).
+    *
+    * Exactness (spec-pinned): z ∈ one of the intervals ⟺ (x,y) ∈ box,
+    * for coordinates within the `bits` range — so a tight box read
+    * needs NO residual per-dimension predicates. */
+  def zIntervals(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      bits: Int = 8): Seq[(Long, Long)] = {
+    val max = (1L << bits) - 1
+    require(xlo >= 0 && ylo >= 0 && xlo <= xhi && ylo <= yhi &&
+      xhi <= max && yhi <= max, s"box out of $bits-bit range")
+    def rec(cx: Long, cy: Long, level: Int): List[(Long, Long)] = {
+      val size = 1L << level
+      val (x1, y1) = (cx + size - 1, cy + size - 1)
+      if (cx > xhi || x1 < xlo || cy > yhi || y1 < ylo) Nil
+      else if (cx >= xlo && x1 <= xhi && cy >= ylo && y1 <= yhi)
+        List((zValueOf(cx, cy, bits), zValueOf(x1, y1, bits)))
+      else {
+        val h = size >> 1
+        rec(cx, cy, level - 1) ::: rec(cx + h, cy, level - 1) :::
+          rec(cx, cy + h, level - 1) ::: rec(cx + h, cy + h, level - 1)
+      }
+    }
+    rec(0L, 0L, bits).sortBy(_._1)
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((alo, ahi) :: acc, (lo, hi)) if lo <= ahi + 1 =>
+          (alo, math.max(ahi, hi)) :: acc
+        case (acc, iv) => iv :: acc
+      }.reverse
+  }
+
   /** Write `df` z-clustered on (x, y): coarse z bucket as a partition
     * directory (planning-time pruning), fine z sorted within files
     * (row-group pruning). One shuffle, on the bucket id. */
@@ -72,4 +110,38 @@ object Layout {
       .filter(col("z").between(zlo, zhi))
       .filter(x.between(xlo, xhi) && y.between(ylo, yhi))
   }
+
+  /** Tight box read: the [[zIntervals]] exact cover as an OR of z
+    * ranges + an `isin` bucket set (still a planning-time partition
+    * filter). No residual per-dimension predicates — the cover is
+    * exact, and the bucket set is a subset of [[boxScan]]'s bucket
+    * range, so pruning is at least as good, usually strictly better
+    * for boxes whose corner z-values are far apart. */
+  def boxScanTight(zdf: DataFrame,
+      xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      bucketWidth: Long = 4096L, bits: Int = 8): DataFrame = {
+    val ivs = zIntervals(xlo, xhi, ylo, yhi, bits)
+    val buckets = ivs.flatMap { case (lo, hi) =>
+      (lo / bucketWidth) to (hi / bucketWidth)
+    }.distinct
+    zdf.filter(col("z_bucket").isin(buckets: _*))
+      .filter(ivs.map { case (lo, hi) => col("z").between(lo, hi) }
+        .reduce(_ || _))
+  }
+
+  /** Incrementally add rows to an existing z layout: same bucketing,
+    * same in-file z sort, `append` mode — new files land inside the
+    * existing `z_bucket=N/` directories, so every serving read
+    * (coarse or tight) sees old + new through the same pruned scan.
+    * O(batch) work; no rewrite of resident files. Mirrors
+    * IvfIndex.append's contract: the layout parameters (bits,
+    * bucketWidth, and the x/y bucketization) are frozen at build
+    * time and must match. */
+  def appendZOrdered(df: DataFrame, x: Column, y: Column, path: String,
+      bucketWidth: Long = 4096L, bits: Int = 8): Unit =
+    df.withColumn("z", zValue(x, y, bits))
+      .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
+      .repartition(col("z_bucket"))
+      .sortWithinPartitions(col("z"))
+      .write.partitionBy("z_bucket").mode("append").parquet(path)
 }

@@ -40,6 +40,33 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("zIntervals is an EXACT cover: z in intervals <=> (x,y) in box") {
+    // exhaustive over a 6-bit space, randomized boxes (fixed seed)
+    val rnd = new scala.util.Random(7)
+    val bits = 6
+    val side = 1L << bits
+    for (_ <- 1 to 25) {
+      val (a, b) = (rnd.nextInt(side.toInt).toLong, rnd.nextInt(side.toInt).toLong)
+      val (c, e) = (rnd.nextInt(side.toInt).toLong, rnd.nextInt(side.toInt).toLong)
+      val (xlo, xhi) = (math.min(a, b), math.max(a, b))
+      val (ylo, yhi) = (math.min(c, e), math.max(c, e))
+      val ivs = Layout.zIntervals(xlo, xhi, ylo, yhi, bits)
+      // disjoint, sorted, non-adjacent (fully merged)
+      ivs.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1)
+        case _ =>
+      }
+      val inIvs = (0L until side * side).filter(z =>
+        ivs.exists { case (lo, hi) => z >= lo && z <= hi }).toSet
+      val inBox = (for (x <- xlo to xhi; y <- ylo to yhi)
+        yield Layout.zValueOf(x, y, bits)).toSet
+      assert(inIvs == inBox, s"cover wrong for [$xlo,$xhi]x[$ylo,$yhi]")
+      // tight cover never exceeds the coarse interval
+      val (zlo, zhi) = Layout.zRange(xlo, xhi, ylo, yhi, bits)
+      assert(ivs.head._1 >= zlo && ivs.last._2 <= zhi)
+    }
+  }
+
   test("z-clustered layout serves a box read from a strict subset of files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
       .resolve("events_z").toString
@@ -83,5 +110,38 @@ class ZOrderSpec extends AnyFunSuite {
     assert(written >= 4, s"layout produced only $written files")
     assert(scanned > 0 && scanned < written,
       s"box read not pruned: scanned $scanned of $written z-sorted files")
+
+    // the tight (exact-cover) scan: same rows WITHOUT residual
+    // per-dimension predicates, bucket pruning at least as good
+    val tight = Layout.boxScanTight(zdf, 4, 7, 32, 63)
+    assert(tight.select("event_id").as[Long].collect().toSet == brute)
+    val tightScan = scans(tight.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("events_z")))
+      .getOrElse(fail("no file scan in tight box read"))
+    assert(tightScan.partitionFilters.exists(_.toString.contains("z_bucket")))
+    assert(tightScan.metrics("numFiles").value <= scanned)
+  }
+
+  test("appendZOrdered grows the layout in place; reads see old+new pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-zappend")
+      .resolve("events_z").toString
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+    val (oldHalf, newHalf) =
+      (ev.filter(col("event_id") % 2 === 0), ev.filter(col("event_id") % 2 === 1))
+    Layout.writeZOrdered(oldHalf, col("xb"), col("yb"), dir)
+    Layout.appendZOrdered(newHalf, col("xb"), col("yb"), dir)
+
+    val zdf = spark.read.parquet(dir)
+    val box = Layout.boxScan(zdf, col("xb"), col("yb"), 4, 7, 32, 63)
+    val brute = ev.filter(col("xb").between(4, 7) && col("yb").between(32, 63))
+      .select("event_id").as[Long].collect().toSet
+    // mixed provenance: both halves contribute rows to the box
+    val got = box.select("event_id").as[Long].collect().toSet
+    assert(got == brute)
+    assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 == 1),
+      "append test box must draw from both the base and appended half")
   }
 }
