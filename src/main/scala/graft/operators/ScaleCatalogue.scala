@@ -2202,6 +2202,49 @@ object ScaleCatalogue {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q100 — deterministic random walks (node2vec-style graph-to-sequence
+  // corpus generation): 3 hops from every 100th customer node, the
+  // next hop = the neighbor minimizing md5_64("t:u:v") — the
+  // content-hash uniform applied to edges, so the walks are a pure
+  // function of the graph and DuckDB replays every hop (row_number
+  // over the identical hash). Spark picks the argmin via min-struct
+  // aggregation (map-side combinable: a hot node's candidates collapse
+  // BEFORE the shuffle — deliberately not a window rank, which would
+  // sort a hot frontier key in one partition); the frontier joins the
+  // src-keyed edge exchange each hop (materialized once, reused).
+  // ---------------------------------------------------------------------
+  def q100RandomWalks(s: SparkSession, d: String): DataFrame = {
+    val e = graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d))
+    val starts = e
+      .filter(col("src") < lit(graft.scale.Graph.PartBase) &&
+        col("src") % 100 === 0)
+      .select(col("src").as("walk_id"), col("src").as("node")).distinct()
+    graft.scale.Graph.randomWalks(e, starts, steps = 3)
+      .orderBy(col("walk_id"), col("step"))
+  }
+  val q100Sql: String = {
+    val hop = (t: Int) =>
+      s"""w$t AS (SELECT walk_id, node FROM (
+         |  SELECT s.walk_id, e.dst AS node, row_number() OVER (
+         |    PARTITION BY s.walk_id
+         |    ORDER BY CAST('0x' || substr(md5(
+         |      concat_ws(':', $t, s.node, e.dst)), 1, 15) AS BIGINT) ASC,
+         |      e.dst ASC) AS rk
+         |  FROM w${t - 1} s JOIN edges e ON s.node = e.src) WHERE rk = 1)""".stripMargin
+    s"""WITH $graphCtes,
+       |w0 AS (SELECT c AS walk_id, c AS node
+       |  FROM (SELECT DISTINCT c FROM cp) WHERE c % 100 = 0),
+       |${hop(1)},
+       |${hop(2)},
+       |${hop(3)}
+       |SELECT walk_id, 0 AS step, node FROM w0
+       |UNION ALL SELECT walk_id, 1 AS step, node FROM w1
+       |UNION ALL SELECT walk_id, 2 AS step, node FROM w2
+       |UNION ALL SELECT walk_id, 3 AS step, node FROM w3
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2261,6 +2304,7 @@ object ScaleCatalogue {
     "q97_priority_sample" -> q97PrioritySample _,
     "q98_zorder_box" -> q98ZOrderBox _,
     "q99_zorder_tight" -> q99ZOrderTight _,
+    "q100_random_walks" -> q100RandomWalks _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2326,5 +2370,6 @@ object ScaleCatalogue {
     "q97_priority_sample" -> q97Sql,
     "q98_zorder_box" -> q98Sql,
     "q99_zorder_tight" -> q99Sql,
+    "q100_random_walks" -> q100Sql,
   )
 }

@@ -119,4 +119,46 @@ object Graph {
     }
     state.select(col("node"), col("degree"), col("r").as("pr_q"))
   }
+
+  /** Deterministic random walks: `steps` hops from each start node,
+    * choosing at hop t the neighbor v of u minimizing
+    * md5_64("t:u:v") — a content-derived uniform (the q57/q97 trick
+    * applied to edges), so walks are a pure function of the graph:
+    * reproducible across engines, partitionings, and reruns, and
+    * DuckDB can replay every hop. The node2vec-style corpus move —
+    * turning a graph into training sequences — without RNG state.
+    *
+    * Scale shape: the frontier is one row per walk; each hop joins it
+    * against the src-keyed edge exchange (materialized once, reused
+    * by every hop) and picks the argmin neighbor via a min-struct
+    * aggregation — map-side combinable, so a hot node's candidate
+    * rows collapse before the shuffle; the shuffle carries 24-byte
+    * (walk, hash, dst) rows. The returned long format accumulates
+    * step t's frontier by union, so frontier t appears t-deep in the
+    * final plan — quadratic PLAN size in steps (fine for sequence
+    * windows of 3-10 hops; a 100-hop walker would materialize the
+    * frontier every ~8 hops).
+    *
+    * `starts`: (walk_id, node). Returns (walk_id, step, node) for
+    * step 0..steps. Nodes must have out-edges (always true on a
+    * symmetric edge table). */
+  def randomWalks(edges: DataFrame, starts: DataFrame,
+      steps: Int): DataFrame = {
+    require(steps >= 0)
+    val e = edges.repartition(col("src"))
+    var cur = starts.select(col("walk_id"), col("node"))
+    var acc = cur.withColumn("step", lit(0))
+    for (t <- 1 to steps) {
+      cur = cur.join(e, col("node") === col("src"))
+        .select(col("walk_id"),
+          graft.functions.Md5_64.md5_64(
+            concat_ws(":", lit(t), col("node"), col("dst"))).as("h"),
+          col("dst"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(col("h"), col("dst"))).as("m"))
+        .select(col("walk_id"), col("m.dst").as("node"))
+      acc = acc.unionByName(cur.withColumn("step", lit(t)))
+    }
+    acc.select(col("walk_id"), col("step"), col("node"))
+  }
 }

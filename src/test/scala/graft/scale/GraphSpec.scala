@@ -71,6 +71,39 @@ class GraphSpec extends AnyFunSuite {
     assert(ord == ord.sorted, "output not ordered by (pr_q desc, node)")
   }
 
+  test("randomWalks matches an independent md5 hop replay; hops follow edges") {
+    val d = "/root/testdata/sf0.001"
+    val got = graft.operators.ScaleCatalogue.q100RandomWalks(spark, d)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // independent replay: collect the edge list, walk it in plain Scala
+    val e = Graph.purchaseEdges(
+      graft.Tables.orders(spark, d), graft.Tables.lineitem(spark, d))
+      .as[(Long, Long)].collect().toSeq
+    val adj = e.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    val walks = adj.keys.filter(n => n < Graph.PartBase && n % 100 == 0).toSeq.sorted
+      .flatMap { start =>
+        var cur = start
+        (0 to 3).map { t =>
+          if (t > 0) cur = adj(cur).map(v => ((h(s"$t:$cur:$v"), v), v))
+            .minBy(_._1)._2
+          (start, t, cur)
+        }
+      }
+    assert(got.sorted == walks.sorted)
+    // every hop is a real edge
+    val edgeSet = e.toSet
+    got.groupBy(_._1).values.foreach { w =>
+      w.sortBy(_._2).sliding(2).foreach {
+        case Seq((_, _, u), (_, _, v)) => assert(edgeSet.contains((u, v)))
+        case _ =>
+      }
+    }
+  }
+
   test("the edge table shuffles once: iterations reuse the exchange") {
     val d = "/root/testdata/sf0.001"
     val df = graft.operators.ScaleCatalogue.q96PageRank(spark, d)
