@@ -2245,6 +2245,53 @@ object ScaleCatalogue {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q101 — Count-Min heavy hitters (Cormode & Muthukrishnan 2005): the
+  // corpus token stream folds into a 4×1024-cell sketch (state size
+  // independent of corpus size; map-side partial agg means the shuffle
+  // carries at most tasks·d·w cell updates, never tokens; per-shard
+  // sketches merge by cell-wise add), then the 15 highest-true-count
+  // terms are point-queried — est = min over the term's 4 cells. The
+  // md5-derived row hashes make the whole sketch bit-reproducible in
+  // DuckDB, so the oracle checks the ESTIMATES exactly, not just the
+  // est ≥ true one-sided guarantee (which SketchSpec pins corpus-wide).
+  // ---------------------------------------------------------------------
+  def q101CountMin(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    val cms = graft.scale.Sketch.countMin(toks)
+    val trueCnt = toks.groupBy(col("term")).agg(count(lit(1)).as("true_cnt"))
+    val probes = trueCnt
+      .orderBy(col("true_cnt").desc, col("term").asc).limit(15)
+    graft.scale.Sketch.estimate(cms, probes.select(col("term")))
+      .join(probes, "term")
+      .select(col("term"), col("true_cnt"), col("est_cnt"))
+      .orderBy(col("true_cnt").desc, col("term").asc)
+  }
+  val q101Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |truec AS (SELECT term, count(*) AS true_cnt FROM toks GROUP BY term),
+      |probes AS (SELECT term, true_cnt FROM truec
+      |  ORDER BY true_cnt DESC, term ASC LIMIT 15),
+      |cells AS (
+      |  SELECT r, CAST('0x' || substr(md5(concat_ws(':', r, term)), 1, 15)
+      |      AS BIGINT) % 1024 AS b, count(*) AS cnt
+      |  FROM toks, LATERAL (SELECT unnest(range(0, 4)) AS r) d
+      |  GROUP BY 1, 2),
+      |pb AS (
+      |  SELECT p.term, d.r,
+      |    CAST('0x' || substr(md5(concat_ws(':', d.r, p.term)), 1, 15)
+      |      AS BIGINT) % 1024 AS b
+      |  FROM probes p, LATERAL (SELECT unnest(range(0, 4)) AS r) d),
+      |est AS (
+      |  SELECT pb.term, min(coalesce(c.cnt, 0)) AS est_cnt
+      |  FROM pb LEFT JOIN cells c ON c.r = pb.r AND c.b = pb.b
+      |  GROUP BY pb.term)
+      |SELECT p.term, p.true_cnt, e.est_cnt
+      |FROM probes p JOIN est e USING (term)
+      |ORDER BY p.true_cnt DESC, p.term ASC""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2305,6 +2352,7 @@ object ScaleCatalogue {
     "q98_zorder_box" -> q98ZOrderBox _,
     "q99_zorder_tight" -> q99ZOrderTight _,
     "q100_random_walks" -> q100RandomWalks _,
+    "q101_countmin" -> q101CountMin _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2371,5 +2419,6 @@ object ScaleCatalogue {
     "q98_zorder_box" -> q98Sql,
     "q99_zorder_tight" -> q99Sql,
     "q100_random_walks" -> q100Sql,
+    "q101_countmin" -> q101Sql,
   )
 }

@@ -1,0 +1,103 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Count-Min sketch: the one-sided guarantee corpus-wide, cell-wise
+  * mergeability (the property that lets per-shard sketches roll up
+  * without re-reading rows), and an independent JVM replay of the
+  * hash/bucket chain. */
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def toks = graft.Tables.documents(spark, d)
+    .select(explode(split(col("text"), " ")).as("term"))
+
+  test("est >= true for EVERY term in the corpus, not just heavy hitters") {
+    val cms = Sketch.countMin(toks)
+    val trueCnt = toks.groupBy("term").agg(count(lit(1)).as("true_cnt"))
+    val joined = Sketch.estimate(cms, trueCnt.select("term"))
+      .join(trueCnt, "term")
+      .select(col("term"), col("true_cnt"), col("est_cnt"))
+      .as[(String, Long, Long)].collect()
+    assert(joined.nonEmpty)
+    val under = joined.filter { case (_, t, e) => e < t }
+    assert(under.isEmpty, s"CMS underestimated: ${under.take(3).toSeq}")
+  }
+
+  test("sketches merge cell-wise: sketch(A ++ B) == sketch(A) + sketch(B)") {
+    val a = toks.limit(500)
+    val whole = Sketch.countMin(toks)
+      .as[(Long, Long, Long)].collect().toMap2
+    val aS = Sketch.countMin(a).as[(Long, Long, Long)].collect().toMap2
+    // B = the remainder, derived so A ++ B == toks exactly: count-based
+    // split on the collected stream (order-insensitive for a sketch)
+    val all = toks.as[String].collect()
+    val aList = a.as[String].collect()
+    val bList = {
+      val take = new scala.collection.mutable.HashMap[String, Int]()
+      aList.foreach(t => take(t) = take.getOrElse(t, 0) + 1)
+      all.filter { t =>
+        val k = take.getOrElse(t, 0)
+        if (k > 0) { take(t) = k - 1; false } else true
+      }
+    }
+    val bS = Sketch.countMin(bList.toSeq.toDF("term"))
+      .as[(Long, Long, Long)].collect().toMap2
+    val merged = (aS.keySet ++ bS.keySet).map { k =>
+      k -> (aS.getOrElse(k, 0L) + bS.getOrElse(k, 0L))
+    }.toMap
+    assert(merged == whole)
+  }
+
+  test("bucket chain matches an independent JVM md5 replay") {
+    val terms = Seq("alpha", "beta", "gamma", "unseen-term")
+    val got = Sketch.estimate(Sketch.countMin(toks), terms.toDF("term"))
+      .as[(String, Long)].collect().toMap
+    // independent replay: count buckets in plain Scala
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    val stream = toks.as[String].collect()
+    val cells = new scala.collection.mutable.HashMap[(Long, Long), Long]()
+    for (t <- stream; r <- 0L until 4L) {
+      val k = (r, h(s"$r:$t") % 1024L)
+      cells(k) = cells.getOrElse(k, 0L) + 1L
+    }
+    val expect = terms.map { t =>
+      t -> (0L until 4L).map(r => cells.getOrElse((r, h(s"$r:$t") % 1024L), 0L)).min
+    }.toMap
+    assert(got == expect)
+    assert(got("unseen-term") >= 0L)
+  }
+
+  test("streaming sketch: cells after two micro-batches equal the batch sketch") {
+    // the reference's event-driven form is streaming-first — the sketch
+    // must fold per micro-batch with bounded state (d·w cells), i.e. a
+    // plain streaming groupBy over the cell keys in Complete mode
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = toks.as[String].collect()
+    val (b1, b2) = stream.splitAt(stream.length / 2)
+    val mem = MemoryStream[String]
+    val cells = Sketch.countMin(mem.toDF().toDF("term"))
+    val q = cells.writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.table("cms_stream")
+        .as[(Long, Long, Long)].collect().toMap2
+      val batch = Sketch.countMin(toks).as[(Long, Long, Long)].collect().toMap2
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[(Long, Long), Long] =
+      rows.map { case (r, b, c) => (r, b) -> c }.toMap
+  }
+}
