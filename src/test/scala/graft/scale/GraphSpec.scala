@@ -116,4 +116,15 @@ class GraphSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       "PageRank planned a cartesian product")
   }
+
+  test("random walks: no cartesian product; hops reuse the edge exchange") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.operators.ScaleCatalogue.q100RandomWalks(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "walks planned a cartesian product")
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"edge exchange not reused across hops:\n$plan")
+  }
 }

@@ -73,6 +73,15 @@ class SketchSpec extends AnyFunSuite {
     assert(got("unseen-term") >= 0L)
   }
 
+  test("estimate joins the cell table broadcast; no cartesian product") {
+    val df = graft.operators.ScaleCatalogue.q101CountMin(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"cell-table probe should broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("streaming sketch: cells after two micro-batches equal the batch sketch") {
     // the reference's event-driven form is streaming-first — the sketch
     // must fold per micro-batch with bounded state (d·w cells), i.e. a
