@@ -54,4 +54,15 @@ object Md5_64 {
 
   def md5_64(c: Column): Column = ColumnBridge.column(Md5_64(
     ColumnBridge.expression(c)))
+
+  /** Driver-side twin of the expression (same top-60-bits-of-md5), for
+    * control-plane math like index bucket ids — never per-row data. */
+  def hash60(s: String): Long = {
+    val d = digests.get(); d.reset()
+    val b = d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
+    v >>> 4
+  }
 }

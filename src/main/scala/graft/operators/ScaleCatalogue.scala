@@ -287,14 +287,15 @@ object ScaleCatalogue {
     * rebuilds the layout instead of silently serving stale results —
     * ONE staleness definition for every cached index family. Returns
     * the index dir. */
-  private def cachedIndexDir(family: String, d: String, version: String)(
+  private def cachedIndexDir(family: String, d: String, version: String,
+      dataset: String = "embeddings.parquet")(
       buildFn: String => Unit): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val dir = new java.io.File(
       s"target/$family", new java.io.File(d).getName).getPath
     val marker = new java.io.File(dir, "_graft_built")
     val fp = version + ";" +
-      datasetFingerprint(new java.io.File(d, "embeddings.parquet"))
+      datasetFingerprint(new java.io.File(d, dataset))
     val stale = !marker.exists() ||
       new String(java.nio.file.Files.readAllBytes(marker.toPath), utf8) != fp
     if (stale) {
@@ -1863,13 +1864,8 @@ object ScaleCatalogue {
   // query is data-derived (the distinct terms of doc 1, first 8 by term
   // order) so the probe is deterministic at every SF.
   // ---------------------------------------------------------------------
-  def q92Bm25TopK(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val qTerms = docs.filter(col("doc_id") === 1)
-      .select(explode(split(col("text"), " ")).as("term"))
-      .distinct().orderBy(col("term").asc).limit(8)
-    graft.scale.Bm25.topK(docs, qTerms, k = 15)
-  }
+  def q92Bm25TopK(s: SparkSession, d: String): DataFrame =
+    graft.scale.Bm25.topK(documents(s, d), doc1Terms(s, d), k = 15)
   /** Shared BM25 CTE chain (→ `lexranked(doc_id, score_q, n_hit,
     * rank)`): q92 slices its top 15, q94 reuses the identical ranking
     * as the lexical half of the fusion. */
@@ -1958,13 +1954,18 @@ object ScaleCatalogue {
   // two-term double add, replayed term for term by the oracle. Rank 0
   // in the output = "not surfaced by that retriever".
   // ---------------------------------------------------------------------
-  def q94HybridRrf(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
-    val qTerms = docs.filter(col("doc_id") === 1)
+  /** q94/q103 shared query-term derivation: doc 1's first 8 distinct
+    * terms (deterministic at every SF). */
+  private def doc1Terms(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") === 1)
       .select(explode(split(col("text"), " ")).as("term"))
       .distinct().orderBy(col("term").asc).limit(8)
-    val lex = graft.scale.Bm25.topK(docs, qTerms, k = 20)
-      .select(col("doc_id").as("id"), col("rank"))
+
+  /** The fusion half shared by q94 (in-memory lexical) and q103
+    * (materialized-index lexical): any `(id, rank)` lexical top-20
+    * fuses with the brute cosine top-20 for query doc 1. */
+  private def hybridRrfWith(lex: DataFrame, s: SparkSession,
+      d: String): DataFrame = {
     val emb = embeddings(s, d)
     val sem = Similarity.bruteForceTopK(
         emb.filter(col("vec_id") === 1), emb, k = 20)
@@ -1981,6 +1982,12 @@ object ScaleCatalogue {
     top.withColumn("rank", row_number().over(w))
       .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
         col("rrf_q"))
+  }
+
+  def q94HybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.scale.Bm25.topK(documents(s, d), doc1Terms(s, d), k = 20)
+      .select(col("doc_id").as("id"), col("rank"))
+    hybridRrfWith(lex, s, d)
   }
   val q94Sql: String =
     s"""WITH $bm25Ctes,
@@ -2292,6 +2299,47 @@ object ScaleCatalogue {
       |FROM probes p JOIN est e USING (term)
       |ORDER BY p.true_cnt DESC, p.term ASC""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q102 — BM25 over the MATERIALIZED inverted-index layout
+  // (`scale/BmIndex`): postings bucketed by md5(term) mod 64 into
+  // partition dirs, probe terms' buckets driver-computed and listed as
+  // a partition filter — the serving read scans only the probed
+  // buckets' postings, never the corpus (BmIndexSpec proves the pruned
+  // scan from the executed plan). Stats (N, Σdl) stored with the
+  // index; scoring reuses Bm25.rank verbatim, so this is
+  // result-identical to q92 by construction and rides its oracle —
+  // same pattern as q85 (IVF) and q91 (IVF+PQ).
+  // ---------------------------------------------------------------------
+  def q102Bm25Indexed(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("bm-index", d, "v1",
+      dataset = "documents.parquet") { p =>
+      graft.scale.BmIndex.build(docs, p)
+    }
+    graft.scale.BmIndex.topK(s, dir, doc1Terms(s, d), k = 15)
+  }
+
+  // ---------------------------------------------------------------------
+  // q103 — the materialized serving stack end to end: hybrid RRF where
+  // the LEXICAL leg is served from the bucketed postings index
+  // (scale/BmIndex — partition-pruned probe) instead of re-deriving
+  // postings from the corpus, fused with the ANN leg exactly as q94.
+  // BmIndex.topK is result-identical to Bm25.topK by construction, so
+  // the fusion output is q94's bit for bit and rides its oracle — the
+  // composition a 100 TB RAG serving read actually runs (index probe +
+  // ANN + rank-only fusion), with zero corpus scans on the lexical
+  // side.
+  // ---------------------------------------------------------------------
+  def q103HybridIndexed(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("bm-index", d, "v1",
+      dataset = "documents.parquet") { p =>
+      graft.scale.BmIndex.build(documents(s, d), p)
+    }
+    val lex = graft.scale.BmIndex.topK(s, dir, doc1Terms(s, d), k = 20)
+      .select(col("doc_id").as("id"), col("rank"))
+    hybridRrfWith(lex, s, d)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2353,6 +2401,8 @@ object ScaleCatalogue {
     "q99_zorder_tight" -> q99ZOrderTight _,
     "q100_random_walks" -> q100RandomWalks _,
     "q101_countmin" -> q101CountMin _,
+    "q102_bm25_indexed" -> q102Bm25Indexed _,
+    "q103_hybrid_indexed" -> q103HybridIndexed _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2420,5 +2470,10 @@ object ScaleCatalogue {
     "q99_zorder_tight" -> q99Sql,
     "q100_random_walks" -> q100Sql,
     "q101_countmin" -> q101Sql,
+    // q102 is q92 over the bucketed postings layout — result-identical, same oracle
+    "q102_bm25_indexed" -> q92Sql,
+    // q103 is q94 with the lexical leg served from the postings index —
+    // result-identical, same oracle
+    "q103_hybrid_indexed" -> q94Sql,
   )
 }

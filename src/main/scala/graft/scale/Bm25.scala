@@ -46,24 +46,41 @@ object Bm25 {
     * lowest doc_id. */
   def topK(docs: DataFrame, queryTerms: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
-        explode(col("w")).as("term"))
-    // one shuffle: tf + dl per (doc, term)
-    val postings = toks.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
-    // inverted-index probe: only postings on query terms survive
-    val probed = postings.join(broadcast(queryTerms.select(col("term"))
-      .distinct()), Seq("term"))
-    // df over the PROBED terms only (term-keyed agg of a tiny slice;
-    // postings are unique per (doc, term), so a plain count IS the
-    // distinct doc count)
-    val dfs = probed.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // corpus stats as an in-plan broadcast scalar (no driver count)
     val stats = docs.agg(
       count(lit(1)).cast("double").as("n_docs"),
       avg(size(split(col("text"), " ")).cast("long")).as("avgdl"))
+    rank(probe(postingsOf(docs), queryTerms), stats, k, k1, b)
+  }
+
+  /** The (doc_id, term, tf, dl) postings table: ONE shuffle (groupBy
+    * doc+term), document length riding it as `min(dl)`. This is also
+    * what [[BmIndex.build]] materializes, bucketed by term. */
+  private[scale] def postingsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+
+  /** Inverted-index probe: only postings on query terms survive. */
+  private[scale] def probe(postings: DataFrame,
+      queryTerms: DataFrame): DataFrame =
+    postings.join(broadcast(queryTerms.select(col("term")).distinct()),
+      Seq("term"))
+
+  /** Score and rank probed postings. `stats` is a one-row
+    * (n_docs double, avgdl double) DataFrame — in-memory aggregate or
+    * the index's stored stats; both sides of the serving split share
+    * THIS code, so the materialized path is result-identical by
+    * construction. */
+  private[scale] def rank(probed: DataFrame, stats: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    // df over the PROBED terms only (term-keyed agg of a tiny slice;
+    // postings are unique per (doc, term), so a plain count IS the
+    // distinct doc count)
+    val dfs = probed.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log((col("n_docs") - col("df") + lit(0.5)) /
       (col("df") + lit(0.5)) + lit(1.0))
     val tfNorm = (col("tf") * lit(k1 + 1.0)) /

@@ -1,0 +1,81 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized BM25 index: result-identity with the in-memory path,
+  * the partition-pruned serving read, and O(batch) append equivalence
+  * with a full rebuild. */
+class BmIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, d)
+  private def qTerms = docs.filter(col("doc_id") === 1)
+    .select(explode(split(col("text"), " ")).as("term"))
+    .distinct().orderBy(col("term").asc).limit(8)
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("idx").toString
+
+  test("indexed topK equals the in-memory path exactly; scan is partition-pruned") {
+    val dir = tmp("graft-bmidx")
+    BmIndex.build(docs, dir)
+    val fromIndex = BmIndex.topK(spark, dir, qTerms, k = 15)
+    val inMemory = Bm25.topK(docs, qTerms, k = 15)
+    fromIndex.collect() // execute THIS plan so its scan metrics populate
+    val a = fromIndex.as[(Int, Long, Long, Long)].collect().toSeq
+    val b = inMemory.as[(Int, Long, Long, Long)].collect().toSeq
+    assert(a == b, "indexed path diverged from the in-memory path")
+    assert(a.nonEmpty)
+
+    // pruning proof from the executed plan (IvfIndexSpec technique)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case s: FileSourceScanExec => Seq(s)
+        case ad: AdaptiveSparkPlanExec => scans(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val postingScans = scans(fromIndex.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+    assert(postingScans.nonEmpty, "no file scan over the postings layout")
+    assert(postingScans.exists(
+        _.partitionFilters.exists(_.toString.contains("term_bucket"))),
+      s"probe must be a PARTITION filter, got ${postingScans.map(_.partitionFilters)}")
+    // the executed plan may hold clones of the scan (reused stages);
+    // the one that ran carries the numFiles metric — take the max
+    val scanned = postingScans.map(_.metrics("numFiles").value).max
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val written = walk(new java.io.File(s"$dir/postings"))
+      .count(_.getName.endsWith(".parquet"))
+    assert(scanned > 0 && scanned < written,
+      s"probe not pruned: scanned $scanned of $written posting files")
+  }
+
+  test("append == rebuild: postings land in place, stats become old+delta") {
+    val (oldHalf, newHalf) =
+      (docs.filter(col("doc_id") % 2 === 0), docs.filter(col("doc_id") % 2 === 1))
+    val grown = tmp("graft-bmidx-grow")
+    BmIndex.build(oldHalf, grown)
+    BmIndex.append(newHalf, grown)
+    val rebuilt = tmp("graft-bmidx-full")
+    BmIndex.build(docs, rebuilt)
+
+    val a = BmIndex.topK(spark, grown, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val b = BmIndex.topK(spark, rebuilt, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(a == b, "append-grown index diverged from a full rebuild")
+    // results must draw on appended docs too (odd ids present)
+    assert(a.exists(_._2 % 2 == 1), "no appended doc in the top-k")
+
+    val st = spark.read.parquet(s"$grown/_bm_stats").collect()(0)
+    assert(st.getLong(0) == docs.count(), "stats n_docs != corpus size")
+  }
+}
