@@ -2340,6 +2340,46 @@ object ScaleCatalogue {
     hybridRrfWith(lex, s, d)
   }
 
+  // ---------------------------------------------------------------------
+  // q104 — sliding-window chunking (the RAG-ingestion step between
+  // documents and embeddings): 64-token windows at stride 32, per-doc
+  // chunk ordinals, each chunk content-addressed by md5_64 so the
+  // output stays narrow and downstream dedup/embedding stages key on
+  // the hash. Pure per-row generation (sequence + explode + slice —
+  // zero shuffle, stays in codegen); chunk count ~n/stride per doc.
+  // DuckDB replays the window arithmetic and the hash bit for bit.
+  // ---------------------------------------------------------------------
+  def q104Chunking(s: SparkSession, d: String): DataFrame = {
+    val (win, stride) = (64, 32)
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_ix"),
+        col("start").cast("long").as("start"),
+        least(lit(win), col("n") - col("start")).cast("long").as("n_tok"),
+        graft.functions.Md5_64.md5_64(
+          array_join(slice(col("w"), col("start") + 1, lit(win)), " "))
+          .as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_ix"))
+  }
+  val q104Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |st AS (
+      |  SELECT doc_id, w, n, unnest(range(0, n, 32)) AS start FROM tok)
+      |SELECT doc_id,
+      |  start // 32 AS chunk_ix,
+      |  start AS start,
+      |  least(64, n - start) AS n_tok,
+      |  CAST('0x' || substr(md5(
+      |    array_to_string(w[start + 1 : start + 64], ' ')), 1, 15)
+      |    AS BIGINT) AS chunk_hash
+      |FROM st ORDER BY doc_id, chunk_ix""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2403,6 +2443,7 @@ object ScaleCatalogue {
     "q101_countmin" -> q101CountMin _,
     "q102_bm25_indexed" -> q102Bm25Indexed _,
     "q103_hybrid_indexed" -> q103HybridIndexed _,
+    "q104_chunking" -> q104Chunking _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2475,5 +2516,6 @@ object ScaleCatalogue {
     // q103 is q94 with the lexical leg served from the postings index —
     // result-identical, same oracle
     "q103_hybrid_indexed" -> q94Sql,
+    "q104_chunking" -> q104Sql,
   )
 }
