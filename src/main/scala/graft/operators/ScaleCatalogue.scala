@@ -2380,6 +2380,55 @@ object ScaleCatalogue {
       |    AS BIGINT) AS chunk_hash
       |FROM st ORDER BY doc_id, chunk_ix""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q105 — personalized PageRank (seeded teleport): rank = proximity to
+  // the seed set (every 100th customer — q100's walk seeds), the
+  // recommendation/retrieval-expansion form of q96. Same integer
+  // recurrence with the teleport mass restricted to seeds; nodes
+  // unreachable within 3 hops hold exactly 0 (integer arithmetic — no
+  // float dust), which the oracle reproduces term for term. Output
+  // keeps pr_q > 0 rows only (the reachable neighborhood), top-100.
+  // ---------------------------------------------------------------------
+  def q105PersonalizedPr(s: SparkSession, d: String): DataFrame = {
+    val edges = graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d))
+    val seeds = graft.scale.Graph.degrees(edges)
+      .filter(col("node") < lit(graft.scale.Graph.PartBase) &&
+        col("node") % 100 === 0)
+      .select(col("node"))
+    val pr = graft.scale.Graph.personalizedPageRankQ(edges, seeds,
+        iterations = 3)
+      .filter(col("pr_q") > 0)
+    val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
+    withRankKind(top, Seq(col("pr_q").desc, col("node").asc))
+      .select(col("rank"), col("node"), col("kind"), col("degree"),
+        col("pr_q"))
+      .orderBy(col("rank"))
+  }
+  val q105Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, sum(r.r // r.degree) AS s
+         |  FROM edges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |r$i AS (SELECT d.node, d.degree, CAST(
+         |    (CASE WHEN sd.node IS NOT NULL
+         |          THEN 150000000000 // ns.n ELSE 0 END) +
+         |    (85 * coalesce(s$i.s, 0)) // 100 AS BIGINT) AS r
+         |  FROM deg d LEFT JOIN s$i ON d.node = s$i.node
+         |  LEFT JOIN seeds sd ON d.node = sd.node, ns)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $graphCtes,
+       |seeds AS (SELECT node FROM deg
+       |  WHERE node < 10000000 AND node % 100 = 0),
+       |ns AS (SELECT count(*) AS n FROM seeds),
+       |r0 AS (SELECT d.node, d.degree,
+       |    CASE WHEN sd.node IS NOT NULL
+       |         THEN 1000000000000 // ns.n ELSE 0 END AS r
+       |  FROM deg d LEFT JOIN seeds sd ON d.node = sd.node, ns),
+       |$rounds
+       |SELECT row_number() OVER (ORDER BY r DESC, node ASC) AS rank,
+       |  node, $kindSql, degree, r AS pr_q
+       |FROM r3 WHERE r > 0 ORDER BY rank LIMIT 100""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2444,6 +2493,7 @@ object ScaleCatalogue {
     "q102_bm25_indexed" -> q102Bm25Indexed _,
     "q103_hybrid_indexed" -> q103HybridIndexed _,
     "q104_chunking" -> q104Chunking _,
+    "q105_personalized_pr" -> q105PersonalizedPr _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2517,5 +2567,6 @@ object ScaleCatalogue {
     // result-identical, same oracle
     "q103_hybrid_indexed" -> q94Sql,
     "q104_chunking" -> q104Sql,
+    "q105_personalized_pr" -> q105Sql,
   )
 }

@@ -120,6 +120,44 @@ object Graph {
     state.select(col("node"), col("degree"), col("r").as("pr_q"))
   }
 
+  /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
+    * (uniformly), so rank measures proximity to the seed set — the
+    * retrieval/recommendation-expansion form of [[pageRankQ]] (same
+    * integer recurrence, same lineage discipline; the static
+    * node-side table additionally carries an is_seed flag and the
+    * seed count replaces N in the teleport term). Nodes unreachable
+    * from the seeds within `iterations` hops stay at exactly 0 —
+    * integer arithmetic, no float dust. */
+  def personalizedPageRankQ(edges: DataFrame, seeds: DataFrame,
+      iterations: Int, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0)
+    val e = edges.repartition(col("src"))
+    val deg = degrees(e)
+    val sd = seeds.select(col("node")).distinct()
+    val n = sd.agg(count(lit(1)).as("n_seeds"))
+    val teleportNum = (scale * 15L) / 100L
+    // static per-node side: (node, degree, is_seed, n_seeds) — rebuilt
+    // INTO each round exactly like pageRankQ's deg (one consumer per
+    // round for the rank state; statics reuse their exchanges)
+    val base = deg
+      .join(sd.withColumn("is_seed", lit(1L)), Seq("node"), "left")
+      .withColumn("is_seed", coalesce(col("is_seed"), lit(0L)))
+      .crossJoin(broadcast(n))
+    var state = base.select(col("node"), col("degree"),
+      (col("is_seed") * expr(s"${scale}L div n_seeds")).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = state
+        .join(e, state("node") === e("src"))
+        .select(col("dst"), expr("r div degree").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      state = base.join(contribs, col("node") === col("dst"), "left")
+        .select(col("node"), col("degree"),
+          ((col("is_seed") * expr(s"${teleportNum}L div n_seeds")) +
+            expr("(85 * coalesce(s, 0L)) div 100")).as("r"))
+    }
+    state.select(col("node"), col("degree"), col("r").as("pr_q"))
+  }
+
   /** Deterministic random walks: `steps` hops from each start node,
     * choosing at hop t the neighbor v of u minimizing
     * md5_64("t:u:v") — a content-derived uniform (the q57/q97 trick

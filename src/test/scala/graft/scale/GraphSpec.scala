@@ -71,6 +71,43 @@ class GraphSpec extends AnyFunSuite {
     assert(ord == ord.sorted, "output not ordered by (pr_q desc, node)")
   }
 
+  /** Seeded variant of [[prRef]]: teleport only onto `seeds`. */
+  private def pprRef(edges: Seq[(Long, Long)], seeds: Set[Long],
+      iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val ns = seeds.size
+    var r: Map[Long, Long] = deg.map { case (k, _) =>
+      k -> (if (seeds(k)) Scale / ns else 0L)
+    }
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = deg.map { case (k, _) =>
+        k -> ((if (seeds(k)) (Scale * 15L / 100L) / ns else 0L) +
+          85L * in.getOrElse(k, 0L) / 100L)
+      }
+    }
+    r
+  }
+
+  test("personalized PR matches the seeded recurrence; unreachable stays exactly 0") {
+    // two components: seeds {1} in the first; {5,30} disconnected
+    val und = Seq(1L -> 10L, 2L -> 10L, 1L -> 20L, 5L -> 30L)
+    val pairs = und ++ und.map(_.swap)
+    val seeds = Set(1L)
+    for (iters <- Seq(1, 3)) {
+      val got = Graph.personalizedPageRankQ(
+          edgesDf(pairs), Seq(1L).toDF("node"), iters)
+        .as[(Long, Long, Long)].collect()
+        .map { case (node, _, pr) => node -> pr }.toMap
+      assert(got == pprRef(pairs, seeds, iters), s"divergence at iters=$iters")
+      assert(got(5L) == 0L && got(30L) == 0L,
+        "disconnected component must hold exactly 0")
+      assert(got(1L) > 0L && got(10L) > 0L)
+    }
+  }
+
   test("randomWalks matches an independent md5 hop replay; hops follow edges") {
     val d = "/root/testdata/sf0.001"
     val got = graft.operators.ScaleCatalogue.q100RandomWalks(spark, d)
