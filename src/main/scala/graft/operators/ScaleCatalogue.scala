@@ -2030,9 +2030,24 @@ object ScaleCatalogue {
         when(col("node") >= lit(graft.scale.Graph.PartBase), lit("part"))
           .otherwise(lit("customer")))
   }
+  /** The co-purchase edge table, materialized once per dataset
+    * (build-once/query-many — the q85/q91/q102 index pattern): all
+    * four graph queries (q95/q96/q100/q105) consume the same derived
+    * edges, and a real deployment derives a graph's edge table once,
+    * not per query. Written src-repartitioned; correctness is
+    * unaffected (every oracle re-derives edges relationally). */
+  private def purchaseEdgesCached(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("purchase-edges", d, "v1",
+      dataset = "lineitem.parquet") { p =>
+      graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d))
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(s"$p/edges")
+    }
+    s.read.parquet(s"$dir/edges")
+  }
+
   def q95LinkGraph(s: SparkSession, d: String): DataFrame = {
-    val deg = graft.scale.Graph.degrees(
-      graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d)))
+    val deg = graft.scale.Graph.degrees(purchaseEdgesCached(s, d))
     val top = deg.orderBy(col("degree").desc, col("node").asc).limit(100)
     withRankKind(top, Seq(col("degree").desc, col("node").asc))
       .select(col("rank"), col("node"), col("kind"), col("degree"))
@@ -2072,8 +2087,7 @@ object ScaleCatalogue {
   // this declarative plan; AQE on/off is within noise.
   // ---------------------------------------------------------------------
   def q96PageRank(s: SparkSession, d: String): DataFrame = {
-    val pr = graft.scale.Graph.pageRankQ(
-      graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d)),
+    val pr = graft.scale.Graph.pageRankQ(purchaseEdgesCached(s, d),
       iterations = 3)
     val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
     withRankKind(top, Seq(col("pr_q").desc, col("node").asc))
@@ -2222,7 +2236,7 @@ object ScaleCatalogue {
   // src-keyed edge exchange each hop (materialized once, reused).
   // ---------------------------------------------------------------------
   def q100RandomWalks(s: SparkSession, d: String): DataFrame = {
-    val e = graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d))
+    val e = purchaseEdgesCached(s, d)
     val starts = e
       .filter(col("src") < lit(graft.scale.Graph.PartBase) &&
         col("src") % 100 === 0)
@@ -2390,7 +2404,7 @@ object ScaleCatalogue {
   // keeps pr_q > 0 rows only (the reachable neighborhood), top-100.
   // ---------------------------------------------------------------------
   def q105PersonalizedPr(s: SparkSession, d: String): DataFrame = {
-    val edges = graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d))
+    val edges = purchaseEdgesCached(s, d)
     val seeds = graft.scale.Graph.degrees(edges)
       .filter(col("node") < lit(graft.scale.Graph.PartBase) &&
         col("node") % 100 === 0)
