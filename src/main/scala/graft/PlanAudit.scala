@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Full-catalogue plan audit: flags CartesianProduct and
+  * BroadcastNestedLoopJoin in every benched query's executed plan.
+  *
+  * CartesianProduct anywhere is a regression (the audit exits nonzero).
+  * BroadcastNestedLoopJoin hits are expected ONLY for the deliberate
+  * one-row broadcast scalars (in-plan corpus stats / node counts /
+  * codebook tables — q34/q51/q76/q82/q86/q87/q90/q92-q96/q102/q103/
+  * q105 class); a BNLJ against anything row-proportional is a bug.
+  *
+  * Usage: `sbt "runMain graft.PlanAudit"` (SPARK_GRAFT_SF_DIR,
+  * default sf0.001). Round-11 baseline: 0 cartesian, 18 deliberate
+  * one-row BNLJ.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    var cartesians = 0
+    SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val cart = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin")
+        if (cart) cartesians += 1
+        if (cart || bnlj)
+          println(s"AUDIT $name cartesian=$cart bnlj=$bnlj")
+      } catch { case e: Throwable =>
+        println(s"AUDIT $name ERROR ${Option(e.getMessage).getOrElse("?").take(80)}")
+      }
+    }
+    println(s"AUDIT done cartesians=$cartesians")
+    spark.stop()
+    if (cartesians > 0) sys.exit(1)
+  }
+}
