@@ -2363,7 +2363,8 @@ object ScaleCatalogue {
   // zero shuffle, stays in codegen); chunk count ~n/stride per doc.
   // DuckDB replays the window arithmetic and the hash bit for bit.
   // ---------------------------------------------------------------------
-  def q104Chunking(s: SparkSession, d: String): DataFrame = {
+  /** The 64/32 sliding-window chunk table (shared by q104 and q106). */
+  private def chunksOf(s: SparkSession, d: String): DataFrame = {
     val (win, stride) = (64, 32)
     documents(s, d)
       .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -2377,8 +2378,9 @@ object ScaleCatalogue {
         graft.functions.Md5_64.md5_64(
           array_join(slice(col("w"), col("start") + 1, lit(win)), " "))
           .as("chunk_hash"))
-      .orderBy(col("doc_id"), col("chunk_ix"))
   }
+  def q104Chunking(s: SparkSession, d: String): DataFrame =
+    chunksOf(s, d).orderBy(col("doc_id"), col("chunk_ix"))
   val q104Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, string_split(text, ' ') AS w,
@@ -2442,6 +2444,49 @@ object ScaleCatalogue {
        |  node, $kindSql, degree, r AS pr_q
        |FROM r3 WHERE r > 0 ORDER BY rank LIMIT 100""".stripMargin
   }
+
+  // ---------------------------------------------------------------------
+  // q106 — chunk-level cross-document dup profile: q80's decision
+  // metric at q104's chunk granularity (the dedup gate a RAG/embedding
+  // pipeline runs BEFORE paying for embeddings — identical chunks
+  // embed identically). A chunk is dup iff its content hash occurs in
+  // ≥2 DISTINCT documents; per-doc output = chunk counts + the dup
+  // fraction, quantized. Shuffles carry (hash, doc) pairs — 16 bytes —
+  // never chunk text; the hash doc-frequency join is the same inverted
+  // shape as q80's shingle index.
+  // ---------------------------------------------------------------------
+  def q106ChunkDedup(s: SparkSession, d: String): DataFrame = {
+    val ch = chunksOf(s, d).select(col("doc_id"), col("chunk_hash"))
+    val hdf = ch.distinct()
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("hdf"))
+    ch.join(hdf, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("hdf") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup"),
+        floor(col("n_dup").cast("double") * lit(1000000.0)
+          / col("n_chunks").cast("double")).cast("long").as("dup_frac_q"))
+      .orderBy(col("doc_id"))
+  }
+  val q106Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    len(string_split(text, ' ')) AS n FROM documents),
+      |st AS (
+      |  SELECT doc_id, w, n, unnest(range(0, n, 32)) AS start FROM tok),
+      |ch AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(
+      |    array_to_string(w[start + 1 : start + 64], ' ')), 1, 15)
+      |    AS BIGINT) AS chunk_hash FROM st),
+      |hdf AS (
+      |  SELECT chunk_hash, count(*) AS hdf FROM (
+      |    SELECT DISTINCT doc_id, chunk_hash FROM ch) GROUP BY chunk_hash)
+      |SELECT ch.doc_id, count(*) AS n_chunks,
+      |  sum(CASE WHEN hdf.hdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+      |  CAST(floor((sum(CASE WHEN hdf.hdf >= 2 THEN 1 ELSE 0 END)::DOUBLE
+      |    * 1000000.0) / count(*)::DOUBLE) AS BIGINT) AS dup_frac_q
+      |FROM ch JOIN hdf USING (chunk_hash)
+      |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
@@ -2508,6 +2553,7 @@ object ScaleCatalogue {
     "q103_hybrid_indexed" -> q103HybridIndexed _,
     "q104_chunking" -> q104Chunking _,
     "q105_personalized_pr" -> q105PersonalizedPr _,
+    "q106_chunk_dedup" -> q106ChunkDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2582,5 +2628,6 @@ object ScaleCatalogue {
     "q103_hybrid_indexed" -> q94Sql,
     "q104_chunking" -> q104Sql,
     "q105_personalized_pr" -> q105Sql,
+    "q106_chunk_dedup" -> q106Sql,
   )
 }
