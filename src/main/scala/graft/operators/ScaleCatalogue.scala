@@ -2488,6 +2488,71 @@ object ScaleCatalogue {
       |FROM ch JOIN hdf USING (chunk_hash)
       |GROUP BY ch.doc_id ORDER BY ch.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q107 — greedy subword tokenization (WordPiece/BPE INFERENCE — the
+  // encode step complementing q75's merge-pair training): per word,
+  // longest-match against a frozen vocab (3-char > 2-char > single
+  // char), implemented as a fold over character positions with the
+  // `aggregate` HOF — whole-stage codegen, zero shuffle; per-doc
+  // totals + the subword/whitespace compression ratio. The oracle
+  // replays the IDENTICAL fold via list_reduce (the duckDot
+  // prepend-initial trick), so greedy choices match position for
+  // position. A trained vocab swaps in for the frozen lists (q88
+  // frozen-model pattern).
+  // ---------------------------------------------------------------------
+  private val WpThrees = Seq("the", "ing", "ion", "ent", "and", "for",
+    "ter", "ate", "tio", "est")
+  private val WpTwos = Seq("th", "er", "on", "an", "re", "en", "at",
+    "es", "or", "te", "in", "ed")
+  def q107Wordpiece(s: SparkSession, d: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val wp = aggregate(
+      transform(words, w =>
+        TextAnalysis.wordpieceCount(w, WpThrees, WpTwos).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    documents(s, d)
+      .select(col("doc_id"), size(words).cast("long").as("ws_tokens"),
+        wp.as("wp_tokens"))
+      .withColumn("ratio_q",
+        floor(col("wp_tokens").cast("double") * lit(1000000.0)
+          / col("ws_tokens").cast("double")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+  val q107Sql: String = {
+    val threes = WpThrees.map(v => s"'$v'").mkString(", ")
+    val twos = WpTwos.map(v => s"'$v'").mkString(", ")
+    // DuckDB 1.0 list_reduce mis-vectorizes correlated multi-row folds
+    // (verified: correct per-row, wrong across rows of differing list
+    // lengths), so the oracle walks the identical greedy chain with a
+    // recursive CTE over precomputed per-position jumps — per DISTINCT
+    // word, joined back to token instances.
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |dw AS (SELECT DISTINCT word FROM toks WHERE len(word) > 0),
+       |jumps AS (
+       |  SELECT word, i AS pos,
+       |    CASE WHEN substr(word, i::INT, 3) IN ($threes) THEN 3
+       |         WHEN substr(word, i::INT, 2) IN ($twos) THEN 2
+       |         ELSE 1 END AS jump
+       |  FROM dw, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) p),
+       |walk AS (
+       |  SELECT word, 1 AS pos, 0 AS n FROM dw
+       |  UNION ALL
+       |  SELECT w.word, w.pos + j.jump, w.n + 1
+       |  FROM walk w JOIN jumps j ON j.word = w.word AND j.pos = w.pos),
+       |wp AS (SELECT word, n AS wp FROM walk WHERE pos > len(word)),
+       |perdoc AS (
+       |  SELECT t.doc_id, count(*) AS ws_tokens,
+       |    sum(coalesce(wp.wp, 0))::BIGINT AS wp_tokens
+       |  FROM toks t LEFT JOIN wp ON t.word = wp.word
+       |  GROUP BY t.doc_id)
+       |SELECT doc_id, ws_tokens, wp_tokens,
+       |  CAST(floor((wp_tokens::DOUBLE * 1000000.0) / ws_tokens::DOUBLE)
+       |    AS BIGINT) AS ratio_q
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2554,6 +2619,7 @@ object ScaleCatalogue {
     "q104_chunking" -> q104Chunking _,
     "q105_personalized_pr" -> q105PersonalizedPr _,
     "q106_chunk_dedup" -> q106ChunkDedup _,
+    "q107_wordpiece" -> q107Wordpiece _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2629,5 +2695,6 @@ object ScaleCatalogue {
     "q104_chunking" -> q104Sql,
     "q105_personalized_pr" -> q105Sql,
     "q106_chunk_dedup" -> q106Sql,
+    "q107_wordpiece" -> q107Sql,
   )
 }

@@ -177,4 +177,34 @@ object TextAnalysis {
       size(feats).cast("long").as("n_feat"),
       aggregate(feats, lit(0L), (acc, f) => acc + weight(f)).as("score"))
   }
+
+  /** Greedy longest-match subword tokenization count (the WordPiece/BPE
+    * INFERENCE step, complementing the training side `Bpe.train` /
+    * q75): at each position take the longest vocab entry matching
+    * (3-char beats 2-char beats the single-char fallback), advance by
+    * its length, count one token. The whole scan is a fold over
+    * character positions via the `aggregate` HOF — state (pos, n)
+    * advances only when the fold index catches up to `pos` — so it
+    * stays inside whole-stage codegen with zero shuffle, and a SQL
+    * engine replays it with the same fold (DuckDB list_reduce).
+    * `threes`/`twos` are the frozen vocab (a trained BPE/WordPiece
+    * vocab swaps in — the q88 frozen-model pattern); single chars are
+    * implicit. Empty word → 0. */
+  def wordpieceCount(word: Column, threes: Seq[String],
+      twos: Seq[String]): Column = {
+    def jump(pos: Column): Column =
+      when(word.substr(pos, lit(3)).isin(threes: _*), lit(3))
+        .when(word.substr(pos, lit(2)).isin(twos: _*), lit(2))
+        .otherwise(lit(1))
+    // sequence(1, 0) would yield a DESCENDING range, not empty — guard
+    when(length(word) === 0, lit(0)).otherwise(
+      aggregate(
+        sequence(lit(1), length(word)),
+        struct(lit(1).as("pos"), lit(0).as("n")),
+        (st, i) => when(i === st.getField("pos"),
+            struct((st.getField("pos") + jump(st.getField("pos"))).as("pos"),
+              (st.getField("n") + lit(1)).as("n")))
+          .otherwise(st),
+        st => st.getField("n")))
+  }
 }
