@@ -2553,6 +2553,60 @@ object ScaleCatalogue {
        |FROM perdoc ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q108 — DIRECTED PageRank with dangling-mass redistribution
+  // (scale/Graph.pageRankDirectedQ): the customer→part purchase graph
+  // taken as-is — parts are pure sinks (no out-edges), exactly the
+  // wiki-link-graph shape (pages that are only linked TO) the symmetric
+  // q96 form refuses. The node set comes from BOTH endpoints, sink mass
+  // is redistributed uniformly each round, and the whole recurrence
+  // stays in integer space, so the oracle unrolls it round for round
+  // including the per-round dangling scalar. Directed edges are the
+  // first half of the cached symmetric edge table (src < PartBase ⟺
+  // the customer→part direction) — a pushed-down partition-friendly
+  // filter, no re-derivation.
+  // ---------------------------------------------------------------------
+  def q108PagerankDirected(s: SparkSession, d: String): DataFrame = {
+    val e = purchaseEdgesCached(s, d)
+      .filter(col("src") < lit(graft.scale.Graph.PartBase))
+    val pr = graft.scale.Graph.pageRankDirectedQ(e, iterations = 3)
+    val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
+    withRankKind(top, Seq(col("pr_q").desc, col("node").asc))
+      .select(col("rank"), col("node"), col("kind"), col("outdeg"),
+        col("pr_q"))
+      .orderBy(col("rank"))
+  }
+  val q108Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+         |  FROM dedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
+         |  WHERE outdeg = 0),
+         |r$i AS (SELECT dg.node, dg.outdeg, CAST(
+         |    (150000000000 // n.n) +
+         |    (85 * (coalesce(s$i.s, 0) + (d$i.dm // n.n))) // 100
+         |    AS BIGINT) AS r
+         |  FROM dn dg LEFT JOIN s$i ON dg.node = s$i.node, n, d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cp AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey + 10000000 AS p
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |dedges AS (SELECT c AS src, p AS dst FROM cp),
+       |outd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
+       |  GROUP BY src),
+       |dn AS (
+       |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM dedges
+       |        UNION SELECT dst AS node FROM dedges) nd
+       |  LEFT JOIN outd o ON nd.node = o.node),
+       |n AS (SELECT count(*) AS n FROM dn),
+       |r0 AS (SELECT node, outdeg, 1000000000000 // n.n AS r FROM dn, n),
+       |$rounds
+       |SELECT row_number() OVER (ORDER BY r DESC, node ASC) AS rank,
+       |  node, $kindSql, outdeg, r AS pr_q
+       |FROM r3 ORDER BY rank LIMIT 100""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2620,6 +2674,7 @@ object ScaleCatalogue {
     "q105_personalized_pr" -> q105PersonalizedPr _,
     "q106_chunk_dedup" -> q106ChunkDedup _,
     "q107_wordpiece" -> q107Wordpiece _,
+    "q108_pagerank_directed" -> q108PagerankDirected _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2696,5 +2751,6 @@ object ScaleCatalogue {
     "q105_personalized_pr" -> q105Sql,
     "q106_chunk_dedup" -> q106Sql,
     "q107_wordpiece" -> q107Sql,
+    "q108_pagerank_directed" -> q108Sql,
   )
 }

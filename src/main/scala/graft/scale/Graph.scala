@@ -62,6 +62,31 @@ object Graph {
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
       .select(col("node"), col("degree"))
 
+  /** Fold the symmetric-input precondition into the node-count scalar:
+    * a dst-only node (present as a destination, absent from the
+    * src-derived degree table) proves the edge table is directed, and
+    * the symmetric recurrences would silently drop it and lose its
+    * mass — so the count scalar raises instead. One extra 8-byte-row
+    * anti-join per action, amortized over all iterations (the scalar
+    * is a broadcast one-row aggregate consumed by every round). Also
+    * asserts the count is positive: an empty edge table would
+    * otherwise integer-divide by zero into all-null ranks (the
+    * round-11 ADVICE null-contract item, made loud instead).
+    */
+  private def guardedCount(edges: DataFrame, deg: DataFrame, n: DataFrame,
+      cnt: String, what: String): DataFrame = {
+    val orphan = edges.select(col("dst").as("node"))
+      .join(deg.select(col("node")), Seq("node"), "left_anti")
+      .limit(1).agg(count(lit(1)).as("n_orphan"))
+    n.crossJoin(broadcast(orphan)).select(
+      (col(cnt) +
+        coalesce(assert_true(col("n_orphan") === 0, lit(
+          "symmetric edge table required (found a dst-only node): " +
+            "use pageRankDirectedQ for directed graphs")).cast("long"), lit(0L)) +
+        coalesce(assert_true(col(cnt) > 0, lit(s"empty $what"))
+          .cast("long"), lit(0L))).as(cnt))
+  }
+
   /** Fixed-iteration PageRank in scaled integer space.
     *
     * Recurrence (all integer ops, SCALE = `scale`):
@@ -73,9 +98,15 @@ object Graph {
     * Damping 0.85 as the exact rational 85/100. `N` is an in-plan
     * broadcast scalar (one-row aggregate), never a driver-side count.
     * The node set is the edge-endpoint set: on a symmetric graph every
-    * node has outdeg ≥ 1, so no dangling-mass term is needed (the
-    * general directed form would add the standard dangling
-    * redistribution; documented rather than dead-coded).
+    * node has outdeg ≥ 1, so no dangling-mass term is needed — and the
+    * precondition is ENFORCED (a dst-only node raises through
+    * [[guardedCount]] instead of silently dropping); the general
+    * directed form with dangling redistribution is
+    * [[pageRankDirectedQ]]. Degenerate-input contract: an empty edge
+    * table yields an EMPTY result (no node rows exist, so the n=0
+    * division is never evaluated — no null ranks); an empty SEED set in
+    * the personalized variant, where non-empty node rows WOULD divide
+    * by zero, raises through the guard instead.
     *
     * Returns `(node, degree, pr_q)` — one row per node, `pr_q` the
     * scaled integer rank after `iterations` rounds.
@@ -91,7 +122,8 @@ object Graph {
     // free and re-executes the derivation once per round.
     val e = edges.repartition(col("src"))
     val deg = degrees(e)
-    val n = deg.agg(count(lit(1)).as("n_nodes"))
+    val n = guardedCount(e, deg,
+      deg.agg(count(lit(1)).as("n_nodes")), "n_nodes", "edge table")
     val teleportNum = (scale * 15L) / 100L // exact: scale is a multiple of 100
     // Lineage discipline: each round's state is consumed by EXACTLY ONE
     // consumer (the contribution join); the next state is rebuilt from
@@ -120,6 +152,78 @@ object Graph {
     state.select(col("node"), col("degree"), col("r").as("pr_q"))
   }
 
+  /** PageRank over a DIRECTED edge table — the general form
+    * [[pageRankQ]]'s symmetric fast path refuses: the node set is built
+    * from BOTH endpoints (a dst-only node is a legitimate sink, not a
+    * dropped row) and the mass that sinks would swallow is
+    * redistributed uniformly each round (the standard dangling-node
+    * correction). The motivating graph is exactly the directed one the
+    * reference manipulates — wiki `[[...]]` links
+    * (process-mw-dump.py:198-211): pages link out; many pages are only
+    * linked TO.
+    *
+    * Recurrence (all integer ops, SCALE = `scale`; dm_i = Σ r_i over
+    * outdeg-0 nodes):
+    * {{{
+    *   r0(v)    = SCALE div N
+    *   r_i+1(v) = (SCALE*15 div 100) div N
+    *              + (85 * (Σ_in r_i(u) div outdeg(u)  +  dm_i div N)) div 100
+    * }}}
+    *
+    * Scale/lineage shape: unlike the symmetric form, each round has TWO
+    * consumers of the rank state (the contribution join and the
+    * dangling-mass aggregate), so the one-consumer lazy-lineage
+    * discipline cannot hold — instead every round's state is EAGERLY
+    * materialized (`localCheckpoint`), which keeps replay linear and
+    * the plan depth constant per round at the cost of one
+    * O(nodes)-row materialization per iteration (the standard
+    * Pregel/GraphX checkpoint discipline; on a cluster the same call
+    * lands on executor-local storage). Per round the data moved is the
+    * 16-byte (dst, contrib) aggregation plus one 8-byte dangling
+    * scalar; the edge exchange is pinned once as in [[pageRankQ]].
+    *
+    * Returns `(node, outdeg, pr_q)` — one row per node (sinks
+    * included), `pr_q` the scaled integer rank after `iterations`
+    * rounds. An empty edge table yields an empty result (same
+    * degenerate-input contract as [[pageRankQ]]).
+    */
+  def pageRankDirectedQ(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0)
+    val e = edges.repartition(col("src"))
+    val outd = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val deg = nodes.join(outd, Seq("node"), "left")
+      .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"))
+    val n = nodes.agg(count(lit(1)).as("n_nodes")).select(
+      (col("n_nodes") + coalesce(assert_true(col("n_nodes") > 0,
+        lit("empty edge table")).cast("long"), lit(0L))).as("n_nodes"))
+    val teleportNum = (scale * 15L) / 100L
+    val base = deg.crossJoin(broadcast(n))
+    var state = base
+      .select(col("node"), col("outdeg"),
+        expr(s"${scale}L div n_nodes").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = state
+        .join(e, state("node") === e("src"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val dang = state.filter(col("outdeg") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      state = base.join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("outdeg"),
+          (expr(s"${teleportNum}L div n_nodes") +
+            expr("(85 * (coalesce(s, 0L) + (dm div n_nodes))) div 100"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    state.select(col("node"), col("outdeg"), col("r").as("pr_q"))
+  }
+
   /** Personalized PageRank: the teleport mass lands ONLY on `seeds`
     * (uniformly), so rank measures proximity to the seed set — the
     * retrieval/recommendation-expansion form of [[pageRankQ]] (same
@@ -134,7 +238,8 @@ object Graph {
     val e = edges.repartition(col("src"))
     val deg = degrees(e)
     val sd = seeds.select(col("node")).distinct()
-    val n = sd.agg(count(lit(1)).as("n_seeds"))
+    val n = guardedCount(e, deg,
+      sd.agg(count(lit(1)).as("n_seeds")), "n_seeds", "seed set")
     val teleportNum = (scale * 15L) / 100L
     // static per-node side: (node, degree, is_seed, n_seeds) — rebuilt
     // INTO each round exactly like pageRankQ's deg (one consumer per

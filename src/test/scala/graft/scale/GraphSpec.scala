@@ -154,6 +154,87 @@ class GraphSpec extends AnyFunSuite {
       "PageRank planned a cartesian product")
   }
 
+  /** Directed replay of [[prRef]] with dangling-mass redistribution:
+    * node set from both endpoints; dm = Σ r over outdeg-0 sinks. */
+  private def prDirRef(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val outd = edges.groupBy(_._1).map { case (k, es) => k -> es.size.toLong }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    var r: Map[Long, Long] = nodes.map(_ -> Scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / outd(src) }.sum
+      }
+      val dm = nodes.filterNot(outd.contains).map(r).sum
+      r = nodes.map { v =>
+        v -> ((Scale * 15L / 100L) / n +
+          85L * (in.getOrElse(v, 0L) + dm / n) / 100L)
+      }.toMap
+    }
+    r
+  }
+
+  test("directed PageRank: sinks ranked, dangling mass redistributed, exact replay") {
+    // 1 → {10, 20}, 2 → 10, 3 → 1: nodes 10 and 20 are pure sinks
+    val pairs = Seq(1L -> 10L, 1L -> 20L, 2L -> 10L, 3L -> 1L)
+    for (iters <- Seq(0, 1, 3)) {
+      val got = Graph.pageRankDirectedQ(edgesDf(pairs), iters)
+        .as[(Long, Long, Long)].collect()
+      val byNode = got.map { case (n, _, r) => n -> r }.toMap
+      assert(byNode == prDirRef(pairs, iters), s"divergence at iters=$iters")
+      // dst-only sinks are first-class rows with outdeg 0
+      val od = got.map { case (n, o, _) => n -> o }.toMap
+      assert(od(10L) == 0L && od(20L) == 0L && od(1L) == 2L)
+    }
+    // dangling mass is redistributed, not lost: total stays near Scale
+    val total = Graph.pageRankDirectedQ(edgesDf(pairs), 3)
+      .as[(Long, Long, Long)].collect().map(_._3).sum
+    assert(total > Scale * 95L / 100L && total <= Scale,
+      s"dangling mass lost: $total vs $Scale")
+    // the two-in-edge sink (10) outranks the one-in-edge sink (20)
+    val r3 = Graph.pageRankDirectedQ(edgesDf(pairs), 3)
+      .as[(Long, Long, Long)].collect().map { case (n, _, r) => n -> r }.toMap
+    assert(r3(10L) > r3(20L))
+  }
+
+  test("symmetric pageRankQ raises loudly on a directed edge table") {
+    val directed = Seq(1L -> 10L, 2L -> 10L) // 10 is dst-only
+    val ex = intercept[Exception] {
+      Graph.pageRankQ(edgesDf(directed), 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("pageRankDirectedQ")),
+      s"wrong failure: $ex")
+  }
+
+  test("degenerate inputs: empty edges yield empty (never null ranks); empty seeds raise") {
+    // no edges → no nodes → zero rows; the n=0 division is never
+    // evaluated because there is no row to evaluate it on
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRankQ(empty, 1).collect().isEmpty)
+    assert(Graph.pageRankDirectedQ(empty, 1).collect().isEmpty)
+    // empty SEEDS against a real graph is the reachable null-rank
+    // hazard (n_seeds=0 divides every node row) — must raise, not null
+    val und = Seq(1L -> 10L, 10L -> 1L)
+    intercept[Exception] {
+      Graph.personalizedPageRankQ(edgesDf(und),
+        Seq.empty[Long].toDF("node"), 1).collect()
+    }
+  }
+
+  test("q108 corpus run: parts are sinks yet surface in the top ranks") {
+    val d = "/root/testdata/sf0.001"
+    val top = graft.operators.ScaleCatalogue.q108PagerankDirected(spark, d)
+      .as[(Int, Long, String, Long, Long)].collect()
+    assert(top.length == 100)
+    // the directed graph's sinks (parts) must appear — the whole point
+    // of the dangling-corrected form is that dst-only nodes get rank
+    assert(top.exists(t => t._3 == "part" && t._4 == 0L))
+    val ord = top.sortBy(_._1).map(t => (-t._5, t._2)).toSeq
+    assert(ord == ord.sorted, "output not ordered by (pr_q desc, node)")
+  }
+
   test("random walks: no cartesian product; hops reuse the edge exchange") {
     val d = "/root/testdata/sf0.001"
     val df = graft.operators.ScaleCatalogue.q100RandomWalks(spark, d)
