@@ -2607,6 +2607,50 @@ object ScaleCatalogue {
        |FROM r3 ORDER BY rank LIMIT 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q109 — heavy hitters with NO candidate list (the discovery half
+  // q101's point queries lack): CMS + threshold second pass
+  // (scale/Sketch.heavyHitters). The sketch (fixed d×w cells) is built
+  // in one pass and collected (control-plane, ≤4096 cells); the second
+  // pass evaluates every occurrence's estimate inline against the d
+  // array-literal rows and filters BEFORE any shuffle, so the only
+  // aggregation carries surviving heavy-term occurrences. est ≥ true
+  // is one-sided: every term with true count ≥ N/1000 is guaranteed
+  // present (SketchSpec pins completeness against exact counts); the
+  // md5 row hashes make the candidate set bit-reproducible, so the
+  // oracle replays the exact emitted set, not just the guarantee. On
+  // this corpus N/1000 is the threshold that splits the ~900-count
+  // head from the tail term.
+  // ---------------------------------------------------------------------
+  def q109HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(split(col("text"), " ")).as("term"))
+    graft.scale.Sketch.heavyHitters(toks, phi = 1000L)
+      .orderBy(col("est_cnt").desc, col("term").asc)
+  }
+  val q109Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |n AS (SELECT count(*) AS n FROM toks),
+      |cells AS (
+      |  SELECT r, CAST('0x' || substr(md5(concat_ws(':', r, term)), 1, 15)
+      |      AS BIGINT) % 1024 AS b, count(*) AS cnt
+      |  FROM toks, LATERAL (SELECT unnest(range(0, 4)) AS r) d
+      |  GROUP BY 1, 2),
+      |dt AS (SELECT DISTINCT term FROM toks),
+      |pb AS (
+      |  SELECT dt.term, d.r,
+      |    CAST('0x' || substr(md5(concat_ws(':', d.r, dt.term)), 1, 15)
+      |      AS BIGINT) % 1024 AS b
+      |  FROM dt, LATERAL (SELECT unnest(range(0, 4)) AS r) d),
+      |est AS (
+      |  SELECT pb.term, min(coalesce(c.cnt, 0)) AS est_cnt
+      |  FROM pb LEFT JOIN cells c ON c.r = pb.r AND c.b = pb.b
+      |  GROUP BY pb.term)
+      |SELECT term, est_cnt FROM est, n
+      |WHERE est_cnt >= n.n // 1000
+      |ORDER BY est_cnt DESC, term ASC""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2675,6 +2719,7 @@ object ScaleCatalogue {
     "q106_chunk_dedup" -> q106ChunkDedup _,
     "q107_wordpiece" -> q107Wordpiece _,
     "q108_pagerank_directed" -> q108PagerankDirected _,
+    "q109_heavy_hitters" -> q109HeavyHitters _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2752,5 +2797,6 @@ object ScaleCatalogue {
     "q106_chunk_dedup" -> q106Sql,
     "q107_wordpiece" -> q107Sql,
     "q108_pagerank_directed" -> q108Sql,
+    "q109_heavy_hitters" -> q109Sql,
   )
 }

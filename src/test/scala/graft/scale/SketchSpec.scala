@@ -73,6 +73,45 @@ class SketchSpec extends AnyFunSuite {
     assert(got("unseen-term") >= 0L)
   }
 
+  test("heavyHitters: complete (every true-heavy term present), est >= true, no probe set") {
+    val phi = 1000L
+    val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val threshold = n / phi
+    val got = Sketch.heavyHitters(toks, phi)
+      .as[(String, Long)].collect().toMap
+    // one-sided completeness: est >= true, so true-heavy can't be missed
+    val trueHeavy = exact.filter(_._2 >= threshold).keySet
+    assert(trueHeavy.nonEmpty && threshold > 0, "degenerate fixture")
+    assert(trueHeavy.subsetOf(got.keySet),
+      s"missed true-heavy terms: ${(trueHeavy -- got.keySet).take(3)}")
+    // every emitted estimate dominates its true count and clears the bar
+    got.foreach { case (t, e) =>
+      assert(e >= exact.getOrElse(t, 0L), s"underestimate for $t")
+      assert(e >= threshold)
+    }
+    // the epsilon-N error bound of the sketch caps false-positive
+    // inflation: no estimate exceeds true + 2eN (e = e/w per row; the
+    // min over d independent rows is far tighter w.h.p.)
+    val slack = 2 * math.E * n.toDouble / 1024.0
+    got.foreach { case (t, e) =>
+      assert(e <= exact.getOrElse(t, 0L) + slack.toLong + 1,
+        s"estimate for $t beyond the eN envelope")
+    }
+  }
+
+  test("heavyHitters filters inline before the shuffle: no join, no cartesian") {
+    val df = graft.operators.ScaleCatalogue.q109HeavyHitters(spark, d)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // pass 2 must not join the cell table — the estimate is an inline
+    // array-literal lookup; the only join-free shuffle is the final
+    // candidate dedup
+    assert(!plan.contains("Join"), s"pass 2 should be join-free:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("estimate joins the cell table broadcast; no cartesian product") {
     val df = graft.operators.ScaleCatalogue.q101CountMin(spark, d)
     df.collect()
