@@ -2651,6 +2651,48 @@ object ScaleCatalogue {
       |WHERE est_cnt >= n.n // 1000
       |ORDER BY est_cnt DESC, term ASC""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q110 — LONG random walks (node2vec-length): 16 hops with the
+  // frontier materialized every 4 (Graph.randomWalks materializeEvery),
+  // so the final plan carries at most 4 hop-joins no matter the walk
+  // length — the plan-depth bound a 40-80-hop walker needs
+  // (GraphSpec asserts the bound from the executed plan). Hop algebra
+  // identical to q100 (content-hash argmin, map-side combinable), so
+  // the oracle unrolls the same recurrence 16 deep; hash-equality
+  // proves the checkpoint cadence changes nothing about the data.
+  // ---------------------------------------------------------------------
+  private val LongWalkSteps = 16
+  def q110LongWalks(s: SparkSession, d: String): DataFrame = {
+    val e = purchaseEdgesCached(s, d)
+    val starts = e
+      .filter(col("src") < lit(graft.scale.Graph.PartBase) &&
+        col("src") % 100 === 0)
+      .select(col("src").as("walk_id"), col("src").as("node")).distinct()
+    graft.scale.Graph.randomWalks(e, starts, steps = LongWalkSteps,
+        materializeEvery = 4)
+      .orderBy(col("walk_id"), col("step"))
+  }
+  val q110Sql: String = {
+    val hop = (t: Int) =>
+      s"""w$t AS (SELECT walk_id, node FROM (
+         |  SELECT s.walk_id, e.dst AS node, row_number() OVER (
+         |    PARTITION BY s.walk_id
+         |    ORDER BY CAST('0x' || substr(md5(
+         |      concat_ws(':', $t, s.node, e.dst)), 1, 15) AS BIGINT) ASC,
+         |      e.dst ASC) AS rk
+         |  FROM w${t - 1} s JOIN edges e ON s.node = e.src) WHERE rk = 1)""".stripMargin
+    val hops = (1 to LongWalkSteps).map(hop).mkString(",\n")
+    val unions = (1 to LongWalkSteps).map(t =>
+      s"UNION ALL SELECT walk_id, $t AS step, node FROM w$t").mkString("\n")
+    s"""WITH $graphCtes,
+       |w0 AS (SELECT c AS walk_id, c AS node
+       |  FROM (SELECT DISTINCT c FROM cp) WHERE c % 100 = 0),
+       |$hops
+       |SELECT walk_id, 0 AS step, node FROM w0
+       |$unions
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2720,6 +2762,7 @@ object ScaleCatalogue {
     "q107_wordpiece" -> q107Wordpiece _,
     "q108_pagerank_directed" -> q108PagerankDirected _,
     "q109_heavy_hitters" -> q109HeavyHitters _,
+    "q110_long_walks" -> q110LongWalks _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2798,5 +2841,6 @@ object ScaleCatalogue {
     "q107_wordpiece" -> q107Sql,
     "q108_pagerank_directed" -> q108Sql,
     "q109_heavy_hitters" -> q109Sql,
+    "q110_long_walks" -> q110Sql,
   )
 }

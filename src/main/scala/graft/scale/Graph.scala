@@ -276,18 +276,30 @@ object Graph {
     * by every hop) and picks the argmin neighbor via a min-struct
     * aggregation — map-side combinable, so a hot node's candidate
     * rows collapse before the shuffle; the shuffle carries 24-byte
-    * (walk, hash, dst) rows. The returned long format accumulates
-    * step t's frontier by union, so frontier t appears t-deep in the
-    * final plan — quadratic PLAN size in steps (fine for sequence
-    * windows of 3-10 hops; a 100-hop walker would materialize the
-    * frontier every ~8 hops).
+    * (walk, hash, dst) rows.
+    *
+    * Plan-depth bound: accumulating step t's frontier by union would
+    * put frontier t t-deep in the final plan — quadratic PLAN size in
+    * steps, fine for sequence windows of 3-10 hops but fatal for
+    * node2vec-style 40-80-hop walkers. Every `materializeEvery` hops
+    * the frontier AND the accumulator are therefore eagerly
+    * materialized (`localCheckpoint` — the [[pageRankDirectedQ]]
+    * checkpoint discipline), so the final plan holds at most
+    * K(K+1)/2 hop-joins for K = `materializeEvery` — the accumulator
+    * union repeats each in-segment frontier — regardless of `steps`
+    * (GraphSpec-asserted), and replay work stays linear. Each
+    * checkpoint segment re-shuffles the edge side once; long-walk
+    * callers should hand in an already-materialized edge table (the
+    * q95-q105 cached edge parquet pattern) so that cost is a scan,
+    * not a derivation.
     *
     * `starts`: (walk_id, node). Returns (walk_id, step, node) for
     * step 0..steps. Nodes must have out-edges (always true on a
     * symmetric edge table). */
   def randomWalks(edges: DataFrame, starts: DataFrame,
-      steps: Int): DataFrame = {
+      steps: Int, materializeEvery: Int = 8): DataFrame = {
     require(steps >= 0)
+    require(materializeEvery > 0)
     val e = edges.repartition(col("src"))
     var cur = starts.select(col("walk_id"), col("node"))
     var acc = cur.withColumn("step", lit(0))
@@ -301,6 +313,10 @@ object Graph {
         .agg(min(struct(col("h"), col("dst"))).as("m"))
         .select(col("walk_id"), col("m.dst").as("node"))
       acc = acc.unionByName(cur.withColumn("step", lit(t)))
+      if (t % materializeEvery == 0 && t < steps) {
+        cur = cur.localCheckpoint()
+        acc = acc.localCheckpoint()
+      }
     }
     acc.select(col("walk_id"), col("step"), col("node"))
   }

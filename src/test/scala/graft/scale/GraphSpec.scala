@@ -235,6 +235,43 @@ class GraphSpec extends AnyFunSuite {
     assert(ord == ord.sorted, "output not ordered by (pr_q desc, node)")
   }
 
+  test("long walks: checkpoint cadence bounds plan depth, data unchanged") {
+    // 8-node ring, one walker: 16 hops exercise 3 checkpoints at K=4
+    val ring = (0L until 8L).flatMap(i =>
+      Seq(i -> ((i + 1) % 8), ((i + 1) % 8) -> i))
+    val starts = Seq((0L, 0L)).toDF("walk_id", "node")
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val bounded = Graph.randomWalks(edgesDf(ring), starts, 16,
+      materializeEvery = 4)
+    val unbounded = Graph.randomWalks(edgesDf(ring), starts, 16,
+      materializeEvery = 100)
+    // the materialized form's FINAL plan holds only the last segment's
+    // hop-joins — K(K+1)/2 = 10 at K=4 (the accumulator union repeats
+    // each in-segment frontier), independent of steps; the unbounded
+    // form accumulates all 16 per frontier
+    assert(joins(bounded) <= 10,
+      s"plan depth not bounded: ${joins(bounded)} joins")
+    assert(joins(unbounded) >= 16,
+      s"fixture too shallow: ${joins(unbounded)} joins")
+    // identical walks either way — the cadence is pure mechanics
+    val a = bounded.as[(Long, Int, Long)].collect().sorted.toSeq
+    val b = unbounded.as[(Long, Int, Long)].collect().sorted.toSeq
+    assert(a == b && a.length == 17)
+    // independent replay of the 16-hop argmin chain
+    val adj = ring.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+    var cur = 0L
+    val expect = (0L, 0, 0L) +: (1 to 16).map { t =>
+      cur = adj(cur).map(v => ((h(s"$t:$cur:$v"), v), v)).minBy(_._1)._2
+      (0L, t, cur)
+    }
+    assert(a == expect.sorted.toSeq)
+  }
+
   test("random walks: no cartesian product; hops reuse the edge exchange") {
     val d = "/root/testdata/sf0.001"
     val df = graft.operators.ScaleCatalogue.q100RandomWalks(spark, d)
