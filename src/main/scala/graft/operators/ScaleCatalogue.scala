@@ -2693,6 +2693,87 @@ object ScaleCatalogue {
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q111 — TRAINED-vocab subword tokenization (closing the q75→q107
+  // loop at realistic vocab size): the vocab is LEARNED from the corpus
+  // — the top-1000 character n-grams (len 2-4, spaces included: real
+  // BPE vocabs carry space-prefixed tokens) by occurrence, tie-broken
+  // (count desc, gram asc) so the cut is deterministic — then each
+  // document's FULL text is greedily longest-match tokenized by the
+  // hash-set expression (functions.SubwordCount: O(maxLen) set probes
+  // per position, priced the same at 30k entries as at 22). The vocab
+  // fit is one aggregation collected at 1000 rows (control-plane, the
+  // KMeans-centroid precedent); tokenization is per-row, zero shuffle.
+  // The oracle re-derives the identical vocab in SQL and replays the
+  // greedy chain with the q107 recursive-CTE walk, so hash-equality
+  // proves training cut + greedy choices position for position. 1471
+  // distinct grams exist at the gate SF — the 1000 cut genuinely
+  // excludes tail grams.
+  // ---------------------------------------------------------------------
+  def q111SubwordTrained(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val grams = docs.select(explode(flatten(transform(
+      sequence(lit(1), length(col("text"))),
+      i => filter(
+        transform(array(lit(2), lit(3), lit(4)),
+          l => when(i + l - lit(1) <= length(col("text")),
+            col("text").substr(i, l))),
+        x => x.isNotNull)))).as("gram"))
+    val vocab = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc).limit(1000)
+      .select(col("gram")).collect().map(_.getString(0)).toSeq
+    docs.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.subwordCount(col("text"), vocab).cast("long")
+          .as("sw_tokens"))
+      .withColumn("ratio_q",
+        when(col("n_chars") > 0,
+          floor(col("sw_tokens").cast("double") * lit(1000000.0)
+            / col("n_chars").cast("double")).cast("long")).otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+  }
+  val q111Sql: String =
+    """WITH RECURSIVE grams AS (
+      |  SELECT substr(text, i::INT, l::INT) AS gram
+      |  FROM documents,
+      |    LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) p,
+      |    LATERAL (SELECT unnest([2, 3, 4]) AS l) q
+      |  WHERE i + l - 1 <= len(text)),
+      |vocab AS (SELECT gram FROM (
+      |  SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
+      |  ORDER BY cnt DESC, gram ASC LIMIT 1000)),
+      |posg AS (
+      |  SELECT d.doc_id, p.i AS pos, len(d.text) AS tlen,
+      |    substr(d.text, p.i::INT, 4) AS s4,
+      |    substr(d.text, p.i::INT, 3) AS s3,
+      |    substr(d.text, p.i::INT, 2) AS s2
+      |  FROM documents d,
+      |    LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS i) p),
+      |jumps AS (
+      |  SELECT g.doc_id, g.pos,
+      |    CASE WHEN g.pos + 3 <= g.tlen AND v4.gram IS NOT NULL THEN 4
+      |         WHEN g.pos + 2 <= g.tlen AND v3.gram IS NOT NULL THEN 3
+      |         WHEN g.pos + 1 <= g.tlen AND v2.gram IS NOT NULL THEN 2
+      |         ELSE 1 END AS jump
+      |  FROM posg g
+      |  LEFT JOIN vocab v4 ON g.s4 = v4.gram
+      |  LEFT JOIN vocab v3 ON g.s3 = v3.gram
+      |  LEFT JOIN vocab v2 ON g.s2 = v2.gram),
+      |walk AS (
+      |  SELECT doc_id, 1 AS pos, 0 AS n FROM documents
+      |  UNION ALL
+      |  SELECT w.doc_id, w.pos + j.jump, w.n + 1
+      |  FROM walk w JOIN jumps j ON j.doc_id = w.doc_id AND j.pos = w.pos),
+      |sw AS (
+      |  SELECT w.doc_id, w.n AS sw_tokens FROM walk w
+      |  JOIN documents d ON w.doc_id = d.doc_id WHERE w.pos > len(d.text))
+      |SELECT d.doc_id, len(d.text)::BIGINT AS n_chars,
+      |  sw.sw_tokens::BIGINT AS sw_tokens,
+      |  CASE WHEN len(d.text) > 0 THEN CAST(floor(
+      |    (sw.sw_tokens::DOUBLE * 1000000.0) / len(d.text)::DOUBLE) AS BIGINT)
+      |    ELSE 0 END AS ratio_q
+      |FROM documents d JOIN sw ON d.doc_id = sw.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2763,6 +2844,7 @@ object ScaleCatalogue {
     "q108_pagerank_directed" -> q108PagerankDirected _,
     "q109_heavy_hitters" -> q109HeavyHitters _,
     "q110_long_walks" -> q110LongWalks _,
+    "q111_subword_trained" -> q111SubwordTrained _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2842,5 +2924,6 @@ object ScaleCatalogue {
     "q108_pagerank_directed" -> q108Sql,
     "q109_heavy_hitters" -> q109Sql,
     "q110_long_walks" -> q110Sql,
+    "q111_subword_trained" -> q111Sql,
   )
 }

@@ -190,6 +190,16 @@ object TextAnalysis {
     * `threes`/`twos` are the frozen vocab (a trained BPE/WordPiece
     * vocab swaps in — the q88 frozen-model pattern); single chars are
     * implicit. Empty word → 0. */
+  /** Trained-vocab greedy subword count — [[wordpieceCount]]'s promised
+    * swap-in for realistic vocab sizes: same greedy longest-match
+    * semantics, but the vocab is a hash set inside a native expression
+    * (`functions.SubwordCount`) so each position costs O(maxLen) set
+    * probes instead of O(vocab) literal comparisons. Accepts ANY vocab
+    * — `Bpe.train`'s merged-pair strings, a corpus-frequency n-gram
+    * cut (the q111 form), or a shipped WordPiece file. */
+  def subwordCount(text: Column, vocab: Seq[String]): Column =
+    graft.functions.SubwordCount.subword_count(text, vocab)
+
   def wordpieceCount(word: Column, threes: Seq[String],
       twos: Seq[String]): Column = {
     def jump(pos: Column): Column =

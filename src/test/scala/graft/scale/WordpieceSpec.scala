@@ -50,4 +50,45 @@ class WordpieceSpec extends AnyFunSuite {
     // and both engines implement exactly that (q107 pins cross-engine)
     assert(count(Seq("thes")) == Seq(2)) // the + s, not th + es
   }
+
+  private def swCount(texts: Seq[String], vocab: Seq[String]): Seq[Int] =
+    texts.toDF("t")
+      .select(TextAnalysis.subwordCount(col("t"), vocab).as("n"))
+      .as[Int].collect().toSeq
+
+  test("trained-vocab SubwordCount agrees with the isin-chain fold on the frozen vocab") {
+    // same greedy semantics, different machinery: the hash-set
+    // expression fed the q107 frozen vocab must reproduce
+    // wordpieceCount word for word across the corpus
+    val words = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .distinct().as[String].collect().toSeq
+    assert(swCount(words, threes ++ twos) == count(words))
+  }
+
+  test("SubwordCount: longer-than-3 entries, truncation guard, degenerate vocabs") {
+    // a 4-entry beats its own 3-prefix and 2-prefix
+    assert(swCount(Seq("tion"), Seq("tion", "tio", "ti")) == Seq(1))
+    // window must FIT: 'tio' at the end must not match 'tion' truncated
+    assert(swCount(Seq("xtio"), Seq("tion")) == Seq(4))
+    // space-containing entries span word boundaries (BPE-style)
+    assert(swCount(Seq("a b"), Seq("a b")) == Seq(1))
+    // empty vocab = plain char count; 1-char entries are ignored (the
+    // single-char fallback is implicit)
+    assert(swCount(Seq("abc"), Nil) == Seq(3))
+    assert(swCount(Seq("abc"), Seq("a", "b", "c")) == Seq(3))
+    assert(swCount(Seq(""), Seq("ab")) == Seq(0))
+  }
+
+  test("q111: the trained cut is >= 1000 entries and the query is shuffle-free per row") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.operators.ScaleCatalogue.q111SubwordTrained(spark, d)
+    val rows = df.as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // subword tokens compress chars but can't beat them
+    rows.foreach { case (_, nc, sw, _) => assert(sw >= 1 && sw <= nc) }
+    // multi-char vocab entries actually fire: strictly fewer tokens
+    // than characters on every real document
+    assert(rows.forall { case (_, nc, sw, _) => sw < nc })
+  }
 }
