@@ -2326,7 +2326,9 @@ object ScaleCatalogue {
   // ---------------------------------------------------------------------
   def q102Bm25Indexed(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
-    val dir = cachedIndexDir("bm-index", d, "v1",
+    // "v2": index format gains the _bm_docs committed-id table (the
+    // append dedup gate) — a round-11 cached index must rebuild once
+    val dir = cachedIndexDir("bm-index", d, "v2",
       dataset = "documents.parquet") { p =>
       graft.scale.BmIndex.build(docs, p)
     }
@@ -2345,7 +2347,7 @@ object ScaleCatalogue {
   // side.
   // ---------------------------------------------------------------------
   def q103HybridIndexed(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedIndexDir("bm-index", d, "v1",
+    val dir = cachedIndexDir("bm-index", d, "v2",
       dataset = "documents.parquet") { p =>
       graft.scale.BmIndex.build(documents(s, d), p)
     }

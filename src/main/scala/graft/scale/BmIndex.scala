@@ -26,12 +26,24 @@ import org.apache.spark.sql.functions._
   *
   * `append` grows the index O(batch): new docs' postings land inside
   * the existing bucket dirs and the one-row stats table is re-derived
-  * as old + batch delta. Contract (like IvfIndex.append's frozen
-  * centroids): appended doc_ids must be NEW — re-appending an existing
-  * document would double its postings; dedup upstream
-  * ([[Dedup.exactGroups]] / the block store's first-writer-wins) owns
-  * that invariant. df/avgdl/N automatically reflect appends because df
-  * comes from the postings at query time and stats are maintained.
+  * as old + batch delta. The new-doc contract is ENFORCED, not hoped:
+  * `_bm_docs` records every committed doc_id, and `append` anti-joins
+  * the batch against it — re-appending an existing document is a
+  * no-op, never a posting double-count (BmIndexSpec pins it). The
+  * anti-join scans only the narrow id table; at block-store doc counts
+  * the same probe swaps to the sharded GraftKeyIndex bloom without
+  * changing the contract.
+  *
+  * Write protocol (single-writer; no atomic multi-file commit exists
+  * over raw parquet dirs): ids first, postings second, stats LAST as
+  * the commit point. EVERY torn prefix is then detectable by the
+  * cheap [[consistent]] probe (stats.n_docs vs count(_bm_docs)):
+  * dying before the postings write leaves recorded-but-absent ids,
+  * dying before the stats write leaves stats behind the id table —
+  * both mismatch; and served results never silently skew, because
+  * committed docs' postings and stats still agree with each other.
+  * Recovery from a detected torn append = rebuild (idempotent
+  * overwrite), the `_graft_built`-marker staleness discipline.
   */
 object BmIndex {
 
@@ -55,23 +67,46 @@ object BmIndex {
       .parquet(s"$dir/postings")
 
   def build(docs: DataFrame, dir: String): Unit = {
+    docs.select(col("doc_id")).write.mode("overwrite")
+      .parquet(s"$dir/_bm_docs")
     writePostings(docs, dir, "overwrite")
     statsDelta(docs).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_bm_stats")
   }
 
-  /** O(batch) growth: postings append into existing bucket dirs; the
-    * one-row stats table becomes old + delta (read to the driver —
-    * one row — so the overwrite never reads what it writes). */
+  /** O(batch) growth: the batch anti-joins the committed-id table (dup
+    * doc_ids are skipped — re-append is a no-op), fresh postings
+    * append into existing bucket dirs, and the one-row stats table
+    * becomes old + fresh delta (both read to the driver — one row
+    * each — so the overwrite never reads what it writes). Write order
+    * ids → postings → stats; see the object scaladoc for the torn-
+    * append detection this ordering buys. */
   def append(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val old = spark.read.parquet(s"$dir/_bm_stats")
       .select(col("n_docs"), col("sum_dl")).collect()(0)
-    writePostings(docs, dir, "append")
-    statsDelta(docs)
-      .select((col("n_docs") + lit(old.getLong(0))).as("n_docs"),
-        (col("sum_dl") + lit(old.getLong(1))).as("sum_dl"))
+    val committed = spark.read.parquet(s"$dir/_bm_docs")
+    val fresh = docs.join(committed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val delta = statsDelta(fresh).collect()(0)
+    if (delta.getLong(0) == 0L) return // every doc_id already committed
+    fresh.select(col("doc_id")).write.mode("append")
+      .parquet(s"$dir/_bm_docs")
+    writePostings(fresh, dir, "append")
+    spark.range(1)
+      .select(lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
+        lit(old.getLong(1) + delta.getLong(1)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_stats")
+  }
+
+  /** Torn-append detector: under the ids → postings → stats write
+    * order, every interrupted [[append]] prefix leaves the committed-id
+    * count ahead of the stats row. One narrow-column count — no
+    * postings scan. */
+  def consistent(spark: SparkSession, dir: String): Boolean = {
+    val st = spark.read.parquet(s"$dir/_bm_stats")
+      .select(col("n_docs")).collect()(0).getLong(0)
+    st == spark.read.parquet(s"$dir/_bm_docs").count()
   }
 
   /** BM25 top-k served from the materialized layout: probed bucket ids

@@ -78,4 +78,52 @@ class BmIndexSpec extends AnyFunSuite {
     val st = spark.read.parquet(s"$grown/_bm_stats").collect()(0)
     assert(st.getLong(0) == docs.count(), "stats n_docs != corpus size")
   }
+
+  test("re-append is a no-op: dup doc_ids are skipped, stats and results unchanged") {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    def postingFiles(dir: String): Int =
+      walk(new java.io.File(s"$dir/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    val dir = tmp("graft-bmidx-dup")
+    BmIndex.build(docs, dir)
+    val before = BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val stBefore = spark.read.parquet(s"$dir/_bm_stats").collect()(0)
+    val filesBefore = postingFiles(dir)
+
+    // whole-corpus re-append AND a mixed batch re-appending half of it:
+    // only genuinely new ids may land
+    BmIndex.append(docs, dir)
+    assert(postingFiles(dir) == filesBefore, "no-op append wrote postings")
+    val after = BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(after == before, "re-append changed served results")
+    val stAfter = spark.read.parquet(s"$dir/_bm_stats").collect()(0)
+    assert(stAfter.getLong(0) == stBefore.getLong(0) &&
+      stAfter.getLong(1) == stBefore.getLong(1), "re-append moved stats")
+    assert(BmIndex.consistent(spark, dir))
+
+    // mixed batch: half dup, half new — equals building the union once
+    val half = tmp("graft-bmidx-mixed")
+    BmIndex.build(docs.filter(col("doc_id") % 2 === 0), half)
+    BmIndex.append(docs, half) // contains already-committed evens
+    val grown = BmIndex.topK(spark, half, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(grown == before, "mixed re-append diverged from full build")
+    assert(BmIndex.consistent(spark, half))
+    val stMixed = spark.read.parquet(s"$half/_bm_stats").collect()(0)
+    assert(stMixed.getLong(0) == stBefore.getLong(0) &&
+      stMixed.getLong(1) == stBefore.getLong(1))
+  }
+
+  test("consistent() detects a torn append (id table ahead of stats)") {
+    val dir = tmp("graft-bmidx-torn")
+    BmIndex.build(docs.filter(col("doc_id") % 2 === 0), dir)
+    assert(BmIndex.consistent(spark, dir))
+    // simulate dying after the ids write, before postings/stats
+    docs.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .write.mode("append").parquet(s"$dir/_bm_docs")
+    assert(!BmIndex.consistent(spark, dir), "torn append not detected")
+  }
 }
