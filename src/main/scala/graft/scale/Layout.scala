@@ -111,20 +111,49 @@ object Layout {
       .filter(x.between(xlo, xhi) && y.between(ylo, yhi))
   }
 
+  /** Max bucket ids an enumerated `isin` partition filter may carry
+    * before [[boxScanTight]] falls back to per-interval `between`
+    * ranges: a big box at a small bucketWidth would otherwise build a
+    * driver-side literal list (and an In predicate) of
+    * O(z-range/bucketWidth) ids — thousands of planning-time literals
+    * for a filter the merged interval ranges state in O(intervals). */
+  val MaxEnumeratedBuckets = 100
+
   /** Tight box read: the [[zIntervals]] exact cover as an OR of z
-    * ranges + an `isin` bucket set (still a planning-time partition
-    * filter). No residual per-dimension predicates — the cover is
-    * exact, and the bucket set is a subset of [[boxScan]]'s bucket
-    * range, so pruning is at least as good, usually strictly better
-    * for boxes whose corner z-values are far apart. */
+    * ranges + a bucket partition filter (planning-time pruning either
+    * way). No residual per-dimension predicates — the cover is exact,
+    * and the bucket set is a subset of [[boxScan]]'s bucket range, so
+    * pruning is at least as good, usually strictly better for boxes
+    * whose corner z-values are far apart.
+    *
+    * The bucket filter's SIZE is bounded: small sets enumerate as
+    * `isin`; past [[MaxEnumeratedBuckets]] ids the filter becomes an
+    * OR of per-interval `between` ranges over the merged (sorted,
+    * disjoint) interval list — O(intervals) predicate nodes, ≤ ~8·bits,
+    * regardless of bucketWidth. Partition pruning handles range
+    * predicates on directory columns exactly as it handles In
+    * (ZOrderSpec pins both the bounded plan and result identity). */
   def boxScanTight(zdf: DataFrame,
       xlo: Long, xhi: Long, ylo: Long, yhi: Long,
       bucketWidth: Long = 4096L, bits: Int = 8): DataFrame = {
     val ivs = zIntervals(xlo, xhi, ylo, yhi, bits)
-    val buckets = ivs.flatMap { case (lo, hi) =>
-      (lo / bucketWidth) to (hi / bucketWidth)
-    }.distinct
-    zdf.filter(col("z_bucket").isin(buckets: _*))
+    // per-interval bucket ranges, re-merged (adjacent intervals can
+    // land in adjacent-or-same buckets)
+    val ranges = ivs.map { case (lo, hi) => (lo / bucketWidth, hi / bucketWidth) }
+      .foldLeft(List.empty[(Long, Long)]) {
+        case ((alo, ahi) :: acc, (lo, hi)) if lo <= ahi + 1 =>
+          (alo, math.max(ahi, hi)) :: acc
+        case (acc, iv) => iv :: acc
+      }.reverse
+    val enumerated = ranges.map { case (lo, hi) => hi - lo + 1 }.sum
+    val bucketPred =
+      if (enumerated <= MaxEnumeratedBuckets)
+        col("z_bucket").isin(
+          ranges.flatMap { case (lo, hi) => lo to hi }: _*)
+      else
+        ranges.map { case (lo, hi) => col("z_bucket").between(lo, hi) }
+          .reduce(_ || _)
+    zdf.filter(bucketPred)
       .filter(ivs.map { case (lo, hi) => col("z").between(lo, hi) }
         .reduce(_ || _))
   }

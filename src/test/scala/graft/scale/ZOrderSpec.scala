@@ -122,6 +122,73 @@ class ZOrderSpec extends AnyFunSuite {
     assert(tightScan.metrics("numFiles").value <= scanned)
   }
 
+  test("tight box read bounds its bucket predicate on fine-grained layouts") {
+    // bucketWidth 64 → 1024 possible bucket dirs: a large box would
+    // enumerate hundreds-to-thousands of bucket ids; past
+    // MaxEnumeratedBuckets the filter must state merged ranges instead
+    val dir = java.nio.file.Files.createTempDirectory("graft-ztight")
+      .resolve("events_z").toString
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+    Layout.writeZOrdered(ev, col("xb"), col("yb"), dir, bucketWidth = 64L)
+    val zdf = spark.read.parquet(dir)
+
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    def partitionFilterStr(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      val scan = scans(df.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(_.toString.contains("events_z")))
+        .getOrElse(fail("no file scan over the z layout"))
+      assert(scan.partitionFilters.exists(_.toString.contains("z_bucket")),
+        s"bucket predicate must stay a partition filter: ${scan.partitionFilters}")
+      (scan, scan.partitionFilters.map(_.toString).mkString(";"))._2
+    }
+
+    // full box: the naive list would be all 1024 bucket ids
+    val full = Layout.boxScanTight(zdf, 0, 255, 0, 255, bucketWidth = 64L)
+    val allRows = ev.select("event_id").as[Long].collect().toSet
+    assert(full.select("event_id").as[Long].collect().toSet == allRows)
+    val pfFull = partitionFilterStr(full)
+    assert(pfFull.length < 1000,
+      s"unbounded bucket predicate (${pfFull.length} chars): ${pfFull.take(120)}…")
+
+    // quarter box (y band): >100 bucket ids → range form, still pruned
+    val quarter = Layout.boxScanTight(zdf, 0, 255, 0, 63, bucketWidth = 64L)
+    val brute = ev.filter(col("yb").between(0, 63))
+      .select("event_id").as[Long].collect().toSet
+    assert(brute.nonEmpty && brute != allRows, "fixture box not selective")
+    assert(quarter.select("event_id").as[Long].collect().toSet == brute)
+    val pfQuarter = partitionFilterStr(quarter)
+    assert(pfQuarter.length < 1000,
+      s"unbounded bucket predicate: ${pfQuarter.take(120)}…")
+    val scan = scans(quarter.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains("events_z")))
+      .get
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val written = walk(new java.io.File(dir))
+      .count(_.getName.endsWith(".parquet"))
+    val scanned = scan.metrics("numFiles").value
+    assert(scanned > 0 && scanned < written,
+      s"range-form bucket filter did not prune: $scanned of $written")
+
+    // a small box still takes the enumerated isin path — same results
+    // as the per-dimension brute filter
+    val small = Layout.boxScanTight(zdf, 4, 7, 32, 63, bucketWidth = 64L)
+    val bruteSmall = ev.filter(col("xb").between(4, 7) && col("yb").between(32, 63))
+      .select("event_id").as[Long].collect().toSet
+    assert(small.select("event_id").as[Long].collect().toSet == bruteSmall)
+  }
+
   test("appendZOrdered grows the layout in place; reads see old+new pruned") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zappend")
       .resolve("events_z").toString
