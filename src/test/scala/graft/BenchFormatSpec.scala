@@ -81,17 +81,47 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(ckeys.last == "queries")
     // worst case: a full catalogue of long names + both dump scans must
     // stay under the driver's ~2 KB stdout tail window
-    val catalogue = (1 to 96).map(i =>
+    val catalogue = (1 to 120).map(i =>
       f"q$i%02d_span_excision_keep_first" ->
         Seq[Either[String, Double]](Right(123.456))) ++ Seq(
       "dump_scan_xml" -> Seq[Either[String, Double]](Right(1.0)),
       "dump_scan_bz2" -> Seq[Either[String, Double]](Right(2.0)))
-    val big = Bench.formatCompactJson(catalogue)
+    val big = Bench.formatCompactJson(catalogue, rerunN = 7)
     assert(big.getBytes("UTF-8").length < 2000,
       s"compact line is ${big.length} bytes; must fit a 2 KB tail capture")
     val keys = (JsonMethods.parse(big) \ "queries").asInstanceOf[JObject]
       .obj.map(_._1)
-    assert(keys.distinct.size == 98, "shortened keys must stay unique")
+    assert(keys.distinct.size == 122, "shortened keys must stay unique")
+    assert((JsonMethods.parse(big) \ "rerun_n").extract[Int] == 7)
+  }
+
+  test("suspect detection: >2x-median spread above the 50 ms floor") {
+    // clean reps: spread well under 2x median
+    assert(!Bench.isSuspect(Seq(0.100, 0.120, 0.110)))
+    // contended: one 5x outlier rep
+    assert(Bench.isSuspect(Seq(0.400, 2.000, 0.420)))
+    // micro-query: huge RELATIVE spread but under the floor — one
+    // scheduler hiccup is not contention
+    assert(!Bench.isSuspect(Seq(0.010, 0.045, 0.012)))
+    assert(!Bench.isSuspect(Nil))
+  }
+
+  test("re-run annotation: healed median in queries, contended numbers in rerun") {
+    val healed = Seq(
+      "q67_dedup_clusters" -> Seq[Either[String, Double]](
+        Right(1.200), Right(1.250), Right(1.220), Right(1.210), Right(1.240)))
+    val l = Bench.formatJson(3, "/sf", healed, Nil,
+      reruns = Seq("q67_dedup_clusters" -> (5.770, 5.100)))
+    val json = JsonMethods.parse(l)
+    // queries carry the RE-RUN median, not the contended one
+    assert((json \ "queries" \ "q67_dedup_clusters").extract[Double] == 1.22)
+    assert((json \ "rerun" \ "q67_dedup_clusters" \ "orig")
+      .extract[Double] == 5.77)
+    assert((json \ "rerun" \ "q67_dedup_clusters" \ "spread")
+      .extract[Double] == 5.1)
+    // medians still the LAST key
+    val keys = json.asInstanceOf[JObject].obj.map(_._1)
+    assert(keys.last == "queries")
   }
 
   test("a throwing rep is a Left, not a near-zero Right") {
