@@ -5,7 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Full-catalogue plan audit: flags CartesianProduct and
   * BroadcastNestedLoopJoin in every benched query's executed plan.
   *
-  * CartesianProduct anywhere is a regression (the audit exits nonzero).
+  * CartesianProduct anywhere is a regression, and so is a query that
+  * fails to plan at all — both exit nonzero.
   * BroadcastNestedLoopJoin hits are expected ONLY for the deliberate
   * one-row broadcast scalars (in-plan corpus stats / node counts /
   * codebook tables — q34/q51/q76/q82/q86/q87/q90/q92-q96/q102/q103/
@@ -24,6 +25,7 @@ object PlanAudit {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     var cartesians = 0
+    var errors = 0
     SparkEntry.benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
         val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
@@ -33,11 +35,14 @@ object PlanAudit {
         if (cart || bnlj)
           println(s"AUDIT $name cartesian=$cart bnlj=$bnlj")
       } catch { case e: Throwable =>
+        // a query that cannot PLAN must fail the gate too — an ERROR
+        // line alone would let a broken query pass the cartesian sweep
+        errors += 1
         println(s"AUDIT $name ERROR ${Option(e.getMessage).getOrElse("?").take(80)}")
       }
     }
-    println(s"AUDIT done cartesians=$cartesians")
+    println(s"AUDIT done cartesians=$cartesians errors=$errors")
     spark.stop()
-    if (cartesians > 0) sys.exit(1)
+    if (cartesians > 0 || errors > 0) sys.exit(1)
   }
 }

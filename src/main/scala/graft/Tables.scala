@@ -52,8 +52,18 @@ object Tables {
     */
   private def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$dir/events.parquet"
-    // both confs must hold at EXECUTION too, not just schema
-    // inference — set them even on the schema-cached path
+    // Both confs must hold at EXECUTION too, not just schema
+    // inference — set them even on the schema-cached path. They are
+    // SESSION-WIDE and deliberately never restored: every parquet read
+    // in this harness flows through this object, and flip-flopping the
+    // confs per call would make concurrently-planned reads (Bench's
+    // warmups, streaming epochs) race on global state. The observable
+    // effect on a foreign read in the same session is that TIMESTAMP
+    // (MICROS, isAdjustedToUTC=false) columns arrive as TimestampType
+    // rather than TIMESTAMP_NTZ — the interpretation this engine wants
+    // everywhere (instants, DuckDB's reading, pushdown-friendly). A
+    // caller embedding graft in a session that needs NTZ inference
+    // should scope its own reads' confs.
     try {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")

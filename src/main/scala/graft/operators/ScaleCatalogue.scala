@@ -288,14 +288,16 @@ object ScaleCatalogue {
     * ONE staleness definition for every cached index family. Returns
     * the index dir. */
   private def cachedIndexDir(family: String, d: String, version: String,
-      dataset: String = "embeddings.parquet")(
+      datasets: Seq[String] = Seq("embeddings.parquet"))(
       buildFn: String => Unit): String = {
     val utf8 = java.nio.charset.StandardCharsets.UTF_8
     val dir = new java.io.File(
       s"target/$family", new java.io.File(d).getName).getPath
     val marker = new java.io.File(dir, "_graft_built")
-    val fp = version + ";" +
-      datasetFingerprint(new java.io.File(d, dataset))
+    // fingerprint EVERY input dataset the build derives from — an
+    // index built from a join must go stale when either side changes
+    val fp = version + ";" + datasets.map(ds =>
+      datasetFingerprint(new java.io.File(d, ds))).mkString("|")
     val stale = !marker.exists() ||
       new String(java.nio.file.Files.readAllBytes(marker.toPath), utf8) != fp
     if (stale) {
@@ -2038,7 +2040,7 @@ object ScaleCatalogue {
     * unaffected (every oracle re-derives edges relationally). */
   private def purchaseEdgesCached(s: SparkSession, d: String): DataFrame = {
     val dir = cachedIndexDir("purchase-edges", d, "v1",
-      dataset = "lineitem.parquet") { p =>
+      datasets = Seq("lineitem.parquet", "orders.parquet")) { p =>
       graft.scale.Graph.purchaseEdges(orders(s, d), lineitem(s, d))
         .repartition(col("src"))
         .write.mode("overwrite").parquet(s"$p/edges")
@@ -2329,7 +2331,7 @@ object ScaleCatalogue {
     // "v2": index format gains the _bm_docs committed-id table (the
     // append dedup gate) — a round-11 cached index must rebuild once
     val dir = cachedIndexDir("bm-index", d, "v2",
-      dataset = "documents.parquet") { p =>
+      datasets = Seq("documents.parquet")) { p =>
       graft.scale.BmIndex.build(docs, p)
     }
     graft.scale.BmIndex.topK(s, dir, doc1Terms(s, d), k = 15)
@@ -2348,7 +2350,7 @@ object ScaleCatalogue {
   // ---------------------------------------------------------------------
   def q103HybridIndexed(s: SparkSession, d: String): DataFrame = {
     val dir = cachedIndexDir("bm-index", d, "v2",
-      dataset = "documents.parquet") { p =>
+      datasets = Seq("documents.parquet")) { p =>
       graft.scale.BmIndex.build(documents(s, d), p)
     }
     val lex = graft.scale.BmIndex.topK(s, dir, doc1Terms(s, d), k = 20)
