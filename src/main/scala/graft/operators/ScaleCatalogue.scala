@@ -2778,6 +2778,181 @@ object ScaleCatalogue {
       |FROM documents d JOIN sw ON d.doc_id = sw.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q112 — corpus-native directed PageRank (round-11 verdict stretch
+  // item): the citation graph is DERIVED FROM DOCUMENT CONTENT
+  // (Graph.citationEdges — docs sharing a rare trigram, newer cites
+  // older) instead of the TPC-H co-purchase proxy, then ranked with
+  // the dangling-corrected directed recurrence (q108's machinery).
+  // Low-id docs are structural sinks — doc 0 can never be a src — so
+  // the dangling-mass term is live on every round; the oracle replays
+  // edge derivation AND the 3-round recurrence including the per-round
+  // dangling scalar. Scale: posting df-cap bounds the self-join (see
+  // citationEdges scaladoc); everything after edges is q108's shape.
+  // ---------------------------------------------------------------------
+  def q112CitationPagerank(s: SparkSession, d: String): DataFrame = {
+    // derive-once/query-many (the purchaseEdgesCached pattern): the
+    // shingle-index derivation would otherwise re-run for every
+    // consumer of the edge table inside the round-iterated recurrence
+    // (degrees, node set, and each round's contribution join)
+    val dir = cachedIndexDir("citation-edges", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.Graph.citationEdges(documents(s, d), n = 3,
+        dfMin = 2, dfMax = 4)
+        .repartition(col("src"))
+        .write.mode("overwrite").parquet(s"$p/edges")
+    }
+    val e = s.read.parquet(s"$dir/edges")
+    val pr = graft.scale.Graph.pageRankDirectedQ(e, iterations = 3)
+    val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr_q").desc, col("node").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("outdeg"), col("pr_q"))
+      .orderBy(col("rank"))
+  }
+  val q112Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+         |  FROM dedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
+         |  WHERE outdeg = 0),
+         |r$i AS (SELECT dg.node, dg.outdeg, CAST(
+         |    (150000000000 // n.n) +
+         |    (85 * (coalesce(s$i.s, 0) + (d$i.dm // n.n))) // 100
+         |    AS BIGINT) AS r
+         |  FROM dn dg LEFT JOIN s$i ON dg.node = s$i.node, n, d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |rare AS (SELECT term FROM (
+       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+       |  WHERE df BETWEEN 2 AND 4),
+       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+       |dedges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM post a JOIN post b
+       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+       |outd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
+       |  GROUP BY src),
+       |dn AS (
+       |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM dedges
+       |        UNION SELECT dst AS node FROM dedges) nd
+       |  LEFT JOIN outd o ON nd.node = o.node),
+       |n AS (SELECT count(*) AS n FROM dn),
+       |r0 AS (SELECT node, outdeg, 1000000000000 // n.n AS r FROM dn, n),
+       |$rounds
+       |SELECT row_number() OVER (ORDER BY r DESC, node ASC) AS rank,
+       |  node, outdeg, r AS pr_q
+       |FROM r3 ORDER BY rank LIMIT 100""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q113 — INCREMENTAL dedup against the materialized LSH signature
+  // index (scale/LshIndex): the corpus (doc_id < 400) is shingled,
+  // minhashed, and banded ONCE into a persisted layout; the "new
+  // crawl" batch (doc_id >= 400) probes it — batch-side signatures are
+  // computed O(batch), the batch's ≤64 distinct band buckets become a
+  // partition filter on the stored band dirs, and verification joins
+  // only the candidates' stored signatures. This is the dedup question
+  // a production pipeline actually asks per ingest ("which of today's
+  // docs already exist in my 100 TB corpus") with ZERO corpus-side
+  // recompute. Same portable md5 hash family as q71, so the oracle
+  // replays signatures, banding, candidates, and verification
+  // bit-for-bit, restricted to cross (corpus × batch) pairs.
+  // ---------------------------------------------------------------------
+  def q113LshIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("lsh-index", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.LshIndex.build(docs.filter(col("doc_id") < 400), p)
+    }
+    graft.scale.LshIndex
+      .dedupBatch(s, dir, docs.filter(col("doc_id") >= 400), minMatches = 8)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+  }
+  val q113Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |h0 AS (
+      |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM sh),
+      |hx AS (
+      |  SELECT doc_id, i,
+      |    min(((1000003 * (i + 1)) * (h >> 30) +
+      |         (999983 * (i + 1) + 12345) * (h & 1073741823) + i)
+      |        % 2305843009213693951) AS mh
+      |  FROM h0, LATERAL (SELECT unnest(range(0, 16)) AS i) r
+      |  GROUP BY doc_id, i),
+      |bk AS (
+      |  SELECT doc_id, CAST(i // 4 AS INT) AS band,
+      |    string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bk
+      |  FROM hx GROUP BY doc_id, i // 4),
+      |cand AS (
+      |  SELECT DISTINCT b.doc_id AS new_doc, a.doc_id AS corpus_doc
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.bk = b.bk
+      |   AND a.doc_id < 400 AND b.doc_id >= 400),
+      |m AS (
+      |  SELECT c.new_doc, c.corpus_doc,
+      |    CAST(sum(CASE WHEN ha.mh = hb.mh THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS matches
+      |  FROM cand c
+      |  JOIN hx ha ON ha.doc_id = c.corpus_doc
+      |  JOIN hx hb ON hb.doc_id = c.new_doc AND hb.i = ha.i
+      |  GROUP BY 1, 2)
+      |SELECT new_doc, corpus_doc, matches FROM m WHERE matches >= 8
+      |ORDER BY new_doc, corpus_doc""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q114 — fixed-memory quantile sketch (scale/Sketch.histQuantiles):
+  // the third sketch pillar next to frequency (q101/q109 Count-Min)
+  // and distinct (q65 HLL++). q54's exact percentiles shuffle every
+  // (lang, n_chars) pair and sort per group; at 100 TB the
+  // length-distribution sweep runs on this instead — per-group state
+  // is ≤64 histogram cells whatever the corpus size, map-side
+  // combined, shard histograms merge by cell-wise add, and the
+  // quantile pick walks the HISTOGRAM (≤64 rows/group), never the
+  // data. All-integer algebra, so the oracle replays binning, cumsum,
+  // and rank pick bit for bit; SketchSpec pins the one-bin error
+  // bound against q54's exact values and partitioning-invariance.
+  // ---------------------------------------------------------------------
+  def q114HistQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.scale.Sketch
+      .histQuantiles(documents(s, d), "lang", "n_chars")
+      .withColumnRenamed("g", "lang")
+      .orderBy(col("lang"), col("pq"))
+  val q114Sql: String =
+    """WITH ext AS (
+      |  SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents),
+      |bins AS (
+      |  SELECT lang,
+      |    least(CAST(((n_chars - ext.lo) * 64) // (ext.hi - ext.lo + 1)
+      |      AS BIGINT), 63) AS bin, count(*) AS cnt
+      |  FROM documents, ext GROUP BY 1, 2),
+      |tot AS (SELECT lang, sum(cnt) AS n FROM bins GROUP BY lang),
+      |cum AS (
+      |  SELECT b.lang, b.bin, b.cnt,
+      |    sum(b.cnt) OVER (PARTITION BY b.lang ORDER BY b.bin) AS cs
+      |  FROM bins b),
+      |qs AS (SELECT unnest([25, 50, 75, 95]) AS pq),
+      |pick AS (
+      |  SELECT c.lang, q.pq, min(c.bin) AS qbin
+      |  FROM cum c JOIN tot t ON c.lang = t.lang, qs q
+      |  WHERE c.cs * 100 >= q.pq * t.n
+      |  GROUP BY 1, 2)
+      |SELECT p.lang, p.pq, p.qbin,
+      |  ext.lo + (p.qbin * (ext.hi - ext.lo + 1)) // 64 AS est
+      |FROM pick p, ext ORDER BY lang, pq""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -2849,6 +3024,9 @@ object ScaleCatalogue {
     "q109_heavy_hitters" -> q109HeavyHitters _,
     "q110_long_walks" -> q110LongWalks _,
     "q111_subword_trained" -> q111SubwordTrained _,
+    "q112_citation_pagerank" -> q112CitationPagerank _,
+    "q113_lsh_incremental" -> q113LshIncremental _,
+    "q114_hist_quantiles" -> q114HistQuantiles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2929,5 +3107,8 @@ object ScaleCatalogue {
     "q109_heavy_hitters" -> q109Sql,
     "q110_long_walks" -> q110Sql,
     "q111_subword_trained" -> q111Sql,
+    "q112_citation_pagerank" -> q112Sql,
+    "q113_lsh_incremental" -> q113Sql,
+    "q114_hist_quantiles" -> q114Sql,
   )
 }

@@ -320,4 +320,41 @@ object Graph {
     }
     acc.select(col("walk_id"), col("step"), col("node"))
   }
+
+  /** Corpus-native DIRECTED citation graph, derived from document
+    * content the way a wiki link graph is derived from `[[...]]`
+    * markup (reference `process-mw-dump.py:198-211`): document A
+    * "cites" document B when they share a RARE n-gram (document
+    * frequency in [dfMin, dfMax]) and A has the higher id — newer
+    * documents cite earlier ones, so low-id documents that never
+    * reuse anyone else's rare phrasing are genuine SINKS (outdeg 0),
+    * the dangling-node shape [[pageRankDirectedQ]] exists to handle.
+    *
+    * Scale shape — the q31 inverted-index discipline: one shuffle of
+    * DISTINCT (doc, shingle) postings, a df aggregation, and a
+    * postings self-join restricted to terms with df ≤ dfMax, so
+    * per-term pair generation is bounded at C(dfMax, 2) — never
+    * all-pairs, never head-term quadratic (the df cap IS the
+    * stop-word cut). Only 16-byte (src, dst) pairs survive the join.
+    *
+    * Returns distinct `(src, dst)` with src > dst. */
+  def citationEdges(docs: DataFrame, n: Int, dfMin: Long,
+      dfMax: Long): DataFrame = {
+    require(n >= 1 && dfMin >= 2 && dfMax >= dfMin)
+    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+    val post = tok.select(col("doc_id"),
+        explode(Dedup.shingles(col("w"), n)).as("term"))
+      .distinct()
+    val rare = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(dfMin, dfMax))
+      .select(col("term"))
+    val rp = post.join(rare, Seq("term"))
+    rp.as("a").join(rp.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .distinct()
+  }
 }

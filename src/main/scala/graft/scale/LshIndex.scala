@@ -1,0 +1,179 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materialized MinHash-LSH signature index — the INCREMENTAL half the
+  * dedup family lacked: [[Dedup.minhashLshPairsPortable]] answers
+  * "which documents in this corpus are near-dups of each other", but a
+  * production pipeline almost never re-asks that; it asks "which of
+  * TODAY'S crawl are near-dups of the corpus I already hold" — and at
+  * 100 TB the corpus side must not be re-shingled, re-hashed, or
+  * re-banded per batch. This index persists the per-document MinHash
+  * signatures and banded bucket keys once, grows O(batch) on append
+  * (the [[BmIndex]] discipline), and serves batch-vs-corpus dedup
+  * probes touching only the band partitions the batch actually hashes
+  * into.
+  *
+  * Layout under `dir`:
+  * {{{
+  *   bands/band_bucket=N/…   (doc_id, band, bk) — the LSH candidate side
+  *   sigs/…                  (doc_id, sig array<long>) — verification side
+  *   _lsh_docs/…             committed doc_ids (append anti-join target)
+  *   _lsh_meta/…             one row: (n_docs, n, num_hashes, bands)
+  * }}}
+  *
+  * Hash family: the portable md5-derived universal-hash MinHash of
+  * [[Dedup.minhashLshPairsPortable]] (one md5 per distinct shingle,
+  * [[graft.functions.MinHashAgg]] fold), so every stored signature is
+  * bit-reproducible by an external engine and q113 is hash-checked
+  * end to end, index build included.
+  *
+  * Serving read ([[dedupBatch]]): the batch's banded keys are computed
+  * O(batch); their DISTINCT `band_bucket` values (≤ [[Buckets]] rows —
+  * bounded control plane regardless of batch size) become a partition
+  * filter on `bands/`, so a small probe batch reads a few band dirs,
+  * not the corpus index. Candidates = equi-join on (band, bk);
+  * verification joins the candidate corpus ids against `sigs/` and
+  * counts equal signature components — identical algebra to the
+  * in-memory path, so LshIndexSpec pins result equality against
+  * minhashLshPairsPortable restricted to cross pairs.
+  *
+  * Write protocol (single-writer): docs → sigs → bands → meta LAST as
+  * the commit point, so every torn [[append]] prefix leaves
+  * meta.n_docs behind count(_lsh_docs) and [[consistent]] detects it
+  * with one narrow count — the [[BmIndex]] torn-append contract.
+  * Re-appending committed doc_ids is a no-op (anti-join), never a
+  * duplicate signature.
+  */
+object LshIndex {
+
+  /** Band-bucket partition dirs; probe-side distinct is bounded by
+    * this, so the control-plane collect in [[dedupBatch]] is O(64)
+    * whatever the batch size. */
+  val Buckets = 64L
+
+  private def md5_64(c: org.apache.spark.sql.Column) =
+    graft.functions.Md5_64.md5_64(c)
+
+  /** (doc_id, sig array<long>) — one md5 per distinct shingle, native
+    * one-pass MinHash fold (no numHashes× row explosion). */
+  private def signatures(docs: DataFrame, n: Int,
+      numHashes: Int): DataFrame = {
+    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+    tok.select(col("doc_id"), explode(Dedup.shingles(col("w"), n)).as("sh"))
+      .select(col("doc_id"), md5_64(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash_portable(col("h"), numHashes)
+        .as("sig"))
+  }
+
+  /** (doc_id, band, bk, band_bucket): the banded bucket keys, bucket =
+    * md5-hash of (band, key) mod [[Buckets]] so collisions between
+    * DIFFERENT bands' keyspaces cannot alias a candidate (band is part
+    * of both the join key and the bucket hash). */
+  private def banded(sig: DataFrame, bands: Int, r: Int): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+          _.cast("string"))).as("bk"))
+      .withColumn("band_bucket",
+        pmod(md5_64(concat_ws(":", col("band"), col("bk"))), lit(Buckets)))
+
+  private def writeParts(docs: DataFrame, dir: String, mode: String,
+      n: Int, numHashes: Int, bands: Int): Unit = {
+    val sig = signatures(docs, n, numHashes).localCheckpoint()
+    sig.write.mode(mode).parquet(s"$dir/sigs")
+    banded(sig, bands, numHashes / bands)
+      .repartition(col("band_bucket"))
+      .sortWithinPartitions(col("band"), col("bk"))
+      .write.partitionBy("band_bucket").mode(mode).parquet(s"$dir/bands")
+  }
+
+  private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
+      n: Int, numHashes: Int, bands: Int): Unit =
+    spark.range(1)
+      .select(lit(nDocs).as("n_docs"), lit(n).as("n"),
+        lit(numHashes).as("num_hashes"), lit(bands).as("bands"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_lsh_meta")
+
+  def build(docs: DataFrame, dir: String, n: Int = 5, numHashes: Int = 16,
+      bands: Int = 4): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val ids = docs.select(col("doc_id")).localCheckpoint()
+    ids.write.mode("overwrite").parquet(s"$dir/_lsh_docs")
+    writeParts(docs, dir, "overwrite", n, numHashes, bands)
+    writeMeta(docs.sparkSession, dir, ids.count(), n, numHashes, bands)
+  }
+
+  /** O(batch) growth: anti-join the committed-id table (re-append is a
+    * no-op), fresh signatures and band keys land in the existing dirs,
+    * meta is re-derived as old + delta and rewritten LAST. */
+  def append(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
+    val (oldN, n, numHashes, bands) = (meta.getLong(0), meta.getInt(1),
+      meta.getInt(2), meta.getInt(3))
+    val committed = spark.read.parquet(s"$dir/_lsh_docs")
+    val fresh = docs.join(committed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    val nd = fresh.count()
+    if (nd == 0L) return
+    fresh.select(col("doc_id")).write.mode("append")
+      .parquet(s"$dir/_lsh_docs")
+    writeParts(fresh, dir, "append", n, numHashes, bands)
+    writeMeta(spark, dir, oldN + nd, n, numHashes, bands)
+  }
+
+  /** Torn-append detector: under the docs → sigs → bands → meta write
+    * order every interrupted [[append]] prefix leaves the committed-id
+    * count ahead of meta's n_docs (meta is the commit point). One
+    * narrow count, no signature scan; recovery = rebuild, the
+    * [[BmIndex]] discipline. */
+  def consistent(spark: SparkSession, dir: String): Boolean = {
+    val st = spark.read.parquet(s"$dir/_lsh_meta")
+      .select(col("n_docs")).collect()(0).getLong(0)
+    st == spark.read.parquet(s"$dir/_lsh_docs").count()
+  }
+
+  /** Batch-vs-corpus near-dup probe: which of `batch`'s documents are
+    * near-duplicates of ALREADY-INDEXED documents. Returns
+    * `(new_doc, corpus_doc, matches)` for every cross pair agreeing on
+    * ≥ minMatches of the stored signature components. Batch-internal
+    * pairs are out of scope (that is the in-memory
+    * [[Dedup.minhashLshPairsPortable]] on the batch alone); docs whose
+    * ids are already committed are excluded from the probe side —
+    * re-probing the corpus with itself would report every doc as its
+    * own neighbor's dup. */
+  def dedupBatch(spark: SparkSession, dir: String, batch: DataFrame,
+      minMatches: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
+    val (n, numHashes, bands) = (meta.getInt(1), meta.getInt(2),
+      meta.getInt(3))
+    val committed = spark.read.parquet(s"$dir/_lsh_docs")
+    val probe = batch.join(committed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val sig = signatures(probe, n, numHashes).localCheckpoint()
+    val bk = banded(sig, bands, numHashes / bands).localCheckpoint()
+    // control-plane: ≤ Buckets distinct partition ids whatever |batch|
+    val buckets = bk.select(col("band_bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val idx = spark.read.parquet(s"$dir/bands")
+      .filter(col("band_bucket").isin(buckets: _*))
+    val cand = idx.as("c").join(bk.as("q"),
+        col("c.band") === col("q.band") && col("c.bk") === col("q.bk"))
+      .select(col("q.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    val corpusSig = spark.read.parquet(s"$dir/sigs")
+      .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
+    val batchSig = sig.select(col("doc_id").as("new_doc"),
+      col("sig").as("sig_q"))
+    cand.join(batchSig, "new_doc").join(corpusSig, "corpus_doc")
+      .select(col("new_doc"), col("corpus_doc"),
+        size(filter(zip_with(col("sig_q"), col("sig_c"), (x, y) => x === y),
+          b => b)).cast("long").as("matches"))
+      .filter(col("matches") >= minMatches)
+  }
+}

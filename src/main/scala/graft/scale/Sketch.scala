@@ -84,4 +84,60 @@ object Sketch {
       .groupBy(col("term"))
       // a missing cell means count 0 (term never hashed there)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+
+  /** Fixed-memory QUANTILES — the third sketch pillar next to
+    * frequency (Count-Min, above) and distinct (q65's HLL++): per-group
+    * equi-width histogram over a long-valued column, quantile estimate
+    * = lower bound of the first bin whose cumulative count reaches the
+    * target rank. Exact percentiles (q54) shuffle every (group, value)
+    * pair and hold each group's values for the sort; this sketch's
+    * state is ≤ `bins` cells PER GROUP at any corpus size, map-side
+    * combined, and two shards' histograms merge by cell-wise add —
+    * the same reason Count-Min scales.
+    *
+    * Two passes, both one aggregation: pass 1 derives the global
+    * (lo, hi) extent as a one-row broadcast (the SQ8 train pattern);
+    * pass 2 bins values — bin = (v − lo)·bins div (hi − lo + 1),
+    * clamped — and counts. The per-group cumulative walk and rank
+    * pick run over ≤ `bins` rows per group (a window over the
+    * HISTOGRAM, never the data). Everything is integer arithmetic on
+    * longs, so estimates are bit-reproducible on any partitioning and
+    * any engine — the oracle replays binning, cumsum, and pick
+    * exactly.
+    *
+    * Error contract (SketchSpec-pinned): the discrete q-quantile lies
+    * in [est, est + binWidth) for binWidth = (hi − lo + 1) div bins +
+    * 1 — one bin of slack, the classic equi-width histogram bound.
+    * Degenerate input (empty `rows`) yields an empty result.
+    *
+    * Returns (g, pq, qbin, est) for each percentage in `pcts`. */
+  def histQuantiles(rows: DataFrame, groupCol: String, valCol: String,
+      bins: Int = 64, pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    require(bins >= 2)
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val ext = rows.agg(min(col(valCol)).cast("long").as("lo"),
+      max(col(valCol)).cast("long").as("hi"))
+    val binned = rows
+      .select(col(groupCol).as("g"), col(valCol).cast("long").as("v"))
+      .crossJoin(broadcast(ext))
+      .select(col("g"),
+        expr(s"least(((v - lo) * $bins) div (hi - lo + 1), ${bins - 1})")
+          .as("bin"))
+      .groupBy(col("g"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // window over ≤ bins histogram rows per group — never the corpus
+    val cum = binned.withColumn("cs", sum(col("cnt")).over(w))
+      .withColumn("n", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+    val qs = rows.sparkSession.range(1)
+      .select(explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pq"))
+    cum.crossJoin(broadcast(qs))
+      .filter(col("cs") * lit(100L) >= col("pq") * col("n"))
+      .groupBy(col("g"), col("pq")).agg(min(col("bin")).as("qbin"))
+      .crossJoin(broadcast(ext))
+      .select(col("g"), col("pq"), col("qbin"),
+        expr(s"lo + (qbin * (hi - lo + 1)) div $bins").as("est"))
+  }
 }

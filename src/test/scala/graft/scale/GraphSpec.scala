@@ -282,4 +282,40 @@ class GraphSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
       s"edge exchange not reused across hops:\n$plan")
   }
+
+  test("citationEdges: rare-shingle edges, df cap, newer-cites-older direction") {
+    // "alpha beta gamma" in docs 0,1,2 (df 3 — in [2,4]);
+    // "head word soup" in docs 0..4 (df 5 — over the cap, no edges);
+    // doc 5 shares nothing rare — isolated, absent from the edge set
+    val docs = Seq(
+      (0L, "alpha beta gamma head word soup"),
+      (1L, "alpha beta gamma head word soup"),
+      (2L, "pad alpha beta gamma head word soup"),
+      (3L, "other stuff here head word soup"),
+      (4L, "more filler rows head word soup"),
+      (5L, "nothing shared with anyone at all")
+    ).toDF("doc_id", "text")
+    val e = Graph.citationEdges(docs, n = 3, dfMin = 2, dfMax = 4)
+      .as[(Long, Long)].collect().toSet
+    // rare trigrams among docs 0,1,2: "alpha beta gamma" (df 3),
+    // "beta gamma head" (df 3), "gamma head word" (df 3) — all yield
+    // the same pair closure {1→0, 2→0, 2→1}; the df-5 suffix trigrams
+    // ("head word soup" etc.) must contribute nothing
+    assert(e == Set((1L, 0L), (2L, 0L), (2L, 1L)),
+      s"unexpected edge set: $e")
+    assert(e.forall { case (s, d2) => s > d2 }, "direction must be newer→older")
+  }
+
+  test("q112 corpus run: structural sinks exist and dangling mass keeps total rank sane") {
+    val d = "/root/testdata/sf0.001"
+    val out = graft.operators.ScaleCatalogue.q112CitationPagerank(spark, d)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out.size == 100)
+    // doc 0 can never be a src (no lower id to cite): if ranked it is a
+    // sink; more broadly the top-100 must contain sinks — the dangling
+    // shape this query exists to exercise
+    assert(out.exists(_._3 == 0L), "no sink in the top ranks")
+    // ranks are positive and the teleport floor holds for every node
+    assert(out.forall(_._4 > 0L))
+  }
 }

@@ -1,0 +1,114 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Materialized LSH signature index: batch-vs-corpus dedup equals the
+  * in-memory LSH pipeline restricted to cross pairs, append equals a
+  * full rebuild, re-append is a no-op, torn appends are detected, and
+  * the probe read is partition-pruned. */
+class LshIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, d)
+  private def corpus = docs.filter(col("doc_id") < 400)
+  private def batch = docs.filter(col("doc_id") >= 400)
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("idx").toString
+
+  private def result(dir: String) = LshIndex
+    .dedupBatch(spark, dir, batch, minMatches = 8)
+    .orderBy(col("new_doc"), col("corpus_doc"))
+    .as[(Long, Long, Long)].collect().toSeq
+
+  test("dedupBatch equals the in-memory LSH pipeline's cross pairs; probe is partition-pruned") {
+    val dir = tmp("graft-lshidx")
+    LshIndex.build(corpus, dir)
+    val probe = LshIndex.dedupBatch(spark, dir, batch, minMatches = 8)
+    probe.collect() // execute THIS plan so its scan metrics populate
+    val fromIndex = probe
+      .orderBy(col("new_doc"), col("corpus_doc"))
+      .as[(Long, Long, Long)].collect().toSeq
+
+    // ground truth: the fully-oracle-checked in-memory portable
+    // pipeline over the WHOLE corpus, restricted to cross pairs
+    // (minhashLshPairsPortable emits d1 < d2, so corpus side is d1)
+    val inMemory = Dedup
+      .minhashLshPairsPortable(docs, n = 5, numHashes = 16, bands = 4,
+        minMatches = 8)
+      .filter(col("d1") < 400 && col("d2") >= 400)
+      .select(col("d2").as("new_doc"), col("d1").as("corpus_doc"),
+        col("matches"))
+      .orderBy(col("new_doc"), col("corpus_doc"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(fromIndex == inMemory,
+      "indexed incremental dedup diverged from the in-memory pipeline")
+    assert(fromIndex.nonEmpty, "no cross near-dup pairs in the fixture")
+
+    // pruning proof from the executed plan (BmIndexSpec technique)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case s: FileSourceScanExec => Seq(s)
+        case ad: AdaptiveSparkPlanExec => scans(ad.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    val bandScans = scans(probe.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("bands")))
+    assert(bandScans.nonEmpty, "no file scan over the bands layout")
+    assert(bandScans.exists(
+        _.partitionFilters.exists(_.toString.contains("band_bucket"))),
+      s"probe must be a PARTITION filter, got ${bandScans.map(_.partitionFilters)}")
+  }
+
+  test("append == rebuild; probing with already-committed docs is empty") {
+    val grown = tmp("graft-lshidx-grow")
+    LshIndex.build(corpus.filter(col("doc_id") % 2 === 0), grown)
+    LshIndex.append(corpus.filter(col("doc_id") % 2 === 1), grown)
+    val rebuilt = tmp("graft-lshidx-full")
+    LshIndex.build(corpus, rebuilt)
+    assert(result(grown) == result(rebuilt),
+      "append-grown index diverged from a full rebuild")
+    assert(LshIndex.consistent(spark, grown))
+
+    // probing the index with its own committed docs: every id is
+    // anti-joined out, so the probe is empty rather than the corpus
+    // reporting itself as its own duplicate
+    assert(LshIndex.dedupBatch(spark, grown, corpus, minMatches = 1).isEmpty)
+  }
+
+  test("re-append is a no-op: signatures not duplicated, results unchanged") {
+    def sigRows(dir: String): Long = spark.read.parquet(s"$dir/sigs").count()
+    val dir = tmp("graft-lshidx-dup")
+    LshIndex.build(corpus, dir)
+    val before = result(dir)
+    val rowsBefore = sigRows(dir)
+    LshIndex.append(corpus, dir) // every id already committed
+    assert(sigRows(dir) == rowsBefore, "no-op append wrote signatures")
+    assert(result(dir) == before, "re-append changed probe results")
+    assert(LshIndex.consistent(spark, dir))
+
+    // mixed batch: half dup, half new — equals building the union once
+    val half = tmp("graft-lshidx-mixed")
+    LshIndex.build(corpus.filter(col("doc_id") % 2 === 0), half)
+    LshIndex.append(corpus, half)
+    assert(result(half) == before, "mixed re-append diverged from full build")
+    assert(sigRows(half) == rowsBefore, "mixed re-append duplicated signatures")
+  }
+
+  test("consistent() detects a torn append (id table ahead of meta)") {
+    val dir = tmp("graft-lshidx-torn")
+    LshIndex.build(corpus.filter(col("doc_id") % 2 === 0), dir)
+    assert(LshIndex.consistent(spark, dir))
+    // simulate dying after the ids write, before sigs/bands/meta
+    corpus.filter(col("doc_id") % 2 === 1).select(col("doc_id"))
+      .write.mode("append").parquet(s"$dir/_lsh_docs")
+    assert(!LshIndex.consistent(spark, dir), "torn append not detected")
+  }
+}

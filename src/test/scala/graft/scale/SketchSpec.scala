@@ -144,6 +144,45 @@ class SketchSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("histQuantiles: one-bin error bound vs exact discrete quantiles") {
+    val docs = graft.Tables.documents(spark, d)
+    val est = Sketch.histQuantiles(docs, "lang", "n_chars")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (g, pq, _, e) => (g, pq) -> e }.toMap
+    val ext = docs.agg(min(col("n_chars")), max(col("n_chars")))
+      .as[(Long, Long)].collect()(0)
+    val width = (ext._2 - ext._1 + 1) / 64 + 1
+    // exact discrete quantiles per group, small-data ground truth
+    val byLang = docs.select(col("lang"), col("n_chars"))
+      .as[(String, Long)].collect().groupBy(_._1)
+      .map { case (g, vs) => g -> vs.map(_._2).sorted }
+    for ((g, vs) <- byLang; pq <- Seq(25L, 50L, 75L, 95L)) {
+      // rank = ceil(pq*n/100), 1-based — the sketch's own rank rule
+      val exact = vs(((pq * vs.length + 99) / 100).toInt - 1)
+      val e = est((g, pq))
+      assert(e <= exact && exact <= e + width,
+        s"($g, p$pq): est $e not within one bin ($width) of exact $exact")
+    }
+  }
+
+  test("histQuantiles: bit-identical across partitionings; shard histograms merge") {
+    val docs = graft.Tables.documents(spark, d)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketch.histQuantiles(df, "lang", "n_chars")
+        .orderBy(col("g"), col("pq"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+    assert(run(docs.repartition(1)) == run(docs.repartition(32)),
+      "estimates depend on partitioning")
+    // merging two disjoint shards through the SAME global extent is
+    // cell-wise count addition — the union must give the full answer
+    val full = run(docs)
+    val merged = run(docs.filter(col("doc_id") % 2 === 0)
+      .unionByName(docs.filter(col("doc_id") % 2 === 1)))
+    assert(merged == full, "shard union diverged from the full corpus")
+    // empty input: empty result, never a div-by-zero null row
+    assert(run(docs.filter(lit(false))).isEmpty)
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] =
       rows.map { case (r, b, c) => (r, b) -> c }.toMap
