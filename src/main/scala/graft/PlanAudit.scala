@@ -9,8 +9,9 @@ import org.apache.spark.sql.SparkSession
   * fails to plan at all — both exit nonzero.
   * BroadcastNestedLoopJoin hits are expected ONLY for the deliberate
   * one-row broadcast scalars (in-plan corpus stats / node counts /
-  * codebook tables — q34/q51/q76/q82/q86/q87/q90/q92-q96/q102/q103/
-  * q105 class); a BNLJ against anything row-proportional is a bug.
+  * codebook tables / histogram extents — q34/q51/q76/q82/q86/q87/q90/
+  * q92-q96/q102/q103/q105/q114 class); a BNLJ against anything
+  * row-proportional is a bug.
   *
   * Usage: `sbt "runMain graft.PlanAudit"` (SPARK_GRAFT_SF_DIR,
   * default sf0.001). Round-11 baseline: 0 cartesian, 18 deliberate

@@ -2790,11 +2790,12 @@ object ScaleCatalogue {
   // dangling scalar. Scale: posting df-cap bounds the self-join (see
   // citationEdges scaladoc); everything after edges is q108's shape.
   // ---------------------------------------------------------------------
-  def q112CitationPagerank(s: SparkSession, d: String): DataFrame = {
-    // derive-once/query-many (the purchaseEdgesCached pattern): the
-    // shingle-index derivation would otherwise re-run for every
-    // consumer of the edge table inside the round-iterated recurrence
-    // (degrees, node set, and each round's contribution join)
+  /** The content-derived citation edge table, materialized once per
+    * dataset (the purchaseEdgesCached pattern): the shingle-index
+    * derivation would otherwise re-run for every consumer — q112's
+    * round-iterated recurrence (degrees, node set, each round's
+    * contribution join) and q115's community resolution. */
+  private def citationEdgesCached(s: SparkSession, d: String): DataFrame = {
     val dir = cachedIndexDir("citation-edges", d, "v1",
       datasets = Seq("documents.parquet")) { p =>
       graft.scale.Graph.citationEdges(documents(s, d), n = 3,
@@ -2802,7 +2803,11 @@ object ScaleCatalogue {
         .repartition(col("src"))
         .write.mode("overwrite").parquet(s"$p/edges")
     }
-    val e = s.read.parquet(s"$dir/edges")
+    s.read.parquet(s"$dir/edges")
+  }
+
+  def q112CitationPagerank(s: SparkSession, d: String): DataFrame = {
+    val e = citationEdgesCached(s, d)
     val pr = graft.scale.Graph.pageRankDirectedQ(e, iterations = 3)
     val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
     val w = org.apache.spark.sql.expressions.Window
@@ -2953,6 +2958,55 @@ object ScaleCatalogue {
       |  ext.lo + (p.qbin * (ext.hi - ext.lo + 1)) // 64 AS est
       |FROM pick p, ext ORDER BY lang, pq""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q115 — citation communities: connected components over the SAME
+  // cached content-derived edge table q112 ranks (derive-once/
+  // query-many), labeling each linked document with its component's
+  // min id + component size — the "template family" sweep a dedup
+  // pipeline runs on link structure (docs chained by shared rare
+  // phrasing dedup as a family even when pairwise similarity is below
+  // the LSH cut). Resolution is Dedup.connectedComponents: the hybrid
+  // pointer-jumping/union-find resolver (distributed path
+  // spec-exercised; at this edge count the bounded driver fast path) —
+  // the oracle replays min-label reachability as a recursive CTE.
+  // ---------------------------------------------------------------------
+  def q115CitationCommunities(s: SparkSession, d: String): DataFrame = {
+    val pairs = citationEdgesCached(s, d)
+      .select(col("src").as("d1"), col("dst").as("d2"))
+    val lab = Dedup.connectedComponents(pairs)
+      .select(col("doc_id"), col("cluster").as("community"))
+    val sizes = lab.groupBy(col("community"))
+      .agg(count(lit(1)).as("csize"))
+    lab.join(sizes, "community")
+      .select(col("doc_id"), col("community"), col("csize"))
+      .orderBy(col("doc_id"))
+  }
+  val q115Sql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+      |rare AS (SELECT term FROM (
+      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+      |  WHERE df BETWEEN 2 AND 4),
+      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+      |dedges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM post a JOIN post b
+      |    ON a.term = b.term AND a.doc_id > b.doc_id),
+      |sym AS (SELECT src AS a, dst AS b FROM dedges
+      |  UNION SELECT dst, src FROM dedges),
+      |reach AS (
+      |  SELECT a AS v, a AS r FROM sym
+      |  UNION
+      |  SELECT s.a, t.r FROM sym s JOIN reach t ON s.b = t.v),
+      |lab AS (SELECT v AS doc_id, min(r) AS community FROM reach GROUP BY v),
+      |sizes AS (SELECT community, count(*) AS csize FROM lab GROUP BY 1)
+      |SELECT l.doc_id, l.community, s.csize
+      |FROM lab l JOIN sizes s USING (community)
+      |ORDER BY l.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3027,6 +3081,7 @@ object ScaleCatalogue {
     "q112_citation_pagerank" -> q112CitationPagerank _,
     "q113_lsh_incremental" -> q113LshIncremental _,
     "q114_hist_quantiles" -> q114HistQuantiles _,
+    "q115_citation_communities" -> q115CitationCommunities _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3110,5 +3165,6 @@ object ScaleCatalogue {
     "q112_citation_pagerank" -> q112Sql,
     "q113_lsh_incremental" -> q113Sql,
     "q114_hist_quantiles" -> q114Sql,
+    "q115_citation_communities" -> q115Sql,
   )
 }
