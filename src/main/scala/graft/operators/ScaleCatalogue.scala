@@ -3007,6 +3007,128 @@ object ScaleCatalogue {
       |FROM lab l JOIN sizes s USING (community)
       |ORDER BY l.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q116 — corpus version diff: the ingest-delta sweep run between two
+  // corpus snapshots ("what did today's crawl add or change") without
+  // ever comparing text to text — a full-outer join on doc_id with
+  // 60-bit content-hash comparison, so the shuffle carries (id, hash)
+  // pairs and the verdict is hash equality, never byte equality over
+  // documents. The "old" snapshot is derived in-query by a known rule
+  // (docs with id % 7 == 0 absent — "new since yesterday"; id % 11
+  // == 0 truncated to half length — "edited"), so the oracle states
+  // every verdict analytically while Spark must reproduce it through
+  // the real join + hash compare.
+  // ---------------------------------------------------------------------
+  def q116CorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val h = graft.functions.Md5_64.md5_64 _
+    val newSnap = documents(s, d)
+      .select(col("doc_id"), h(col("text")).as("h_new"))
+    val oldSnap = documents(s, d)
+      .filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        h(when(col("doc_id") % 11 === 0,
+            expr("substring(text, 1, cast(n_chars div 2 as int))"))
+          .otherwise(col("text"))).as("h_old"))
+    newSnap.join(oldSnap, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_new") =!= col("h_old"), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+  }
+  val q116Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 7 = 0 THEN 'added' ELSE 'changed' END AS status
+      |FROM documents
+      |WHERE doc_id % 7 = 0
+      |   OR (doc_id % 11 = 0 AND
+      |       md5(substr(text, 1, CAST(n_chars // 2 AS INT))) <> md5(text))
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q117 — shard integrity checksums: the manifest a shard export
+  // (q89's layout) ships with — per shard, row count and an
+  // ORDER-INDEPENDENT content checksum (bit_xor of the 60-bit content
+  // hashes), so a re-export on any partitioning, any engine, any row
+  // order produces the same manifest, and a single flipped/missing
+  // document flips the checksum. XOR-fold beats a sum (no overflow
+  // games) and beats a concat-hash (no order dependence); verification
+  // cost is one scan + a 16-byte-row shuffle to S cells.
+  // ---------------------------------------------------------------------
+  def q117ShardChecksums(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(graft.functions.Md5_64.md5_64(col("text")).as("h"))
+      .withColumn("shard", pmod(col("h"), lit(8L)))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("shard"))
+  val q117Sql: String =
+    """WITH h AS (
+      |  SELECT CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      |  FROM documents)
+      |SELECT h % 8 AS shard, count(*) AS n_rows, bit_xor(h) AS checksum
+      |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q118 — triangle counting over the cached citation graph
+  // (Graph.triangleCounts): the clustering-structure profile
+  // (communities vs star hubs) completing the graph family's
+  // structural sweep (q95 degrees → q115 components → q118 closure).
+  // Degree-ordered orientation is the scale discipline: each triangle
+  // counted once at its lowest-(degree, id) corner, wedge generation
+  // O(E^1.5) total regardless of hub skew — a star's center is
+  // rank-max and generates zero wedges. The oracle replays edge
+  // derivation, orientation, wedge join, and closure with the
+  // identical (degree, id) tuple comparisons.
+  // ---------------------------------------------------------------------
+  def q118Triangles(s: SparkSession, d: String): DataFrame = {
+    val tri = graft.scale.Graph.triangleCounts(citationEdgesCached(s, d))
+    val top = tri.orderBy(col("tri_cnt").desc, col("node").asc).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tri_cnt").desc, col("node").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("tri_cnt"))
+      .orderBy(col("rank"))
+  }
+  val q118Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+      |rare AS (SELECT term FROM (
+      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+      |  WHERE df BETWEEN 2 AND 4),
+      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+      |dedges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM post a JOIN post b
+      |    ON a.term = b.term AND a.doc_id > b.doc_id),
+      |und AS (SELECT src AS u, dst AS v FROM dedges
+      |  UNION ALL SELECT dst, src FROM dedges),
+      |deg AS (SELECT u AS node, count(*) AS dg FROM und GROUP BY u),
+      |g AS (
+      |  SELECT un.u AS a, un.v AS b, d2.dg AS db
+      |  FROM und un JOIN deg d1 ON un.u = d1.node
+      |    JOIN deg d2 ON un.v = d2.node
+      |  WHERE d1.dg < d2.dg OR (d1.dg = d2.dg AND un.u < un.v)),
+      |tri AS (
+      |  SELECT x.a AS ta, x.b AS tb, y.b AS tc
+      |  FROM g x JOIN g y ON x.a = y.a AND (x.db, x.b) < (y.db, y.b)
+      |  JOIN g z ON z.a = x.b AND z.b = y.b),
+      |pern AS (
+      |  SELECT node, count(*) AS tri_cnt FROM (
+      |    SELECT ta AS node FROM tri
+      |    UNION ALL SELECT tb FROM tri
+      |    UNION ALL SELECT tc FROM tri)
+      |  GROUP BY node)
+      |SELECT row_number() OVER (ORDER BY tri_cnt DESC, node ASC) AS rank,
+      |  node, tri_cnt
+      |FROM pern ORDER BY rank LIMIT 100""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3082,6 +3204,9 @@ object ScaleCatalogue {
     "q113_lsh_incremental" -> q113LshIncremental _,
     "q114_hist_quantiles" -> q114HistQuantiles _,
     "q115_citation_communities" -> q115CitationCommunities _,
+    "q116_corpus_diff" -> q116CorpusDiff _,
+    "q117_shard_checksums" -> q117ShardChecksums _,
+    "q118_triangles" -> q118Triangles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3166,5 +3291,8 @@ object ScaleCatalogue {
     "q113_lsh_incremental" -> q113Sql,
     "q114_hist_quantiles" -> q114Sql,
     "q115_citation_communities" -> q115Sql,
+    "q116_corpus_diff" -> q116Sql,
+    "q117_shard_checksums" -> q117Sql,
+    "q118_triangles" -> q118Sql,
   )
 }

@@ -357,4 +357,47 @@ object Graph {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
       .distinct()
   }
+
+  /** Per-node triangle counts via DEGREE-ORDERED edge orientation —
+    * the clustering-structure profile (communities vs star hubs) run
+    * on link graphs before sampling or pruning decisions.
+    *
+    * Every undirected edge is oriented from its lower-(degree, id)
+    * endpoint to its higher one; each triangle then appears EXACTLY
+    * once as two out-edges of its lowest-rank corner plus the oriented
+    * closing edge, so counting is one self-join on the wedge corner +
+    * one equi-join to close — and the classic bound applies: out-degree
+    * in the oriented graph is O(√E), so wedge generation is O(E^1.5)
+    * TOTAL regardless of hub skew (a star's center has huge degree but
+    * rank-max, so it generates NO wedges — they distribute across its
+    * low-degree leaves). Naive id-ordering would put a low-id hub's
+    * whole neighborhood² through the join; degree-ordering is the
+    * difference between a web-scale graph finishing or not.
+    *
+    * `edges`: distinct (src, dst), src > dst, one row per undirected
+    * edge (the [[citationEdges]] contract). Returns (node, tri_cnt)
+    * for every node in ≥1 triangle. All joins are on node ids; the
+    * only state is the edge table plus its degree projection. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("dg"))
+    // oriented edge a→b with rank(a) < rank(b), rank = (degree, id);
+    // rb rides along so wedge pairs canonicalize in the SAME order the
+    // orientation uses (the closing edge is then a single equi-join)
+    val g = und
+      .join(deg.select(col("node").as("u"), col("dg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("dg").as("dv")), "v")
+      .filter(col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v")))
+      .select(col("u").as("a"), col("v").as("b"),
+        struct(col("dv"), col("v")).as("rb"))
+    val wedge = g.as("x").join(g.as("y"),
+        col("x.a") === col("y.a") && col("x.rb") < col("y.rb"))
+      .select(col("x.a").as("ta"), col("x.b").as("tb"), col("y.b").as("tc"))
+    val tri = wedge.join(
+      g.select(col("a").as("tb"), col("b").as("tc")), Seq("tb", "tc"))
+    tri.select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
 }

@@ -306,6 +306,26 @@ class GraphSpec extends AnyFunSuite {
     assert(e.forall { case (s, d2) => s > d2 }, "direction must be newer→older")
   }
 
+  test("triangleCounts: exact counts, star hubs contribute nothing") {
+    // triangle {1,2,3}; square {4,5,6,7} (no diagonal => no triangle);
+    // star center 10 with leaves 11..15 (wedges but no closure)
+    val edges = Seq(
+      (2L, 1L), (3L, 1L), (3L, 2L),                   // triangle
+      (5L, 4L), (6L, 5L), (7L, 6L), (7L, 4L),         // square
+      (11L, 10L), (12L, 10L), (13L, 10L), (14L, 10L), (15L, 10L))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"unexpected triangle counts: $got")
+    // two triangles sharing an edge: {1,2,3} + {2,3,4} via (4,2),(4,3)
+    val got2 = Graph.triangleCounts(edges.limit(3)
+        .unionByName(Seq((4L, 2L), (4L, 3L)).toDF("src", "dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L),
+      s"shared-edge triangles miscounted: $got2")
+  }
+
   test("q112 corpus run: structural sinks exist and dangling mass keeps total rank sane") {
     val d = "/root/testdata/sf0.001"
     val out = graft.operators.ScaleCatalogue.q112CitationPagerank(spark, d)
