@@ -138,6 +138,32 @@ object LshIndex {
     st == spark.read.parquet(s"$dir/_lsh_docs").count()
   }
 
+  /** Copy-compaction: every [[append]] adds small files to sigs/ and
+    * the band partition dirs (the classic many-small-files decay of an
+    * append-friendly layout); this rewrites the WHOLE index into
+    * `destDir` with one file per band bucket and a consolidated sigs/
+    * — identical contents, fresh file geometry. Compacting into a NEW
+    * dir instead of in place is the crash-safety choice: a death
+    * mid-compaction leaves `destDir` torn (detectable — its meta is
+    * written LAST, the [[build]] commit-point order) and the source
+    * index untouched; the caller swaps directories only after
+    * [[consistent]] passes on the destination. Cost is one full index
+    * scan + one bucket shuffle — index-sized, never corpus-sized. */
+  def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
+    val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
+    spark.read.parquet(s"$dir/_lsh_docs").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/_lsh_docs")
+    spark.read.parquet(s"$dir/sigs").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/sigs")
+    spark.read.parquet(s"$dir/bands")
+      .repartition(col("band_bucket"))
+      .sortWithinPartitions(col("band"), col("bk"))
+      .write.partitionBy("band_bucket").mode("overwrite")
+      .parquet(s"$destDir/bands")
+    writeMeta(spark, destDir, meta.getLong(0), meta.getInt(1),
+      meta.getInt(2), meta.getInt(3))
+  }
+
   /** Batch-vs-corpus near-dup probe: which of `batch`'s documents are
     * near-duplicates of ALREADY-INDEXED documents. Returns
     * `(new_doc, corpus_doc, matches)` for every cross pair agreeing on

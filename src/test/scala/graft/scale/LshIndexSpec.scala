@@ -102,6 +102,33 @@ class LshIndexSpec extends AnyFunSuite {
     assert(sigRows(half) == rowsBefore, "mixed re-append duplicated signatures")
   }
 
+  test("compactTo: file geometry consolidated, contents and probes identical") {
+    def files(dir: String, part: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(s"$dir/$part")).count(_.getName.endsWith(".parquet"))
+    }
+    val dir = tmp("graft-lshidx-cmp")
+    LshIndex.build(corpus.filter(col("doc_id") < 100), dir)
+    // five appends accumulate small files
+    for (k <- 1 to 5)
+      LshIndex.append(
+        corpus.filter(col("doc_id") >= k * 100 - 100 + 100 &&
+          col("doc_id") < k * 100 + 100), dir)
+    val before = result(dir)
+    val dest = tmp("graft-lshidx-cmp-out")
+    LshIndex.compactTo(spark, dir, dest)
+    assert(LshIndex.consistent(spark, dest), "compacted index inconsistent")
+    assert(result(dest) == before, "compaction changed probe results")
+    assert(files(dest, "sigs") < files(dir, "sigs"),
+      s"sigs not consolidated: ${files(dest, "sigs")} vs ${files(dir, "sigs")}")
+    assert(files(dest, "bands") <= LshIndex.Buckets,
+      s"bands not one-file-per-bucket: ${files(dest, "bands")}")
+    // source untouched
+    assert(LshIndex.consistent(spark, dir) && result(dir) == before)
+  }
+
   test("consistent() detects a torn append (id table ahead of meta)") {
     val dir = tmp("graft-lshidx-torn")
     LshIndex.build(corpus.filter(col("doc_id") % 2 === 0), dir)
