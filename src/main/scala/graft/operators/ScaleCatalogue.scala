@@ -3148,6 +3148,57 @@ object ScaleCatalogue {
       |  node, tri_cnt
       |FROM pern ORDER BY rank LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q119 — n-gram CONTAINMENT pairs (Dedup.ngramContainmentPairs): the
+  // asymmetric complement to q31's Jaccard — containment = common /
+  // min(n1, n2), so a short document wholly quoted inside a longer one
+  // scores 1.0 where Jaccard stays low: excerpt/quotation detection,
+  // the dedup-policy direction symmetric near-dup misses. Identical
+  // inverted-index plan to q31 (one postings shuffle, df cut); only
+  // the final per-pair metric differs.
+  // ---------------------------------------------------------------------
+  def q119Containment(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramContainmentPairs(documents(s, d), n = 5, threshold = 0.9)
+      .select(col("contained"), col("container"), col("common"),
+        col("n_contained"), col("n_container"),
+        q(col("containment"), 1e6).as("containment_q"))
+      .orderBy(col("contained"), col("container"))
+  val q119Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |tot AS (SELECT count(*) AS n_docs FROM documents),
+      |sh AS (
+      |  SELECT s.doc_id, s.sh FROM sh0 s
+      |  JOIN (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh) d ON s.sh = d.sh, tot
+      |  WHERE d.df <= greatest(100, CAST(ceil(tot.n_docs * 0.01) AS BIGINT))),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |m AS (
+      |  SELECT
+      |    CASE WHEN ca.n_sh < cb.n_sh
+      |      OR (ca.n_sh = cb.n_sh AND p.d1 < p.d2)
+      |      THEN p.d1 ELSE p.d2 END AS contained,
+      |    CASE WHEN ca.n_sh < cb.n_sh
+      |      OR (ca.n_sh = cb.n_sh AND p.d1 < p.d2)
+      |      THEN p.d2 ELSE p.d1 END AS container,
+      |    p.common, least(ca.n_sh, cb.n_sh) AS n_contained,
+      |    greatest(ca.n_sh, cb.n_sh) AS n_container,
+      |    p.common::DOUBLE / least(ca.n_sh, cb.n_sh)::DOUBLE AS c
+      |  FROM pairs p
+      |  JOIN cnt ca ON p.d1 = ca.doc_id
+      |  JOIN cnt cb ON p.d2 = cb.doc_id)
+      |SELECT contained, container, common, n_contained, n_container,
+      |  CAST(floor(c * 1000000.0) AS BIGINT) AS containment_q
+      |FROM m WHERE c >= 0.9
+      |ORDER BY contained, container""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3226,6 +3277,7 @@ object ScaleCatalogue {
     "q116_corpus_diff" -> q116CorpusDiff _,
     "q117_shard_checksums" -> q117ShardChecksums _,
     "q118_triangles" -> q118Triangles _,
+    "q119_containment" -> q119Containment _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3313,5 +3365,6 @@ object ScaleCatalogue {
     "q116_corpus_diff" -> q116Sql,
     "q117_shard_checksums" -> q117Sql,
     "q118_triangles" -> q118Sql,
+    "q119_containment" -> q119Sql,
   )
 }

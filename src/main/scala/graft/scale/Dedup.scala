@@ -156,6 +156,41 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** N-gram CONTAINMENT pairs — the asymmetric complement to
+    * [[ngramJaccardPairs]]: containment(A ⊆ B) = |A∩B| / |A|, scored
+    * against the SMALLER shingle set of each pair, so a short document
+    * wholly quoted inside a much longer one scores 1.0 where its
+    * Jaccard (÷ the union) stays low — the excerpt/quotation detection
+    * every dedup policy needs alongside symmetric near-dup (an excerpt
+    * is a dup of its source even though the source is not a dup of the
+    * excerpt). Same inverted hashed-shingle index, df cut, and
+    * one-postings-shuffle plan as the Jaccard form — only the final
+    * per-pair metric differs, so the scale shape is identical.
+    *
+    * Returns (contained, container, common, n_contained, n_container,
+    * containment) with `contained` the smaller-set side (ties: the
+    * lower doc_id). */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      n: Int = 5,
+      threshold: Double = 0.9,
+      maxDfFloor: Long = 100L,
+      maxDfFrac: Double = 0.01): DataFrame = {
+    val sym = ngramJaccardPairs(docs, n, 0.0, maxDfFloor, maxDfFrac)
+    val aContained = col("n1") < col("n2") ||
+      (col("n1") === col("n2") && col("d1") < col("d2"))
+    sym
+      .select(
+        when(aContained, col("d1")).otherwise(col("d2")).as("contained"),
+        when(aContained, col("d2")).otherwise(col("d1")).as("container"),
+        col("common"),
+        least(col("n1"), col("n2")).as("n_contained"),
+        greatest(col("n1"), col("n2")).as("n_container"),
+        (col("common").cast("double") /
+          least(col("n1"), col("n2")).cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Decontamination: flag candidate documents sharing any word n-gram
     * with a benchmark/eval set (the train-test overlap scrub every
     * LLM corpus needs). Both sides reduce to hashed-shingle postings;
