@@ -2813,11 +2813,14 @@ object ScaleCatalogue {
     * dataset (the purchaseEdgesCached pattern): the shingle-index
     * derivation would otherwise re-run for every consumer — q112's
     * round-iterated recurrence (degrees, node set, each round's
-    * contribution join) and q115's community resolution. */
+    * contribution join), q115's community resolution, q118's triangle
+    * closure, and q120's weighted recurrence. Stored WEIGHTED ("v2" —
+    * shared-rare-term multiplicity rides along); unweighted consumers
+    * project it away, so one table serves both graph semantics. */
   private def citationEdgesCached(s: SparkSession, d: String): DataFrame = {
-    val dir = cachedIndexDir("citation-edges", d, "v1",
+    val dir = cachedIndexDir("citation-edges", d, "v2",
       datasets = Seq("documents.parquet")) { p =>
-      graft.scale.Graph.citationEdges(documents(s, d), n = 3,
+      graft.scale.Graph.citationEdgesWeighted(documents(s, d), n = 3,
         dfMin = 2, dfMax = 4)
         .repartition(col("src"))
         .write.mode("overwrite").parquet(s"$p/edges")
@@ -2826,7 +2829,7 @@ object ScaleCatalogue {
   }
 
   def q112CitationPagerank(s: SparkSession, d: String): DataFrame = {
-    val e = citationEdgesCached(s, d)
+    val e = citationEdgesCached(s, d).select(col("src"), col("dst"))
     val pr = graft.scale.Graph.pageRankDirectedQ(e, iterations = 3)
     val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
     val w = org.apache.spark.sql.expressions.Window
@@ -3199,6 +3202,67 @@ object ScaleCatalogue {
       |FROM m WHERE c >= 0.9
       |ORDER BY contained, container""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q120 — WEIGHTED directed PageRank (Graph.pageRankWeightedQ) over
+  // the same cached citation table: rank mass splits proportionally to
+  // link multiplicity (w = shared rare trigrams per pair) instead of
+  // uniformly — a doc cited through 12 shared phrasings draws 12× the
+  // mass of a single-phrase link. Same dangling-corrected integer
+  // recurrence as q112 with per-EDGE floors ((r·w) div sw), which the
+  // oracle replays sum-for-sum; contrast with q112's uniform split is
+  // the point of keeping both in the catalogue.
+  // ---------------------------------------------------------------------
+  def q120WeightedPagerank(s: SparkSession, d: String): DataFrame = {
+    val e = citationEdgesCached(s, d)
+    val pr = graft.scale.Graph.pageRankWeightedQ(e, iterations = 3)
+    val top = pr.orderBy(col("pr_q").desc, col("node").asc).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pr_q").desc, col("node").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("sw"), col("pr_q"))
+      .orderBy(col("rank"))
+  }
+  val q120Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""s$i AS (SELECT e.dst AS node, sum((r.r * e.w) // r.sw) AS s
+         |  FROM wedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
+         |  WHERE sw = 0),
+         |r$i AS (SELECT dg.node, dg.sw, CAST(
+         |    (150000000000 // n.n) +
+         |    (85 * (coalesce(s$i.s, 0) + (d$i.dm // n.n))) // 100
+         |    AS BIGINT) AS r
+         |  FROM dn dg LEFT JOIN s$i ON dg.node = s$i.node, n, d$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |rare AS (SELECT term FROM (
+       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+       |  WHERE df BETWEEN 2 AND 4),
+       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+       |wedges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS w
+       |  FROM post a JOIN post b
+       |    ON a.term = b.term AND a.doc_id > b.doc_id
+       |  GROUP BY 1, 2),
+       |outw AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS sw
+       |  FROM wedges GROUP BY src),
+       |dn AS (
+       |  SELECT nd.node, coalesce(o.sw, 0) AS sw
+       |  FROM (SELECT src AS node FROM wedges
+       |        UNION SELECT dst AS node FROM wedges) nd
+       |  LEFT JOIN outw o ON nd.node = o.node),
+       |n AS (SELECT count(*) AS n FROM dn),
+       |r0 AS (SELECT node, sw, 1000000000000 // n.n AS r FROM dn, n),
+       |$rounds
+       |SELECT row_number() OVER (ORDER BY r DESC, node ASC) AS rank,
+       |  node, sw, r AS pr_q
+       |FROM r3 ORDER BY rank LIMIT 100""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3278,6 +3342,7 @@ object ScaleCatalogue {
     "q117_shard_checksums" -> q117ShardChecksums _,
     "q118_triangles" -> q118Triangles _,
     "q119_containment" -> q119Containment _,
+    "q120_weighted_pagerank" -> q120WeightedPagerank _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3366,5 +3431,6 @@ object ScaleCatalogue {
     "q117_shard_checksums" -> q117Sql,
     "q118_triangles" -> q118Sql,
     "q119_containment" -> q119Sql,
+    "q120_weighted_pagerank" -> q120Sql,
   )
 }

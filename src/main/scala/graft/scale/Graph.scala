@@ -339,6 +339,17 @@ object Graph {
     *
     * Returns distinct `(src, dst)` with src > dst. */
   def citationEdges(docs: DataFrame, n: Int, dfMin: Long,
+      dfMax: Long): DataFrame =
+    citationEdgesWeighted(docs, n, dfMin, dfMax)
+      .select(col("src"), col("dst"))
+
+  /** [[citationEdges]] keeping the link MULTIPLICITY: `w` = how many
+    * distinct rare n-grams the pair shares — the natural edge weight
+    * (two docs sharing 12 rare phrasings are more strongly linked than
+    * two sharing 1), consumed by [[pageRankWeightedQ]]. The unweighted
+    * form is this projection minus `w`; deriving both from one pass
+    * (and one cached table) is why the weighted form is primary. */
+  def citationEdgesWeighted(docs: DataFrame, n: Int, dfMin: Long,
       dfMax: Long): DataFrame = {
     require(n >= 1 && dfMin >= 2 && dfMax >= dfMin)
     val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
@@ -354,8 +365,57 @@ object Graph {
     rp.as("a").join(rp.as("b"),
         col("a.term") === col("b.term") &&
           col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  /** WEIGHTED directed PageRank — [[pageRankDirectedQ]] with each
+    * source's rank split proportionally to edge weight instead of
+    * uniformly: contrib(u→v) = (r(u) · w(u,v)) div sw(u) for sw =
+    * Σ out-weights, the form link multiplicity calls for (a doc citing
+    * another through 12 shared rare phrasings passes 12× the mass of a
+    * single shared phrase). Same node-set/dangling-mass/eager-
+    * checkpoint discipline as the unweighted directed form; the
+    * integer recurrence floors per EDGE (the oracle replays the same
+    * per-edge floor, so sums match exactly). r·w stays far inside
+    * Int64 — r ≤ scale (1e12 default) and w is a shared-term count.
+    *
+    * `edges`: (src, dst, w) with w ≥ 1. Returns (node, sw, pr_q). */
+  def pageRankWeightedQ(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0)
+    val e = edges.repartition(col("src"))
+    val outw = e.groupBy(col("src").as("node"))
+      .agg(sum(col("w")).as("sw"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val deg = nodes.join(outw, Seq("node"), "left")
+      .select(col("node"), coalesce(col("sw"), lit(0L)).as("sw"))
+    val n = nodes.agg(count(lit(1)).as("n_nodes")).select(
+      (col("n_nodes") + coalesce(assert_true(col("n_nodes") > 0,
+        lit("empty edge table")).cast("long"), lit(0L))).as("n_nodes"))
+    val teleportNum = (scale * 15L) / 100L
+    val base = deg.crossJoin(broadcast(n))
+    var state = base
+      .select(col("node"), col("sw"),
+        expr(s"${scale}L div n_nodes").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val contribs = state
+        .join(e, state("node") === e("src"))
+        .select(col("dst"), expr("(r * w) div sw").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      val dang = state.filter(col("sw") === 0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+      state = base.join(contribs, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("sw"),
+          (expr(s"${teleportNum}L div n_nodes") +
+            expr("(85 * (coalesce(s, 0L) + (dm div n_nodes))) div 100"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    state.select(col("node"), col("sw"), col("r").as("pr_q"))
   }
 
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —

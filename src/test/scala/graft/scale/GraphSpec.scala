@@ -306,6 +306,43 @@ class GraphSpec extends AnyFunSuite {
     assert(e.forall { case (s, d2) => s > d2 }, "direction must be newer→older")
   }
 
+  test("pageRankWeightedQ matches the independent weighted recurrence; weight skews mass") {
+    // 3 cites 1 (w=5) and 2 (w=1); 1 and 2 are sinks
+    val edges = Seq((3L, 1L, 5L), (3L, 2L, 1L)).toDF("src", "dst", "w")
+    def ref(iters: Int): Map[Long, Long] = {
+      val n = 3L
+      var r = Map(1L -> Scale / n, 2L -> Scale / n, 3L -> Scale / n)
+      val t = (Scale * 15L / 100L) / n
+      for (_ <- 1 to iters) {
+        val c1 = (r(3L) * 5L) / 6L // in-edge from 3, w=5, sw(3)=6
+        val c2 = (r(3L) * 1L) / 6L
+        val dmShare = (r(1L) + r(2L)) / n // sinks 1 and 2
+        r = Map(
+          1L -> (t + 85L * (c1 + dmShare) / 100L),
+          2L -> (t + 85L * (c2 + dmShare) / 100L),
+          3L -> (t + 85L * dmShare / 100L))
+      }
+      r
+    }
+    for (iters <- Seq(1, 3)) {
+      val got = Graph.pageRankWeightedQ(edges, iters)
+        .select(col("node"), col("pr_q"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == ref(iters), s"iters=$iters: $got != ${ref(iters)}")
+    }
+    // weighted: node 1 outranks node 2 (5× the inbound weight)
+    val r3 = Graph.pageRankWeightedQ(edges, 3)
+      .select(col("node"), col("pr_q")).as[(Long, Long)].collect().toMap
+    assert(r3(1L) > r3(2L), "weight did not skew the mass split")
+    // uniform weights degrade to the unweighted directed form exactly
+    val uni = edges.withColumn("w", lit(7L))
+    val a = Graph.pageRankWeightedQ(uni, 3)
+      .select(col("node"), col("pr_q")).as[(Long, Long)].collect().toMap
+    val b = Graph.pageRankDirectedQ(edges.select(col("src"), col("dst")), 3)
+      .select(col("node"), col("pr_q")).as[(Long, Long)].collect().toMap
+    assert(a == b, "uniform weights must reproduce the unweighted ranks")
+  }
+
   test("triangleCounts: exact counts, star hubs contribute nothing") {
     // triangle {1,2,3}; square {4,5,6,7} (no diagonal => no triangle);
     // star center 10 with leaves 11..15 (wedges but no closure)
