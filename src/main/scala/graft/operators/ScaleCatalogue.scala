@@ -3263,6 +3263,64 @@ object ScaleCatalogue {
        |FROM r3 ORDER BY rank LIMIT 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q121 — HITS hubs & authorities (Graph.hitsQ) over the cached
+  // citation graph: the complementary ranking to q112's PageRank —
+  // authorities are cited by good hubs, hubs cite good authorities —
+  // and on THIS graph the two roles are structurally forced apart
+  // (low-id docs can only be cited → pure authorities; high-id docs
+  // mostly cite → hubs), so the two score columns genuinely diverge.
+  // Integer recurrence with per-half-round max normalization as an
+  // in-plan broadcast scalar; the oracle unrolls both half-rounds of
+  // both iterations max-for-max.
+  // ---------------------------------------------------------------------
+  def q121Hits(s: SparkSession, d: String): DataFrame = {
+    val e = citationEdgesCached(s, d).select(col("src"), col("dst"))
+    val hits = graft.scale.Graph.hitsQ(e, iterations = 2)
+    val top = hits.orderBy(col("auth_q").desc, col("node").asc).limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("auth_q").desc, col("node").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("node"), col("auth_q"), col("hub_q"))
+      .orderBy(col("rank"))
+  }
+  val q121Sql: String = {
+    val rounds = (1 to 2).map { i =>
+      s"""ar$i AS (SELECT e.dst AS node, CAST(sum(r.h) AS BIGINT) AS ar
+         |  FROM dedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
+         |am$i AS (SELECT max(ar) AS am FROM ar$i),
+         |a$i AS (SELECT r.node,
+         |    CAST((coalesce(s.ar, 0) * 1000000) // m.am AS BIGINT) AS a, r.h
+         |  FROM r${i - 1} r LEFT JOIN ar$i s ON r.node = s.node, am$i m),
+         |hr$i AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS hr
+         |  FROM dedges e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |hm$i AS (SELECT max(hr) AS hm FROM hr$i),
+         |r$i AS (SELECT a.node, a.a,
+         |    CAST((coalesce(s.hr, 0) * 1000000) // m.hm AS BIGINT) AS h
+         |  FROM a$i a LEFT JOIN hr$i s ON a.node = s.node, hm$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |rare AS (SELECT term FROM (
+       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+       |  WHERE df BETWEEN 2 AND 4),
+       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+       |dedges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM post a JOIN post b
+       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+       |dn AS (SELECT src AS node FROM dedges
+       |  UNION SELECT dst AS node FROM dedges),
+       |r0 AS (SELECT node, 1000000 AS a, 1000000 AS h FROM dn),
+       |$rounds
+       |SELECT row_number() OVER (ORDER BY a DESC, node ASC) AS rank,
+       |  node, a AS auth_q, h AS hub_q
+       |FROM r2 ORDER BY rank LIMIT 100""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3343,6 +3401,7 @@ object ScaleCatalogue {
     "q118_triangles" -> q118Triangles _,
     "q119_containment" -> q119Containment _,
     "q120_weighted_pagerank" -> q120WeightedPagerank _,
+    "q121_hits" -> q121Hits _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3432,5 +3491,6 @@ object ScaleCatalogue {
     "q118_triangles" -> q118Sql,
     "q119_containment" -> q119Sql,
     "q120_weighted_pagerank" -> q120Sql,
+    "q121_hits" -> q121Sql,
   )
 }

@@ -418,6 +418,59 @@ object Graph {
     state.select(col("node"), col("sw"), col("r").as("pr_q"))
   }
 
+  /** HITS hubs-and-authorities over a directed edge table — the
+    * complementary ranking to PageRank for citation structure: an
+    * AUTHORITY is cited by good hubs, a HUB cites good authorities
+    * (Kleinberg 1999). Each round: a(v) = Σ_in h(u), h(u) = Σ_out
+    * a(v), each half rescaled to `scale` by its max (the standard
+    * normalization, done with an in-plan broadcast max scalar — no
+    * driver round-trip). All-integer: the rescale is (x·scale) div
+    * max, so ranks are bit-reproducible and an external engine unrolls
+    * the recurrence exactly.
+    *
+    * Overflow contract: x ≤ N·scale before the rescale, so N·scale²
+    * must stay under 2^63 — at the default scale 10^6 that is ~9×10^6
+    * nodes; a larger graph lowers `scale` (rank resolution trades off
+    * against node count, stated not hidden).
+    *
+    * Same eager per-round materialization as [[pageRankDirectedQ]]
+    * (two consumers per half-round: the propagation join and the max
+    * aggregate). Returns (node, auth_q, hub_q). */
+  def hitsQ(edges: DataFrame, iterations: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iterations >= 0)
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var state = nodes
+      .select(col("node"), lit(scale).as("a"), lit(scale).as("h"))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      val aRaw = state.join(e, state("node") === e("src"))
+        .select(col("dst"), col("h"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      val am = aRaw.agg(max(col("ar")).as("am"))
+      val aNew = state.select(col("node"), col("h"))
+        .join(aRaw, col("node") === col("dst"), "left")
+        .crossJoin(broadcast(am))
+        .select(col("node"),
+          expr(s"(coalesce(ar, 0L) * ${scale}L) div am").as("a"),
+          col("h"))
+        .localCheckpoint()
+      val hRaw = aNew.join(e, aNew("node") === e("dst"))
+        .select(col("src"), col("a"))
+        .groupBy(col("src")).agg(sum(col("a")).as("hr"))
+      val hm = hRaw.agg(max(col("hr")).as("hm"))
+      state = aNew.select(col("node"), col("a"))
+        .join(hRaw, col("node") === col("src"), "left")
+        .crossJoin(broadcast(hm))
+        .select(col("node"), col("a"),
+          expr(s"(coalesce(hr, 0L) * ${scale}L) div hm").as("h"))
+        .localCheckpoint()
+    }
+    state.select(col("node"), col("a").as("auth_q"), col("h").as("hub_q"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —
     * the clustering-structure profile (communities vs star hubs) run
     * on link graphs before sampling or pruning decisions.

@@ -343,6 +343,44 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b, "uniform weights must reproduce the unweighted ranks")
   }
 
+  test("hitsQ matches the independent integer replay; roles separate on a bipartite-ish graph") {
+    // hubs 3,4 cite authorities 1,2; 3 cites both, 4 cites only 1
+    val edges = Seq((3L, 1L), (3L, 2L), (4L, 1L)).toDF("src", "dst")
+    val S = 1000000L
+    def replay(iters: Int): Map[Long, (Long, Long)] = {
+      val out = Map(3L -> Seq(1L, 2L), 4L -> Seq(1L))
+      val in = Map(1L -> Seq(3L, 4L), 2L -> Seq(3L))
+      var a = Seq(1L, 2L, 3L, 4L).map(v => v -> S).toMap
+      var h = a
+      for (_ <- 1 to iters) {
+        val ar = Seq(1L, 2L, 3L, 4L).map(v =>
+          v -> in.getOrElse(v, Nil).map(h).sum).toMap
+        val am = ar.values.max
+        a = ar.map { case (v, x) => v -> (x * S) / am }
+        val hr = Seq(1L, 2L, 3L, 4L).map(v =>
+          v -> out.getOrElse(v, Nil).map(a).sum).toMap
+        val hm = hr.values.max
+        h = hr.map { case (v, x) => v -> (x * S) / hm }
+      }
+      Seq(1L, 2L, 3L, 4L).map(v => v -> (a(v), h(v))).toMap
+    }
+    for (iters <- Seq(1, 2)) {
+      val got = Graph.hitsQ(edges, iters)
+        .as[(Long, Long, Long)].collect()
+        .map { case (n2, aa, hh) => n2 -> (aa, hh) }.toMap
+      assert(got == replay(iters), s"iters=$iters: $got != ${replay(iters)}")
+    }
+    val r = Graph.hitsQ(edges, 2).as[(Long, Long, Long)].collect()
+      .map { case (n2, aa, hh) => n2 -> (aa, hh) }.toMap
+    // 1 is the top authority (cited by both hubs), 3 the top hub
+    // (cites both authorities); pure hubs have authority 0 and pure
+    // authorities have hub score 0 — the roles genuinely separate
+    assert(r(1L)._1 == S && r(3L)._2 == S)
+    assert(r(3L)._1 == 0L && r(4L)._1 == 0L, "hubs must have zero authority")
+    assert(r(1L)._2 == 0L && r(2L)._2 == 0L, "authorities must have zero hub score")
+    assert(r(1L)._1 > r(2L)._1, "doubly-cited authority must outrank")
+  }
+
   test("triangleCounts: exact counts, star hubs contribute nothing") {
     // triangle {1,2,3}; square {4,5,6,7} (no diagonal => no triangle);
     // star center 10 with leaves 11..15 (wedges but no closure)
