@@ -3321,6 +3321,48 @@ object ScaleCatalogue {
        |FROM r2 ORDER BY rank LIMIT 100""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q122 — k-core extraction (Graph.kCoreQ) over the cached citation
+  // graph: 6 peeling rounds at k=25 — the densest-region cut run
+  // before expensive per-community work (the gate corpus converges in
+  // 4 rounds, so the 6-round output IS the exact 25-core; GraphSpec
+  // pins the fixpoint). The oracle replays all 6 rounds of
+  // degree-recompute + threshold drop on the shrinking subgraph.
+  // ---------------------------------------------------------------------
+  def q122KCore(s: SparkSession, d: String): DataFrame = {
+    val e = citationEdgesCached(s, d).select(col("src"), col("dst"))
+    graft.scale.Graph.kCoreQ(e, k = 25L, rounds = 6)
+      .orderBy(col("node"))
+  }
+  val q122Sql: String = {
+    val rounds = (1 to 6).map { i =>
+      s"""a$i AS (
+         |  SELECT e.u AS node, count(*) AS core_deg
+         |  FROM und e
+         |  JOIN a${i - 1} x ON e.u = x.node
+         |  JOIN a${i - 1} y ON e.v = y.node
+         |  GROUP BY e.u HAVING count(*) >= 25)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |rare AS (SELECT term FROM (
+       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+       |  WHERE df BETWEEN 2 AND 4),
+       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+       |dedges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM post a JOIN post b
+       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+       |und AS (SELECT src AS u, dst AS v FROM dedges
+       |  UNION ALL SELECT dst, src FROM dedges),
+       |a0 AS (SELECT DISTINCT u AS node FROM und),
+       |$rounds
+       |SELECT node, core_deg FROM a6 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3402,6 +3444,7 @@ object ScaleCatalogue {
     "q119_containment" -> q119Containment _,
     "q120_weighted_pagerank" -> q120WeightedPagerank _,
     "q121_hits" -> q121Hits _,
+    "q122_kcore" -> q122KCore _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3492,5 +3535,6 @@ object ScaleCatalogue {
     "q119_containment" -> q119Sql,
     "q120_weighted_pagerank" -> q120Sql,
     "q121_hits" -> q121Sql,
+    "q122_kcore" -> q122Sql,
   )
 }

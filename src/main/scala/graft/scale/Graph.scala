@@ -471,6 +471,45 @@ object Graph {
     state.select(col("node"), col("a").as("auth_q"), col("h").as("hub_q"))
   }
 
+  /** k-core membership via FIXED-ROUND peeling: each round recomputes
+    * degrees on the surviving subgraph and drops nodes below `k` —
+    * after enough rounds the survivor set is exactly the k-core (the
+    * maximal subgraph of minimum degree ≥ k), the densest-region
+    * extraction run before expensive per-community work. A fixed
+    * `rounds` budget (not a convergence loop) keeps the computation a
+    * pure data function an external engine replays round-for-round;
+    * callers check convergence by comparing rounds R-1 and R (the
+    * KCore spec pins fixpoint on the gate corpus). Peeling rounds
+    * needed grow with the graph's degeneracy ordering depth, not its
+    * size — single digits on real link graphs at any scale.
+    *
+    * Scale shape: per round two semi-joins of the static edge table
+    * against the shrinking alive set (node-keyed, broadcastable once
+    * the core stabilizes) + one degree aggregation; the edge table
+    * never re-derives ([[pageRankDirectedQ]]'s eager per-round
+    * materialization bounds replay).
+    *
+    * `edges`: distinct (src, dst), src > dst. Returns (node, core_deg)
+    * for survivors of round `rounds`, core_deg the within-subgraph
+    * degree that passed the final ≥ k filter. */
+  def kCoreQ(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1)
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .repartition(col("u"))
+    var alive = und.select(col("u").as("node")).distinct()
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      alive = und
+        .join(alive.select(col("node").as("u")), "u")
+        .join(alive.select(col("node").as("v")), "v")
+        .groupBy(col("u").as("node")).agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= k)
+        .localCheckpoint()
+    }
+    alive.select(col("node"), col("core_deg"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —
     * the clustering-structure profile (communities vs star hubs) run
     * on link graphs before sampling or pruning decisions.

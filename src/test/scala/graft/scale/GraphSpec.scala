@@ -381,6 +381,29 @@ class GraphSpec extends AnyFunSuite {
     assert(r(1L)._1 > r(2L)._1, "doubly-cited authority must outrank")
   }
 
+  test("kCoreQ: peels to the exact core; corpus run reaches fixpoint inside the round budget") {
+    // triangle {1,2,3} (2-core) + pendant chain 3-4-5 peeled away
+    val edges = Seq((2L, 1L), (3L, 1L), (3L, 2L), (4L, 3L), (5L, 4L))
+      .toDF("src", "dst")
+    val core = Graph.kCoreQ(edges, k = 2L, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(core == Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
+      s"unexpected 2-core: $core")
+    // k above the max degree: empty core, not an error
+    assert(Graph.kCoreQ(edges, k = 10L, rounds = 3).isEmpty)
+
+    // gate-corpus fixpoint: rounds 5 and 6 agree, so q122's 6-round
+    // output is the exact 25-core, not a truncated peel
+    val d = "/root/testdata/sf0.01"
+    val ce = graft.scale.Graph.citationEdges(
+      graft.Tables.documents(spark, d), n = 3, dfMin = 2, dfMax = 4)
+      .localCheckpoint()
+    val r5 = Graph.kCoreQ(ce, 25L, 5).as[(Long, Long)].collect().toSet
+    val r6 = Graph.kCoreQ(ce, 25L, 6).as[(Long, Long)].collect().toSet
+    assert(r5 == r6, "peeling did not converge within the round budget")
+    assert(r6.nonEmpty)
+  }
+
   test("triangleCounts: exact counts, star hubs contribute nothing") {
     // triangle {1,2,3}; square {4,5,6,7} (no diagonal => no triangle);
     // star center 10 with leaves 11..15 (wedges but no closure)
