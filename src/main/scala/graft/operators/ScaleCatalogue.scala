@@ -3363,6 +3363,164 @@ object ScaleCatalogue {
        |SELECT node, core_deg FROM a6 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q123 — multi-source BFS distance (Graph.bfsDistancesQ) over the
+  // symmetrized cached citation graph: exact hop distance from a seed
+  // set (doc_id % 10 == 0), bounded at 4 hops — the seed-proximity
+  // feature quality-propagation pipelines consume ("how many hops from
+  // a trusted doc"), and the reachability primitive the rank family
+  // (q112/q120/q121) doesn't give. Frontier discipline is the scale
+  // property: each round joins only the NEWLY settled frontier against
+  // the pinned edge exchange, never the full settled set. The oracle
+  // replays it as a depth-bounded recursive CTE + min-distance rollup.
+  // Isolated seeds (docs off the citation graph) settle at distance 0
+  // and propagate nothing — both engines state them identically.
+  // ---------------------------------------------------------------------
+  def q123BfsDistances(s: SparkSession, d: String): DataFrame = {
+    val e = citationEdgesCached(s, d)
+    val sym = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("node"))
+    graft.scale.Graph.bfsDistancesQ(sym, seeds, rounds = 4)
+      .orderBy(col("node"))
+  }
+  val q123Sql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+      |rare AS (SELECT term FROM (
+      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+      |  WHERE df BETWEEN 2 AND 4),
+      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+      |dedges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM post a JOIN post b
+      |    ON a.term = b.term AND a.doc_id > b.doc_id),
+      |sym AS (SELECT src AS a, dst AS b FROM dedges
+      |  UNION SELECT dst, src FROM dedges),
+      |reach AS (
+      |  SELECT doc_id AS v, 0 AS dist FROM documents WHERE doc_id % 10 = 0
+      |  UNION
+      |  SELECT s.b, r.dist + 1 FROM sym s JOIN reach r ON s.a = r.v
+      |  WHERE r.dist < 4)
+      |SELECT v AS node, CAST(min(dist) AS BIGINT) AS dist
+      |FROM reach GROUP BY v ORDER BY node""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q124 — exact-cut sequence packing (scale/Packing.packStats): the
+  // concat-then-chunk layout pretraining actually uses — within each
+  // shard (doc_id % 8) documents lie end-to-end and the token stream is
+  // cut every 512 tokens, a document crossing a cut contributing a SPAN
+  // to each bin it touches. The complement to q59, which bins whole
+  // documents by start offset (bins overflow); here every bin holds
+  // exactly 512 tokens except the shard tail — the invariant a training
+  // loader relies on (PackingSpec pins it). One per-shard window cumsum
+  // + a bounded explode; all-integer span algebra the oracle replays.
+  // ---------------------------------------------------------------------
+  def q124SeqPacking(s: SparkSession, d: String): DataFrame =
+    graft.scale.Packing.packStats(documents(s, d),
+        col("doc_id") % 8, seqLen = 512L)
+      .orderBy(col("shard"), col("bin"))
+  val q124Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, doc_id % 8 AS shard,
+      |    len(string_split(text, ' '))::BIGINT AS tk
+      |  FROM documents),
+      |c AS (
+      |  SELECT shard, doc_id, tk,
+      |    CAST(sum(tk) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk
+      |      AS BIGINT) AS cstart
+      |  FROM t),
+      |b AS (
+      |  SELECT shard, doc_id, cstart, tk,
+      |    unnest(range(cstart // 512, (cstart + tk - 1) // 512 + 1)) AS bin
+      |  FROM c)
+      |SELECT shard, bin, count(*) AS n_docs,
+      |  CAST(sum(least((bin + 1) * 512, cstart + tk)
+      |    - greatest(bin * 512, cstart)) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY 1, 2 ORDER BY shard, bin""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q125 — collocation mining (scale/Colloc.bigramLift): top adjacent
+  // bigrams by integer LIFT (c12·N·10^6) div (c1·c2) — floor-quantized
+  // PMI ordering, the multiword-unit sweep run before tokenizer
+  // training or phrase-aware indexing. Contrast within the catalogue:
+  // q50 counts bigrams, q74 scores DOCUMENTS with bigram conditionals;
+  // this ranks the PHRASES themselves by association strength. One
+  // map-combinable bigram shuffle + vocabulary-sized unigram joins +
+  // an in-plan N scalar; the oracle replays counts, joins, and the
+  // integer division bit for bit.
+  // ---------------------------------------------------------------------
+  def q125Collocations(s: SparkSession, d: String): DataFrame = {
+    val lift = graft.scale.Colloc.bigramLift(documents(s, d), minCount = 3L)
+    val top = lift.orderBy(col("lift_q").desc, col("w1").asc, col("w2").asc)
+      .limit(100)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lift_q").desc, col("w1").asc, col("w2").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("w1"), col("w2"), col("c12"), col("c1"),
+        col("c2"), col("lift_q"))
+      .orderBy(col("rank"))
+  }
+  val q125Sql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |uni AS (SELECT unnest(w) AS term FROM w),
+      |ucnt AS (SELECT term, count(*) AS c FROM uni GROUP BY term),
+      |n AS (SELECT count(*) AS n FROM uni),
+      |bi AS (
+      |  SELECT w[i] AS w1, w[i + 1] AS w2
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i) t
+      |  WHERE len(w) >= 2),
+      |bcnt AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      |lift AS (
+      |  SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+      |    (b.c12 * n.n * 1000000) // (u1.c * u2.c) AS lift_q
+      |  FROM bcnt b
+      |  JOIN ucnt u1 ON b.w1 = u1.term
+      |  JOIN ucnt u2 ON b.w2 = u2.term, n
+      |  WHERE b.c12 >= 3)
+      |SELECT row_number() OVER (ORDER BY lift_q DESC, w1 ASC, w2 ASC)
+      |    AS rank, w1, w2, c12, c1, c2, lift_q
+      |FROM lift ORDER BY rank LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q126 — sqrt-temperature corpus mixing (scale/Mixture.sample): the
+  // rebalancing step q58/q79 DON'T do — those apply GIVEN mixture
+  // weights; this DERIVES them from the data (quota_s = isq_s·k div
+  // Σ isq, isq = floor(sqrt(n_s)) — α=0.5 temperature, the standard
+  // "don't let the biggest source drown the curated ones" move) and
+  // draws each source's quota in content-hash order. floor(sqrt(n)) is
+  // IEEE-exact below 2^52, so the whole quota algebra is
+  // engine-portable integer arithmetic; candidate ranking keeps the
+  // constant bound rk ≤ k pushed as WindowGroupLimit.
+  // ---------------------------------------------------------------------
+  def q126TempMixture(s: SparkSession, d: String): DataFrame =
+    graft.scale.Mixture.sample(documents(s, d), "source", k = 100L)
+      .orderBy(col("source"), col("rk"))
+  val q126Sql: String =
+    """WITH cnt AS (SELECT source, count(*) AS n FROM documents
+      |  GROUP BY source),
+      |q0 AS (SELECT source, n,
+      |  CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS isq FROM cnt),
+      |t AS (SELECT CAST(sum(isq) AS BIGINT) AS t FROM q0),
+      |qt AS (SELECT source, n, isq, (isq * 100) // t.t AS quota
+      |  FROM q0, t),
+      |h AS (SELECT source, doc_id,
+      |  CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, h,
+      |  row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC)
+      |    AS rk
+      |  FROM h)
+      |SELECT r.source, qt.n, qt.quota, r.rk, r.doc_id
+      |FROM r JOIN qt USING (source) WHERE r.rk <= qt.quota
+      |ORDER BY source, rk""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3445,6 +3603,10 @@ object ScaleCatalogue {
     "q120_weighted_pagerank" -> q120WeightedPagerank _,
     "q121_hits" -> q121Hits _,
     "q122_kcore" -> q122KCore _,
+    "q123_bfs_distances" -> q123BfsDistances _,
+    "q124_seq_packing" -> q124SeqPacking _,
+    "q125_collocations" -> q125Collocations _,
+    "q126_temp_mixture" -> q126TempMixture _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3536,5 +3698,9 @@ object ScaleCatalogue {
     "q120_weighted_pagerank" -> q120Sql,
     "q121_hits" -> q121Sql,
     "q122_kcore" -> q122Sql,
+    "q123_bfs_distances" -> q123Sql,
+    "q124_seq_packing" -> q124Sql,
+    "q125_collocations" -> q125Sql,
+    "q126_temp_mixture" -> q126Sql,
   )
 }

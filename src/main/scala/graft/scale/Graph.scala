@@ -510,6 +510,50 @@ object Graph {
     alive.select(col("node"), col("core_deg"))
   }
 
+  /** Multi-source BFS: exact hop distance from a seed set, bounded at
+    * `rounds` hops — the reachability/proximity primitive the rank
+    * family doesn't give (PageRank mixes distance with multiplicity;
+    * BFS answers "how many hops from a trusted doc is this one", the
+    * seed-proximity feature quality-propagation pipelines consume, and
+    * the frontier algebra every Pregel-style traversal shares).
+    *
+    * Frontier discipline — the property that matters at 100 TB: each
+    * round joins ONLY the newly-settled frontier (nodes first reached
+    * at hop t-1) against the src-keyed edge exchange, never the full
+    * settled set, so a round's work is proportional to the frontier's
+    * out-edges; the settled set is touched once per round by a
+    * node-keyed left-anti (16-byte rows). Frontier and settled are
+    * eagerly materialized per round (`localCheckpoint` — the
+    * [[pageRankDirectedQ]] checkpoint discipline: both feed two
+    * consumers), keeping plan depth constant in `rounds`.
+    *
+    * Fixed `rounds`, not a convergence loop (the [[kCoreQ]] contract):
+    * the result is a pure data function DuckDB replays as a
+    * depth-bounded recursive CTE. Seeds need not be graph nodes —
+    * an isolated seed settles at distance 0 and propagates nothing.
+    *
+    * `edges`: directed (src, dst) — pass the symmetrized table for
+    * undirected distance. `seeds`: (node). Returns (node, dist) for
+    * every node within `rounds` hops of a seed. */
+  def bfsDistancesQ(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+    var settled = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint()
+    var frontier = settled.select(col("node"))
+    for (t <- 1 to rounds) {
+      val newly = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(settled.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("dist", lit(t.toLong))
+        .localCheckpoint()
+      settled = settled.unionByName(newly).localCheckpoint()
+      frontier = newly.select(col("node"))
+    }
+    settled.select(col("node"), col("dist"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —
     * the clustering-structure profile (communities vs star hubs) run
     * on link graphs before sampling or pruning decisions.

@@ -21,11 +21,25 @@ class CacheHygieneSpec extends AnyFunSuite {
     graft.SparkEntry.queries.foreach { case (name, f) =>
       withClue(s"query $name: ") { f(spark, d).count() }
     }
-    val leaked = spark.sparkContext.getPersistentRDDs
+    // Two classes of pins can remain: (a) blocks backing a returned
+    // frame's localCheckpoint — the DOCUMENTED lifecycle (see
+    // Dedup.lshCandidates / IvfIndex.topK scaladoc) is that the
+    // ContextCleaner reaps them once the caller drops the frame, which
+    // the loop above just did; (b) genuine `.cache()` leaks, which the
+    // CacheManager holds STRONGLY and no GC ever frees. Emulate the
+    // caller dropping everything (GC + let the async cleaner drain) so
+    // class (a) evaporates and the assertion catches exactly class (b).
+    def leaked() = spark.sparkContext.getPersistentRDDs
       .filterNot { case (id, _) => before.contains(id) }
-    assert(leaked.isEmpty,
-      s"catalogue run left ${leaked.size} pinned RDD(s): " +
-        leaked.map { case (id, r) =>
+    var tries = 0
+    while (leaked().nonEmpty && tries < 25) {
+      System.gc(); Thread.sleep(200); tries += 1
+    }
+    val left = leaked()
+    assert(left.isEmpty,
+      s"catalogue run left ${left.size} pinned RDD(s) that survive GC " +
+        "(strongly-held cache, not checkpoint lifecycle): " +
+        left.map { case (id, r) =>
           s"#$id ${r.name} [${r.getStorageLevel.description}]"
         }.mkString("; "))
   }

@@ -1,0 +1,118 @@
+package graft.scale
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 corpus operators: exact-cut sequence packing (Packing),
+  * collocation lift (Colloc), and sqrt-temperature mixture (Mixture) —
+  * invariants a hand replay can state exactly, plus the determinism
+  * properties the catalogue oracles rely on. */
+class CorpusMixSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "source")
+
+  // ----------------------------------------------------------- Packing
+
+  test("packStats: every bin holds exactly seqLen tokens except each shard's tail") {
+    val docs = (0L until 40L).map(i =>
+      (i, Seq.fill((i % 7 + 1).toInt)("w").mkString(" "), "s")).toDF(
+      "doc_id", "text", "source")
+    val stats = Packing.packStats(docs, col("doc_id") % 3, seqLen = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+    val byShard = stats.groupBy(_._1)
+    for ((_, bins) <- byShard) {
+      val maxBin = bins.map(_._2).max
+      for ((_, bin, _, nTok) <- bins) {
+        if (bin < maxBin) assert(nTok == 10L, s"non-tail bin $bin has $nTok")
+        else assert(nTok >= 1 && nTok <= 10L)
+      }
+      // bins are contiguous from 0
+      assert(bins.map(_._2).sorted.toSeq == (0L to maxBin).toSeq)
+    }
+  }
+
+  test("packStats: token mass conserved per shard and doc spans counted once per touched bin") {
+    val docs = (0L until 25L).map(i =>
+      (i, Seq.fill((i % 13 + 1).toInt)("t").mkString(" "), "s")).toDF(
+      "doc_id", "text", "source")
+    val L = 8L
+    val stats = Packing.packStats(docs, lit(0L), L).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTok = (0L until 25L).map(i => i % 13 + 1).sum
+    assert(stats.map(_._3).sum == totalTok)
+    // replay the layout in plain Scala
+    var off = 0L
+    val expect = collection.mutable.Map.empty[Long, (Long, Long)]
+    for (i <- 0L until 25L) {
+      val tk = i % 13 + 1
+      for (b <- off / L to (off + tk - 1) / L) {
+        val span = math.min((b + 1) * L, off + tk) - math.max(b * L, off)
+        val (d0, t0) = expect.getOrElse(b, (0L, 0L))
+        expect(b) = (d0 + 1, t0 + span)
+      }
+      off += tk
+    }
+    assert(stats.map(s => s._1 -> (s._2, s._3)).toMap == expect.toMap)
+  }
+
+  // ------------------------------------------------------------ Colloc
+
+  test("bigramLift matches the hand-computed integer lift") {
+    // corpus: "a b", "a b", "a c" → N=6 tokens
+    // c(a)=3 c(b)=2 c(c)=1; c12(a,b)=2, c12(a,c)=1
+    val docs = docsDf(Seq((1L, "a b", "s"), (2L, "a b", "s"),
+      (3L, "a c", "s")))
+    val got = Colloc.bigramLift(docs, minCount = 1L)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", "b")) == ((2L, 3L, 2L, 2L * 6L * 1000000L / (3L * 2L))))
+    assert(got(("a", "c")) == ((1L, 3L, 1L, 1L * 6L * 1000000L / (3L * 1L))))
+  }
+
+  test("bigramLift: minCount filters and rarer pairings score higher lift") {
+    // "x y" always together (perfect association) vs "a" promiscuous
+    val docs = docsDf(Seq((1L, "x y x y a q a r a s", "s"),
+      (2L, "x y a t", "s")))
+    val lift = Colloc.bigramLift(docs, minCount = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    // only pairs with c12 >= 3 survive
+    assert(lift.forall { case (w1, w2, _) => (w1, w2) == ("x", "y") })
+  }
+
+  // ----------------------------------------------------------- Mixture
+
+  test("temperatureQuotas: sqrt rebalancing boosts small groups, Σ quota ≤ k") {
+    // 90/9 split: raw share 91%/9%; sqrt share 9/(9+3)=75%/25%
+    val docs = (0L until 99L).map(i =>
+      (i, "t", if (i < 90) "big" else "small")).toDF(
+      "doc_id", "text", "source")
+    val q = Mixture.temperatureQuotas(docs, "source", k = 12L)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    assert(q("big") == ((90L, 9L, 9L)))   // floor(sqrt(90))=9; 9*12/12=9
+    assert(q("small") == ((9L, 3L, 3L)))  // floor(sqrt(9))=3; 3*12/12=3
+    assert(q.values.map(_._3).sum <= 12L)
+    // sqrt share (25%) > raw share (9%) for the small group
+    assert(q("small")._3.toDouble / 12 > 9.0 / 99)
+  }
+
+  test("Mixture.sample: per-group counts hit min(quota, n) and survive repartitioning") {
+    val docs = (0L until 200L).map(i =>
+      (i, s"tok$i", s"src${i % 5}")).toDF("doc_id", "text", "source")
+    val quotas = Mixture.temperatureQuotas(docs, "source", 30L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val sel = Mixture.sample(docs, "source", 30L).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    val perGroup = sel.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    for ((g, quota) <- quotas)
+      assert(perGroup.getOrElse(g, 0L) == math.min(quota, 40L))
+    val sel2 = Mixture.sample(docs.repartition(13, col("text")),
+      "source", 30L).collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(sel.sorted.toSeq == sel2.sorted.toSeq,
+      "selection not stable under repartitioning")
+  }
+}

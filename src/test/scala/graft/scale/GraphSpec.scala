@@ -436,4 +436,50 @@ class GraphSpec extends AnyFunSuite {
     // ranks are positive and the teleport floor holds for every node
     assert(out.forall(_._4 > 0L))
   }
+
+  /** Independent pure-Scala BFS replay. */
+  private def bfsRef(edges: Seq[(Long, Long)], seeds: Set[Long],
+      rounds: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var dist = seeds.map(_ -> 0L).toMap
+    var frontier = seeds
+    for (t <- 1 to rounds) {
+      val next = frontier.flatMap(v => adj.getOrElse(v, Nil))
+        .filterNot(dist.contains)
+      dist ++= next.map(_ -> t.toLong)
+      frontier = next
+    }
+    dist
+  }
+
+  test("bfsDistancesQ matches the independent BFS; isolated seeds settle at 0") {
+    // path 1-2-3-4-5 plus isolated seed 99
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val pairs = und ++ und.map(_.swap)
+    val seeds = Set(1L, 99L)
+    for (rounds <- Seq(0, 2, 4)) {
+      val got = Graph.bfsDistancesQ(edgesDf(pairs),
+          seeds.toSeq.toDF("node"), rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got == bfsRef(pairs, seeds, rounds),
+        s"divergence at rounds=$rounds")
+    }
+    // the 4-round result includes node 5 at dist 4 and the isolated seed
+    val full = Graph.bfsDistancesQ(edgesDf(pairs),
+        seeds.toSeq.toDF("node"), 4)
+      .as[(Long, Long)].collect().toMap
+    assert(full(5L) == 4L && full(99L) == 0L)
+  }
+
+  test("bfsDistancesQ: frontier shrinks to empty and extra rounds are no-ops") {
+    val und = Seq(1L -> 2L, 2L -> 3L)
+    val pairs = und ++ und.map(_.swap)
+    val seeds = Seq(1L).toDF("node")
+    val atConverged = Graph.bfsDistancesQ(edgesDf(pairs), seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    val beyond = Graph.bfsDistancesQ(edgesDf(pairs), seeds, 6)
+      .as[(Long, Long)].collect().toMap
+    assert(atConverged == beyond)
+    assert(atConverged == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
 }
