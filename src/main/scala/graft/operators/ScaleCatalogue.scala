@@ -3521,6 +3521,108 @@ object ScaleCatalogue {
       |FROM r JOIN qt USING (source) WHERE r.rk <= qt.quota
       |ORDER BY source, rk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q127 — anchor-term profiles (Graph.anchorTerms): for every CITED
+  // document, the top-3 rare terms its citers reached it through, with
+  // citer counts — the link-graph analog of web anchor-text
+  // aggregation ("what do documents that link here say about this
+  // page"), the retrieval-enrichment signal the reference's wiki link
+  // graph implies. Same df-capped derivation as the citation edges but
+  // keeping the TERM; materialized once per dataset (the
+  // citationEdgesCached pattern — bench reps and the catalogue share
+  // one build). Top-3 per dst is the q68 window head-N shape with the
+  // constant rank bound pushed as WindowGroupLimit.
+  // ---------------------------------------------------------------------
+  def q127AnchorTerms(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("citation-anchors", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.Graph.anchorTerms(documents(s, d), n = 3,
+          dfMin = 2, dfMax = 4)
+        .repartition(col("dst"))
+        .write.mode("overwrite").parquet(s"$p/anchors")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("n_src").desc, col("term").asc)
+    s.read.parquet(s"$dir/anchors")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("dst"), col("rk"), col("term"), col("n_src"))
+      .orderBy(col("dst"), col("rk"))
+  }
+  val q127Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+      |rare AS (SELECT term FROM (
+      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+      |  WHERE df BETWEEN 2 AND 4),
+      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+      |an AS (
+      |  SELECT b.doc_id AS dst, a.term, count(*) AS n_src
+      |  FROM post a JOIN post b
+      |    ON a.term = b.term AND a.doc_id > b.doc_id
+      |  GROUP BY 1, 2),
+      |r AS (SELECT dst, term, n_src,
+      |  row_number() OVER (PARTITION BY dst
+      |    ORDER BY n_src DESC, term ASC) AS rk
+      |  FROM an)
+      |SELECT dst, rk, term, n_src FROM r WHERE rk <= 3
+      |ORDER BY dst, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q128 — seeded label propagation (Graph.labelPropagationQ) over the
+  // symmetrized cached citation graph: seeds (doc_id % 10 == 0) carry
+  // pinned labels; 3 rounds of majority-vote adoption (ties → smallest
+  // label) refine q115's coarse connected components into
+  // seed-anchored territories — the semi-supervised sweep run when a
+  // few trusted exemplars should claim their neighborhoods. The label
+  // monotonicity argument (a labeled neighbor stays labeled) keeps the
+  // recurrence carry-forward-free, and the oracle replays all 3 rounds
+  // vote-for-vote with the identical (count desc, label asc) argmax.
+  // ---------------------------------------------------------------------
+  def q128LabelProp(s: SparkSession, d: String): DataFrame = {
+    val e = citationEdgesCached(s, d)
+    val sym = e.select(col("src"), col("dst"))
+      .unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("node"), col("doc_id").as("label"))
+    graft.scale.Graph.labelPropagationQ(sym, seeds, rounds = 3)
+      .orderBy(col("node"))
+  }
+  val q128Sql: String = {
+    val rounds = (1 to 3).map { i =>
+      s"""v$i AS (SELECT e.b AS node, l.label, count(*) AS c
+         |  FROM sym e JOIN l${i - 1} l ON e.a = l.node GROUP BY 1, 2),
+         |p$i AS (SELECT node, label FROM (
+         |  SELECT node, label, row_number() OVER (PARTITION BY node
+         |    ORDER BY c DESC, label ASC) AS rn FROM v$i) WHERE rn = 1),
+         |l$i AS (SELECT node, label FROM l0
+         |  UNION ALL SELECT node, label FROM p$i WHERE node % 10 <> 0)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |rare AS (SELECT term FROM (
+       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+       |  WHERE df BETWEEN 2 AND 4),
+       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+       |dedges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM post a JOIN post b
+       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+       |sym AS (SELECT src AS a, dst AS b FROM dedges
+       |  UNION SELECT dst, src FROM dedges),
+       |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |$rounds
+       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3607,6 +3709,8 @@ object ScaleCatalogue {
     "q124_seq_packing" -> q124SeqPacking _,
     "q125_collocations" -> q125Collocations _,
     "q126_temp_mixture" -> q126TempMixture _,
+    "q127_anchor_terms" -> q127AnchorTerms _,
+    "q128_label_prop" -> q128LabelProp _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3702,5 +3806,7 @@ object ScaleCatalogue {
     "q124_seq_packing" -> q124Sql,
     "q125_collocations" -> q125Sql,
     "q126_temp_mixture" -> q126Sql,
+    "q127_anchor_terms" -> q127Sql,
+    "q128_label_prop" -> q128Sql,
   )
 }

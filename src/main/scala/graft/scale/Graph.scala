@@ -554,6 +554,84 @@ object Graph {
     settled.select(col("node"), col("dist"))
   }
 
+  /** Anchor-term profile: for every CITED document, which shared rare
+    * terms its citers reached it through, with citer multiplicity —
+    * the link-graph analog of web anchor-text aggregation ("what do
+    * documents that link here say about this page"), the retrieval
+    * enrichment signal built from the same derivation as
+    * [[citationEdgesWeighted]] but keeping the TERM instead of
+    * collapsing it into an edge weight.
+    *
+    * Scale shape — identical to the citation derivation (one distinct-
+    * postings shuffle, df-capped self-join bounded at C(dfMax, 2) rows
+    * per term); the profile aggregation groups the surviving
+    * (dst, term) pairs, so its shuffle is collision-proportional too.
+    *
+    * Returns (dst, term, n_src) — `n_src` = citing documents sharing
+    * `term` with dst. */
+  def anchorTerms(docs: DataFrame, n: Int, dfMin: Long,
+      dfMax: Long): DataFrame = {
+    require(n >= 1 && dfMin >= 2 && dfMax >= dfMin)
+    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+    val post = tok.select(col("doc_id"),
+        explode(Dedup.shingles(col("w"), n)).as("term"))
+      .distinct()
+    val rare = post.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df").between(dfMin, dfMax))
+      .select(col("term"))
+    val rp = post.join(rare, Seq("term"))
+    rp.as("a").join(rp.as("b"),
+        col("a.term") === col("b.term") &&
+          col("a.doc_id") > col("b.doc_id"))
+      .groupBy(col("b.doc_id").as("dst"), col("a.term").as("term"))
+      .agg(count(lit(1)).as("n_src"))
+  }
+
+  /** Seeded label propagation, fixed rounds — the community-refinement
+    * step between [[bfsDistancesQ]] (pure reachability) and connected
+    * components (coarsest partition): seeds carry pinned labels; each
+    * round every node adjacent to a labeled node adopts the MAJORITY
+    * label of its labeled neighbors (ties → smallest label), seeds
+    * never change. Deterministic and all-integer, so an external
+    * engine replays every round; the argmax is a min-struct over
+    * (-count, label) — map-side combinable, the [[randomWalks]]
+    * argmin trick with votes instead of hashes.
+    *
+    * Label monotonicity keeps the recurrence simple: a labeled
+    * neighbor stays labeled, so every node labeled in round t-1 gets a
+    * majority row in round t — the round-t label set is exactly
+    * seeds ∪ (round-t majorities of non-seeds), no carry-forward join.
+    *
+    * Per round: one (dst, label) vote shuffle + the argmax + a
+    * node-keyed anti-join against the (small, broadcastable) seed set;
+    * eager per-round materialization (the [[pageRankDirectedQ]]
+    * discipline — votes and the next state both consume the label
+    * table).
+    *
+    * `edges`: symmetric (src, dst). `seeds`: (node, label). Returns
+    * (node, label) for every node labeled after `rounds` rounds. */
+  def labelPropagationQ(edges: DataFrame, seeds: DataFrame,
+      rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+    val sd = seeds.select(col("node"), col("label")).distinct()
+      .localCheckpoint()
+    var lab = sd
+    for (_ <- 1 to rounds) {
+      val pick = lab.join(e, lab("node") === e("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("node"), col("m.l").as("label"))
+      lab = sd.unionByName(
+          pick.join(sd.select(col("node")), Seq("node"), "left_anti"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("label"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —
     * the clustering-structure profile (communities vs star hubs) run
     * on link graphs before sampling or pruning decisions.

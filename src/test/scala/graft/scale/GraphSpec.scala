@@ -471,6 +471,55 @@ class GraphSpec extends AnyFunSuite {
     assert(full(5L) == 4L && full(99L) == 0L)
   }
 
+  /** Independent pure-Scala LPA replay (pinned seeds, majority vote,
+    * ties → smallest label). */
+  private def lpaRef(edges: Seq[(Long, Long)], seeds: Map[Long, Long],
+      rounds: Int): Map[Long, Long] = {
+    val adjIn = edges.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lab = seeds
+    for (_ <- 1 to rounds) {
+      val pick = adjIn.flatMap { case (v, ins) =>
+        val votes = ins.flatMap(lab.get).groupBy(identity)
+          .map { case (l, vs) => (l, vs.size) }
+        if (votes.isEmpty) None
+        else Some(v -> votes.minBy { case (l, c) => (-c, l) }._1)
+      }
+      lab = seeds ++ pick.filterNot { case (v, _) => seeds.contains(v) }
+    }
+    lab
+  }
+
+  test("labelPropagationQ matches the independent majority-vote replay; seeds stay pinned") {
+    // two seed territories on a path: 1 .. 2-3-4 .. 5 (seeds 1, 5)
+    val und = Seq(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L)
+    val pairs = und ++ und.map(_.swap)
+    val seeds = Map(1L -> 100L, 5L -> 500L)
+    for (rounds <- Seq(0, 1, 3)) {
+      val got = Graph.labelPropagationQ(edgesDf(pairs),
+          seeds.toSeq.toDF("node", "label"), rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got == lpaRef(pairs, seeds, rounds),
+        s"divergence at rounds=$rounds")
+    }
+    // ties break to the smallest label: node 3 hears 100 and 500 → 100
+    val r3 = Graph.labelPropagationQ(edgesDf(pairs),
+        seeds.toSeq.toDF("node", "label"), 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3(3L) == 100L)
+    assert(r3(1L) == 100L && r3(5L) == 500L, "seed labels must not move")
+  }
+
+  test("anchorTerms: citer counts per rare term, direction matches citationEdges") {
+    // three docs sharing the rare trigram "x y z": 2 and 1 cite 0,
+    // 2 cites 1 — doc 0 is anchored by 2 citers, doc 1 by one
+    val docs = Seq(
+      (0L, "x y z a b c"), (1L, "x y z d e f"), (2L, "x y z g h i"),
+      (3L, "nothing shared here at all")).toDF("doc_id", "text")
+    val got = Graph.anchorTerms(docs, n = 3, dfMin = 2, dfMax = 4)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((0L, "x y z", 2L), (1L, "x y z", 1L)))
+  }
+
   test("bfsDistancesQ: frontier shrinks to empty and extra rounds are no-ops") {
     val und = Seq(1L -> 2L, 2L -> 3L)
     val pairs = und ++ und.map(_.swap)
