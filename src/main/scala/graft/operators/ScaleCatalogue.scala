@@ -3623,6 +3623,127 @@ object ScaleCatalogue {
        |SELECT node, label FROM l3 ORDER BY node""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q129 — the COMPOSED training-data recipe, end to end in one query:
+  // clean (length + token-count + exact-dup keep-first, q78's flags) →
+  // decontaminate (drop docs sharing any 3-gram with the held-out eval
+  // slice, q69's broadcast-postings rule) → sqrt-temperature mixing
+  // (q126's derived quotas, k=200) → exact-cut packing (q124's
+  // concat-then-chunk at seqLen=256, shard = source). Output is the
+  // per-source FUNNEL — raw → clean → decontaminated → quota →
+  // selected → bins/tokens — the attributability a production recipe
+  // run reports. Every stage reuses the already-verified operator
+  // (q78/q69/q126/q124 machinery), so the composition is the novelty:
+  // the oracle chains the same four stages as one CTE pipeline and the
+  // hash compare proves the stages compose without drift. Scale shape
+  // inherits from the parts: flags are per-row algebra + one text-key
+  // window, eval postings broadcast, quotas broadcast, packing windows
+  // per source.
+  // ---------------------------------------------------------------------
+  def q129TrainingRecipe(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val tr = docs.filter(col("doc_id") % 50 =!= 0)
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+    val flagged = tr
+      .withColumn("tk", size(split(col("text"), " ")).cast("long"))
+      .withColumn("clean",
+        (col("n_chars").between(100, 100000) && col("tk") >= 20 &&
+          col("doc_id") ===
+            min(col("doc_id")).over(Window.partitionBy(col("text"))))
+          .cast("long"))
+    val cleanDocs = flagged.filter(col("clean") === 1)
+    val contam = Dedup.contaminationOverlap(cleanDocs, ev, n = 3)
+      .select(col("doc_id"))
+    val kept = cleanDocs.join(contam, Seq("doc_id"), "left_anti")
+      .localCheckpoint(eager = false) // consumed by quotas AND ranking
+    val sel = graft.scale.Mixture.sample(kept, "source", k = 200L)
+      .select(col("doc_id"), col("quota"))
+    val selDocs = kept.join(sel.select(col("doc_id")), "doc_id")
+    val packed = graft.scale.Packing
+      .packStats(selDocs, col("source"), seqLen = 256L)
+      .groupBy(col("shard").as("source"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n_tokens")).as("n_tokens"))
+    val funnel = tr.groupBy(col("source")).agg(count(lit(1)).as("n_raw"))
+      .join(flagged.groupBy(col("source"))
+        .agg(sum(col("clean")).as("n_clean")), "source")
+      .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
+        "source")
+      .join(graft.scale.Mixture.temperatureQuotas(kept, "source", 200L)
+        .select(col("source"), col("quota")), "source")
+      .join(selDocs.groupBy(col("source")).agg(count(lit(1)).as("n_sel")),
+        "source")
+      .join(packed, "source")
+    funnel.select(col("source"), col("n_raw"), col("n_clean"),
+        col("n_kept"), col("quota"), col("n_sel"), col("n_bins"),
+        col("n_tokens"))
+      .orderBy(col("source"))
+  }
+  val q129Sql: String =
+    """WITH tr AS (SELECT * FROM documents WHERE doc_id % 50 <> 0),
+      |fl AS (
+      |  SELECT doc_id, source, text,
+      |    len(string_split(text, ' '))::BIGINT AS tk,
+      |    CASE WHEN n_chars BETWEEN 100 AND 100000
+      |      AND len(string_split(text, ' ')) >= 20
+      |      AND doc_id = min(doc_id) OVER (PARTITION BY text)
+      |      THEN 1 ELSE 0 END AS clean
+      |  FROM tr),
+      |cl AS (SELECT * FROM fl WHERE clean = 1),
+      |csh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+      |  FROM cl WHERE len(string_split(text, ' ')) >= 3),
+      |ev AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(1, len(string_split(text, ' ')) - 1),
+      |    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) AS sh
+      |  FROM documents
+      |  WHERE doc_id % 50 = 0 AND len(string_split(text, ' ')) >= 3),
+      |contam AS (SELECT DISTINCT doc_id FROM csh JOIN ev USING (sh)),
+      |kept AS (SELECT * FROM cl
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+      |cnt AS (SELECT source, count(*) AS n FROM kept GROUP BY source),
+      |q0 AS (SELECT source, n,
+      |  CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS isq FROM cnt),
+      |tq AS (SELECT CAST(sum(isq) AS BIGINT) AS t FROM q0),
+      |qt AS (SELECT source, n, isq, (isq * 200) // tq.t AS quota
+      |  FROM q0, tq),
+      |rk AS (SELECT source, doc_id, tk,
+      |  row_number() OVER (PARTITION BY source ORDER BY
+      |    CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |      AS BIGINT) ASC, doc_id ASC) AS rk
+      |  FROM kept),
+      |sel AS (SELECT r.source, r.doc_id, r.tk
+      |  FROM rk r JOIN qt USING (source) WHERE r.rk <= qt.quota),
+      |cum AS (
+      |  SELECT source, doc_id, tk,
+      |    CAST(sum(tk) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk
+      |      AS BIGINT) AS cstart
+      |  FROM sel),
+      |bins AS (
+      |  SELECT source, doc_id,
+      |    unnest(range(cstart // 256, (cstart + tk - 1) // 256 + 1)) AS bin
+      |  FROM cum),
+      |pk AS (SELECT source, count(DISTINCT bin) AS n_bins FROM bins
+      |  GROUP BY source),
+      |tok AS (SELECT source, CAST(sum(tk) AS BIGINT) AS n_tokens
+      |  FROM sel GROUP BY source),
+      |raw AS (SELECT source, count(*) AS n_raw FROM tr GROUP BY source),
+      |cln AS (SELECT source, CAST(sum(clean) AS BIGINT) AS n_clean
+      |  FROM fl GROUP BY source),
+      |kpt AS (SELECT source, count(*) AS n_kept FROM kept GROUP BY source),
+      |slc AS (SELECT source, count(*) AS n_sel FROM sel GROUP BY source)
+      |SELECT raw.source, raw.n_raw, cln.n_clean, kpt.n_kept, qt.quota,
+      |  slc.n_sel, pk.n_bins, tok.n_tokens
+      |FROM raw
+      |JOIN cln USING (source) JOIN kpt USING (source)
+      |JOIN qt USING (source) JOIN slc USING (source)
+      |JOIN pk USING (source) JOIN tok USING (source)
+      |ORDER BY raw.source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3711,6 +3832,7 @@ object ScaleCatalogue {
     "q126_temp_mixture" -> q126TempMixture _,
     "q127_anchor_terms" -> q127AnchorTerms _,
     "q128_label_prop" -> q128LabelProp _,
+    "q129_training_recipe" -> q129TrainingRecipe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3808,5 +3930,6 @@ object ScaleCatalogue {
     "q126_temp_mixture" -> q126Sql,
     "q127_anchor_terms" -> q127Sql,
     "q128_label_prop" -> q128Sql,
+    "q129_training_recipe" -> q129Sql,
   )
 }

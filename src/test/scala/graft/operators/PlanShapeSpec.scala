@@ -238,6 +238,33 @@ class PlanShapeSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("packStats shuffles once: the shard window partitioning serves the bin rollup") {
+    val d = "/root/testdata/sf0.001"
+    val df = graft.scale.Packing.packStats(
+      graft.Tables.documents(spark, d), col("doc_id") % 8, seqLen = 512L)
+    df.collect()
+    // AdaptiveSparkPlanExec does not expose its inner plan to collect,
+    // so count exchanges in the FINAL plan's rendering (the part before
+    // "== Initial Plan ==")
+    val planStr = df.queryExecution.executedPlan.toString
+    val finalPart = planStr.split("== Initial Plan ==")(0)
+    val shuffles = "Exchange hashpartitioning".r
+      .findAllIn(finalPart).size
+    // hash(shard) from the window exchange satisfies the (shard, bin)
+    // aggregation's clustering requirement — a second exchange would
+    // mean the co-partitioning claim in the scaladoc is wrong
+    assert(shuffles == 1,
+      s"expected exactly 1 shuffle, got $shuffles:\n$finalPart")
+  }
+
+  test("temperature mixing pushes the constant rank bound as WindowGroupLimit") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlanString(graft.scale.Mixture.sample(
+      graft.Tables.documents(spark, d), "source", k = 100L))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk<=k not pushed below the window sort:\n$plan")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val d = "/root/testdata/sf0.001"
     val salted = Skew.saltedCountSum(

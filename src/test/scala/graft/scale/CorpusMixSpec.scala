@@ -100,6 +100,24 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(q("small")._3.toDouble / 12 > 9.0 / 99)
   }
 
+  test("q129 recipe: funnel is monotone and packing arithmetic closes") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.operators.ScaleCatalogue
+      .q129TrainingRecipe(spark, d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    for ((src, nRaw, nClean, nKept, quota, nSel, nBins, nTok) <- rows) {
+      assert(nRaw >= nClean && nClean >= nKept && nKept >= nSel,
+        s"$src: funnel not monotone")
+      assert(nSel == math.min(quota, nKept),
+        s"$src: selection must hit min(quota, kept)")
+      // concat-then-chunk: bins = ceil(total tokens / seqLen)
+      assert(nBins == (nTok + 255) / 256,
+        s"$src: $nBins bins for $nTok tokens")
+    }
+  }
+
   test("Mixture.sample: per-group counts hit min(quota, n) and survive repartitioning") {
     val docs = (0L until 200L).map(i =>
       (i, s"tok$i", s"src${i % 5}")).toDF("doc_id", "text", "source")
