@@ -190,7 +190,14 @@ object Graph {
   def pageRankDirectedQ(edges: DataFrame, iterations: Int,
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0)
-    val e = edges.repartition(col("src"))
+    // Eager edge pin: every round ends in a localCheckpoint ACTION, and
+    // each action replans from scratch — without materializing the edge
+    // table here, its derivation (scan + src shuffle) re-executes once
+    // per round (ReusedExchange only deduplicates within one plan, never
+    // across jobs). One up-front O(E) materialization replaces
+    // `iterations` re-derivations; blocks are reaped by the
+    // ContextCleaner when the result frame is dropped.
+    val e = edges.repartition(col("src")).localCheckpoint()
     val outd = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
     val nodes = e.select(col("src").as("node"))
@@ -287,11 +294,10 @@ object Graph {
     * checkpoint discipline), so the final plan holds at most
     * K(K+1)/2 hop-joins for K = `materializeEvery` — the accumulator
     * union repeats each in-segment frontier — regardless of `steps`
-    * (GraphSpec-asserted), and replay work stays linear. Each
-    * checkpoint segment re-shuffles the edge side once; long-walk
-    * callers should hand in an already-materialized edge table (the
-    * q95-q105 cached edge parquet pattern) so that cost is a scan,
-    * not a derivation.
+    * (GraphSpec-asserted), and replay work stays linear. The edge
+    * table is pinned once up front (eager localCheckpoint), so every
+    * segment's hop-joins read the materialized src-keyed blocks — no
+    * per-segment re-derivation or re-shuffle of the edge side.
     *
     * `starts`: (walk_id, node). Returns (walk_id, step, node) for
     * step 0..steps. Nodes must have out-edges (always true on a
@@ -300,7 +306,11 @@ object Graph {
       steps: Int, materializeEvery: Int = 8): DataFrame = {
     require(steps >= 0)
     require(materializeEvery > 0)
-    val e = edges.repartition(col("src"))
+    // eager edge pin — see pageRankDirectedQ: within a checkpoint
+    // segment the hop-joins share one plan (exchange reused), but each
+    // SEGMENT is a fresh action that would re-derive and re-shuffle the
+    // edges; the pin makes the segment cost a block-store read instead
+    val e = edges.repartition(col("src")).localCheckpoint()
     var cur = starts.select(col("walk_id"), col("node"))
     var acc = cur.withColumn("step", lit(0))
     for (t <- 1 to steps) {
@@ -384,7 +394,8 @@ object Graph {
   def pageRankWeightedQ(edges: DataFrame, iterations: Int,
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0)
-    val e = edges.repartition(col("src"))
+    // eager edge pin — see pageRankDirectedQ
+    val e = edges.repartition(col("src")).localCheckpoint()
     val outw = e.groupBy(col("src").as("node"))
       .agg(sum(col("w")).as("sw"))
     val nodes = e.select(col("src").as("node"))
@@ -439,7 +450,10 @@ object Graph {
   def hitsQ(edges: DataFrame, iterations: Int,
       scale: Long = 1000000L): DataFrame = {
     require(iterations >= 0)
+    // eager edge pin — see pageRankDirectedQ (here each ITERATION runs
+    // two checkpoint actions, both consuming the edge table)
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     var state = nodes
@@ -494,9 +508,11 @@ object Graph {
     * degree that passed the final ≥ k filter. */
   def kCoreQ(edges: DataFrame, k: Long, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1)
+    // eager edge pin — see pageRankDirectedQ
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .repartition(col("u"))
+      .localCheckpoint()
     var alive = und.select(col("u").as("node")).distinct()
       .localCheckpoint()
     for (_ <- 1 to rounds) {
@@ -538,7 +554,9 @@ object Graph {
   def bfsDistancesQ(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 0)
+    // eager edge pin — see pageRankDirectedQ
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .localCheckpoint()
     var settled = seeds.select(col("node")).distinct()
       .withColumn("dist", lit(0L)).localCheckpoint()
     var frontier = settled.select(col("node"))
@@ -615,7 +633,9 @@ object Graph {
   def labelPropagationQ(edges: DataFrame, seeds: DataFrame,
       rounds: Int): DataFrame = {
     require(rounds >= 0)
+    // eager edge pin — see pageRankDirectedQ
     val e = edges.select(col("src"), col("dst")).repartition(col("src"))
+      .localCheckpoint()
     val sd = seeds.select(col("node"), col("label")).distinct()
       .localCheckpoint()
     var lab = sd

@@ -272,15 +272,17 @@ class GraphSpec extends AnyFunSuite {
     assert(a == expect.sorted.toSeq)
   }
 
-  test("random walks: no cartesian product; hops reuse the edge exchange") {
+  test("random walks: no cartesian product; hops read the pinned edge table") {
     val d = "/root/testdata/sf0.001"
     val df = graft.operators.ScaleCatalogue.q100RandomWalks(spark, d)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"),
       "walks planned a cartesian product")
-    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
-      s"edge exchange not reused across hops:\n$plan")
+    // the edge table is eagerly checkpointed once — every hop must scan
+    // the materialized blocks (ExistingRDD), never re-derive the edges
+    assert(plan.contains("ExistingRDD"),
+      s"edge table not pinned (no checkpointed edge scan in plan):\n$plan")
   }
 
   test("citationEdges: rare-shingle edges, df cap, newer-cites-older direction") {
