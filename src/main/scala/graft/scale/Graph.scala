@@ -208,7 +208,10 @@ object Graph {
       (col("n_nodes") + coalesce(assert_true(col("n_nodes") > 0,
         lit("empty edge table")).cast("long"), lit(0L))).as("n_nodes"))
     val teleportNum = (scale * 15L) / 100L
-    val base = deg.crossJoin(broadcast(n))
+    // the static node-side table (node, outdeg, n_nodes) is consumed by
+    // every round's action — pin it too, or the distinct + degree
+    // aggregations re-run once per round
+    val base = deg.crossJoin(broadcast(n)).localCheckpoint()
     var state = base
       .select(col("node"), col("outdeg"),
         expr(s"${scale}L div n_nodes").as("r"))
@@ -406,7 +409,8 @@ object Graph {
       (col("n_nodes") + coalesce(assert_true(col("n_nodes") > 0,
         lit("empty edge table")).cast("long"), lit(0L))).as("n_nodes"))
     val teleportNum = (scale * 15L) / 100L
-    val base = deg.crossJoin(broadcast(n))
+    // static node-side pin — see pageRankDirectedQ
+    val base = deg.crossJoin(broadcast(n)).localCheckpoint()
     var state = base
       .select(col("node"), col("sw"),
         expr(s"${scale}L div n_nodes").as("r"))
