@@ -3744,6 +3744,80 @@ object ScaleCatalogue {
       |JOIN pk USING (source) JOIN tok USING (source)
       |ORDER BY raw.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q130 — perceptual-hash image dedup (Multimodal.averageHash +
+  // phashNearDupPairs): the multimodal complement to q30/q33 — near-
+  // identical IMAGES found via aHash over the decoded payload, banded
+  // 16-bit chunks (the q33 pigeonhole, recall guaranteed to hamming 3),
+  // and a bit_count(xor) verify. The media is synthesized with
+  // near-dup structure by construction: every image row's payload is
+  // its GROUP LEADER's text (groups of 30 doc ids), then one
+  // hash-bit of per-image noise (bit doc_id % 63) simulates sensor/
+  // re-encode jitter — so within-group pairs sit at hamming 0 or 2 and
+  // cross-group pairs are chance collisions the verify rejects. The
+  // oracle derives every byte analytically (ascii codepoints of the
+  // leader text — the q41 synthesized-media discipline) while Spark
+  // must reproduce the hash through the real encode→decode byte path.
+  // ---------------------------------------------------------------------
+  def q130MediaPhashDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val leaders = docs.select(col("doc_id").as("leader"),
+      col("text").as("ltext"))
+    val imgs = docs
+      .filter(col("doc_id") % 3 === 0 && col("doc_id") % 97 =!= 0)
+      .withColumn("leader", col("doc_id") - col("doc_id") % 30)
+      .join(leaders, "leader")
+      .filter(length(col("ltext")) >= 64)
+    val mkBytes = udf { (id: Long, text: String) =>
+      Multimodal.MediaCodec.encode("image", (id % 640).toInt + 1,
+        (id % 480).toInt + 1, 0L, text.getBytes("UTF-8"))
+    }
+    val media = imgs.select(col("doc_id").as("media_id"),
+      lit("image").as("kind"),
+      mkBytes(col("doc_id"), col("ltext")).as("bytes"))
+    val hashed = Multimodal.averageHash(media)
+      // simulated per-image noise: one flipped hash bit per image
+      .withColumn("ahash",
+        expr("ahash ^ (cast(1 as bigint) << cast(media_id % 63 as int))"))
+    Multimodal.phashNearDupPairs(hashed, maxHamming = 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+  val q130Sql: String =
+    """WITH imgs AS (
+      |  SELECT d.doc_id, l.text AS ltext
+      |  FROM documents d
+      |  JOIN documents l ON l.doc_id = d.doc_id - (d.doc_id % 30)
+      |  WHERE d.doc_id % 3 = 0 AND d.doc_id % 97 <> 0
+      |    AND len(l.text) >= 64),
+      |px AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, 64),
+      |      i -> ascii(substr(ltext, CAST(i AS INT), 1))) AS b
+      |  FROM imgs),
+      |m AS (SELECT doc_id, b,
+      |  CAST(list_sum(b) AS BIGINT) // 63 AS mean FROM px),
+      |h0 AS (
+      |  SELECT doc_id, CAST(list_sum(list_transform(range(1, 64),
+      |    i -> CASE WHEN b[CAST(i AS INT)] > mean
+      |      THEN (1::BIGINT << CAST(i - 1 AS INT)) ELSE 0::BIGINT END))
+      |    AS BIGINT) AS h
+      |  FROM m),
+      |hs AS (
+      |  SELECT doc_id,
+      |    xor(h, 1::BIGINT << CAST(doc_id % 63 AS INT)) AS h
+      |  FROM h0),
+      |bands AS (
+      |  SELECT doc_id, h, (h >> CAST(16 * k AS INT)) & 65535 AS chunk, k
+      |  FROM hs, LATERAL (SELECT unnest(range(0, 4)) AS k) t),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+      |    a.h AS h1, b.h AS h2
+      |  FROM bands a JOIN bands b
+      |    ON a.k = b.k AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+      |SELECT d1, d2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+      |ORDER BY d1, d2""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3833,6 +3907,7 @@ object ScaleCatalogue {
     "q127_anchor_terms" -> q127AnchorTerms _,
     "q128_label_prop" -> q128LabelProp _,
     "q129_training_recipe" -> q129TrainingRecipe _,
+    "q130_media_phash_dedup" -> q130MediaPhashDedup _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3931,5 +4006,6 @@ object ScaleCatalogue {
     "q127_anchor_terms" -> q127Sql,
     "q128_label_prop" -> q128Sql,
     "q129_training_recipe" -> q129Sql,
+    "q130_media_phash_dedup" -> q130Sql,
   )
 }

@@ -175,6 +175,79 @@ object Multimodal {
       }(enc)
   }
 
+  /** Perceptual average-hash over the decoded payload — the aHash step
+    * of image dedup: the first `window` payload bytes stand in for the
+    * 8×8 grayscale downsample a real codec would produce (the
+    * [[resize]] stub contract), and bit i of the hash is set iff
+    * byte i exceeds the integer mean of the window. Runs in the same
+    * batched `mapPartitions` shape as [[decode]]; malformed or
+    * short-payload media yield NO row (they cannot be perceptually
+    * compared — the decode_ok filter discipline).
+    *
+    * Determinism contract: on ASCII payloads the byte values equal the
+    * codepoints an external engine reads with `ascii(substr(...))`, so
+    * the full hash is oracle-replayable; a real grayscale codec swaps
+    * in at the payload step with no change to the hash algebra. The
+    * hash uses at most 63 bits (`window` ≤ 63): bit 63 would make
+    * `1 << 63` overflow in engines with checked shifts (DuckDB raises)
+    * — 63 sign-safe bits beat 64 engine-specific ones.
+    *
+    * Returns (media_id, ahash). */
+  def averageHash(media: DataFrame, window: Int = 63): DataFrame = {
+    require(window >= 1 && window <= 63,
+      "window must stay within the 63 sign-safe hash bits")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+          MediaCodec.decodeMeta(bytes) match {
+            case Some(_) if bytes.length - 21 >= window =>
+              val px = bytes.slice(21, 21 + window).map(_ & 0xFF)
+              val mean = px.sum / window
+              var h = 0L
+              var i = 0
+              while (i < window) {
+                if (px(i) > mean) h |= (1L << i)
+                i += 1
+              }
+              Some(Row(id, h))
+            case _ => None
+          }
+        }
+      }(enc)
+  }
+
+  /** Hamming near-dup pairs over perceptual hashes — the q33 SimHash
+    * pigeonhole discipline applied to the media hash: 4 chunks of 16
+    * bits each become band keys (hamming ≤ 3 guarantees ≥ 1 identical
+    * chunk), the banded equi-join generates candidates, and
+    * `bit_count(xor)` verifies. Collision-proportional cost, never
+    * all-pairs; the only shuffled state is (media_id, chunk, hash).
+    *
+    * `hashes`: (media_id, ahash). Returns (d1, d2, hamming) with
+    * d1 < d2 and hamming ≤ maxHamming. */
+  def phashNearDupPairs(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      "pigeonhole with 4 bands guarantees recall only to hamming 3")
+    val bands = hashes.select(col("media_id"), col("ahash"),
+      explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("chunk", expr("shiftright(ahash, cast(16 * k as int)) & 65535"))
+    bands.as("a").join(bands.as("b"),
+        col("a.k") === col("b.k") && col("a.chunk") === col("b.chunk") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("d1"), col("b.media_id").as("d2"),
+        col("a.ahash").as("h1"), col("b.ahash").as("h2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("d1"), col("d2"), col("hamming"))
+  }
+
   /** Hash-derived feature vector (stub for a real embedding model):
     * `dim` floats derived from xxhash64 of the bytes — Column-level, so
     * it runs in codegen and demonstrates the feature-extraction plumbing

@@ -414,6 +414,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f1 == f2)
     assert(f1.forall(_._2.size == 8))
   }
+
+  test("averageHash matches a hand replay; malformed/short media yield no row") {
+    // payload: bytes 0..62 ascending → mean = 31, bits 32..62 set
+    val payload = Array.tabulate[Byte](63)(_.toByte)
+    val m = Seq(
+      (1L, "image", MediaCodec.encode("image", 8, 8, 0L, payload)),
+      (2L, "image", MediaCodec.encode("image", 8, 8, 0L, Array.fill[Byte](10)(1))), // short
+      (3L, "image", Array[Byte](9, 9, 9))) // malformed
+      .toDF("media_id", "kind", "bytes")
+    val got = Multimodal.averageHash(m).as[(Long, Long)].collect().toMap
+    val expect = (32 to 62).map(1L << _).sum
+    assert(got == Map(1L -> expect))
+  }
+
+  test("phashNearDupPairs: pigeonhole recall to hamming 3, verify rejects beyond") {
+    // base hash vs 2-bit-flip (found) vs 4-bit-flip (candidate via a
+    // shared chunk but rejected by the verify)
+    val base = 0x0123456789ABCDL
+    val h2 = base ^ (1L << 5) ^ (1L << 40)
+    val h4 = base ^ (1L << 1) ^ (1L << 2) ^ (1L << 3) ^ (1L << 4)
+    val hashes = Seq((1L, base), (2L, h2), (3L, h4)).toDF("media_id", "ahash")
+    val got = Multimodal.phashNearDupPairs(hashes, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L, 2L)), s"hamming-2 pair missed: $got")
+    assert(!got.exists(p => p._1 == 1L && p._2 == 3L),
+      "hamming-4 pair must fail the verify")
+  }
+
+  test("q130 corpus run: within-group pairs follow the noise model, verify bounds hamming") {
+    val d = "/root/testdata/sf0.001"
+    val pairs = graft.operators.ScaleCatalogue
+      .q130MediaPhashDedup(spark, d)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_._3 <= 3L), "verify let a hamming > 3 pair through")
+    // members of one leader group share the payload exactly, so their
+    // distance is the two noise bits: 0 or 2. Cross-group pairs are
+    // legitimate too — the corpus plants exact-duplicate TEXTS across
+    // groups (the q30 dedup fixture), which are genuine near-dup images.
+    val sameGroup = pairs.filter(p => p._1 / 30 == p._2 / 30)
+    assert(sameGroup.nonEmpty, "no within-group near-dup found")
+    assert(sameGroup.forall(p => p._3 == 0L || p._3 == 2L),
+      "within-group hamming must be exactly the noise bits")
+  }
 }
 
 class TextAnalysisOpsSpec extends AnyFunSuite {
