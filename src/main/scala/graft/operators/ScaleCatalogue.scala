@@ -2797,6 +2797,29 @@ object ScaleCatalogue {
       |FROM documents d JOIN sw ON d.doc_id = sw.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Shared oracle fragment: the content-derived citation derivation
+    * (tok → tg → rare → post) every citation-graph oracle replays —
+    * ONE definition to keep in sync with `Graph.citationEdges`
+    * (n = 3, df ∈ [2, 4]); was inlined 9× before round 12's dedup. */
+  private val citationPostCtes: String =
+    """tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+      |rare AS (SELECT term FROM (
+      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
+      |  WHERE df BETWEEN 2 AND 4),
+      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term))"""
+      .stripMargin
+
+  /** The unweighted distinct edge step on top of [[citationPostCtes]]. */
+  private val citationDedgesCte: String =
+    """dedges AS (
+      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+      |  FROM post a JOIN post b
+      |    ON a.term = b.term AND a.doc_id > b.doc_id)""".stripMargin
+
   // ---------------------------------------------------------------------
   // q112 — corpus-native directed PageRank (round-11 verdict stretch
   // item): the citation graph is DERIVED FROM DOCUMENT CONTENT
@@ -2850,19 +2873,8 @@ object ScaleCatalogue {
          |    AS BIGINT) AS r
          |  FROM dn dg LEFT JOIN s$i ON dg.node = s$i.node, n, d$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-       |rare AS (SELECT term FROM (
-       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-       |  WHERE df BETWEEN 2 AND 4),
-       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
-       |dedges AS (
-       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |  FROM post a JOIN post b
-       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
        |outd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
        |  GROUP BY src),
        |dn AS (
@@ -3004,19 +3016,8 @@ object ScaleCatalogue {
       .orderBy(col("doc_id"))
   }
   val q115Sql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-      |rare AS (SELECT term FROM (
-      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-      |  WHERE df BETWEEN 2 AND 4),
-      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
-      |dedges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM post a JOIN post b
-      |    ON a.term = b.term AND a.doc_id > b.doc_id),
+    s"""WITH RECURSIVE $citationPostCtes,
+      |$citationDedgesCte,
       |sym AS (SELECT src AS a, dst AS b FROM dedges
       |  UNION SELECT dst, src FROM dedges),
       |reach AS (
@@ -3116,19 +3117,8 @@ object ScaleCatalogue {
       .orderBy(col("rank"))
   }
   val q118Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-      |rare AS (SELECT term FROM (
-      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-      |  WHERE df BETWEEN 2 AND 4),
-      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
-      |dedges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM post a JOIN post b
-      |    ON a.term = b.term AND a.doc_id > b.doc_id),
+    s"""WITH $citationPostCtes,
+      |$citationDedgesCte,
       |und AS (SELECT src AS u, dst AS v FROM dedges
       |  UNION ALL SELECT dst, src FROM dedges),
       |deg AS (SELECT u AS node, count(*) AS dg FROM und GROUP BY u),
@@ -3234,15 +3224,7 @@ object ScaleCatalogue {
          |    AS BIGINT) AS r
          |  FROM dn dg LEFT JOIN s$i ON dg.node = s$i.node, n, d$i)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-       |rare AS (SELECT term FROM (
-       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-       |  WHERE df BETWEEN 2 AND 4),
-       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+    s"""WITH $citationPostCtes,
        |wedges AS (
        |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS w
        |  FROM post a JOIN post b
@@ -3299,19 +3281,8 @@ object ScaleCatalogue {
          |    CAST((coalesce(s.hr, 0) * 1000000) // m.hm AS BIGINT) AS h
          |  FROM a$i a LEFT JOIN hr$i s ON a.node = s.node, hm$i m)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-       |rare AS (SELECT term FROM (
-       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-       |  WHERE df BETWEEN 2 AND 4),
-       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
-       |dedges AS (
-       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |  FROM post a JOIN post b
-       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
        |dn AS (SELECT src AS node FROM dedges
        |  UNION SELECT dst AS node FROM dedges),
        |r0 AS (SELECT node, 1000000 AS a, 1000000 AS h FROM dn),
@@ -3343,19 +3314,8 @@ object ScaleCatalogue {
          |  JOIN a${i - 1} y ON e.v = y.node
          |  GROUP BY e.u HAVING count(*) >= 25)""".stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-       |rare AS (SELECT term FROM (
-       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-       |  WHERE df BETWEEN 2 AND 4),
-       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
-       |dedges AS (
-       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |  FROM post a JOIN post b
-       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
        |und AS (SELECT src AS u, dst AS v FROM dedges
        |  UNION ALL SELECT dst, src FROM dedges),
        |a0 AS (SELECT DISTINCT u AS node FROM und),
@@ -3386,19 +3346,8 @@ object ScaleCatalogue {
       .orderBy(col("node"))
   }
   val q123Sql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-      |rare AS (SELECT term FROM (
-      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-      |  WHERE df BETWEEN 2 AND 4),
-      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
-      |dedges AS (
-      |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-      |  FROM post a JOIN post b
-      |    ON a.term = b.term AND a.doc_id > b.doc_id),
+    s"""WITH RECURSIVE $citationPostCtes,
+      |$citationDedgesCte,
       |sym AS (SELECT src AS a, dst AS b FROM dedges
       |  UNION SELECT dst, src FROM dedges),
       |reach AS (
@@ -3550,15 +3499,7 @@ object ScaleCatalogue {
       .orderBy(col("dst"), col("rk"))
   }
   val q127Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-      |rare AS (SELECT term FROM (
-      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-      |  WHERE df BETWEEN 2 AND 4),
-      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
+    s"""WITH $citationPostCtes,
       |an AS (
       |  SELECT b.doc_id AS dst, a.term, count(*) AS n_src
       |  FROM post a JOIN post b
@@ -3602,19 +3543,8 @@ object ScaleCatalogue {
          |  UNION ALL SELECT node, label FROM p$i WHERE node % 10 <> 0)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH tok AS (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-       |  WHERE len(string_split(text, ' ')) >= 3),
-       |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-       |rare AS (SELECT term FROM (
-       |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-       |  WHERE df BETWEEN 2 AND 4),
-       |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term)),
-       |dedges AS (
-       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-       |  FROM post a JOIN post b
-       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
        |sym AS (SELECT src AS a, dst AS b FROM dedges
        |  UNION SELECT dst, src FROM dedges),
        |l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents
