@@ -60,9 +60,21 @@ object Bench {
     * the artifact adjudicates its own noise instead of shipping a
     * contended median for the next round to re-litigate. The 50 ms
     * floor keeps micro-queries (where one scheduler hiccup IS 2×) out
-    * of the re-run set. */
+    * of the re-run set.
+    *
+    * Two triggers, because contention wears two shapes: (a) one outlier
+    * rep — absolute spread > 2× median; (b) SUSTAINED contention, where
+    * most reps are slow so the median itself inflates and the spread/
+    * median ratio looks ordinary (the r12 contended artifact: q106
+    * median 6.8 s vs 0.67 s idle, ratio only 0.8 — undetected by (a)) —
+    * caught by median > 2× min: the fastest rep PROVES the query can
+    * run that fast, so slow reps measured the machine, not the query.
+    * If every rep is contended nothing local can tell; the cross-round
+    * comparison stays the backstop. */
   private[graft] def isSuspect(xs: Seq[Double]): Boolean =
-    xs.nonEmpty && median(xs) > 0.05 && (xs.max - xs.min) > 2.0 * median(xs)
+    xs.nonEmpty && median(xs) > 0.05 &&
+      ((xs.max - xs.min) > 2.0 * median(xs) ||
+        median(xs) > 2.0 * xs.min)
 
   private[graft] val RerunReps = 5
 

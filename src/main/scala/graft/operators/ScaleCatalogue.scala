@@ -3748,6 +3748,40 @@ object ScaleCatalogue {
       |FROM cand WHERE bit_count(xor(h1, h2)) <= 3
       |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q131 — token-balanced shard export (Packing.tokenBalancedShards):
+  // q89 shards by hash mod S — document COUNTS balance in expectation,
+  // token mass doesn't when lengths vary; the exporter a training
+  // pipeline actually runs cuts the content-hash-ordered token stream
+  // every ⌈total/S⌉ tokens so every shard carries ≈ equal TOKENS. The
+  // global cumsum runs on q61's two-level recipe (per-bucket sums →
+  // control-plane offsets → bucket-partitioned window — no
+  // single-partition sort anywhere; PlanShapeSpec-asserted), while the
+  // oracle states the same layout with one plain global window.
+  // ---------------------------------------------------------------------
+  def q131TokenShards(s: SparkSession, d: String): DataFrame =
+    graft.scale.Packing.tokenBalancedShards(documents(s, d), nShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tk")).as("n_tokens"))
+      .orderBy(col("shard"))
+  val q131Sql: String =
+    s"""WITH hsrc AS (
+       |  SELECT doc_id, $duckRollingHash AS h,
+       |    len(string_split(text, ' '))::BIGINT AS tk
+       |  FROM documents),
+       |b AS (SELECT doc_id, h, tk, h % 32 AS bucket FROM hsrc),
+       |c AS (SELECT doc_id, tk,
+       |  CAST(sum(tk) OVER (ORDER BY bucket, h, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tk
+       |    AS BIGINT) AS cstart
+       |  FROM b),
+       |t AS (SELECT CAST(sum(tk) AS BIGINT) AS total FROM b),
+       |sh AS (SELECT c.doc_id, c.tk,
+       |  c.cstart // greatest(1, (t.total + 15) // 16) AS shard
+       |  FROM c, t)
+       |SELECT shard, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
+       |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3838,6 +3872,7 @@ object ScaleCatalogue {
     "q128_label_prop" -> q128LabelProp _,
     "q129_training_recipe" -> q129TrainingRecipe _,
     "q130_media_phash_dedup" -> q130MediaPhashDedup _,
+    "q131_token_shards" -> q131TokenShards _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3937,5 +3972,6 @@ object ScaleCatalogue {
     "q128_label_prop" -> q128Sql,
     "q129_training_recipe" -> q129Sql,
     "q130_media_phash_dedup" -> q130Sql,
+    "q131_token_shards" -> q131Sql,
   )
 }

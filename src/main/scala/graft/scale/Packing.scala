@@ -51,6 +51,51 @@ object Packing {
       .withColumn("cstart", sum(col("tk")).over(w) - col("tk"))
   }
 
+  /** Token-balanced shard assignment — the exporter's complement to
+    * q89's hash-mod-S sharding: hash-mod balances document COUNTS in
+    * expectation but leaves token mass skewed when lengths vary; a
+    * training-data exporter wants each output shard to carry ≈ equal
+    * TOKENS. Documents are laid on one deterministic global axis
+    * (content-hash order — reproducible across engines and reruns, the
+    * q68/q89 discipline) and the token stream is cut every
+    * ⌈total/nShards⌉ tokens; a document belongs to the shard its START
+    * offset falls in.
+    *
+    * The global cumsum is computed WITHOUT a single-partition sort
+    * window — the q61 two-level exact-rank recipe with sums instead of
+    * counts: hash buckets lead the global order, so (1) per-bucket
+    * token sums prefix-sum into exclusive offsets (control-plane:
+    * `buckets` longs to the driver, same adjudicated bound as q61),
+    * (2) the within-bucket window partitions on the bucket (every
+    * executor sorts only its slice), (3) global offset = bucket offset
+    * + local cumsum. PlanShapeSpec asserts the non-empty partitionSpec.
+    *
+    * Returns one row per doc: (doc_id, tk, cstart, shard). */
+  def tokenBalancedShards(docs: DataFrame, nShards: Int,
+      buckets: Int = 32): DataFrame = {
+    require(nShards >= 1 && buckets >= 1)
+    val h = graft.functions.RollingHash.rolling_hash(col("text"))
+    val base = docs.select(col("doc_id"), h.as("h"),
+        tokenCount(col("text")).as("tk"))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
+    val sums = base.groupBy(col("bucket")).agg(sum(col("tk")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val total = sums.map(_._2).sum
+    val target = math.max(1L, (total + nShards - 1) / nShards)
+    var acc = 0L
+    val offPairs = sums.flatMap { case (b, s) =>
+      val o = acc; acc += s; Seq(lit(b), lit(o))
+    }
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("cstart", sum(col("tk")).over(w) - col("tk") +
+        element_at(map(offPairs.toIndexedSeq: _*), col("bucket")))
+      .withColumn("shard", expr(s"cstart div ${target}L"))
+      .select(col("doc_id"), col("tk"), col("cstart"), col("shard"))
+  }
+
   /** Per-bin packing profile: for each `(shard, bin)` of the cut
     * stream, how many documents contribute a span and how many tokens
     * the bin holds (= `seqLen` for every bin but the shard's last).

@@ -104,6 +104,11 @@ class BenchFormatSpec extends AnyFunSuite {
     // scheduler hiccup is not contention
     assert(!Bench.isSuspect(Seq(0.010, 0.045, 0.012)))
     assert(!Bench.isSuspect(Nil))
+    // SUSTAINED contention: median inflated, spread/median ratio looks
+    // ordinary, but the fast rep proves the query can run 10x faster
+    assert(Bench.isSuspect(Seq(0.700, 6.800, 7.100)))
+    // healthy heavy query: tight reps, no trigger
+    assert(!Bench.isSuspect(Seq(5.000, 5.100, 5.300)))
   }
 
   test("re-run annotation: healed median in queries, contended numbers in rerun") {

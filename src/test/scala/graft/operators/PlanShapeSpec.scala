@@ -265,6 +265,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rk<=k not pushed below the window sort:\n$plan")
   }
 
+  test("token-balanced shards never plan a single-partition window") {
+    val d = "/root/testdata/sf0.001"
+    val plan = executedPlanString(graft.scale.Packing
+      .tokenBalancedShards(graft.Tables.documents(spark, d), nShards = 8))
+    // the q61 discipline: the cumsum window must partition on the hash
+    // bucket — an empty partitionSpec would funnel the corpus through
+    // one task at 100 TB
+    assert(!plan.contains("windowspecdefinition(h#") &&
+      plan.contains("windowspecdefinition(bucket"),
+      s"global-sort window found (empty partitionSpec):\n$plan")
+  }
+
   test("salted aggregation equals plain aggregation") {
     val d = "/root/testdata/sf0.001"
     val salted = Skew.saltedCountSum(

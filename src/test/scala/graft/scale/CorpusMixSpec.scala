@@ -59,6 +59,35 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(stats.map(s => s._1 -> (s._2, s._3)).toMap == expect.toMap)
   }
 
+  test("tokenBalancedShards equals a brute-force global-order replay; shards balance") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val nShards = 8
+    val got = Packing.tokenBalancedShards(docs, nShards)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // brute-force replay of the layout on the driver
+    val base = docs.select(col("doc_id"),
+        graft.functions.RollingHash.rolling_hash(col("text")).as("h"),
+        Packing.tokenCount(col("text")).as("tk"))
+      .as[(Long, Long, Long)].collect()
+      .sortBy { case (id, h, _) => (h % 32, h, id) }
+    val total = base.map(_._3).sum
+    val target = math.max(1L, (total + nShards - 1) / nShards)
+    var off = 0L
+    val expect = base.map { case (id, _, tk) =>
+      val cs = off; off += tk
+      id -> ((tk, cs, cs / target))
+    }.toMap
+    assert(got == expect, "two-level layout diverges from the global order")
+    // balance: every shard's token mass is within one max-doc of target
+    val maxDoc = base.map(_._3).max
+    val byShard = got.values.groupBy(_._3).view.mapValues(_.map(_._1).sum)
+    assert(byShard.forall { case (sh, tok) =>
+      tok <= target + maxDoc && (sh == byShard.keys.max || tok >= target - maxDoc)
+    }, s"unbalanced shards: ${byShard.toMap}")
+  }
+
   // ------------------------------------------------------------ Colloc
 
   test("bigramLift matches the hand-computed integer lift") {
