@@ -17,7 +17,12 @@ class RepartitionStabilitySpec extends AnyFunSuite {
   private val sensitive: Seq[String] = Seq(
     "q71_minhash_portable", "q72_simhash_portable", "q74_bigram_lm_score",
     "q76_kmeans_step", "q80_dup_profile", "q81_span_excision",
-    "q82_kmeans_train", "q83_ann_pq", "q84_span_excision_keep_first")
+    "q82_kmeans_train", "q83_ann_pq", "q84_span_excision_keep_first",
+    // round-12 family: integer-recurrence graph queries, hash-ordered
+    // selection/layout, and the composed recipe — all claim
+    // partitioning-invariance in their oracles
+    "q123_bfs_distances", "q125_collocations", "q126_temp_mixture",
+    "q128_label_prop", "q129_training_recipe", "q131_token_shards")
 
   private def rowsAt(name: String, partitions: Int): Seq[String] = {
     spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)
