@@ -3782,6 +3782,64 @@ object ScaleCatalogue {
        |SELECT shard, count(*) AS n_docs, CAST(sum(tk) AS BIGINT) AS n_tokens
        |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q132 — language segmentation (TextAnalysis.chunkLangProfile): the
+  // code-switching detector q36's doc-level argmax cannot be — a
+  // half-English half-German page votes "en" at the doc level and
+  // poisons both language buckets; the per-32-token-window profile
+  // says "mixed" and names the majority. The corpus is monolingual, so
+  // code-switched docs are SYNTHESIZED by a known rule (every 4th doc
+  // gains a 65-token German-marker block — the q41/q130 discipline:
+  // the oracle injects the same suffix analytically and replays window
+  // boundaries, per-chunk argmax, majority, and the mixed flag
+  // verbatim). Zero-shuffle chunk explode + per-row scoring; only
+  // (doc, lang) pairs shuffle.
+  // ---------------------------------------------------------------------
+  def q132LangSegments(s: SparkSession, d: String): DataFrame = {
+    val german = " der die und ist das" * 13
+    val injected = documents(s, d).withColumn("text",
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(german)))
+        .otherwise(col("text")))
+    TextAnalysis.chunkLangProfile(injected, window = 32)
+      .orderBy(col("doc_id"))
+  }
+  val q132Sql: String = {
+    val langs = TextAnalysis.markers.keys.toSeq.sorted
+    val scores = langs.map { l =>
+      val words = TextAnalysis.markers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(string_split(chunk, ' '), t -> t IN ($words))) AS s_$l"
+    }.mkString(",\n  ")
+    val g = langs.map(l => s"s_$l").mkString(", ")
+    val cases = langs.map(l => s"WHEN s_$l = g THEN '$l'").mkString(" ")
+    s"""WITH tokw AS (SELECT doc_id, string_split(
+       |    CASE WHEN doc_id % 4 = 0
+       |      THEN text || repeat(' der die und ist das', 13)
+       |    ELSE text END, ' ') AS w FROM documents),
+       |ch AS (
+       |  SELECT doc_id, array_to_string(
+       |    w[CAST(i*32+1 AS INT) : CAST(i*32+32 AS INT)], ' ') AS chunk
+       |  FROM tokw,
+       |    LATERAL (SELECT unnest(range(0, (len(w)-1)//32 + 1)) AS i) t),
+       |sc AS (SELECT doc_id, $scores FROM ch),
+       |cl AS (SELECT doc_id,
+       |  CASE WHEN g <= 0 THEN 'und' $cases END AS clang
+       |  FROM (SELECT doc_id, greatest($g) AS g, $g FROM sc) t),
+       |tot AS (SELECT doc_id, count(*) AS n_chunks FROM cl GROUP BY doc_id),
+       |cnt AS (SELECT doc_id, clang, count(*) AS c FROM cl
+       |  WHERE clang <> 'und' GROUP BY 1, 2),
+       |mj AS (SELECT doc_id, clang AS major_lang FROM (
+       |  SELECT doc_id, clang, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY c DESC, clang ASC) AS rn FROM cnt) WHERE rn = 1),
+       |nl AS (SELECT doc_id, CAST(count(DISTINCT clang) AS BIGINT) AS n_langs
+       |  FROM cnt GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_chunks,
+       |  coalesce(mj.major_lang, 'und') AS major_lang,
+       |  CAST(coalesce(nl.n_langs, 0) AS BIGINT) AS n_langs,
+       |  CAST(coalesce(nl.n_langs, 0) AS BIGINT) >= 2 AS mixed
+       |FROM tot t LEFT JOIN mj USING (doc_id) LEFT JOIN nl USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3873,6 +3931,7 @@ object ScaleCatalogue {
     "q129_training_recipe" -> q129TrainingRecipe _,
     "q130_media_phash_dedup" -> q130MediaPhashDedup _,
     "q131_token_shards" -> q131TokenShards _,
+    "q132_lang_segments" -> q132LangSegments _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -3973,5 +4032,6 @@ object ScaleCatalogue {
     "q129_training_recipe" -> q129Sql,
     "q130_media_phash_dedup" -> q130Sql,
     "q131_token_shards" -> q131Sql,
+    "q132_lang_segments" -> q132Sql,
   )
 }

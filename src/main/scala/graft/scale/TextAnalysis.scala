@@ -217,4 +217,43 @@ object TextAnalysis {
           .otherwise(st),
         st => st.getField("n")))
   }
+
+  /** Language segmentation: [[langId]] applied per fixed-size token
+    * WINDOW instead of per document — the code-switching detector a
+    * multilingual corpus needs (a doc-level argmax calls a half-English
+    * half-German page "en" and poisons both language buckets; the
+    * chunk-level profile says "mixed" and names the majority). Returns
+    * one row per doc: (doc_id, n_chunks, major_lang, n_langs, mixed) —
+    * `major_lang` the most frequent chunk language (ties → smallest,
+    * 'und' when no chunk has a marker hit), `n_langs` the distinct
+    * determined chunk languages, `mixed` = n_langs ≥ 2.
+    *
+    * Scale shape: chunk emission is a zero-shuffle per-row explode
+    * (sequence + slice — the q104 window discipline) and scoring is
+    * [[langId]]'s per-row algebra; the only shuffles carry
+    * (doc_id, lang) pairs. The argmax is the min-struct over
+    * (-count, lang) — map-side combinable. */
+  def chunkLangProfile(docs: DataFrame, window: Int = 32): DataFrame = {
+    require(window >= 1)
+    val w = split(col("text"), " ")
+    val chunks = docs.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), ((size(w) - 1) / window).cast("int")),
+        i => array_join(slice(w, i * window + 1, lit(window)), " ")))
+        .as("chunk"))
+    val cl = chunks.select(col("doc_id"), langId(col("chunk")).as("clang"))
+    val total = cl.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"))
+    val major = cl.filter(col("clang") =!= "und")
+      .groupBy(col("doc_id"), col("clang")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("clang").as("l"))).as("m"),
+        countDistinct(col("clang")).as("n_langs"))
+      .select(col("doc_id"), col("m.l").as("major_lang"), col("n_langs"))
+    total.join(major, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("major_lang"), lit("und")).as("major_lang"),
+        coalesce(col("n_langs"), lit(0L)).as("n_langs"),
+        (coalesce(col("n_langs"), lit(0L)) >= 2).as("mixed"))
+  }
 }

@@ -112,6 +112,31 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(lift.forall { case (w1, w2, _) => (w1, w2) == ("x", "y") })
   }
 
+  // ----------------------------------------------------- Lang segments
+
+  test("chunkLangProfile: per-window argmax, mixed flag, und fallback, window boundaries") {
+    val en = Seq.fill(8)("the of and is a").mkString(" ")   // 40 en tokens
+    val de = Seq.fill(8)("der die und ist das").mkString(" ") // 40 de tokens
+    val docs = Seq(
+      (1L, en),                          // monolingual en
+      (2L, en + " " + de),               // code-switched: en + de windows
+      (3L, "qq ww ee rr tt"),            // no markers → und
+      (4L, de)).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkLangProfile(docs, window = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getBoolean(4)))).toMap
+    // 40 tokens → 2 chunks; 81 tokens → 3 chunks
+    assert(got(1L) == ((2L, "en", 1L, false)))
+    assert(got(3L) == ((1L, "und", 0L, false)))
+    assert(got(4L) == ((2L, "de", 1L, false)))
+    val (nCh2, major2, nl2, mixed2) = got(2L)
+    assert(nCh2 == 3L && mixed2 && nl2 == 2L,
+      s"code-switched doc not detected: ${got(2L)}")
+    // windows 2 and 3 are de-majority (the straddling window votes de:
+    // 24 de markers vs 8 en), window 1 is en → majority de
+    assert(major2 == "de", "majority must follow chunk counts")
+  }
+
   // ----------------------------------------------------------- Mixture
 
   test("temperatureQuotas: sqrt rebalancing boosts small groups, Σ quota ≤ k") {
