@@ -3840,6 +3840,72 @@ object ScaleCatalogue {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q133 — quality-aware canonical selection: the dedup POLICY step
+  // q67 leaves open. q67's min-id canonical is arbitrary; a production
+  // pipeline keeps the BEST member of each near-dup cluster (here:
+  // longest text, ties to the smallest id — any quality scalar slots
+  // into the same argmax). Clusters are q67's (Jaccard pairs →
+  // connected components); the keep decision is one max-struct per
+  // cluster over (quality, -id) — map-side combinable, 16-byte rows.
+  // Only multi-member clusters surface (singletons keep themselves
+  // trivially). The oracle replays pairs, components, and the argmax
+  // with a (quality desc, id asc) window.
+  // ---------------------------------------------------------------------
+  def q133KeepBest(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 5, threshold = 0.8)
+      .select(col("d1"), col("d2"))
+    Dedup.connectedComponents(pairs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars").as("q"), (-col("doc_id")).as("nid")))
+          .as("m"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster"), col("n_members"),
+        (-col("m.nid")).as("keep_id"), col("m.q").as("keep_chars"))
+      .orderBy(col("cluster"))
+  }
+  val q133Sql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh0 AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
+      |tot AS (SELECT count(*) AS n_docs FROM documents),
+      |sh AS (
+      |  SELECT s.doc_id, s.sh FROM sh0 s
+      |  JOIN (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh) d ON s.sh = d.sh, tot
+      |  WHERE d.df <= greatest(100, CAST(ceil(tot.n_docs * 0.01) AS BIGINT))),
+      |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |np AS (
+      |  SELECT d1, d2 FROM pairs
+      |  JOIN cnt ca ON d1 = ca.doc_id JOIN cnt cb ON d2 = cb.doc_id
+      |  WHERE common::DOUBLE / (ca.n_sh + cb.n_sh - common) >= 0.8),
+      |sym AS (SELECT d1 AS a, d2 AS b FROM np UNION SELECT d2, d1 FROM np),
+      |reach AS (
+      |  SELECT a AS v, a AS r FROM sym
+      |  UNION
+      |  SELECT s.a, t.r FROM sym s JOIN reach t ON s.b = t.v),
+      |lab AS (SELECT v AS doc_id, min(r) AS cluster FROM reach GROUP BY v),
+      |q AS (SELECT l.cluster, l.doc_id, d.n_chars
+      |  FROM lab l JOIN documents d USING (doc_id)),
+      |rk AS (SELECT cluster, doc_id, n_chars, row_number() OVER (
+      |    PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn
+      |  FROM q),
+      |sz AS (SELECT cluster, count(*) AS n_members FROM q GROUP BY cluster)
+      |SELECT s.cluster, s.n_members, r.doc_id AS keep_id,
+      |  r.n_chars AS keep_chars
+      |FROM sz s JOIN rk r ON s.cluster = r.cluster AND r.rn = 1
+      |WHERE s.n_members >= 2
+      |ORDER BY s.cluster""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -3932,6 +3998,7 @@ object ScaleCatalogue {
     "q130_media_phash_dedup" -> q130MediaPhashDedup _,
     "q131_token_shards" -> q131TokenShards _,
     "q132_lang_segments" -> q132LangSegments _,
+    "q133_keep_best" -> q133KeepBest _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4033,5 +4100,6 @@ object ScaleCatalogue {
     "q130_media_phash_dedup" -> q130Sql,
     "q131_token_shards" -> q131Sql,
     "q132_lang_segments" -> q132Sql,
+    "q133_keep_best" -> q133Sql,
   )
 }

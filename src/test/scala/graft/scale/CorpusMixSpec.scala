@@ -112,6 +112,33 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(lift.forall { case (w1, w2, _) => (w1, w2) == ("x", "y") })
   }
 
+  test("q133 keep-best: canonical is the longest member, not the min id") {
+    val d = "/root/testdata/sf0.001"
+    val rows = graft.operators.ScaleCatalogue.q133KeepBest(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.nonEmpty, "no multi-member near-dup cluster in the fixture")
+    val lab = Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(graft.Tables.documents(spark, d),
+          n = 5, threshold = 0.8).select(col("d1"), col("d2")))
+      .join(graft.Tables.documents(spark, d)
+        .select(col("doc_id"), col("n_chars")), "doc_id")
+      .as[(Long, Long, Long)].collect() // (doc_id, cluster, n_chars)
+    val byCluster = lab.groupBy(_._2)
+    for ((cluster, n, keepId, keepChars) <- rows) {
+      val members = byCluster(cluster)
+      assert(members.length.toLong == n)
+      // keep = argmax (n_chars, -doc_id)
+      val expect = members.maxBy { case (id, _, ch) => (ch, -id) }
+      assert((keepId, keepChars) == ((expect._1, expect._3)),
+        s"cluster $cluster kept ($keepId, $keepChars), want $expect")
+    }
+    // the policy must differ from min-id somewhere, or the fixture
+    // proves nothing beyond q67
+    assert(rows.exists { case (cluster, _, keepId, _) => keepId != cluster },
+      "keep-best never diverged from the min-id canonical")
+  }
+
   // ----------------------------------------------------- Lang segments
 
   test("chunkLangProfile: per-window argmax, mixed flag, und fallback, window boundaries") {
