@@ -276,7 +276,12 @@ object Bench {
         val fn = SparkEntry.benchQueries(name)
         val re = (1 to RerunReps).map(_ =>
           time(() => fn(spark, sfDir).count()))
-        (name -> re, Some(name -> (median(ok), ok.max - ok.min)))
+        // a transient throw during the RE-RUN must not turn a query
+        // that measured successfully into an artifact "err" — keep the
+        // original (contended but valid) samples in that case
+        if (re.forall(_.isRight))
+          (name -> re, Some(name -> (median(ok), ok.max - ok.min)))
+        else (name -> v, None)
       } else (name -> v, None)
     }
     val samples = healed.map(_._1)

@@ -2580,8 +2580,14 @@ object ScaleCatalogue {
         col("pr_q"))
       .orderBy(col("rank"))
   }
-  val q108Sql: String = {
-    val rounds = (1 to 3).map { i =>
+  /** Shared oracle fragment: one round of the dangling-corrected
+    * directed PageRank recurrence over `dedges`/`dn`/`n` — consumed
+    * verbatim by q108 and q112 (ONE definition to keep the recurrence
+    * replay in sync with Graph.pageRankDirectedQ; was inlined twice
+    * before the round-12 dedup, with q120's weighted variant the only
+    * legitimately different copy). */
+  private def directedPrRoundsSql(iterations: Int): String =
+    (1 to iterations).map { i =>
       s"""s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
          |  FROM dedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
          |d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
@@ -2592,6 +2598,9 @@ object ScaleCatalogue {
          |    AS BIGINT) AS r
          |  FROM dn dg LEFT JOIN s$i ON dg.node = s$i.node, n, d$i)""".stripMargin
     }.mkString(",\n")
+
+  val q108Sql: String = {
+    val rounds = directedPrRoundsSql(3)
     s"""WITH cp AS (
        |  SELECT DISTINCT o_custkey AS c, l_partkey + 10000000 AS p
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
@@ -2862,17 +2871,7 @@ object ScaleCatalogue {
       .orderBy(col("rank"))
   }
   val q112Sql: String = {
-    val rounds = (1 to 3).map { i =>
-      s"""s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
-         |  FROM dedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
-         |d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
-         |  WHERE outdeg = 0),
-         |r$i AS (SELECT dg.node, dg.outdeg, CAST(
-         |    (150000000000 // n.n) +
-         |    (85 * (coalesce(s$i.s, 0) + (d$i.dm // n.n))) // 100
-         |    AS BIGINT) AS r
-         |  FROM dn dg LEFT JOIN s$i ON dg.node = s$i.node, n, d$i)""".stripMargin
-    }.mkString(",\n")
+    val rounds = directedPrRoundsSql(3)
     s"""WITH $citationPostCtes,
        |$citationDedgesCte,
        |outd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
@@ -3587,7 +3586,9 @@ object ScaleCatalogue {
       .select(col("doc_id"))
     val kept = cleanDocs.join(contam, Seq("doc_id"), "left_anti")
       .localCheckpoint(eager = false) // consumed by quotas AND ranking
-    val sel = graft.scale.Mixture.sample(kept, "source", k = 200L)
+    val quotas = graft.scale.Mixture.temperatureQuotas(kept, "source", 200L)
+    val sel = graft.scale.Mixture.sample(kept, "source", k = 200L,
+        precomputedQuotas = Some(quotas))
       .select(col("doc_id"), col("quota"))
     val selDocs = kept.join(sel.select(col("doc_id")), "doc_id")
     val packed = graft.scale.Packing
@@ -3599,8 +3600,7 @@ object ScaleCatalogue {
         .agg(sum(col("clean")).as("n_clean")), "source")
       .join(kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept")),
         "source")
-      .join(graft.scale.Mixture.temperatureQuotas(kept, "source", 200L)
-        .select(col("source"), col("quota")), "source")
+      .join(quotas.select(col("source"), col("quota")), "source")
       .join(selDocs.groupBy(col("source")).agg(count(lit(1)).as("n_sel")),
         "source")
       .join(packed, "source")

@@ -310,6 +310,35 @@ object Dedup {
     * The shuffle story is identical to the fast variant: the candidate
     * join key is (band, band-key), never raw text.
     */
+  /** The ONE definition of the portable md5 universal-hash MinHash
+    * signature, shared by [[minhashLshPairsPortable]] and the persisted
+    * [[LshIndex]] (which stores these values on disk — any drift in
+    * this algebra breaks every existing index's probe results, so it
+    * must not be re-implemented elsewhere). One md5 per distinct
+    * shingle, native one-pass fold, no numHashes× row explosion.
+    * Returns (doc_id, sig array<long>). */
+  private[scale] def portableSignatures(docs: DataFrame, n: Int,
+      numHashes: Int): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(shingles(col("w"), n)).as("sh"))
+      .select(col("doc_id"), md5_64(col("sh")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash_portable(col("h"), numHashes)
+        .as("sig"))
+
+  /** The banded key serialization over [[portableSignatures]] output —
+    * comma-joined decimal longs per band slice; `bk` is what the
+    * LshIndex stores and joins on, same single-definition contract.
+    * Returns (doc_id, band, bk). */
+  private[scale] def portableBandKeys(sig: DataFrame, bands: Int,
+      r: Int): DataFrame =
+    sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        concat_ws(",", transform(slice(col("sig"), col("band") * r + 1, lit(r)),
+          _.cast("string"))).as("bk"))
+
   def minhashLshPairsPortable(
       docs: DataFrame,
       n: Int = 5,
@@ -318,23 +347,12 @@ object Dedup {
       minMatches: Int = 8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val tok = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= n)
-    val sh = tok.select(col("doc_id"), explode(shingles(col("w"), n)).as("sh"))
-    // one-pass native fold to the signature ARRAY (see
-    // MinHashPortableAgg for the universal-hash family, bit-identical
-    // to the oracle's composable form) — replaces a numHashes× row
-    // explosion + per-(doc, i) min + per-(doc, band) collect; banding
-    // and verification below are per-row array algebra on the signature
-    val sig = sh.select(col("doc_id"), md5_64(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg.minhash_portable(col("h"), numHashes)
-        .as("sig"))
-    val bk = sig.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        concat_ws(",", transform(slice(col("sig"), col("band") * r + 1, lit(r)),
-          _.cast("string"))).as("bk"))
+    // one-pass native fold to the signature ARRAY — the SHARED portable
+    // hash family ([[portableSignatures]]/[[portableBandKeys]]): the
+    // persisted LshIndex stores exactly these values, so the algebra
+    // lives in one place (drift would break every on-disk index probe)
+    val sig = portableSignatures(docs, n, numHashes)
+    val bk = portableBandKeys(sig, bands, r)
     val cand = bk.as("a")
       .join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.bk") === col("b.bk") &&

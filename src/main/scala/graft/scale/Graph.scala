@@ -356,13 +356,12 @@ object Graph {
     citationEdgesWeighted(docs, n, dfMin, dfMax)
       .select(col("src"), col("dst"))
 
-  /** [[citationEdges]] keeping the link MULTIPLICITY: `w` = how many
-    * distinct rare n-grams the pair shares — the natural edge weight
-    * (two docs sharing 12 rare phrasings are more strongly linked than
-    * two sharing 1), consumed by [[pageRankWeightedQ]]. The unweighted
-    * form is this projection minus `w`; deriving both from one pass
-    * (and one cached table) is why the weighted form is primary. */
-  def citationEdgesWeighted(docs: DataFrame, n: Int, dfMin: Long,
+  /** The shared rare-term posting derivation behind [[citationEdges]],
+    * [[citationEdgesWeighted]], and [[anchorTerms]] — ONE definition
+    * (the Scala twin of the oracle side's shared `citationPostCtes`):
+    * distinct (doc_id, term) postings restricted to terms with df in
+    * [dfMin, dfMax]. */
+  private def ratedPostings(docs: DataFrame, n: Int, dfMin: Long,
       dfMax: Long): DataFrame = {
     require(n >= 1 && dfMin >= 2 && dfMax >= dfMin)
     val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
@@ -374,7 +373,18 @@ object Graph {
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(dfMin, dfMax))
       .select(col("term"))
-    val rp = post.join(rare, Seq("term"))
+    post.join(rare, Seq("term"))
+  }
+
+  /** [[citationEdges]] keeping the link MULTIPLICITY: `w` = how many
+    * distinct rare n-grams the pair shares — the natural edge weight
+    * (two docs sharing 12 rare phrasings are more strongly linked than
+    * two sharing 1), consumed by [[pageRankWeightedQ]]. The unweighted
+    * form is this projection minus `w`; deriving both from one pass
+    * (and one cached table) is why the weighted form is primary. */
+  def citationEdgesWeighted(docs: DataFrame, n: Int, dfMin: Long,
+      dfMax: Long): DataFrame = {
+    val rp = ratedPostings(docs, n, dfMin, dfMax)
     rp.as("a").join(rp.as("b"),
         col("a.term") === col("b.term") &&
           col("a.doc_id") > col("b.doc_id"))
@@ -593,17 +603,7 @@ object Graph {
     * `term` with dst. */
   def anchorTerms(docs: DataFrame, n: Int, dfMin: Long,
       dfMax: Long): DataFrame = {
-    require(n >= 1 && dfMin >= 2 && dfMax >= dfMin)
-    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= n)
-    val post = tok.select(col("doc_id"),
-        explode(Dedup.shingles(col("w"), n)).as("term"))
-      .distinct()
-    val rare = post.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df").between(dfMin, dfMax))
-      .select(col("term"))
-    val rp = post.join(rare, Seq("term"))
+    val rp = ratedPostings(docs, n, dfMin, dfMax)
     rp.as("a").join(rp.as("b"),
         col("a.term") === col("b.term") &&
           col("a.doc_id") > col("b.doc_id"))

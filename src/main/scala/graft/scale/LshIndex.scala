@@ -39,12 +39,22 @@ import org.apache.spark.sql.functions._
   * in-memory path, so LshIndexSpec pins result equality against
   * minhashLshPairsPortable restricted to cross pairs.
   *
-  * Write protocol (single-writer): docs → sigs → bands → meta LAST as
-  * the commit point, so every torn [[append]] prefix leaves
-  * meta.n_docs behind count(_lsh_docs) and [[consistent]] detects it
-  * with one narrow count — the [[BmIndex]] torn-append contract.
-  * Re-appending committed doc_ids is a no-op (anti-join), never a
-  * duplicate signature.
+  * Write protocol (single-writer): docs → bands → sigs → meta LAST as
+  * the commit point, and [[append]] is SELF-HEALING under replay — the
+  * id write anti-joins `_lsh_docs` while the DATA writes anti-join
+  * `sigs` (the last-written data table), so every torn prefix repairs
+  * on the next append of the same batch (the exactly-once contract a
+  * foreachBatch caller like [[graft.streaming.IncrementalNearDup]]
+  * needs, not just detectability):
+  *  - crash after ids → replay re-writes bands+sigs (ids skip);
+  *  - crash after bands → replay re-writes bands (duplicate band rows
+  *    are BENIGN: candidate generation dedups on the pair, and
+  *    [[compactTo]] drops the redundancy) then sigs;
+  *  - crash after sigs → replay only refreshes meta, which is derived
+  *    from a recount of `_lsh_docs`, never from stale meta arithmetic.
+  * Signatures are never double-inserted (the sigs anti-join), so
+  * verification counts stay exact. [[consistent]] still detects a torn
+  * state that has NOT yet been replayed — meta is the commit point.
   */
 object LshIndex {
 
@@ -56,40 +66,46 @@ object LshIndex {
   private def md5_64(c: org.apache.spark.sql.Column) =
     graft.functions.Md5_64.md5_64(c)
 
-  /** (doc_id, sig array<long>) — one md5 per distinct shingle, native
-    * one-pass MinHash fold (no numHashes× row explosion). */
+  /** (doc_id, sig array<long>) — delegates to the SHARED
+    * [[Dedup.portableSignatures]] definition: the index stores these
+    * values, so the hash algebra must live in exactly one place. */
   private def signatures(docs: DataFrame, n: Int,
-      numHashes: Int): DataFrame = {
-    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= n)
-    tok.select(col("doc_id"), explode(Dedup.shingles(col("w"), n)).as("sh"))
-      .select(col("doc_id"), md5_64(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.MinHashAgg.minhash_portable(col("h"), numHashes)
-        .as("sig"))
-  }
+      numHashes: Int): DataFrame =
+    Dedup.portableSignatures(docs, n, numHashes)
 
-  /** (doc_id, band, bk, band_bucket): the banded bucket keys, bucket =
-    * md5-hash of (band, key) mod [[Buckets]] so collisions between
-    * DIFFERENT bands' keyspaces cannot alias a candidate (band is part
-    * of both the join key and the bucket hash). */
+  /** (doc_id, band, bk, band_bucket): [[Dedup.portableBandKeys]] plus
+    * the index's partition bucket — bucket = md5-hash of (band, key)
+    * mod [[Buckets]] so collisions between DIFFERENT bands' keyspaces
+    * cannot alias a candidate (band is part of both the join key and
+    * the bucket hash). */
   private def banded(sig: DataFrame, bands: Int, r: Int): DataFrame =
-    sig.select(col("doc_id"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("doc_id"), col("band"),
-        concat_ws(",", transform(slice(col("sig"), col("band") * r + 1, lit(r)),
-          _.cast("string"))).as("bk"))
+    Dedup.portableBandKeys(sig, bands, r)
       .withColumn("band_bucket",
         pmod(md5_64(concat_ws(":", col("band"), col("bk"))), lit(Buckets)))
+
+  /** Test hooks for the torn-append heal spec: reproduce the exact
+    * internal signature/bands artifacts so a crash point can be staged
+    * without a real crash. */
+  private[scale] def signaturesFor(docs: DataFrame, n: Int,
+      numHashes: Int): DataFrame = signatures(docs, n, numHashes)
+  private[scale] def writeBandsFor(sig: DataFrame, dir: String,
+      bands: Int, numHashes: Int): Unit =
+    banded(sig, bands, numHashes / bands)
+      .repartition(col("band_bucket"))
+      .sortWithinPartitions(col("band"), col("bk"))
+      .write.partitionBy("band_bucket").mode("append").parquet(s"$dir/bands")
 
   private def writeParts(docs: DataFrame, dir: String, mode: String,
       n: Int, numHashes: Int, bands: Int): Unit = {
     val sig = signatures(docs, n, numHashes).localCheckpoint()
-    sig.write.mode(mode).parquet(s"$dir/sigs")
+    // bands BEFORE sigs: the append healer anti-joins sigs, so sigs
+    // landing means the batch's bands landed too (see the write
+    // protocol in the class doc)
     banded(sig, bands, numHashes / bands)
       .repartition(col("band_bucket"))
       .sortWithinPartitions(col("band"), col("bk"))
       .write.partitionBy("band_bucket").mode(mode).parquet(s"$dir/bands")
+    sig.write.mode(mode).parquet(s"$dir/sigs")
   }
 
   private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
@@ -108,30 +124,40 @@ object LshIndex {
     writeMeta(docs.sparkSession, dir, ids.count(), n, numHashes, bands)
   }
 
-  /** O(batch) growth: anti-join the committed-id table (re-append is a
-    * no-op), fresh signatures and band keys land in the existing dirs,
-    * meta is re-derived as old + delta and rewritten LAST. */
+  /** O(batch) growth, self-healing under replay (class-doc protocol):
+    * the id write anti-joins `_lsh_docs`, the data writes anti-join
+    * `sigs`, so a crash anywhere inside a previous append of the SAME
+    * batch is repaired by calling append again; meta is rewritten LAST
+    * from a recount of `_lsh_docs` (never stale-meta arithmetic). A
+    * fully-committed re-append is a complete no-op. */
   def append(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
-    val (oldN, n, numHashes, bands) = (meta.getLong(0), meta.getInt(1),
-      meta.getInt(2), meta.getInt(3))
+    val (n, numHashes, bands) = (meta.getInt(1), meta.getInt(2),
+      meta.getInt(3))
     val committed = spark.read.parquet(s"$dir/_lsh_docs")
-    val fresh = docs.join(committed.select(col("doc_id")),
-      Seq("doc_id"), "left_anti").localCheckpoint()
-    val nd = fresh.count()
-    if (nd == 0L) return
-    fresh.select(col("doc_id")).write.mode("append")
-      .parquet(s"$dir/_lsh_docs")
-    writeParts(fresh, dir, "append", n, numHashes, bands)
-    writeMeta(spark, dir, oldN + nd, n, numHashes, bands)
+    val freshIds = docs.select(col("doc_id"))
+      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val signed = spark.read.parquet(s"$dir/sigs").select(col("doc_id"))
+    val freshData = docs.join(signed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (freshIds.count() == 0L && freshData.count() == 0L) return
+    if (freshIds.count() > 0L)
+      freshIds.write.mode("append").parquet(s"$dir/_lsh_docs")
+    if (freshData.count() > 0L)
+      writeParts(freshData, dir, "append", n, numHashes, bands)
+    val total = spark.read.parquet(s"$dir/_lsh_docs").count()
+    writeMeta(spark, dir, total, n, numHashes, bands)
   }
 
-  /** Torn-append detector: under the docs → sigs → bands → meta write
+  /** Torn-append detector: under the docs → bands → sigs → meta write
     * order every interrupted [[append]] prefix leaves the committed-id
     * count ahead of meta's n_docs (meta is the commit point). One
-    * narrow count, no signature scan; recovery = rebuild, the
-    * [[BmIndex]] discipline. */
+    * narrow count, no signature scan. Recovery is no longer
+    * rebuild-only: re-running [[append]] with the same batch heals the
+    * tear (see the class-doc protocol); this detector remains for
+    * tears whose batch is gone. */
   def consistent(spark: SparkSession, dir: String): Boolean = {
     val st = spark.read.parquet(s"$dir/_lsh_meta")
       .select(col("n_docs")).collect()(0).getLong(0)

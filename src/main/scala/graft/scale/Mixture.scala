@@ -44,10 +44,15 @@ object Mixture {
   }
 
   /** The mixed sample: for each group, its `quota` docs in content-hash
-    * order. Returns (group, n, quota, rk, doc_id). */
+    * order. Returns (group, n, quota, rk, doc_id). A caller that also
+    * reports the quotas (q129's funnel) passes its own
+    * [[temperatureQuotas]] frame via `precomputedQuotas` so the
+    * group-count aggregation runs once, not twice. */
   def sample(docs: DataFrame, groupCol: String, k: Long,
-      idCol: String = "doc_id"): DataFrame = {
-    val quotas = temperatureQuotas(docs, groupCol, k)
+      idCol: String = "doc_id",
+      precomputedQuotas: Option[DataFrame] = None): DataFrame = {
+    val quotas = precomputedQuotas
+      .getOrElse(temperatureQuotas(docs, groupCol, k))
     val h = graft.functions.Md5_64.md5_64(
       concat_ws(":", lit("mix"), col(idCol)))
     val w = Window.partitionBy(col(groupCol))

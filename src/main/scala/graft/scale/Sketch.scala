@@ -63,6 +63,16 @@ object Sketch {
     // every occurrence lands in exactly one row-0 cell: N = Σ row 0
     val n = (0 until w).map(flat(_)).sum
     val threshold = n / phi
+    // n < phi floors the cut to 0 — mathematically every present term
+    // IS a φ-heavy hitter then, but the filter would pass the whole
+    // vocabulary and the O(heavy terms) shuffle contract inverts;
+    // that phi was almost certainly mis-sized for the corpus, so fail
+    // loudly instead of silently degrading (the pageRankQ guard
+    // discipline)
+    require(threshold >= 1,
+      s"phi=$phi exceeds total occurrences n=$n: the frequency cut is 0 " +
+        "and every term would qualify — lower phi or count exactly at " +
+        "this corpus size")
     val est = (0 until d).map { r =>
       element_at(lit(flat.slice(r * w, (r + 1) * w)),
         (bucket(lit(r.toLong), col("term"), w) + lit(1L)).cast("int"))

@@ -138,4 +138,54 @@ class LshIndexSpec extends AnyFunSuite {
       .write.mode("append").parquet(s"$dir/_lsh_docs")
     assert(!LshIndex.consistent(spark, dir), "torn append not detected")
   }
+
+  test("torn append heals on replay: index equals the never-crashed one at every tear point") {
+    val base = corpus.filter(col("doc_id") < 300)
+    val batch = corpus.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val probe = corpus.filter(col("doc_id") >= 400)
+    // reference: an append that never crashed
+    val ref = tmp("graft-lshidx-heal-ref")
+    LshIndex.build(base, ref)
+    LshIndex.append(batch, ref)
+    val want = LshIndex.dedupBatch(spark, ref, probe, minMatches = 8)
+      .select(col("new_doc"), col("corpus_doc"), col("matches"))
+      .as[(Long, Long, Long)].collect().toSet
+
+    // tear 1: died after the ids write — the epoch-replay hole that
+    // used to silently drop the batch's signatures forever
+    val t1 = tmp("graft-lshidx-heal1")
+    LshIndex.build(base, t1)
+    batch.select(col("doc_id")).write.mode("append")
+      .parquet(s"$t1/_lsh_docs")
+    assert(!LshIndex.consistent(spark, t1))
+    LshIndex.append(batch, t1) // the foreachBatch replay
+    assert(LshIndex.consistent(spark, t1), "replay did not heal tear 1")
+    val got1 = LshIndex.dedupBatch(spark, t1, probe, minMatches = 8)
+      .select(col("new_doc"), col("corpus_doc"), col("matches"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got1 == want, "healed index (tear after ids) diverges")
+
+    // tear 2: died after ids + bands, before sigs — replayed bands are
+    // duplicated but benign (candidate dedup); sigs stay single-copy so
+    // match counts are exact
+    val t2 = tmp("graft-lshidx-heal2")
+    LshIndex.build(base, t2)
+    val meta = spark.read.parquet(s"$t2/_lsh_meta").collect()(0)
+    batch.select(col("doc_id")).write.mode("append")
+      .parquet(s"$t2/_lsh_docs")
+    // replicate the internal bands write for the batch (crash before sigs)
+    val sig = LshIndex.signaturesFor(batch, meta.getInt(1), meta.getInt(2))
+    LshIndex.writeBandsFor(sig, t2, meta.getInt(3), meta.getInt(2))
+    assert(!LshIndex.consistent(spark, t2))
+    LshIndex.append(batch, t2)
+    assert(LshIndex.consistent(spark, t2), "replay did not heal tear 2")
+    val got2 = LshIndex.dedupBatch(spark, t2, probe, minMatches = 8)
+      .select(col("new_doc"), col("corpus_doc"), col("matches"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == want, "healed index (tear after bands) diverges")
+    // signatures must not be duplicated by the heal
+    val sigCount = spark.read.parquet(s"$t2/sigs")
+      .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
+    assert(sigCount == 0L, "heal duplicated signatures")
+  }
 }

@@ -73,6 +73,14 @@ class SketchSpec extends AnyFunSuite {
     assert(got("unseen-term") >= 0L)
   }
 
+  test("heavyHitters refuses a phi that floors the frequency cut to zero") {
+    val tiny = Seq("a", "b", "a").toDF("term")
+    val e = intercept[IllegalArgumentException] {
+      Sketch.heavyHitters(tiny, phi = 1000L).collect()
+    }
+    assert(e.getMessage.contains("exceeds total occurrences"))
+  }
+
   test("heavyHitters: complete (every true-heavy term present), est >= true, no probe set") {
     val phi = 1000L
     val exact = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
