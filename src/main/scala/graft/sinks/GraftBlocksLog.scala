@@ -89,7 +89,21 @@ object GraftBlocksLog extends Logging {
   def lockFor(qualifiedRoot: String): Object =
     commitLocks.computeIfAbsent(qualifiedRoot, _ => new Object)
 
-  def exists(fs: FileSystem, root: Path): Boolean = fs.exists(logDir(root))
+  /** Is this root a LOG-governed store? Requires actual log state —
+    * an entry, checkpoint, or schema file — not the bare directory:
+    * [[GraftStoreLease.acquire]] creates `_graft_log/` (for `_lease`)
+    * BEFORE legacy-adoption validation runs, so a FAILED first write
+    * on a legacy store leaves the directory behind; keying on the
+    * directory alone would flip every later read onto the (empty) log
+    * branch and silently hide all legacy rows. Lease/tmp files don't
+    * qualify. */
+  def exists(fs: FileSystem, root: Path): Boolean = {
+    val dir = logDir(root)
+    fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      !n.startsWith("_lease") && !n.startsWith(".")
+    }
+  }
 
   /** All committed entries, ascending version order. Full-history scan
     * — audits and index rebuilds; hot paths use [[readState]]. */
@@ -230,6 +244,7 @@ object GraftBlocksLog extends Logging {
     fs.mkdirs(dir)
     var v = nextVersion(fs, root)
     var done = false
+    var renameFailures = 0
     while (!done) {
       val tmp = new Path(dir, f".$v%020d.json.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
@@ -245,7 +260,20 @@ object GraftBlocksLog extends Logging {
       } finally out.close()
       val target = new Path(dir, f"$v%020d.json")
       if (fs.exists(target) || !fs.rename(tmp, target)) {
-        fs.delete(tmp, false) // lost the version race; retry above it
+        fs.delete(tmp, false)
+        // rename returning false WITHOUT the target existing is not a
+        // version collision — it's the filesystem refusing renames
+        // (object-store emulation failure, permissions). Retrying
+        // forever would spin under the commit lock and hang every
+        // writer to this store; fail loudly like writeCheckpoint does.
+        if (!fs.exists(target)) {
+          renameFailures += 1
+          if (renameFailures >= 5)
+            throw new java.io.IOException(
+              s"appendEntry: rename to $target failed $renameFailures " +
+                "times with no competing version — aborting instead of " +
+                "spinning under the commit lock")
+        } else renameFailures = 0 // genuine collision; retry above it
         v = nextVersion(fs, root)
       } else done = true
     }
@@ -299,8 +327,20 @@ object GraftBlocksStore {
   def read(spark: SparkSession, root: String): DataFrame = {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!GraftBlocksLog.exists(fs, p))
+    if (!GraftBlocksLog.exists(fs, p)) {
+      // legacy fallback — but an empty or data-less root (e.g. only a
+      // failed write's _graft_log/_lease residue) must read as an
+      // empty typed frame, not die in parquet schema inference
+      val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith(".")
+      }
+      if (!hasData)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          GraftBlocksTableSink.DefaultSchema)
       return spark.read.option("mergeSchema", "true").parquet(root)
+    }
     val files = GraftBlocksLog.readState(fs, p).files
       .map(n => new Path(GraftBlocksLog.dataDir(p), n).toString)
     if (files.isEmpty) {
@@ -374,8 +414,15 @@ object GraftBlocksStore {
         else state.tail.filter(_._1 > watermark).flatMap(_._2.files)
       }
     val versions = found.values.toSet
+    // readState already parsed every post-checkpoint entry — serve
+    // those versions from the in-memory tail and point-read only the
+    // pre-checkpoint ones (each readEntryAt is an FS open+parse round
+    // trip, expensive on object stores; recently-committed keys — the
+    // common point-read target — all resolve to tail versions)
+    val tailByVersion = state.tail.toMap
     val resolved = (versions.toSeq.sorted.flatMap(v =>
-      GraftBlocksLog.readEntryAt(fs, rootPath, v).toSeq.flatMap(_.files)) ++
+      tailByVersion.get(v).map(_.files).getOrElse(
+        GraftBlocksLog.readEntryAt(fs, rootPath, v).toSeq.flatMap(_.files))) ++
       unindexedFiles)
     val (liveFiles, compactedAway) = resolved.distinct.partition(live.contains)
     val files = (liveFiles ++

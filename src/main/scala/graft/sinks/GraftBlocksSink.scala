@@ -213,7 +213,7 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     batchProbe = freshProbe()
     new GraftWriterFactory(root, dataSchema, keyOrd, batchProbe, writeId,
-      None, hconf)
+      hconf)
   }
   // tasks are done once commit/abort runs: the probe's broadcast can go
   // now (a long-lived driver doing many batch writes would otherwise
@@ -245,7 +245,7 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
     if (lastEpochProbe != null) lastEpochProbe.release()
     lastEpochProbe = probe
     new GraftWriterFactory(root, dataSchema, keyOrd, probe, writeId,
-      Some(()), hconf)
+      hconf)
   }
   // the epoch's tasks are done by commit/abort time, so its probe's
   // broadcast is released HERE (not only on replacement at the next
@@ -266,7 +266,7 @@ class GraftBlocksWrite(root: String, dataSchema: StructType, keyOrd: Int,
 }
 
 class GraftWriterFactory(root: String, schema: StructType, keyOrd: Int,
-    keyProbe: GraftKeyProbe, writeId: String, streaming: Option[Unit],
+    keyProbe: GraftKeyProbe, writeId: String,
     hconf: SerializableHadoopConf)
     extends DataWriterFactory with StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -449,8 +449,16 @@ object GraftCommitter extends Logging {
           val tailMin = state.tail.map(_._1).minOption.getOrElse(version)
           val uncovered =
             if (covered >= 0 && covered + 1 < tailMin)
+              // the full-history read runs AFTER appendEntry published
+              // THIS commit, so exclude `version` — newKeys is appended
+              // below and including it here would double-count the
+              // commit's keys into the bloom's count header (tripping a
+              // premature full rebuild at a later checkpoint). The
+              // normal branch's state.tail was read pre-commit and
+              // never contains `version`.
               GraftBlocksLog.readEntriesWithVersion(fs, rootPath)
-                .filter(_._1 > covered).flatMap(_._2.keys)
+                .filter(e => e._1 > covered && e._1 < version)
+                .flatMap(_._2.keys)
             else state.tail.filter(_._1 > covered).flatMap(_._2.keys)
           GraftKeyIndex.foldBloom(fs, rootPath, uncovered ++ newKeys, version)
         }

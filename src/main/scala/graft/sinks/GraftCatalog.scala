@@ -49,7 +49,17 @@ class GraftCatalog extends TableCatalog {
     val fs = dir.getFileSystem(hconf())
     if (!fs.exists(dir)) throw new NoSuchNamespaceException(
       (catalogName +: namespace.toSeq).toArray)
+    // a store directory's INTERNALS (data/, _staging/, _graft_log/)
+    // must not surface as phantom tables when the namespace path IS a
+    // table root — writing to one would corrupt the store's layout.
+    // `data` is only excluded when this dir is itself a store (has a
+    // _graft_log child), so a genuine table named "data" under a plain
+    // namespace still lists.
+    val dirIsStore = fs.exists(new Path(dir, GraftBlocksLog.LogDirName))
     fs.listStatus(dir).filter(_.isDirectory)
+      .filterNot(s => s.getPath.getName.startsWith("_") ||
+        s.getPath.getName.startsWith(".") ||
+        (dirIsStore && s.getPath.getName == "data"))
       .map(s => Identifier.of(namespace, s.getPath.getName))
   }
 

@@ -448,12 +448,17 @@ object GraftKeyIndex extends Logging {
       }
     }
     writeMeta(fs, root, newMeta) // atomic cut-over
-    (0 until meta.shards).foreach { s =>
-      fs.delete(shardDir(root, meta, s), true)
-    }
-    if (meta.gen > 0) fs.delete(genDir(root, meta.gen), true)
+    // The OLD generation is deliberately NOT deleted here: a lock-free
+    // reader (versionsFor / executor-side GraftKeyProbe) that listed
+    // old-generation segments just before the meta swap may still be
+    // mid-stream on those files, and foreachShardLine has no
+    // FileNotFoundException recovery — deleting now would fail its
+    // query. Stale generations are reclaimed by
+    // [[vacuumStaleGenerations]] under the store vacuum's retention
+    // horizon (the same in-flight-reader contract as the data vacuum).
     logInfo(s"graft-blocks: re-sharded key index ${meta.shards} -> " +
-      s"$newShards shards (gen ${newMeta.gen}, $totalKeys keys)")
+      s"$newShards shards (gen ${newMeta.gen}, $totalKeys keys); " +
+      s"gen ${meta.gen} left for retention vacuum")
     newMeta
   }
 

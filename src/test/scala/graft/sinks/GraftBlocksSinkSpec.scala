@@ -171,6 +171,31 @@ class GraftBlocksSinkSpec extends AnyFunSuite {
     assert(GraftBlocksStore.read(spark, dir).count() == 4)
   }
 
+  test("a failed write's lease residue must not hide legacy rows") {
+    // lease acquire creates _graft_log/ BEFORE adoption validation; a
+    // failed first write on a legacy store leaves the dir with only
+    // _lease — read() must still take the legacy branch (log detection
+    // requires real log state, not the bare directory)
+    val dir = freshDir()
+    rows("old", 4).write.mode("append").parquet(dir)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val leaseDir = GraftBlocksLog.logDir(fs.makeQualified(p))
+    fs.mkdirs(leaseDir)
+    val out = fs.create(new Path(leaseDir, "_lease"), true)
+    out.write("dead-owner\n0\n".getBytes("UTF-8")); out.close()
+    assert(GraftBlocksStore.read(spark, dir).count() == 4,
+      "legacy rows hidden by lease-only _graft_log residue")
+    // and a lease-only EMPTY root reads as an empty typed frame, not a
+    // schema-inference failure
+    val empty = freshDir()
+    val ep = fs.makeQualified(new Path(empty))
+    fs.mkdirs(GraftBlocksLog.logDir(ep))
+    val out2 = fs.create(new Path(GraftBlocksLog.logDir(ep), "_lease"), true)
+    out2.write("dead-owner\n0\n".getBytes("UTF-8")); out2.close()
+    assert(GraftBlocksStore.read(spark, empty).count() == 0)
+  }
+
   test("null batch key is rejected (store partition key contract)") {
     val dir = freshDir()
     val bad = Seq((null: String, 0)).toDF("blockBatch", "blockIndex")

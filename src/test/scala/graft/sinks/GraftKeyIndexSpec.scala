@@ -503,15 +503,13 @@ class GraftKeyIndexSpec extends AnyFunSuite {
         spark.sessionState.newHadoopConf())
       val probe = GraftKeyProbe.forStore(fs, root, hconf)
       assert(probe.committed("rs-1-123") && !probe.committed("rs-9-9"))
-      // old-generation shard dirs are gone
-      assert(!fs.exists(new Path(GraftKeyIndex.indexDir(root), "s00")),
-        "legacy gen-0 shard dirs must be deleted after the swap")
-
-      // crash residue: recreate a dead gen-0 shard dir (as if the
-      // re-shard died between the meta swap and its cleanup) — vacuum
-      // sweeps it; the live generation survives
+      // old-generation shard dirs REMAIN after the swap: a lock-free
+      // reader mid-stream on old segments must not hit
+      // FileNotFoundException (reshard defers deletion to the
+      // retention vacuum — the in-flight-reader contract)
       val residue = new Path(GraftKeyIndex.indexDir(root), "s00")
-      fs.mkdirs(residue)
+      assert(fs.exists(residue),
+        "reshard must leave the old generation for the retention vacuum")
       fs.setTimes(residue, System.currentTimeMillis() - 1000, -1)
       assert(GraftBlocksStore.vacuum(spark, dir, retentionMs = 0) >= 1)
       assert(!fs.exists(residue), "vacuum must sweep dead-generation dirs")
