@@ -23,6 +23,13 @@ object Cleanup {
 
   private val runNames = TrieMap.empty[java.util.UUID, String]
 
+  /** Register `handler` for every termination of a query named
+    * `queryName` — PERSISTENT, not one-shot: a supervisor restarting a
+    * crashed query under the same name gets cleanup on the restart's
+    * termination too (the one-shot form silently left the second
+    * crash's orphans in place). Handlers must therefore be idempotent
+    * (orphan cleanup naturally is); re-registering the same name
+    * replaces the handler. */
   def onTerminated(spark: SparkSession, queryName: String)(
       handler: Option[String] => Unit): Unit = {
     handlers.put(queryName, handler)
@@ -37,8 +44,10 @@ object Cleanup {
         override def onQueryProgress(event: QueryProgressEvent): Unit = ()
         override def onQueryTerminated(event: QueryTerminatedEvent): Unit = {
           // QueryTerminatedEvent carries no name — resolve via the id
-          // recorded at start.
-          runNames.remove(event.id).flatMap(handlers.remove)
+          // recorded at start. The handler stays registered (see
+          // onTerminated: restarts under the same name must clean up
+          // too); only the per-run id mapping is dropped.
+          runNames.remove(event.id).flatMap(handlers.get)
             .foreach(h => h(event.exception))
         }
       })

@@ -11,9 +11,10 @@ import graft.convert.MarkdownBlocks
   *
   *  - ST1: file source with `pathGlobFilter=*.md` (the S3-suffix
   *    notification filter, pushed down to listing)
-  *  - T13: batch ids are deterministic — xxhash64(path, mtime) — so
-  *    replays are idempotent and "re-upload = new page" holds (keying
-  *    on (path, modificationTime), ST1's note)
+  *  - T13: batch ids are deterministic — xxhash64(path, mtime,
+  *    content length) — so replays are idempotent and "re-upload =
+  *    new page" holds even when a rewrite lands within one mtime
+  *    granularity tick (the length term separates it)
   *  - T11/T12: markdown → ordered blocks via a flatMap generator +
   *    posexplode ordinal
   *  - F8: pandoc comment artifacts filtered
@@ -39,9 +40,20 @@ object Ingest {
     staged
       .withColumn("key",
         regexp_replace(col("path"), "^file:/*", "/"))
+      // deterministic batch identity (T13): hash of (key, mtime,
+      // content length). Length is in the key so a file rewritten twice
+      // within one mtime granularity tick still mints a fresh batch
+      // when its size changed — without it the second rewrite collided
+      // with the first and the store's first-writer-wins probe silently
+      // dropped the newer content. Residual conflation (same key, same
+      // mtime tick, same byte length, different bytes) and the 63-bit
+      // birthday bound are stated limits of hash-derived identity; a
+      // content-hash key would close both at the cost of hashing every
+      // payload per epoch.
       .withColumn("blockBatch",
         concat(lit("b"),
-          abs(xxhash64(col("key"), col("modificationTime"))).cast("string")))
+          abs(xxhash64(col("key"), col("modificationTime"),
+            length(col("content")))).cast("string")))
       .withColumn("markdown", col("content").cast("string"))
       .select(col("blockBatch"), col("key"),
         posexplode(parseUdf(col("markdown"))).as(Seq("blockIndex", "block")))

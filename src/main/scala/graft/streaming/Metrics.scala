@@ -21,6 +21,11 @@ object Metrics {
 
   def install(spark: SparkSession): Unit =
     listenerInstalled.getOrElseUpdate(spark, {
+      // batch delivery: QueryExecutionListener fires for NAMED batch
+      // actions only — Spark's ExecutionListenerBus forwards execution
+      // ends only when executionName is defined, which STREAMING
+      // micro-batches never set, so this listener alone silently
+      // delivers nothing for a writeStream query
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
             durationNs: Long): Unit = {
@@ -31,6 +36,20 @@ object Metrics {
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })
+      // streaming delivery: observed metrics ride each micro-batch's
+      // progress event instead
+      spark.streams.addListener(
+        new org.apache.spark.sql.streaming.StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryIdle(e: QueryIdleEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            e.progress.observedMetrics.forEach { (name, row) =>
+              sink.put(name, row.schema.fieldNames.zip(row.toSeq).toMap)
+            }
+          }
+        })
       true
     })
 

@@ -15,7 +15,16 @@ object Phase2 {
     * (upload_notion_blocks.py:217-225; layout README.md:139-168) as the
     * (dir, url) dimension DataFrame the drain joins on (J2) — never
     * collected to the driver, so the config scales with the staging
-    * tree, not with driver memory. */
+    * tree, not with driver memory.
+    *
+    * Per-epoch cost, stated not hidden: the glob filter keeps CONTENT
+    * reads to the parenturl.txt files alone, but each call still pays
+    * one recursive LISTING of the staging tree. That re-read is
+    * deliberate, not an oversight — mid-stream drops can add NEW
+    * directories with their own parenturl.txt (ContinuousPhase2Spec
+    * stages files mid-run), and a cached dimension would drain those
+    * pages against a stale config. A deployment whose config is truly
+    * frozen can hoist one call outside the loop. */
   def readParentUrls(spark: SparkSession, stagingDir: String): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
@@ -63,19 +72,30 @@ object Phase2 {
       failures: DataFrame,
       report: Drain.Report)
 
-  /** Run ingest + drain end-to-end. `workDir` holds the block store and
-    * streaming checkpoint (the DynamoDB-tables role). */
+  /** Run ingest + drain end-to-end. `workDir` holds the block store,
+    * streaming checkpoint, and status store (the DynamoDB-tables role).
+    *
+    * Idempotent across invocations: the drain is cursored by the SAME
+    * status store [[runContinuous]] uses (`workDir/statuses`), so a
+    * second run over the same workDir drains only pages without a
+    * terminal status — the ingest checkpoint already made re-ingest
+    * incremental, and without the cursor every previously drained page
+    * would re-upload its blocks to the external API on each rerun. */
   def run(spark: SparkSession, stagingDir: String, workDir: String,
       api: NotionApi, cfg: Drain.Config = Drain.Config()): Result = {
     val blocksDir = s"$workDir/blocks"
+    val statusDir = s"$workDir/statuses"
     Ingest.start(spark, stagingDir, blocksDir, s"$workDir/checkpoint")
       .awaitTermination()
     // log-driven read: only files a sink commit published are visible
     // (legacy plain-parquet stores still read as before; mergeSchema in
     // both paths covers stores mixing 6- and 8-column files)
     val blocks = graft.sinks.GraftBlocksStore.read(spark, blocksDir)
+    val pending = blocks.join(readStatuses(spark, statusDir),
+      Seq("blockBatch"), "left_anti")
     val parents = readParentUrls(spark, stagingDir)
-    val (pages, failures, report) = Drain.run(spark, blocks, parents, api, cfg)
+    val (pages, failures, report) = Drain.run(spark, pending, parents, api, cfg)
+    if (!pages.isEmpty) StatusStore.append(spark, statusDir, pages)
     Result(pages, failures, report)
   }
 

@@ -28,14 +28,22 @@ object StatusMachine {
     PageStatus.New -> 0, PageStatus.Uploading -> 1,
     PageStatus.Success -> 2, PageStatus.Fail -> 2, PageStatus.Aborted -> 2)
 
+  /** The ONE kind→status mapping (transition and the replay sort key
+    * both consume it — a second inline copy previously drifted on
+    * unknown kinds). */
+  private def statusOf(kind: String): Option[String] = kind match {
+    case "stored" => Some(PageStatus.New)
+    case "upload_start" => Some(PageStatus.Uploading)
+    case "upload_success" => Some(PageStatus.Success)
+    case "upload_fail" => Some(PageStatus.Fail)
+    case "aborted" => Some(PageStatus.Aborted)
+    case _ => None
+  }
+
   def transition(current: Option[PageRecord], e: StatusEvent): Option[PageRecord] = {
-    val next = e.kind match {
-      case "stored" => PageStatus.New
-      case "upload_start" => PageStatus.Uploading
-      case "upload_success" => PageStatus.Success
-      case "upload_fail" => PageStatus.Fail
-      case "aborted" => PageStatus.Aborted
-      case _ => return current
+    val next = statusOf(e.kind) match {
+      case Some(s) => s
+      case None => return current
     }
     current match {
       case None => Some(PageRecord(e.blockBatch, e.key, next, e.timeMs, None))
@@ -53,16 +61,16 @@ object StatusMachine {
       events: Iterator[StatusEvent],
       state: GroupState[PageRecord]): Iterator[PageRecord] = {
     var cur: Option[PageRecord] = state.getOption
-    events.toSeq.sortBy(e => (e.timeMs, rank.getOrElse(
-      e.kind match {
-        case "stored" => PageStatus.New
-        case "upload_start" => PageStatus.Uploading
-        case "upload_success" => PageStatus.Success
-        case "upload_fail" => PageStatus.Fail
-        case _ => PageStatus.Aborted
-      }, 0))).foreach { e =>
-      cur = transition(cur, e)
-    }
+    // TOTAL order: (time, rank, kind). Rank alone cannot separate two
+    // terminal kinds at the same millisecond (Success/Fail/Aborted all
+    // rank 2), so without the kind tiebreak the sticky winner depended
+    // on shuffle arrival order — a crash-replay could flip a persisted
+    // SUCCESS to FAIL. With it, the lexically-first terminal kind at a
+    // tied (time, rank) applies first and sticks, replay-independent.
+    // Unknown kinds sort at rank -1 (they are transition no-ops).
+    events.toSeq.sortBy(e =>
+      (e.timeMs, statusOf(e.kind).flatMap(rank.get).getOrElse(-1), e.kind))
+      .foreach { e => cur = transition(cur, e) }
     cur match {
       // a group whose only events had unknown kinds (and no prior
       // state) is IGNORED — fabricating a NEW record with empty key and

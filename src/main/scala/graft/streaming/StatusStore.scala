@@ -86,7 +86,13 @@ object StatusStore extends Logging {
     val (fs, rootPath) = fsFor(spark, root)
     GraftBlocksLog.lockFor(rootPath.toString).synchronized {
       adoptLegacy(spark, fs, rootPath)
-      val staged = stageParquet(spark, rootPath, statuses)
+      // one file per delta: an epoch's statuses are control-plane-sized
+      // but arrive with the CALLER'S partitioning (Drain output spreads
+      // across up to shuffle-partitions partitions) — staging dozens of
+      // part files per epoch would cross CompactAt immediately and
+      // trigger the full-snapshot rewrite on EVERY append, the exact
+      // O(history)-per-epoch loop compaction exists to prevent
+      val staged = stageParquet(spark, rootPath, statuses.coalesce(1))
       val entry = GraftLogEntry(None, staged, Nil, -1L)
       GraftBlocksLog.appendEntry(fs, rootPath, entry)
       if (GraftBlocksLog.readState(fs, rootPath).files.size >= CompactAt)

@@ -174,5 +174,17 @@ class EndToEndSpec extends AnyFunSuite {
     val twoUrl = ups.find(_._2.key.endsWith("Two.md")).get._1
     assert(oneUrl.startsWith("https://notion.test/main-parent/"))
     assert(twoUrl.startsWith("https://notion.test/cat-parent/"))
+
+    // idempotence across INVOCATIONS: a second run over the same
+    // workDir must upload nothing — the status cursor marks both pages
+    // terminal (previously the second run re-drained the whole store
+    // and duplicated every page's content at the API)
+    val before = MockNotionApi.uploadsOf("p2").size
+    val res2 = graft.streaming.Phase2.run(spark, staging.toString,
+      tmp.resolve("work").toString, api)
+    assert(res2.report.succeededPages.isEmpty,
+      s"second run re-drained: ${res2.report.succeededPages}")
+    assert(MockNotionApi.uploadsOf("p2").size == before,
+      "second run re-uploaded blocks to the API")
   }
 }

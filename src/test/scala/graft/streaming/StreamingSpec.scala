@@ -200,6 +200,31 @@ class StatusMachineSpec extends AnyFunSuite {
       s"phantom record emitted: ${out.toSeq}")
   }
 
+  test("same-millisecond terminal race resolves deterministically, both arrival orders") {
+    implicit val sqlCtx = spark.sqlContext
+    // fail and success at the SAME timeMs: the (time, rank, kind) total
+    // order applies the lexically-first terminal kind first, which then
+    // sticks — so FAIL must win regardless of insertion order (the old
+    // (time, rank) key left the winner to shuffle arrival order and a
+    // crash-replay could flip a persisted outcome)
+    for ((evs, tag) <- Seq(
+      (Seq(StatusEvent("bt", "k", "upload_fail", 1000),
+        StatusEvent("bt", "k", "upload_success", 1000)), "failfirst"),
+      (Seq(StatusEvent("bt", "k", "upload_success", 1000),
+        StatusEvent("bt", "k", "upload_fail", 1000)), "successfirst"))) {
+      val mem = MemoryStream[StatusEvent]
+      val q = StatusMachine.run(mem.toDS())
+        .writeStream.format("memory").queryName(s"status_tie_$tag")
+        .outputMode(OutputMode.Update()).start()
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val out = spark.table(s"status_tie_$tag").as[PageRecord].collect()
+      q.stop()
+      assert(out.map(_.status).toSeq == Seq(PageStatus.Fail),
+        s"$tag: tied terminals not deterministic: ${out.toSeq}")
+    }
+  }
+
   test("streaming mapGroupsWithState over MemoryStream") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatusEvent]
@@ -241,5 +266,28 @@ class MetricsSpec extends AnyFunSuite {
     }
     val m = Metrics.get("ingest_metrics").get
     assert(m("blocks_stored") == 3L)
+  }
+
+  test("observed metrics reach the sink from a STREAMING query") {
+    // QueryExecutionListener never fires for streaming micro-batches
+    // (no executionName) — delivery must ride the progress listener
+    implicit val sqlCtx = spark.sqlContext
+    Metrics.install(spark)
+    Metrics.clear()
+    val mem = MemoryStream[(String, Int)]
+    val q = Metrics.observeBlocks(
+        mem.toDF().toDF("blockBatch", "blockIndex"), "stream_metrics")
+      .writeStream.format("noop").start()
+    try {
+      mem.addData(("s1", 0), ("s1", 1), ("s2", 0), ("s2", 1), ("s2", 2))
+      q.processAllAvailable()
+      var tries = 0
+      while (Metrics.get("stream_metrics").isEmpty && tries < 50) {
+        Thread.sleep(100); tries += 1
+      }
+      val m = Metrics.get("stream_metrics")
+      assert(m.exists(_("blocks_stored") == 5L),
+        s"streaming observe never delivered: $m")
+    } finally q.stop()
   }
 }
