@@ -1064,9 +1064,8 @@ object ScaleCatalogue {
   // evaluated as independent flags plus the conjunction, so every
   // rejection is attributable — the observability a production cleaning
   // stage needs. Flags are per-row Column algebra (zero shuffle); the
-  // dedup survivor flag is one window on the text key (at 100 TB: group
-  // on xxhash64(text) first, q30's pattern, so the shuffle carries
-  // 8-byte keys).
+  // dedup survivor flag is one window keyed on xxhash64(text) (q30's
+  // pattern — the shuffle carries 8-byte keys, never documents).
   // ---------------------------------------------------------------------
   def q78CleanPipeline(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1079,8 +1078,11 @@ object ScaleCatalogue {
       .withColumn("ent_ok",
         (TextAnalysis.charEntropyQ(col("text")) >= 2800000L).cast("int"))
       .withColumn("dup_keep",
+        // 8-byte hash window key, not full documents (q30 discipline;
+        // collision honesty per Dedup.exactByHash — oracle uses text)
         (col("doc_id") ===
-          min(col("doc_id")).over(Window.partitionBy(col("text")))).cast("int"))
+          min(col("doc_id")).over(
+            Window.partitionBy(xxhash64(col("text"))))).cast("int"))
       .withColumn("kept",
         (col("len_ok") === 1 && col("tok_ok") === 1 &&
           col("ent_ok") === 1 && col("dup_keep") === 1).cast("int"))
@@ -3574,12 +3576,18 @@ object ScaleCatalogue {
     val docs = documents(s, d)
     val tr = docs.filter(col("doc_id") % 50 =!= 0)
     val ev = docs.filter(col("doc_id") % 50 === 0)
+    // dedup window keyed on xxhash64(text), NOT the raw text: the
+    // window exchange + sort comparator carry an 8-byte key instead of
+    // full documents (q30's exactByHash discipline; 64-bit collisions
+    // sit below the corpus birthday bound the repo already accepts for
+    // _lsh_docs keys — the oracle partitions by text and hash-matches)
     val flagged = tr
       .withColumn("tk", size(split(col("text"), " ")).cast("long"))
       .withColumn("clean",
         (col("n_chars").between(100, 100000) && col("tk") >= 20 &&
           col("doc_id") ===
-            min(col("doc_id")).over(Window.partitionBy(col("text"))))
+            min(col("doc_id")).over(
+              Window.partitionBy(xxhash64(col("text")))))
           .cast("long"))
     val cleanDocs = flagged.filter(col("clean") === 1)
     val contam = Dedup.contaminationOverlap(cleanDocs, ev, n = 3)

@@ -142,7 +142,16 @@ object LshIndex {
     val signed = spark.read.parquet(s"$dir/sigs").select(col("doc_id"))
     val freshData = docs.join(signed, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    if (freshIds.count() == 0L && freshData.count() == 0L) return
+    if (freshIds.count() == 0L && freshData.count() == 0L) {
+      // Third tear window: a prior append of this batch died AFTER the
+      // sigs write but BEFORE meta — all data landed, only the commit
+      // point is stale. Refresh meta iff it disagrees with the
+      // committed-id count; a fully-committed re-append stays a no-op.
+      val total = spark.read.parquet(s"$dir/_lsh_docs").count()
+      if (meta.getLong(0) != total)
+        writeMeta(spark, dir, total, n, numHashes, bands)
+      return
+    }
     if (freshIds.count() > 0L)
       freshIds.write.mode("append").parquet(s"$dir/_lsh_docs")
     if (freshData.count() > 0L)
@@ -151,17 +160,27 @@ object LshIndex {
     writeMeta(spark, dir, total, n, numHashes, bands)
   }
 
-  /** Torn-append detector: under the docs → bands → sigs → meta write
-    * order every interrupted [[append]] prefix leaves the committed-id
-    * count ahead of meta's n_docs (meta is the commit point). One
-    * narrow count, no signature scan. Recovery is no longer
-    * rebuild-only: re-running [[append]] with the same batch heals the
-    * tear (see the class-doc protocol); this detector remains for
-    * tears whose batch is gone. */
+  /** Torn-append detector, two-sided. Under the docs → bands → sigs →
+    * meta write order an interrupted [[append]] prefix leaves EITHER
+    * (a) meta behind the committed-id count (crash before meta), or
+    * (b) committed ids with no signatures (crash after the id write,
+    * batch never replayed — the "gone batch" tear). (a) alone is not
+    * enough: a LATER append of a different batch recounts `_lsh_docs`
+    * into fresh meta, which would launder (b) invisible while those
+    * orphaned ids silently never match in [[dedupBatch]]. So this also
+    * checks the id count against the signature-side doc count (sigs
+    * never double-insert — the append anti-join — so a plain distinct
+    * count is exact). Two narrow counts, no signature-array scan.
+    * Recovery for (a)/partial data: re-run [[append]] with the same
+    * batch (class-doc protocol); recovery for (b) needs the batch
+    * replayed or a rebuild. */
   def consistent(spark: SparkSession, dir: String): Boolean = {
     val st = spark.read.parquet(s"$dir/_lsh_meta")
       .select(col("n_docs")).collect()(0).getLong(0)
-    st == spark.read.parquet(s"$dir/_lsh_docs").count()
+    val nIds = spark.read.parquet(s"$dir/_lsh_docs").count()
+    val nSigs = spark.read.parquet(s"$dir/sigs")
+      .select(col("doc_id")).distinct().count()
+    st == nIds && nIds == nSigs
   }
 
   /** Copy-compaction: every [[append]] adds small files to sigs/ and

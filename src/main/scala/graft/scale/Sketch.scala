@@ -53,9 +53,21 @@ object Sketch {
     *
     * Returns (term, est_cnt) for every term with est ≥ N div phi.
     */
+  /** Pass-2 evaluates against d in-plan array LITERALS of w longs each —
+    * d·w cells are serialized into the plan and shipped to every task.
+    * 4×1024 = 32 KiB is free; a 100 TB-sized sketch (w = 2^17+) would
+    * inline megabytes into every plan and blow codegen limits, so the
+    * contract is explicit: past this bound, restructure pass 2 as a
+    * broadcast-map join on (r, b) instead of array literals. */
+  val MaxInlineCells = 65536
+
   def heavyHitters(terms: DataFrame, phi: Long = 1000L, d: Int = 4,
       w: Int = 1024): DataFrame = {
     require(phi > 0)
+    require(d.toLong * w <= MaxInlineCells,
+      s"d*w = ${d.toLong * w} exceeds MaxInlineCells=$MaxInlineCells: the " +
+        "pass-2 filter inlines the sketch as plan literals; a sketch this " +
+        "large must switch to a broadcast (r,b)->cnt map join")
     val cells = countMin(terms, d, w).collect()
     val flat = Array.fill(d * w)(0L)
     cells.foreach(r =>

@@ -331,9 +331,18 @@ object GraftBlocksStore {
       // legacy fallback — but an empty or data-less root (e.g. only a
       // failed write's _graft_log/_lease residue) must read as an
       // empty typed frame, not die in parquet schema inference
+      // "has data" must cover BOTH legacy layouts: flat (top-level
+      // *.parquet files) and partitioned (key=…/ subdirectories, no
+      // top-level files) — the latter read fine before the guard, so a
+      // files-only probe would silently hide it behind the empty frame.
+      // Any non-underscore, non-dot subdirectory counts: parquet
+      // metadata dirs and the sink's own _graft_log/_lease residue all
+      // start with '_'.
       val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
         val n = s.getPath.getName
-        s.isFile && n.endsWith(".parquet") && !n.startsWith(".")
+        val visible = !n.startsWith(".") && !n.startsWith("_")
+        (s.isFile && visible && n.endsWith(".parquet")) ||
+          (s.isDirectory && visible)
       }
       if (!hasData)
         return spark.createDataFrame(

@@ -187,5 +187,45 @@ class LshIndexSpec extends AnyFunSuite {
     val sigCount = spark.read.parquet(s"$t2/sigs")
       .groupBy(col("doc_id")).count().filter(col("count") > 1).count()
     assert(sigCount == 0L, "heal duplicated signatures")
+
+    // tear 3: died after ids + bands + sigs, before meta — ALL data
+    // landed, only the commit point is stale. The replay finds nothing
+    // fresh; it must still refresh meta rather than return with the
+    // index permanently inconsistent
+    val t3 = tmp("graft-lshidx-heal3")
+    LshIndex.build(base, t3)
+    val meta3 = spark.read.parquet(s"$t3/_lsh_meta").collect()(0)
+    batch.select(col("doc_id")).write.mode("append")
+      .parquet(s"$t3/_lsh_docs")
+    val sig3 = LshIndex.signaturesFor(batch, meta3.getInt(1), meta3.getInt(2))
+    LshIndex.writeBandsFor(sig3, t3, meta3.getInt(3), meta3.getInt(2))
+    sig3.write.mode("append").parquet(s"$t3/sigs")
+    assert(!LshIndex.consistent(spark, t3))
+    LshIndex.append(batch, t3)
+    assert(LshIndex.consistent(spark, t3), "replay did not heal tear 3 (meta-only)")
+    val got3 = LshIndex.dedupBatch(spark, t3, probe, minMatches = 8)
+      .select(col("new_doc"), col("corpus_doc"), col("matches"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got3 == want, "healed index (tear after sigs) diverges")
+  }
+
+  test("gone-batch tear is NOT laundered by a later append of a different batch") {
+    val base = corpus.filter(col("doc_id") < 300)
+    val gone = corpus.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    val later = corpus.filter(col("doc_id") >= 350 && col("doc_id") < 400)
+    val dir = tmp("graft-lshidx-gone")
+    LshIndex.build(base, dir)
+    // tear after the ids write; the batch is then LOST (never replayed)
+    gone.select(col("doc_id")).write.mode("append")
+      .parquet(s"$dir/_lsh_docs")
+    assert(!LshIndex.consistent(spark, dir))
+    // a later append of a DIFFERENT batch recounts _lsh_docs into meta —
+    // the detector must still see the orphaned, signature-less ids
+    LshIndex.append(later, dir)
+    assert(!LshIndex.consistent(spark, dir),
+      "different-batch append laundered a gone-batch tear")
+    // replaying the gone batch finally heals everything
+    LshIndex.append(gone, dir)
+    assert(LshIndex.consistent(spark, dir), "gone-batch replay did not heal")
   }
 }

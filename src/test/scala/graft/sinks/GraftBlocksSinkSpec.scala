@@ -171,6 +171,18 @@ class GraftBlocksSinkSpec extends AnyFunSuite {
     assert(GraftBlocksStore.read(spark, dir).count() == 4)
   }
 
+  test("legacy PARTITIONED store (key=… subdirs, no top-level files) still reads") {
+    // pre-sink foreachBatch stores were sometimes written partitioned:
+    // data lives under blockBatch=…/ subdirectories with NO top-level
+    // *.parquet files — a files-only data probe would silently hide it
+    // behind the empty typed frame
+    val dir = freshDir()
+    rows("p1", 3).union(rows("p2", 2))
+      .write.partitionBy("blockBatch").mode("append").parquet(dir)
+    assert(GraftBlocksStore.read(spark, dir).count() == 5,
+      "partitioned legacy rows hidden by the files-only data probe")
+  }
+
   test("a failed write's lease residue must not hide legacy rows") {
     // lease acquire creates _graft_log/ BEFORE adoption validation; a
     // failed first write on a legacy store leaves the dir with only
