@@ -3914,6 +3914,45 @@ object ScaleCatalogue {
       |WHERE s.n_members >= 2
       |ORDER BY s.cluster""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q134 — RANK-error quantile sketch (scale/Sketch.rankQuantiles): the
+  // skew-robust successor to q114. histQuantiles' one-bin bound is in
+  // VALUE space — one 2^40 outlier stretches its global extent until
+  // all real mass bins at 0 and the p50 estimate is useless exactly on
+  // the heavy-tailed length/token distributions it replaces q54 for.
+  // This sketch bounds RANK error instead: per-group state is the k
+  // rows with smallest md5_64(group:id) (a deterministic uniform
+  // sample — the derandomized-KLL trade: coin-flip compaction would
+  // make a distributed result partitioning-dependent and break oracle
+  // replay), estimate = sample order statistic. WindowGroupLimit
+  // k-selects map-side before the group exchange; merge is KMV union
+  // (bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B)). Groups ≤ k
+  // degrade to EXACT quantiles (all of sf0.01 does — the planted
+  // heavy-tail rank-error bound is RankQuantileSpec's job).
+  // ---------------------------------------------------------------------
+  def q134RankQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.scale.Sketch
+      .rankQuantiles(documents(s, d), "lang", "n_chars", "doc_id")
+      .withColumnRenamed("g", "lang")
+      .orderBy(col("lang"), col("pq"))
+  val q134Sql: String =
+    """WITH s AS (
+      |  SELECT lang, n_chars, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY CAST('0x' || substr(md5(lang || ':' ||
+      |        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT), doc_id) AS srn
+      |  FROM documents),
+      |samp AS (SELECT lang, n_chars, doc_id FROM s WHERE srn <= 256),
+      |m AS (SELECT lang, count(*) AS mm FROM samp GROUP BY 1),
+      |ord AS (SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id)
+      |      AS rnk FROM samp),
+      |qs AS (SELECT unnest([25, 50, 75, 95]) AS pq)
+      |SELECT o.lang, q.pq::BIGINT AS pq, o.n_chars::BIGINT AS est
+      |FROM ord o JOIN m ON o.lang = m.lang, qs q
+      |WHERE o.rnk = (q.pq * m.mm + 99) // 100
+      |ORDER BY o.lang, pq""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -4007,6 +4046,7 @@ object ScaleCatalogue {
     "q131_token_shards" -> q131TokenShards _,
     "q132_lang_segments" -> q132LangSegments _,
     "q133_keep_best" -> q133KeepBest _,
+    "q134_rank_quantiles" -> q134RankQuantiles _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4109,5 +4149,6 @@ object ScaleCatalogue {
     "q131_token_shards" -> q131Sql,
     "q132_lang_segments" -> q132Sql,
     "q133_keep_best" -> q133Sql,
+    "q134_rank_quantiles" -> q134Sql,
   )
 }

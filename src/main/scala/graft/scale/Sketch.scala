@@ -162,4 +162,105 @@ object Sketch {
       .select(col("g"), col("pq"), col("qbin"),
         expr(s"lo + (qbin * (hi - lo + 1)) div $bins").as("est"))
   }
+
+  // -------------------------------------------------------------------
+  // Rank-error quantiles — the skew-robust successor to histQuantiles.
+  // -------------------------------------------------------------------
+
+  /** Per-group mergeable RANK-error quantile sketch: the fixed-size
+    * state is the k rows with the smallest md5_64(group:id) hash (a
+    * deterministic uniform row sample — bottom-k on a pseudo-random
+    * permutation of row ids), and the q-quantile estimate is the
+    * ⌈q·m⌉-th order statistic of that sample.
+    *
+    * WHY this construction and not a KLL/GK compactor: the error bound
+    * [[histQuantiles]] offers is in VALUE space — one 2^40 outlier
+    * stretches its global (lo, hi) extent until every real document
+    * lands in bin 0 and the p50 estimate is useless precisely on the
+    * heavy-tailed length/token distributions (q44/q54) the sketch
+    * exists for. The fix must bound RANK error: est's true rank within
+    * ε·n of the target, independent of the value distribution. KLL
+    * gets there with coin-flip compaction and GK with order-dependent
+    * inserts — both make a distributed result depend on partitioning
+    * and scheduling, which breaks the repo's oracle discipline (every
+    * estimate bit-replayable by an external SQL engine). Bottom-k on a
+    * content hash is the derandomized sample: a pure FUNCTION of the
+    * dataset (order- and partitioning-invariant), trivially mergeable
+    * — bottomK(bottomK(A) ∪ bottomK(B)) = bottomK(A ∪ B), the KMV
+    * union rule — at the classic sample-quantile bound: rank error
+    * ≤ ε·n w.h.p. for k = O(1/ε²) (Θ(1/ε² · log 1/δ) vs KLL's
+    * Θ(1/ε · log² log 1/δ) — the space trade bought determinism, and
+    * at k=256 the state is 4 KiB/group: noise at 100 TB).
+    *
+    * Scale shape: the sampling `row_number ≤ k` filter is recognized
+    * by Spark's WindowGroupLimit rule, which k-selects map-side BEFORE
+    * the group exchange — the shuffle carries ≤ k rows per group per
+    * map partition, never the corpus (RankQuantileSpec pins the
+    * operator's presence in the plan). Everything downstream runs on
+    * ≤ k rows per group. All comparisons are on long hashes and long
+    * values, so estimates are bit-reproducible on any partitioning and
+    * any engine.
+    *
+    * Returns the sketch state `(g, h, id, v)` — ≤ k rows per group;
+    * feed to [[rankQuantilesOf]] (estimates) or union states and
+    * re-apply (merge). */
+  def rankSample(rows: DataFrame, groupCol: String, valCol: String,
+      idCol: String, k: Int = 256): DataFrame = {
+    require(k >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"), col("id"))
+    rows
+      .select(col(groupCol).as("g"), col(valCol).cast("long").as("v"),
+        col(idCol).cast("long").as("id"))
+      .withColumn("h", graft.functions.Md5_64.md5_64(
+        concat_ws(":", col("g"), col("id"))))
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= k)
+      .select(col("g"), col("h"), col("id"), col("v"))
+  }
+
+  /** KMV union: merging two shards' sketches is re-taking the bottom-k
+    * of the union — the hash ranks are global, so the merged sketch
+    * EQUALS the sketch of the union of the underlying data
+    * (RankQuantileSpec pins this as exact frame equality, not just
+    * estimate agreement). */
+  def mergeRankSamples(a: DataFrame, b: DataFrame, k: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("h"), col("id"))
+    a.unionByName(b)
+      // the same row can appear in both shards' sketches
+      .dropDuplicates("g", "id")
+      .withColumn("srn", row_number().over(w))
+      .filter(col("srn") <= k)
+      .select(col("g"), col("h"), col("id"), col("v"))
+  }
+
+  /** Estimate quantiles from a [[rankSample]] state: for percentage p
+    * the estimate is the ⌈p·m/100⌉-th smallest sample value (m = the
+    * group's sample size — min(k, group rows), so small groups degrade
+    * to EXACT quantiles). Integer rank arithmetic; the value pick is
+    * tie-safe (equal values give the same estimate under any
+    * tiebreak). Runs entirely on ≤ k rows per group.
+    *
+    * Returns (g, pq, est). */
+  def rankQuantilesOf(sample: DataFrame, pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100))
+    val byV = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val m = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+    val qs = sample.sparkSession.range(1)
+      .select(explode(array(pcts.map(p => lit(p.toLong)): _*)).as("pq"))
+    sample
+      .withColumn("rnk", row_number().over(byV).cast("long"))
+      .withColumn("m", count(lit(1)).over(m))
+      .crossJoin(broadcast(qs))
+      .filter(col("rnk") === expr("(pq * m + 99) div 100"))
+      .select(col("g"), col("pq"), col("v").as("est"))
+  }
+
+  /** One-shot build + estimate — the q134 surface. */
+  def rankQuantiles(rows: DataFrame, groupCol: String, valCol: String,
+      idCol: String, k: Int = 256,
+      pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame =
+    rankQuantilesOf(rankSample(rows, groupCol, valCol, idCol, k), pcts)
 }
