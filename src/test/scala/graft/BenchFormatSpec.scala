@@ -18,10 +18,20 @@ class BenchFormatSpec extends AnyFunSuite {
       Left("""java.lang.RuntimeException: boom "quoted" path\with\slashes""")))
 
   private val line = Bench.formatJson(3, "/root/testdata/sf0.1", all,
-    Seq("dump_scan_xml_splits" -> "13", "dump_scan_xml_file_mbps" -> "340.1"))
+    Seq("dump_scan_xml_splits" -> "13", "dump_scan_xml_file_mbps" -> "340.1"),
+    cpus = 32)
 
   test("the line is valid JSON") {
     assert(JsonMethods.parse(line) != JNothing)
+  }
+
+  test("both lines record the core count (cross-artifact comparability)") {
+    // the r12 'dump_scan_bz2 regression' was two artifacts compared
+    // across an unrecorded local[32]-vs-local[4] config delta — the
+    // core count must be on the face of every artifact
+    assert((JsonMethods.parse(line) \ "cpus").extract[Int] == 32)
+    val compact = Bench.formatCompactJson(all, rerunN = 0, cpus = 32)
+    assert((JsonMethods.parse(compact) \ "cpus").extract[Int] == 32)
   }
 
   test("per-query medians are the LAST key in the object") {
