@@ -3953,6 +3953,58 @@ object ScaleCatalogue {
       |WHERE o.rnk = (q.pq * m.mm + 99) // 100
       |ORDER BY o.lang, pq""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q136 — REAL image codec in the dedup loop (Multimodal.
+  // imageAverageHash): q130 proved the aHash algebra over the synthetic
+  // header rule; this proves the same algebra over ACTUAL PNG BYTES
+  // through javax.imageio. Fixture = one real 16×16 grayscale PNG per
+  // document, built from an oracle-known rule — each 2×2 block is the
+  // constant gray (doc_id·131 + i·17) mod 256 for block index i — so
+  // the real decode → integer 8×8 average-pool recovers the rule's
+  // values EXACTLY (lossless PNG, constant blocks → exact integer
+  // means) and the oracle predicts every hash analytically while Spark
+  // derives it through encode→PNG→ImageIO→pool→hash. The q41/q130
+  // synthesized-media discipline with a production codec in the loop.
+  // Scale shape: encode+decode+hash all inside one batched
+  // mapPartitions chain — bytes never shuffle; only (doc_id, ahash)
+  // leaves the partition.
+  // ---------------------------------------------------------------------
+  def q136ImageCodecHash(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val mediaSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("bytes", BinaryType, nullable = true)))
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    val media = documents(s, d).select(col("doc_id"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val px = Array.tabulate(256) { p =>
+            val bx = (p % 16) / 2
+            val by = (p / 16) / 2
+            val i = by * 8 + bx
+            ((id * 131L + i * 17L) % 256L).toInt
+          }
+          Row(id, Multimodal.encodePngGray(16, 16, px))
+        }
+      }(enc)
+    Multimodal.imageAverageHash(media)
+      .select(col("media_id").as("doc_id"), col("ahash"))
+      .orderBy(col("doc_id"))
+  }
+  val q136Sql: String =
+    """WITH px AS (
+      |  SELECT doc_id, i, (doc_id * 131 + i * 17) % 256 AS g
+      |  FROM documents, LATERAL (SELECT unnest(range(0, 63)) AS i) t),
+      |m AS (SELECT doc_id, sum(g) // 63 AS mean FROM px GROUP BY 1),
+      |bits AS (
+      |  SELECT p.doc_id,
+      |    sum(CASE WHEN p.g > m.mean THEN (1::BIGINT << p.i::INT)
+      |      ELSE 0 END)::BIGINT AS ahash
+      |  FROM px p JOIN m USING (doc_id) GROUP BY 1)
+      |SELECT doc_id, ahash FROM bits ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -4047,6 +4099,7 @@ object ScaleCatalogue {
     "q132_lang_segments" -> q132LangSegments _,
     "q133_keep_best" -> q133KeepBest _,
     "q134_rank_quantiles" -> q134RankQuantiles _,
+    "q136_image_codec_hash" -> q136ImageCodecHash _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4150,5 +4203,6 @@ object ScaleCatalogue {
     "q132_lang_segments" -> q132Sql,
     "q133_keep_best" -> q133Sql,
     "q134_rank_quantiles" -> q134Sql,
+    "q136_image_codec_hash" -> q136Sql,
   )
 }

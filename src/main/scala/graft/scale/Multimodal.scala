@@ -7,13 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: image/audio/video as opaque `binary`
   * columns with typed metadata, processed in partition-local batches.
   *
-  * The actual codec step is STUBBED (this container ships no image/audio
-  * libraries) behind [[MediaCodec]] — a deterministic fake that parses a
-  * tiny self-describing header. Everything around it is real Spark
-  * plumbing: the schema contract, the batched `mapPartitions` execution
-  * shape (mirroring `mapInPandas`-style batch UDFs), binary-slice frame
-  * sampling, and hash-derived feature vectors. Swapping in a real codec
-  * is a one-function change with no plan/partitioning impact.
+  * Two codec tiers. The synthetic [[MediaCodec]] (a deterministic fake
+  * parsing a tiny self-describing header) stands in for audio/video
+  * decode, which this container has no libraries for; everything
+  * around it is real Spark plumbing — the schema contract, the batched
+  * `mapPartitions` execution shape (mirroring `mapInPandas`-style
+  * batch UDFs), binary-slice frame sampling, hash-derived feature
+  * vectors. For IMAGES the codec is REAL: [[imageAverageHash]] /
+  * [[decodeGray8x8]] run javax.imageio (JDK-native, present on every
+  * executor) behind the same batched shape and the same hash algebra,
+  * so actual PNG bytes from a crawl have an operator to call — the
+  * swap the synthetic tier's docs promised, demonstrated in-tree.
   */
 object Multimodal {
 
@@ -246,6 +250,126 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(h1 ^ h2)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("d1"), col("d2"), col("hamming"))
+  }
+
+  // -------------------------------------------------------------------
+  // REAL image codec path (javax.imageio) — closes the "no operator to
+  // call on actual PNG bytes" gap: same batched mapPartitions shape,
+  // same aHash mean rule, a real lossless decode at the payload step.
+  // -------------------------------------------------------------------
+
+  /** Lossless grayscale PNG encode — the fixture/ingest-side twin of
+    * [[decodeGray8x8]]: `pixels` is row-major w×h gray in [0,255],
+    * written as TYPE_BYTE_GRAY so the decode side reads back the exact
+    * samples (PNG is lossless; JPEG is NOT — a JPEG fixture could
+    * never be oracle-predicted, which is why the analytic-oracle
+    * discipline pins this path to PNG). */
+  def encodePngGray(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == w * h, "pixels must be row-major w*h")
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var p = 0
+    while (p < pixels.length) {
+      raster.setSample(p % w, p / w, 0, pixels(p) & 0xFF)
+      p += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real-codec decode → 8×8 integer gray grid: javax.imageio reads
+    * the bytes (PNG/BMP/GIF — whatever the JDK readers accept), gray
+    * is the raster sample for grayscale images or the integer Rec.601
+    * luma ((299r + 587g + 114b) div 1000) otherwise, and the grid is
+    * an integer average-pool (floor block boundaries, floor mean) so
+    * the whole chain is exact integer arithmetic an external engine
+    * can replay when the source pixels are known. Returns None for
+    * null/undecodable bytes (the decode_ok routing discipline — a
+    * corrupt image yields no row, never a throw). */
+  private[scale] def decodeGray8x8(bytes: Array[Byte]): Option[Array[Int]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: java.io.IOException => null }
+    if (img == null || img.getWidth < 1 || img.getHeight < 1) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val isGray =
+        img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      def grayAt(x: Int, y: Int): Int =
+        if (isGray) img.getRaster.getSample(x, y, 0)
+        else {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+            (rgb & 0xFF) * 114) / 1000
+        }
+      val out = new Array[Int](64)
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          val x0 = bx * w / 8
+          val x1 = math.max((bx + 1) * w / 8, x0 + 1)
+          val y0 = by * h / 8
+          val y1 = math.max((by + 1) * h / 8, y0 + 1)
+          var s = 0
+          var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += grayAt(x, y); n += 1; x += 1 }
+            y += 1
+          }
+          out(by * 8 + bx) = s / n
+          bx += 1
+        }
+        by += 1
+      }
+      Some(out)
+    }
+  }
+
+  /** [[averageHash]] over REAL image bytes: javax.imageio grayscale
+    * decode → integer 8×8 average-pool ([[decodeGray8x8]]) → the SAME
+    * mean rule (bit i set iff pooled pixel i exceeds the integer mean
+    * of the first `window` pixels, 63 sign-safe bits). Same batched
+    * `mapPartitions` execution shape as [[decode]]; undecodable bytes
+    * yield no row. The two paths share the hash algebra by contract:
+    * MultimodalSpec pins this function against the rule-predicted hash
+    * on a generated PNG fixture — the q41/q130 analytic-oracle
+    * discipline with a REAL codec in the loop. */
+  def imageAverageHash(images: DataFrame, window: Int = 63,
+      batchSize: Int = 256): DataFrame = {
+    require(window >= 1 && window <= 63,
+      "window must stay within the 63 sign-safe hash bits")
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    images.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // no tmp-file spooling
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { r =>
+            val id = r.getLong(0)
+            val bytes = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+            decodeGray8x8(bytes).map { px64 =>
+              val px = px64.take(window)
+              val mean = px.sum / window
+              var hsh = 0L
+              var i = 0
+              while (i < window) {
+                if (px(i) > mean) hsh |= (1L << i)
+                i += 1
+              }
+              Row(id, hsh)
+            }
+          }
+        }
+      }(enc)
   }
 
   /** Hash-derived feature vector (stub for a real embedding model):

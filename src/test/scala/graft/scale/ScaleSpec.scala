@@ -458,6 +458,67 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sameGroup.forall(p => p._3 == 0L || p._3 == 2L),
       "within-group hamming must be exactly the noise bits")
   }
+
+  test("real codec: PNG round-trip recovers exact pixels and the rule-predicted hash") {
+    // 8×8 gray PNG: decode + pool is the identity — exact pixel recovery
+    val px8 = Array.tabulate(64)(i => (i * 31 + 7) % 256)
+    val png8 = Multimodal.encodePngGray(8, 8, px8)
+    assert(Multimodal.decodeGray8x8(png8).get.toSeq == px8.toSeq,
+      "8x8 PNG round-trip must be the identity")
+
+    // 16×16 with constant 2×2 blocks: integer pool recovers the block
+    // values exactly (the q136 fixture rule)
+    def blockPx(id: Long): Array[Int] = Array.tabulate(256) { p =>
+      val i = ((p / 16) / 2) * 8 + ((p % 16) / 2)
+      ((id * 131L + i * 17L) % 256L).toInt
+    }
+    def ruleHash(id: Long): Long = {
+      val px = Array.tabulate(63)(i => ((id * 131L + i * 17L) % 256L).toInt)
+      val mean = px.sum / 63
+      px.indices.filter(i => px(i) > mean).map(1L << _).sum
+    }
+    val imgs = Seq(5L, 6L, 7L)
+      .map(id => (id, Multimodal.encodePngGray(16, 16, blockPx(id))))
+      .toDF("media_id", "bytes")
+    val got = Multimodal.imageAverageHash(imgs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(5L -> ruleHash(5L), 6L -> ruleHash(6L),
+      7L -> ruleHash(7L)), "real-codec hash diverged from the rule")
+
+    // codec-vs-synthetic-twin: the REAL path over a PNG equals the
+    // synthetic path over a fake-header payload carrying the same
+    // pooled pixels — the two tiers share one hash algebra
+    val pooled = Multimodal.decodeGray8x8(
+      Multimodal.encodePngGray(16, 16, blockPx(5L))).get
+    val syn = Seq((5L, "image", Multimodal.MediaCodec.encode("image", 8, 8,
+        0L, pooled.map(_.toByte))))
+      .toDF("media_id", "kind", "bytes")
+    assert(Multimodal.averageHash(syn).as[(Long, Long)].collect().toMap
+      == Map(5L -> got(5L)), "synthetic and real tiers computed different hashes")
+  }
+
+  test("real codec: RGB PNGs take the integer luma path; garbage bytes yield no row") {
+    // 8×8 RGB image, one constant color → every pooled pixel is the
+    // same luma, mean == value, no bit set (strict > rule)
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x336699)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val luma = (0x33 * 299 + 0x66 * 587 + 0x99 * 114) / 1000
+    assert(Multimodal.decodeGray8x8(out.toByteArray).get.toSeq ==
+      Seq.fill(64)(luma), "RGB decode must follow the Rec.601 integer luma")
+
+    val mixed = Seq(
+      (1L, out.toByteArray),
+      (2L, Array[Byte](1, 2, 3)),            // not an image
+      (3L, null.asInstanceOf[Array[Byte]]))  // null bytes
+      .toDF("media_id", "bytes")
+    val got = Multimodal.imageAverageHash(mixed)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L),
+      s"undecodable media must yield no row, got $got")
+  }
 }
 
 class TextAnalysisOpsSpec extends AnyFunSuite {
