@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   * {{{
   *   postings/term_bucket=N/…   (doc_id, term, tf, dl) rows, term-sorted
   *   _bm_stats/…                one row: (n_docs, sum_dl)
+  *   _bm_tombstones/…           deleted (doc_id, dl) ([[delete]]; probes
+  *                              anti-join + stats adjust, [[compactTo]]
+  *                              folds)
   * }}}
   *
   * Serving read: the probe terms' bucket ids are driver-computed
@@ -99,14 +102,96 @@ object BmIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_stats")
   }
 
+  /** Tombstone table (doc_id, dl) — absent until the first [[delete]];
+    * reads as empty when missing so pre-tombstone indexes work
+    * unchanged. `dl` is captured at delete time (one postings scan per
+    * delete batch — index-sized, and deletes are the rare op) so probe-
+    * time stats adjustment is a one-row aggregate, never a scan. */
+  private[scale] def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_bm_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.range(0).select(col("id").as("doc_id"),
+      col("id").as("dl"))
+  }
+
+  /** Tombstone delete: the doc's postings stay on disk until
+    * [[compactTo]], but [[topK]] excludes it NOW and re-derives the
+    * BM25 stats (n_docs, avgdl) net of tombstones, so `delete(X)` then
+    * probe is SCORE-identical to an index built without X (BmIndexSpec
+    * pins the equivalence — IDF and avgdl both shift when a document
+    * leaves the corpus, and a probe-side anti-join alone would get the
+    * ranks right but the scores wrong). Only committed, not-yet-dead
+    * ids are recorded: unknown-id deletes are no-ops, replays are
+    * idempotent. A doc with no postings (empty text) carries dl=0 —
+    * it only ever contributed n_docs to the stats. */
+  def delete(docIds: DataFrame, dir: String): Unit = {
+    val spark = docIds.sparkSession
+    val committed = spark.read.parquet(s"$dir/_bm_docs")
+    val fresh = docIds.select(col("doc_id")).distinct()
+      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(tombstones(spark, dir).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    // dl per doc from its postings (every posting row carries the
+    // doc's length); docs with no postings fall back to 0
+    val dls = spark.read.parquet(s"$dir/postings")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("pdl"))
+    val dead = fresh
+      .join(dls, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("pdl"), lit(0L)).cast("long").as("dl"))
+      .localCheckpoint()
+    if (dead.count() > 0L)
+      dead.write.mode("append").parquet(s"$dir/_bm_tombstones")
+  }
+
+  /** Fold-compaction into a fresh directory (the [[LshIndex.compactTo]]
+    * crash-safety shape: `destDir` is torn-detectable until its stats
+    * land; the source stays untouched): tombstoned docs' rows are
+    * physically dropped from ids and postings, stats are re-derived
+    * net of tombstones, and the destination starts tombstone-free.
+    * Also consolidates file geometry (one file per term bucket). */
+  def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
+    val dead = tombstones(spark, dir).select(col("doc_id")).localCheckpoint()
+    val docs = spark.read.parquet(s"$dir/_bm_docs")
+      .join(dead, Seq("doc_id"), "left_anti").localCheckpoint()
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$destDir/_bm_docs")
+    spark.read.parquet(s"$dir/postings")
+      .join(dead, Seq("doc_id"), "left_anti")
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term"))
+      .write.partitionBy("term_bucket").mode("overwrite")
+      .parquet(s"$destDir/postings")
+    adjustedStats(spark, dir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/_bm_stats")
+  }
+
+  /** Stored stats net of tombstones — one row minus one row, both
+    * driver-scalar reads. */
+  private def adjustedStats(spark: SparkSession, dir: String): DataFrame = {
+    val old = spark.read.parquet(s"$dir/_bm_stats")
+      .select(col("n_docs"), col("sum_dl")).collect()(0)
+    val deadAgg = tombstones(spark, dir)
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ddl")).collect()(0)
+    val nd = deadAgg.getLong(0)
+    val ddl = if (deadAgg.isNullAt(1)) 0L else deadAgg.getLong(1)
+    spark.range(1)
+      .select(lit(old.getLong(0) - nd).as("n_docs"),
+        lit(old.getLong(1) - ddl).as("sum_dl"))
+  }
+
   /** Torn-append detector: under the ids → postings → stats write
     * order, every interrupted [[append]] prefix leaves the committed-id
     * count ahead of the stats row. One narrow-column count — no
-    * postings scan. */
+    * postings scan. Tombstones must reference committed docs only (an
+    * orphan means a delete raced a compaction swap). */
   def consistent(spark: SparkSession, dir: String): Boolean = {
     val st = spark.read.parquet(s"$dir/_bm_stats")
       .select(col("n_docs")).collect()(0).getLong(0)
-    st == spark.read.parquet(s"$dir/_bm_docs").count()
+    val ids = spark.read.parquet(s"$dir/_bm_docs")
+    val orphanDead = tombstones(spark, dir).select(col("doc_id"))
+      .join(ids, Seq("doc_id"), "left_anti").count()
+    st == ids.count() && orphanDead == 0L
   }
 
   /** BM25 top-k served from the materialized layout: probed bucket ids
@@ -121,8 +206,14 @@ object BmIndex {
     val probed = spark.read.parquet(s"$dir/postings")
       .filter(col("term_bucket").isin(buckets: _*))
       .join(broadcast(terms), Seq("term"))
+      // tombstoned docs stop scoring the moment delete() commits
+      .join(tombstones(spark, dir).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
-    val stats = spark.read.parquet(s"$dir/_bm_stats")
+    // stats NET of tombstones: IDF and avgdl shift when docs leave the
+    // corpus — delete(X) then topK must score exactly like an index
+    // that never held X
+    val stats = adjustedStats(spark, dir)
       .select(col("n_docs").cast("double").as("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))

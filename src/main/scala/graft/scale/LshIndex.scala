@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   *   sigs/…                  (doc_id, sig array<long>) — verification side
   *   _lsh_docs/…             committed doc_ids (append anti-join target)
   *   _lsh_meta/…             one row: (n_docs, n, num_hashes, bands)
+  *   _lsh_tombstones/…       deleted doc_ids ([[delete]]; probes
+  *                           anti-join it, [[compactTo]] folds it)
   * }}}
   *
   * Hash family: the portable md5-derived universal-hash MinHash of
@@ -177,10 +179,48 @@ object LshIndex {
   def consistent(spark: SparkSession, dir: String): Boolean = {
     val st = spark.read.parquet(s"$dir/_lsh_meta")
       .select(col("n_docs")).collect()(0).getLong(0)
-    val nIds = spark.read.parquet(s"$dir/_lsh_docs").count()
+    val ids = spark.read.parquet(s"$dir/_lsh_docs")
+    val nIds = ids.count()
     val nSigs = spark.read.parquet(s"$dir/sigs")
       .select(col("doc_id")).distinct().count()
-    st == nIds && nIds == nSigs
+    // tombstones must reference committed docs only — an orphaned
+    // tombstone means a delete raced a compaction swap
+    val orphanDead = tombstones(spark, dir)
+      .join(ids, Seq("doc_id"), "left_anti").count()
+    st == nIds && nIds == nSigs && orphanDead == 0L
+  }
+
+  /** Tombstone table (doc_id) — absent until the first [[delete]].
+    * Reads as empty when missing so every pre-tombstone index keeps
+    * working unchanged. */
+  private[scale] def tombstones(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_lsh_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString).select(col("doc_id"))
+    else spark.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** Tombstone delete — the takedown/right-to-be-forgotten path the
+    * append-only contract lacked: the doc's physical rows stay until
+    * [[compactTo]] folds them, but every probe excludes it NOW (the
+    * [[dedupBatch]] anti-join), so `delete(X)` followed by a probe is
+    * result-identical to an index built without X (LshIndexSpec pins
+    * the equivalence). Only committed, not-yet-tombstoned ids are
+    * recorded — deleting an unknown id is a no-op and replaying a
+    * delete is idempotent (the append self-heal discipline). A
+    * tombstoned id stays excluded until compaction; re-admitting a
+    * document after takedown means compacting first (the id leaves
+    * `_lsh_docs`) and appending fresh — silent resurrection via append
+    * is impossible because append skips committed ids. */
+  def delete(docIds: DataFrame, dir: String): Unit = {
+    val spark = docIds.sparkSession
+    val committed = spark.read.parquet(s"$dir/_lsh_docs")
+    val fresh = docIds.select(col("doc_id")).distinct()
+      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      fresh.write.mode("append").parquet(s"$dir/_lsh_tombstones")
   }
 
   /** Copy-compaction: every [[append]] adds small files to sigs/ and
@@ -196,16 +236,24 @@ object LshIndex {
     * scan + one bucket shuffle — index-sized, never corpus-sized. */
   def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
     val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
-    spark.read.parquet(s"$dir/_lsh_docs").coalesce(1)
+    // tombstones FOLD here: deleted docs' rows are physically dropped
+    // from every table and the destination starts tombstone-free —
+    // compaction is the only operation that reclaims deleted ids
+    val dead = tombstones(spark, dir).localCheckpoint()
+    val docs = spark.read.parquet(s"$dir/_lsh_docs")
+      .join(dead, Seq("doc_id"), "left_anti").localCheckpoint()
+    docs.coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_lsh_docs")
-    spark.read.parquet(s"$dir/sigs").coalesce(1)
+    spark.read.parquet(s"$dir/sigs")
+      .join(dead, Seq("doc_id"), "left_anti").coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/sigs")
     spark.read.parquet(s"$dir/bands")
+      .join(dead, Seq("doc_id"), "left_anti")
       .repartition(col("band_bucket"))
       .sortWithinPartitions(col("band"), col("bk"))
       .write.partitionBy("band_bucket").mode("overwrite")
       .parquet(s"$destDir/bands")
-    writeMeta(spark, destDir, meta.getLong(0), meta.getInt(1),
+    writeMeta(spark, destDir, docs.count(), meta.getInt(1),
       meta.getInt(2), meta.getInt(3))
   }
 
@@ -241,7 +289,12 @@ object LshIndex {
       .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val batchSig = sig.select(col("doc_id").as("new_doc"),
       col("sig").as("sig_q"))
-    cand.join(batchSig, "new_doc").join(corpusSig, "corpus_doc")
+    // tombstoned corpus docs are invisible to probes the moment
+    // delete() commits — physical rows wait for compactTo
+    val dead = tombstones(spark, dir)
+      .select(col("doc_id").as("corpus_doc"))
+    cand.join(dead, Seq("corpus_doc"), "left_anti")
+      .join(batchSig, "new_doc").join(corpusSig, "corpus_doc")
       .select(col("new_doc"), col("corpus_doc"),
         size(filter(zip_with(col("sig_q"), col("sig_c"), (x, y) => x === y),
           b => b)).cast("long").as("matches"))

@@ -126,4 +126,46 @@ class BmIndexSpec extends AnyFunSuite {
       .write.mode("append").parquet(s"$dir/_bm_docs")
     assert(!BmIndex.consistent(spark, dir), "torn append not detected")
   }
+
+  test("delete: tombstoned docs stop scoring and scores equal an index never holding them") {
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+    val dead = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id"))
+    val dir = tmp("graft-bmidx-del")
+    BmIndex.build(docs, dir)
+    BmIndex.delete(dead, dir)
+    assert(BmIndex.consistent(spark, dir))
+    val got = BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // the STRONG equivalence: not just excluded from results — IDF and
+    // avgdl shift too, so scores must match a fresh survivor-only build
+    val fresh = tmp("graft-bmidx-del-ref")
+    BmIndex.build(survivors, fresh)
+    val want = BmIndex.topK(spark, fresh, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      "post-delete scoring diverged from an index built without the docs")
+    assert(got.nonEmpty)
+
+    // idempotent replay + unknown-id no-op
+    BmIndex.delete(dead, dir)
+    BmIndex.delete(Seq(999999L).toDF("doc_id"), dir)
+    assert(spark.read.parquet(s"$dir/_bm_tombstones")
+      .groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0L,
+      "delete replay duplicated tombstones")
+    assert(BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq == got)
+
+    // compaction folds: physical rows gone, results unchanged,
+    // destination tombstone-free
+    val dest = tmp("graft-bmidx-del-cmp")
+    BmIndex.compactTo(spark, dir, dest)
+    assert(BmIndex.consistent(spark, dest))
+    assert(BmIndex.topK(spark, dest, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq == want)
+    assert(spark.read.parquet(s"$dest/postings").as("p")
+      .join(dead.as("d"), col("p.doc_id") === col("d.doc_id"), "left_semi")
+      .count() == 0L, "compaction left tombstoned postings behind")
+    assert(!new java.io.File(s"$dest/_bm_tombstones").exists(),
+      "compacted index must start tombstone-free")
+  }
 }

@@ -209,6 +209,47 @@ class LshIndexSpec extends AnyFunSuite {
     assert(got3 == want, "healed index (tear after sigs) diverges")
   }
 
+  test("delete: tombstoned corpus docs vanish from probes; compaction folds them physically") {
+    val dir = tmp("graft-lshidx-del")
+    LshIndex.build(corpus, dir)
+    val before = result(dir)
+    assert(before.nonEmpty, "fixture has no cross pairs")
+    // tombstone every corpus doc that currently matches the probe
+    val deadIds = before.map(_._2).distinct
+    LshIndex.delete(deadIds.toDF("doc_id"), dir)
+    assert(LshIndex.consistent(spark, dir))
+    assert(result(dir).isEmpty,
+      "tombstoned corpus docs still matched as near-dup candidates")
+    // equivalence with an index never holding them
+    val fresh = tmp("graft-lshidx-del-ref")
+    LshIndex.build(corpus.filter(!col("doc_id").isin(deadIds: _*)), fresh)
+    assert(result(dir) == result(fresh))
+
+    // idempotent replay + unknown-id no-op
+    LshIndex.delete(deadIds.toDF("doc_id"), dir)
+    LshIndex.delete(Seq(999999L).toDF("doc_id"), dir)
+    assert(spark.read.parquet(s"$dir/_lsh_tombstones")
+      .groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0L,
+      "delete replay duplicated tombstones")
+
+    // compaction folds the tombstones away physically
+    val dest = tmp("graft-lshidx-del-cmp")
+    LshIndex.compactTo(spark, dir, dest)
+    assert(LshIndex.consistent(spark, dest))
+    assert(result(dest) == result(fresh))
+    assert(spark.read.parquet(s"$dest/sigs")
+      .filter(col("doc_id").isin(deadIds: _*)).count() == 0L,
+      "compaction left tombstoned signatures behind")
+    assert(spark.read.parquet(s"$dest/bands")
+      .filter(col("doc_id").isin(deadIds: _*)).count() == 0L,
+      "compaction left tombstoned band rows behind")
+    assert(!new java.io.File(s"$dest/_lsh_tombstones").exists(),
+      "compacted index must start tombstone-free")
+    // appending a tombstoned id does NOT resurrect it (still committed)
+    LshIndex.append(corpus.filter(col("doc_id").isin(deadIds: _*)), dir)
+    assert(result(dir).isEmpty, "append resurrected a tombstoned doc")
+  }
+
   test("gone-batch tear is NOT laundered by a later append of a different batch") {
     val base = corpus.filter(col("doc_id") < 300)
     val gone = corpus.filter(col("doc_id") >= 300 && col("doc_id") < 350)
