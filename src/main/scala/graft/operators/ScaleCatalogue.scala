@@ -3954,6 +3954,55 @@ object ScaleCatalogue {
       |ORDER BY o.lang, pq""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q135 — UNSEEDED modularity communities (Graph.
+  // modularityCommunitiesQ): the missing third of the community
+  // family — q115 gives connected components (one blob per region),
+  // q128 needs a seed set; this is the unsupervised Louvain-style
+  // sweep ("topic islands") over the SAME cached citation edges.
+  // Fixed-round synchronous local moves in exact integer
+  // modularity-gain space (gain = 2m·k_ic − k_i·Σ'_c), deterministic
+  // argmax (gain desc, community asc), LABEL-MONOTONE descent (moves
+  // only to ≤-labeled communities) so oscillation is impossible by
+  // construction — the oracle replays every round's votes, gains, and
+  // moves verbatim. GraphSpec pins planted-dense-block separation,
+  // the independent integer replay, and fixpoint stability.
+  // ---------------------------------------------------------------------
+  def q135ModularityCommunities(s: SparkSession, d: String): DataFrame =
+    graft.scale.Graph.modularityCommunitiesQ(
+        citationEdgesCached(s, d).select(col("src"), col("dst")), rounds = 3)
+      .orderBy(col("node"))
+  val q135Sql: String = {
+    val rounds = (1 to 3).map { t =>
+      val p = t - 1
+      s"""s$t AS (SELECT l.comm AS cand, sum(d.k) AS sigma
+         |  FROM l$p l JOIN degs d USING (node) GROUP BY 1),
+         |k$t AS (SELECT s.u AS node, l.comm AS cand, count(*) AS kic
+         |  FROM sym s JOIN l$p l ON s.v = l.node GROUP BY 1, 2),
+         |c$t AS (SELECT node, cand, max(kic) AS kic FROM (
+         |  SELECT k.node, k.cand, k.kic FROM k$t k
+         |    JOIN l$p l USING (node) WHERE k.cand <= l.comm
+         |  UNION ALL SELECT node, comm AS cand, 0 AS kic FROM l$p)
+         |  GROUP BY 1, 2),
+         |l$t AS (SELECT node, cand AS comm FROM (
+         |  SELECT c.node, c.cand, row_number() OVER (PARTITION BY c.node
+         |    ORDER BY (tm.m2 * c.kic - d.k * (g.sigma -
+         |      CASE WHEN c.cand = l.comm THEN d.k ELSE 0 END)) DESC,
+         |      c.cand ASC) AS rn
+         |  FROM c$t c JOIN degs d USING (node) JOIN l$p l USING (node)
+         |    JOIN s$t g ON g.cand = c.cand, tm) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
+       |sym AS (SELECT src AS u, dst AS v FROM dedges
+       |  UNION ALL SELECT dst, src FROM dedges),
+       |degs AS (SELECT u AS node, count(*) AS k FROM sym GROUP BY 1),
+       |tm AS (SELECT count(*) AS m2 FROM sym),
+       |l0 AS (SELECT node, node AS comm FROM degs),
+       |$rounds
+       |SELECT node, comm FROM l3 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4099,6 +4148,7 @@ object ScaleCatalogue {
     "q132_lang_segments" -> q132LangSegments _,
     "q133_keep_best" -> q133KeepBest _,
     "q134_rank_quantiles" -> q134RankQuantiles _,
+    "q135_modularity_communities" -> q135ModularityCommunities _,
     "q136_image_codec_hash" -> q136ImageCodecHash _,
   )
 
@@ -4203,6 +4253,7 @@ object ScaleCatalogue {
     "q132_lang_segments" -> q132Sql,
     "q133_keep_best" -> q133Sql,
     "q134_rank_quantiles" -> q134Sql,
+    "q135_modularity_communities" -> q135Sql,
     "q136_image_codec_hash" -> q136Sql,
   )
 }

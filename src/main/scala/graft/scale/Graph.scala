@@ -656,6 +656,103 @@ object Graph {
     lab.select(col("node"), col("label"))
   }
 
+  /** UNSEEDED modularity communities — fixed-round synchronous
+    * Louvain-style local moves in INTEGER modularity-gain space: the
+    * unsupervised complement to connected components (one blob per
+    * connected region) and [[labelPropagationQ]] (needs a seed set) —
+    * the "topic islands" sweep corpus curation wants with no labels at
+    * hand.
+    *
+    * Each node starts in its own community. Per round, node i
+    * considers every community c among its neighbors plus its own:
+    * the classic Louvain gain comparison ΔQ(i→c) ∝ k_ic − k_i·Σ'_c/2m
+    * is lifted to exact integers as
+    * {{{ gain(i,c) = 2m·k_ic − k_i·Σ'_c }}}
+    * where k_ic = links from i into c, Σ'_c = total degree of c's
+    * members (minus k_i when c is i's current community — the standard
+    * self-exclusion), 2m = symmetric edge-row count. Argmax with
+    * deterministic ties (gain desc, community id asc, via the
+    * min-struct trick), so an external engine replays every round.
+    *
+    * Synchronous moves oscillate on symmetric structures (tied gains
+    * let two nodes chase each other's communities forever — the known
+    * failure of parallel Louvain; a parity checkerboard still
+    * oscillates when the symmetric pair shares parity). The schedule
+    * here is LABEL-MONOTONE DESCENT: a node may only move to a
+    * community whose label is ≤ its current one, gains deciding among
+    * those. Every node's label is then non-increasing over a bounded
+    * domain, so a fixpoint exists, extra rounds are no-ops at it
+    * (GraphSpec-pinned), and oscillation is impossible BY CONSTRUCTION
+    * — the min-label convention connected components already uses,
+    * with modularity gain deciding whether a smaller-labeled merge is
+    * worth taking at all (the bridge edge between two dense blocks
+    * loses to staying, so blocks separate — also pinned).
+    *
+    * Overflow contract (the q125 integer-lift discipline): gains are
+    * exact in signed 64-bit iff 2m < isqrt(2^63) ≈ 3.03e9 symmetric
+    * edge rows (|gain| ≤ (2m)²); the require below makes the bound
+    * loud. Beyond it, rescale degrees or lift to DecimalType — the
+    * comparison algebra is unchanged.
+    *
+    * Scale shape: per round, one (node, community) vote shuffle
+    * (k_ic), one community-degree aggregate (≤ nodes rows, shrinking
+    * as communities merge), the argmax, and a node-keyed relabel —
+    * all 16-byte rows; the symmetric edge table is pinned once and
+    * re-read (the [[pageRankDirectedQ]] eager-checkpoint discipline,
+    * because every round's action replans the chain).
+    *
+    * `edges`: distinct (src, dst), one row per undirected edge (the
+    * [[citationEdges]] contract). Returns (node, comm). */
+  def modularityCommunitiesQ(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 0)
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .repartition(col("u")).localCheckpoint()
+    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val twoM = und.count()
+    require(twoM < 3037000499L,
+      s"2m = $twoM symmetric edge rows overflows the exact integer gain " +
+        "(|gain| <= (2m)^2 must fit signed 64-bit): rescale degrees or " +
+        "lift the gain algebra to DecimalType")
+    var lab = deg.select(col("node"), col("node").as("comm"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val sigma = lab.join(deg, "node")
+        .groupBy(col("comm").as("cand")).agg(sum(col("k")).as("sigma"))
+      val kic = und
+        .join(lab.select(col("node").as("v"), col("comm").as("cand")), "v")
+        .groupBy(col("u").as("node"), col("cand"))
+        .agg(count(lit(1)).as("kic"))
+      // candidates = neighbor communities with label ≤ the node's own
+      // (the monotone-descent schedule) plus the current community
+      // itself (k_ic = 0 when no neighbor shares it; max() reconciles
+      // the 0-row with a real count when both exist)
+      val stay = lab.select(col("node"), col("comm").as("cand"),
+        lit(0L).as("kic"))
+      val cand = kic
+        .join(lab, "node")
+        .filter(col("cand") <= col("comm"))
+        .select(col("node"), col("cand"), col("kic"))
+        .unionByName(stay)
+        .groupBy(col("node"), col("cand")).agg(max(col("kic")).as("kic"))
+      val pick = cand
+        .join(deg, "node")
+        .join(lab, "node")
+        .join(sigma, "cand")
+        .withColumn("sig_adj", col("sigma") -
+          when(col("cand") === col("comm"), col("k")).otherwise(lit(0L)))
+        .withColumn("gain",
+          lit(twoM) * col("kic") - col("k") * col("sig_adj"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("gain")).as("ng"), col("cand").as("c")))
+          .as("m"))
+        .select(col("node"), col("m.c").as("comm"))
+      lab = pick.localCheckpoint()
+    }
+    lab.select(col("node"), col("comm"))
+  }
+
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —
     * the clustering-structure profile (communities vs star hubs) run
     * on link graphs before sampling or pruning decisions.

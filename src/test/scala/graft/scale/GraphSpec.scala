@@ -511,6 +511,80 @@ class GraphSpec extends AnyFunSuite {
     assert(r3(1L) == 100L && r3(5L) == 500L, "seed labels must not move")
   }
 
+  /** Independent pure-Scala replay of modularityCommunitiesQ: same
+    * integer gains, same monotone-descent schedule, same tiebreaks —
+    * no Spark. */
+  private def modRef(und: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val sym = und ++ und.map(_.swap)
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val twoM = sym.size.toLong
+    var lab: Map[Long, Long] = deg.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      val sigma = lab.toSeq.groupBy(_._2)
+        .map { case (c, ns) => c -> ns.map(x => deg(x._1)).sum }
+      val next = deg.keys.map { n =>
+        val kic = sym.filter(_._1 == n).groupBy(e => lab(e._2))
+          .map { case (c, es) => c -> es.size.toLong }
+          .filter { case (c, _) => c <= lab(n) } // monotone descent
+        val cand = kic ++ (if (kic.contains(lab(n))) Map.empty
+          else Map(lab(n) -> 0L))
+        val best = cand.toSeq.map { case (c, k_ic) =>
+          val sig = sigma(c) - (if (c == lab(n)) deg(n) else 0L)
+          (twoM * k_ic - deg(n) * sig, c)
+        }.minBy { case (g, c) => (-g, c) }._2
+        n -> best
+      }.toMap
+      lab = next
+    }
+    lab
+  }
+
+  test("modularityCommunitiesQ matches the independent integer replay") {
+    // a dense triangle, a tail, and a separate pair
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 7L -> 8L)
+    for (rounds <- Seq(0, 1, 2, 4)) {
+      val got = Graph.modularityCommunitiesQ(edgesDf(und), rounds)
+        .as[(Long, Long)].collect().toMap
+      assert(got == modRef(und, rounds), s"divergence at rounds=$rounds")
+    }
+  }
+
+  test("modularity: planted dense blocks separate; the bridge does not merge them") {
+    // two K4 blocks 0-3 and 10-13, one bridge edge 3-10
+    def k4(base: Long) = for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i) -> (base + j)
+    val und = k4(0) ++ k4(10) ++ Seq(3L -> 10L)
+    val got = Graph.modularityCommunitiesQ(edgesDf(und), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val blockA = (0L to 3L).map(got).toSet
+    val blockB = (10L to 13L).map(got).toSet
+    assert(blockA.size == 1, s"block A did not contract: $got")
+    assert(blockB.size == 1, s"block B did not contract: $got")
+    assert(blockA != blockB,
+      s"the single bridge edge merged the two dense blocks: $got")
+  }
+
+  test("modularity: monotone descent reaches a fixpoint; extra rounds are no-ops") {
+    // one isolated edge — unrestricted synchronous moves would swap
+    // labels forever; monotone descent contracts it in one round and
+    // can never oscillate
+    val got = Graph.modularityCommunitiesQ(edgesDf(Seq(1L -> 2L)), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet.size == 1,
+      s"isolated edge did not contract to one community: $got")
+    val more = Graph.modularityCommunitiesQ(edgesDf(Seq(1L -> 2L)), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got, s"communities oscillate: $got vs $more")
+    // fixpoint stability on the denser fixture too
+    val und = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L, 3L -> 4L, 7L -> 8L)
+    val a = Graph.modularityCommunitiesQ(edgesDf(und), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.modularityCommunitiesQ(edgesDf(und), rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b, "extra rounds changed a converged labeling")
+  }
+
   test("anchorTerms: citer counts per rare term, direction matches citationEdges") {
     // three docs sharing the rare trigram "x y z": 2 and 1 cite 0,
     // 2 cites 1 — doc 0 is anchored by 2 citers, doc 1 by one
