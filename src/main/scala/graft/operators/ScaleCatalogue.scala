@@ -4003,6 +4003,80 @@ object ScaleCatalogue {
   }
 
   // ---------------------------------------------------------------------
+  // q137 — WARM-START directed PageRank (Graph.pageRankDirectedResumeQ):
+  // the graph family's "index, don't recompute" move. Phase 1 ranks
+  // YESTERDAY'S corpus (citation edges among doc_id % 10 != 9, 3
+  // rounds) ONCE into a fingerprinted rank cache beside the cached
+  // edge table (the q113/q102 build-once discipline). Phase 2 — the
+  // per-ingest query — resumes the recurrence on the FULL graph from
+  // the stored ranks for 2 rounds: known nodes continue where they
+  // stood, the appended docs enter at the uniform share, and the round
+  // budget closes the delta the new edges opened instead of re-deriving
+  // the fixed point from r0. The oracle replays BOTH phases (cold
+  // rounds on the old subgraph, warm rounds on the full graph,
+  // dangling correction in each) verbatim. GraphSpec pins the exact
+  // continuation property and the convergence advantage bound.
+  // ---------------------------------------------------------------------
+  def q137PagerankWarm(s: SparkSession, d: String): DataFrame = {
+    val eAll = citationEdgesCached(s, d).select(col("src"), col("dst"))
+    val eOld = eAll.filter(col("src") % 10 =!= 9 && col("dst") % 10 =!= 9)
+    val priorDir = cachedIndexDir("citation-ranks", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.Graph.pageRankDirectedQ(eOld, 3)
+        .select(col("node"), col("pr_q"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/ranks")
+    }
+    val prior = s.read.parquet(s"$priorDir/ranks")
+    graft.scale.Graph.pageRankDirectedResumeQ(eAll, 2, prior)
+      .select(col("node"), col("outdeg"), col("pr_q"))
+      .orderBy(col("node"))
+  }
+  val q137Sql: String = {
+    def rounds(iters: Int, pfx: String, edges: String): String =
+      (1 to iters).map { i =>
+        s"""${pfx}s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+           |  FROM $edges e JOIN ${pfx}r${i - 1} r ON e.src = r.node
+           |  GROUP BY e.dst),
+           |${pfx}d$i AS (SELECT coalesce(sum(r), 0) AS dm
+           |  FROM ${pfx}r${i - 1} WHERE outdeg = 0),
+           |${pfx}r$i AS (SELECT dg.node, dg.outdeg, CAST(
+           |    (150000000000 // ${pfx}n.n) +
+           |    (85 * (coalesce(${pfx}s$i.s, 0) + (${pfx}d$i.dm // ${pfx}n.n))) // 100
+           |    AS BIGINT) AS r
+           |  FROM ${pfx}dn dg LEFT JOIN ${pfx}s$i ON dg.node = ${pfx}s$i.node,
+           |    ${pfx}n, ${pfx}d$i)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
+       |aedges AS (SELECT src, dst FROM dedges
+       |  WHERE src % 10 <> 9 AND dst % 10 <> 9),
+       |aoutd AS (SELECT src AS node, count(*) AS outdeg FROM aedges
+       |  GROUP BY src),
+       |adn AS (
+       |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM aedges
+       |        UNION SELECT dst AS node FROM aedges) nd
+       |  LEFT JOIN aoutd o ON nd.node = o.node),
+       |an AS (SELECT count(*) AS n FROM adn),
+       |ar0 AS (SELECT node, outdeg, 1000000000000 // an.n AS r FROM adn, an),
+       |${rounds(3, "a", "aedges")},
+       |outd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
+       |  GROUP BY src),
+       |dn AS (
+       |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM dedges
+       |        UNION SELECT dst AS node FROM dedges) nd
+       |  LEFT JOIN outd o ON nd.node = o.node),
+       |wn AS (SELECT count(*) AS n FROM dn),
+       |wdn AS (SELECT node, outdeg FROM dn),
+       |wr0 AS (SELECT d.node, d.outdeg,
+       |    coalesce(p.r, 1000000000000 // wn.n) AS r
+       |  FROM dn d LEFT JOIN ar3 p ON d.node = p.node, wn),
+       |${rounds(2, "w", "dedges")}
+       |SELECT node, outdeg, r AS pr_q FROM wr2 ORDER BY node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4150,6 +4224,7 @@ object ScaleCatalogue {
     "q134_rank_quantiles" -> q134RankQuantiles _,
     "q135_modularity_communities" -> q135ModularityCommunities _,
     "q136_image_codec_hash" -> q136ImageCodecHash _,
+    "q137_pagerank_warm" -> q137PagerankWarm _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4255,5 +4330,6 @@ object ScaleCatalogue {
     "q134_rank_quantiles" -> q134Sql,
     "q135_modularity_communities" -> q135Sql,
     "q136_image_codec_hash" -> q136Sql,
+    "q137_pagerank_warm" -> q137Sql,
   )
 }

@@ -190,13 +190,59 @@ object Graph {
   def pageRankDirectedQ(edges: DataFrame, iterations: Int,
       scale: Long = 1000000000000L): DataFrame = {
     require(iterations >= 0)
-    // Eager edge pin: every round ends in a localCheckpoint ACTION, and
-    // each action replans from scratch — without materializing the edge
-    // table here, its derivation (scan + src shuffle) re-executes once
-    // per round (ReusedExchange only deduplicates within one plan, never
-    // across jobs). One up-front O(E) materialization replaces
-    // `iterations` re-derivations; blocks are reaped by the
-    // ContextCleaner when the result frame is dropped.
+    val (e, base) = directedBase(edges)
+    val state0 = base
+      .select(col("node"), col("outdeg"),
+        expr(s"${scale}L div n_nodes").as("r"))
+    directedLoop(e, base, state0, iterations, scale)
+  }
+
+  /** WARM-START directed PageRank — resume the recurrence from stored
+    * ranks instead of r0, the "index, don't recompute" move the
+    * LSH/BM/IVF indexes already make: every ingest that appends
+    * citation edges re-runs the full fixed point today; with ranks
+    * persisted beside the cached edge table, the next run continues
+    * from where the last one stood and spends its fixed round budget
+    * CLOSING the (small) gap the new edges opened, not re-deriving
+    * what was already known.
+    *
+    * Semantics: nodes present in `prior` start at their stored rank;
+    * nodes the graph gained since start at the uniform SCALE div N
+    * share (N = the CURRENT node count); prior rows for nodes no
+    * longer in the graph are dropped by the join. Two exact
+    * properties, both GraphSpec-pinned:
+    *  - CONTINUATION: on an unchanged graph, resuming from a k1-round
+    *    result for k2 rounds is bit-identical to running k1+k2 rounds
+    *    cold — the recurrence has no memory beyond the rank vector.
+    *  - CONVERGENCE ADVANTAGE: the recurrence contracts toward its
+    *    unique fixpoint at factor 0.85/round REGARDLESS of the start
+    *    vector, so a warm start is never worse than cold in the limit
+    *    and strictly closer after equal rounds when the graph delta is
+    *    small (pinned as an L1 bound vs a long-run reference).
+    *
+    * `prior`: (node, pr_q). Returns (node, outdeg, pr_q) as
+    * [[pageRankDirectedQ]]. */
+  def pageRankDirectedResumeQ(edges: DataFrame, iterations: Int,
+      prior: DataFrame, scale: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 0)
+    val (e, base) = directedBase(edges)
+    val state0 = base
+      .join(prior.select(col("node"), col("pr_q").as("r_prior")),
+        Seq("node"), "left")
+      .select(col("node"), col("outdeg"),
+        coalesce(col("r_prior"), expr(s"${scale}L div n_nodes")).as("r"))
+    directedLoop(e, base, state0, iterations, scale)
+  }
+
+  /** Shared derivation for the directed family: the eagerly-pinned
+    * src-keyed edge table and the static (node, outdeg, n_nodes) side.
+    * Eager pins because every round ends in a localCheckpoint ACTION
+    * and each action replans from scratch — without materializing
+    * here, the edge scan + shuffle and the distinct + degree
+    * aggregations re-execute once per round (ReusedExchange only
+    * deduplicates within one plan, never across jobs). Blocks are
+    * reaped by the ContextCleaner when the result frame is dropped. */
+  private def directedBase(edges: DataFrame): (DataFrame, DataFrame) = {
     val e = edges.repartition(col("src")).localCheckpoint()
     val outd = e.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
@@ -207,15 +253,18 @@ object Graph {
     val n = nodes.agg(count(lit(1)).as("n_nodes")).select(
       (col("n_nodes") + coalesce(assert_true(col("n_nodes") > 0,
         lit("empty edge table")).cast("long"), lit(0L))).as("n_nodes"))
+    (e, deg.crossJoin(broadcast(n)).localCheckpoint())
+  }
+
+  /** The dangling-corrected round loop (recurrence in the
+    * [[pageRankDirectedQ]] scaladoc), eager per-round materialization
+    * — each round's state has TWO consumers (contribution join +
+    * dangling aggregate), so the one-consumer lazy-lineage discipline
+    * cannot hold (the standard Pregel/GraphX checkpoint discipline). */
+  private def directedLoop(e: DataFrame, base: DataFrame,
+      state0: DataFrame, iterations: Int, scale: Long): DataFrame = {
     val teleportNum = (scale * 15L) / 100L
-    // the static node-side table (node, outdeg, n_nodes) is consumed by
-    // every round's action — pin it too, or the distinct + degree
-    // aggregations re-run once per round
-    val base = deg.crossJoin(broadcast(n)).localCheckpoint()
-    var state = base
-      .select(col("node"), col("outdeg"),
-        expr(s"${scale}L div n_nodes").as("r"))
-      .localCheckpoint()
+    var state = state0.localCheckpoint()
     for (_ <- 1 to iterations) {
       val contribs = state
         .join(e, state("node") === e("src"))
