@@ -4077,6 +4077,50 @@ object ScaleCatalogue {
   }
 
   // ---------------------------------------------------------------------
+  // q138 — GENERAL-temperature mixture at dyadic α = 5/16 ≈ 0.3
+  // (Mixture.temperatureQuotasAlpha): the low-temperature published-mix
+  // path q126's fixed α = 0.5 lacked. The weight is the exact-integer
+  // dyadic power w(n) = floor(n^(1/4)) · floor(n^(1/16)) via iterated
+  // floor-sqrt chains (isqrt is IEEE-exact below 2^52; α's binary
+  // expansion 0101 selects chain elements 2 and 4) — no pow(), no
+  // overflowing n^p intermediate, replayable by any engine with exact
+  // double sqrt. Selection reuses the q126 machinery (content-hash
+  // order, WindowGroupLimit-bounded). MixtureSpec pins the chain
+  // against BigInt rational powers and the monotone/64-bit contracts.
+  // ---------------------------------------------------------------------
+  def q138AlphaMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val q = graft.scale.Mixture
+      .temperatureQuotasAlpha(docs, "source", 100L, alphaNum = 5,
+        alphaDen = 16)
+    graft.scale.Mixture.sample(docs, "source", 100L,
+        precomputedQuotas = Some(q))
+      .orderBy(col("source"), col("rk"))
+  }
+  val q138Sql: String =
+    """WITH cnt AS (SELECT source, count(*) AS n FROM documents
+      |  GROUP BY source),
+      |c1 AS (SELECT source, n,
+      |  CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS s1 FROM cnt),
+      |c2 AS (SELECT *, CAST(floor(sqrt(s1::DOUBLE)) AS BIGINT) AS s2 FROM c1),
+      |c3 AS (SELECT *, CAST(floor(sqrt(s2::DOUBLE)) AS BIGINT) AS s3 FROM c2),
+      |c4 AS (SELECT *, CAST(floor(sqrt(s3::DOUBLE)) AS BIGINT) AS s4 FROM c3),
+      |w AS (SELECT source, n, s2 * s4 AS w FROM c4),
+      |t AS (SELECT CAST(sum(w) AS BIGINT) AS t FROM w),
+      |qt AS (SELECT source, n, (w.w * 100) // t.t AS quota FROM w, t),
+      |h AS (SELECT source, doc_id,
+      |  CAST('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)
+      |    AS BIGINT) AS h
+      |  FROM documents),
+      |r AS (SELECT source, doc_id, h,
+      |  row_number() OVER (PARTITION BY source ORDER BY h ASC, doc_id ASC)
+      |    AS rk
+      |  FROM h)
+      |SELECT r.source, qt.n, qt.quota, r.rk, r.doc_id
+      |FROM r JOIN qt USING (source) WHERE r.rk <= qt.quota
+      |ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4225,6 +4269,7 @@ object ScaleCatalogue {
     "q135_modularity_communities" -> q135ModularityCommunities _,
     "q136_image_codec_hash" -> q136ImageCodecHash _,
     "q137_pagerank_warm" -> q137PagerankWarm _,
+    "q138_alpha_mixture" -> q138AlphaMixture _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4331,5 +4376,6 @@ object ScaleCatalogue {
     "q135_modularity_communities" -> q135Sql,
     "q136_image_codec_hash" -> q136Sql,
     "q137_pagerank_warm" -> q137Sql,
+    "q138_alpha_mixture" -> q138Sql,
   )
 }

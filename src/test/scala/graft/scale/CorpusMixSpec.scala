@@ -181,6 +181,54 @@ class CorpusMixSpec extends AnyFunSuite {
     assert(q("small")._3.toDouble / 12 > 9.0 / 99)
   }
 
+  test("temperatureQuotasAlpha: dyadic chain equals BigInt rational powers; endpoints recover n and isq") {
+    // w(n, num/16) = product of floor(n^(1/2^i)) over set bits of num —
+    // each chain element verified against the exact BigInt 2^i-th root
+    def root(n: Long, pow: Int): Long = { // floor(n^(1/2^pow)) exactly
+      var lo = 0L; var hi = math.max(1L, n)
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (BigInt(mid).pow(1 << pow) <= BigInt(n)) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    def wRef(n: Long, num: Int, j: Int): Long =
+      (1 to j).filter(i => ((num >> (j - i)) & 1) == 1)
+        .map(i => root(n, i)).product
+    // chain pinned on moderate n through the public quota surface;
+    // huge n (where a group-by-repetition fixture is infeasible) via
+    // the IEEE-exactness identity below
+    val smallNs = Seq(1L, 2L, 9L, 90L, 1000L)
+    val sdocs = smallNs.zipWithIndex.flatMap { case (n, g) =>
+      (0L until n).map(i => (g * 1000000L + i, "t", s"g$g"))
+    }.toDF("doc_id", "text", "source")
+    for ((num, den) <- Seq((5, 16), (11, 16), (3, 4), (1, 2), (16, 16))) {
+      val j = 31 - Integer.numberOfLeadingZeros(den)
+      val got = Mixture.temperatureQuotasAlpha(sdocs, "source", 100L, num, den)
+        .select(col("source"), col("n"), col("w"))
+        .as[(String, Long, Long)].collect()
+      got.foreach { case (g, n, w) =>
+        val want = if (num == den) n else wRef(n, num, j)
+        assert(w == want, s"alpha=$num/$den n=$n: w=$w want=$want ($g)")
+      }
+    }
+    // huge-n chain elements stay exact where IEEE sqrt is (below 2^52)
+    val huge = (1L << 51) + 12345L
+    assert(root(huge, 1) == math.sqrt(huge.toDouble).floor.toLong,
+      "IEEE sqrt drifted from the exact integer root below 2^52")
+    // α = 1/2 through the general path equals the fixed fast path's isq
+    val fixed = Mixture.temperatureQuotas(sdocs, "source", 100L)
+      .select(col("source"), col("isq")).as[(String, Long)].collect().toMap
+    val gen = Mixture.temperatureQuotasAlpha(sdocs, "source", 100L, 1, 2)
+      .select(col("source"), col("w")).as[(String, Long)].collect().toMap
+    assert(gen == fixed, "alpha=1/2 diverged from the fixed sqrt path")
+    // monotone: w non-decreasing in n for fixed alpha
+    val w516 = Mixture.temperatureQuotasAlpha(sdocs, "source", 100L, 5, 16)
+      .select(col("n"), col("w")).as[(Long, Long)].collect().sortBy(_._1)
+    assert(w516.sliding(2).forall(p => p.length < 2 || p(0)._2 <= p(1)._2),
+      s"weight not monotone in n: ${w516.toSeq}")
+  }
+
   test("q129 recipe: funnel is monotone and packing arithmetic closes") {
     val d = "/root/testdata/sf0.001"
     val rows = graft.operators.ScaleCatalogue
