@@ -174,10 +174,45 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     if (fs.exists(p) && !fs.delete(p, true))
       throw new java.io.IOException(s"ivf-index: failed to vacuum $p")
 
+  /** Tombstone table (vec_id) under `_ivf_tombstones/` — absent until
+    * the first [[delete]]; underscore-prefixed, so the layout's own
+    * parquet reads never pick it up as data. */
+  private[scale] def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new Path(s"$path/_ivf_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString).select(col("vec_id"))
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** Tombstone delete — the [[LshIndex.delete]]/[[BmIndex.delete]]
+    * contract for the vector index: physical rows stay in their
+    * cluster buckets until the next [[rebuild]] folds them (the swap
+    * replaces the whole directory, so the tombstone table vanishes
+    * with the rows it condemned), but [[topK]] and [[corpus]] exclude
+    * them NOW — `delete(X)` then probe is result-identical to an index
+    * built without X (IVF scores are per-vector, so unlike BM25 no
+    * stats adjustment is needed). Idempotent under replay (fresh ids
+    * anti-join the stored table); unknown ids are harmless no-ops
+    * (nothing for the anti-joins to hit). A deleted vec_id stays dead
+    * even if re-appended — readmission is rebuild-then-append, the
+    * index-family rule. */
+  def delete(vecIds: DataFrame, path: String): Unit = {
+    val spark = vecIds.sparkSession
+    val fresh = vecIds.select(col("vec_id")).distinct()
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      fresh.write.mode("append").parquet(s"$path/_ivf_tombstones")
+  }
+
   /** The stored corpus in the (vec_id, embedding) shape [[build]]
-    * consumes — what a re-train ([[KMeans.fit]]) and [[rebuild]] read. */
+    * consumes — what a re-train ([[KMeans.fit]]) and [[rebuild]] read.
+    * Net of tombstones: a rebuild therefore physically folds deletes
+    * (the published layout holds survivors only and starts
+    * tombstone-free). */
   def corpus(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select(col("vec_id"), col("embedding"))
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
 
   /** Own-centroid squared distance per assigned row — the drift
     * observable, persisted as a `dist2` column (query reads never
@@ -251,6 +286,9 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .distinct().as[Long].collect().sorted
     val assigned = spark.read.parquet(path)
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      // tombstoned vectors stop serving the moment delete() commits;
+      // their physical rows wait for the next rebuild's fold
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
       .withColumn("c_norm", Similarity.norm(col("embedding")))
     Similarity.scoreProbed(probes, assigned, k)
   }

@@ -268,6 +268,55 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(d.isNaN)
   }
 
+  test("delete: tombstoned vectors stop serving; rebuild folds them physically") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val queries = emb.filter(col("vec_id") === 1)
+    val dir = Files.createTempDirectory("graft-ivf-del").toString
+    IvfIndex.build(emb, centroids, dir)
+    val before = IvfIndex.topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // tombstone the current top-2 neighbors — the strongest exclusion
+    // proof: the served frontier itself must change
+    val dead = before.take(2).map(_._3)
+    IvfIndex.delete(dead.toDF("vec_id"), dir)
+    val after = IvfIndex.topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(after.forall(r => !dead.contains(r._3)),
+      s"tombstoned vectors still served: $after")
+    // IVF scores are per-vector: post-delete results must equal an
+    // index built without the vectors
+    val fresh = Files.createTempDirectory("graft-ivf-del-ref").toString
+    IvfIndex.build(emb.filter(!col("vec_id").isin(dead: _*)),
+      centroids, fresh)
+    val want = IvfIndex.topK(spark, fresh, queries, centroids, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(after == want,
+      "post-delete serving diverged from an index built without the vectors")
+
+    // idempotent replay + unknown-id no-op
+    IvfIndex.delete(dead.toDF("vec_id"), dir)
+    IvfIndex.delete(Seq(99999999L).toDF("vec_id"), dir)
+    assert(spark.read.parquet(s"$dir/_ivf_tombstones")
+      .groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0L)
+
+    // rebuild folds: published layout holds survivors only and starts
+    // tombstone-free; serving unchanged
+    IvfIndex.rebuild(spark, dir, centroids)
+    assert(!new java.io.File(s"$dir/_ivf_tombstones").exists(),
+      "rebuild must publish a tombstone-free layout")
+    assert(spark.read.parquet(dir)
+      .filter(col("vec_id").isin(dead: _*)).count() == 0L,
+      "rebuild left tombstoned rows behind")
+    val folded = IvfIndex.topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(folded == want, "fold changed served results")
+  }
+
   private def countParquet(dir: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
