@@ -135,6 +135,30 @@ object IvfPqIndex {
     * other slicing, so a caller-supplied m/dim that disagreed with the
     * build would silently score null distances — deriving it makes the
     * mismatch unrepresentable (one KB-sized driver read). */
+  /** Tombstone table under `_pq_tombstones/` — the [[IvfIndex.delete]]
+    * contract for the compressed layout: code rows stay in their
+    * bucket until a rebuild replaces the directory, but [[topK]]
+    * excludes them NOW. PQ distances are per-vector, so post-delete
+    * serving is result-identical to an index built without the
+    * vectors. Idempotent replay; unknown ids are no-ops; a deleted
+    * vec_id stays dead even if re-appended (readmission = rebuild,
+    * the index-family rule). */
+  def delete(vecIds: DataFrame, path: String): Unit = {
+    val spark = vecIds.sparkSession
+    val fresh = vecIds.select(col("vec_id")).distinct()
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      fresh.write.mode("append").parquet(s"$path/_pq_tombstones")
+  }
+
+  private[scale] def tombstones(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_pq_tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString).select(col("vec_id"))
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     import spark.implicits._
@@ -147,6 +171,8 @@ object IvfPqIndex {
       .distinct().as[Long].collect().sorted
     val codeCells = spark.read.parquet(path)
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      // tombstoned vectors stop serving the moment delete() commits
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster_id"),
         posexplode(col("codes")).as(Seq("s", "code")))
     val lut = Similarity.pqLut(queries, cents, m, sub)

@@ -115,4 +115,35 @@ class IvfPqIndexSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long)].collect().toSeq
     assert(a == b, "stored codebooks must drive the ADC, not re-derived ones")
   }
+
+  test("delete: tombstoned vectors leave the served frontier; equals a survivor-only build") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val trained = Similarity.pqTrainCodebooks(emb, rounds = 1)
+    val queries = emb.filter(col("vec_id") === 1)
+    val dir = Files.createTempDirectory("graft-ivfpq-del").toString
+    IvfPqIndex.build(emb, centroids, dir, codebooks = Some(trained))
+    val before = IvfPqIndex.topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val dead = before.take(2).map(_._3)
+    IvfPqIndex.delete(dead.toDF("vec_id"), dir)
+    IvfPqIndex.delete(dead.toDF("vec_id"), dir) // idempotent replay
+    val after = IvfPqIndex.topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(after.forall(r => !dead.contains(r._3)),
+      s"tombstoned vectors still served: $after")
+    val fresh = Files.createTempDirectory("graft-ivfpq-del-ref").toString
+    IvfPqIndex.build(emb.filter(!col("vec_id").isin(dead: _*)), centroids,
+      fresh, codebooks = Some(trained))
+    val want = IvfPqIndex.topK(spark, fresh, queries, centroids, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(after == want,
+      "post-delete serving diverged from a survivor-only build")
+    assert(spark.read.parquet(s"$dir/_pq_tombstones")
+      .groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0L,
+      "delete replay duplicated tombstones")
+  }
 }
