@@ -79,7 +79,7 @@ object DumpDiag {
       }
     }
 
-    println(s"[dumpdiag] xml=${Files.size(xml) / 1e6}%n")
+    println(s"[dumpdiag] xml_mb=${Files.size(xml) / 1e6}")
     drive("xml", xml.toString, 32)
     drive("bz2", bz2.toString, 2)
     spark.stop()
