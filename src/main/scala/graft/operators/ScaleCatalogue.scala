@@ -4121,6 +4121,73 @@ object ScaleCatalogue {
       |ORDER BY source, rk""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q139 — MULTILEVEL modularity communities (Graph.
+  // modularityCommunitiesMultilevelQ): the full Louvain loop q135's
+  // single local-move phase begins — local moves, contract communities
+  // to weighted supernodes (internal edges become doubled self-loops
+  // automatically in the symmetric representation, preserving every
+  // degree and the global 2m), repeat on the coarsened graph, compose
+  // the level maps. Level 2 can merge CORES a node-level pass cannot
+  // reach (its candidate set is one supernode hop). Same integer-gain
+  // + monotone-descent determinism per level; the oracle replays both
+  // levels' weighted votes, the contraction, and the composition
+  // verbatim. GraphSpec pins the weighted multilevel pure-Scala
+  // replay and the levels=1 ≡ q135 identity.
+  // ---------------------------------------------------------------------
+  def q139LouvainMultilevel(s: SparkSession, d: String): DataFrame =
+    graft.scale.Graph.modularityCommunitiesMultilevelQ(
+        citationEdgesCached(s, d).select(col("src"), col("dst")),
+        rounds = 2, levels = 2)
+      .orderBy(col("node"))
+  val q139Sql: String = {
+    // weighted local-move rounds: prefix L distinguishes the level's
+    // sym/degs/label namespaces; tm (2m) is level-invariant
+    def wrounds(iters: Int, p: String): String =
+      (1 to iters).map { t =>
+        val q = t - 1
+        s"""${p}s$t AS (SELECT l.comm AS cand, sum(d.k) AS sigma
+           |  FROM ${p}l$q l JOIN ${p}degs d USING (node) GROUP BY 1),
+           |${p}k$t AS (SELECT s.u AS node, l.comm AS cand, sum(s.wt) AS kic
+           |  FROM ${p}sym s JOIN ${p}l$q l ON s.v = l.node
+           |  WHERE s.u <> s.v GROUP BY 1, 2),
+           |${p}c$t AS (SELECT node, cand, max(kic) AS kic FROM (
+           |  SELECT k.node, k.cand, k.kic FROM ${p}k$t k
+           |    JOIN ${p}l$q l USING (node) WHERE k.cand <= l.comm
+           |  UNION ALL SELECT node, comm AS cand, 0 AS kic FROM ${p}l$q)
+           |  GROUP BY 1, 2),
+           |${p}l$t AS MATERIALIZED (SELECT node, cand AS comm FROM (
+           |  SELECT c.node, c.cand, row_number() OVER (PARTITION BY c.node
+           |    ORDER BY (tm.m2 * c.kic - d.k * (g.sigma -
+           |      CASE WHEN c.cand = l.comm THEN d.k ELSE 0 END)) DESC,
+           |      c.cand ASC) AS rn
+           |  FROM ${p}c$t c JOIN ${p}degs d USING (node)
+           |    JOIN ${p}l$q l USING (node)
+           |    JOIN ${p}s$t g ON g.cand = c.cand, tm) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
+       |asym AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v, CAST(1 AS BIGINT) AS wt FROM dedges
+       |  UNION ALL SELECT dst, src, CAST(1 AS BIGINT) FROM dedges),
+       |adegs AS MATERIALIZED (
+       |  SELECT u AS node, sum(wt) AS k FROM asym GROUP BY 1),
+       |tm AS MATERIALIZED (SELECT sum(wt) AS m2 FROM asym),
+       |al0 AS MATERIALIZED (SELECT node, node AS comm FROM adegs),
+       |${wrounds(2, "a")},
+       |bsym AS MATERIALIZED (
+       |  SELECT la.comm AS u, lb.comm AS v, sum(s.wt) AS wt
+       |  FROM asym s JOIN al2 la ON s.u = la.node
+       |    JOIN al2 lb ON s.v = lb.node GROUP BY 1, 2),
+       |bdegs AS MATERIALIZED (
+       |  SELECT u AS node, sum(wt) AS k FROM bsym GROUP BY 1),
+       |bl0 AS MATERIALIZED (SELECT node, node AS comm FROM bdegs),
+       |${wrounds(2, "b")}
+       |SELECT a.node, b.comm FROM al2 a JOIN bl2 b ON a.comm = b.node
+       |ORDER BY a.node""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4270,6 +4337,7 @@ object ScaleCatalogue {
     "q136_image_codec_hash" -> q136ImageCodecHash _,
     "q137_pagerank_warm" -> q137PagerankWarm _,
     "q138_alpha_mixture" -> q138AlphaMixture _,
+    "q139_louvain_multilevel" -> q139LouvainMultilevel _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4377,5 +4445,6 @@ object ScaleCatalogue {
     "q136_image_codec_hash" -> q136Sql,
     "q137_pagerank_warm" -> q137Sql,
     "q138_alpha_mixture" -> q138Sql,
+    "q139_louvain_multilevel" -> q139Sql,
   )
 }

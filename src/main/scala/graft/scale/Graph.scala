@@ -756,23 +756,39 @@ object Graph {
     require(rounds >= 0)
     val und = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .withColumn("wt", lit(1L))
       .repartition(col("u")).localCheckpoint()
-    val deg = und.groupBy(col("u").as("node")).agg(count(lit(1)).as("k"))
+    localMoveWeighted(und, rounds).select(col("node"), col("comm"))
+  }
+
+  /** The weighted local-move phase shared by [[modularityCommunitiesQ]]
+    * (all weights 1 — identical integer values, so q135's oracle is
+    * unchanged by construction) and the multilevel form (coarsened
+    * supernodes carry edge weights and self-loops). `w`: symmetric
+    * (u, v, wt) rows, self rows (u == v) allowed — in the symmetric
+    * representation an internal edge contributes its weight in both
+    * directions, so the standard doubled self-loop convention is
+    * automatic after [[coarsenWeighted]]. k_i = Σ incident wt (self
+    * rows once), 2m = Σ all wt; k_ic EXCLUDES self rows (links from i
+    * to c\{i} — the standard Louvain self-exclusion, paired with the
+    * Σ'_c − k_i adjustment). */
+  private def localMoveWeighted(w: DataFrame, rounds: Int): DataFrame = {
+    val deg = w.groupBy(col("u").as("node")).agg(sum(col("wt")).as("k"))
       .localCheckpoint()
-    val twoM = und.count()
+    val twoM = w.agg(sum(col("wt"))).collect()(0).getLong(0)
     require(twoM < 3037000499L,
-      s"2m = $twoM symmetric edge rows overflows the exact integer gain " +
-        "(|gain| <= (2m)^2 must fit signed 64-bit): rescale degrees or " +
+      s"2m = $twoM total edge weight overflows the exact integer gain " +
+        "(|gain| <= (2m)^2 must fit signed 64-bit): rescale weights or " +
         "lift the gain algebra to DecimalType")
     var lab = deg.select(col("node"), col("node").as("comm"))
       .localCheckpoint()
     for (_ <- 1 to rounds) {
       val sigma = lab.join(deg, "node")
         .groupBy(col("comm").as("cand")).agg(sum(col("k")).as("sigma"))
-      val kic = und
+      val kic = w.filter(col("u") =!= col("v"))
         .join(lab.select(col("node").as("v"), col("comm").as("cand")), "v")
         .groupBy(col("u").as("node"), col("cand"))
-        .agg(count(lit(1)).as("kic"))
+        .agg(sum(col("wt")).as("kic"))
       // candidates = neighbor communities with label ≤ the node's own
       // (the monotone-descent schedule) plus the current community
       // itself (k_ic = 0 when no neighbor shares it; max() reconciles
@@ -799,7 +815,60 @@ object Graph {
         .select(col("node"), col("m.c").as("comm"))
       lab = pick.localCheckpoint()
     }
-    lab.select(col("node"), col("comm"))
+    lab
+  }
+
+  /** Louvain phase 2 — contract each community to a supernode: map
+    * both endpoints through the labels and sum weights per (cu, cv)
+    * pair. In the symmetric representation an internal edge's two
+    * directed rows both land on (c, c), so the contracted self-loop
+    * automatically carries DOUBLE the internal weight — exactly the
+    * convention that preserves every node's weighted degree
+    * (deg(c) = Σ member degrees) and the global 2m, which is what
+    * keeps the gain algebra valid across levels. */
+  private def coarsenWeighted(w: DataFrame, lab: DataFrame): DataFrame =
+    w.join(lab.select(col("node").as("u"), col("comm").as("cu")), "u")
+      .join(lab.select(col("node").as("v"), col("comm").as("cv")), "v")
+      .groupBy(col("cu").as("u"), col("cv").as("v"))
+      .agg(sum(col("wt")).as("wt"))
+
+  /** MULTILEVEL modularity communities — the full Louvain loop:
+    * local-move rounds, contract communities to supernodes
+    * ([[coarsenWeighted]]), repeat on the coarsened weighted graph,
+    * and compose the level maps back onto the original nodes. Level 1
+    * merges nodes into small dense cores; higher levels merge CORES
+    * whose inter-core weight justifies it — the "communities of
+    * communities" a single local-move pass cannot reach (each level's
+    * candidate set is one supernode hop, so structures wider than a
+    * hop need the contraction to bring them adjacent). Same
+    * determinism story as [[modularityCommunitiesQ]]: integer gains,
+    * monotone-descent schedule per level (labels are supernode ids —
+    * community ids from the previous level), every level
+    * oracle-replayable. Scale: each level's graph is no larger than
+    * the previous (Σ wt preserved, nodes strictly fewer or equal);
+    * the level-1 shuffles dominate.
+    *
+    * Returns (node, comm) over the ORIGINAL nodes. */
+  def modularityCommunitiesMultilevelQ(edges: DataFrame, rounds: Int,
+      levels: Int): DataFrame = {
+    require(levels >= 1)
+    var w = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .withColumn("wt", lit(1L))
+      .repartition(col("u")).localCheckpoint()
+    // assign: original node -> current community (composed per level)
+    var assign = w.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("comm")).localCheckpoint()
+    for (_ <- 1 to levels) {
+      val lab = localMoveWeighted(w, rounds)
+      assign = assign
+        .join(lab.select(col("node").as("comm"), col("comm").as("next")),
+          "comm")
+        .select(col("node"), col("next").as("comm"))
+        .localCheckpoint()
+      w = coarsenWeighted(w, lab).repartition(col("u")).localCheckpoint()
+    }
+    assign.select(col("node"), col("comm"))
   }
 
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —

@@ -613,6 +613,80 @@ class GraphSpec extends AnyFunSuite {
       s"the single bridge edge merged the two dense blocks: $got")
   }
 
+  /** Independent pure-Scala replay of the WEIGHTED multilevel loop:
+    * weighted gains, self-loop-carrying coarsening, per-level monotone
+    * descent, composed maps — no Spark. */
+  private def modRefMulti(und: Seq[(Long, Long)], rounds: Int,
+      levels: Int): Map[Long, Long] = {
+    var sym: Map[(Long, Long), Long] =
+      (und ++ und.map(_.swap)).groupBy(identity)
+        .map { case (e, es) => e -> es.size.toLong }
+    def localMove(w: Map[(Long, Long), Long]): Map[Long, Long] = {
+      val deg = w.groupBy(_._1._1).map { case (n, es) => n -> es.values.sum }
+      val twoM = w.values.sum
+      var lab: Map[Long, Long] = deg.keys.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        val sigma = lab.toSeq.groupBy(_._2)
+          .map { case (c, ns) => c -> ns.map(x => deg(x._1)).sum }
+        lab = deg.keys.map { n =>
+          val kic = w.collect { case ((u, v), wt) if u == n && v != n =>
+            lab(v) -> wt }
+            .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).sum }
+            .filter { case (c, _) => c <= lab(n) }
+          val cand = kic ++ (if (kic.contains(lab(n))) Map.empty
+            else Map(lab(n) -> 0L))
+          n -> cand.toSeq.map { case (c, k_ic) =>
+            val sig = sigma(c) - (if (c == lab(n)) deg(n) else 0L)
+            (twoM * k_ic - deg(n) * sig, c)
+          }.minBy { case (g, c) => (-g, c) }._2
+        }.toMap
+      }
+      lab
+    }
+    var assign: Map[Long, Long] =
+      sym.keys.map(_._1).toSet.map((n: Long) => n -> n).toMap
+    for (_ <- 1 to levels) {
+      val lab = localMove(sym)
+      assign = assign.map { case (n, c) => n -> lab(c) }
+      sym = sym.toSeq
+        .map { case ((u, v), wt) => (lab(u), lab(v)) -> wt }
+        .groupBy(_._1).map { case (e, es) => e -> es.map(_._2).sum }
+    }
+    assign
+  }
+
+  test("multilevel Louvain matches the weighted pure-Scala replay; levels=1 equals the single-level op") {
+    // two K4 blocks + bridge, plus a pendant chain — structure at two
+    // scales
+    def k4(base: Long) = for {
+      i <- 0 until 4; j <- i + 1 until 4
+    } yield (base + i) -> (base + j)
+    val und = k4(0) ++ k4(10) ++ Seq(3L -> 10L, 13L -> 20L, 20L -> 21L)
+    for (levels <- Seq(1, 2, 3)) {
+      val got = Graph.modularityCommunitiesMultilevelQ(edgesDf(und),
+          rounds = 2, levels = levels)
+        .as[(Long, Long)].collect().toMap
+      assert(got == modRefMulti(und, 2, levels),
+        s"divergence at levels=$levels")
+    }
+    // levels=1 is exactly the single-level operator (composition is the
+    // identity at one level)
+    val one = Graph.modularityCommunitiesMultilevelQ(edgesDf(und),
+        rounds = 3, levels = 1)
+      .as[(Long, Long)].collect().toMap
+    val single = Graph.modularityCommunitiesQ(edgesDf(und), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(one == single, "levels=1 diverged from modularityCommunitiesQ")
+
+    // coarsening preserves the gain algebra's invariants on the corpus
+    // scale too: multilevel can only merge further (community count is
+    // non-increasing in levels on the same rounds)
+    def nComms(levels: Int) = Graph.modularityCommunitiesMultilevelQ(
+        edgesDf(und), rounds = 2, levels = levels)
+      .select(col("comm")).distinct().count()
+    assert(nComms(2) <= nComms(1), "level 2 split a level-1 community")
+  }
+
   test("modularity: monotone descent reaches a fixpoint; extra rounds are no-ops") {
     // one isolated edge — unrestricted synchronous moves would swap
     // labels forever; monotone descent contracts it in one round and
