@@ -4188,6 +4188,43 @@ object ScaleCatalogue {
   }
 
   // ---------------------------------------------------------------------
+  // q140 — INCREMENTALLY-MAINTAINED citation edges (scale/
+  // CitationIndex): the "index, don't recompute" move for the graph
+  // family's INPUT. The whole graph family reads citation edges; until
+  // now they rebuilt from scratch per corpus change. This index
+  // persists postings + per-term edge-support rows, grows O(batch) on
+  // append, and handles the df-band transitions that make incremental
+  // maintenance nontrivial: a term entering [dfMin, dfMax] reaches
+  // BACK (edges appear among its old docs too), and a term exceeding
+  // dfMax dies FOREVER (df is monotone under append-only corpora, so
+  // dead_terms is append-only and its edges vanish via one anti-join).
+  // The query builds on 90% of the corpus and appends the rest; the
+  // oracle derives the full-corpus weighted edges from scratch — the
+  // hash match IS the append≡rebuild proof under the driver's gate.
+  // CitationIndexSpec additionally pins band transitions, torn-append
+  // healing, death permanence, and compaction.
+  // ---------------------------------------------------------------------
+  def q140CitationIndexEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val dir = cachedIndexDir("citation-incr", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.CitationIndex.build(
+        docs.filter(col("doc_id") % 10 =!= 9), p)
+      graft.scale.CitationIndex.append(
+        docs.filter(col("doc_id") % 10 === 9), p)
+    }
+    graft.scale.CitationIndex.edgesWeighted(s, dir)
+      .orderBy(col("src"), col("dst"))
+  }
+  val q140Sql: String =
+    s"""WITH $citationPostCtes
+       |SELECT a.doc_id AS src, b.doc_id AS dst,
+       |  count(*)::BIGINT AS w
+       |FROM post a JOIN post b
+       |  ON a.term = b.term AND a.doc_id > b.doc_id
+       |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4338,6 +4375,7 @@ object ScaleCatalogue {
     "q137_pagerank_warm" -> q137PagerankWarm _,
     "q138_alpha_mixture" -> q138AlphaMixture _,
     "q139_louvain_multilevel" -> q139LouvainMultilevel _,
+    "q140_citation_index_edges" -> q140CitationIndexEdges _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4446,5 +4484,6 @@ object ScaleCatalogue {
     "q137_pagerank_warm" -> q137Sql,
     "q138_alpha_mixture" -> q138Sql,
     "q139_louvain_multilevel" -> q139Sql,
+    "q140_citation_index_edges" -> q140Sql,
   )
 }

@@ -413,17 +413,24 @@ object Graph {
   private def ratedPostings(docs: DataFrame, n: Int, dfMin: Long,
       dfMax: Long): DataFrame = {
     require(n >= 1 && dfMin >= 2 && dfMax >= dfMin)
-    val tok = docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
-      .filter(size(col("w")) >= n)
-    val post = tok.select(col("doc_id"),
-        explode(Dedup.shingles(col("w"), n)).as("term"))
-      .distinct()
+    val post = allPostings(docs, n)
     val rare = post.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df").between(dfMin, dfMax))
       .select(col("term"))
     post.join(rare, Seq("term"))
   }
+
+  /** The unfiltered distinct (doc_id, term) n-gram postings the band
+    * filter restricts — shared with [[CitationIndex]], whose
+    * incremental maintenance needs postings BEFORE the df cut (a term
+    * below dfMin today may enter the band tomorrow). One tokenization
+    * definition, as with the oracle's shared CTEs. */
+  private[scale] def allPostings(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), Dedup.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(Dedup.shingles(col("w"), n)).as("term"))
+      .distinct()
 
   /** [[citationEdges]] keeping the link MULTIPLICITY: `w` = how many
     * distinct rare n-grams the pair shares — the natural edge weight
