@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.scale.{CitationIndex, Graph, SparkTestSession}
+
+/** Streaming citation maintenance: after any micro-batch sequence the
+  * served edges are EXACTLY the from-scratch derivation over
+  * everything streamed, and an epoch replay is a no-op. */
+class IncrementalCitationsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, d)
+    .select(col("doc_id"), col("text"))
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("streamed appends serve the exact from-scratch edge set; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("graft-incit") + "/idx"
+    CitationIndex.build(docs.filter(col("doc_id") < 200), idx)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalCitations.run(
+      mem.toDF().toDF("doc_id", "text"), idx,
+      checkpoint = tmp("graft-incit-ckpt"))
+    try {
+      val b1 = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+        .as[(Long, String)].collect().toSeq
+      val b2 = docs.filter(col("doc_id") >= 350)
+        .as[(Long, String)].collect().toSeq
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = CitationIndex.edgesWeighted(spark, idx)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Graph.citationEdgesWeighted(docs, n = 3, dfMin = 2,
+        dfMax = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, "streamed index diverged from from-scratch edges")
+    assert(got.nonEmpty)
+    assert(CitationIndex.consistent(spark, idx))
+
+    // epoch replay: re-appending an already-committed batch is a no-op
+    IncrementalCitations.appendBatch(idx)(
+      docs.filter(col("doc_id") >= 350), 99L)
+    assert(CitationIndex.edgesWeighted(spark, idx)
+      .as[(Long, Long, Long)].collect().toSet == want,
+      "epoch replay changed the edge set")
+  }
+}
