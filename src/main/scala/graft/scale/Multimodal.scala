@@ -266,6 +266,7 @@ object Multimodal {
     * discipline pins this path to PNG). */
   def encodePngGray(w: Int, h: Int, pixels: Array[Int]): Array[Byte] = {
     require(pixels.length == w * h, "pixels must be row-major w*h")
+    javax.imageio.ImageIO.setUseCache(false) // no tmp-file spooling
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     val raster = img.getRaster
