@@ -2812,17 +2812,20 @@ object ScaleCatalogue {
     * (tok → tg → rare → post) every citation-graph oracle replays —
     * ONE definition to keep in sync with `Graph.citationEdges`
     * (n = 3, df ∈ [2, 4]); was inlined 9× before round 12's dedup. */
-  private val citationPostCtes: String =
-    """tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 3),
-      |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
-      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-      |rare AS (SELECT term FROM (
-      |  SELECT term, count(*) AS df FROM tg GROUP BY term)
-      |  WHERE df BETWEEN 2 AND 4),
-      |post AS (SELECT t.doc_id, t.term FROM tg t JOIN rare USING(term))"""
+  private def citationPostCtesOver(docPred: String, pfx: String = ""): String =
+    s"""${pfx}tok AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3 AND ($docPred)),
+       |${pfx}tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+       |  FROM ${pfx}tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+       |${pfx}rare AS (SELECT term FROM (
+       |  SELECT term, count(*) AS df FROM ${pfx}tg GROUP BY term)
+       |  WHERE df BETWEEN 2 AND 4),
+       |${pfx}post AS (SELECT t.doc_id, t.term FROM ${pfx}tg t
+       |  JOIN ${pfx}rare USING(term))"""
       .stripMargin
+
+  private val citationPostCtes: String = citationPostCtesOver("TRUE")
 
   /** The unweighted distinct edge step on top of [[citationPostCtes]]. */
   private val citationDedgesCte: String =
@@ -4031,21 +4034,27 @@ object ScaleCatalogue {
       .select(col("node"), col("outdeg"), col("pr_q"))
       .orderBy(col("node"))
   }
+  /** Per-round CTEs of the dangling-corrected integer directed-PageRank
+    * recurrence, shared by the q137/q141/q143 two-phase oracles:
+    * `pfx`r0/`pfx`dn/`pfx`n must be defined by the caller. */
+  private def dirPrRoundsSql(iters: Int, pfx: String, edges: String): String =
+    (1 to iters).map { i =>
+      s"""${pfx}s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+         |  FROM $edges e JOIN ${pfx}r${i - 1} r ON e.src = r.node
+         |  GROUP BY e.dst),
+         |${pfx}d$i AS (SELECT coalesce(sum(r), 0) AS dm
+         |  FROM ${pfx}r${i - 1} WHERE outdeg = 0),
+         |${pfx}r$i AS (SELECT dg.node, dg.outdeg, CAST(
+         |    (150000000000 // ${pfx}n.n) +
+         |    (85 * (coalesce(${pfx}s$i.s, 0) + (${pfx}d$i.dm // ${pfx}n.n))) // 100
+         |    AS BIGINT) AS r
+         |  FROM ${pfx}dn dg LEFT JOIN ${pfx}s$i ON dg.node = ${pfx}s$i.node,
+         |    ${pfx}n, ${pfx}d$i)""".stripMargin
+    }.mkString(",\n")
+
   val q137Sql: String = {
     def rounds(iters: Int, pfx: String, edges: String): String =
-      (1 to iters).map { i =>
-        s"""${pfx}s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
-           |  FROM $edges e JOIN ${pfx}r${i - 1} r ON e.src = r.node
-           |  GROUP BY e.dst),
-           |${pfx}d$i AS (SELECT coalesce(sum(r), 0) AS dm
-           |  FROM ${pfx}r${i - 1} WHERE outdeg = 0),
-           |${pfx}r$i AS (SELECT dg.node, dg.outdeg, CAST(
-           |    (150000000000 // ${pfx}n.n) +
-           |    (85 * (coalesce(${pfx}s$i.s, 0) + (${pfx}d$i.dm // ${pfx}n.n))) // 100
-           |    AS BIGINT) AS r
-           |  FROM ${pfx}dn dg LEFT JOIN ${pfx}s$i ON dg.node = ${pfx}s$i.node,
-           |    ${pfx}n, ${pfx}d$i)""".stripMargin
-      }.mkString(",\n")
+      dirPrRoundsSql(iters, pfx, edges)
     s"""WITH $citationPostCtes,
        |$citationDedgesCte,
        |aedges AS (SELECT src, dst FROM dedges
@@ -4206,7 +4215,7 @@ object ScaleCatalogue {
   // ---------------------------------------------------------------------
   def q140CitationIndexEdges(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val dir = cachedIndexDir("citation-incr", d, "v1",
+    val dir = cachedIndexDir("citation-incr", d, "v2",
       datasets = Seq("documents.parquet")) { p =>
       graft.scale.CitationIndex.build(
         docs.filter(col("doc_id") % 10 =!= 9), p)
@@ -4239,7 +4248,7 @@ object ScaleCatalogue {
   // ---------------------------------------------------------------------
   def q141IncrementalGraphPipeline(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val dir = cachedIndexDir("citation-incr", d, "v1",
+    val dir = cachedIndexDir("citation-incr", d, "v2",
       datasets = Seq("documents.parquet")) { p =>
       graft.scale.CitationIndex.build(
         docs.filter(col("doc_id") % 10 =!= 9), p)
@@ -4257,6 +4266,108 @@ object ScaleCatalogue {
   // same replay as q137 — the equality of maintained and derived edges
   // is exactly the point
   def q141Sql: String = q137Sql
+
+  // ---------------------------------------------------------------------
+  // q142 — TOMBSTONE DELETES for the citation index (CitationIndex.
+  // delete): the take-down path of the "index, don't recompute" story.
+  // Deletion breaks the df monotonicity that made append-only band
+  // maintenance sound — a band term can fall below dfMin (its edges
+  // must vanish while support rows persist) and a dead term can fall
+  // BACK into the band (its edges must appear among survivors). The
+  // index handles both exactly: postings are retained up to
+  // dfMax + slack (the purgatory tier = the revival budget, paid in
+  // storage), revival regenerates surviving pairs from retained
+  // postings, sub-band falls are one signed mark, and terms past the
+  // tier refuse loudly instead of silently missing edges. The query
+  // builds on the full corpus with slack = the delete size, deletes
+  // the 10% slice, and reads the weighted edges; the oracle derives
+  // from-scratch weighted edges over the SURVIVORS — the hash match
+  // IS the delete≡rebuild proof.
+  // ---------------------------------------------------------------------
+  def q142CitationDeletes(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val victims = docs.filter(col("doc_id") % 10 === 9)
+    val dir = cachedIndexDir("citation-del", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.CitationIndex.build(docs, p, slack = victims.count())
+      graft.scale.CitationIndex.delete(victims, p)
+    }
+    graft.scale.CitationIndex.edgesWeighted(s, dir)
+      .orderBy(col("src"), col("dst"))
+  }
+  val q142Sql: String =
+    s"""WITH ${citationPostCtesOver("doc_id % 10 <> 9")}
+       |SELECT a.doc_id AS src, b.doc_id AS dst,
+       |  count(*)::BIGINT AS w
+       |FROM post a JOIN post b
+       |  ON a.term = b.term AND a.doc_id > b.doc_id
+       |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q143 — warm-start PageRank ACROSS A DELETE (the q141 composition's
+  // take-down mirror, closing the CRUD square): yesterday's ranks were
+  // computed on the FULL corpus (3 cold rounds over derived edges); a
+  // take-down wave removes the 10% slice through CitationIndex.delete
+  // (q142's O(batch) tombstoning with exact band revival); the
+  // per-ingest query resumes the recurrence on the MAINTAINED SURVIVOR
+  // edge set for 2 rounds — deleted nodes drop out of the node set,
+  // surviving nodes continue from their stored ranks, and the round
+  // budget closes the delta the removals opened. NOTE the survivor
+  // edge set is NOT a filter of the full one (df recomputes: terms
+  // fall below dfMin, dead terms revive) — the oracle re-derives it
+  // from the survivor corpus, so the hash match proves the deleted
+  // index's edges are interchangeable with survivor-corpus derivation
+  // inside a fixed-point consumer.
+  // ---------------------------------------------------------------------
+  def q143DeleteWarmPagerank(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val victims = docs.filter(col("doc_id") % 10 === 9)
+    // the q142 cache: built on the full corpus, 10% slice tombstoned
+    val dir = cachedIndexDir("citation-del", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.CitationIndex.build(docs, p, slack = victims.count())
+      graft.scale.CitationIndex.delete(victims, p)
+    }
+    val eFull = citationEdgesCached(s, d).select(col("src"), col("dst"))
+    val prior = graft.scale.Graph.pageRankDirectedQ(eFull, 3)
+      .select(col("node"), col("pr_q"))
+    val eSurv = graft.scale.CitationIndex.edges(s, dir)
+    graft.scale.Graph.pageRankDirectedResumeQ(eSurv, 2, prior)
+      .select(col("node"), col("outdeg"), col("pr_q"))
+      .orderBy(col("node"))
+  }
+  val q143Sql: String =
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
+       |${citationPostCtesOver("doc_id % 10 <> 9", "s")},
+       |sdedges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM spost a JOIN spost b
+       |    ON a.term = b.term AND a.doc_id > b.doc_id),
+       |aoutd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
+       |  GROUP BY src),
+       |adn AS (
+       |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM dedges
+       |        UNION SELECT dst AS node FROM dedges) nd
+       |  LEFT JOIN aoutd o ON nd.node = o.node),
+       |an AS (SELECT count(*) AS n FROM adn),
+       |ar0 AS (SELECT node, outdeg, 1000000000000 // an.n AS r FROM adn, an),
+       |${dirPrRoundsSql(3, "a", "dedges")},
+       |outd AS (SELECT src AS node, count(*) AS outdeg FROM sdedges
+       |  GROUP BY src),
+       |dn AS (
+       |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
+       |  FROM (SELECT src AS node FROM sdedges
+       |        UNION SELECT dst AS node FROM sdedges) nd
+       |  LEFT JOIN outd o ON nd.node = o.node),
+       |wn AS (SELECT count(*) AS n FROM dn),
+       |wdn AS (SELECT node, outdeg FROM dn),
+       |wr0 AS (SELECT d.node, d.outdeg,
+       |    coalesce(p.r, 1000000000000 // wn.n) AS r
+       |  FROM dn d LEFT JOIN ar3 p ON d.node = p.node, wn),
+       |${dirPrRoundsSql(2, "w", "sdedges")}
+       |SELECT node, outdeg, r AS pr_q FROM wr2 ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
@@ -4411,6 +4522,8 @@ object ScaleCatalogue {
     "q139_louvain_multilevel" -> q139LouvainMultilevel _,
     "q140_citation_index_edges" -> q140CitationIndexEdges _,
     "q141_incr_graph_pipeline" -> q141IncrementalGraphPipeline _,
+    "q142_citation_deletes" -> q142CitationDeletes _,
+    "q143_delete_warm_pagerank" -> q143DeleteWarmPagerank _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4521,5 +4634,7 @@ object ScaleCatalogue {
     "q139_louvain_multilevel" -> q139Sql,
     "q140_citation_index_edges" -> q140Sql,
     "q141_incr_graph_pipeline" -> q141Sql,
+    "q142_citation_deletes" -> q142Sql,
+    "q143_delete_warm_pagerank" -> q143Sql,
   )
 }

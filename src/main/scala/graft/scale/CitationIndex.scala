@@ -1,93 +1,188 @@
 package graft.scale
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained citation edges — the "index, don't
-  * recompute" move for the graph family's INPUT. Every graph query
+  * recompute" move for the graft family's INPUT. Every graph query
   * reads [[Graph.citationEdges]]-shaped edges; today those rebuild
   * from scratch whenever the corpus changes, and at 100 TB the
   * re-tokenize + re-self-join per ingest is the cost the LSH/BM/IVF
   * indexes already refuse to pay on their sides. This index persists
-  * the posting and edge-support state once and grows O(batch) per
-  * append while staying EXACTLY equal to a from-scratch derivation on
-  * the grown corpus (CitationIndexSpec pins the equality through
-  * band-entering and band-leaving appends).
+  * the posting and edge-support state once, grows O(batch) per
+  * append, shrinks O(batch) per [[delete]], and stays EXACTLY equal
+  * to a from-scratch derivation on the current committed-minus-
+  * deleted corpus (CitationIndexSpec pins the equality through
+  * band-entering, band-leaving, band-falling and band-reviving
+  * transitions).
   *
   * Why incremental df-band maintenance is subtle, and why it is
   * possible: an edge exists between two docs sharing an n-gram whose
   * document frequency lies in [dfMin, dfMax]. Appending documents
-  * moves df — a term below dfMin may ENTER the band (edges appear
+  * moves df up — a term below dfMin may ENTER the band (edges appear
   * among ALL its docs, old ones included) and a band term may EXCEED
-  * dfMax (every edge it supported must vanish). Two structural facts
-  * make this maintainable without corpus-wide recompute:
+  * dfMax (every edge it supported must vanish). Deleting documents
+  * moves df DOWN, which breaks the append-only world's one comfort —
+  * df monotonicity — in both directions: a band term may fall below
+  * dfMin (its edges must vanish while its support rows persist), and
+  * a term past dfMax may fall BACK into the band (its edges must
+  * appear among the surviving docs). Three structural choices make
+  * all four transitions maintainable without corpus-wide recompute:
   *
-  *  1. df is MONOTONE under append-only corpora, so a term past dfMax
-  *     is dead FOREVER — `dead_terms/` is append-only, dead terms'
-  *     postings are never needed again, and read-side edge filtering
-  *     is one anti-join.
-  *  2. An edge's support is per-term, so `pairs/` stores
-  *     (src, dst, term) SUPPORT rows, not collapsed edges: a term's
-  *     death removes exactly its rows (via the anti-join), and the
-  *     weighted edge (`w` = countDistinct(term)) falls out of the
-  *     same table.
+  *  1. TIERED POSTING RETENTION. `post/` keeps postings for every
+  *     term with df ≤ dfMax + slack — the band, the below-band tail,
+  *     and the PURGATORY tier (dfMax, dfMax+slack]. `slack` is the
+  *     revival budget: a term can only fall back into the band if
+  *     deletes remove ≥ df − dfMax of its docs, so any term a
+  *     realistic delete wave could revive still has its postings,
+  *     and revival regenerates its surviving pairs exactly. Terms
+  *     past dfMax + slack ("deep" — the stopword mass whose posting
+  *     lists are exactly what the band design refuses to store) drop
+  *     their postings, and instead carry an EXACT df counter
+  *     (`deep_df/`, signed keyed deltas): a delete that would pull a
+  *     deep term to df ≤ dfMax is DETECTED and refused loudly
+  *     (rebuild/compact required) rather than silently missing the
+  *     revived edges. With slack ≥ the tombstone count the refusal is
+  *     unreachable by arithmetic (hits ≤ tombstones ≤ slack < df − dfMax).
+  *  2. PER-TERM SUPPORT ROWS. `pairs/` stores (src, dst, term)
+  *     SUPPORT rows, not collapsed edges, so membership churn is a
+  *     read-side filter: dead terms (df > dfMax now), sub terms
+  *     (fell below dfMin via deletes, stale pairs on disk), and
+  *     tombstoned endpoints are each one anti-join; the weighted edge
+  *     (`w` = countDistinct(term)) falls out of the same table.
+  *  3. SIGNED KEYED DELTAS for non-monotone state. Dead status and
+  *     sub status change direction over time, so `dead_terms/` and
+  *     `sub_terms/` hold (term, k, s = ±1) rows and `deep_df/` holds
+  *     (term, k, d) count deltas, with k a deterministic per-batch
+  *     key (min doc id of the batch). Current status = sign of the
+  *     per-term sum. Replay-healing is an anti-join on (term, k):
+  *     a crashed batch's recompute is deterministic, so re-inserting
+  *     is exactly the rows the tear lost.
   *
   * Layout under `dir`:
   * {{{
-  *   post/tb=N/…      (term, doc_id) for every NOT-dead term — terms
-  *                    below dfMin keep postings (they may enter the
-  *                    band later); md5-bucketed so append-time reads
-  *                    prune to the batch's term buckets
+  *   post/tb=N/…      (term, doc_id) for every term with df ≤
+  *                    dfMax + slack; md5-bucketed so append/delete
+  *                    reads prune to the batch's term buckets
   *   pairs/…          (src, dst, term) edge-support rows (src > dst —
-  *                    newer cites older)
-  *   dead_terms/…     terms with df > dfMax (append-only; df
-  *                    monotonicity makes death permanent)
-  *   _cit_meta/…      one row: (n, df_min, df_max)
-  *   _cit_docs/…      committed doc ids — appended LAST, the commit
-  *                    point
+  *                    newer cites older); stale rows are filtered at
+  *                    read and folded at compaction
+  *   dead_terms/…     (term, k, s): signed deltas; dead now ⇔ Σs > 0
+  *   sub_terms/…      (term, k, s): signed deltas; sub now ⇔ Σs > 0
+  *                    (band-era pairs exist but df fell below dfMin)
+  *   deep_terms/…     terms that crossed dfMax + slack (postings
+  *                    dropped; terminal under appends, guarded by
+  *                    deep_df under deletes)
+  *   deep_df/…        (term, k, d): exact df deltas for deep terms
+  *   _cit_tombs/…     tombstoned doc ids — appended LAST by delete
+  *   _cit_meta/…      one row: (n, df_min, df_max, slack)
+  *   _cit_docs/…      committed doc ids — appended LAST by append
   * }}}
   *
-  * Write protocol (single-writer): post → pairs → dead_terms → docs
-  * LAST. [[append]] is SELF-HEALING under replay: the batch anti-joins
-  * `_cit_docs` first, so a fully-committed re-append is a no-op; a
-  * torn append leaves the batch fresh, and the replay recomputes the
-  * batch postings deterministically, anti-joins crash-residue post
-  * rows (so postings are never double-inserted — df recounts stay
-  * exact), and regenerates the pair rows. Classification runs against
-  * dfBefore = postings excluding the batch's OWN doc ids (uncommitted
-  * ids in post/ can only be this batch's crash residue), so a replay
-  * classifies identically to the first attempt. Replayed pair rows may
-  * duplicate residue rows — BENIGN: [[edges]] counts distinct terms
-  * per pair and [[compactTo]] folds the redundancy (the LshIndex
-  * bands stance).
+  * Write protocol (single-writer): append writes post → pairs → dead
+  * → deep_df → deep_terms → sub → docs LAST; delete writes deep_df →
+  * dead → sub → pairs → tombs LAST. Both are SELF-HEALING under
+  * replay: the batch anti-joins its commit table first (docs for
+  * append, tombs for delete), so a fully-committed re-run is a no-op;
+  * a torn run leaves the batch fresh, the replay recomputes the batch
+  * state deterministically (classification runs against survivor
+  * postings that exclude the batch's own ids — for delete, the
+  * replay also excludes its own key's delta rows before reading
+  * deep_df, so a torn decrement cannot double-count), delta writes
+  * anti-join (term, k), posting writes anti-join existing (term,
+  * doc_id) rows, and duplicated pair support rows are BENIGN
+  * (countDistinct at read, folded by [[compactTo]]).
   *
-  * Scale shape per append: O(batch postings) compute; index reads are
-  * bucket-pruned to the batch's terms; pair generation joins only the
-  * touched terms' posting lists (each ≤ dfMax rows by the band
-  * invariant — the df cap that already bounds the batch self-join
-  * bounds the incremental join the same way). Nothing corpus-wide.
+  * A tombstoned doc id cannot be re-appended (it stays in _cit_docs
+  * until compaction folds it out); re-ingest after takedown is a
+  * compact-then-append.
+  *
+  * Scale shape: append/delete compute O(batch postings); index reads
+  * are bucket-pruned to the batch's terms; pair generation joins only
+  * the touched terms' posting lists, each ≤ dfMax (+slack for the
+  * purgatory recount) rows. Read-side filters are the dead/sub delta
+  * sums (O(churned terms)) and two tombstone anti-joins (O(deleted
+  * docs)) — nothing corpus-wide anywhere. The storage trade is
+  * explicit: purgatory retention costs the postings of terms with
+  * df ≤ dfMax + slack, i.e. the revival budget is paid in storage,
+  * never in recompute.
   */
 object CitationIndex {
 
   val Buckets = 64L
 
-  private def md5_64(c: org.apache.spark.sql.Column) =
-    graft.functions.Md5_64.md5_64(c)
+  private def md5_64(c: Column) = graft.functions.Md5_64.md5_64(c)
 
   private def withBucket(post: DataFrame): DataFrame =
     post.withColumn("tb", pmod(md5_64(col("term")), lit(Buckets)))
 
   private def writeMeta(spark: SparkSession, dir: String, n: Int,
-      dfMin: Long, dfMax: Long): Unit =
+      dfMin: Long, dfMax: Long, slack: Long): Unit =
     spark.range(1)
-      .select(lit(n).as("n"), lit(dfMin).as("df_min"), lit(dfMax).as("df_max"))
+      .select(lit(n).as("n"), lit(dfMin).as("df_min"),
+        lit(dfMax).as("df_max"), lit(slack).as("slack"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_cit_meta")
 
-  private def deadTerms(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/dead_terms")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(p.toString).select(col("term"))
-    else spark.range(0).select(col("id").cast("string").as("term"))
+  /** (n, dfMin, dfMax, slack); slack defaults to 0 for indexes
+    * written before the delete tier existed. */
+  private def readMeta(spark: SparkSession, dir: String): (Int, Long, Long, Long) = {
+    val df = spark.read.parquet(s"$dir/_cit_meta")
+    val hasSlack = df.schema.fieldNames.contains("slack")
+    val r = df.collect()(0)
+    (r.getInt(0), r.getLong(1), r.getLong(2),
+      if (hasSlack) r.getAs[Long]("slack") else 0L)
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  private def emptyTerms(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").cast("string").as("term"))
+
+  /** Signed (term, k, s) delta table reader; legacy plain-`term`
+    * dead_terms files read as s = +1 (always-dead). */
+  private def deltas(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (!exists(spark, s"$dir/$name"))
+      emptyTerms(spark).select(col("term"), lit("b").as("k"), lit(1L).as("s"))
+    else {
+      val df = spark.read.parquet(s"$dir/$name")
+      if (df.schema.fieldNames.contains("s")) df.select(col("term"), col("k"), col("s"))
+      else df.select(col("term"), lit("b").as("k"), lit(1L).as("s"))
+    }
+
+  /** Terms whose signed delta sum is positive (current members). */
+  private def nowSet(d: DataFrame): DataFrame =
+    d.groupBy(col("term")).agg(sum(col("s")).as("s"))
+      .filter(col("s") > 0).select(col("term"))
+
+  private def deadNow(spark: SparkSession, dir: String): DataFrame =
+    nowSet(deltas(spark, dir, "dead_terms"))
+
+  private def subNow(spark: SparkSession, dir: String): DataFrame =
+    nowSet(deltas(spark, dir, "sub_terms"))
+
+  private def deepTerms(spark: SparkSession, dir: String): DataFrame =
+    if (exists(spark, s"$dir/deep_terms"))
+      spark.read.parquet(s"$dir/deep_terms").select(col("term"))
+    else emptyTerms(spark)
+
+  private def tombstones(spark: SparkSession, dir: String): DataFrame =
+    if (exists(spark, s"$dir/_cit_tombs"))
+      spark.read.parquet(s"$dir/_cit_tombs").select(col("doc_id"))
+    else spark.range(0).select(col("id").as("doc_id"))
+
+  /** Append delta rows healing replays: existing (term, k) rows win. */
+  private def appendDeltas(spark: SparkSession, dir: String, name: String,
+      rows: DataFrame): Unit = {
+    val fresh =
+      if (exists(spark, s"$dir/$name"))
+        rows.join(spark.read.parquet(s"$dir/$name").select(col("term"), col("k")),
+          Seq("term", "k"), "left_anti")
+      else rows
+    if (fresh.limit(1).count() > 0L)
+      fresh.write.mode("append").parquet(s"$dir/$name")
   }
 
   /** All-pairs support rows for one side: (src, dst, term) with
@@ -99,24 +194,35 @@ object CitationIndex {
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
         col("a.term").as("term"))
 
+  /** `slack` sizes the purgatory tier (revival budget — see class
+    * doc); slack = 0 reproduces the append-only layout exactly
+    * (every dead term is deep, deletes that would revive refuse). */
   def build(docs: DataFrame, dir: String, n: Int = 3, dfMin: Long = 2,
-      dfMax: Long = 4): Unit = {
-    require(n >= 1 && dfMin >= 2 && dfMax >= dfMin)
+      dfMax: Long = 4, slack: Long = 0L): Unit = {
+    require(n >= 1 && dfMin >= 2 && dfMax >= dfMin && slack >= 0)
     val spark = docs.sparkSession
-    writeMeta(spark, dir, n, dfMin, dfMax)
+    writeMeta(spark, dir, n, dfMin, dfMax, slack)
     val post = Graph.allPostings(docs, n).localCheckpoint()
     val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .localCheckpoint()
-    val dead = df.filter(col("df") > dfMax).select(col("term"))
-    val alive = post.join(dead, Seq("term"), "left_anti").localCheckpoint()
-    withBucket(alive).repartition(col("tb"))
+    val deep = df.filter(col("df") > dfMax + slack)
+      .select(col("term"), col("df")).localCheckpoint()
+    val retained = post.join(deep.select(col("term")), Seq("term"), "left_anti")
+      .localCheckpoint()
+    withBucket(retained).repartition(col("tb"))
       .sortWithinPartitions(col("term"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/post")
     val band = df.filter(col("df").between(dfMin, dfMax)).select(col("term"))
-    val bp = alive.join(band, Seq("term")).localCheckpoint()
+    val bp = retained.join(band, Seq("term")).localCheckpoint()
     pairsOf(bp, bp)
       .write.mode("overwrite").parquet(s"$dir/pairs")
-    dead.write.mode("overwrite").parquet(s"$dir/dead_terms")
+    df.filter(col("df") > dfMax).select(col("term"))
+      .select(col("term"), lit("b").as("k"), lit(1L).as("s"))
+      .write.mode("overwrite").parquet(s"$dir/dead_terms")
+    deep.select(col("term"))
+      .write.mode("overwrite").parquet(s"$dir/deep_terms")
+    deep.select(col("term"), lit("b").as("k"), col("df").as("s"))
+      .write.mode("overwrite").parquet(s"$dir/deep_df")
     docs.select(col("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/_cit_docs")
   }
@@ -125,16 +231,21 @@ object CitationIndex {
     * protocol. */
   def append(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
-    val meta = spark.read.parquet(s"$dir/_cit_meta").collect()(0)
-    val (n, dfMin, dfMax) = (meta.getInt(0), meta.getLong(1), meta.getLong(2))
+    val (n, dfMin, dfMax, slack) = readMeta(spark, dir)
     val committed = spark.read.parquet(s"$dir/_cit_docs")
     val fresh = docs.join(committed.select(col("doc_id")),
       Seq("doc_id"), "left_anti").localCheckpoint()
     if (fresh.count() == 0L) return
     val freshIds = fresh.select(col("doc_id")).distinct().localCheckpoint()
-    // batch postings, dead terms dropped immediately (death is forever)
-    val batchPost = Graph.allPostings(fresh, n)
-      .join(deadTerms(spark, dir), Seq("term"), "left_anti")
+    val k = "a" + freshIds.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val deep = deepTerms(spark, dir).localCheckpoint()
+    // deep terms: postings stopped — their df advances by counter
+    val allB = Graph.allPostings(fresh, n).localCheckpoint()
+    val deepHits = allB.join(deep, Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("s"))
+      .select(col("term"), lit(k).as("k"), col("s")).localCheckpoint()
+    // batch postings below the deep tier (purgatory stays current)
+    val batchPost = allB.join(deep, Seq("term"), "left_anti")
       .localCheckpoint()
     val batchTerms = batchPost.select(col("term")).distinct()
       .localCheckpoint()
@@ -147,9 +258,10 @@ object CitationIndex {
       .select(col("term"), col("doc_id"))
       .localCheckpoint()
     // crash-residue split: uncommitted doc ids inside post/ can only be
-    // THIS batch's torn earlier attempt — dfBefore must exclude them or
-    // a replay would misclassify band transitions
+    // THIS batch's torn earlier attempt — dfBefore must exclude them
+    // (and tombstoned docs) or a replay would misclassify transitions
     val preRows = touched.join(freshIds, Seq("doc_id"), "left_anti")
+      .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val newRows = batchPost.join(touched, Seq("term", "doc_id"), "left_anti")
     if (newRows.limit(1).count() > 0L)
@@ -168,12 +280,20 @@ object CitationIndex {
       .localCheckpoint()
     val entered = cls
       .filter(col("before") < dfMin && col("after").between(dfMin, dfMax))
-      .select(col("term"))
+      .select(col("term")).localCheckpoint()
     val stayed = cls
       .filter(col("before").between(dfMin, dfMax) &&
         col("after").between(dfMin, dfMax))
       .select(col("term"))
-    val newlyDead = cls.filter(col("after") > dfMax).select(col("term"))
+    // purgatory terms (before > dfMax) ride along in post/ but take no
+    // transition; a term crossing dfMax dies (+1), one crossing
+    // dfMax + slack goes deep (postings stop, counter starts at its
+    // exact current df)
+    val newlyDead = cls
+      .filter(col("before") <= dfMax && col("after") > dfMax)
+      .select(col("term"))
+    val newlyDeep = cls.filter(col("after") > dfMax + slack)
+      .select(col("term"), col("after")).localCheckpoint()
     // entered terms: ALL pairs among their docs (old ones included —
     // the band admission reaches back); stayed terms: only pairs that
     // involve a batch doc (old×old pairs already exist)
@@ -187,60 +307,208 @@ object CitationIndex {
       .unionByName(pairsOf(stOld, stNew))
       .unionByName(pairsOf(stNew, stNew))
       .write.mode("append").parquet(s"$dir/pairs")
-    val freshDead = newlyDead
-      .join(deadTerms(spark, dir), Seq("term"), "left_anti")
-      .localCheckpoint()
-    if (freshDead.count() > 0L)
-      freshDead.write.mode("append").parquet(s"$dir/dead_terms")
+    appendDeltas(spark, dir, "dead_terms",
+      newlyDead.select(col("term"), lit(k).as("k"), lit(1L).as("s")))
+    // deep_df BEFORE deep_terms: a replay that finds the term already
+    // deep takes the counter path, and the (term, k) anti-join sees
+    // the seed row — the torn window cannot double- or mis-count
+    appendDeltas(spark, dir, "deep_df",
+      newlyDeep.select(col("term"), lit(k).as("k"), col("after").as("s"))
+        .unionByName(deepHits))
+    val freshDeep = newlyDeep.select(col("term"))
+      .join(deep, Seq("term"), "left_anti").localCheckpoint()
+    if (freshDeep.count() > 0L)
+      freshDeep.write.mode("append").parquet(s"$dir/deep_terms")
+    // a sub term (fell below dfMin via deletes) re-entering the band:
+    // the reach-back above regenerated its surviving pairs; unmark it
+    appendDeltas(spark, dir, "sub_terms",
+      entered.join(subNow(spark, dir), Seq("term"))
+        .select(col("term"), lit(k).as("k"), lit(-1L).as("s")))
     freshIds.write.mode("append").parquet(s"$dir/_cit_docs")
+  }
+
+  /** O(batch) shrink: tombstone `docs` (doc_id, text — the text
+    * re-derives the victim postings, including deep-term hits the
+    * index no longer stores). Self-healing under replay (tombs commit
+    * LAST; every delta write is keyed); refuses LOUDLY if a deep
+    * term would fall back to df ≤ dfMax (its postings are gone —
+    * compact/rebuild with a larger slack instead). With slack ≥ the
+    * cumulative tombstone count that refusal is arithmetically
+    * unreachable. */
+  def delete(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    val (n, dfMin, dfMax, _) = readMeta(spark, dir)
+    val committed = spark.read.parquet(s"$dir/_cit_docs")
+    val tmb = tombstones(spark, dir).localCheckpoint()
+    val victims = docs
+      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (victims.count() == 0L) return
+    val victimIds = victims.select(col("doc_id")).distinct().localCheckpoint()
+    val k = "d" + victimIds.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val deep = deepTerms(spark, dir).localCheckpoint()
+    val vPost = Graph.allPostings(victims, n).localCheckpoint()
+    // deep guard: exact current df from the counter deltas (excluding
+    // this key's own rows — a torn earlier attempt must not make the
+    // replay see its decrement as pre-existing state)
+    val vDeepHits = vPost.join(deep, Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("hits"))
+      .localCheckpoint()
+    if (vDeepHits.limit(1).count() > 0L) {
+      val deepCur = deltas(spark, dir, "deep_df")
+        .filter(col("k") =!= k)
+        .groupBy(col("term")).agg(sum(col("s")).as("df"))
+      val reviving = vDeepHits.join(deepCur, Seq("term"))
+        .filter(col("df") - col("hits") <= dfMax)
+      val bad = reviving.limit(5).collect()
+      require(bad.isEmpty,
+        s"delete would revive deep term(s) ${bad.map(_.getString(0)).mkString(", ")} " +
+          "whose postings were dropped past dfMax + slack — " +
+          "compact/rebuild with a larger slack before this delete")
+      appendDeltas(spark, dir, "deep_df",
+        vDeepHits.select(col("term"), lit(k).as("k"),
+          (-col("hits")).as("s")))
+    }
+    // below-deep touched terms: recount before/after from retained
+    // postings (kept current by append, pruned to the batch buckets)
+    val touchTerms = vPost.join(deep, Seq("term"), "left_anti")
+      .select(col("term")).distinct().localCheckpoint()
+    val buckets = withBucket(touchTerms).select(col("tb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val curRows = spark.read.parquet(s"$dir/post")
+      .filter(col("tb").isin(buckets: _*))
+      .join(touchTerms, Seq("term"))
+      .select(col("term"), col("doc_id"))
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val afterRows = curRows.join(victimIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val dfB = curRows.groupBy(col("term")).agg(count(lit(1)).as("before"))
+    val dfA = afterRows.groupBy(col("term")).agg(count(lit(1)).as("after"))
+    val cls = dfB.join(dfA, Seq("term"), "left")
+      .select(col("term"), col("before"),
+        coalesce(col("after"), lit(0L)).as("after"))
+      .localCheckpoint()
+    // band → below-band: support rows persist, read filter kills them
+    val fell = cls
+      .filter(col("before").between(dfMin, dfMax) && col("after") < dfMin)
+      .select(col("term"))
+    // purgatory → band: REVIVAL — regenerate the surviving pairs from
+    // the retained postings (the delete-side reach-back)
+    val revived = cls
+      .filter(col("before") > dfMax &&
+        col("after").between(dfMin, dfMax))
+      .select(col("term")).localCheckpoint()
+    // purgatory → below-band in one stroke: dead mark flips off; any
+    // stale band-era pairs are killed by the sub mark instead
+    val revivedSub = cls
+      .filter(col("before") > dfMax && col("after") < dfMin)
+      .select(col("term"))
+    appendDeltas(spark, dir, "dead_terms",
+      revived.unionByName(revivedSub)
+        .select(col("term"), lit(k).as("k"), lit(-1L).as("s")))
+    appendDeltas(spark, dir, "sub_terms",
+      fell.unionByName(revivedSub)
+        .select(col("term"), lit(k).as("k"), lit(1L).as("s")))
+    val revRows = afterRows.join(revived, Seq("term")).localCheckpoint()
+    pairsOf(revRows, revRows)
+      .write.mode("append").parquet(s"$dir/pairs")
+    victimIds.write.mode("append").parquet(s"$dir/_cit_tombs")
   }
 
   /** The maintained WEIGHTED edge set: (src, dst, w) with w = distinct
     * supporting band terms — countDistinct, so replay-duplicated
     * support rows can never inflate a weight. Result-identical to
-    * [[Graph.citationEdgesWeighted]] over the committed corpus
-    * (spec-pinned). */
-  def edgesWeighted(spark: SparkSession, dir: String): DataFrame =
+    * [[Graph.citationEdgesWeighted]] over committed-minus-tombstoned
+    * docs (spec-pinned). Read cost: the support scan plus the
+    * dead/sub delta sums (O(churned terms)) and two tombstone
+    * anti-joins (O(deleted docs)). */
+  def edgesWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val tmb = tombstones(spark, dir)
     spark.read.parquet(s"$dir/pairs")
-      .join(deadTerms(spark, dir), Seq("term"), "left_anti")
+      .join(deadNow(spark, dir), Seq("term"), "left_anti")
+      .join(subNow(spark, dir), Seq("term"), "left_anti")
+      .join(tmb.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
+      .join(tmb.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_anti")
       .groupBy(col("src"), col("dst"))
       .agg(countDistinct(col("term")).as("w"))
+  }
 
   /** Unweighted projection ([[Graph.citationEdges]] shape). */
   def edges(spark: SparkSession, dir: String): DataFrame =
     edgesWeighted(spark, dir).select(col("src"), col("dst"))
 
-  /** Torn-append detector: every doc id present in post/ must be
-    * committed (the docs-last write order means residue ids are
-    * exactly an unfinished batch). One narrow anti-join count. */
-  def consistent(spark: SparkSession, dir: String): Boolean =
+  /** Torn-write detector, three probes: (1) every doc id present in
+    * post/ must be committed — append writes post first and docs
+    * last, so residue ids are exactly an unfinished append; (2) every
+    * tombstone must name a committed doc; (3) every delete-batch
+    * delta key ("d" + min victim id) must have its id tombstoned —
+    * delete writes deltas first and tombs last, so a delta key whose
+    * id is not a tombstone is exactly an unfinished delete. All three
+    * are narrow anti-join counts; a replay of the torn batch heals
+    * each (spec-pinned per window). */
+  def consistent(spark: SparkSession, dir: String): Boolean = {
+    val docs = spark.read.parquet(s"$dir/_cit_docs")
+    val tmb = tombstones(spark, dir)
+    val deleteKeys = Seq("dead_terms", "sub_terms", "deep_df")
+      .map(deltas(spark, dir, _).select(col("k")))
+      .reduce(_ unionByName _)
+      .filter(col("k").startsWith("d")).distinct()
+      // try_cast: literal-key columns ("b") constant-fold BEFORE the
+      // startsWith filter prunes them; real d-keys always parse
+      .select(expr("try_cast(substring(k, 2) as long)").as("doc_id"))
+      .filter(col("doc_id").isNotNull)
     spark.read.parquet(s"$dir/post").select(col("doc_id")).distinct()
-      .join(spark.read.parquet(s"$dir/_cit_docs"), Seq("doc_id"),
-        "left_anti")
-      .count() == 0L
+      .join(docs, Seq("doc_id"), "left_anti")
+      .count() == 0L &&
+    tmb.join(docs, Seq("doc_id"), "left_anti").count() == 0L &&
+    deleteKeys.join(tmb, Seq("doc_id"), "left_anti").count() == 0L
+  }
 
-  /** Copy-compaction into `destDir`: dead terms' residual postings and
-    * pair rows are physically dropped, replay-duplicated pair rows
-    * dedup, file geometry consolidates. Crash-safe by the same
-    * fresh-directory argument as [[LshIndex.compactTo]] (docs land
-    * last; the source is untouched). */
+  /** Copy-compaction into `destDir`: tombstoned docs, dead/sub terms'
+    * stale pair rows, deep terms' residual postings and
+    * replay-duplicated rows are physically dropped; the delta tables
+    * fold to their current sums; the tombstone set empties (deleted
+    * ids leave `_cit_docs`, so they become re-appendable). Crash-safe
+    * by the same fresh-directory argument as [[LshIndex.compactTo]]
+    * (docs land last; the source is untouched). The deep set carries
+    * over as-is — a from-scratch rebuild could instead re-tier a
+    * deep term whose survivor df fell within dfMax + slack back into
+    * purgatory (its postings are unrecoverable here); that difference
+    * is CAPACITY only (future revivals), never edges, and is the
+    * documented price of dropping deep posting lists. */
   def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
-    val meta = spark.read.parquet(s"$dir/_cit_meta").collect()(0)
-    writeMeta(spark, destDir, meta.getInt(0), meta.getLong(1),
-      meta.getLong(2))
-    val dead = deadTerms(spark, dir).localCheckpoint()
+    val (n, dfMin, dfMax, slack) = readMeta(spark, dir)
+    writeMeta(spark, destDir, n, dfMin, dfMax, slack)
+    val tmb = tombstones(spark, dir).localCheckpoint()
+    val deep = deepTerms(spark, dir).localCheckpoint()
+    val deadN = deadNow(spark, dir).localCheckpoint()
+    val subN = subNow(spark, dir).localCheckpoint()
     spark.read.parquet(s"$dir/post")
-      .join(dead, Seq("term"), "left_anti")
-      .select(col("term"), col("doc_id"))
+      .join(deep, Seq("term"), "left_anti")
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id")).distinct()
       .transform(withBucket)
       .repartition(col("tb")).sortWithinPartitions(col("term"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$destDir/post")
     spark.read.parquet(s"$dir/pairs")
-      .join(dead, Seq("term"), "left_anti")
+      .join(deadN, Seq("term"), "left_anti")
+      .join(subN, Seq("term"), "left_anti")
+      .join(tmb.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
+      .join(tmb.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"), col("term")).distinct()
       .write.mode("overwrite").parquet(s"$destDir/pairs")
-    dead.write.mode("overwrite").parquet(s"$destDir/dead_terms")
-    spark.read.parquet(s"$dir/_cit_docs").coalesce(1)
+    deadN.select(col("term"), lit("b").as("k"), lit(1L).as("s"))
+      .write.mode("overwrite").parquet(s"$destDir/dead_terms")
+    deep.write.mode("overwrite").parquet(s"$destDir/deep_terms")
+    deltas(spark, dir, "deep_df")
+      .groupBy(col("term")).agg(sum(col("s")).as("sd"))
+      .select(col("term"), lit("b").as("k"), col("sd").as("s"))
+      .write.mode("overwrite").parquet(s"$destDir/deep_df")
+    spark.read.parquet(s"$dir/_cit_docs")
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_cit_docs")
   }
 }

@@ -11,20 +11,30 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * query ([[graft.scale.Graph.pageRankDirectedResumeQ]] included —
   * warm ranks + fresh edges compose into the fully-incremental graph
   * pipeline) reads edges that are exactly the from-scratch derivation
-  * over everything streamed.
+  * over everything streamed. The symmetric TAKE-DOWN loop streams
+  * (doc_id, text) removal requests through
+  * [[graft.scale.CitationIndex.delete]] — O(batch) tombstoning with
+  * exact band revival from the purgatory tier, so a takedown/
+  * right-to-be-forgotten feed maintains the same delete≡rebuild
+  * equality the batch spec pins.
   *
-  * Delivery contract: the index append is exactly-once-EFFECTIVE under
-  * epoch replay — [[graft.scale.CitationIndex.append]] anti-joins the
-  * committed-doc table, heals its own torn prefixes, and never
-  * double-inserts postings; replayed edge-support rows are benign
-  * (distinct-counted at read, folded at compaction). Batch ≡ stream is
-  * therefore EXACT (the CitationIndexSpec append≡rebuild pin carries
-  * over verbatim), not approximate. */
+  * Delivery contract: both loops are exactly-once-EFFECTIVE under
+  * epoch replay — append anti-joins the committed-doc table, delete
+  * anti-joins the tombstone table (committed LAST), both heal their
+  * own torn prefixes via deterministic recompute + keyed-delta
+  * anti-joins, and never double-insert postings or double-count df.
+  * Batch ≡ stream is therefore EXACT (the CitationIndexSpec /
+  * CitationDeleteSpec equality pins carry over verbatim), not
+  * approximate. */
 object IncrementalCitations {
 
   /** The foreachBatch body, usable directly in batch replays/tests. */
   def appendBatch(indexDir: String)(batch: DataFrame, epochId: Long): Unit =
     graft.scale.CitationIndex.append(batch, indexDir)
+
+  /** The take-down foreachBatch body. */
+  def deleteBatch(indexDir: String)(batch: DataFrame, epochId: Long): Unit =
+    graft.scale.CitationIndex.delete(batch, indexDir)
 
   /** Run the loop over a streaming `docs` source (doc_id, text).
     * `indexDir` must hold a built [[graft.scale.CitationIndex]] (build
@@ -33,6 +43,18 @@ object IncrementalCitations {
       checkpoint: String): StreamingQuery =
     docs.writeStream
       .foreachBatch(appendBatch(indexDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Run the take-down loop over a streaming removal feed (doc_id,
+    * text — the text re-derives victim postings, deep hits included).
+    * The index's own guard applies per micro-batch: a batch that
+    * would revive a deep term fails the epoch loudly rather than
+    * corrupting the edge set. */
+  def runDeletes(removals: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    removals.writeStream
+      .foreachBatch(deleteBatch(indexDir) _)
       .option("checkpointLocation", checkpoint)
       .start()
 }

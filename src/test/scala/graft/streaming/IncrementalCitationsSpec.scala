@@ -54,4 +54,41 @@ class IncrementalCitationsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet == want,
       "epoch replay changed the edge set")
   }
+
+  test("streamed take-downs serve the exact survivor edge set; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("graft-incit-del") + "/idx"
+    val removals = docs.filter(col("doc_id") % 6 === 0)
+    CitationIndex.build(docs, idx, slack = removals.count())
+
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalCitations.runDeletes(
+      mem.toDF().toDF("doc_id", "text"), idx,
+      checkpoint = tmp("graft-incit-del-ckpt"))
+    try {
+      val b1 = removals.filter(col("doc_id") < 300)
+        .as[(Long, String)].collect().toSeq
+      val b2 = removals.filter(col("doc_id") >= 300)
+        .as[(Long, String)].collect().toSeq
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = CitationIndex.edgesWeighted(spark, idx)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Graph.citationEdgesWeighted(
+        docs.filter(col("doc_id") % 6 =!= 0), n = 3, dfMin = 2, dfMax = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      "streamed take-downs diverged from the survivor derivation")
+    assert(got.nonEmpty)
+    assert(CitationIndex.consistent(spark, idx))
+
+    // epoch replay: re-deleting an already-tombstoned batch is a no-op
+    IncrementalCitations.deleteBatch(idx)(
+      docs.filter(col("doc_id") % 6 === 0 && col("doc_id") >= 300), 99L)
+    assert(CitationIndex.edgesWeighted(spark, idx)
+      .as[(Long, Long, Long)].collect().toSet == want,
+      "take-down epoch replay changed the edge set")
+  }
 }
