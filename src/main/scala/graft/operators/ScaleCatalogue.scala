@@ -1873,19 +1873,24 @@ object ScaleCatalogue {
   /** Shared BM25 CTE chain (→ `lexranked(doc_id, score_q, n_hit,
     * rank)`): q92 slices its top 15, q94 reuses the identical ranking
     * as the lexical half of the fusion. */
-  private val bm25Ctes: String =
-    """toks AS (
-      |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-      |    unnest(string_split(text, ' ')) AS term FROM documents),
-      |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
-      |  FROM toks GROUP BY 1, 2),
-      |qt AS (SELECT DISTINCT term FROM (
-      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
-      |  WHERE doc_id = 1) ORDER BY term ASC LIMIT 8),
-      |probed AS (SELECT tf.* FROM tf JOIN qt USING (term)),
-      |df AS (SELECT term, count(*) AS df FROM probed GROUP BY term),
-      |stats AS (SELECT count(*)::DOUBLE AS n_docs,
-      |  avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+  /** `docPred` restricts the scored corpus (toks/stats) — the q145
+    * take-down oracle; the query-term source (doc 1) is external
+    * input and stays unfiltered. */
+  private def bm25CtesOver(docPred: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+       |    unnest(string_split(text, ' ')) AS term FROM documents
+       |  WHERE ($docPred)),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+       |  FROM toks GROUP BY 1, 2),
+       |qt AS (SELECT DISTINCT term FROM (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |  WHERE doc_id = 1) ORDER BY term ASC LIMIT 8),
+       |probed AS (SELECT tf.* FROM tf JOIN qt USING (term)),
+       |df AS (SELECT term, count(*) AS df FROM probed GROUP BY term),
+       |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+       |  avg(len(string_split(text, ' '))) AS avgdl FROM documents
+       |  WHERE ($docPred)),
       |scored AS (
       |  SELECT p.doc_id, CAST(floor(
       |    ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
@@ -1897,6 +1902,9 @@ object ScaleCatalogue {
       |lexranked AS (SELECT doc_id, score_q, n_hit,
       |  row_number() OVER (ORDER BY score_q DESC, doc_id ASC) AS rank
       |  FROM agg)""".stripMargin
+
+  private val bm25Ctes: String = bm25CtesOver("TRUE")
+
   val q92Sql: String =
     s"""WITH $bm25Ctes
        |SELECT rank, doc_id, n_hit, score_q FROM lexranked
@@ -4370,6 +4378,68 @@ object ScaleCatalogue {
        |SELECT node, outdeg, r AS pr_q FROM wr2 ORDER BY node""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q144 — LSH dedup probe AFTER TAKE-DOWNS: q113's per-ingest question
+  // ("which of today's docs already exist in my corpus") asked against
+  // an index that has tombstoned a slice of that corpus. The probe's
+  // anti-join excludes tombstoned ids NOW — before any compaction — so
+  // a removed document stops matching as a near-dup candidate the
+  // moment delete() commits; the oracle replays q113's full signature/
+  // band/verify pipeline with the tombstoned slice excluded from the
+  // corpus side, making delete-then-probe ≡ never-indexed an ORACLE
+  // fact (LshIndexSpec pins the same equivalence structurally). Still
+  // zero corpus-side recompute: the tombstone set is an O(deleted)
+  // anti-join, folded away at compaction.
+  // ---------------------------------------------------------------------
+  def q144LshDeleteProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("lsh-index-del", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.LshIndex.build(docs.filter(col("doc_id") < 400), p)
+      graft.scale.LshIndex.delete(
+        docs.filter(col("doc_id") < 400 && col("doc_id") % 7 === 0)
+          .select(col("doc_id")), p)
+    }
+    graft.scale.LshIndex
+      .dedupBatch(s, dir, docs.filter(col("doc_id") >= 400), minMatches = 8)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+  }
+  // q113's replay with the tombstoned slice excluded from the corpus
+  // side of the candidate join
+  val q144Sql: String = q113Sql.replace(
+    "AND a.doc_id < 400 AND b.doc_id >= 400",
+    "AND a.doc_id < 400 AND a.doc_id % 7 <> 0 AND b.doc_id >= 400")
+
+  // ---------------------------------------------------------------------
+  // q145 — BM25 serving AFTER TAKE-DOWNS: q102's materialized-postings
+  // probe against an index that has tombstoned a corpus slice. BM25 is
+  // the interesting delete case among the serving indexes because the
+  // SCORES of the surviving docs change, not just the result set — N,
+  // avgdl, and every query term's df shift when docs leave, so a
+  // tombstone anti-join alone would rank with stale statistics.
+  // BmIndex records each victim's dl in the tombstone row and topK
+  // serves with stats NET of tombstones (adjustedStats) while df
+  // re-derives from the tombstone-filtered probe rows; the oracle
+  // scores the survivor corpus from scratch — the hash match proves
+  // delete-then-serve ≡ never-indexed INCLUDING the statistics, before
+  // any compaction. Query terms stay sourced from doc 1 (external
+  // input; doc 1 survives the slice).
+  // ---------------------------------------------------------------------
+  def q145Bm25DeleteProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("bm-index-del", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.BmIndex.build(docs, p)
+      graft.scale.BmIndex.delete(
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")), p)
+    }
+    graft.scale.BmIndex.topK(s, dir, doc1Terms(s, d), k = 15)
+  }
+  val q145Sql: String =
+    s"""WITH ${bm25CtesOver("doc_id % 7 <> 3")}
+       |SELECT rank, doc_id, n_hit, score_q FROM lexranked
+       |WHERE rank <= 15 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4524,6 +4594,8 @@ object ScaleCatalogue {
     "q141_incr_graph_pipeline" -> q141IncrementalGraphPipeline _,
     "q142_citation_deletes" -> q142CitationDeletes _,
     "q143_delete_warm_pagerank" -> q143DeleteWarmPagerank _,
+    "q144_lsh_delete_probe" -> q144LshDeleteProbe _,
+    "q145_bm25_delete_probe" -> q145Bm25DeleteProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4636,5 +4708,7 @@ object ScaleCatalogue {
     "q141_incr_graph_pipeline" -> q141Sql,
     "q142_citation_deletes" -> q142Sql,
     "q143_delete_warm_pagerank" -> q143Sql,
+    "q144_lsh_delete_probe" -> q144Sql,
+    "q145_bm25_delete_probe" -> q145Sql,
   )
 }
