@@ -4440,6 +4440,57 @@ object ScaleCatalogue {
        |WHERE rank <= 15 ORDER BY rank""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q146/q147 — the vector side of delete-then-serve, completing the
+  // oracle-proven take-down story across ALL FIVE serving indexes
+  // (LSH q144, BM25 q145, citation q142, IVF here, IVF+PQ next).
+  // Deleting vectors does NOT retrain the coarse quantizer or the PQ
+  // codebooks (both stay as built — the production contract: codebook
+  // drift is a rebuild decision, not a delete side-effect), so the
+  // oracle filters ONLY the scanned corpus: tombstoned ids leave the
+  // candidate set the moment delete() commits, queries and codewords
+  // stay intact even when the deleted slice contains them. The
+  // replace() is surgical — corpus_d's scan side is the one place the
+  // corpus enters either oracle.
+  // ---------------------------------------------------------------------
+  def q146IvfDeleteProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = cachedIndexDir("ivf-index-del", d, "v1") { p =>
+      graft.scale.IvfIndex.build(emb, centroids, p,
+        centroidCount = Some(strideCentroidCount(s, d, 97)))
+      graft.scale.IvfIndex.delete(
+        emb.filter(col("vec_id") % 7 === 2).select(col("vec_id")), p)
+    }
+    graft.scale.IvfIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q146Sql: String = q35Sql.replace(
+    "FROM embeddings a, cent c)",
+    "FROM embeddings a, cent c WHERE a.vec_id % 7 <> 2)")
+
+  def q147IvfPqDeleteProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = cachedIndexDir("ivfpq-index-del", d, "v1") { p =>
+      graft.scale.IvfPqIndex.build(emb, centroids, p,
+        centroidCount = Some(strideCentroidCount(s, d, 97)))
+      graft.scale.IvfPqIndex.delete(
+        emb.filter(col("vec_id") % 7 === 2).select(col("vec_id")), p)
+    }
+    graft.scale.IvfPqIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q147Sql: String = q90Sql.replace(
+    "FROM embeddings a, cent c)",
+    "FROM embeddings a, cent c WHERE a.vec_id % 7 <> 2)")
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4596,6 +4647,8 @@ object ScaleCatalogue {
     "q143_delete_warm_pagerank" -> q143DeleteWarmPagerank _,
     "q144_lsh_delete_probe" -> q144LshDeleteProbe _,
     "q145_bm25_delete_probe" -> q145Bm25DeleteProbe _,
+    "q146_ivf_delete_probe" -> q146IvfDeleteProbe _,
+    "q147_ivfpq_delete_probe" -> q147IvfPqDeleteProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4710,5 +4763,7 @@ object ScaleCatalogue {
     "q143_delete_warm_pagerank" -> q143Sql,
     "q144_lsh_delete_probe" -> q144Sql,
     "q145_bm25_delete_probe" -> q145Sql,
+    "q146_ivf_delete_probe" -> q146Sql,
+    "q147_ivfpq_delete_probe" -> q147Sql,
   )
 }
