@@ -4491,6 +4491,38 @@ object ScaleCatalogue {
     "FROM embeddings a, cent c WHERE a.vec_id % 7 <> 2)")
 
   // ---------------------------------------------------------------------
+  // q148 — COMPACT-then-serve: q142's tombstoned citation index folded
+  // by CitationIndex.compactTo (the repo's richest compaction —
+  // tombstoned postings/pairs/doc-ids physically drop, dead/sub stale
+  // pair rows drop, the signed delta tables fold to their current
+  // sums, the tombstone set empties) and served from the COMPACTED
+  // layout. Same oracle as q142: the hash match proves the fold
+  // changed the physical layout without moving a single edge — the
+  // maintenance operation a 100 TB index runs on a schedule, verified
+  // end-to-end rather than only structurally (CitationDeleteSpec
+  // keeps the physical-drop and re-appendability pins).
+  // ---------------------------------------------------------------------
+  def q148CitationCompactServe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val victims = docs.filter(col("doc_id") % 10 === 9)
+    val dir = cachedIndexDir("citation-del-compact", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val src = cachedIndexDir("citation-del", d, "v1",
+        datasets = Seq("documents.parquet")) { sp =>
+        graft.scale.CitationIndex.build(docs, sp, slack = victims.count())
+        graft.scale.CitationIndex.delete(victims, sp)
+      }
+      graft.scale.CitationIndex.compactTo(s, src, p)
+      require(graft.scale.CitationIndex.consistent(s, p),
+        "compacted citation index failed its consistency probes")
+    }
+    graft.scale.CitationIndex.edgesWeighted(s, dir)
+      .orderBy(col("src"), col("dst"))
+  }
+  // the fold must not move an edge — q142's oracle verbatim
+  def q148Sql: String = q142Sql
+
+  // ---------------------------------------------------------------------
   // q136 — REAL image codec in the dedup loop (Multimodal.
   // imageAverageHash): q130 proved the aHash algebra over the synthetic
   // header rule; this proves the same algebra over ACTUAL PNG BYTES
@@ -4649,6 +4681,7 @@ object ScaleCatalogue {
     "q145_bm25_delete_probe" -> q145Bm25DeleteProbe _,
     "q146_ivf_delete_probe" -> q146IvfDeleteProbe _,
     "q147_ivfpq_delete_probe" -> q147IvfPqDeleteProbe _,
+    "q148_citation_compact_serve" -> q148CitationCompactServe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4765,5 +4798,6 @@ object ScaleCatalogue {
     "q145_bm25_delete_probe" -> q145Sql,
     "q146_ivf_delete_probe" -> q146Sql,
     "q147_ivfpq_delete_probe" -> q147Sql,
+    "q148_citation_compact_serve" -> q148Sql,
   )
 }
