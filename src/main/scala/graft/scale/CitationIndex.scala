@@ -138,19 +138,42 @@ object CitationIndex {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
-  private def emptyTerms(spark: SparkSession): DataFrame =
-    spark.range(0).select(col("id").cast("string").as("term"))
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  private val postSchema = StructType(Seq(
+    StructField("term", StringType), StructField("doc_id", LongType),
+    StructField("tb", LongType)))
+  private val pairSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("term", StringType)))
+  private val deltaSchema = StructType(Seq(
+    StructField("term", StringType), StructField("k", StringType),
+    StructField("s", LongType)))
+  private val termSchema = StructType(Seq(StructField("term", StringType)))
+  private val docSchema = StructType(Seq(StructField("doc_id", LongType)))
+
+  /** Schema-explicit read tolerating absent AND file-less directories —
+    * a zero-row partitioned overwrite (the cold-start build, an
+    * all-duplicate append) leaves a dir schema inference cannot read;
+    * every internal reader goes through here so the documented
+    * build-over-empty cold start actually holds. */
+  private def readOr(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    if (!exists(spark, path))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else spark.read.schema(schema).parquet(path)
+
+  private def postRows(spark: SparkSession, dir: String): DataFrame =
+    readOr(spark, s"$dir/post", postSchema)
 
   /** Signed (term, k, s) delta table reader; legacy plain-`term`
-    * dead_terms files read as s = +1 (always-dead). */
+    * dead_terms files surface null k/s and read as one "b"/+1 row
+    * (always-dead), preserving the pre-delete layout's meaning. */
   private def deltas(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (!exists(spark, s"$dir/$name"))
-      emptyTerms(spark).select(col("term"), lit("b").as("k"), lit(1L).as("s"))
-    else {
-      val df = spark.read.parquet(s"$dir/$name")
-      if (df.schema.fieldNames.contains("s")) df.select(col("term"), col("k"), col("s"))
-      else df.select(col("term"), lit("b").as("k"), lit(1L).as("s"))
-    }
+    readOr(spark, s"$dir/$name", deltaSchema)
+      .select(col("term"), coalesce(col("k"), lit("b")).as("k"),
+        coalesce(col("s"), lit(1L)).as("s"))
 
   /** Terms whose signed delta sum is positive (current members). */
   private def nowSet(d: DataFrame): DataFrame =
@@ -164,23 +187,17 @@ object CitationIndex {
     nowSet(deltas(spark, dir, "sub_terms"))
 
   private def deepTerms(spark: SparkSession, dir: String): DataFrame =
-    if (exists(spark, s"$dir/deep_terms"))
-      spark.read.parquet(s"$dir/deep_terms").select(col("term"))
-    else emptyTerms(spark)
+    readOr(spark, s"$dir/deep_terms", termSchema)
 
   private def tombstones(spark: SparkSession, dir: String): DataFrame =
-    if (exists(spark, s"$dir/_cit_tombs"))
-      spark.read.parquet(s"$dir/_cit_tombs").select(col("doc_id"))
-    else spark.range(0).select(col("id").as("doc_id"))
+    readOr(spark, s"$dir/_cit_tombs", docSchema)
 
   /** Append delta rows healing replays: existing (term, k) rows win. */
   private def appendDeltas(spark: SparkSession, dir: String, name: String,
       rows: DataFrame): Unit = {
-    val fresh =
-      if (exists(spark, s"$dir/$name"))
-        rows.join(spark.read.parquet(s"$dir/$name").select(col("term"), col("k")),
-          Seq("term", "k"), "left_anti")
-      else rows
+    val fresh = rows.join(
+      readOr(spark, s"$dir/$name", deltaSchema).select(col("term"), col("k")),
+      Seq("term", "k"), "left_anti")
     if (fresh.limit(1).count() > 0L)
       fresh.write.mode("append").parquet(s"$dir/$name")
   }
@@ -232,7 +249,7 @@ object CitationIndex {
   def append(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val (n, dfMin, dfMax, slack) = readMeta(spark, dir)
-    val committed = spark.read.parquet(s"$dir/_cit_docs")
+    val committed = readOr(spark, s"$dir/_cit_docs", docSchema)
     val fresh = docs.join(committed.select(col("doc_id")),
       Seq("doc_id"), "left_anti").localCheckpoint()
     if (fresh.count() == 0L) return
@@ -252,7 +269,7 @@ object CitationIndex {
     // control-plane: ≤ Buckets distinct partition ids whatever |batch|
     val buckets = withBucket(batchTerms).select(col("tb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val touched = spark.read.parquet(s"$dir/post")
+    val touched = postRows(spark, dir)
       .filter(col("tb").isin(buckets: _*))
       .join(batchTerms, Seq("term"))
       .select(col("term"), col("doc_id"))
@@ -338,7 +355,7 @@ object CitationIndex {
   def delete(docs: DataFrame, dir: String): Unit = {
     val spark = docs.sparkSession
     val (n, dfMin, dfMax, _) = readMeta(spark, dir)
-    val committed = spark.read.parquet(s"$dir/_cit_docs")
+    val committed = readOr(spark, s"$dir/_cit_docs", docSchema)
     val tmb = tombstones(spark, dir).localCheckpoint()
     val victims = docs
       .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -376,7 +393,7 @@ object CitationIndex {
       .select(col("term")).distinct().localCheckpoint()
     val buckets = withBucket(touchTerms).select(col("tb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val curRows = spark.read.parquet(s"$dir/post")
+    val curRows = postRows(spark, dir)
       .filter(col("tb").isin(buckets: _*))
       .join(touchTerms, Seq("term"))
       .select(col("term"), col("doc_id"))
@@ -426,7 +443,7 @@ object CitationIndex {
     * anti-joins (O(deleted docs)). */
   def edgesWeighted(spark: SparkSession, dir: String): DataFrame = {
     val tmb = tombstones(spark, dir)
-    spark.read.parquet(s"$dir/pairs")
+    readOr(spark, s"$dir/pairs", pairSchema)
       .join(deadNow(spark, dir), Seq("term"), "left_anti")
       .join(subNow(spark, dir), Seq("term"), "left_anti")
       .join(tmb.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
@@ -449,7 +466,7 @@ object CitationIndex {
     * are narrow anti-join counts; a replay of the torn batch heals
     * each (spec-pinned per window). */
   def consistent(spark: SparkSession, dir: String): Boolean = {
-    val docs = spark.read.parquet(s"$dir/_cit_docs")
+    val docs = readOr(spark, s"$dir/_cit_docs", docSchema)
     val tmb = tombstones(spark, dir)
     val deleteKeys = Seq("dead_terms", "sub_terms", "deep_df")
       .map(deltas(spark, dir, _).select(col("k")))
@@ -459,7 +476,7 @@ object CitationIndex {
       // startsWith filter prunes them; real d-keys always parse
       .select(expr("try_cast(substring(k, 2) as long)").as("doc_id"))
       .filter(col("doc_id").isNotNull)
-    spark.read.parquet(s"$dir/post").select(col("doc_id")).distinct()
+    postRows(spark, dir).select(col("doc_id")).distinct()
       .join(docs, Seq("doc_id"), "left_anti")
       .count() == 0L &&
     tmb.join(docs, Seq("doc_id"), "left_anti").count() == 0L &&
@@ -485,14 +502,14 @@ object CitationIndex {
     val deep = deepTerms(spark, dir).localCheckpoint()
     val deadN = deadNow(spark, dir).localCheckpoint()
     val subN = subNow(spark, dir).localCheckpoint()
-    spark.read.parquet(s"$dir/post")
+    postRows(spark, dir)
       .join(deep, Seq("term"), "left_anti")
       .join(tmb, Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id")).distinct()
       .transform(withBucket)
       .repartition(col("tb")).sortWithinPartitions(col("term"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$destDir/post")
-    spark.read.parquet(s"$dir/pairs")
+    readOr(spark, s"$dir/pairs", pairSchema)
       .join(deadN, Seq("term"), "left_anti")
       .join(subN, Seq("term"), "left_anti")
       .join(tmb.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
@@ -506,7 +523,7 @@ object CitationIndex {
       .groupBy(col("term")).agg(sum(col("s")).as("sd"))
       .select(col("term"), lit("b").as("k"), col("sd").as("s"))
       .write.mode("overwrite").parquet(s"$destDir/deep_df")
-    spark.read.parquet(s"$dir/_cit_docs")
+    readOr(spark, s"$dir/_cit_docs", docSchema)
       .join(tmb, Seq("doc_id"), "left_anti")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_cit_docs")

@@ -95,6 +95,17 @@ class CitationIndexSpec extends AnyFunSuite {
       "compaction left dead-term pair rows")
   }
 
+  test("cold start: build over an empty frame, then append everything") {
+    val dir = tmp("graft-citidx-cold")
+    val slice = corpus.filter(col("doc_id") < 200)
+    CitationIndex.build(corpus.limit(0), dir)
+    assert(got(dir).isEmpty, "empty build served edges")
+    CitationIndex.append(slice, dir)
+    assert(got(dir) == want(slice), "cold-start append diverged")
+    assert(got(dir).nonEmpty)
+    assert(CitationIndex.consistent(spark, dir))
+  }
+
   test("torn appends heal on replay at every crash window") {
     val base = corpus.filter(col("doc_id") < 300)
     val batch = corpus.filter(col("doc_id") >= 300 && col("doc_id") < 400)
