@@ -97,6 +97,29 @@ object LshIndex {
       .sortWithinPartitions(col("band"), col("bk"))
       .write.partitionBy("band_bucket").mode("append").parquet(s"$dir/bands")
 
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+    StringType, StructField, StructType}
+
+  private val docIdSchema = StructType(Seq(StructField("doc_id", LongType)))
+  private val sigSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("sig", ArrayType(LongType))))
+  private val bandSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("band", IntegerType),
+    StructField("bk", StringType), StructField("band_bucket", LongType)))
+
+  /** Schema-explicit read tolerating absent AND file-less directories —
+    * a zero-row write (the documented build-over-an-empty-frame cold
+    * start) leaves a dir schema inference cannot read. */
+  private def readOr(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schema)
+    else spark.read.schema(schema).parquet(path)
+  }
+
   private def writeParts(docs: DataFrame, dir: String, mode: String,
       n: Int, numHashes: Int, bands: Int): Unit = {
     val sig = signatures(docs, n, numHashes).localCheckpoint()
@@ -137,11 +160,11 @@ object LshIndex {
     val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
     val (n, numHashes, bands) = (meta.getInt(1), meta.getInt(2),
       meta.getInt(3))
-    val committed = spark.read.parquet(s"$dir/_lsh_docs")
+    val committed = readOr(spark, s"$dir/_lsh_docs", docIdSchema)
     val freshIds = docs.select(col("doc_id"))
       .join(committed.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    val signed = spark.read.parquet(s"$dir/sigs").select(col("doc_id"))
+    val signed = readOr(spark, s"$dir/sigs", sigSchema).select(col("doc_id"))
     val freshData = docs.join(signed, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (freshIds.count() == 0L && freshData.count() == 0L) {
@@ -149,7 +172,7 @@ object LshIndex {
       // sigs write but BEFORE meta — all data landed, only the commit
       // point is stale. Refresh meta iff it disagrees with the
       // committed-id count; a fully-committed re-append stays a no-op.
-      val total = spark.read.parquet(s"$dir/_lsh_docs").count()
+      val total = readOr(spark, s"$dir/_lsh_docs", docIdSchema).count()
       if (meta.getLong(0) != total)
         writeMeta(spark, dir, total, n, numHashes, bands)
       return
@@ -158,7 +181,7 @@ object LshIndex {
       freshIds.write.mode("append").parquet(s"$dir/_lsh_docs")
     if (freshData.count() > 0L)
       writeParts(freshData, dir, "append", n, numHashes, bands)
-    val total = spark.read.parquet(s"$dir/_lsh_docs").count()
+    val total = readOr(spark, s"$dir/_lsh_docs", docIdSchema).count()
     writeMeta(spark, dir, total, n, numHashes, bands)
   }
 
@@ -179,9 +202,9 @@ object LshIndex {
   def consistent(spark: SparkSession, dir: String): Boolean = {
     val st = spark.read.parquet(s"$dir/_lsh_meta")
       .select(col("n_docs")).collect()(0).getLong(0)
-    val ids = spark.read.parquet(s"$dir/_lsh_docs")
+    val ids = readOr(spark, s"$dir/_lsh_docs", docIdSchema)
     val nIds = ids.count()
-    val nSigs = spark.read.parquet(s"$dir/sigs")
+    val nSigs = readOr(spark, s"$dir/sigs", sigSchema)
       .select(col("doc_id")).distinct().count()
     // tombstones must reference committed docs only — an orphaned
     // tombstone means a delete raced a compaction swap
@@ -193,12 +216,8 @@ object LshIndex {
   /** Tombstone table (doc_id) — absent until the first [[delete]].
     * Reads as empty when missing so every pre-tombstone index keeps
     * working unchanged. */
-  private[scale] def tombstones(spark: SparkSession, dir: String): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/_lsh_tombstones")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) spark.read.parquet(p.toString).select(col("doc_id"))
-    else spark.range(0).select(col("id").as("doc_id"))
-  }
+  private[scale] def tombstones(spark: SparkSession, dir: String): DataFrame =
+    readOr(spark, s"$dir/_lsh_tombstones", docIdSchema)
 
   /** Tombstone delete — the takedown/right-to-be-forgotten path the
     * append-only contract lacked: the doc's physical rows stay until
@@ -214,7 +233,7 @@ object LshIndex {
     * is impossible because append skips committed ids. */
   def delete(docIds: DataFrame, dir: String): Unit = {
     val spark = docIds.sparkSession
-    val committed = spark.read.parquet(s"$dir/_lsh_docs")
+    val committed = readOr(spark, s"$dir/_lsh_docs", docIdSchema)
     val fresh = docIds.select(col("doc_id")).distinct()
       .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
@@ -240,14 +259,14 @@ object LshIndex {
     // from every table and the destination starts tombstone-free —
     // compaction is the only operation that reclaims deleted ids
     val dead = tombstones(spark, dir).localCheckpoint()
-    val docs = spark.read.parquet(s"$dir/_lsh_docs")
+    val docs = readOr(spark, s"$dir/_lsh_docs", docIdSchema)
       .join(dead, Seq("doc_id"), "left_anti").localCheckpoint()
     docs.coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_lsh_docs")
-    spark.read.parquet(s"$dir/sigs")
+    readOr(spark, s"$dir/sigs", sigSchema)
       .join(dead, Seq("doc_id"), "left_anti").coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/sigs")
-    spark.read.parquet(s"$dir/bands")
+    readOr(spark, s"$dir/bands", bandSchema)
       .join(dead, Seq("doc_id"), "left_anti")
       .repartition(col("band_bucket"))
       .sortWithinPartitions(col("band"), col("bk"))
@@ -271,7 +290,7 @@ object LshIndex {
     val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
     val (n, numHashes, bands) = (meta.getInt(1), meta.getInt(2),
       meta.getInt(3))
-    val committed = spark.read.parquet(s"$dir/_lsh_docs")
+    val committed = readOr(spark, s"$dir/_lsh_docs", docIdSchema)
     val probe = batch.join(committed.select(col("doc_id")),
       Seq("doc_id"), "left_anti")
     val sig = signatures(probe, n, numHashes).localCheckpoint()
@@ -279,13 +298,13 @@ object LshIndex {
     // control-plane: ≤ Buckets distinct partition ids whatever |batch|
     val buckets = bk.select(col("band_bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = spark.read.parquet(s"$dir/bands")
+    val idx = readOr(spark, s"$dir/bands", bandSchema)
       .filter(col("band_bucket").isin(buckets: _*))
     val cand = idx.as("c").join(bk.as("q"),
         col("c.band") === col("q.band") && col("c.bk") === col("q.bk"))
       .select(col("q.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    val corpusSig = spark.read.parquet(s"$dir/sigs")
+    val corpusSig = readOr(spark, s"$dir/sigs", sigSchema)
       .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val batchSig = sig.select(col("doc_id").as("new_doc"),
       col("sig").as("sig_q"))

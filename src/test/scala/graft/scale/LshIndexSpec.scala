@@ -83,6 +83,19 @@ class LshIndexSpec extends AnyFunSuite {
     assert(LshIndex.dedupBatch(spark, grown, corpus, minMatches = 1).isEmpty)
   }
 
+  test("cold start: build over an empty frame, then append the corpus") {
+    val dir = tmp("graft-lshidx-cold")
+    LshIndex.build(corpus.limit(0), dir)
+    assert(LshIndex.dedupBatch(spark, dir, batch, minMatches = 1).isEmpty,
+      "empty index produced candidates")
+    LshIndex.append(corpus, dir)
+    val rebuilt = tmp("graft-lshidx-cold-ref")
+    LshIndex.build(corpus, rebuilt)
+    assert(result(dir) == result(rebuilt),
+      "cold-start append diverged from a direct build")
+    assert(LshIndex.consistent(spark, dir))
+  }
+
   test("re-append is a no-op: signatures not duplicated, results unchanged") {
     def sigRows(dir: String): Long = spark.read.parquet(s"$dir/sigs").count()
     val dir = tmp("graft-lshidx-dup")
