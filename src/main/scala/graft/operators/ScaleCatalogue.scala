@@ -4292,17 +4292,24 @@ object ScaleCatalogue {
   // from-scratch weighted edges over the SURVIVORS — the hash match
   // IS the delete≡rebuild proof.
   // ---------------------------------------------------------------------
-  def q142CitationDeletes(s: SparkSession, d: String): DataFrame = {
+  /** ONE definition of the tombstoned citation index q142/q143/q148
+    * share: full corpus built with slack = the delete size, the 10%
+    * slice tombstoned. Cache key and builder must not drift between
+    * the three consumers or the shared cache would silently serve a
+    * mismatched index. */
+  private def citationDelIndexDir(s: SparkSession, d: String): String = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     val victims = docs.filter(col("doc_id") % 10 === 9)
-    val dir = cachedIndexDir("citation-del", d, "v1",
+    cachedIndexDir("citation-del", d, "v1",
       datasets = Seq("documents.parquet")) { p =>
       graft.scale.CitationIndex.build(docs, p, slack = victims.count())
       graft.scale.CitationIndex.delete(victims, p)
     }
-    graft.scale.CitationIndex.edgesWeighted(s, dir)
-      .orderBy(col("src"), col("dst"))
   }
+
+  def q142CitationDeletes(s: SparkSession, d: String): DataFrame =
+    graft.scale.CitationIndex.edgesWeighted(s, citationDelIndexDir(s, d))
+      .orderBy(col("src"), col("dst"))
   val q142Sql: String =
     s"""WITH ${citationPostCtesOver("doc_id % 10 <> 9")}
        |SELECT a.doc_id AS src, b.doc_id AS dst,
@@ -4328,14 +4335,8 @@ object ScaleCatalogue {
   // inside a fixed-point consumer.
   // ---------------------------------------------------------------------
   def q143DeleteWarmPagerank(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val victims = docs.filter(col("doc_id") % 10 === 9)
     // the q142 cache: built on the full corpus, 10% slice tombstoned
-    val dir = cachedIndexDir("citation-del", d, "v1",
-      datasets = Seq("documents.parquet")) { p =>
-      graft.scale.CitationIndex.build(docs, p, slack = victims.count())
-      graft.scale.CitationIndex.delete(victims, p)
-    }
+    val dir = citationDelIndexDir(s, d)
     val eFull = citationEdgesCached(s, d).select(col("src"), col("dst"))
     val prior = graft.scale.Graph.pageRankDirectedQ(eFull, 3)
       .select(col("node"), col("pr_q"))
@@ -4503,16 +4504,9 @@ object ScaleCatalogue {
   // keeps the physical-drop and re-appendability pins).
   // ---------------------------------------------------------------------
   def q148CitationCompactServe(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val victims = docs.filter(col("doc_id") % 10 === 9)
     val dir = cachedIndexDir("citation-del-compact", d, "v1",
       datasets = Seq("documents.parquet")) { p =>
-      val src = cachedIndexDir("citation-del", d, "v1",
-        datasets = Seq("documents.parquet")) { sp =>
-        graft.scale.CitationIndex.build(docs, sp, slack = victims.count())
-        graft.scale.CitationIndex.delete(victims, sp)
-      }
-      graft.scale.CitationIndex.compactTo(s, src, p)
+      graft.scale.CitationIndex.compactTo(s, citationDelIndexDir(s, d), p)
       require(graft.scale.CitationIndex.consistent(s, p),
         "compacted citation index failed its consistency probes")
     }

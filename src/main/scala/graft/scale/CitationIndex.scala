@@ -133,10 +133,8 @@ object CitationIndex {
       if (hasSlack) r.getAs[Long]("slack") else 0L)
   }
 
-  private def exists(spark: SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
-  }
+  private def exists(spark: SparkSession, path: String): Boolean =
+    IndexIo.exists(spark, path)
 
   import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -152,17 +150,9 @@ object CitationIndex {
   private val termSchema = StructType(Seq(StructField("term", StringType)))
   private val docSchema = StructType(Seq(StructField("doc_id", LongType)))
 
-  /** Schema-explicit read tolerating absent AND file-less directories —
-    * a zero-row partitioned overwrite (the cold-start build, an
-    * all-duplicate append) leaves a dir schema inference cannot read;
-    * every internal reader goes through here so the documented
-    * build-over-empty cold start actually holds. */
   private def readOr(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
-    if (!exists(spark, path))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        schema)
-    else spark.read.schema(schema).parquet(path)
+    IndexIo.readOr(spark, path, schema)
 
   private def postRows(spark: SparkSession, dir: String): DataFrame =
     readOr(spark, s"$dir/post", postSchema)
@@ -186,8 +176,15 @@ object CitationIndex {
   private def subNow(spark: SparkSession, dir: String): DataFrame =
     nowSet(deltas(spark, dir, "sub_terms"))
 
+  /** Terms whose postings are gone. Legacy pre-slack layouts (no
+    * deep_terms table) dropped EVERY dead term's postings at write
+    * time, so there the whole current dead set is deep — without this
+    * fallback a delete on a legacy index would silently skip revival
+    * instead of refusing loudly. */
   private def deepTerms(spark: SparkSession, dir: String): DataFrame =
-    readOr(spark, s"$dir/deep_terms", termSchema)
+    if (!exists(spark, s"$dir/deep_terms") && exists(spark, s"$dir/dead_terms"))
+      deadNow(spark, dir)
+    else readOr(spark, s"$dir/deep_terms", termSchema)
 
   private def tombstones(spark: SparkSession, dir: String): DataFrame =
     readOr(spark, s"$dir/_cit_tombs", docSchema)
@@ -240,6 +237,13 @@ object CitationIndex {
       .write.mode("overwrite").parquet(s"$dir/deep_terms")
     deep.select(col("term"), lit("b").as("k"), col("df").as("s"))
       .write.mode("overwrite").parquet(s"$dir/deep_df")
+    // reset the delete-era tables too: an IN-PLACE rebuild (the remedy
+    // the deep guard's error message recommends) must not inherit
+    // stale tombstones or sub marks from the previous life of `dir`
+    IndexIo.emptyFrame(spark, deltaSchema)
+      .write.mode("overwrite").parquet(s"$dir/sub_terms")
+    IndexIo.emptyFrame(spark, docSchema)
+      .write.mode("overwrite").parquet(s"$dir/_cit_tombs")
     docs.select(col("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/_cit_docs")
   }
@@ -376,8 +380,11 @@ object CitationIndex {
       val deepCur = deltas(spark, dir, "deep_df")
         .filter(col("k") =!= k)
         .groupBy(col("term")).agg(sum(col("s")).as("df"))
-      val reviving = vDeepHits.join(deepCur, Seq("term"))
-        .filter(col("df") - col("hits") <= dfMax)
+      // left join + null refusal: a deep term WITHOUT a counter (a
+      // legacy layout's dead term) has unknown df — any hit on it must
+      // refuse, since silent skip could miss a revival
+      val reviving = vDeepHits.join(deepCur, Seq("term"), "left")
+        .filter(col("df").isNull || col("df") - col("hits") <= dfMax)
       val bad = reviving.limit(5).collect()
       require(bad.isEmpty,
         s"delete would revive deep term(s) ${bad.map(_.getString(0)).mkString(", ")} " +
@@ -393,10 +400,14 @@ object CitationIndex {
       .select(col("term")).distinct().localCheckpoint()
     val buckets = withBucket(touchTerms).select(col("tb")).distinct()
       .collect().map(_.getLong(0)).toSeq
+    // committed-only: a torn append's crash-residue rows in post/
+    // (written before its docs commit) must not inflate the recount —
+    // the delete-side twin of append's residue split
     val curRows = postRows(spark, dir)
       .filter(col("tb").isin(buckets: _*))
       .join(touchTerms, Seq("term"))
       .select(col("term"), col("doc_id"))
+      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(tmb, Seq("doc_id"), "left_anti")
       .localCheckpoint()
     val afterRows = curRows.join(victimIds, Seq("doc_id"), "left_anti")
@@ -425,9 +436,16 @@ object CitationIndex {
     appendDeltas(spark, dir, "dead_terms",
       revived.unionByName(revivedSub)
         .select(col("term"), lit(k).as("k"), lit(-1L).as("s")))
+    // sub marks are idempotent per term: a revival INTO the band must
+    // clear any standing mark (a sub term can die via append — the
+    // mark rides along — and revive here), and a revival into sub must
+    // not double-mark one; fell terms were in band, hence never marked
+    val subN = subNow(spark, dir).localCheckpoint()
     appendDeltas(spark, dir, "sub_terms",
-      fell.unionByName(revivedSub)
-        .select(col("term"), lit(k).as("k"), lit(1L).as("s")))
+      fell.unionByName(revivedSub.join(subN, Seq("term"), "left_anti"))
+        .select(col("term"), lit(k).as("k"), lit(1L).as("s"))
+        .unionByName(revived.join(subN, Seq("term"))
+          .select(col("term"), lit(k).as("k"), lit(-1L).as("s"))))
     val revRows = afterRows.join(revived, Seq("term")).localCheckpoint()
     pairsOf(revRows, revRows)
       .write.mode("append").parquet(s"$dir/pairs")
@@ -523,6 +541,13 @@ object CitationIndex {
       .groupBy(col("term")).agg(sum(col("s")).as("sd"))
       .select(col("term"), lit("b").as("k"), col("sd").as("s"))
       .write.mode("overwrite").parquet(s"$destDir/deep_df")
+    // folded state: tombstones empty, sub marks empty (their stale
+    // pairs were dropped above) — written explicitly so a reused
+    // destination dir cannot leak a previous life's state
+    IndexIo.emptyFrame(spark, deltaSchema)
+      .write.mode("overwrite").parquet(s"$destDir/sub_terms")
+    IndexIo.emptyFrame(spark, docSchema)
+      .write.mode("overwrite").parquet(s"$destDir/_cit_tombs")
     readOr(spark, s"$dir/_cit_docs", docSchema)
       .join(tmb, Seq("doc_id"), "left_anti")
       .coalesce(1)

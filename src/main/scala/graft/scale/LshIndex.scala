@@ -108,17 +108,9 @@ object LshIndex {
     StructField("doc_id", LongType), StructField("band", IntegerType),
     StructField("bk", StringType), StructField("band_bucket", LongType)))
 
-  /** Schema-explicit read tolerating absent AND file-less directories —
-    * a zero-row write (the documented build-over-an-empty-frame cold
-    * start) leaves a dir schema inference cannot read. */
   private def readOr(spark: SparkSession, path: String,
-      schema: StructType): DataFrame = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
-      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
-        schema)
-    else spark.read.schema(schema).parquet(path)
-  }
+      schema: StructType): DataFrame =
+    IndexIo.readOr(spark, path, schema)
 
   private def writeParts(docs: DataFrame, dir: String, mode: String,
       n: Int, numHashes: Int, bands: Int): Unit = {

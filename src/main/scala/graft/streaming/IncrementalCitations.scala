@@ -25,7 +25,16 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * anti-joins, and never double-insert postings or double-count df.
   * Batch ≡ stream is therefore EXACT (the CitationIndexSpec /
   * CitationDeleteSpec equality pins carry over verbatim), not
-  * approximate. */
+  * approximate.
+  *
+  * SINGLE WRITER: [[graft.scale.CitationIndex]] is a single-writer
+  * layout — do NOT run the ingest and take-down loops concurrently
+  * against one index dir (a delete epoch recounting df mid-append
+  * would classify against a half-written batch, and vice versa).
+  * Route both feeds through one serialized maintenance schedule:
+  * either one foreachBatch stream whose body applies the epoch's
+  * removals after its appends, or alternating, never-overlapping
+  * runs of the two loops. */
 object IncrementalCitations {
 
   /** The foreachBatch body, usable directly in batch replays/tests. */

@@ -250,6 +250,105 @@ class CitationDeleteSpec extends AnyFunSuite {
     assert(CitationIndex.consistent(spark, dest))
   }
 
+  test("sub mark lifecycle: sub -> dead (via append) -> revived (via delete) serves band edges") {
+    // the subtle interleaving: a sub-marked term dies by append (the
+    // mark rides along, benign while dead) and later revives by
+    // delete — the revival must CLEAR the stale sub mark or the
+    // regenerated pairs are silently filtered forever
+    val d1 = Seq(doc(1, "alpha beta gamma"), doc(2, "alpha beta gamma"),
+      doc(3, "alpha beta gamma")).toDF("doc_id", "text")
+    val dir = tmp("graft-citdel-sublife")
+    CitationIndex.build(d1, dir, slack = 4)
+    CitationIndex.delete(d1.filter(col("doc_id").isin(2L, 3L)), dir) // df 3 -> 1: fell, sub
+    val d2 = (4L to 8L).map(i => doc(i, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    CitationIndex.append(d2, dir) // df 1 -> 6: newlyDead, sub mark still standing
+    assert(got(dir) == want(d1.filter(col("doc_id") === 1).unionByName(d2)),
+      "dead term served edges")
+    CitationIndex.delete(d2.filter(col("doc_id").isin(7L, 8L)), dir) // df 6 -> 4: revival
+    val surv = d1.filter(col("doc_id") === 1)
+      .unionByName(d2.filter(!col("doc_id").isin(7L, 8L)))
+    assert(got(dir) == want(surv),
+      "revival under a stale sub mark diverged — the mark was not cleared")
+    assert(got(dir).contains((4L, 1L, 1L)), "revived band edge missing")
+    assert(CitationIndex.consistent(spark, dir))
+  }
+
+  test("in-place rebuild resets tombstones and sub marks") {
+    // the deep guard's own error message recommends rebuild-with-
+    // larger-slack; an in-place build must not inherit the previous
+    // life's delete-era state
+    val dir = tmp("graft-citdel-rebuild")
+    val base = corpus.filter(col("doc_id") < 300)
+    val victims = base.filter(col("doc_id") % 5 === 0)
+    CitationIndex.build(base, dir, slack = victims.count())
+    CitationIndex.delete(victims, dir)
+    assert(got(dir) == want(base.filter(col("doc_id") % 5 =!= 0)))
+    CitationIndex.build(base, dir, slack = 2 * victims.count())
+    assert(got(dir) == want(base),
+      "in-place rebuild inherited stale tombstones or sub marks")
+    assert(CitationIndex.consistent(spark, dir))
+  }
+
+  test("delete between a torn append and its replay classifies against committed postings only") {
+    val dir = tmp("graft-citdel-torninter")
+    val base = corpus.filter(col("doc_id") < 300)
+    val batch = corpus.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val victims = base.filter(col("doc_id") % 7 === 1)
+    CitationIndex.build(base, dir, slack = victims.count() + 5)
+    // stage the torn append: post rows land, docs never commit
+    val mirror = tmp("graft-citdel-torninter-mirror")
+    copyDir(dir, mirror)
+    CitationIndex.append(batch, mirror)
+    deleteDir(s"$dir/post"); copyDir(s"$mirror/post", s"$dir/post")
+    assert(!CitationIndex.consistent(spark, dir))
+    // the interleaved delete must recount df over COMMITTED postings —
+    // residue rows would misclassify revival/fall transitions
+    CitationIndex.delete(victims, dir)
+    // now the torn append replays (heals) on the tombstoned index
+    CitationIndex.append(batch, dir)
+    assert(CitationIndex.consistent(spark, dir))
+    val survPlusBatch = base.filter(col("doc_id") % 7 =!= 1)
+      .unionByName(batch)
+    assert(got(dir) == want(survPlusBatch),
+      "delete over torn-append residue diverged from the derivation")
+  }
+
+  test("legacy pre-slack layout: deleting a doc of a postings-less dead term refuses loudly") {
+    val docs = Seq(
+      doc(10, "delta epsilon zeta"), doc(11, "delta epsilon zeta"),
+      doc(12, "delta epsilon zeta"), doc(13, "delta epsilon zeta"),
+      doc(14, "delta epsilon zeta"),
+      doc(1, "alpha beta gamma"), doc(2, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-citdel-legacy")
+    CitationIndex.build(docs, dir, slack = 0)
+    // degrade to the legacy layout: plain-term dead table, no deep
+    // tables, pre-slack meta
+    val dead = spark.read.parquet(s"$dir/dead_terms").select(col("term"))
+      .collect().map(_.getString(0)).toSeq
+    deleteDir(s"$dir/dead_terms"); deleteDir(s"$dir/deep_terms")
+    deleteDir(s"$dir/deep_df"); deleteDir(s"$dir/sub_terms")
+    deleteDir(s"$dir/_cit_tombs")
+    dead.toDF("term").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/dead_terms")
+    spark.range(1).select(lit(3).as("n"), lit(2L).as("df_min"),
+        lit(4L).as("df_max"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_cit_meta")
+    // serving still works on the legacy layout
+    assert(got(dir) == want(docs), "legacy layout stopped serving")
+    // a delete touching the dead term cannot know its df (postings
+    // gone, no counter) -> must refuse, never silently skip revival
+    val ex = intercept[IllegalArgumentException] {
+      CitationIndex.delete(docs.filter(col("doc_id") === 14), dir)
+    }
+    assert(ex.getMessage.contains("deep"), s"wrong refusal: ${ex.getMessage}")
+    // a delete not touching it proceeds
+    CitationIndex.delete(docs.filter(col("doc_id") === 2), dir)
+    assert(got(dir) == want(docs.filter(col("doc_id") =!= 2)),
+      "legacy-layout delete of an unrelated doc diverged")
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
