@@ -4568,6 +4568,120 @@ object ScaleCatalogue {
       |  FROM px p JOIN m USING (doc_id) GROUP BY 1)
       |SELECT doc_id, ahash FROM bits ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q149 — incrementally-maintained dedup clusters (scale/ClusterStore):
+  // connected components as an INDEX, not a recompute. Docs are
+  // connected iff they share any q104 content chunk; the store
+  // persists a union-find forest whose appends cost O(batch) — one
+  // pointer row per new connected doc, ONE row per absorbed root on a
+  // merge, never a member rewrite. Built here as four sequential
+  // doc_id%4 batches (the df-4 shared chunk's docs span three of them,
+  // so cross-batch merges and root relabels genuinely happen); served
+  // as the full (doc_id, rep) assignment. The oracle derives the SAME
+  // labels from scratch — chunk-share star edges to each chunk's
+  // global min owner, transitive closure, min per component — so the
+  // hash match proves the maintained forest equals a from-scratch
+  // clustering REGARDLESS of batch order (hub choice differs per
+  // batching; component minima cannot).
+  // ---------------------------------------------------------------------
+  private def clusterChunksOf(s: SparkSession, d: String): DataFrame =
+    chunksOf(s, d).select(col("doc_id"), col("chunk_hash"))
+
+  def q149ClusterStore(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("cluster-store", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val ch = clusterChunksOf(s, d)
+      graft.scale.ClusterStore.build(ch.filter(col("doc_id") % 4 === 0), p)
+      (1 to 3).foreach { i =>
+        graft.scale.ClusterStore.append(ch.filter(col("doc_id") % 4 === i), p)
+      }
+      require(graft.scale.ClusterStore.consistent(s, p),
+        "cluster store failed its consistency probes after build")
+    }
+    graft.scale.ClusterStore.assignments(s, dir)
+      .withColumn("is_canonical",
+        (col("doc_id") === col("rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+  private def clusterStoreSqlOver(docFilter: String): String =
+    s"""WITH RECURSIVE live AS MATERIALIZED (
+       |  SELECT * FROM documents WHERE $docFilter),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n FROM live),
+       |st AS (SELECT doc_id, w, n, unnest(range(0, n, 32)) AS start FROM tok),
+       |ch AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substr(md5(
+       |    array_to_string(w[start + 1 : start + 64], ' ')), 1, 15)
+       |    AS BIGINT) AS chunk_hash FROM st),
+       |own AS MATERIALIZED (
+       |  SELECT chunk_hash, min(doc_id) AS owner FROM ch GROUP BY chunk_hash),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT c.doc_id AS a, o.owner AS b
+       |  FROM ch c JOIN own o USING (chunk_hash) WHERE c.doc_id <> o.owner),
+       |sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |reach AS (SELECT doc_id AS v, doc_id AS r FROM live
+       |  UNION SELECT s.a, t.r FROM sym s JOIN reach t ON s.b = t.v)
+       |SELECT v AS doc_id, min(r) AS rep,
+       |  CASE WHEN v = min(r) THEN 1 ELSE 0 END AS is_canonical
+       |FROM reach GROUP BY v ORDER BY doc_id""".stripMargin
+  val q149Sql: String = clusterStoreSqlOver("TRUE")
+
+  // ---------------------------------------------------------------------
+  // q150 — delete-then-serve on the cluster store: components SPLIT.
+  // Victims are the %10==9 slice PLUS doc 54 — the corpus's largest
+  // component's minimum (and the hub of its df-4 shared chunk), so the
+  // delete exercises the hard transitions: the {54,68,135,352}
+  // component must re-hang its star edges on the minimum survivor and
+  // relabel to rep=68, and a two-doc component loses one end and
+  // collapses to a singleton. The oracle rebuilds from scratch over
+  // the survivors — the hash match is the delete≡rebuild proof at the
+  // component level (stale chains through the deleted root must not
+  // serve).
+  // ---------------------------------------------------------------------
+  private def clusterDelDir(s: SparkSession, d: String): String =
+    cachedIndexDir("cluster-store-del", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val ch = clusterChunksOf(s, d)
+      graft.scale.ClusterStore.build(ch.filter(col("doc_id") % 4 === 0), p)
+      (1 to 3).foreach { i =>
+        graft.scale.ClusterStore.append(ch.filter(col("doc_id") % 4 === i), p)
+      }
+      graft.scale.ClusterStore.delete(
+        documents(s, d).filter(col("doc_id") % 10 === 9 ||
+          col("doc_id") === 54).select(col("doc_id")), p)
+    }
+
+  def q150ClusterDeletes(s: SparkSession, d: String): DataFrame =
+    graft.scale.ClusterStore.assignments(s, clusterDelDir(s, d))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  val q150Sql: String =
+    clusterStoreSqlOver("doc_id % 10 <> 9 AND doc_id <> 54")
+
+  // ---------------------------------------------------------------------
+  // q151 — compact-then-serve on the cluster store: fold the epoch
+  // history (tombstones out, every pointer chain flattened to depth 1)
+  // and serve from the compacted layout. Same oracle as q150 — the
+  // hash match proves the fold changed the physical layout without
+  // moving a single assignment, completing the maintain→delete→compact
+  // lifecycle the citation/LSH/BM/IVF families already verify.
+  // ---------------------------------------------------------------------
+  def q151ClusterCompactServe(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("cluster-store-compact", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.ClusterStore.compactTo(s, clusterDelDir(s, d), p)
+      require(graft.scale.ClusterStore.consistent(s, p),
+        "compacted cluster store failed its consistency probes")
+    }
+    graft.scale.ClusterStore.assignments(s, dir)
+      .withColumn("is_canonical",
+        (col("doc_id") === col("rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+  def q151Sql: String = q150Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -4676,6 +4790,9 @@ object ScaleCatalogue {
     "q146_ivf_delete_probe" -> q146IvfDeleteProbe _,
     "q147_ivfpq_delete_probe" -> q147IvfPqDeleteProbe _,
     "q148_citation_compact_serve" -> q148CitationCompactServe _,
+    "q149_cluster_store" -> q149ClusterStore _,
+    "q150_cluster_deletes" -> q150ClusterDeletes _,
+    "q151_cluster_compact_serve" -> q151ClusterCompactServe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4793,5 +4910,8 @@ object ScaleCatalogue {
     "q146_ivf_delete_probe" -> q146Sql,
     "q147_ivfpq_delete_probe" -> q147Sql,
     "q148_citation_compact_serve" -> q148Sql,
+    "q149_cluster_store" -> q149Sql,
+    "q150_cluster_deletes" -> q150Sql,
+    "q151_cluster_compact_serve" -> q151Sql,
   )
 }

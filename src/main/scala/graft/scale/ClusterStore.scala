@@ -1,0 +1,439 @@
+package graft.scale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Incrementally-maintained dedup-cluster assignments — the "index,
+  * don't recompute" move for CONNECTED COMPONENTS. The dedup family
+  * derives doc→canonical-representative maps by running
+  * [[Dedup.connectedComponents]] over candidate pairs from scratch
+  * (q67/q133); at 100 TB that fixed point re-reads the whole pair set
+  * on every ingest, which is the recompute the LSH/BM/citation indexes
+  * already refuse on their sides. This store persists a UNION-FIND
+  * FOREST and grows it O(batch) per [[append]]: merges write one
+  * pointer row per ABSORBED ROOT, never one per member.
+  *
+  * Connectivity model — chunk-share hyperedges: two documents are
+  * near-dups iff they share any content chunk (the q104/q106
+  * containment rule; callers feed any (doc_id, chunk_hash) relation).
+  * A shared chunk is a HYPEREDGE over all docs containing it. The
+  * store never materializes the quadratic pairs of a popular chunk:
+  * each chunk contributes only STAR EDGES to its hub (the minimum
+  * committed doc containing it). Every doc with chunk h is connected
+  * to hub(h) and hubs chain downward as smaller docs arrive, so the
+  * star forest spans exactly the components of the full share graph —
+  * the representative labels (component minima) are IDENTICAL to a
+  * from-scratch clique expansion, which is what the q149 oracle
+  * proves hash-exactly.
+  *
+  * The forest is a persisted union-find with EPOCH-MONOTONE pointer
+  * rows (src, dst) under `stars/e=N/`:
+  *   - a doc with no row is its own representative (singletons are
+  *     FREE — the table holds only connected docs and absorbed roots);
+  *   - resolution chases, from a doc's own max-epoch row, each hop's
+  *     max-epoch row with STRICTLY GREATER epoch (component history is
+  *     temporal, so valid chains are epoch-increasing; a node that
+  *     transitions twice implies an intervening split rewrite that
+  *     re-pointed every doc which could still reach the older row);
+  *   - [[append]] writes pointer rows for new connected docs, one
+  *     transition row per absorbed root, and path-compression rows
+  *     for the hubs it chased, so chain depth grows only across
+  *     appends and resets at [[compactTo]] (flat forest).
+  *
+  * COMMIT PROTOCOL — epoch directories. Every mutation writes a full
+  * set of per-epoch partition dirs (posts/e=E, fwd/e=E, stars/e=E,
+  * tombs/e=E — empty frames where the op contributes nothing) and
+  * commits by overwriting `_cs_meta` (the epoch pointer) LAST. All
+  * readers filter e <= meta.epoch, so a torn write is invisible; a
+  * replay recomputes the same epoch deterministically from committed
+  * state only and mode("overwrite")s the same e=E dirs, so crash
+  * residue is REPLACED, never reconciled — the anti-join healing the
+  * row-append indexes need is structurally unnecessary here. An
+  * in-place [[build]] wipes the four dir roots first so a previous
+  * life's committed epochs cannot leak. Single-writer, like every
+  * graft index layout.
+  *
+  * [[delete]] (takedown/recrawl) is where components SPLIT: removing
+  * a doc removes its chunk memberships, and a hub's star edges must
+  * re-hang on the minimum survivor. The full postings (`posts/`,
+  * hash-bucketed) and forward index (`fwd/`, doc-bucketed) exist
+  * precisely to make that local: the delete resolves the victims'
+  * roots, expands those components by reverse closure over the
+  * pointer table, re-runs connected components over ONLY the
+  * survivors' chunk stars, and rewrites one row per surviving member
+  * of an affected component. Cost is O(affected components), plus one
+  * scan of the pointer table per closure round (the table holds
+  * connected docs and dead roots, not the corpus — the honest bound;
+  * a dst-bucketed mirror would prune it at the price of doubling
+  * every write). Victims land in `tombs/` and are anti-joined by
+  * every reader; [[compactTo]] folds them out physically and
+  * flattens every chain to depth 1. A tombstoned id cannot be
+  * re-appended until a compaction folds it out (re-ingest after
+  * takedown is compact-then-append), matching the citation index's
+  * contract.
+  *
+  * Scale shape: append reads prune to the batch's hash buckets
+  * (posts) and doc buckets (fwd); resolution frontiers prune to their
+  * src buckets (stars/sb=). Shuffled rows are 16-byte (id, id) pairs
+  * throughout; chunk text never enters the store. The component
+  * fixed-point each epoch runs over O(batch) star edges + one row per
+  * touched root — never the corpus.
+  */
+object ClusterStore {
+
+  val HashBuckets = 64L
+  val DocBuckets = 32L
+  val SrcBuckets = 32L
+
+  private val postSchema = StructType(Seq(
+    StructField("chunk_hash", LongType), StructField("doc_id", LongType),
+    StructField("e", LongType), StructField("hb", LongType)))
+  private val fwdSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("chunk_hash", LongType),
+    StructField("e", LongType), StructField("db", LongType)))
+  private val starSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("e", LongType), StructField("sb", LongType)))
+  private val tombSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("e", LongType)))
+
+  private def writeMeta(spark: SparkSession, dir: String, epoch: Long,
+      nDocs: Long): Unit =
+    spark.range(1)
+      .select(lit(epoch).as("epoch"), lit(nDocs).as("n_docs"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_cs_meta")
+
+  /** (-1, 0) on a cold dir: epoch -1 commits nothing, so every e>=0
+    * residue dir is invisible until its writer commits. */
+  private def readMeta(spark: SparkSession, dir: String): (Long, Long) =
+    if (!IndexIo.exists(spark, s"$dir/_cs_meta")) (-1L, 0L)
+    else {
+      val r = spark.read.parquet(s"$dir/_cs_meta").head()
+      (r.getAs[Long]("epoch"), r.getAs[Long]("n_docs"))
+    }
+
+  private def committed(spark: SparkSession, dir: String, sub: String,
+      schema: StructType, epoch: Long): DataFrame =
+    IndexIo.readOr(spark, s"$dir/$sub", schema).filter(col("e") <= epoch)
+
+  private def postsC(spark: SparkSession, dir: String, epoch: Long) =
+    committed(spark, dir, "posts", postSchema, epoch)
+  private def fwdC(spark: SparkSession, dir: String, epoch: Long) =
+    committed(spark, dir, "fwd", fwdSchema, epoch)
+  private def starsC(spark: SparkSession, dir: String, epoch: Long) =
+    committed(spark, dir, "stars", starSchema, epoch)
+  private def tombsC(spark: SparkSession, dir: String, epoch: Long) =
+    committed(spark, dir, "tombs", tombSchema, epoch)
+      .select(col("doc_id")).distinct()
+
+  /** One epoch's four dirs, overwritten as a unit (replay heals by
+    * replacement). Empty frames still land their e=E dir so a stale
+    * same-numbered dir from a torn previous life cannot outlive this
+    * commit. */
+  private def writeEpoch(spark: SparkSession, dir: String, e: Long,
+      posts: DataFrame, fwd: DataFrame, stars: DataFrame,
+      tombs: DataFrame): Unit = {
+    posts.select(col("chunk_hash"), col("doc_id"),
+        pmod(col("chunk_hash"), lit(HashBuckets)).as("hb"))
+      .write.partitionBy("hb").mode("overwrite").parquet(s"$dir/posts/e=$e")
+    fwd.select(col("doc_id"), col("chunk_hash"),
+        pmod(col("doc_id"), lit(DocBuckets)).as("db"))
+      .write.partitionBy("db").mode("overwrite").parquet(s"$dir/fwd/e=$e")
+    stars.select(col("src"), col("dst"),
+        pmod(col("src"), lit(SrcBuckets)).as("sb"))
+      .write.partitionBy("sb").mode("overwrite").parquet(s"$dir/stars/e=$e")
+    tombs.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/tombs/e=$e")
+  }
+
+  private def emptyPosts(s: SparkSession) = IndexIo.emptyFrame(s,
+    StructType(postSchema.take(2)))
+  private def emptyStars(s: SparkSession) = IndexIo.emptyFrame(s,
+    StructType(starSchema.take(2)))
+  private def emptyTombs(s: SparkSession) = IndexIo.emptyFrame(s,
+    StructType(tombSchema.take(1)))
+
+  /** Build from scratch at epoch 0, wiping any previous life of `dir`
+    * (stale committed epochs must not leak into the new index). */
+  def build(chunks: DataFrame, dir: String): Unit = {
+    val spark = chunks.sparkSession
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("posts", "fwd", "stars", "tombs").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    writeMeta(spark, dir, -1L, 0L)
+    append(chunks, dir)
+  }
+
+  /** Ingest a batch of (doc_id, chunk_hash) rows: O(batch) state
+    * growth, component labels stay exactly the share-graph minima.
+    * Docs already committed (including tombstoned ids) are dropped,
+    * so a replayed or overlapping batch is safe. */
+  def append(chunks: DataFrame, dir: String): Unit = {
+    val spark = chunks.sparkSession
+    val (epoch, nDocs) = readMeta(spark, dir)
+    val e = epoch + 1L
+    val ch0 = chunks
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("chunk_hash").cast("long").as("chunk_hash"))
+      .na.drop().distinct()
+    // committed-doc anti-join, pruned to the batch's doc buckets
+    val dbs = ch0.select(pmod(col("doc_id"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val already = fwdC(spark, dir, epoch)
+      .filter(col("db").isin(dbs: _*))
+      .select(col("doc_id")).distinct()
+    val ch = ch0.join(already, Seq("doc_id"), "left_anti").localCheckpoint()
+    val newDocs = ch.select(col("doc_id")).distinct()
+    val nNew = newDocs.count()
+    if (nNew == 0) return // fully-committed replay (or all-known batch)
+
+    // probe: existing hub per touched hash = min live committed doc,
+    // read pruned to the batch's hash buckets
+    val hbs = ch.select(pmod(col("chunk_hash"), lit(HashBuckets)).as("hb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tmb = tombsC(spark, dir, epoch)
+    val oldHubs = postsC(spark, dir, epoch)
+      .filter(col("hb").isin(hbs: _*))
+      .join(ch.select(col("chunk_hash")).distinct(), Seq("chunk_hash"))
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .groupBy(col("chunk_hash")).agg(min(col("doc_id")).as("old_hub"))
+    val batchMin = ch.groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("batch_min"))
+    val hubs = batchMin.join(oldHubs, Seq("chunk_hash"), "left")
+      .select(col("chunk_hash"), col("old_hub"),
+        least(col("batch_min"), col("old_hub")).as("hub"))
+      .localCheckpoint()
+
+    // star edges for the component fixed point: batch docs to their
+    // chunks' hubs, plus old hub -> new hub where a smaller batch doc
+    // took a chunk over; existing endpoints enter as their ROOTS
+    val roots = resolveAt(spark, dir, epoch,
+      hubs.filter(col("old_hub").isNotNull)
+        .select(col("old_hub").as("id")).distinct()).localCheckpoint()
+    def rooted(c: String) = coalesce(col("root"), col(c))
+    val eDoc = ch.join(hubs, Seq("chunk_hash"))
+      .select(col("doc_id").as("a"), col("hub").as("b"))
+    val eHub = hubs.filter(col("old_hub").isNotNull &&
+        col("old_hub") =!= col("hub"))
+      .select(col("old_hub").as("a"), col("hub").as("b"))
+    val edges = eDoc.unionByName(eHub)
+      .join(roots.withColumnRenamed("id", "a"), Seq("a"), "left")
+      .select(rooted("a").as("a2"), col("b"))
+      .join(roots.withColumnRenamed("id", "b"), Seq("b"), "left")
+      .select(col("a2").as("d1"), rooted("b").as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val labels =
+      if (edges.isEmpty) IndexIo.emptyFrame(spark, StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster", LongType))))
+      else Dedup.connectedComponents(edges).localCheckpoint()
+
+    // pointer rows: connected new docs + absorbed roots (from the
+    // fixed point) + path compression for the chased hubs
+    val hubFlat = hubs.filter(col("old_hub").isNotNull)
+      .select(col("old_hub").as("id")).distinct()
+      .join(roots, Seq("id"))
+      .join(labels.withColumnRenamed("doc_id", "root"), Seq("root"), "left")
+      .select(col("id").as("src"),
+        coalesce(col("cluster"), col("root")).as("dst"))
+    val stars = labels
+      .select(col("doc_id").as("src"), col("cluster").as("dst"))
+      .unionByName(hubFlat)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+
+    writeEpoch(spark, dir, e, ch.select(col("chunk_hash"), col("doc_id")),
+      ch.select(col("doc_id"), col("chunk_hash")), stars,
+      emptyTombs(spark))
+    writeMeta(spark, dir, e, nDocs + nNew)
+  }
+
+  /** Take down documents. Components containing a victim may SPLIT;
+    * every surviving member of an affected component is re-pointed at
+    * its new (possibly unchanged) representative in one epoch.
+    * Already-dead or unknown ids are ignored, so replays are safe. */
+  def delete(victims: DataFrame, dir: String): Unit = {
+    val spark = victims.sparkSession
+    val (epoch, nDocs) = readMeta(spark, dir)
+    val e = epoch + 1L
+    val v0 = victims.select(col("doc_id").cast("long").as("doc_id"))
+      .na.drop().distinct()
+    val vdbs = v0.select(pmod(col("doc_id"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tmb = tombsC(spark, dir, epoch)
+    val live = fwdC(spark, dir, epoch).filter(col("db").isin(vdbs: _*))
+      .select(col("doc_id")).distinct()
+      .join(tmb, Seq("doc_id"), "left_anti")
+    val vs = v0.join(live, Seq("doc_id"), "left_semi").localCheckpoint()
+    if (vs.isEmpty) return
+
+    // affected components: victims' roots, then every doc whose chain
+    // can reach them (reverse closure over the pointer table; the
+    // resolution filter below drops stale-chain overapproximation)
+    val vRoots = resolveAt(spark, dir, epoch,
+      vs.select(col("doc_id").as("id")))
+      .select(col("root")).distinct().localCheckpoint()
+    val starsAll = starsC(spark, dir, epoch).localCheckpoint()
+    var acc = vRoots.select(col("root").as("v"))
+    var frontier = acc
+    var rounds = 0
+    while (!frontier.isEmpty && rounds < 64) {
+      val next = starsAll.join(frontier, starsAll("dst") === frontier("v"))
+        .select(col("src").as("v")).distinct()
+        .join(acc, Seq("v"), "left_anti").localCheckpoint()
+      acc = acc.unionByName(next).localCheckpoint()
+      frontier = next
+      rounds += 1
+    }
+    require(frontier.isEmpty,
+      "cluster-store delete: reverse closure did not terminate in 64 rounds")
+    val candDbs = acc.select(pmod(col("v"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val candLive = fwdC(spark, dir, epoch).filter(col("db").isin(candDbs: _*))
+      .select(col("doc_id")).distinct()
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .join(acc.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left_semi")
+    val candRes = resolveAt(spark, dir, epoch,
+      candLive.select(col("doc_id").as("id")))
+    val members = candRes
+      .join(vRoots, Seq("root"), "left_semi")
+      .select(col("id").as("doc_id")).localCheckpoint()
+    val survivors = members.join(vs, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+
+    // recompute components over the survivors' chunk stars only; a
+    // chunk shared with a doc OUTSIDE the affected components cannot
+    // exist (sharing a chunk implies same component)
+    val sdbs = survivors.select(pmod(col("doc_id"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val sChunks = fwdC(spark, dir, epoch).filter(col("db").isin(sdbs: _*))
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("chunk_hash"))
+    val hub2 = sChunks.groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("hub"))
+    val edges2 = sChunks.join(hub2, Seq("chunk_hash"))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("doc_id").as("d1"), col("hub").as("d2"))
+    val labels2 =
+      if (edges2.isEmpty) IndexIo.emptyFrame(spark, StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster", LongType))))
+      else Dedup.connectedComponents(edges2)
+    // every surviving member gets a fresh row — self-rows included, to
+    // sever stale chains that ran through a victim or a dead root
+    val stars = survivors.join(labels2, Seq("doc_id"), "left")
+      .select(col("doc_id").as("src"),
+        coalesce(col("cluster"), col("doc_id")).as("dst"))
+
+    writeEpoch(spark, dir, e, emptyPosts(spark),
+      emptyPosts(spark).select(col("doc_id"), col("chunk_hash")),
+      stars, vs)
+    writeMeta(spark, dir, e, nDocs - vs.count())
+  }
+
+  /** Current (doc_id, rep) for every live committed document — the
+    * bulk serve/export read (one linear pass over fwd's id column +
+    * the bounded pointer chase). */
+  def assignments(spark: SparkSession, dir: String): DataFrame = {
+    val (epoch, _) = readMeta(spark, dir)
+    val docs = fwdC(spark, dir, epoch).select(col("doc_id")).distinct()
+      .join(tombsC(spark, dir, epoch), Seq("doc_id"), "left_anti")
+    resolveAt(spark, dir, epoch, docs.select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("root").as("rep"))
+  }
+
+  /** Point resolution for an arbitrary doc set (pruned to the
+    * frontier's src buckets each hop). Unknown/dead ids resolve to
+    * themselves — pair with a liveness probe if that matters. */
+  def resolve(spark: SparkSession, dir: String, docs: DataFrame): DataFrame = {
+    val (epoch, _) = readMeta(spark, dir)
+    resolveAt(spark, dir, epoch, docs.select(col("doc_id").cast("long").as("id")))
+      .select(col("id").as("doc_id"), col("root").as("rep"))
+  }
+
+  /** The chase: from each id's own max-epoch row, follow each hop's
+    * max-epoch row while epochs strictly increase; no row (or no
+    * strictly newer row) means the current node is the root. Chain
+    * depth is bounded by epochs-since-compaction (hub rows are
+    * path-compressed at append), so the loop is short; each round's
+    * pointer read prunes to the frontier's src buckets. */
+  private def resolveAt(spark: SparkSession, dir: String, epoch: Long,
+      ids: DataFrame): DataFrame = {
+    val stars = starsC(spark, dir, epoch)
+    var frontier = ids.select(col("id"), col("id").as("cur"),
+      lit(-1L).as("cur_e")).localCheckpoint()
+    var settled: DataFrame = IndexIo.emptyFrame(spark, StructType(Seq(
+      StructField("id", LongType), StructField("root", LongType))))
+    var rounds = 0
+    while (!frontier.isEmpty && rounds < 64) {
+      val sbs = frontier.select(pmod(col("cur"), lit(SrcBuckets)).as("sb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val best = stars.filter(col("sb").isin(sbs: _*))
+        .groupBy(col("src"))
+        .agg(max(struct(col("e"), col("dst"))).as("m"))
+        .select(col("src"), col("m.e").as("best_e"), col("m.dst").as("best_dst"))
+      val j = frontier.join(best, frontier("cur") === best("src"), "left")
+        .localCheckpoint()
+      val adv = j.filter(col("best_e").isNotNull &&
+          col("best_e") > col("cur_e"))
+        .select(col("id"), col("best_dst").as("cur"), col("best_e").as("cur_e"))
+        .localCheckpoint()
+      settled = settled.unionByName(
+        j.filter(col("best_e").isNull || col("best_e") <= col("cur_e"))
+          .select(col("id"), col("cur").as("root"))).localCheckpoint()
+      frontier = adv
+      rounds += 1
+    }
+    require(frontier.isEmpty,
+      "cluster-store resolve: pointer chase did not terminate in 64 rounds " +
+        "(corrupt epoch-monotonicity); rebuild the store")
+    settled
+  }
+
+  /** Fold to a fresh epoch-0 layout at `destDir`: tombstoned postings
+    * physically dropped, every chain flattened to depth 1 (a doc's
+    * row, if any, points directly at its representative), tombstones
+    * and transition history gone. */
+  def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
+    val (epoch, _) = readMeta(spark, dir)
+    val tmb = tombsC(spark, dir, epoch)
+    val livePosts = postsC(spark, dir, epoch)
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .select(col("chunk_hash"), col("doc_id")).localCheckpoint()
+    val asg = assignments(spark, dir).localCheckpoint()
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("posts", "fwd", "stars", "tombs").foreach { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$destDir/$sub")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    writeEpoch(spark, destDir, 0L, livePosts,
+      livePosts.select(col("doc_id"), col("chunk_hash")),
+      asg.select(col("doc_id").as("src"), col("rep").as("dst"))
+        .filter(col("src") =!= col("dst")),
+      emptyTombs(spark))
+    writeMeta(spark, destDir, 0L, asg.count())
+  }
+
+  /** Detector: torn epochs (any e=N dir beyond the meta pointer) and
+    * doc-count drift both flip this false. Committed state is never
+    * touched by a tear, so serving stays correct while this reports
+    * the pending replay. */
+  def consistent(spark: SparkSession, dir: String): Boolean = {
+    val (epoch, nDocs) = readMeta(spark, dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val maxDir = Seq("posts", "fwd", "stars", "tombs").flatMap { sub =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .map(_.getPath.getName).filter(_.startsWith("e="))
+        .map(_.stripPrefix("e=").toLong)
+    }
+    val noTorn = maxDir.forall(_ <= epoch)
+    val liveCount = fwdC(spark, dir, epoch).select(col("doc_id")).distinct()
+      .join(tombsC(spark, dir, epoch), Seq("doc_id"), "left_anti")
+      .count()
+    noTorn && liveCount == nDocs
+  }
+}

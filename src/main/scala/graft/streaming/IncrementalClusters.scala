@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming dedup-cluster maintenance: the
+  * [[graft.scale.ClusterStore]] append/delete loops as Structured
+  * Streaming foreachBatch sinks. Each micro-batch of (doc_id,
+  * chunk_hash) rows commits one store epoch; the store's epoch-dir
+  * protocol makes foreachBatch's at-least-once delivery EXACTLY-ONCE
+  * at the state level — a replayed micro-batch either recomputes and
+  * overwrites its own torn epoch dirs or, once committed, anti-joins
+  * away entirely. Batch ≡ stream is therefore exact; the
+  * ClusterStoreSpec equality pins carry over verbatim.
+  *
+  * SINGLE WRITER: [[graft.scale.ClusterStore]] is a single-writer
+  * layout — do NOT run the ingest and take-down loops concurrently
+  * against one store dir (both compute their epoch from the same meta
+  * pointer; interleaved commits would collide on an epoch number).
+  * Route both feeds through one serialized maintenance schedule:
+  * either one foreachBatch stream whose body applies the epoch's
+  * removals after its appends, or alternating, never-overlapping runs
+  * of the two loops. */
+object IncrementalClusters {
+
+  /** The ingest foreachBatch body, usable directly in batch replays. */
+  def appendBatch(storeDir: String)(batch: DataFrame, epochId: Long): Unit =
+    graft.scale.ClusterStore.append(batch, storeDir)
+
+  /** The take-down foreachBatch body. */
+  def deleteBatch(storeDir: String)(batch: DataFrame, epochId: Long): Unit =
+    graft.scale.ClusterStore.delete(batch, storeDir)
+
+  /** Run the ingest loop over a streaming (doc_id, chunk_hash) source
+    * — typically the q104 chunker applied to a document stream.
+    * `storeDir` must hold a built [[graft.scale.ClusterStore]] (build
+    * over an empty frame for a cold start). */
+  def run(chunks: DataFrame, storeDir: String,
+      checkpoint: String): StreamingQuery =
+    chunks.writeStream
+      .foreachBatch(appendBatch(storeDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** Run the take-down loop over a streaming removal feed (doc_id).
+    * Component splits are applied per micro-batch; serving between
+    * batches always reflects a committed prefix of the feed. */
+  def runDeletes(removals: DataFrame, storeDir: String,
+      checkpoint: String): StreamingQuery =
+    removals.writeStream
+      .foreachBatch(deleteBatch(storeDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}
