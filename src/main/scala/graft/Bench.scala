@@ -171,6 +171,27 @@ object Bench {
       s""""queries":$qs}"""
   }
 
+  /** Third, FINAL artifact line (round-13 verdict item 2): at 153
+    * catalogue entries even the compact line's `queries` map is ~2.5 KB,
+    * so the driver's ~2 KB tail window cut its head and `BENCH_r13.json`
+    * recorded `parsed: null`. This line carries NO per-query map at all
+    * — total, entry count, error count, cpus, sf — and is under 200
+    * bytes no matter how large the catalogue grows, so the driver's
+    * bounded tail always ends with one complete machine-readable JSON
+    * document. Per-query detail lives in the two lines above and in
+    * `target/bench.json`. */
+  private[graft] def formatTotalOnlyJson(
+      all: Seq[(String, Seq[Either[String, Double]])],
+      sfDir: String, cpus: Int = 0): String = {
+    val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
+      k -> v.collect { case Right(t) => t } }
+    val nErr = all.count { case (_, v) => v.exists(_.isLeft) }
+    val total = ok.map(x => median(x._2)).sum
+    s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
+      s""""n":${all.length},"errors":$nErr,"cpus":$cpus,""" +
+      s""""sf":${jsonStr(sfDir)}}"""
+  }
+
   /** One end-to-end pass of the reference's event-driven form
     * ([[graft.streaming.Phase2.runContinuous]]): 16 staged pages drain
     * from a cold start, then 8 more drop MID-STREAM and drain with no
@@ -391,9 +412,12 @@ object Bench {
     Files.write(Paths.get("target", "bench.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(line)
-    // compact line LAST so a ~2 KB stdout tail capture parses (the full
-    // record above is ~6 KB and truncates at the front in such a window)
+    // compact per-query line for human tail readers, then a total-only
+    // line LAST: at 153 entries even the compact line outgrew the
+    // driver's ~2 KB tail window (BENCH_r13 parsed:null), so the final
+    // line must stay O(1)-sized in the catalogue count
     println(formatCompactJson(allSamples, allReruns.length, cpus.toInt))
+    println(formatTotalOnlyJson(allSamples, sfDir, cpus.toInt))
     spark.stop()
   }
 }

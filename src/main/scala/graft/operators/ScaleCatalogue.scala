@@ -2598,11 +2598,11 @@ object ScaleCatalogue {
     * legitimately different copy). */
   private def directedPrRoundsSql(iterations: Int): String =
     (1 to iterations).map { i =>
-      s"""s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+      s"""s$i AS MATERIALIZED (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
          |  FROM dedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
-         |d$i AS (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
+         |d$i AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS dm FROM r${i - 1}
          |  WHERE outdeg = 0),
-         |r$i AS (SELECT dg.node, dg.outdeg, CAST(
+         |r$i AS MATERIALIZED (SELECT dg.node, dg.outdeg, CAST(
          |    (150000000000 // n.n) +
          |    (85 * (coalesce(s$i.s, 0) + (d$i.dm // n.n))) // 100
          |    AS BIGINT) AS r
@@ -2819,17 +2819,25 @@ object ScaleCatalogue {
   /** Shared oracle fragment: the content-derived citation derivation
     * (tok → tg → rare → post) every citation-graph oracle replays —
     * ONE definition to keep in sync with `Graph.citationEdges`
-    * (n = 3, df ∈ [2, 4]); was inlined 9× before round 12's dedup. */
+    * (n = 3, df ∈ [2, 4]); was inlined 9× before round 12's dedup.
+    *
+    * Every CTE here and in the multi-round consumers is
+    * `AS MATERIALIZED`: DuckDB 1.0 inlines each CTE REFERENCE, so a
+    * 3-round recurrence that mentions `l(t-1)` four times re-derives
+    * the whole shingle index 4^3 times — q135 measured 188.7 s at
+    * 500 docs and blew the round-13 driver gate to an empty
+    * CORRECTNESS file; materialized, the same oracle is 0.1 s.
+    * `tools/oracle_budget.py` now gates every oracle's DuckDB cost. */
   private def citationPostCtesOver(docPred: String, pfx: String = ""): String =
-    s"""${pfx}tok AS (
+    s"""${pfx}tok AS MATERIALIZED (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3 AND ($docPred)),
-       |${pfx}tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
+       |${pfx}tg AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
        |  FROM ${pfx}tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
-       |${pfx}rare AS (SELECT term FROM (
+       |${pfx}rare AS MATERIALIZED (SELECT term FROM (
        |  SELECT term, count(*) AS df FROM ${pfx}tg GROUP BY term)
        |  WHERE df BETWEEN 2 AND 4),
-       |${pfx}post AS (SELECT t.doc_id, t.term FROM ${pfx}tg t
+       |${pfx}post AS MATERIALIZED (SELECT t.doc_id, t.term FROM ${pfx}tg t
        |  JOIN ${pfx}rare USING(term))"""
       .stripMargin
 
@@ -2837,7 +2845,7 @@ object ScaleCatalogue {
 
   /** The unweighted distinct edge step on top of [[citationPostCtes]]. */
   private val citationDedgesCte: String =
-    """dedges AS (
+    """dedges AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
       |  FROM post a JOIN post b
       |    ON a.term = b.term AND a.doc_id > b.doc_id)""".stripMargin
@@ -3280,24 +3288,24 @@ object ScaleCatalogue {
   }
   val q121Sql: String = {
     val rounds = (1 to 2).map { i =>
-      s"""ar$i AS (SELECT e.dst AS node, CAST(sum(r.h) AS BIGINT) AS ar
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, CAST(sum(r.h) AS BIGINT) AS ar
          |  FROM dedges e JOIN r${i - 1} r ON e.src = r.node GROUP BY e.dst),
          |am$i AS (SELECT max(ar) AS am FROM ar$i),
-         |a$i AS (SELECT r.node,
+         |a$i AS MATERIALIZED (SELECT r.node,
          |    CAST((coalesce(s.ar, 0) * 1000000) // m.am AS BIGINT) AS a, r.h
          |  FROM r${i - 1} r LEFT JOIN ar$i s ON r.node = s.node, am$i m),
-         |hr$i AS (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS hr
+         |hr$i AS MATERIALIZED (SELECT e.src AS node, CAST(sum(a.a) AS BIGINT) AS hr
          |  FROM dedges e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
          |hm$i AS (SELECT max(hr) AS hm FROM hr$i),
-         |r$i AS (SELECT a.node, a.a,
+         |r$i AS MATERIALIZED (SELECT a.node, a.a,
          |    CAST((coalesce(s.hr, 0) * 1000000) // m.hm AS BIGINT) AS h
          |  FROM a$i a LEFT JOIN hr$i s ON a.node = s.node, hm$i m)""".stripMargin
     }.mkString(",\n")
     s"""WITH $citationPostCtes,
        |$citationDedgesCte,
-       |dn AS (SELECT src AS node FROM dedges
+       |dn AS MATERIALIZED (SELECT src AS node FROM dedges
        |  UNION SELECT dst AS node FROM dedges),
-       |r0 AS (SELECT node, 1000000 AS a, 1000000 AS h FROM dn),
+       |r0 AS MATERIALIZED (SELECT node, 1000000 AS a, 1000000 AS h FROM dn),
        |$rounds
        |SELECT row_number() OVER (ORDER BY a DESC, node ASC) AS rank,
        |  node, a AS auth_q, h AS hub_q
@@ -3985,16 +3993,16 @@ object ScaleCatalogue {
   val q135Sql: String = {
     val rounds = (1 to 3).map { t =>
       val p = t - 1
-      s"""s$t AS (SELECT l.comm AS cand, sum(d.k) AS sigma
+      s"""s$t AS MATERIALIZED (SELECT l.comm AS cand, sum(d.k) AS sigma
          |  FROM l$p l JOIN degs d USING (node) GROUP BY 1),
-         |k$t AS (SELECT s.u AS node, l.comm AS cand, count(*) AS kic
+         |k$t AS MATERIALIZED (SELECT s.u AS node, l.comm AS cand, count(*) AS kic
          |  FROM sym s JOIN l$p l ON s.v = l.node GROUP BY 1, 2),
-         |c$t AS (SELECT node, cand, max(kic) AS kic FROM (
+         |c$t AS MATERIALIZED (SELECT node, cand, max(kic) AS kic FROM (
          |  SELECT k.node, k.cand, k.kic FROM k$t k
          |    JOIN l$p l USING (node) WHERE k.cand <= l.comm
          |  UNION ALL SELECT node, comm AS cand, 0 AS kic FROM l$p)
          |  GROUP BY 1, 2),
-         |l$t AS (SELECT node, cand AS comm FROM (
+         |l$t AS MATERIALIZED (SELECT node, cand AS comm FROM (
          |  SELECT c.node, c.cand, row_number() OVER (PARTITION BY c.node
          |    ORDER BY (tm.m2 * c.kic - d.k * (g.sigma -
          |      CASE WHEN c.cand = l.comm THEN d.k ELSE 0 END)) DESC,
@@ -4004,11 +4012,11 @@ object ScaleCatalogue {
     }.mkString(",\n")
     s"""WITH $citationPostCtes,
        |$citationDedgesCte,
-       |sym AS (SELECT src AS u, dst AS v FROM dedges
+       |sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM dedges
        |  UNION ALL SELECT dst, src FROM dedges),
-       |degs AS (SELECT u AS node, count(*) AS k FROM sym GROUP BY 1),
+       |degs AS MATERIALIZED (SELECT u AS node, count(*) AS k FROM sym GROUP BY 1),
        |tm AS (SELECT count(*) AS m2 FROM sym),
-       |l0 AS (SELECT node, node AS comm FROM degs),
+       |l0 AS MATERIALIZED (SELECT node, node AS comm FROM degs),
        |$rounds
        |SELECT node, comm FROM l3 ORDER BY node""".stripMargin
   }
@@ -4047,12 +4055,12 @@ object ScaleCatalogue {
     * `pfx`r0/`pfx`dn/`pfx`n must be defined by the caller. */
   private def dirPrRoundsSql(iters: Int, pfx: String, edges: String): String =
     (1 to iters).map { i =>
-      s"""${pfx}s$i AS (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
+      s"""${pfx}s$i AS MATERIALIZED (SELECT e.dst AS node, sum(r.r // r.outdeg) AS s
          |  FROM $edges e JOIN ${pfx}r${i - 1} r ON e.src = r.node
          |  GROUP BY e.dst),
-         |${pfx}d$i AS (SELECT coalesce(sum(r), 0) AS dm
+         |${pfx}d$i AS MATERIALIZED (SELECT coalesce(sum(r), 0) AS dm
          |  FROM ${pfx}r${i - 1} WHERE outdeg = 0),
-         |${pfx}r$i AS (SELECT dg.node, dg.outdeg, CAST(
+         |${pfx}r$i AS MATERIALIZED (SELECT dg.node, dg.outdeg, CAST(
          |    (150000000000 // ${pfx}n.n) +
          |    (85 * (coalesce(${pfx}s$i.s, 0) + (${pfx}d$i.dm // ${pfx}n.n))) // 100
          |    AS BIGINT) AS r
@@ -4065,28 +4073,28 @@ object ScaleCatalogue {
       dirPrRoundsSql(iters, pfx, edges)
     s"""WITH $citationPostCtes,
        |$citationDedgesCte,
-       |aedges AS (SELECT src, dst FROM dedges
+       |aedges AS MATERIALIZED (SELECT src, dst FROM dedges
        |  WHERE src % 10 <> 9 AND dst % 10 <> 9),
-       |aoutd AS (SELECT src AS node, count(*) AS outdeg FROM aedges
+       |aoutd AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM aedges
        |  GROUP BY src),
-       |adn AS (
+       |adn AS MATERIALIZED (
        |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
        |  FROM (SELECT src AS node FROM aedges
        |        UNION SELECT dst AS node FROM aedges) nd
        |  LEFT JOIN aoutd o ON nd.node = o.node),
        |an AS (SELECT count(*) AS n FROM adn),
-       |ar0 AS (SELECT node, outdeg, 1000000000000 // an.n AS r FROM adn, an),
+       |ar0 AS MATERIALIZED (SELECT node, outdeg, 1000000000000 // an.n AS r FROM adn, an),
        |${rounds(3, "a", "aedges")},
-       |outd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
+       |outd AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM dedges
        |  GROUP BY src),
-       |dn AS (
+       |dn AS MATERIALIZED (
        |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
        |  FROM (SELECT src AS node FROM dedges
        |        UNION SELECT dst AS node FROM dedges) nd
        |  LEFT JOIN outd o ON nd.node = o.node),
        |wn AS (SELECT count(*) AS n FROM dn),
        |wdn AS (SELECT node, outdeg FROM dn),
-       |wr0 AS (SELECT d.node, d.outdeg,
+       |wr0 AS MATERIALIZED (SELECT d.node, d.outdeg,
        |    coalesce(p.r, 1000000000000 // wn.n) AS r
        |  FROM dn d LEFT JOIN ar3 p ON d.node = p.node, wn),
        |${rounds(2, "w", "dedges")}
@@ -4349,30 +4357,30 @@ object ScaleCatalogue {
     s"""WITH $citationPostCtes,
        |$citationDedgesCte,
        |${citationPostCtesOver("doc_id % 10 <> 9", "s")},
-       |sdedges AS (
+       |sdedges AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
        |  FROM spost a JOIN spost b
        |    ON a.term = b.term AND a.doc_id > b.doc_id),
-       |aoutd AS (SELECT src AS node, count(*) AS outdeg FROM dedges
+       |aoutd AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM dedges
        |  GROUP BY src),
-       |adn AS (
+       |adn AS MATERIALIZED (
        |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
        |  FROM (SELECT src AS node FROM dedges
        |        UNION SELECT dst AS node FROM dedges) nd
        |  LEFT JOIN aoutd o ON nd.node = o.node),
        |an AS (SELECT count(*) AS n FROM adn),
-       |ar0 AS (SELECT node, outdeg, 1000000000000 // an.n AS r FROM adn, an),
+       |ar0 AS MATERIALIZED (SELECT node, outdeg, 1000000000000 // an.n AS r FROM adn, an),
        |${dirPrRoundsSql(3, "a", "dedges")},
-       |outd AS (SELECT src AS node, count(*) AS outdeg FROM sdedges
+       |outd AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg FROM sdedges
        |  GROUP BY src),
-       |dn AS (
+       |dn AS MATERIALIZED (
        |  SELECT nd.node, coalesce(o.outdeg, 0) AS outdeg
        |  FROM (SELECT src AS node FROM sdedges
        |        UNION SELECT dst AS node FROM sdedges) nd
        |  LEFT JOIN outd o ON nd.node = o.node),
        |wn AS (SELECT count(*) AS n FROM dn),
        |wdn AS (SELECT node, outdeg FROM dn),
-       |wr0 AS (SELECT d.node, d.outdeg,
+       |wr0 AS MATERIALIZED (SELECT d.node, d.outdeg,
        |    coalesce(p.r, 1000000000000 // wn.n) AS r
        |  FROM dn d LEFT JOIN ar3 p ON d.node = p.node, wn),
        |${dirPrRoundsSql(2, "w", "sdedges")}
@@ -4682,6 +4690,47 @@ object ScaleCatalogue {
   }
   def q151Sql: String = q150Sql
 
+  // ---------------------------------------------------------------------
+  // q152 — z-order layout LIFECYCLE (build → append ×2 → compact →
+  // tight serve): the seventh serving layout gets the same
+  // maintain-then-prove treatment as the citation/LSH/BM/IVF/PQ/
+  // cluster families. A third of the events table is z-written, two
+  // more thirds APPEND into the live bucket dirs
+  // (Layout.appendZOrdered — O(batch), no resident-file rewrite), the
+  // decayed geometry folds to one file per bucket
+  // (Layout.compactZOrderedTo — stored z reused, never recomputed),
+  // and the serve is boxScanTight over the COMPACTED layout: z-range
+  // predicates only, no per-dimension residuals. The oracle states the
+  // plain box over ALL events (the q99 analytic oracle) — the hash
+  // match proves build+append+compact+tight-read ≡ whole-corpus box
+  // semantics end to end. ZOrderSpec pins the physical claims (file
+  // counts, per-file z sort, bucket set).
+  // ---------------------------------------------------------------------
+  def q152ZOrderLifecycle(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("zorder-lifecycle", d, "v1",
+      datasets = Seq("events.parquet")) { p =>
+      val ev = events(s, d)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("xb"),
+          pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+      graft.scale.Layout.writeZOrdered(
+        ev.filter(col("event_id") % 3 === 0), col("xb"), col("yb"),
+        s"$p/base")
+      graft.scale.Layout.appendZOrdered(
+        ev.filter(col("event_id") % 3 === 1), col("xb"), col("yb"),
+        s"$p/base")
+      graft.scale.Layout.appendZOrdered(
+        ev.filter(col("event_id") % 3 === 2), col("xb"), col("yb"),
+        s"$p/base")
+      graft.scale.Layout.compactZOrderedTo(s, s"$p/base", s"$p/compact")
+    }
+    graft.scale.Layout
+      .boxScanTight(s.read.parquet(s"$dir/compact"), 16, 31, 32, 63)
+      .select(col("event_id"), col("xb"), col("yb"), col("z"))
+      .orderBy(col("event_id"))
+  }
+  def q152Sql: String = q99Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -4793,6 +4842,7 @@ object ScaleCatalogue {
     "q149_cluster_store" -> q149ClusterStore _,
     "q150_cluster_deletes" -> q150ClusterDeletes _,
     "q151_cluster_compact_serve" -> q151ClusterCompactServe _,
+    "q152_zorder_lifecycle" -> q152ZOrderLifecycle _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4913,5 +4963,6 @@ object ScaleCatalogue {
     "q149_cluster_store" -> q149Sql,
     "q150_cluster_deletes" -> q150Sql,
     "q151_cluster_compact_serve" -> q151Sql,
+    "q152_zorder_lifecycle" -> q152Sql,
   )
 }

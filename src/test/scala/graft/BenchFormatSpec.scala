@@ -105,6 +105,26 @@ class BenchFormatSpec extends AnyFunSuite {
     assert((JsonMethods.parse(big) \ "rerun_n").extract[Int] == 7)
   }
 
+  test("total-only final line: O(1)-sized in catalogue count, parses, sums successes") {
+    // round-13: even the compact line's queries map outgrew the driver's
+    // ~2 KB tail at 153 entries (BENCH_r13 parsed:null). The FINAL line
+    // must carry no per-query map and stay tiny at any catalogue size.
+    val t = Bench.formatTotalOnlyJson(all, "/root/testdata/sf0.1", cpus = 32)
+    val json = JsonMethods.parse(t)
+    assert((json \ "value").extract[Double] == 1.210)
+    assert((json \ "n").extract[Int] == 3)
+    assert((json \ "errors").extract[Int] == 1)
+    assert((json \ "cpus").extract[Int] == 32)
+    assert((json \ "sf").extract[String] == "/root/testdata/sf0.1")
+    val catalogue = (1 to 500).map(i =>
+      f"q$i%03d_span_excision_keep_first" ->
+        Seq[Either[String, Double]](Right(123.456)))
+    val big = Bench.formatTotalOnlyJson(catalogue, "/root/testdata/sf0.1", 32)
+    assert(big.getBytes("UTF-8").length < 200,
+      s"total-only line is ${big.length} bytes; must be O(1) in catalogue size")
+    assert(JsonMethods.parse(big) != JNothing)
+  }
+
   test("suspect detection: >2x-median spread above the 50 ms floor") {
     // clean reps: spread well under 2x median
     assert(!Bench.isSuspect(Seq(0.100, 0.120, 0.110)))
