@@ -96,7 +96,13 @@ object Layout {
     df.withColumn("z", zValue(x, y, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .repartition(col("z_bucket"))
-      .sortWithinPartitions(col("z"))
+      // (z_bucket, z), not z alone: a partitionBy write whose input is
+      // NOT sorted by the partition columns inserts its own
+      // partition-column sort, which is not stable and scrambles the
+      // fine z runs inside each file; leading with z_bucket satisfies
+      // the writer's required ordering so the z order survives to disk
+      // (ZOrderSpec pins per-file sortedness)
+      .sortWithinPartitions(col("z_bucket"), col("z"))
       .write.partitionBy("z_bucket").mode("overwrite").parquet(path)
 
   /** Box read over a z-ordered layout: bucket-range partition filter
@@ -171,6 +177,26 @@ object Layout {
     df.withColumn("z", zValue(x, y, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .repartition(col("z_bucket"))
-      .sortWithinPartitions(col("z"))
+      .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrdered
       .write.partitionBy("z_bucket").mode("append").parquet(path)
+
+  /** Copy-compaction of an append-decayed z layout into `destPath`
+    * (the [[LshIndex.compactTo]] crash-safety shape: the source stays
+    * untouched; the caller swaps dirs): every [[appendZOrdered]] adds
+    * one file per touched bucket, and each small file carries its own
+    * z-sorted run — so after k appends a box read opens k files per
+    * surviving bucket and the per-file min/max z stats overlap instead
+    * of tiling. This rewrite folds each bucket back to ONE file with a
+    * single global z sort inside it (restoring the row-group pruning
+    * the first write had), identical rows. The stored z/z_bucket
+    * columns are REUSED, never recomputed — compaction cannot drift
+    * from the frozen (bits, bucketWidth, bucketization) parameters
+    * because it never reapplies them. Cost: one layout scan + one
+    * bucket shuffle — layout-sized, never source-table-sized. */
+  def compactZOrderedTo(spark: org.apache.spark.sql.SparkSession,
+      path: String, destPath: String): Unit =
+    spark.read.parquet(path)
+      .repartition(col("z_bucket"))
+      .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrdered
+      .write.partitionBy("z_bucket").mode("overwrite").parquet(destPath)
 }

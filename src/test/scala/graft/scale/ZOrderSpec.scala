@@ -211,4 +211,62 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got.exists(_ % 2 == 0) && got.exists(_ % 2 == 1),
       "append test box must draw from both the base and appended half")
   }
+
+  test("compactZOrderedTo folds appended small files to one per bucket; reads identical") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zcompact")
+    val dir = base.resolve("events_z").toString
+    val dest = base.resolve("events_z_c").toString
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+    Layout.writeZOrdered(ev.filter(col("event_id") % 3 === 0),
+      col("xb"), col("yb"), dir)
+    Layout.appendZOrdered(ev.filter(col("event_id") % 3 === 1),
+      col("xb"), col("yb"), dir)
+    Layout.appendZOrdered(ev.filter(col("event_id") % 3 === 2),
+      col("xb"), col("yb"), dir)
+
+    def filesPerBucket(path: String): Map[String, Int] = {
+      val root = new java.io.File(path)
+      root.listFiles().toSeq
+        .filter(f => f.isDirectory && f.getName.startsWith("z_bucket="))
+        .map(b => b.getName ->
+          b.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val before = filesPerBucket(dir)
+    assert(before.values.exists(_ >= 3),
+      s"fixture should have append-decayed buckets, got $before")
+
+    Layout.compactZOrderedTo(spark, dir, dest)
+    val after = filesPerBucket(dest)
+    assert(after.keySet == before.keySet, "compaction changed the bucket set")
+    assert(after.values.forall(_ == 1),
+      s"compaction must leave one file per bucket, got $after")
+
+    // identical rows AND identical box-read results through both paths
+    val all = spark.read.parquet(dir)
+      .select("event_id", "xb", "yb", "z", "z_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val allC = spark.read.parquet(dest)
+      .select("event_id", "xb", "yb", "z", "z_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(allC == all, "compaction changed layout contents")
+    val boxC = Layout.boxScanTight(spark.read.parquet(dest), 4, 7, 32, 63)
+      .select("event_id").as[Long].collect().toSet
+    val brute = ev.filter(col("xb").between(4, 7) && col("yb").between(32, 63))
+      .select("event_id").as[Long].collect().toSet
+    assert(boxC == brute, "box read over the compacted layout diverged")
+
+    // in-file z runs restored: each compacted file is fully z-sorted
+    // (small file = one read partition, so collect preserves file order)
+    new java.io.File(dest).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("z_bucket="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      .foreach { f =>
+        val zs = spark.read.parquet(f.toString).select("z")
+          .as[Long].collect().toSeq
+        assert(zs == zs.sorted, s"compacted file ${f.getName} not z-sorted")
+      }
+  }
 }
