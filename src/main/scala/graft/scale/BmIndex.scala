@@ -73,6 +73,16 @@ object BmIndex {
     docs.select(col("doc_id")).write.mode("overwrite")
       .parquet(s"$dir/_bm_docs")
     writePostings(docs, dir, "overwrite")
+    // Rebuild (idempotent overwrite) is the documented torn-append
+    // recovery; a dir that previously saw delete() still holds
+    // `_bm_tombstones`, and inheriting it would hide live docs from
+    // topK/dedupBatch and skew adjustedStats whenever the rebuilt
+    // corpus reuses doc ids (round-14 advice item 2 — the
+    // CitationIndex.build delete-era reset pattern). Reset BEFORE the
+    // stats commit point.
+    docs.sparkSession.range(0)
+      .select(col("id").as("doc_id"), col("id").as("dl"))
+      .write.mode("overwrite").parquet(s"$dir/_bm_tombstones")
     statsDelta(docs).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_bm_stats")
   }
@@ -162,6 +172,11 @@ object BmIndex {
       .sortWithinPartitions(col("term"))
       .write.partitionBy("term_bucket").mode("overwrite")
       .parquet(s"$destDir/postings")
+    // "the destination starts tombstone-free" must hold even for a
+    // recycled destDir (ping-pong compaction) — same inherited-
+    // tombstone hazard as build()
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("dl"))
+      .write.mode("overwrite").parquet(s"$destDir/_bm_tombstones")
     adjustedStats(spark, dir).coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_bm_stats")
   }

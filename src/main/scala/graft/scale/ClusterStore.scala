@@ -279,7 +279,8 @@ object ClusterStore {
     var acc = vRoots.select(col("root").as("v"))
     var frontier = acc
     var rounds = 0
-    while (!frontier.isEmpty && rounds < 64) {
+    val maxRounds = roundBound(epoch)
+    while (!frontier.isEmpty && rounds < maxRounds) {
       val next = starsAll.join(frontier, starsAll("dst") === frontier("v"))
         .select(col("src").as("v")).distinct()
         .join(acc, Seq("v"), "left_anti").localCheckpoint()
@@ -288,7 +289,9 @@ object ClusterStore {
       rounds += 1
     }
     require(frontier.isEmpty,
-      "cluster-store delete: reverse closure did not terminate in 64 rounds")
+      s"cluster-store delete: reverse closure did not terminate in " +
+        s"$maxRounds rounds at epoch $epoch — corrupt star-edge state; " +
+        "rebuild the store")
     val candDbs = acc.select(pmod(col("v"), lit(DocBuckets)).as("db"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val candLive = fwdC(spark, dir, epoch).filter(col("db").isin(candDbs: _*))
@@ -366,7 +369,8 @@ object ClusterStore {
     var settled: DataFrame = IndexIo.emptyFrame(spark, StructType(Seq(
       StructField("id", LongType), StructField("root", LongType))))
     var rounds = 0
-    while (!frontier.isEmpty && rounds < 64) {
+    val maxRounds = roundBound(epoch)
+    while (!frontier.isEmpty && rounds < maxRounds) {
       val sbs = frontier.select(pmod(col("cur"), lit(SrcBuckets)).as("sb"))
         .distinct().collect().map(_.getLong(0)).toSeq
       val best = stars.filter(col("sb").isin(sbs: _*))
@@ -386,10 +390,25 @@ object ClusterStore {
       rounds += 1
     }
     require(frontier.isEmpty,
-      "cluster-store resolve: pointer chase did not terminate in 64 rounds " +
-        "(corrupt epoch-monotonicity); rebuild the store")
+      s"cluster-store resolve: pointer chase did not terminate in " +
+        s"$maxRounds rounds at epoch $epoch — chains legitimately grow " +
+        "one hop per absorbing epoch since the last compaction, so if " +
+        "this store is just long-lived, compactTo it (flattens every " +
+        "chain to depth 1); a chase exceeding epoch+margin rounds on a " +
+        "compacted store means corrupt epoch-monotonicity")
     settled
   }
+
+  /** Pointer-chase / reverse-closure round bound (round-14 advice
+    * item 4): chain depth legitimately grows one hop per absorbing
+    * epoch since the last compaction (only chased hubs are path-
+    * compressed at append), so a fixed 64 would abort VALID reads on a
+    * store taken through >64 append/delete epochs without compaction.
+    * Derive the bound from the committed epoch counter — build and
+    * compactTo both reset it to 0 — with a floor for young stores and
+    * a small margin over the theoretical depth. */
+  private[scale] def roundBound(epoch: Long): Long =
+    math.max(64L, epoch + 2L)
 
   /** Fold to a fresh epoch-0 layout at `destDir`: tombstoned postings
     * physically dropped, every chain flattened to depth 1 (a doc's

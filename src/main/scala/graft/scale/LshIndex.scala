@@ -117,12 +117,27 @@ object LshIndex {
     val sig = signatures(docs, n, numHashes).localCheckpoint()
     // bands BEFORE sigs: the append healer anti-joins sigs, so sigs
     // landing means the batch's bands landed too (see the write
-    // protocol in the class doc)
+    // protocol in the class doc). Only REAL signatures are banded — a
+    // placeholder's empty band slice would serialize to bk="" and
+    // alias every short doc into one candidate bucket.
     banded(sig, bands, numHashes / bands)
       .repartition(col("band_bucket"))
       .sortWithinPartitions(col("band"), col("bk"))
       .write.partitionBy("band_bucket").mode(mode).parquet(s"$dir/bands")
-    sig.write.mode(mode).parquet(s"$dir/sigs")
+    // Docs with fewer than n tokens have no shingles — they can never
+    // match anything — but their ids ARE committed to `_lsh_docs`, so
+    // without a sig row of their own every such doc (a) makes
+    // [[consistent]]'s id-vs-sig probe permanently false on a HEALTHY
+    // index, indistinguishable from the gone-batch tear, and (b) stays
+    // "fresh" in [[append]]'s sigs anti-join forever, so batch replays
+    // re-append empty part files and the meta-heal no-op branch is
+    // unreachable (round-14 advice item 1). An empty signature array
+    // keeps sigs 1:1 with committed ids; verification is unaffected
+    // (no band rows → never a candidate; zip_with over [] counts 0).
+    val placeholder = docs.select(col("doc_id"))
+      .join(sig.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .withColumn("sig", array().cast("array<long>"))
+    sig.unionByName(placeholder).write.mode(mode).parquet(s"$dir/sigs")
   }
 
   private def writeMeta(spark: SparkSession, dir: String, nDocs: Long,
@@ -138,7 +153,16 @@ object LshIndex {
     val ids = docs.select(col("doc_id")).localCheckpoint()
     ids.write.mode("overwrite").parquet(s"$dir/_lsh_docs")
     writeParts(docs, dir, "overwrite", n, numHashes, bands)
-    writeMeta(docs.sparkSession, dir, ids.count(), n, numHashes, bands)
+    // An in-place rebuild is the documented torn-append recovery; a dir
+    // that previously saw delete() still holds `_lsh_tombstones`, and
+    // inheriting it would silently hide live docs from every probe
+    // whenever the rebuilt corpus reuses doc ids (round-14 advice
+    // item 2 — the CitationIndex.build delete-era reset pattern).
+    val spark = docs.sparkSession
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docIdSchema)
+      .write.mode("overwrite").parquet(s"$dir/_lsh_tombstones")
+    writeMeta(spark, dir, ids.count(), n, numHashes, bands)
   }
 
   /** O(batch) growth, self-healing under replay (class-doc protocol):
@@ -264,6 +288,12 @@ object LshIndex {
       .sortWithinPartitions(col("band"), col("bk"))
       .write.partitionBy("band_bucket").mode("overwrite")
       .parquet(s"$destDir/bands")
+    // "the destination starts tombstone-free" must hold even when
+    // destDir is a recycled dir (e.g. ping-pong compaction between two
+    // fixed paths) — same inherited-tombstone hazard as build()
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docIdSchema)
+      .write.mode("overwrite").parquet(s"$destDir/_lsh_tombstones")
     writeMeta(spark, destDir, docs.count(), meta.getInt(1),
       meta.getInt(2), meta.getInt(3))
   }

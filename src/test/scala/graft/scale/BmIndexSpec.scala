@@ -165,7 +165,29 @@ class BmIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/postings").as("p")
       .join(dead.as("d"), col("p.doc_id") === col("d.doc_id"), "left_semi")
       .count() == 0L, "compaction left tombstoned postings behind")
-    assert(!new java.io.File(s"$dest/_bm_tombstones").exists(),
+    assert(BmIndex.tombstones(spark, dest).count() == 0L,
       "compacted index must start tombstone-free")
+  }
+
+  test("in-place rebuild resets tombstones (advice: recycled dir must not inherit deletes)") {
+    // the scaladoc prescribes "rebuild (idempotent overwrite)" as the
+    // torn-append recovery — a rebuild into a dir that previously saw
+    // delete() must not inherit its tombstones: the same doc ids are
+    // live again, and stale tombstones would both hide them from topK
+    // and mis-adjust the BM25 stats (round-14 advice item 2)
+    val dir = tmp("graft-bmidx-rebuild")
+    BmIndex.build(docs, dir)
+    val before = BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    BmIndex.delete(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), dir)
+    assert(BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq != before,
+      "delete changed nothing — bad fixture")
+    BmIndex.build(docs, dir) // recovery rebuild, ids reused
+    assert(BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq == before,
+      "rebuild inherited stale tombstones")
+    assert(BmIndex.consistent(spark, dir))
   }
 }

@@ -217,6 +217,17 @@ class ClusterStoreSpec extends AnyFunSuite {
     assert(ClusterStore.consistent(spark, dir))
   }
 
+  test("pointer-chase round bound scales with committed epochs (advice: long-lived stores)") {
+    // chain depth legitimately grows one hop per absorbing epoch since
+    // the last compaction — a fixed 64 would abort VALID reads on a
+    // store taken through >64 append/delete epochs, misdiagnosed as
+    // corruption (round-14 advice item 4)
+    assert(ClusterStore.roundBound(0L) == 64L)
+    assert(ClusterStore.roundBound(62L) == 64L)
+    assert(ClusterStore.roundBound(63L) == 65L)
+    assert(ClusterStore.roundBound(500L) == 502L)
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)

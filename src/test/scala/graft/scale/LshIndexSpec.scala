@@ -256,11 +256,64 @@ class LshIndexSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dest/bands")
       .filter(col("doc_id").isin(deadIds: _*)).count() == 0L,
       "compaction left tombstoned band rows behind")
-    assert(!new java.io.File(s"$dest/_lsh_tombstones").exists(),
+    assert(LshIndex.tombstones(spark, dest).count() == 0L,
       "compacted index must start tombstone-free")
     // appending a tombstoned id does NOT resurrect it (still committed)
     LshIndex.append(corpus.filter(col("doc_id").isin(deadIds: _*)), dir)
     assert(result(dir).isEmpty, "append resurrected a tombstoned doc")
+  }
+
+  test("docs shorter than n tokens: consistent() true, replay no-op, never candidates") {
+    // round-14 advice item 1: portableSignatures filters size(w) >= n
+    // but build/append commit EVERY doc_id — without placeholder sig
+    // rows one short doc makes consistent() permanently false
+    // (indistinguishable from the gone-batch tear) and keeps append's
+    // freshData non-empty forever
+    val dir = tmp("graft-lshidx-short")
+    val mixed = corpus.limit(50).unionByName(
+      Seq((9001L, "tiny"), (9002L, "two words")).toDF("doc_id", "text"),
+      allowMissingColumns = true)
+    LshIndex.build(mixed, dir)
+    assert(LshIndex.consistent(spark, dir),
+      "healthy index with short docs reported torn")
+    // replay of the same batch is a genuine no-op (meta-heal branch
+    // reachable): sigs row count stable, no new part files
+    val rows = spark.read.parquet(s"$dir/sigs").count()
+    LshIndex.append(mixed, dir)
+    assert(spark.read.parquet(s"$dir/sigs").count() == rows,
+      "replay with short docs re-appended data")
+    assert(LshIndex.consistent(spark, dir))
+    // short docs have no band rows, so they can never be candidates —
+    // in particular two short docs must NOT alias into one bk="" bucket
+    assert(spark.read.parquet(s"$dir/bands")
+      .filter(col("doc_id") >= 9000L).count() == 0L,
+      "short docs produced band rows")
+    val probe = LshIndex.dedupBatch(spark, dir,
+      Seq((9100L, "tiny")).toDF("doc_id", "text"), minMatches = 1)
+    assert(probe.filter(col("corpus_doc") >= 9000L).isEmpty,
+      "a short doc matched as a candidate")
+    // delete + compact lifecycle survives placeholder rows
+    LshIndex.delete(Seq(9001L).toDF("doc_id"), dir)
+    val dest = tmp("graft-lshidx-short-c")
+    LshIndex.compactTo(spark, dir, dest)
+    assert(LshIndex.consistent(spark, dest))
+    assert(spark.read.parquet(s"$dest/sigs")
+      .filter(col("doc_id") === 9001L).isEmpty,
+      "compaction kept a tombstoned short doc's placeholder")
+  }
+
+  test("in-place rebuild resets tombstones (advice: recycled dir must not inherit deletes)") {
+    val dir = tmp("graft-lshidx-rebuild")
+    LshIndex.build(corpus, dir)
+    val before = result(dir)
+    val victims = result(dir).map(_._2).distinct.take(3)
+    LshIndex.delete(victims.toDF("doc_id"), dir)
+    assert(result(dir) != before, "delete changed nothing — bad fixture")
+    // torn-append recovery = rebuild into the SAME dir with ids reused
+    LshIndex.build(corpus, dir)
+    assert(result(dir) == before,
+      "rebuild inherited stale tombstones — live docs hidden from probes")
+    assert(LshIndex.consistent(spark, dir))
   }
 
   test("gone-batch tear is NOT laundered by a later append of a different batch") {
