@@ -1,0 +1,183 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.NotionBlock
+import graft.scale.SparkTestSession
+
+/** The real HTTP client against an in-process stub server: retry
+  * schedule on 429/502/503/504 (upload_notion_blocks.py:164-181 —
+  * status=5, backoff_factor=0.2, raise after exhaustion), Retry-After
+  * honored, non-retryable statuses fail immediately, get-or-create
+  * idempotence, and the full drain sink end-to-end over localhost
+  * HTTP with injected throttles. */
+class HttpNotionApiSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** Minimal conforming server for the client's wire protocol. Pages
+    * registry + upload log + a scriptable failure queue: each enqueued
+    * (status, retryAfterSeconds) is served to one /v1/blocks call
+    * before the real handler runs. */
+  private class Stub {
+    val pages = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val uploads = new ConcurrentLinkedQueue[String]()
+    val blockCalls = new AtomicInteger(0)
+    val failScript = new ConcurrentLinkedQueue[(Int, Option[Long])]()
+    val sleepTimes = new ConcurrentLinkedQueue[Long]()
+
+    private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
+      if (b.nonEmpty) ex.getResponseBody.write(b)
+      ex.close()
+    }
+
+    private def bodyOf(ex: HttpExchange): String =
+      new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+
+    private def field(json: String, name: String): String = {
+      val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r
+      m.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    }
+
+    val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
+    server.createContext("/v1/pages", (ex: HttpExchange) => {
+      if (ex.getRequestMethod == "GET") {
+        val batch = java.net.URLDecoder.decode(
+          ex.getRequestURI.getPath.stripPrefix("/v1/pages/"), "UTF-8")
+        Option(pages.get(batch)) match {
+          case Some(url) => respond(ex, 200, s"""{"url":"$url"}""")
+          case None => respond(ex, 404, """{"error":"not found"}""")
+        }
+      } else {
+        val body = bodyOf(ex)
+        val batch = field(body, "block_batch")
+        val url = pages.computeIfAbsent(batch,
+          b => s"${field(body, "parent_url")}/$b")
+        respond(ex, 201, s"""{"url":"$url"}""")
+      }
+    })
+    server.createContext("/v1/blocks", (ex: HttpExchange) => {
+      blockCalls.incrementAndGet()
+      sleepTimes.add(System.nanoTime())
+      Option(failScript.poll()) match {
+        case Some((status, retryAfter)) =>
+          retryAfter.foreach(s =>
+            ex.getResponseHeaders.add("Retry-After", s.toString))
+          respond(ex, status, s"""{"error":"injected $status"}""")
+        case None =>
+          val body = bodyOf(ex)
+          uploads.add(field(body, "block_batch") + ":" +
+            "\"block_index\"\\s*:\\s*(\\d+)".r
+              .findFirstMatchIn(body).map(_.group(1)).getOrElse("?"))
+          respond(ex, 200, """{"ok":true}""")
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    def base: String = s"http://localhost:${server.getAddress.getPort}"
+    def stop(): Unit = server.stop(0)
+  }
+
+  private def block(batch: String, i: Int): NotionBlock =
+    NotionBlock(batch, i, "b", s"Main/$batch.md", "text", s"t$i")
+
+  test("get-or-create is idempotent and creates only on 404") {
+    val stub = new Stub
+    try {
+      val api = new HttpNotionApi(stub.base, backoffFactorMs = 1L)
+      val u1 = api.getOrCreatePage("batch-1", "Main/a.md", "https://parent")
+      val u2 = api.getOrCreatePage("batch-1", "Main/a.md", "https://parent")
+      assert(u1 == "https://parent/batch-1" && u2 == u1,
+        s"get-or-create not idempotent: $u1 vs $u2")
+      assert(stub.pages.size() == 1)
+    } finally stub.stop()
+  }
+
+  test("retryable statuses retry with exponential backoff then succeed; order preserved") {
+    val stub = new Stub
+    try {
+      // 429, 502, 503, 504 — one of each, then success on attempt 5
+      stub.failScript.add((429, None)); stub.failScript.add((502, None))
+      stub.failScript.add((503, None)); stub.failScript.add((504, None))
+      val api = new HttpNotionApi(stub.base, backoffFactorMs = 2L)
+      val url = api.getOrCreatePage("b", "Main/b.md", "https://p")
+      api.uploadBlock(url, block("b", 0))
+      api.uploadBlock(url, block("b", 1))
+      assert(stub.blockCalls.get() == 6,
+        s"want 4 failures + 2 successes, got ${stub.blockCalls.get()}")
+      import scala.jdk.CollectionConverters._
+      assert(stub.uploads.asScala.toSeq == Seq("b:0", "b:1"),
+        "upload order lost across retries")
+      // backoff grows: gaps between the 4 retried attempts of block 0
+      val ts = stub.sleepTimes.asScala.toSeq.take(5)
+        .sliding(2).map(p => (p(1) - p(0)) / 1000000L).toSeq
+      assert(ts.last >= 8L,
+        s"4th retry should back off >= 2*2^3 ms, gaps were $ts")
+    } finally stub.stop()
+  }
+
+  test("Retry-After header overrides the computed backoff") {
+    val stub = new Stub
+    try {
+      stub.failScript.add((429, Some(1L))) // server demands 1 s
+      val api = new HttpNotionApi(stub.base, backoffFactorMs = 1L)
+      val url = api.getOrCreatePage("ra", "Main/ra.md", "https://p")
+      val t0 = System.nanoTime()
+      api.uploadBlock(url, block("ra", 0))
+      val elapsedMs = (System.nanoTime() - t0) / 1000000L
+      assert(elapsedMs >= 1000L,
+        s"client ignored Retry-After: waited only ${elapsedMs}ms")
+    } finally stub.stop()
+  }
+
+  test("exhausted retries raise NotionApiError; non-retryable statuses raise immediately") {
+    val stub = new Stub
+    try {
+      (1 to 6).foreach(_ => stub.failScript.add((503, None)))
+      val api = new HttpNotionApi(stub.base, statusRetries = 5,
+        backoffFactorMs = 1L)
+      val url = api.getOrCreatePage("x", "Main/x.md", "https://p")
+      val before = stub.blockCalls.get()
+      val e = intercept[NotionApiError](api.uploadBlock(url, block("x", 0)))
+      assert(e.status == 503)
+      assert(stub.blockCalls.get() - before == 6,
+        "want exactly 1 attempt + 5 status retries (reference Retry(status=5))")
+
+      stub.failScript.add((400, None))
+      val calls = stub.blockCalls.get()
+      val e2 = intercept[NotionApiError](api.uploadBlock(url, block("x", 1)))
+      assert(e2.status == 400)
+      assert(stub.blockCalls.get() - calls == 1,
+        "non-retryable status must not retry")
+    } finally stub.stop()
+  }
+
+  test("drain sink end-to-end over real localhost HTTP with injected throttles") {
+    val stub = new Stub
+    try {
+      // throttle twice mid-stream; the client's transport retry (not
+      // the writer's) must absorb them invisibly
+      stub.failScript.add((429, None)); stub.failScript.add((503, None))
+      val base = stub.base
+      import spark.implicits._
+      val blocks = ((0 until 4).map(i => block("p1", i)) ++
+        (0 until 3).map(i => block("p2", i))).toDF()
+      NotionForeachWriter.sinkInto(
+        () => new HttpNotionApi(base, backoffFactorMs = 1L),
+        parents = Map("Main" -> "https://parent"))(blocks, 0L)
+      import scala.jdk.CollectionConverters._
+      assert(stub.uploads.asScala.toSeq ==
+        Seq("p1:0", "p1:1", "p1:2", "p1:3", "p2:0", "p2:1", "p2:2"),
+        s"order violated: ${stub.uploads.asScala.toSeq}")
+      assert(stub.pages.size() == 2)
+      assert(stub.pages.get("p1") == "https://parent/p1",
+        "parenturl routing broke over HTTP")
+    } finally stub.stop()
+  }
+}
