@@ -291,9 +291,13 @@ object Multimodal {
     * corrupt image yields no row, never a throw). */
   private[scale] def decodeGray8x8(bytes: Array[Byte]): Option[Array[Int]] = {
     if (bytes == null || bytes.isEmpty) return None
+    // NonFatal, not just IOException: fuzzed/truncated crawl bytes can
+    // drive JDK plugin readers into IllegalArgument/IndexOutOfBounds
+    // territory, and the decode_ok contract is no-row, never a crashed
+    // task (MultimodalSpec fuzzes this path)
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth < 1 || img.getHeight < 1) None
     else {
       val w = img.getWidth

@@ -519,6 +519,70 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L),
       s"undecodable media must yield no row, got $got")
   }
+
+  test("real codec: JPEG decodes through the same path, aHash within a pinned Hamming budget of the PNG truth") {
+    // JPEG is the dominant crawl format and is LOSSY — it can never be
+    // oracle-predicted (the q136 discipline pins the ORACLE path to
+    // PNG), but the perceptual contract is exactly that lossy
+    // re-encoding of the same pixels lands NEAR the truth hash. A
+    // 64×64 smooth gradient pools to 8×8 with JPEG block noise
+    // averaged out, so the pinned budget is tight.
+    def gradientPx(w: Int, h: Int): Array[Int] =
+      Array.tabulate(w * h)(p => ((p % w) * 2 + (p / w) * 2) % 256)
+    val px = gradientPx(64, 64)
+    val png = Multimodal.encodePngGray(64, 64, px)
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    px.indices.foreach(p => img.getRaster.setSample(p % 64, p / 64, 0, px(p)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out),
+      "JDK must carry a JPEG writer")
+    val jpg = out.toByteArray
+
+    val both = Seq((1L, png), (2L, jpg)).toDF("media_id", "bytes")
+    val hashes = Multimodal.imageAverageHash(both)
+      .as[(Long, Long)].collect().toMap
+    assert(hashes.keySet == Set(1L, 2L), "JPEG bytes failed to decode")
+    val hamming = java.lang.Long.bitCount(hashes(1L) ^ hashes(2L))
+    assert(hamming <= 8,
+      s"JPEG aHash drifted $hamming bits from the PNG truth (budget 8)")
+  }
+
+  test("real codec: truncated/corrupted byte fuzz never throws; undecodable rows route to no-row") {
+    // crawl reality: prefixes of valid files, bit flips mid-stream,
+    // headers glued to garbage. Contract: the task NEVER dies — every
+    // input either decodes to a 63-bit hash or yields no row.
+    val px = Array.tabulate(64 * 64)(p => (p * 7) % 256)
+    val png = Multimodal.encodePngGray(64, 64, px)
+    val img = new java.awt.image.BufferedImage(64, 64,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    px.indices.foreach(p => img.getRaster.setSample(p % 64, p / 64, 0, px(p)))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    val jpg = out.toByteArray
+
+    def corrupt(b: Array[Byte], at: Int): Array[Byte] = {
+      val c = b.clone(); c(at) = (c(at) ^ 0x5A).toByte; c
+    }
+    val fuzz: Seq[(Long, Array[Byte])] =
+      Seq(png, jpg).zipWithIndex.flatMap { case (b, k) =>
+        Seq(1, b.length / 4, b.length / 2, 3 * b.length / 4)
+          .map(n => b.take(n)) ++
+          Seq(corrupt(b, b.length / 2), corrupt(b, 8),
+            b ++ Array.fill[Byte](16)(0x7F))
+      }.zipWithIndex.map { case (b, i) => (100L + i, b) }
+    val rows = (Seq((1L, png), (2L, jpg)) ++ fuzz).toDF("media_id", "bytes")
+    // must complete without a task failure, intact images still hash
+    val got = Multimodal.imageAverageHash(rows)
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L) && got.contains(2L),
+      "fuzz batch lost the intact images")
+    assert(got.keySet.forall(id => id <= 2L || id >= 100L))
+    // hard-garbage subset must be no-row: truncated headers cannot decode
+    val headerTrunc = fuzz.filter(_._2.length <= 16).map(_._1).toSet
+    assert(headerTrunc.nonEmpty && headerTrunc.forall(!got.contains(_)),
+      "a <=16-byte truncated header decoded — impossible")
+  }
 }
 
 class TextAnalysisOpsSpec extends AnyFunSuite {
