@@ -3990,26 +3990,35 @@ object ScaleCatalogue {
     graft.scale.Graph.modularityCommunitiesQ(
         citationEdgesCached(s, d).select(col("src"), col("dst")), rounds = 3)
       .orderBy(col("node"))
-  val q135Sql: String = {
-    val rounds = (1 to 3).map { t =>
+  /** Per-round CTEs of the q135 unweighted local-move recurrence,
+    * prefix-parameterized so the q153 two-phase warm-start oracle can
+    * replay a cold phase ("a") and a warm phase ("w") in one query —
+    * the dirPrRoundsSql sharing pattern. Caller defines
+    * `${pfx}sym/${pfx}degs/${pfx}tm/${pfx}l0`. */
+  private def louvainRoundsSql(iters: Int, pfx: String): String =
+    (1 to iters).map { t =>
       val p = t - 1
-      s"""s$t AS MATERIALIZED (SELECT l.comm AS cand, sum(d.k) AS sigma
-         |  FROM l$p l JOIN degs d USING (node) GROUP BY 1),
-         |k$t AS MATERIALIZED (SELECT s.u AS node, l.comm AS cand, count(*) AS kic
-         |  FROM sym s JOIN l$p l ON s.v = l.node GROUP BY 1, 2),
-         |c$t AS MATERIALIZED (SELECT node, cand, max(kic) AS kic FROM (
-         |  SELECT k.node, k.cand, k.kic FROM k$t k
-         |    JOIN l$p l USING (node) WHERE k.cand <= l.comm
-         |  UNION ALL SELECT node, comm AS cand, 0 AS kic FROM l$p)
+      s"""${pfx}s$t AS MATERIALIZED (SELECT l.comm AS cand, sum(d.k) AS sigma
+         |  FROM ${pfx}l$p l JOIN ${pfx}degs d USING (node) GROUP BY 1),
+         |${pfx}k$t AS MATERIALIZED (SELECT s.u AS node, l.comm AS cand, count(*) AS kic
+         |  FROM ${pfx}sym s JOIN ${pfx}l$p l ON s.v = l.node GROUP BY 1, 2),
+         |${pfx}c$t AS MATERIALIZED (SELECT node, cand, max(kic) AS kic FROM (
+         |  SELECT k.node, k.cand, k.kic FROM ${pfx}k$t k
+         |    JOIN ${pfx}l$p l USING (node) WHERE k.cand <= l.comm
+         |  UNION ALL SELECT node, comm AS cand, 0 AS kic FROM ${pfx}l$p)
          |  GROUP BY 1, 2),
-         |l$t AS MATERIALIZED (SELECT node, cand AS comm FROM (
+         |${pfx}l$t AS MATERIALIZED (SELECT node, cand AS comm FROM (
          |  SELECT c.node, c.cand, row_number() OVER (PARTITION BY c.node
          |    ORDER BY (tm.m2 * c.kic - d.k * (g.sigma -
          |      CASE WHEN c.cand = l.comm THEN d.k ELSE 0 END)) DESC,
          |      c.cand ASC) AS rn
-         |  FROM c$t c JOIN degs d USING (node) JOIN l$p l USING (node)
-         |    JOIN s$t g ON g.cand = c.cand, tm) WHERE rn = 1)""".stripMargin
+         |  FROM ${pfx}c$t c JOIN ${pfx}degs d USING (node)
+         |    JOIN ${pfx}l$p l USING (node)
+         |    JOIN ${pfx}s$t g ON g.cand = c.cand, ${pfx}tm tm)
+         |  WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
+
+  val q135Sql: String =
     s"""WITH $citationPostCtes,
        |$citationDedgesCte,
        |sym AS MATERIALIZED (SELECT src AS u, dst AS v FROM dedges
@@ -4017,9 +4026,8 @@ object ScaleCatalogue {
        |degs AS MATERIALIZED (SELECT u AS node, count(*) AS k FROM sym GROUP BY 1),
        |tm AS (SELECT count(*) AS m2 FROM sym),
        |l0 AS MATERIALIZED (SELECT node, node AS comm FROM degs),
-       |$rounds
+       |${louvainRoundsSql(3, "")}
        |SELECT node, comm FROM l3 ORDER BY node""".stripMargin
-  }
 
   // ---------------------------------------------------------------------
   // q137 — WARM-START directed PageRank (Graph.pageRankDirectedResumeQ):
@@ -4731,6 +4739,57 @@ object ScaleCatalogue {
   }
   def q152Sql: String = q99Sql
 
+  // ---------------------------------------------------------------------
+  // q153 — WARM-START modularity communities (Graph.
+  // modularityCommunitiesResumeQ): the community-sweep twin of q137's
+  // rank cache, closing the "PageRank warm-starts but Louvain always
+  // recomputes" asymmetry. Phase 1 sweeps YESTERDAY'S subgraph
+  // (citation edges among doc_id % 10 != 9, 3 rounds) ONCE into a
+  // fingerprinted label cache beside the cached edge table; phase 2 —
+  // the per-ingest query — resumes the monotone descent on the FULL
+  // graph from the stored labels for 2 rounds: known nodes re-enter
+  // the vote at their settled community, appended docs enter at self,
+  // and every gain is re-evaluated against TODAY'S degrees and 2m (the
+  // prior shortens the descent, never freezes stale merges). The
+  // oracle replays BOTH phases verbatim (cold rounds on the old
+  // subgraph, warm rounds on the full graph, per-phase 2m). GraphSpec
+  // pins the convergence advantage: on this small-delta append the
+  // warm sweep lands on the cold fixed point in fewer rounds.
+  // ---------------------------------------------------------------------
+  def q153LouvainWarm(s: SparkSession, d: String): DataFrame = {
+    val eAll = citationEdgesCached(s, d).select(col("src"), col("dst"))
+    val eOld = eAll.filter(col("src") % 10 =!= 9 && col("dst") % 10 =!= 9)
+    val priorDir = cachedIndexDir("citation-labels", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.Graph.modularityCommunitiesQ(eOld, 3)
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/labels")
+    }
+    val prior = s.read.parquet(s"$priorDir/labels")
+    graft.scale.Graph.modularityCommunitiesResumeQ(eAll, 2, prior)
+      .orderBy(col("node"))
+  }
+  def q153Sql: String =
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
+       |aedges AS MATERIALIZED (SELECT src, dst FROM dedges
+       |  WHERE src % 10 <> 9 AND dst % 10 <> 9),
+       |asym AS MATERIALIZED (SELECT src AS u, dst AS v FROM aedges
+       |  UNION ALL SELECT dst, src FROM aedges),
+       |adegs AS MATERIALIZED (SELECT u AS node, count(*) AS k FROM asym
+       |  GROUP BY 1),
+       |atm AS (SELECT count(*) AS m2 FROM asym),
+       |al0 AS MATERIALIZED (SELECT node, node AS comm FROM adegs),
+       |${louvainRoundsSql(3, "a")},
+       |wsym AS MATERIALIZED (SELECT src AS u, dst AS v FROM dedges
+       |  UNION ALL SELECT dst, src FROM dedges),
+       |wdegs AS MATERIALIZED (SELECT u AS node, count(*) AS k FROM wsym
+       |  GROUP BY 1),
+       |wtm AS (SELECT count(*) AS m2 FROM wsym),
+       |wl0 AS MATERIALIZED (SELECT d.node, coalesce(p.comm, d.node) AS comm
+       |  FROM wdegs d LEFT JOIN al3 p ON d.node = p.node),
+       |${louvainRoundsSql(2, "w")}
+       |SELECT node, comm FROM wl2 ORDER BY node""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -4843,6 +4902,7 @@ object ScaleCatalogue {
     "q150_cluster_deletes" -> q150ClusterDeletes _,
     "q151_cluster_compact_serve" -> q151ClusterCompactServe _,
     "q152_zorder_lifecycle" -> q152ZOrderLifecycle _,
+    "q153_louvain_warm" -> q153LouvainWarm _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -4964,5 +5024,6 @@ object ScaleCatalogue {
     "q150_cluster_deletes" -> q150Sql,
     "q151_cluster_compact_serve" -> q151Sql,
     "q152_zorder_lifecycle" -> q152Sql,
+    "q153_louvain_warm" -> q153Sql,
   )
 }

@@ -768,6 +768,36 @@ object Graph {
     localMoveWeighted(und, rounds).select(col("node"), col("comm"))
   }
 
+  /** WARM-START modularity communities — the community-sweep twin of
+    * [[pageRankDirectedResumeQ]]'s "index, don't recompute" move:
+    * resume the local-move descent from STORED labels (yesterday's
+    * sweep over yesterday's graph) instead of the identity labeling.
+    * Known nodes re-enter the vote at the community they had settled
+    * into; appended nodes enter at self (exactly where a cold start
+    * would put them); degrees, community degrees, and 2m are all
+    * re-derived from TODAY'S edges, so every gain is evaluated against
+    * current structure — the prior only shortens the descent, it never
+    * freezes stale decisions (a label that stopped paying re-loses its
+    * members on the first warm round). The round budget then closes
+    * the delta the new edges opened rather than re-walking the whole
+    * descent from singleton communities (GraphSpec pins the
+    * convergence advantage on a small-delta append; the q153 oracle
+    * replays both phases verbatim).
+    *
+    * Caveat (same as the PageRank resume): labels must come from the
+    * SAME monotone-descent family (label values ≤ node ids), which
+    * every sweep in this object produces. */
+  def modularityCommunitiesResumeQ(edges: DataFrame, rounds: Int,
+      prior: DataFrame): DataFrame = {
+    require(rounds >= 0)
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
+      .withColumn("wt", lit(1L))
+      .repartition(col("u")).localCheckpoint()
+    localMoveWeighted(und, rounds, Some(prior))
+      .select(col("node"), col("comm"))
+  }
+
   /** The weighted local-move phase shared by [[modularityCommunitiesQ]]
     * (all weights 1 — identical integer values, so q135's oracle is
     * unchanged by construction) and the multilevel form (coarsened
@@ -779,7 +809,8 @@ object Graph {
     * rows once), 2m = Σ all wt; k_ic EXCLUDES self rows (links from i
     * to c\{i} — the standard Louvain self-exclusion, paired with the
     * Σ'_c − k_i adjustment). */
-  private def localMoveWeighted(w: DataFrame, rounds: Int): DataFrame = {
+  private def localMoveWeighted(w: DataFrame, rounds: Int,
+      prior: Option[DataFrame] = None): DataFrame = {
     val deg = w.groupBy(col("u").as("node")).agg(sum(col("wt")).as("k"))
       .localCheckpoint()
     val twoM = w.agg(sum(col("wt"))).collect()(0).getLong(0)
@@ -787,8 +818,15 @@ object Graph {
       s"2m = $twoM total edge weight overflows the exact integer gain " +
         "(|gain| <= (2m)^2 must fit signed 64-bit): rescale weights or " +
         "lift the gain algebra to DecimalType")
-    var lab = deg.select(col("node"), col("node").as("comm"))
-      .localCheckpoint()
+    // warm start: known nodes resume at their stored community, new
+    // nodes enter at self — the cold path is prior = None (identity)
+    var lab = (prior match {
+      case Some(p) =>
+        deg.select(col("node"))
+          .join(p.select(col("node"), col("comm")), Seq("node"), "left")
+          .select(col("node"), coalesce(col("comm"), col("node")).as("comm"))
+      case None => deg.select(col("node"), col("node").as("comm"))
+    }).localCheckpoint()
     for (_ <- 1 to rounds) {
       val sigma = lab.join(deg, "node")
         .groupBy(col("comm").as("cand")).agg(sum(col("k")).as("sigma"))

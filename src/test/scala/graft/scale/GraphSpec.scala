@@ -562,11 +562,13 @@ class GraphSpec extends AnyFunSuite {
   /** Independent pure-Scala replay of modularityCommunitiesQ: same
     * integer gains, same monotone-descent schedule, same tiebreaks —
     * no Spark. */
-  private def modRef(und: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+  private def modRef(und: Seq[(Long, Long)], rounds: Int,
+      prior: Map[Long, Long] = Map.empty): Map[Long, Long] = {
     val sym = und ++ und.map(_.swap)
     val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
     val twoM = sym.size.toLong
-    var lab: Map[Long, Long] = deg.keys.map(n => n -> n).toMap
+    var lab: Map[Long, Long] =
+      deg.keys.map(n => n -> prior.getOrElse(n, n)).toMap
     for (_ <- 1 to rounds) {
       val sigma = lab.toSeq.groupBy(_._2)
         .map { case (c, ns) => c -> ns.map(x => deg(x._1)).sum }
@@ -585,6 +587,52 @@ class GraphSpec extends AnyFunSuite {
       lab = next
     }
     lab
+  }
+
+  test("warm-start Louvain: replay-exact resume, self entry for new nodes, fewer rounds to the cold fixed point") {
+    // two dense triangles joined by a bridge — the planted-block shape
+    val old = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L)
+    val prior = Graph.modularityCommunitiesQ(edgesDf(old), 3)
+      .as[(Long, Long)].collect().toMap
+    def priorDf = prior.toSeq.toDF("node", "comm")
+
+    // REPLAY: resume == the independent replay seeded from the prior
+    val resumed = Graph.modularityCommunitiesResumeQ(edgesDf(old), 2, priorDf)
+      .as[(Long, Long)].collect().toMap
+    assert(resumed == modRef(old, 2, prior),
+      "warm resume diverged from the prior-seeded integer replay")
+
+    // ENTRY at 0 rounds: known nodes keep stored labels, appended
+    // nodes sit at self — exactly where a cold start would put them
+    val app = old ++ Seq(7L -> 1L)
+    val entry = Graph.modularityCommunitiesResumeQ(edgesDf(app), 0, priorDf)
+      .as[(Long, Long)].collect().toMap
+    assert(entry(7L) == 7L, "appended node must enter at self")
+    assert(prior.forall { case (n, c) => entry(n) == c },
+      "known nodes must keep their stored labels at entry")
+
+    // CONVERGENCE ADVANTAGE on the small-delta append: the warm sweep
+    // reaches the cold fixed-point PARTITION in fewer rounds. Labels
+    // are trajectory-dependent (cold drags labels down through
+    // neighbor chains while warm keeps the settled block labels), so
+    // the fixed point is compared as a partition — the object the
+    // operator exists to serve.
+    def parts(m: Map[Long, Long]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    val fix = parts(modRef(app, 8))
+    assert(parts(modRef(app, 9)) == fix, "8 rounds must be past the fixed point")
+    def roundsTo(f: Int => Map[Long, Long]): Int =
+      (0 to 8).find(r => parts(f(r)) == fix).getOrElse(99)
+    val warmRounds = roundsTo(r => modRef(app, r, prior))
+    val coldRounds = roundsTo(r => modRef(app, r))
+    assert(warmRounds < 99, "warm descent never reached the cold fixed point")
+    assert(warmRounds < coldRounds,
+      s"warm start must beat cold on a small delta: $warmRounds vs $coldRounds")
+    // and the Spark operator lands on the fixed point at that budget
+    assert(parts(Graph.modularityCommunitiesResumeQ(edgesDf(app), warmRounds,
+        priorDf).as[(Long, Long)].collect().toMap) == fix,
+      "Spark warm sweep disagreed with the replay at the warm budget")
   }
 
   test("modularityCommunitiesQ matches the independent integer replay") {
