@@ -165,14 +165,41 @@ object TextAnalysis {
     * struct(n_feat, score): feature count (n + n-1, bag semantics —
     * repeated features count each occurrence, as fastText's mean-pool
     * does) and the integer score. */
-  def classifierScore(words: Column): Column = {
+  def classifierScore(words: Column): Column =
+    classifierScoreImpl(words, b =>
+      pmod(graft.functions.Md5_64.md5_64(b.cast("string")), lit(2001L))
+        - lit(1000L))
+
+  /** The TRAINED-model form of [[classifierScore]] — the swap the
+    * frozen-table scaladoc promises, demonstrated rather than asserted:
+    * same features (unigrams + bigrams), same md5_64 hashing-trick
+    * bucket, but the bucket's weight comes from a trained
+    * [[ClassifierBuckets]]-sized table (loaded from parquet — the
+    * model registry handoff) instead of the md5 pseudo-random rule.
+    * The table rides in the plan as ONE array literal: O(buckets)
+    * driver memory, zero shuffle, zero join — at fastText's production
+    * 1e7 buckets the same plan swaps the literal for a broadcast
+    * variable, still without touching the scoring fold.
+    * TextAnalysisOpsSpec trains an integer perceptron in plain JVM
+    * code, round-trips it through parquet, and pins score parity
+    * between this column and the independent JVM model, plus class
+    * separation on the planted labels. `weights(i)` is the weight of
+    * bucket i. */
+  def classifierScoreTrained(words: Column, weights: Array[Long]): Column = {
+    require(weights.length == ClassifierBuckets.toInt,
+      s"weight table must have exactly $ClassifierBuckets slots")
+    val table = typedLit(weights.toSeq)
+    classifierScoreImpl(words, b => element_at(table, (b + 1L).cast("int")))
+  }
+
+  private def classifierScoreImpl(words: Column,
+      weightOf: Column => Column): Column = {
     def md5_64(c: Column): Column = graft.functions.Md5_64.md5_64(c)
     val bigrams = transform(sequence(lit(0), size(words) - 2),
       i => concat_ws(" ", element_at(words, i + 1), element_at(words, i + 2)))
     val feats = concat(words, bigrams)
     def weight(f: Column): Column =
-      pmod(md5_64(pmod(md5_64(f), lit(ClassifierBuckets)).cast("string")),
-        lit(2001L)) - lit(1000L)
+      weightOf(pmod(md5_64(f), lit(ClassifierBuckets)))
     struct(
       size(feats).cast("long").as("n_feat"),
       aggregate(feats, lit(0L), (acc, f) => acc + weight(f)).as("score"))

@@ -666,6 +666,72 @@ class TextAnalysisOpsSpec extends AnyFunSuite {
     assert(got == ((feats.size.toLong, feats.map(weight).sum)))
   }
 
+  test("trained weights loaded from parquet score identically to the independent JVM model") {
+    // the q88 scaladoc promise, demonstrated: an actually-TRAINED
+    // integer model occupies the same slot as the frozen md5 table.
+    def md5_64(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.take(15), 16)
+    }
+    def buckets(text: String): Seq[Long] = {
+      val toks = text.split(" ").toSeq
+      (toks ++ toks.sliding(2).map(_.mkString(" ")))
+        .map(f => java.lang.Math.floorMod(md5_64(f), 4096L))
+    }
+    // labeled fixture: planted class markers + shared noise vocabulary
+    val pos = Seq("stellar prose with careful argument structure",
+      "careful measured writing stellar clarity throughout",
+      "the argument lands with stellar measured precision",
+      "careful sources cited stellar coherent prose")
+    val neg = Seq("clickbait garbage scraped keyword stuffing mess",
+      "keyword keyword stuffing garbage scraped filler",
+      "scraped filler mess with clickbait garbage noise",
+      "stuffing noise clickbait scraped keyword mess")
+    val labeled = pos.map(_ -> 1) ++ neg.map(_ -> 0)
+    // integer perceptron, few epochs, deterministic order
+    val w = Array.fill(4096)(0L)
+    for (_ <- 1 to 10; (text, y) <- labeled) {
+      val s = buckets(text).map(b => w(b.toInt)).sum
+      val pred = if (s > 0) 1 else 0
+      if (pred != y)
+        buckets(text).foreach(b => w(b.toInt) += (if (y == 1) 1L else -1L))
+    }
+    // model registry handoff: weights round-trip through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-clf")
+      .resolve("weights").toString
+    w.zipWithIndex.toSeq.map { case (wt, b) => (b.toLong, wt) }
+      .toDF("bucket", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val loaded = {
+      val arr = Array.fill(4096)(0L)
+      spark.read.parquet(dir).as[(Long, Long)].collect()
+        .foreach { case (b, wt) => arr(b.toInt) = wt }
+      arr
+    }
+    val docs = labeled.zipWithIndex
+      .map { case ((t, y), i) => (i.toLong, t, y) }
+      .toDF("doc_id", "text", "label")
+    val scored = docs.select(col("doc_id"), col("label"),
+        TextAnalysis.classifierScoreTrained(split(col("text"), " "), loaded)
+          .as("c"))
+      .select(col("doc_id"), col("label"), col("c.n_feat"), col("c.score"))
+      .as[(Long, Int, Long, Long)].collect()
+    // parity: the Spark column equals the JVM model on every doc
+    scored.foreach { case (id, _, nFeat, score) =>
+      val text = labeled(id.toInt)._1
+      val want = buckets(text).map(b => w(b.toInt)).sum
+      assert(score == want, s"doc $id: spark $score != jvm $want")
+      assert(nFeat == buckets(text).size.toLong)
+    }
+    // the trained model separates the planted classes
+    scored.foreach { case (id, label, _, score) =>
+      assert((score > 0) == (label == 1),
+        s"trained model misclassified doc $id (score $score, label $label)")
+    }
+  }
+
   test("q88/q89 catalogue shapes: keep flag consistent, shards contiguous") {
     val d = "/root/testdata/sf0.001"
     val q88 = graft.operators.ScaleCatalogue.q88QualityClassifier(spark, d)
