@@ -2774,23 +2774,23 @@ object ScaleCatalogue {
       .orderBy(col("doc_id"))
   }
   val q111Sql: String =
-    """WITH RECURSIVE grams AS (
+    """WITH RECURSIVE grams AS MATERIALIZED (
       |  SELECT substr(text, i::INT, l::INT) AS gram
       |  FROM documents,
       |    LATERAL (SELECT unnest(range(1, len(text) + 1)) AS i) p,
       |    LATERAL (SELECT unnest([2, 3, 4]) AS l) q
       |  WHERE i + l - 1 <= len(text)),
-      |vocab AS (SELECT gram FROM (
+      |vocab AS MATERIALIZED (SELECT gram FROM (
       |  SELECT gram, count(*) AS cnt FROM grams GROUP BY gram
       |  ORDER BY cnt DESC, gram ASC LIMIT 1000)),
-      |posg AS (
+      |posg AS MATERIALIZED (
       |  SELECT d.doc_id, p.i AS pos, len(d.text) AS tlen,
       |    substr(d.text, p.i::INT, 4) AS s4,
       |    substr(d.text, p.i::INT, 3) AS s3,
       |    substr(d.text, p.i::INT, 2) AS s2
       |  FROM documents d,
       |    LATERAL (SELECT unnest(range(1, len(d.text) + 1)) AS i) p),
-      |jumps AS (
+      |jumps AS MATERIALIZED (
       |  SELECT g.doc_id, g.pos,
       |    CASE WHEN g.pos + 3 <= g.tlen AND v4.gram IS NOT NULL THEN 4
       |         WHEN g.pos + 2 <= g.tlen AND v3.gram IS NOT NULL THEN 3

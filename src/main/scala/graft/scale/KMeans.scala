@@ -14,8 +14,10 @@ import graft.functions.VectorOps
   * k×dim centroid matrix is control-plane state — collected to the
   * driver (k·dim·4 bytes) and re-broadcast each round — while the data
   * side does one broadcast-join assignment (argmin via min-struct on
-  * 16-byte rows, native codegen dist2) and one per-dimension partial
-  * aggregation. Nothing vector-sized ever shuffles; iteration count is
+  * 16-byte rows, native codegen dist2) and one mergeable vector-sum
+  * aggregation ([[graft.functions.VectorSumAgg]]: a dim+1 double
+  * buffer per (task, cid), map-side combined — the shuffle carries
+  * k·tasks buffers, never n·dim exploded rows). Iteration count is
   * bounded and convergence is measured by max centroid movement.
   */
 object KMeans {
@@ -75,14 +77,24 @@ object KMeans {
       var converged = false
       while (iter < maxIter && !converged) {
         iter += 1
-        // per-dimension means; k·dim cells to the driver (control-plane)
+        // per-cluster vector sums via the mergeable VectorSumAgg buffer
+        // (round-13 review item 5): the composable posexplode →
+        // groupBy(cid, pos) form shuffled n·dim exploded rows per Lloyd
+        // round; the aggregate map-side-combines one dim+1 double
+        // buffer per (task, cid), so the shuffle carries k·tasks
+        // buffers — a ×dim reduction at any corpus size. Still k·dim
+        // cells to the driver (control-plane, same as before).
         val sums = assign(data, cents).join(data, "vec_id")
-          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "e")))
-          .groupBy(col("cid"), col("pos"))
-          .agg(avg(col("e")).as("m"))
-          .as[(Int, Int, Double)].collect()
+          .groupBy(col("cid"))
+          .agg(graft.functions.VectorSumAgg.vector_sum(col("embedding"))
+            .as("sc"))
+          .as[(Int, Array[Double])].collect()
         val next = cents.map(_.clone())
-        sums.foreach { case (cid, pos, m) => next(cid)(pos) = m.toFloat }
+        sums.foreach { case (cid, sc) =>
+          val cnt = sc(dim)
+          if (cnt > 0) next(cid) =
+            Array.tabulate(dim)(i => (sc(i) / cnt).toFloat)
+        }
         // empty clusters keep their previous centroid (no rows → no update)
         val shift = cents.zip(next).map { case (a, b) =>
           var s = 0.0; var i = 0

@@ -65,4 +65,39 @@ class KMeansSpec extends AnyFunSuite {
     assert(got(0L) == got(1L))
     assert(got(0L) != got(2L))
   }
+
+  test("vector_sum aggregate equals the exploded per-dimension form across the merge path") {
+    // real corpus embeddings, grouped coarsely so every group spans
+    // many partitions — partial buffers MUST merge correctly
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select((col("vec_id") % 7).as("g"), col("embedding"))
+      .repartition(8)
+    val got = emb.groupBy(col("g"))
+      .agg(graft.functions.VectorSumAgg.vector_sum(col("embedding")).as("sc"))
+      .as[(Long, Array[Double])].collect()
+      .map { case (g, sc) => g -> sc.toSeq }.toMap
+    val exploded = emb
+      .select(col("g"), posexplode(col("embedding")).as(Seq("pos", "e")))
+      .groupBy(col("g"), col("pos"))
+      .agg(sum(col("e").cast("double")).as("s"), count(lit(1)).as("n"))
+      .as[(Long, Int, Double, Long)].collect()
+    val dims = exploded.map(_._2).max + 1
+    exploded.groupBy(_._1).foreach { case (g, rows) =>
+      val sc = got(g)
+      assert(sc.length == dims + 1, s"group $g buffer wrong length")
+      rows.foreach { case (_, pos, s, n) =>
+        assert(math.abs(sc(pos) - s) < 1e-6 * math.max(1.0, math.abs(s)),
+          s"group $g dim $pos: agg ${sc(pos)} != exploded $s")
+        assert(sc(dims) == n.toDouble, s"group $g count mismatch")
+      }
+    }
+    // null embeddings are skipped, not crashed on; empty group → empty buffer
+    val withNull = Seq((1L, Some(Seq(1f, 2f))), (1L, None), (2L, None))
+      .toDF("g", "embedding")
+    val nres = withNull.groupBy(col("g"))
+      .agg(graft.functions.VectorSumAgg.vector_sum(col("embedding")).as("sc"))
+      .as[(Long, Array[Double])].collect().toMap
+    assert(nres(1L).toSeq == Seq(1.0, 2.0, 1.0))
+    assert(nres(2L).isEmpty)
+  }
 }
