@@ -4790,6 +4790,68 @@ object ScaleCatalogue {
        |${louvainRoundsSql(2, "w")}
        |SELECT node, comm FROM wl2 ORDER BY node""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q154 — KMV theta-sketch OVERLAP estimate (Beyer et al. 2007; the
+  // DataSketches theta intersection): the ESTIMATE form of q69's
+  // decontamination question. q69 joins the corpora exactly; at 100 TB
+  // the pipeline first asks "is train∩eval ~0 or ~10%?" from two k-row
+  // bottom-k hash sketches each corpus computes once (distinct →
+  // TakeOrderedAndProject — per-partition top-k then a k·tasks driver
+  // merge, nothing corpus-sized moves) and ships anywhere. Union
+  // sketch's θ is ≤ both input θs (the KMV merge property), so every
+  // union member below θ present in a set IS in that set's sketch —
+  // the intersection count is exact within the sample, scaled by 2^60/
+  // h_k. Portable md5_64 end to end: the oracle replays sketches,
+  // union, membership, and the floor-scaled estimators bit-for-bit.
+  // SketchSpec pins the estimator against exact overlap (relative
+  // error at saturation) and the sub-saturation exactness.
+  // ---------------------------------------------------------------------
+  def q154ThetaOverlap(s: SparkSession, d: String): DataFrame = {
+    val k = 512
+    val tok = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    def grams(pred: org.apache.spark.sql.Column) = tok.filter(pred)
+      .select(explode(array_distinct(transform(
+        sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ", element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2), element_at(col("w"), i + 3)))))
+        .as("sh"))
+    val train = graft.scale.Sketch.kmvDistinctSketch(
+      grams(col("doc_id") % 50 =!= 0), col("sh"), k)
+    val eval = graft.scale.Sketch.kmvDistinctSketch(
+      grams(col("doc_id") % 50 === 0), col("sh"), k)
+    graft.scale.Sketch.kmvOverlapEstimate(train, eval, k)
+  }
+  val q154Sql: String =
+    """WITH tok AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |g AS MATERIALIZED (
+      |  SELECT DISTINCT (doc_id % 50 = 0) AS is_eval,
+      |    array_to_string(w[i:i+2], ' ') AS sh
+      |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
+      |ska AS MATERIALIZED (SELECT h FROM (
+      |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM g WHERE NOT is_eval) ORDER BY h LIMIT 512),
+      |skb AS MATERIALIZED (SELECT h FROM (
+      |  SELECT DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+      |  FROM g WHERE is_eval) ORDER BY h LIMIT 512),
+      |u AS MATERIALIZED (SELECT h FROM (
+      |  SELECT h FROM ska UNION SELECT h FROM skb) ORDER BY h LIMIT 512),
+      |agg AS (SELECT count(*) AS n_union_sample, max(h) AS h_k,
+      |  CAST(sum(CASE WHEN h IN (SELECT h FROM ska)
+      |    AND h IN (SELECT h FROM skb) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_both FROM u)
+      |SELECT CAST(n_union_sample AS BIGINT) AS n_union_sample, h_k, n_both,
+      |  CASE WHEN n_union_sample < 512 THEN n_union_sample
+      |    ELSE CAST(floor((n_union_sample - 1)::DOUBLE *
+      |      1152921504606846976.0 / h_k::DOUBLE) AS BIGINT) END AS est_union,
+      |  CASE WHEN n_union_sample < 512 THEN n_both
+      |    ELSE CAST(floor(n_both::DOUBLE *
+      |      1152921504606846976.0 / h_k::DOUBLE) AS BIGINT) END AS est_common
+      |FROM agg""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -4903,6 +4965,7 @@ object ScaleCatalogue {
     "q151_cluster_compact_serve" -> q151ClusterCompactServe _,
     "q152_zorder_lifecycle" -> q152ZOrderLifecycle _,
     "q153_louvain_warm" -> q153LouvainWarm _,
+    "q154_theta_overlap" -> q154ThetaOverlap _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5025,5 +5088,6 @@ object ScaleCatalogue {
     "q151_cluster_compact_serve" -> q151Sql,
     "q152_zorder_lifecycle" -> q152Sql,
     "q153_louvain_warm" -> q153Sql,
+    "q154_theta_overlap" -> q154Sql,
   )
 }

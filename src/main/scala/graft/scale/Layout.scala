@@ -180,6 +180,38 @@ object Layout {
       .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrdered
       .write.partitionBy("z_bucket").mode("append").parquet(path)
 
+  /** [[appendZOrdered]] made IDEMPOTENT under epoch replay — the
+    * foreachBatch contract a streaming ingest loop needs
+    * ([[graft.streaming.IncrementalZLayout]]). No side table: the
+    * layout's own rows are the committed-id record, and a batch only
+    * ever lands in the bucket dirs its z-values map to, so the replay
+    * probe reads JUST those buckets (a partition filter — at the
+    * default geometry ≤ 16 dirs exist in total, and a small batch
+    * touches fewer) and anti-joins the batch's `idCol` against what
+    * already landed there. Crash anywhere mid-append → the re-run
+    * appends only the rows whose files didn't commit; a fully-landed
+    * replay is a complete no-op. Cost: O(touched buckets) read +
+    * O(batch) write, never layout-sized. */
+  def appendZOrderedIdempotent(df: DataFrame, idCol: String,
+      x: Column, y: Column, path: String,
+      bucketWidth: Long = 4096L, bits: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val withZ = df.withColumn("z", zValue(x, y, bits))
+      .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
+      .localCheckpoint()
+    val buckets = withZ.select(col("z_bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val existing = IndexIo.readOr(spark, path, withZ.schema)
+      .filter(col("z_bucket").isin(buckets: _*))
+      .select(col(idCol))
+    val fresh = withZ.join(existing, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      fresh.repartition(col("z_bucket"))
+        .sortWithinPartitions(col("z_bucket"), col("z"))
+        .write.partitionBy("z_bucket").mode("append").parquet(path)
+  }
+
   /** Copy-compaction of an append-decayed z layout into `destPath`
     * (the [[LshIndex.compactTo]] crash-safety shape: the source stays
     * untouched; the caller swaps dirs): every [[appendZOrdered]] adds

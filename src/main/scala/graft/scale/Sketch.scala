@@ -263,4 +263,72 @@ object Sketch {
       idCol: String, k: Int = 256,
       pcts: Seq[Int] = Seq(25, 50, 75, 95)): DataFrame =
     rankQuantilesOf(rankSample(rows, groupCol, valCol, idCol, k), pcts)
+
+  // -------------------------------------------------------------------
+  // KMV theta sketch — distinct counts and SET OVERLAP from bottom-k
+  // hash samples (Beyer et al. 2007; the Theta-sketch intersection of
+  // Dasgupta et al.). The decontamination question q69 answers exactly
+  // ("which eval n-grams appear in train") costs a full join of both
+  // corpora; at 100 TB the pipeline first asks the ESTIMATE — "is the
+  // overlap ~0 or ~10%?" — from two k-row sketches that each corpus
+  // computes once and ships anywhere. Portable md5_64 hashing end to
+  // end, so sketches built by different engines merge, and the whole
+  // estimator replays in SQL (the q154 oracle).
+  // -------------------------------------------------------------------
+
+  /** 60-bit hash space of [[graft.functions.Md5_64]]. */
+  val KmvHashSpace: Double = math.pow(2.0, 60)
+
+  /** Bottom-k DISTINCT hash sketch of a column: the k smallest
+    * md5_64 values among the column's distinct values, one narrow
+    * `(h)` frame. TakeOrderedAndProject after a distinct — per
+    * partition the sort keeps only k rows, the driver merges k·tasks
+    * candidates: nothing corpus-sized moves. */
+  def kmvDistinctSketch(rows: DataFrame, c: Column, k: Int = 1024): DataFrame =
+    rows.select(graft.functions.Md5_64.md5_64(c).as("h"))
+      .distinct().orderBy(col("h")).limit(k)
+
+  /** Distinct-count estimate from a [[kmvDistinctSketch]]: if the
+    * sketch is saturated (k rows), est = (k-1) · 2^60 / h_k; below
+    * saturation the sketch IS the distinct set and the count is exact.
+    * Returns one row (n_sample, h_k, est_distinct). */
+  def kmvDistinctEstimate(sketch: DataFrame, k: Int = 1024): DataFrame =
+    sketch.agg(count(lit(1)).as("n_sample"), max(col("h")).as("h_k"))
+      .select(col("n_sample"), col("h_k"),
+        when(col("n_sample") < k, col("n_sample"))
+          .otherwise(floor((col("n_sample") - 1).cast("double") *
+            lit(KmvHashSpace) / col("h_k").cast("double")).cast("long"))
+          .as("est_distinct"))
+
+  /** Theta-sketch OVERLAP estimate between two bottom-k sketches:
+    * U = bottom-k of the merged hash sets, θ' = h_k(U) (the union's
+    * k-th smallest hash — every hash below it was sampled from BOTH
+    * sets' perspective), and the intersection estimate counts U's
+    * members present in both sketches, scaled by the inverse sampling
+    * fraction 2^60/θ'. Below saturation (|A ∪ B| ≤ k) everything is
+    * exact. Returns one row `(n_union_sample, h_k, n_both,
+    * est_union, est_common)` — integer counts plus floor-scaled
+    * estimates, replayable bit-for-bit in external SQL. */
+  def kmvOverlapEstimate(a: DataFrame, b: DataFrame,
+      k: Int = 1024): DataFrame = {
+    val u = a.select(col("h")).unionByName(b.select(col("h")))
+      .distinct().orderBy(col("h")).limit(k)
+    val marked = u
+      .join(a.select(col("h"), lit(1).as("in_a")), Seq("h"), "left")
+      .join(b.select(col("h"), lit(1).as("in_b")), Seq("h"), "left")
+    marked.agg(
+        count(lit(1)).as("n_union_sample"),
+        max(col("h")).as("h_k"),
+        sum((col("in_a").isNotNull && col("in_b").isNotNull).cast("long"))
+          .as("n_both"))
+      .select(col("n_union_sample"), col("h_k"), col("n_both"),
+        when(col("n_union_sample") < k, col("n_union_sample"))
+          .otherwise(floor((col("n_union_sample") - 1).cast("double") *
+            lit(KmvHashSpace) / col("h_k").cast("double")).cast("long"))
+          .as("est_union"),
+        when(col("n_union_sample") < k, col("n_both"))
+          .otherwise(floor(col("n_both").cast("double") *
+            lit(KmvHashSpace) / col("h_k").cast("double")).cast("long"))
+          .as("est_common"))
+  }
 }

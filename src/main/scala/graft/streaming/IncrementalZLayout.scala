@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The streaming form of the [[graft.scale.Layout]] z-order ingest —
+  * the seventh serving layout's twin in the
+  * [[IncrementalNearDup]]/[[IncrementalClusters]] foreachBatch family:
+  * every micro-batch of arriving rows routes into the live z-bucket
+  * directories ([[graft.scale.Layout.appendZOrderedIdempotent]]), so
+  * the at-rest layout continuously serves pruned box reads over
+  * everything ingested so far while the stream runs.
+  *
+  * Delivery contract: exactly-once at the LAYOUT level — the append is
+  * idempotent under epoch replay (the batch's ids are anti-joined
+  * against the rows already landed in the touched buckets, a
+  * partition-pruned probe), so a crash anywhere inside an epoch
+  * re-appends only what didn't commit and a fully-landed replay is a
+  * no-op. Per-epoch cost is O(batch) + O(touched buckets) read —
+  * nothing layout-proportional, the property that lets the loop run
+  * per crawl slice indefinitely.
+  *
+  * Maintenance stays a single-operator concern: after enough appends
+  * decay the file geometry, pause-or-drain and fold with
+  * [[graft.scale.Layout.compactZOrderedTo]] (box-read identity and
+  * one-file-per-bucket geometry are ZOrderSpec/q152-pinned).
+  */
+object IncrementalZLayout {
+
+  /** The foreachBatch body, usable directly in batch replays/tests. */
+  def appendBatch(dir: String, idCol: String, x: Column, y: Column,
+      bucketWidth: Long = 4096L, bits: Int = 8)(
+      batch: DataFrame, epochId: Long): Unit =
+    graft.scale.Layout.appendZOrderedIdempotent(
+      batch, idCol, x, y, dir, bucketWidth, bits)
+
+  /** Run the ingest over a streaming source; `x`/`y` are the two
+    * cluster dimensions (already bucketized to the layout's bit
+    * range). */
+  def run(rows: DataFrame, dir: String, idCol: String, x: Column,
+      y: Column, checkpoint: String, bucketWidth: Long = 4096L,
+      bits: Int = 8): StreamingQuery =
+    rows.writeStream
+      .foreachBatch(appendBatch(dir, idCol, x, y, bucketWidth, bits) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

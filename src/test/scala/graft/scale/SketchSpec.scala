@@ -191,6 +191,64 @@ class SketchSpec extends AnyFunSuite {
     assert(run(docs.filter(lit(false))).isEmpty)
   }
 
+  test("KMV theta overlap: exact below saturation, bounded error above, merge property holds") {
+    import spark.implicits._
+    // SUB-SATURATION: |A ∪ B| < k — the sketch IS the set, everything exact
+    val a = (1 to 60).map(i => s"tok$i").toDF("v")
+    val b = (41 to 90).map(i => s"tok$i").toDF("v")
+    val ska = Sketch.kmvDistinctSketch(a, col("v"), k = 256)
+    val skb = Sketch.kmvDistinctSketch(b, col("v"), k = 256)
+    val ex = Sketch.kmvOverlapEstimate(ska, skb, k = 256)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ex._1 == 90L, "union sample must be the exact union size")
+    assert(ex._3 == 20L && ex._5 == 20L,
+      s"sub-saturation overlap must be exact: $ex")
+    assert(ex._4 == 90L)
+    // distinct-count estimator also exact below saturation
+    val de = Sketch.kmvDistinctEstimate(ska, k = 256)
+      .as[(Long, Long, Long)].head()
+    assert(de._3 == 60L)
+
+    // SATURATED, real corpus: train/eval 3-gram sets (the q154 shape)
+    val tok = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+    def grams(pred: org.apache.spark.sql.Column) = tok.filter(pred)
+      .select(explode(array_distinct(transform(
+        sequence(lit(0), size(col("w")) - 3),
+        i => concat_ws(" ", element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2), element_at(col("w"), i + 3)))))
+        .as("sh"))
+    val train = grams(col("doc_id") % 50 =!= 0)
+    val eval = grams(col("doc_id") % 50 === 0)
+    val k = 512
+    val skt = Sketch.kmvDistinctSketch(train, col("sh"), k).localCheckpoint()
+    val ske = Sketch.kmvDistinctSketch(eval, col("sh"), k).localCheckpoint()
+    val est = Sketch.kmvOverlapEstimate(skt, ske, k)
+      .as[(Long, Long, Long, Long, Long)].head()
+    val exactUnion = train.unionByName(eval).distinct().count()
+    val exactCommon = train.distinct()
+      .join(eval.distinct(), Seq("sh"), "left_semi").count()
+    assert(est._1 == k.toLong, "saturated union sample must hold k rows")
+    // union estimate: (k-1)/h_k concentrates tightly (rel err ~ 1/sqrt(k))
+    assert(math.abs(est._4 - exactUnion).toDouble / exactUnion < 0.15,
+      s"union estimate ${est._4} vs exact $exactUnion drifted > 15%")
+    // intersection: variance is 1/sqrt(n_both) — pin a factor-2.5 band
+    // plus the must-detect property (real overlap => nonzero estimate)
+    assert(exactCommon > 0 && est._3 > 0,
+      "planted contamination must surface in the sample")
+    assert(est._5 > exactCommon / 3 && est._5 < exactCommon * 3,
+      s"overlap estimate ${est._5} vs exact $exactCommon out of band")
+
+    // MERGE PROPERTY: the union sketch's theta never exceeds either
+    // input's — the invariant that makes the membership counts exact
+    // within the sample
+    val thetaA = skt.agg(max(col("h"))).as[Long].head()
+    val thetaB = ske.agg(max(col("h"))).as[Long].head()
+    assert(est._2 <= math.min(thetaA, thetaB),
+      "union theta must be <= both input thetas")
+  }
+
   private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
     def toMap2: Map[(Long, Long), Long] =
       rows.map { case (r, b, c) => (r, b) -> c }.toMap
