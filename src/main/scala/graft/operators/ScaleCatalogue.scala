@@ -1973,6 +1973,10 @@ object ScaleCatalogue {
       .select(explode(split(col("text"), " ")).as("term"))
       .distinct().orderBy(col("term").asc).limit(8)
 
+  /** Test hook: the shared query-term derivation (RetrievalSpec's
+    * cascade containment check needs the exact recall input). */
+  def doc1TermsFor(s: SparkSession, d: String): DataFrame = doc1Terms(s, d)
+
   /** The fusion half shared by q94 (in-memory lexical) and q103
     * (materialized-index lexical): any `(id, rank)` lexical top-20
     * fuses with the brute cosine top-20 for query doc 1. */
@@ -4852,6 +4856,50 @@ object ScaleCatalogue {
       |      1152921504606846976.0 / h_k::DOUBLE) AS BIGINT) END AS est_common
       |FROM agg""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q155 — CASCADE retrieval (recall → rerank): the two-stage serving
+  // shape q94's fusion doesn't cover — stage 1 recalls a wide lexical
+  // candidate set (BM25 top-100, the q92 machinery: probe = the query
+  // terms' postings, O(Σ df) not corpus), stage 2 re-scores ONLY those
+  // candidates with the expensive exact-cosine model and emits the top
+  // 10. The 100 TB property is the cascade itself: the costly scorer
+  // touches ≤ 100 rows regardless of corpus size (candidates
+  // broadcast into the embeddings join — no shuffle), which is exactly
+  // how production retrieval deploys a cross-encoder behind a cheap
+  // recaller. Oracle replays both stages (shared bm25Ctes + the q34
+  // cosine fold) bit-for-bit.
+  // ---------------------------------------------------------------------
+  def q155CascadeRerank(s: SparkSession, d: String): DataFrame = {
+    val lex = graft.scale.Bm25.topK(documents(s, d), doc1Terms(s, d), k = 100)
+      .select(col("doc_id"), col("rank").as("lex_rank"))
+    val emb = embeddings(s, d)
+    val candEmb = emb
+      .join(broadcast(lex.filter(col("doc_id") =!= 1)),
+        emb("vec_id") === col("doc_id"))
+      .select(emb("vec_id"), emb("embedding"))
+    val rr = graft.scale.Similarity
+      .bruteForceTopK(emb.filter(col("vec_id") === 1), candEmb, k = 10)
+      .select(col("rank"), col("vec_id").as("doc_id"),
+        q(col("sim")).as("sim_q"))
+    rr.join(broadcast(lex), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("sim_q"))
+      .orderBy(col("rank"))
+  }
+  val q155Sql: String =
+    s"""WITH $bm25Ctes,
+       |cand AS MATERIALIZED (SELECT doc_id, rank AS lex_rank
+       |  FROM lexranked WHERE rank <= 100 AND doc_id <> 1),
+       |cscored AS (
+       |  SELECT c.doc_id, c.lex_rank,
+       |    ${duckCos("q.embedding", "e.embedding")} AS sim
+       |  FROM cand c JOIN embeddings e ON e.vec_id = c.doc_id,
+       |    embeddings q WHERE q.vec_id = 1),
+       |rr AS (SELECT doc_id, lex_rank, sim, row_number() OVER (
+       |  ORDER BY sim DESC, doc_id ASC) AS rank FROM cscored)
+       |SELECT rank, doc_id, lex_rank,
+       |  CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
+       |FROM rr WHERE rank <= 10 ORDER BY rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -4966,6 +5014,7 @@ object ScaleCatalogue {
     "q152_zorder_lifecycle" -> q152ZOrderLifecycle _,
     "q153_louvain_warm" -> q153LouvainWarm _,
     "q154_theta_overlap" -> q154ThetaOverlap _,
+    "q155_cascade_rerank" -> q155CascadeRerank _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5089,5 +5138,6 @@ object ScaleCatalogue {
     "q152_zorder_lifecycle" -> q152Sql,
     "q153_louvain_warm" -> q153Sql,
     "q154_theta_overlap" -> q154Sql,
+    "q155_cascade_rerank" -> q155Sql,
   )
 }

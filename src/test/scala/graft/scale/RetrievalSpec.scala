@@ -187,4 +187,27 @@ class RetrievalSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"),
       s"no shuffle join should appear in the SQ8 serving plan:\n$plan")
   }
+
+  test("cascade rerank: results contained in the recall set, semantically reordered, no shuffle join") {
+    val d = "/root/testdata/sf0.001"
+    val docs = graft.Tables.documents(spark, d)
+    val lex100 = Bm25.topK(docs,
+        graft.operators.ScaleCatalogue.doc1TermsFor(spark, d), k = 100)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val rr = graft.operators.ScaleCatalogue.q155CascadeRerank(spark, d)
+    val got = rr.as[(Int, Long, Int, Long)].collect()
+    assert(got.length == 10)
+    // containment: the expensive stage only ever sees recalled docs
+    assert(got.forall(r => lex100.contains(r._2)),
+      "rerank emitted a doc outside the recall set")
+    // the rerank genuinely reorders: semantic top-10 is not the
+    // lexical top-10 in the same order (else the stage is vacuous)
+    assert(got.map(_._3).toSeq != (1 to 10).toSeq,
+      "rerank order equals lexical order — vacuous fixture")
+    // the costly scorer runs over the broadcast candidate set: no
+    // shuffle join anywhere in the cascade plan
+    val plan = rr.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      s"cascade must broadcast candidates, not shuffle:\n$plan")
+  }
 }
