@@ -2938,10 +2938,15 @@ object ScaleCatalogue {
       .dedupBatch(s, dir, docs.filter(col("doc_id") >= 400), minMatches = 8)
       .orderBy(col("new_doc"), col("corpus_doc"))
   }
-  val q113Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-      |  WHERE len(string_split(text, ' ')) >= 5),
+  /** The full q113 LSH probe replay (signatures, banding, cross
+    * candidates, verification) over a parameterized corpus-text
+    * expression — q113 reads `text` as stored; q156's upsert oracle
+    * substitutes the revised text for the revised slice, proving
+    * `upsert ≡ built-from-revised-texts` by hash equality. */
+  private def lshProbeSqlOver(textExpr: String): String =
+    s"""WITH tok AS (
+      |  SELECT doc_id, string_split($textExpr, ' ') AS w FROM documents
+      |  WHERE len(string_split($textExpr, ' ')) >= 5),
       |sh AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, array_to_string(w[i:i+4], ' ') AS sh
       |  FROM tok, LATERAL (SELECT unnest(range(1, len(w)-3)) AS i) t)),
@@ -2974,6 +2979,8 @@ object ScaleCatalogue {
       |  GROUP BY 1, 2)
       |SELECT new_doc, corpus_doc, matches FROM m WHERE matches >= 8
       |ORDER BY new_doc, corpus_doc""".stripMargin
+
+  val q113Sql: String = lshProbeSqlOver("text")
 
   // ---------------------------------------------------------------------
   // q114 — fixed-memory quantile sketch (scale/Sketch.histQuantiles):
@@ -4900,6 +4907,43 @@ object ScaleCatalogue {
        |  CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
        |FROM rr WHERE rank <= 10 ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q156 — DOCUMENT REVISION on the LSH index (LshIndex.upsert): the
+  // CDC verb the serving lifecycle lacked — build/append/delete/
+  // compact all treat content as immutable, yet crawls re-fetch and
+  // documents change. A slice of the committed corpus (doc_id % 9 ==
+  // 0) is re-signatured IN PLACE against revised text (token order
+  // reversed — a deterministic, oracle-replayable rewrite that changes
+  // every shingle), rev-stamped rows land beside the originals, and
+  // the probe serves each doc's CURRENT generation via one broadcast
+  // join against the O(revised docs) registry — stale bands stop
+  // generating candidates and stale signatures stop verifying the
+  // moment the registry row commits. The oracle replays the ENTIRE
+  // q113 pipeline over a corpus whose revised slice carries the new
+  // text, so the hash match IS the proof that upsert ≡ an index built
+  // from the revised corpus. LshIndexSpec pins replay idempotence,
+  // monotone-rev refusal, compaction folding, and the
+  // delete/upsert interaction.
+  // ---------------------------------------------------------------------
+  def q156LshUpsertProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("lsh-index-upsert", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.LshIndex.build(docs.filter(col("doc_id") < 400), p)
+      val revised = docs
+        .filter(col("doc_id") < 400 && col("doc_id") % 9 === 0)
+        .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+      graft.scale.LshIndex.upsert(revised, p, rev = 1L)
+    }
+    graft.scale.LshIndex
+      .dedupBatch(s, dir, docs.filter(col("doc_id") >= 400), minMatches = 8)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+  }
+  val q156Sql: String = lshProbeSqlOver(
+    """CASE WHEN doc_id < 400 AND doc_id % 9 = 0
+      | THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      | ELSE text END""".stripMargin.replace("\n", ""))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -5015,6 +5059,7 @@ object ScaleCatalogue {
     "q153_louvain_warm" -> q153LouvainWarm _,
     "q154_theta_overlap" -> q154ThetaOverlap _,
     "q155_cascade_rerank" -> q155CascadeRerank _,
+    "q156_lsh_upsert_probe" -> q156LshUpsertProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5139,5 +5184,6 @@ object ScaleCatalogue {
     "q153_louvain_warm" -> q153Sql,
     "q154_theta_overlap" -> q154Sql,
     "q155_cascade_rerank" -> q155Sql,
+    "q156_lsh_upsert_probe" -> q156Sql,
   )
 }

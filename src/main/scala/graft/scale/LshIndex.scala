@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   *   _lsh_meta/…             one row: (n_docs, n, num_hashes, bands)
   *   _lsh_tombstones/…       deleted doc_ids ([[delete]]; probes
   *                           anti-join it, [[compactTo]] folds it)
+  *   _lsh_rev/…              (doc_id, rev) revision registry
+  *                           ([[upsert]]; probes serve each doc's max
+  *                           revision, [[compactTo]] folds superseded
+  *                           generations and resets it)
   * }}}
   *
   * Hash family: the portable md5-derived universal-hash MinHash of
@@ -101,16 +105,47 @@ object LshIndex {
     StringType, StructField, StructType}
 
   private val docIdSchema = StructType(Seq(StructField("doc_id", LongType)))
+  // rev is nullable by design: rows written by build/append carry no
+  // revision (read back null through the explicit schema), rows written
+  // by [[upsert]] carry the revision they belong to — so every
+  // pre-upsert index keeps working unchanged and the two row
+  // generations coexist in one layout
   private val sigSchema = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("sig", ArrayType(LongType))))
+    StructField("sig", ArrayType(LongType)),
+    StructField("rev", LongType)))
   private val bandSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("band", IntegerType),
-    StructField("bk", StringType), StructField("band_bucket", LongType)))
+    StructField("bk", StringType), StructField("rev", LongType),
+    StructField("band_bucket", LongType)))
+  private val revSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("rev", LongType)))
 
   private def readOr(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     IndexIo.readOr(spark, path, schema)
+
+  /** Revision registry `(doc_id, rev)` — one row per [[upsert]] of a
+    * doc; a doc's CURRENT revision is its max. Absent (reads empty)
+    * until the first upsert. */
+  private[scale] def revisions(spark: SparkSession, dir: String): DataFrame =
+    readOr(spark, s"$dir/_lsh_rev", revSchema)
+
+  private def currentRevs(spark: SparkSession, dir: String): DataFrame =
+    revisions(spark, dir).groupBy(col("doc_id"))
+      .agg(max(col("rev")).as("cur_rev"))
+
+  /** Keep only each doc's CURRENT generation of rows: never-revised
+    * docs keep their rev-null build/append rows; revised docs keep
+    * exactly the rows stamped with their max revision (their original
+    * rev-null rows and any superseded revision rows become invisible).
+    * `revs` is O(revised docs) — broadcast-small next to the table it
+    * filters. */
+  private def currentOnly(rows: DataFrame, revs: DataFrame): DataFrame =
+    rows.join(broadcast(revs), Seq("doc_id"), "left")
+      .filter((col("cur_rev").isNull && col("rev").isNull) ||
+        col("rev") === col("cur_rev"))
+      .drop("cur_rev")
 
   private def writeParts(docs: DataFrame, dir: String, mode: String,
       n: Int, numHashes: Int, bands: Int): Unit = {
@@ -157,11 +192,16 @@ object LshIndex {
     // that previously saw delete() still holds `_lsh_tombstones`, and
     // inheriting it would silently hide live docs from every probe
     // whenever the rebuilt corpus reuses doc ids (round-14 advice
-    // item 2 — the CitationIndex.build delete-era reset pattern).
+    // item 2 — the CitationIndex.build delete-era reset pattern). The
+    // revision registry carries the same hazard: stale (doc_id, rev)
+    // rows would hide the rebuild's rev-null rows of those docs.
     val spark = docs.sparkSession
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docIdSchema)
       .write.mode("overwrite").parquet(s"$dir/_lsh_tombstones")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], revSchema)
+      .write.mode("overwrite").parquet(s"$dir/_lsh_rev")
     writeMeta(spark, dir, ids.count(), n, numHashes, bands)
   }
 
@@ -201,6 +241,78 @@ object LshIndex {
     writeMeta(spark, dir, total, n, numHashes, bands)
   }
 
+  /** Document REVISION — the CDC verb the lifecycle lacked (build/
+    * append/probe/delete/compact all treat content as immutable, and
+    * re-admitting a changed document previously required a full
+    * compaction): re-signature already-committed docs against their
+    * NEW text in place. New rows (sigs and bands) are stamped with
+    * `rev`; the `_lsh_rev` registry records (doc_id, rev); every probe
+    * filters to each doc's current generation ([[currentOnly]] — a
+    * broadcast join against the O(revised docs) registry), so a
+    * revised doc's stale signature stops matching the moment the
+    * registry row commits, and `upsert(X, rev) ≡ rebuild with X's new
+    * text` is oracle-provable (q156). Ids never change: `_lsh_docs`,
+    * meta, and tombstones are untouched — a tombstoned doc cannot be
+    * revived by upsert (same contract as append), and docs in the
+    * batch that are NOT yet committed are ignored (append them first;
+    * keeping the verbs orthogonal keeps each one's crash story small).
+    *
+    * `rev` is CALLER-SUPPLIED and monotone (a crawl epoch, an ingest
+    * sequence number): replaying the same (batch, rev) is a no-op at
+    * every tear point — data writes anti-join existing (doc_id, rev)
+    * sig rows, the registry write anti-joins existing registry rows —
+    * and a LOWER-than-current rev is rejected loudly rather than
+    * silently serving the older generation. Write order: bands → sigs
+    * → registry LAST as the visibility point (probes keep serving the
+    * previous generation until the registry row lands; superseded
+    * rows are reclaimed by [[compactTo]]). */
+  def upsert(docs: DataFrame, dir: String, rev: Long): Unit = {
+    require(rev > 0L, "revision must be positive")
+    val spark = docs.sparkSession
+    val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
+    val (n, numHashes, bands) = (meta.getInt(1), meta.getInt(2),
+      meta.getInt(3))
+    val committed = readOr(spark, s"$dir/_lsh_docs", docIdSchema)
+    val revised = docs
+      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (revised.isEmpty) return
+    val stale = currentRevs(spark, dir)
+      .join(revised.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(col("cur_rev") > lit(rev)).count()
+    require(stale == 0L,
+      s"upsert rev=$rev is older than the current revision of $stale " +
+        "docs — revisions must be monotone per doc")
+    // heal guard: rows of THIS (doc, rev) that already landed
+    val landed = readOr(spark, s"$dir/sigs", sigSchema)
+      .filter(col("rev") === rev).select(col("doc_id"))
+    val fresh = revised.join(landed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L) {
+      val sig = signatures(fresh, n, numHashes).localCheckpoint()
+      banded(sig, bands, numHashes / bands)
+        .withColumn("rev", lit(rev))
+        .repartition(col("band_bucket"))
+        .sortWithinPartitions(col("band"), col("bk"))
+        .write.partitionBy("band_bucket").mode("append")
+        .parquet(s"$dir/bands")
+      val placeholder = fresh.select(col("doc_id"))
+        .join(sig.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("sig", array().cast("array<long>"))
+      sig.unionByName(placeholder).withColumn("rev", lit(rev))
+        .write.mode("append").parquet(s"$dir/sigs")
+    }
+    // visibility point: the registry row flips probes to the new
+    // generation; replays skip rows already present
+    val freshReg = revised.select(col("doc_id"), lit(rev).as("rev"))
+      .join(revisions(spark, dir).filter(col("rev") === rev),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (freshReg.count() > 0L)
+      freshReg.write.mode("append").parquet(s"$dir/_lsh_rev")
+  }
+
   /** Torn-append detector, two-sided. Under the docs → bands → sigs →
     * meta write order an interrupted [[append]] prefix leaves EITHER
     * (a) meta behind the committed-id count (crash before meta), or
@@ -226,7 +338,18 @@ object LshIndex {
     // tombstone means a delete raced a compaction swap
     val orphanDead = tombstones(spark, dir)
       .join(ids, Seq("doc_id"), "left_anti").count()
-    st == nIds && nIds == nSigs && orphanDead == 0L
+    // revision registry rows must reference committed docs, and every
+    // registered (doc, rev) must have its sig rows landed (the upsert
+    // registry is the visibility point — rows without data mean the
+    // bands→sigs→registry order was violated or files were lost)
+    val revs = revisions(spark, dir)
+    val orphanRev = revs.join(ids, Seq("doc_id"), "left_anti").count()
+    val dataless = revs.join(
+      readOr(spark, s"$dir/sigs", sigSchema)
+        .select(col("doc_id"), col("rev")).na.drop(),
+      Seq("doc_id", "rev"), "left_anti").count()
+    st == nIds && nIds == nSigs && orphanDead == 0L &&
+      orphanRev == 0L && dataless == 0L
   }
 
   /** Tombstone table (doc_id) — absent until the first [[delete]].
@@ -279,11 +402,17 @@ object LshIndex {
       .join(dead, Seq("doc_id"), "left_anti").localCheckpoint()
     docs.coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_lsh_docs")
-    readOr(spark, s"$dir/sigs", sigSchema)
-      .join(dead, Seq("doc_id"), "left_anti").coalesce(1)
-      .write.mode("overwrite").parquet(s"$destDir/sigs")
-    readOr(spark, s"$dir/bands", bandSchema)
+    // revisions FOLD too: only each doc's current generation survives,
+    // written rev-less (the fresh-build form), and the destination's
+    // registry resets — compaction is what reclaims superseded rows
+    val revs = currentRevs(spark, dir).localCheckpoint()
+    currentOnly(readOr(spark, s"$dir/sigs", sigSchema), revs)
       .join(dead, Seq("doc_id"), "left_anti")
+      .drop("rev").coalesce(1)
+      .write.mode("overwrite").parquet(s"$destDir/sigs")
+    currentOnly(readOr(spark, s"$dir/bands", bandSchema), revs)
+      .join(dead, Seq("doc_id"), "left_anti")
+      .drop("rev")
       .repartition(col("band_bucket"))
       .sortWithinPartitions(col("band"), col("bk"))
       .write.partitionBy("band_bucket").mode("overwrite")
@@ -294,6 +423,9 @@ object LshIndex {
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], docIdSchema)
       .write.mode("overwrite").parquet(s"$destDir/_lsh_tombstones")
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], revSchema)
+      .write.mode("overwrite").parquet(s"$destDir/_lsh_rev")
     writeMeta(spark, destDir, docs.count(), meta.getInt(1),
       meta.getInt(2), meta.getInt(3))
   }
@@ -320,13 +452,19 @@ object LshIndex {
     // control-plane: ≤ Buckets distinct partition ids whatever |batch|
     val buckets = bk.select(col("band_bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val idx = readOr(spark, s"$dir/bands", bandSchema)
-      .filter(col("band_bucket").isin(buckets: _*))
+    // revised docs serve their CURRENT generation only: stale band
+    // rows must not generate candidates (they would over-recall vs an
+    // index built from the current texts) and stale signatures must
+    // not verify — both filters are one broadcast join against the
+    // O(revised docs) registry
+    val revs = currentRevs(spark, dir).localCheckpoint()
+    val idx = currentOnly(readOr(spark, s"$dir/bands", bandSchema)
+      .filter(col("band_bucket").isin(buckets: _*)), revs)
     val cand = idx.as("c").join(bk.as("q"),
         col("c.band") === col("q.band") && col("c.bk") === col("q.bk"))
       .select(col("q.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
       .distinct()
-    val corpusSig = readOr(spark, s"$dir/sigs", sigSchema)
+    val corpusSig = currentOnly(readOr(spark, s"$dir/sigs", sigSchema), revs)
       .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
     val batchSig = sig.select(col("doc_id").as("new_doc"),
       col("sig").as("sig_q"))

@@ -99,5 +99,17 @@ class KMeansSpec extends AnyFunSuite {
       .as[(Long, Array[Double])].collect().toMap
     assert(nres(1L).toSeq == Seq(1.0, 2.0, 1.0))
     assert(nres(2L).isEmpty)
+
+    // the plan claim behind the xdim shuffle cut: the aggregation path
+    // carries whole arrays into a partial (map-side) aggregate — no
+    // Generate/posexplode blows rows up to n*dim before the shuffle
+    val plan = emb.groupBy(col("g"))
+      .agg(graft.functions.VectorSumAgg.vector_sum(col("embedding")).as("sc"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"vector_sum path must not explode rows:\n$plan")
+    assert(plan.contains("partial_vector_sum") ||
+      "ObjectHashAggregate|SortAggregate".r.findFirstIn(plan).isDefined,
+      s"expected a partial imperative aggregate in:\n$plan")
   }
 }

@@ -316,6 +316,66 @@ class LshIndexSpec extends AnyFunSuite {
     assert(LshIndex.consistent(spark, dir))
   }
 
+  test("upsert: revision serves like a rebuild from revised texts; replay/monotonicity/compaction") {
+    val revisedCorpus = corpus.withColumn("text",
+      when(col("doc_id") % 9 === 0,
+        concat_ws(" ", reverse(split(col("text"), " "))))
+        .otherwise(col("text")))
+    val dir = tmp("graft-lshidx-upsert")
+    LshIndex.build(corpus, dir)
+    val beforeUpsert = result(dir)
+    LshIndex.upsert(
+      revisedCorpus.filter(col("doc_id") % 9 === 0), dir, rev = 1L)
+    assert(LshIndex.consistent(spark, dir))
+    // THE equivalence: probe == an index built from the revised corpus
+    val ref = tmp("graft-lshidx-upsert-ref")
+    LshIndex.build(revisedCorpus, ref)
+    val got = result(dir)
+    assert(got == result(ref),
+      "upsert-then-probe diverged from a rebuild over revised texts")
+    assert(got != beforeUpsert,
+      "revision changed nothing — bad fixture (no revised doc near-dup)")
+
+    // replay of the same (batch, rev) is a no-op at every table
+    val sigRows = spark.read.parquet(s"$dir/sigs").count()
+    val revRows = LshIndex.revisions(spark, dir).count()
+    LshIndex.upsert(
+      revisedCorpus.filter(col("doc_id") % 9 === 0), dir, rev = 1L)
+    assert(spark.read.parquet(s"$dir/sigs").count() == sigRows,
+      "upsert replay duplicated signatures")
+    assert(LshIndex.revisions(spark, dir).count() == revRows,
+      "upsert replay duplicated registry rows")
+    assert(result(dir) == got)
+
+    // a SECOND revision supersedes the first; compaction folds to it
+    LshIndex.upsert(corpus.filter(col("doc_id") % 9 === 0), dir, rev = 2L)
+    assert(result(dir) == beforeUpsert,
+      "rev-2 re-upsert of the ORIGINAL texts must restore original probes")
+    // a LOWER-than-current rev is refused loudly, never silently served
+    intercept[IllegalArgumentException] {
+      LshIndex.upsert(
+        revisedCorpus.filter(col("doc_id") % 9 === 0), dir, rev = 1L)
+    }
+    val dest = tmp("graft-lshidx-upsert-c")
+    LshIndex.compactTo(spark, dir, dest)
+    assert(LshIndex.consistent(spark, dest))
+    assert(result(dest) == beforeUpsert,
+      "compacted index must serve the current generation")
+    assert(LshIndex.revisions(spark, dest).count() == 0L,
+      "compaction must reset the revision registry")
+    // exactly one sig row per doc after folding
+    assert(spark.read.parquet(s"$dest/sigs")
+      .groupBy(col("doc_id")).count().filter(col("count") > 1).count() == 0L,
+      "compaction left superseded generations behind")
+
+    // upsert cannot revive a tombstoned doc
+    val victim = got.map(_._2).distinct.head
+    LshIndex.delete(Seq(victim).toDF("doc_id"), dir)
+    val afterDel = result(dir)
+    LshIndex.upsert(corpus.filter(col("doc_id") === victim), dir, rev = 3L)
+    assert(result(dir) == afterDel, "upsert revived a tombstoned doc")
+  }
+
   test("gone-batch tear is NOT laundered by a later append of a different batch") {
     val base = corpus.filter(col("doc_id") < 300)
     val gone = corpus.filter(col("doc_id") >= 300 && col("doc_id") < 350)
