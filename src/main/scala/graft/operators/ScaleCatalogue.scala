@@ -1876,10 +1876,11 @@ object ScaleCatalogue {
   /** `docPred` restricts the scored corpus (toks/stats) — the q145
     * take-down oracle; the query-term source (doc 1) is external
     * input and stays unfiltered. */
-  private def bm25CtesOver(docPred: String): String =
+  private def bm25CtesOver(docPred: String,
+      textExpr: String = "text"): String =
     s"""toks AS (
-       |  SELECT doc_id, len(string_split(text, ' ')) AS dl,
-       |    unnest(string_split(text, ' ')) AS term FROM documents
+       |  SELECT doc_id, len(string_split($textExpr, ' ')) AS dl,
+       |    unnest(string_split($textExpr, ' ')) AS term FROM documents
        |  WHERE ($docPred)),
        |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
        |  FROM toks GROUP BY 1, 2),
@@ -1889,7 +1890,7 @@ object ScaleCatalogue {
        |probed AS (SELECT tf.* FROM tf JOIN qt USING (term)),
        |df AS (SELECT term, count(*) AS df FROM probed GROUP BY term),
        |stats AS (SELECT count(*)::DOUBLE AS n_docs,
-       |  avg(len(string_split(text, ' '))) AS avgdl FROM documents
+       |  avg(len(string_split($textExpr, ' '))) AS avgdl FROM documents
        |  WHERE ($docPred)),
       |scored AS (
       |  SELECT p.doc_id, CAST(floor(
@@ -4944,6 +4945,47 @@ object ScaleCatalogue {
       | THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
       | ELSE text END""".stripMargin.replace("\n", ""))
 
+  // ---------------------------------------------------------------------
+  // q157 — DOCUMENT REVISION on the BM25 index (BmIndex.upsert): the
+  // q156 CDC verb on the postings index, which carries the obligation
+  // LSH doesn't — scores depend on CORPUS statistics, and a revised
+  // document changes its own length, so sum_dl (hence avgdl, hence
+  // every probed score) must shift by exactly (new_dl − old_dl). A
+  // slice of the committed corpus (doc_id % 9 == 0) is re-posted in
+  // place against revised text (every second token dropped — dl
+  // halves, so the stats shift is large and a stale avgdl is loudly
+  // wrong); rev-stamped postings land inside the live term-bucket
+  // dirs, the registry row (with both lengths) is the visibility
+  // point, probes filter to current generations via one broadcast
+  // join, and adjustedStats folds the latest delta per doc — the
+  // corpus is never re-scanned. The oracle replays the whole q92
+  // scoring chain over the corpus WITH revised texts: hash equality
+  // proves upsert ≡ rebuild-from-revised, scores included. BmIndexSpec
+  // additionally pins replay idempotence, monotone refusal, the
+  // delete-after-revision stats ledger, and compaction folding.
+  // ---------------------------------------------------------------------
+  def q157Bm25UpsertProbe(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("bm-index-upsert", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.BmIndex.build(docs, p)
+      val revised = docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("text", concat_ws(" ",
+          filter(split(col("text"), " "), (_, i) => i % 2 === 0)))
+      graft.scale.BmIndex.upsert(revised, p, rev = 1L)
+    }
+    graft.scale.BmIndex.topK(s, dir, doc1Terms(s, d), k = 15)
+  }
+  val q157Sql: String = {
+    val revisedText =
+      """CASE WHEN doc_id % 9 = 0 THEN array_to_string(
+        | list_filter(string_split(text, ' '), (x, i) -> (i-1) % 2 = 0),
+        | ' ') ELSE text END""".stripMargin.replace("\n", "")
+    s"""WITH ${bm25CtesOver("TRUE", revisedText)}
+       |SELECT rank, doc_id, n_hit, score_q FROM lexranked
+       |WHERE rank <= 15 ORDER BY rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -5060,6 +5102,7 @@ object ScaleCatalogue {
     "q154_theta_overlap" -> q154ThetaOverlap _,
     "q155_cascade_rerank" -> q155CascadeRerank _,
     "q156_lsh_upsert_probe" -> q156LshUpsertProbe _,
+    "q157_bm25_upsert_probe" -> q157Bm25UpsertProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5185,5 +5228,6 @@ object ScaleCatalogue {
     "q154_theta_overlap" -> q154Sql,
     "q155_cascade_rerank" -> q155Sql,
     "q156_lsh_upsert_probe" -> q156Sql,
+    "q157_bm25_upsert_probe" -> q157Sql,
   )
 }

@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   *   _bm_tombstones/…           deleted (doc_id, dl) ([[delete]]; probes
   *                              anti-join + stats adjust, [[compactTo]]
   *                              folds)
+  *   _bm_rev/…                  (doc_id, rev, old_dl, new_dl) revision
+  *                              registry ([[upsert]]; probes serve each
+  *                              doc's max revision, stats shift by the
+  *                              latest dl delta, [[compactTo]] folds)
   * }}}
   *
   * Serving read: the probe terms' bucket ids are driver-computed
@@ -52,6 +56,21 @@ object BmIndex {
 
   val Buckets = 64L
 
+  import org.apache.spark.sql.types.{LongType, StringType, StructField,
+    StructType}
+
+  // explicit schema for every postings read: build/append-era files
+  // lack the rev column ([[upsert]]-era files carry it), and plain
+  // schema inference without mergeSchema would resolve to whichever
+  // file it sampled — the IndexIo.readOr discipline
+  private val postingSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("term", StringType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("rev", LongType), StructField("term_bucket", LongType)))
+
+  private def readPostings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(postingSchema).parquet(s"$dir/postings")
+
   private def bucketed(docs: DataFrame): DataFrame =
     Bm25.postingsOf(docs)
       .withColumn("term_bucket",
@@ -83,6 +102,11 @@ object BmIndex {
     docs.sparkSession.range(0)
       .select(col("id").as("doc_id"), col("id").as("dl"))
       .write.mode("overwrite").parquet(s"$dir/_bm_tombstones")
+    // the revision registry carries the same recycled-dir hazard
+    docs.sparkSession.range(0)
+      .select(col("id").as("doc_id"), col("id").as("rev"),
+        col("id").as("old_dl"), col("id").as("new_dl"))
+      .write.mode("overwrite").parquet(s"$dir/_bm_rev")
     statsDelta(docs).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_bm_stats")
   }
@@ -110,6 +134,109 @@ object BmIndex {
       .select(lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
         lit(old.getLong(1) + delta.getLong(1)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_stats")
+  }
+
+  /** Revision registry `(doc_id, rev, old_dl, new_dl)` — one row per
+    * [[upsert]] of a doc (absent until the first upsert; reads empty).
+    * A doc's CURRENT revision is its max-rev row. The two document
+    * lengths ride along so probe-time stats adjustment stays a
+    * registry-sized aggregate: each doc's LATEST row contributes
+    * (new_dl − old_dl) where old_dl is the length the doc had at
+    * build/append time — the only generation whose dl is baked into
+    * the base `_bm_stats` row (intermediate revisions never touched
+    * the base stats, so only first-vs-latest matters). */
+  private[scale] def revisions(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_bm_rev")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.range(0).select(col("id").as("doc_id"), col("id").as("rev"),
+      col("id").as("old_dl"), col("id").as("new_dl"))
+  }
+
+  private def currentRevs(spark: SparkSession, dir: String): DataFrame =
+    revisions(spark, dir)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("rev"), col("old_dl"), col("new_dl"))).as("m"))
+      .select(col("doc_id"), col("m.rev").as("cur_rev"),
+        col("m.old_dl").as("old_dl"), col("m.new_dl").as("new_dl"))
+
+  /** Keep each doc's CURRENT generation of posting rows: never-revised
+    * docs keep their rev-null rows, revised docs keep exactly their
+    * max-rev rows ([[LshIndex]]'s currentOnly discipline — one
+    * broadcast join against the O(revised docs) registry). */
+  private def currentOnly(rows: DataFrame, revs: DataFrame): DataFrame =
+    rows.join(broadcast(revs.select(col("doc_id"), col("cur_rev"))),
+        Seq("doc_id"), "left")
+      .filter((col("cur_rev").isNull && col("rev").isNull) ||
+        col("rev") === col("cur_rev"))
+      .drop("cur_rev")
+
+  /** Document REVISION — [[LshIndex.upsert]]'s verb on the postings
+    * index, with the extra obligation LSH doesn't have: BM25 scores
+    * depend on corpus statistics, and a revised document changes its
+    * own length, so `n_docs` stays put while `sum_dl` must shift by
+    * (new_dl − old_dl). The registry rows carry both lengths;
+    * [[adjustedStats]] folds the LATEST row per doc, so stats are
+    * exact for any number of supersessions without ever rereading the
+    * corpus. New postings land rev-stamped inside the live term-bucket
+    * dirs; probes filter to current generations (one broadcast join);
+    * a doc whose revised text drops a term stops matching on it the
+    * moment the registry row commits, and a term it gains starts
+    * matching. Monotone caller-supplied rev; replaying the same
+    * (batch, rev) is a no-op at every tear point (postings anti-join
+    * on (doc, rev), registry anti-join on (doc, rev)); write order
+    * postings → registry LAST as the visibility point. Uncommitted or
+    * tombstoned ids are ignored (append/compact first — verbs stay
+    * orthogonal). q157 proves upsert ≡ rebuild-from-revised by oracle,
+    * scores included. */
+  def upsert(docs: DataFrame, dir: String, rev: Long): Unit = {
+    require(rev > 0L, "revision must be positive")
+    val spark = docs.sparkSession
+    val committed = spark.read.parquet(s"$dir/_bm_docs")
+    val revised = docs
+      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .join(tombstones(spark, dir).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (revised.isEmpty) return
+    val cur = currentRevs(spark, dir).localCheckpoint()
+    val stale = cur
+      .join(revised.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .filter(col("cur_rev") > lit(rev)).count()
+    require(stale == 0L,
+      s"upsert rev=$rev is older than the current revision of $stale " +
+        "docs — revisions must be monotone per doc")
+    // heal guard: (doc, rev) posting rows that already landed
+    val landed = readPostings(spark, dir)
+      .filter(col("rev") === rev).select(col("doc_id")).distinct()
+    val fresh = revised.join(landed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      bucketed(fresh).withColumn("rev", lit(rev))
+        .repartition(col("term_bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.partitionBy("term_bucket").mode("append")
+        .parquet(s"$dir/postings")
+    // registry LAST (visibility point): old_dl = the dl baked into the
+    // base stats (a prior registry row's old_dl if one exists, else
+    // the doc's original posting dl, else 0 for a no-postings doc)
+    val origDl = readPostings(spark, dir)
+      .filter(col("rev").isNull)
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("first_dl"))
+    val freshReg = revised
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("new_dl"))
+      .join(cur.select(col("doc_id"), col("old_dl").as("prev_old")),
+        Seq("doc_id"), "left")
+      .join(origDl, Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(rev).as("rev"),
+        coalesce(col("prev_old"), col("first_dl"), lit(0L)).as("old_dl"),
+        col("new_dl"))
+      .join(revisions(spark, dir).filter(col("rev") === rev)
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (freshReg.count() > 0L)
+      freshReg.write.mode("append").parquet(s"$dir/_bm_rev")
   }
 
   /** Tombstone table (doc_id, dl) — absent until the first [[delete]];
@@ -142,9 +269,12 @@ object BmIndex {
       .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .join(tombstones(spark, dir).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
-    // dl per doc from its postings (every posting row carries the
-    // doc's length); docs with no postings fall back to 0
-    val dls = spark.read.parquet(s"$dir/postings")
+    // dl per doc from its CURRENT-generation postings (a revised doc's
+    // stats contribution is first_dl + (new_dl − first_dl) = its
+    // current dl, so the tombstone must subtract exactly that); docs
+    // with no postings fall back to 0
+    val dls = currentOnly(readPostings(spark, dir),
+        currentRevs(spark, dir))
       .groupBy(col("doc_id")).agg(max(col("dl")).as("pdl"))
     val dead = fresh
       .join(dls, Seq("doc_id"), "left")
@@ -166,8 +296,13 @@ object BmIndex {
     val docs = spark.read.parquet(s"$dir/_bm_docs")
       .join(dead, Seq("doc_id"), "left_anti").localCheckpoint()
     docs.coalesce(1).write.mode("overwrite").parquet(s"$destDir/_bm_docs")
-    spark.read.parquet(s"$dir/postings")
+    // revisions FOLD too: only each doc's current generation survives,
+    // written rev-less, and the destination registry resets — the
+    // adjusted stats already carry the revision dl deltas, so the
+    // folded base row is exact
+    currentOnly(readPostings(spark, dir), currentRevs(spark, dir))
       .join(dead, Seq("doc_id"), "left_anti")
+      .drop("rev")
       .repartition(col("term_bucket"))
       .sortWithinPartitions(col("term"))
       .write.partitionBy("term_bucket").mode("overwrite")
@@ -177,12 +312,18 @@ object BmIndex {
     // tombstone hazard as build()
     spark.range(0).select(col("id").as("doc_id"), col("id").as("dl"))
       .write.mode("overwrite").parquet(s"$destDir/_bm_tombstones")
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("rev"),
+        col("id").as("old_dl"), col("id").as("new_dl"))
+      .write.mode("overwrite").parquet(s"$destDir/_bm_rev")
     adjustedStats(spark, dir).coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_bm_stats")
   }
 
-  /** Stored stats net of tombstones — one row minus one row, both
-    * driver-scalar reads. */
+  /** Stored stats net of tombstones and revisions — the base row
+    * (build/append era) plus each revised doc's LATEST (new_dl −
+    * old_dl) length delta, minus the tombstoned docs' current
+    * contributions. Registry-sized aggregates, driver-scalar reads —
+    * the corpus is never re-scanned. */
   private def adjustedStats(spark: SparkSession, dir: String): DataFrame = {
     val old = spark.read.parquet(s"$dir/_bm_stats")
       .select(col("n_docs"), col("sum_dl")).collect()(0)
@@ -190,9 +331,17 @@ object BmIndex {
       .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ddl")).collect()(0)
     val nd = deadAgg.getLong(0)
     val ddl = if (deadAgg.isNullAt(1)) 0L else deadAgg.getLong(1)
+    // latest revision delta per doc — INCLUDING tombstoned docs: a
+    // delete() after a revision captures the doc's CURRENT dl in its
+    // tombstone row, so the ledger per such doc reads
+    // base(old_dl) + delta(new−old) − tombstone(new) = 0 exactly;
+    // dropping the delta here would leave base − new ≠ 0
+    val revAgg = currentRevs(spark, dir)
+      .agg(sum(col("new_dl") - col("old_dl")).as("rdl")).collect()(0)
+    val rdl = if (revAgg.isNullAt(0)) 0L else revAgg.getLong(0)
     spark.range(1)
       .select(lit(old.getLong(0) - nd).as("n_docs"),
-        lit(old.getLong(1) - ddl).as("sum_dl"))
+        lit(old.getLong(1) + rdl - ddl).as("sum_dl"))
   }
 
   /** Torn-append detector: under the ids → postings → stats write
@@ -206,7 +355,21 @@ object BmIndex {
     val ids = spark.read.parquet(s"$dir/_bm_docs")
     val orphanDead = tombstones(spark, dir).select(col("doc_id"))
       .join(ids, Seq("doc_id"), "left_anti").count()
-    st == ids.count() && orphanDead == 0L
+    // revision registry rows must reference committed docs, and every
+    // registered (doc, rev) must have posting rows landed (registry is
+    // the upsert visibility point; a registered-but-dataless revision
+    // means the postings→registry order was violated or files were
+    // lost) — docs whose revised text is EMPTY legitimately have no
+    // postings, recorded as new_dl = 0
+    val revs = revisions(spark, dir)
+    val orphanRev = revs.join(ids, Seq("doc_id"), "left_anti").count()
+    val dataless = revs.filter(col("new_dl") > 0L)
+      .select(col("doc_id"), col("rev"))
+      .join(readPostings(spark, dir)
+          .select(col("doc_id"), col("rev")).na.drop().distinct(),
+        Seq("doc_id", "rev"), "left_anti").count()
+    st == ids.count() && orphanDead == 0L && orphanRev == 0L &&
+      dataless == 0L
   }
 
   /** BM25 top-k served from the materialized layout: probed bucket ids
@@ -218,10 +381,13 @@ object BmIndex {
     val buckets = terms.collect().map(r =>
       graft.functions.Md5_64.hash60(r.getString(0)) % Buckets)
       .distinct.toSeq
-    val probed = spark.read.parquet(s"$dir/postings")
-      .filter(col("term_bucket").isin(buckets: _*))
+    // revised docs score on their CURRENT generation only (broadcast
+    // registry filter); tombstoned docs stop scoring the moment
+    // delete() commits
+    val probed = currentOnly(readPostings(spark, dir)
+        .filter(col("term_bucket").isin(buckets: _*)),
+        currentRevs(spark, dir))
       .join(broadcast(terms), Seq("term"))
-      // tombstoned docs stop scoring the moment delete() commits
       .join(tombstones(spark, dir).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))

@@ -169,6 +169,75 @@ class BmIndexSpec extends AnyFunSuite {
       "compacted index must start tombstone-free")
   }
 
+  test("upsert: revised docs score like a rebuild from revised texts, stats dl-deltas included") {
+    // revision rule: drop every second token — dl changes, so avgdl
+    // (and through it every score) must shift exactly
+    val revisedDocs = docs.withColumn("text",
+      when(col("doc_id") % 9 === 0,
+        concat_ws(" ", filter(split(col("text"), " "),
+          (_, i) => i % 2 === 0)))
+        .otherwise(col("text")))
+    val dir = tmp("graft-bmidx-upsert")
+    BmIndex.build(docs, dir)
+    val before = BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    BmIndex.upsert(revisedDocs.filter(col("doc_id") % 9 === 0), dir, rev = 1L)
+    assert(BmIndex.consistent(spark, dir))
+    // THE equivalence: scores equal an index built from revised texts
+    val ref = tmp("graft-bmidx-upsert-ref")
+    BmIndex.build(revisedDocs, ref)
+    val got = BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val want = BmIndex.topK(spark, ref, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      "upsert-then-probe diverged from a rebuild over revised texts")
+    assert(got != before, "revision changed no scores — bad fixture")
+
+    // replay no-op + monotone refusal
+    val postRows = spark.read.parquet(s"$dir/postings").count()
+    BmIndex.upsert(revisedDocs.filter(col("doc_id") % 9 === 0), dir, rev = 1L)
+    assert(spark.read.parquet(s"$dir/postings").count() == postRows,
+      "upsert replay duplicated postings")
+    assert(BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq == got)
+    BmIndex.upsert(docs.filter(col("doc_id") % 9 === 0), dir, rev = 2L)
+    assert(BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq == before,
+      "rev-2 restore of original texts must restore original scores")
+    intercept[IllegalArgumentException] {
+      BmIndex.upsert(revisedDocs.filter(col("doc_id") % 9 === 0), dir,
+        rev = 1L)
+    }
+
+    // delete AFTER revision subtracts the CURRENT dl (no double count)
+    BmIndex.upsert(revisedDocs.filter(col("doc_id") % 9 === 0), dir, rev = 3L)
+    BmIndex.delete(docs.filter(col("doc_id") % 9 === 0)
+      .select(col("doc_id")), dir)
+    val refDel = tmp("graft-bmidx-upsert-refdel")
+    BmIndex.build(revisedDocs.filter(col("doc_id") % 9 =!= 0), refDel)
+    assert(BmIndex.topK(spark, dir, qTerms, k = 15)
+        .as[(Int, Long, Long, Long)].collect().toSeq ==
+      BmIndex.topK(spark, refDel, qTerms, k = 15)
+        .as[(Int, Long, Long, Long)].collect().toSeq,
+      "delete-after-revision stats drifted from a survivors-only rebuild")
+
+    // compaction folds generations and resets the registry
+    val dest = tmp("graft-bmidx-upsert-c")
+    BmIndex.compactTo(spark, dir, dest)
+    assert(BmIndex.consistent(spark, dest))
+    assert(BmIndex.revisions(spark, dest).count() == 0L)
+    assert(BmIndex.topK(spark, dest, qTerms, k = 15)
+        .as[(Int, Long, Long, Long)].collect().toSeq ==
+      BmIndex.topK(spark, dir, qTerms, k = 15)
+        .as[(Int, Long, Long, Long)].collect().toSeq,
+      "compacted index serves differently")
+    assert(spark.read.parquet(s"$dest/postings")
+      .groupBy(col("doc_id"), col("term")).count()
+      .filter(col("count") > 1).count() == 0L,
+      "compaction left superseded posting generations behind")
+  }
+
   test("in-place rebuild resets tombstones (advice: recycled dir must not inherit deletes)") {
     // the scaladoc prescribes "rebuild (idempotent overwrite)" as the
     // torn-append recovery — a rebuild into a dir that previously saw
