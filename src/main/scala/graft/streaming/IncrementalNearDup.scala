@@ -54,4 +54,24 @@ object IncrementalNearDup {
       .foreachBatch(probeAndAppend(indexDir, matchesDir, minMatches) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The REVISION loop — the [[graft.scale.LshIndex.upsert]] verb as a
+    * running pipeline (the [[IncrementalCitations]] runDeletes shape):
+    * each micro-batch of re-fetched documents re-signatures its
+    * already-committed ids in place. The epoch id (offset by one — an
+    * upsert revision must be positive) IS the revision number: epochs
+    * are monotone per checkpoint, and a crash-replayed epoch re-runs
+    * with the SAME id, which the (doc, rev) anti-joins inside upsert
+    * turn into a pure heal — exactly-once at the index level with no
+    * extra bookkeeping. Docs in the batch that are not yet committed
+    * are ignored by upsert's contract; route genuinely-new docs
+    * through [[run]]'s probe-then-append loop instead. */
+  def runRevisions(docs: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.scale.LshIndex.upsert(batch, indexDir, rev = epochId + 1L)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

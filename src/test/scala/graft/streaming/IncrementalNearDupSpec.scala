@@ -71,4 +71,55 @@ class IncrementalNearDupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$idx/sigs").count() == sigsBefore,
       "replay duplicated signatures")
   }
+
+  test("streamed revisions: final index serves like a batch rebuild from the revised corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("graft-indrev") + "/idx"
+    LshIndex.build(docs.filter(col("doc_id") < 400), idx)
+    def probe() = LshIndex
+      .dedupBatch(spark, idx, docs.filter(col("doc_id") >= 400),
+        minMatches = 8)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+      .as[(Long, Long, Long)].collect().toSeq
+
+    val revised = docs.filter(col("doc_id") < 400 && col("doc_id") % 9 === 0)
+      .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+    val rows = revised.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().toSeq
+    val (r1, r2) = rows.splitAt(rows.length / 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val q = IncrementalNearDup.runRevisions(
+      mem.toDF().toDF("doc_id", "text"), idx,
+      checkpoint = tmp("graft-indrev-ckpt"))
+    try {
+      mem.addData(r1: _*); q.processAllAvailable()
+      mem.addData(r2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(LshIndex.consistent(spark, idx))
+
+    // final serving state == an index built from the revised corpus
+    val ref = tmp("graft-indrev-ref") + "/idx"
+    val revisedCorpus = docs.filter(col("doc_id") < 400)
+      .withColumn("text",
+        when(col("doc_id") % 9 === 0,
+          concat_ws(" ", reverse(split(col("text"), " "))))
+          .otherwise(col("text")))
+    LshIndex.build(revisedCorpus, ref)
+    val want = LshIndex
+      .dedupBatch(spark, ref, docs.filter(col("doc_id") >= 400),
+        minMatches = 8)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(probe() == want,
+      "streamed revisions diverged from a batch rebuild over revised texts")
+
+    // epoch replay (same epoch id => same rev) is a pure heal
+    val sigRows = spark.read.parquet(s"$idx/sigs").count()
+    graft.scale.LshIndex.upsert(
+      revised.filter(col("doc_id").isin(r1.map(_._1): _*)), idx, rev = 1L)
+    assert(spark.read.parquet(s"$idx/sigs").count() == sigRows,
+      "epoch replay duplicated revision rows")
+    assert(probe() == want)
+  }
 }
