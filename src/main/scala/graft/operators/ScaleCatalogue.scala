@@ -416,14 +416,22 @@ object ScaleCatalogue {
     s"list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
       s"i -> ($a[i]::DOUBLE - $b[i]::DOUBLE) * ($a[i]::DOUBLE - $b[i]::DOUBLE)))," +
       s" (x,y) -> x+y)"
-  val q35Sql: String =
-    s"""WITH cent AS (
+  /** The q35 IVF replay (frozen stride centroids, assignment, probe,
+    * cosine ranking) over a parameterized corpus-embedding table —
+    * q35/q85 read `embeddings` as stored; q158's upsert oracle
+    * substitutes a table whose revised slice carries the new vectors
+    * while centroids stay FROZEN on the originals (the upsert
+    * contract), so hash equality proves upsert ≡ rebuilt-from-revised.
+    * `prelude` defines the corpus CTE when it isn't the raw table. */
+  private def ivfProbeSqlOver(corpusTable: String,
+      prelude: String = ""): String =
+    s"""WITH ${prelude}cent AS (
        |  SELECT vec_id AS centroid_id, embedding AS c_emb
        |  FROM embeddings WHERE vec_id % 97 = 0),
        |corpus_d AS (
        |  SELECT a.vec_id, a.embedding, c.centroid_id,
        |    ${duckDist2("a.embedding", "c.c_emb")} AS dist2
-       |  FROM embeddings a, cent c),
+       |  FROM $corpusTable a, cent c),
        |assigned AS (
        |  SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
@@ -446,6 +454,8 @@ object ScaleCatalogue {
        |  FROM scored)
        |SELECT query_id, rank, vec_id, CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q
        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  val q35Sql: String = ivfProbeSqlOver("embeddings")
 
   // ---------------------------------------------------------------------
   // q52 — embedding-cosine near-dup: the fifth dedup family (exact,
@@ -4986,6 +4996,53 @@ object ScaleCatalogue {
        |WHERE rank <= 15 ORDER BY rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q158 — VECTOR REVISION on the IVF index (IvfIndex.upsert): the
+  // q156/q157 CDC verb on the vector side, with the complication
+  // neither text index has — a revised embedding can change its
+  // nearest centroid, so the current row must be free to land in a
+  // DIFFERENT cluster directory than the stale one. Revision rows
+  // live in their own bucketed subdir (`_ivf_rev_rows/cluster_id=N/`
+  // — the main layout's files never grow a rev column, no mixed-
+  // schema hazard), the registry is the visibility point, and probes
+  // read both trees under the same partition filter: a registered
+  // id's main row is dropped, its max-rev row serves (one broadcast
+  // join against the O(revised) registry). Centroids stay FROZEN (the
+  // append contract — re-clustering is rebuild's job; rebuild reads
+  // corpus(), which is current-generation aware, so revisions fold on
+  // the next re-cluster). Revision rule: embedding reversed — the
+  // vector moves in cosine space deterministically, so the oracle
+  // replays assignment and scoring over the revised corpus with the
+  // ORIGINAL centroid set, and hash equality proves upsert ≡
+  // rebuilt-from-revised. IvfIndexSpec pins cluster migration, replay
+  // healing, monotone refusal, and rebuild folding.
+  // ---------------------------------------------------------------------
+  def q158IvfUpsertProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    val dir = cachedIndexDir("ivf-index-upsert", d, "v1") { p =>
+      graft.scale.IvfIndex.build(emb, centroids, p, centroidCount = cc)
+      val revised = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfIndex.upsert(revised, centroids, p, rev = 1L,
+        centroidCount = cc)
+    }
+    graft.scale.IvfIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q158Sql: String = ivfProbeSqlOver("emb2",
+    prelude = """emb2 AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 9 = 0 THEN list_reverse(embedding)
+      |      ELSE embedding END AS embedding
+      |  FROM embeddings),
+      |""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -5103,6 +5160,7 @@ object ScaleCatalogue {
     "q155_cascade_rerank" -> q155CascadeRerank _,
     "q156_lsh_upsert_probe" -> q156LshUpsertProbe _,
     "q157_bm25_upsert_probe" -> q157Bm25UpsertProbe _,
+    "q158_ivf_upsert_probe" -> q158IvfUpsertProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5229,5 +5287,6 @@ object ScaleCatalogue {
     "q155_cascade_rerank" -> q155Sql,
     "q156_lsh_upsert_probe" -> q156Sql,
     "q157_bm25_upsert_probe" -> q157Sql,
+    "q158_ivf_upsert_probe" -> q158Sql,
   )
 }

@@ -184,6 +184,92 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     else spark.range(0).select(col("id").as("vec_id"))
   }
 
+  import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType,
+    LongType, StructField, StructType}
+
+  private val revRowSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("dist2", DoubleType), StructField("rev", LongType),
+    StructField("cluster_id", LongType)))
+  private val revRegSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("rev", LongType)))
+
+  /** Revision rows live in their OWN bucketed subdir
+    * (`_ivf_rev_rows/cluster_id=N/`, underscore-prefixed so the main
+    * layout's parquet reads never pick them up): a revised embedding
+    * can change its nearest centroid, so its current row must be free
+    * to land in a DIFFERENT cluster directory than the stale one —
+    * and keeping the two generations in separate trees means the main
+    * layout's files never grow a rev column (no mixed-schema
+    * inference hazard). Probes read both trees under the same
+    * partition filter. */
+  private def revRows(spark: SparkSession, path: String): DataFrame =
+    IndexIo.readOr(spark, s"$path/_ivf_rev_rows", revRowSchema)
+
+  /** Revision registry `(vec_id, rev)` — the visibility point; a
+    * vector's CURRENT generation is its max-rev row when registered,
+    * its main-layout row otherwise. */
+  private[scale] def revisions(spark: SparkSession, path: String): DataFrame =
+    IndexIo.readOr(spark, s"$path/_ivf_rev", revRegSchema)
+
+  private def currentRevs(spark: SparkSession, path: String): DataFrame =
+    revisions(spark, path).groupBy(col("vec_id"))
+      .agg(max(col("rev")).as("cur_rev"))
+
+  /** Vector REVISION under the frozen-centroid contract — the
+    * [[LshIndex.upsert]]/[[BmIndex.upsert]] CDC verb on the vector
+    * index (embeddings change when documents are re-fetched and
+    * re-embedded): the revised vectors are re-assigned against the
+    * SAME centroids (O(batch) — the append contract), their rows land
+    * rev-stamped in [[revRows]]'s bucket dirs (possibly under a
+    * different cluster than the stale generation — cluster migration
+    * is the point), and the registry row flips probes to the new
+    * generation. Serving reads drop a registered vector's main-layout
+    * row entirely and take its max-rev revision row instead; both
+    * filters are one broadcast join against the O(revised) registry.
+    * Unknown ids are admitted (upsert doubles as insert — the main
+    * layout has no committed-id table to gate on and the serving
+    * union makes insertion natural); tombstoned ids stay dead.
+    * Monotone caller-supplied rev; replaying the same (batch, rev) is
+    * a pure heal ((vec_id, rev) anti-joins on both writes). [[rebuild]]
+    * folds everything: it re-reads [[corpus]] (current generations,
+    * net of tombstones) and the swap replaces the whole directory,
+    * registry included. q158 proves upsert ≡ rebuild-from-revised by
+    * oracle. */
+  def upsert(newVectors: DataFrame, centroids: DataFrame, path: String,
+      rev: Long, centroidCount: Option[Long] = None): Unit = {
+    require(rev > 0L, "revision must be positive")
+    val spark = newVectors.sparkSession
+    val vecs = newVectors.select(col("vec_id"), col("embedding"))
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (vecs.isEmpty) return
+    val stale = currentRevs(spark, path)
+      .join(vecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .filter(col("cur_rev") > lit(rev)).count()
+    require(stale == 0L,
+      s"upsert rev=$rev is older than the current revision of $stale " +
+        "vectors — revisions must be monotone per vector")
+    val landed = revRows(spark, path).filter(col("rev") === rev)
+      .select(col("vec_id")).distinct()
+    val fresh = vecs.join(landed, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      withOwnDist2(
+          Similarity.assign(fresh, centroids, "vec_id", centroidCount)
+            .withColumnRenamed("centroid_id", "cluster_id"), centroids)
+        .withColumn("rev", lit(rev))
+        .write.mode("append").partitionBy("cluster_id")
+        .parquet(s"$path/_ivf_rev_rows")
+    val freshReg = vecs.select(col("vec_id"), lit(rev).as("rev"))
+      .join(revisions(spark, path).filter(col("rev") === rev)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (freshReg.count() > 0L)
+      freshReg.write.mode("append").parquet(s"$path/_ivf_rev")
+  }
+
   /** Tombstone delete — the [[LshIndex.delete]]/[[BmIndex.delete]]
     * contract for the vector index: physical rows stay in their
     * cluster buckets until the next [[rebuild]] folds them (the swap
@@ -210,9 +296,18 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * Net of tombstones: a rebuild therefore physically folds deletes
     * (the published layout holds survivors only and starts
     * tombstone-free). */
-  def corpus(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select(col("vec_id"), col("embedding"))
+  def corpus(spark: SparkSession, path: String): DataFrame = {
+    val reg = currentRevs(spark, path)
+    val main = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(reg.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    val revised = revRows(spark, path)
+      .join(broadcast(reg), Seq("vec_id"))
+      .filter(col("rev") === col("cur_rev"))
+      .select(col("vec_id"), col("embedding"))
+    main.unionByName(revised)
       .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
+  }
 
   /** Own-centroid squared distance per assigned row — the drift
     * observable, persisted as a `dist2` column (query reads never
@@ -284,8 +379,21 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .localCheckpoint()
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
-    val assigned = spark.read.parquet(path)
+    // revised vectors serve their CURRENT generation: a registered
+    // id's main-layout row is dropped (its revision row — possibly in
+    // a DIFFERENT probed cluster — replaces it); both filters are one
+    // broadcast join against the O(revised) registry
+    val reg = currentRevs(spark, path).localCheckpoint()
+    val mainRows = spark.read.parquet(path)
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .join(broadcast(reg.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    val revisedRows = revRows(spark, path)
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(reg), Seq("vec_id"))
+      .filter(col("rev") === col("cur_rev"))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+    val assigned = mainRows.unionByName(revisedRows)
       // tombstoned vectors stop serving the moment delete() commits;
       // their physical rows wait for the next rebuild's fold
       .join(tombstones(spark, path), Seq("vec_id"), "left_anti")

@@ -317,6 +317,69 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(folded == want, "fold changed served results")
   }
 
+  test("upsert: revised vectors serve from their NEW cluster like a rebuild from revised vectors") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val queries = emb.filter(col("vec_id") === 1)
+    def top(dir: String) = IvfIndex
+      .topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+
+    val dir = Files.createTempDirectory("graft-ivf-upsert").toString
+    IvfIndex.build(emb, centroids, dir)
+    val before = top(dir)
+    val revised = emb.filter(col("vec_id") % 9 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    IvfIndex.upsert(revised, centroids, dir, rev = 1L)
+
+    // cluster MIGRATION actually happened: at least one revised vector
+    // sits in a different cluster dir than its stale generation
+    val mainClusters = spark.read.parquet(dir)
+      .filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id"), col("cluster_id").as("old_c"))
+    val revClusters = spark.read
+      .parquet(s"$dir/_ivf_rev_rows")
+      .select(col("vec_id"), col("cluster_id").as("new_c"))
+    val migrated = mainClusters.join(revClusters, "vec_id")
+      .filter(col("old_c") =!= col("new_c")).count()
+    assert(migrated > 0, "no revised vector changed cluster — weak fixture")
+
+    // THE equivalence: serving equals an index built from revised vecs
+    val refDir = Files.createTempDirectory("graft-ivf-upsert-ref").toString
+    val revisedCorpus = emb.withColumn("embedding",
+      when(col("vec_id") % 9 === 0, reverse(col("embedding")))
+        .otherwise(col("embedding")))
+    IvfIndex.build(revisedCorpus, centroids, refDir)
+    val got = top(dir)
+    assert(got == top(refDir),
+      "upsert-then-probe diverged from a rebuild over revised vectors")
+    assert(got != before, "revision changed no results — weak fixture")
+
+    // replay heal + monotone refusal
+    val rowsBefore = spark.read.parquet(s"$dir/_ivf_rev_rows").count()
+    IvfIndex.upsert(revised, centroids, dir, rev = 1L)
+    assert(spark.read.parquet(s"$dir/_ivf_rev_rows").count() == rowsBefore,
+      "upsert replay duplicated revision rows")
+    assert(top(dir) == got)
+    IvfIndex.upsert(emb.filter(col("vec_id") % 9 === 0), centroids, dir,
+      rev = 2L) // restore originals at rev 2
+    assert(top(dir) == before,
+      "rev-2 restore of original vectors must restore original serving")
+    intercept[IllegalArgumentException] {
+      IvfIndex.upsert(revised, centroids, dir, rev = 1L)
+    }
+
+    // rebuild folds revisions: corpus() is current-generation aware,
+    // the swap drops the registry and rev rows
+    IvfIndex.upsert(revised, centroids, dir, rev = 3L)
+    IvfIndex.rebuild(spark, dir, centroids)
+    assert(!new java.io.File(s"$dir/_ivf_rev").exists() &&
+      !new java.io.File(s"$dir/_ivf_rev_rows").exists(),
+      "rebuild must fold the revision state away")
+    assert(top(dir) == got, "rebuild-folded serving diverged")
+  }
+
   private def countParquet(dir: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
