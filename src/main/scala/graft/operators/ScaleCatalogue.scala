@@ -5043,6 +5043,69 @@ object ScaleCatalogue {
       |  FROM embeddings),
       |""".stripMargin)
 
+  // ---------------------------------------------------------------------
+  // q159 — VECTOR REVISION on the IVF+PQ index (IvfPqIndex.upsert):
+  // q158's CDC verb on the compressed layout, under BOTH frozen
+  // artifacts at once — revised vectors re-assign against the original
+  // coarse centroids AND re-encode under the STORED codebooks (revised
+  // codes under any other codebook would be garbage next to the main
+  // layout's). Rev code rows land in `_pq_rev_rows/cluster_id=N/`
+  // (cluster migration allowed), the `_pq_rev` registry flips probes to
+  // the new generation, and the serving read still scans m-byte codes
+  // only — the revision path never fattens the layout back to
+  // embeddings. Oracle replays q90's composition with the corpus-side
+  // CTEs (assignment + encode cells) over the revised table while
+  // codebooks/queries/centroids stay original — hash equality proves
+  // upsert ≡ rebuilt-from-revised-under-original-codebooks.
+  // IvfPqIndexSpec pins migration, replay healing, monotone refusal,
+  // and build-over reset.
+  // ---------------------------------------------------------------------
+  def q159IvfPqUpsertProbe(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    val dir = cachedIndexDir("ivfpq-index-upsert", d, "v1") { p =>
+      graft.scale.IvfPqIndex.build(emb, centroids, p, centroidCount = cc)
+      val revised = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfPqIndex.upsert(revised, centroids, p, rev = 1L,
+        centroidCount = cc)
+    }
+    graft.scale.IvfPqIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q159Sql: String = {
+    // each rewrite must actually fire — a drifted q90Sql would
+    // otherwise silently leave this oracle testing the UNrevised corpus
+    def rw(s: String, from: String, to: String): String = {
+      val out = s.replace(from, to)
+      require(out != s, s"q159Sql rewrite target not found: $from")
+      out
+    }
+    val withPrelude = rw(q90Sql, "WITH cent AS (",
+      """WITH emb2 AS MATERIALIZED (
+        |  SELECT vec_id,
+        |    CASE WHEN vec_id % 9 = 0 THEN list_reverse(embedding)
+        |      ELSE embedding END AS embedding
+        |  FROM embeddings),
+        |q2 AS (
+        |  SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS j,
+        |    CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS eq
+        |  FROM emb2, LATERAL (SELECT unnest(range(1, 65)) AS i) r),
+        |cent AS (""".stripMargin)
+    val withCorpus =
+      rw(withPrelude, "FROM embeddings a, cent c)", "FROM emb2 a, cent c)")
+    rw(withCorpus,
+      """  FROM q d JOIN pqc c ON c.s = d.s AND c.j = d.j
+        |  GROUP BY 1, 2, 3),
+        |codes AS (""".stripMargin,
+      """  FROM q2 d JOIN pqc c ON c.s = d.s AND c.j = d.j
+        |  GROUP BY 1, 2, 3),
+        |codes AS (""".stripMargin)
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -5161,6 +5224,7 @@ object ScaleCatalogue {
     "q156_lsh_upsert_probe" -> q156LshUpsertProbe _,
     "q157_bm25_upsert_probe" -> q157Bm25UpsertProbe _,
     "q158_ivf_upsert_probe" -> q158IvfUpsertProbe _,
+    "q159_ivfpq_upsert_probe" -> q159IvfPqUpsertProbe _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5288,5 +5352,6 @@ object ScaleCatalogue {
     "q156_lsh_upsert_probe" -> q156Sql,
     "q157_bm25_upsert_probe" -> q157Sql,
     "q158_ivf_upsert_probe" -> q158Sql,
+    "q159_ivfpq_upsert_probe" -> q159Sql,
   )
 }

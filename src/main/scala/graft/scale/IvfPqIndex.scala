@@ -135,6 +135,83 @@ object IvfPqIndex {
     * other slicing, so a caller-supplied m/dim that disagreed with the
     * build would silently score null distances — deriving it makes the
     * mismatch unrepresentable (one KB-sized driver read). */
+  import org.apache.spark.sql.types.{ArrayType, LongType, StructField,
+    StructType}
+
+  private val revRowSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("codes", ArrayType(LongType)),
+    StructField("rev", LongType), StructField("cluster_id", LongType)))
+  private val revRegSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("rev", LongType)))
+
+  /** Revision code rows in their own bucketed subdir
+    * (`_pq_rev_rows/cluster_id=N/`) — the [[IvfIndex.upsert]] layout
+    * rule for the same reason: a revised embedding can change its
+    * coarse cluster, so its current CODE row must be free to land in a
+    * different cluster directory than the stale one, and keeping the
+    * generations in separate trees keeps the main layout's files free
+    * of a rev column. */
+  private def revRows(spark: SparkSession, path: String): DataFrame =
+    IndexIo.readOr(spark, s"$path/_pq_rev_rows", revRowSchema)
+
+  /** Revision registry `(vec_id, rev)` — the visibility point. */
+  private[scale] def revisions(spark: SparkSession, path: String): DataFrame =
+    IndexIo.readOr(spark, s"$path/_pq_rev", revRegSchema)
+
+  private def currentRevs(spark: SparkSession, path: String): DataFrame =
+    revisions(spark, path).groupBy(col("vec_id"))
+      .agg(max(col("rev")).as("cur_rev"))
+
+  /** Vector REVISION on the compressed layout — [[IvfIndex.upsert]]
+    * under BOTH frozen-artifact contracts at once: the revised vectors
+    * re-assign against the same coarse `centroids` AND re-encode under
+    * the STORED codebooks (caller cannot supply either — revised codes
+    * under any other codebook would be garbage next to the main
+    * layout's). O(batch): only the revised rows touch raw embeddings;
+    * their m-byte code rows land rev-stamped in [[revRows]]'s bucket
+    * dirs (cluster migration allowed — the point), and the registry
+    * row flips probes to the new generation via one broadcast join.
+    * Unknown ids are admitted (upsert doubles as insert); tombstoned
+    * ids stay dead. Monotone caller rev; replaying the same
+    * (batch, rev) is a pure heal. Revisions fold at the next [[build]]
+    * from source (the overwrite replaces the whole directory —
+    * IvfPqIndexSpec pins the reset). q159 proves upsert ≡
+    * rebuilt-from-revised by oracle. */
+  def upsert(newVectors: DataFrame, centroids: DataFrame, path: String,
+      rev: Long, centroidCount: Option[Long] = None): Unit = {
+    require(rev > 0L, "revision must be positive")
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$path/_pq_codebooks")
+    val (m, sub) = geometry(cents)
+    requireDim(newVectors, m, sub)
+    val vecs = newVectors.select(col("vec_id"), col("embedding"))
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (vecs.isEmpty) return
+    val stale = currentRevs(spark, path)
+      .join(vecs.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .filter(col("cur_rev") > lit(rev)).count()
+    require(stale == 0L,
+      s"upsert rev=$rev is older than the current revision of $stale " +
+        "vectors — revisions must be monotone per vector")
+    val landed = revRows(spark, path).filter(col("rev") === rev)
+      .select(col("vec_id")).distinct()
+    val fresh = vecs.join(landed, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      codeRows(fresh, centroids, cents, m, sub, centroidCount)
+        .withColumn("rev", lit(rev))
+        .write.mode("append").partitionBy("cluster_id")
+        .parquet(s"$path/_pq_rev_rows")
+    val freshReg = vecs.select(col("vec_id"), lit(rev).as("rev"))
+      .join(revisions(spark, path).filter(col("rev") === rev)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (freshReg.count() > 0L)
+      freshReg.write.mode("append").parquet(s"$path/_pq_rev")
+  }
+
   /** Tombstone table under `_pq_tombstones/` — the [[IvfIndex.delete]]
     * contract for the compressed layout: code rows stay in their
     * bucket until a rebuild replaces the directory, but [[topK]]
@@ -169,8 +246,21 @@ object IvfPqIndex {
       .localCheckpoint()
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
-    val codeCells = spark.read.parquet(path)
+    // revised vectors serve their CURRENT generation: a registered
+    // id's main code row is dropped (its max-rev row — possibly in a
+    // DIFFERENT probed cluster — replaces it); both filters are one
+    // broadcast join against the O(revised) registry
+    val reg = currentRevs(spark, path).localCheckpoint()
+    val mainRows = spark.read.parquet(path)
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("codes"), col("cluster_id"))
+      .join(broadcast(reg.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+    val revisedRows = revRows(spark, path)
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(reg), Seq("vec_id"))
+      .filter(col("rev") === col("cur_rev"))
+      .select(col("vec_id"), col("codes"), col("cluster_id"))
+    val codeCells = mainRows.unionByName(revisedRows)
       // tombstoned vectors stop serving the moment delete() commits
       .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cluster_id"),

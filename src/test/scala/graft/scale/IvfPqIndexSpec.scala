@@ -146,4 +146,67 @@ class IvfPqIndexSpec extends AnyFunSuite {
       .groupBy(col("vec_id")).count().filter(col("count") > 1).count() == 0L,
       "delete replay duplicated tombstones")
   }
+
+  test("upsert: revised vectors serve re-encoded codes from their NEW cluster") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val queries = emb.filter(col("vec_id") < 10)
+    def top(d: String) = IvfPqIndex
+      .topK(spark, d, queries, centroids, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val dir = Files.createTempDirectory("graft-ivfpq-upsert").toString
+    IvfPqIndex.build(emb, centroids, dir)
+    val before = top(dir)
+    val revised = emb.filter(col("vec_id") % 9 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    IvfPqIndex.upsert(revised, centroids, dir, rev = 1L)
+
+    // cluster migration actually happened across the two trees
+    val migrated = spark.read.parquet(dir)
+      .filter(col("vec_id") % 9 === 0)
+      .select(col("vec_id"), col("cluster_id").as("old_c"))
+      .join(spark.read.parquet(s"$dir/_pq_rev_rows")
+        .select(col("vec_id"), col("cluster_id").as("new_c")), "vec_id")
+      .filter(col("old_c") =!= col("new_c")).count()
+    assert(migrated > 0, "no revised vector changed cluster — weak fixture")
+
+    // equivalence: a build over the revised corpus under the SAME
+    // frozen codebooks (upsert never retrains them)
+    val cb = spark.read.parquet(s"$dir/_pq_codebooks")
+    val refDir = Files.createTempDirectory("graft-ivfpq-upsert-ref").toString
+    IvfPqIndex.build(
+      emb.withColumn("embedding",
+        when(col("vec_id") % 9 === 0, reverse(col("embedding")))
+          .otherwise(col("embedding"))),
+      centroids, refDir, codebooks = Some(cb))
+    val got = top(dir)
+    assert(got == top(refDir),
+      "upsert-then-probe diverged from a rebuild over revised vectors")
+    assert(got != before, "revision changed no results — weak fixture")
+
+    // replay heal + monotone refusal + rev-2 restore
+    val rowsBefore = spark.read.parquet(s"$dir/_pq_rev_rows").count()
+    IvfPqIndex.upsert(revised, centroids, dir, rev = 1L)
+    assert(spark.read.parquet(s"$dir/_pq_rev_rows").count() == rowsBefore,
+      "upsert replay duplicated revision code rows")
+    assert(top(dir) == got)
+    IvfPqIndex.upsert(emb.filter(col("vec_id") % 9 === 0), centroids, dir,
+      rev = 2L)
+    assert(top(dir) == before,
+      "rev-2 restore of original vectors must restore original serving")
+    intercept[IllegalArgumentException] {
+      IvfPqIndex.upsert(revised, centroids, dir, rev = 1L)
+    }
+
+    // a build-over from source resets ALL maintenance state (the root
+    // overwrite clears the dir; codebooks/meta rewrite after) — stale
+    // registries may not survive into a rebuilt layout
+    IvfPqIndex.build(emb, centroids, dir)
+    assert(!new java.io.File(s"$dir/_pq_rev").exists() &&
+      !new java.io.File(s"$dir/_pq_rev_rows").exists(),
+      "build-over must reset the revision state")
+    assert(top(dir) == before, "rebuilt-from-source serving diverged")
+  }
 }
