@@ -2843,9 +2843,10 @@ object ScaleCatalogue {
     * 500 docs and blew the round-13 driver gate to an empty
     * CORRECTNESS file; materialized, the same oracle is 0.1 s.
     * `tools/oracle_budget.py` now gates every oracle's DuckDB cost. */
-  private def citationPostCtesOver(docPred: String, pfx: String = ""): String =
+  private def citationPostCtesOver(docPred: String, pfx: String = "",
+      table: String = "documents"): String =
     s"""${pfx}tok AS MATERIALIZED (
-       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM $table
        |  WHERE len(string_split(text, ' ')) >= 3 AND ($docPred)),
        |${pfx}tg AS MATERIALIZED (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS term
        |  FROM ${pfx}tok, LATERAL (SELECT unnest(range(1, len(w)-1)) AS i) t),
@@ -5044,6 +5045,54 @@ object ScaleCatalogue {
       |""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q160 — DOCUMENT REVISION on the citation index (CitationIndex.
+  // upsert): the hardest revision verb in the index family, because a
+  // revised text moves term df in BOTH directions in one batch —
+  // every old-generation term loses a doc, every new-generation term
+  // gains one, and each touched term must take exactly the right band
+  // transition (enter with reach-back, die, fall sub-band, revive
+  // from purgatory, go deep) under the same signed-delta algebra
+  // append and delete maintain one direction at a time. Rev-stamped
+  // postings/pairs + the _cit_rev registry (written LAST) flip reads
+  // to the new generation by stamp equality; superseded rows die
+  // unrewritten and fold at compaction. The query builds on the full
+  // corpus, upserts the doc_id%9==0 slice with token-order-reversed
+  // text (every shingle changes), and reads weighted edges; the
+  // oracle derives from-scratch edges over the REVISED corpus — the
+  // hash match IS the upsert ≡ rebuild-from-revised proof.
+  // CitationUpsertSpec additionally pins the four band transitions in
+  // one batch, the deep guard, torn-upsert healing, and compaction
+  // folding superseded generations.
+  // ---------------------------------------------------------------------
+  def q160CitationUpsertEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val dir = cachedIndexDir("citation-upsert", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val revised = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"),
+          col("text").as("prev_text"))
+      graft.scale.CitationIndex.build(docs, p, slack = revised.count())
+      graft.scale.CitationIndex.upsert(revised, p, rev = 1L)
+    }
+    graft.scale.CitationIndex.edgesWeighted(s, dir)
+      .orderBy(col("src"), col("dst"))
+  }
+  val q160Sql: String =
+    s"""WITH docs2 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |      ELSE text END AS text
+       |  FROM documents),
+       |${citationPostCtesOver("TRUE", table = "docs2")}
+       |SELECT a.doc_id AS src, b.doc_id AS dst,
+       |  count(*)::BIGINT AS w
+       |FROM post a JOIN post b
+       |  ON a.term = b.term AND a.doc_id > b.doc_id
+       |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q159 — VECTOR REVISION on the IVF+PQ index (IvfPqIndex.upsert):
   // q158's CDC verb on the compressed layout, under BOTH frozen
   // artifacts at once — revised vectors re-assign against the original
@@ -5225,6 +5274,7 @@ object ScaleCatalogue {
     "q157_bm25_upsert_probe" -> q157Bm25UpsertProbe _,
     "q158_ivf_upsert_probe" -> q158IvfUpsertProbe _,
     "q159_ivfpq_upsert_probe" -> q159IvfPqUpsertProbe _,
+    "q160_citation_upsert_edges" -> q160CitationUpsertEdges _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5353,5 +5403,6 @@ object ScaleCatalogue {
     "q157_bm25_upsert_probe" -> q157Sql,
     "q158_ivf_upsert_probe" -> q158Sql,
     "q159_ivfpq_upsert_probe" -> q159Sql,
+    "q160_citation_upsert_edges" -> q160Sql,
   )
 }

@@ -75,6 +75,12 @@ import org.apache.spark.sql.functions._
   *                    deep_df under deletes)
   *   deep_df/…        (term, k, d): exact df deltas for deep terms
   *   _cit_tombs/…     tombstoned doc ids — appended LAST by delete
+  *   _cit_rev/…       (doc_id, rev) revision registry — appended LAST
+  *                    by [[upsert]]; a doc's current generation is its
+  *                    max rev (0 = never revised), and postings/pairs
+  *                    carry generation stamps matched against it at
+  *                    read ([[compactTo]] folds superseded generations
+  *                    and resets it)
   *   _cit_meta/…      one row: (n, df_min, df_max, slack)
   *   _cit_docs/…      committed doc ids — appended LAST by append
   * }}}
@@ -140,10 +146,13 @@ object CitationIndex {
 
   private val postSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
-    StructField("tb", LongType)))
+    StructField("rev", LongType), StructField("tb", LongType)))
   private val pairSchema = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType),
-    StructField("term", StringType)))
+    StructField("term", StringType),
+    StructField("src_rev", LongType), StructField("dst_rev", LongType)))
+  private val revSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("rev", LongType)))
   private val deltaSchema = StructType(Seq(
     StructField("term", StringType), StructField("k", StringType),
     StructField("s", LongType)))
@@ -154,8 +163,32 @@ object CitationIndex {
       schema: StructType): DataFrame =
     IndexIo.readOr(spark, path, schema)
 
+  /** Postings with their generation stamp — files written before the
+    * revision verb existed lack the `rev` column and read as
+    * generation 0 (the never-revised generation). */
   private def postRows(spark: SparkSession, dir: String): DataFrame =
     readOr(spark, s"$dir/post", postSchema)
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+
+  /** Revision registry (doc_id, rev) — append-only; a doc's CURRENT
+    * generation is its max registered rev, 0 if never revised. The
+    * registry row is [[upsert]]'s commit point (written LAST). */
+  private def revisions(spark: SparkSession, dir: String): DataFrame =
+    readOr(spark, s"$dir/_cit_rev", revSchema)
+
+  private def curRevs(spark: SparkSession, dir: String): DataFrame =
+    revisions(spark, dir).groupBy(col("doc_id"))
+      .agg(max(col("rev")).as("cur_rev"))
+
+  /** Keep only each doc's CURRENT-generation rows of a rev-carrying
+    * postings frame — one broadcast join against the O(revised docs)
+    * registry. The df recounts and pair regenerations in
+    * append/delete/upsert all count a revised doc's postings exactly
+    * once through this filter. */
+  private def currentGen(rows: DataFrame, cr: DataFrame): DataFrame =
+    rows.join(broadcast(cr), Seq("doc_id"), "left")
+      .filter(col("rev") === coalesce(col("cur_rev"), lit(0L)))
+      .drop("cur_rev")
 
   /** Signed (term, k, s) delta table reader; legacy plain-`term`
     * dead_terms files surface null k/s and read as one "b"/+1 row
@@ -199,14 +232,19 @@ object CitationIndex {
       fresh.write.mode("append").parquet(s"$dir/$name")
   }
 
-  /** All-pairs support rows for one side: (src, dst, term) with
-    * src > dst over the given postings. */
+  /** All-pairs support rows for one side: (src, dst, term, src_rev,
+    * dst_rev) with src > dst over the given rev-carrying postings. The
+    * generation stamps ride into `pairs/` so a support row written
+    * against generation g of an endpoint stops serving the moment a
+    * later generation registers — the read filter is stamp equality
+    * against the registry, never a rewrite of old rows. */
   private def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
     a.as("a").join(b.as("b"),
         col("a.term") === col("b.term") &&
           col("a.doc_id") > col("b.doc_id"))
       .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"),
-        col("a.term").as("term"))
+        col("a.term").as("term"), col("a.rev").as("src_rev"),
+        col("b.rev").as("dst_rev"))
 
   /** `slack` sizes the purgatory tier (revival budget — see class
     * doc); slack = 0 reproduces the append-only layout exactly
@@ -227,7 +265,8 @@ object CitationIndex {
       .sortWithinPartitions(col("term"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/post")
     val band = df.filter(col("df").between(dfMin, dfMax)).select(col("term"))
-    val bp = retained.join(band, Seq("term")).localCheckpoint()
+    val bp = retained.join(band, Seq("term"))
+      .withColumn("rev", lit(0L)).localCheckpoint()
     pairsOf(bp, bp)
       .write.mode("overwrite").parquet(s"$dir/pairs")
     df.filter(col("df") > dfMax).select(col("term"))
@@ -244,6 +283,8 @@ object CitationIndex {
       .write.mode("overwrite").parquet(s"$dir/sub_terms")
     IndexIo.emptyFrame(spark, docSchema)
       .write.mode("overwrite").parquet(s"$dir/_cit_tombs")
+    IndexIo.emptyFrame(spark, revSchema)
+      .write.mode("overwrite").parquet(s"$dir/_cit_rev")
     docs.select(col("doc_id")).distinct()
       .write.mode("overwrite").parquet(s"$dir/_cit_docs")
   }
@@ -265,8 +306,10 @@ object CitationIndex {
     val deepHits = allB.join(deep, Seq("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("s"))
       .select(col("term"), lit(k).as("k"), col("s")).localCheckpoint()
-    // batch postings below the deep tier (purgatory stays current)
+    // batch postings below the deep tier (purgatory stays current);
+    // appended docs are generation 0 (never revised)
     val batchPost = allB.join(deep, Seq("term"), "left_anti")
+      .withColumn("rev", lit(0L))
       .localCheckpoint()
     val batchTerms = batchPost.select(col("term")).distinct()
       .localCheckpoint()
@@ -276,13 +319,16 @@ object CitationIndex {
     val touched = postRows(spark, dir)
       .filter(col("tb").isin(buckets: _*))
       .join(batchTerms, Seq("term"))
-      .select(col("term"), col("doc_id"))
+      .select(col("term"), col("doc_id"), col("rev"))
       .localCheckpoint()
     // crash-residue split: uncommitted doc ids inside post/ can only be
     // THIS batch's torn earlier attempt — dfBefore must exclude them
-    // (and tombstoned docs) or a replay would misclassify transitions
-    val preRows = touched.join(freshIds, Seq("doc_id"), "left_anti")
-      .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
+    // (and tombstoned docs, and revised docs' SUPERSEDED generations)
+    // or a replay would misclassify transitions
+    val preRows = currentGen(
+      touched.join(freshIds, Seq("doc_id"), "left_anti")
+        .join(tombstones(spark, dir), Seq("doc_id"), "left_anti"),
+      curRevs(spark, dir))
       .localCheckpoint()
     val newRows = batchPost.join(touched, Seq("term", "doc_id"), "left_anti")
     if (newRows.limit(1).count() > 0L)
@@ -403,12 +449,14 @@ object CitationIndex {
     // committed-only: a torn append's crash-residue rows in post/
     // (written before its docs commit) must not inflate the recount —
     // the delete-side twin of append's residue split
-    val curRows = postRows(spark, dir)
-      .filter(col("tb").isin(buckets: _*))
-      .join(touchTerms, Seq("term"))
-      .select(col("term"), col("doc_id"))
-      .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .join(tmb, Seq("doc_id"), "left_anti")
+    val curRows = currentGen(
+      postRows(spark, dir)
+        .filter(col("tb").isin(buckets: _*))
+        .join(touchTerms, Seq("term"))
+        .select(col("term"), col("doc_id"), col("rev"))
+        .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(tmb, Seq("doc_id"), "left_anti"),
+      curRevs(spark, dir))
       .localCheckpoint()
     val afterRows = curRows.join(victimIds, Seq("doc_id"), "left_anti")
       .localCheckpoint()
@@ -452,6 +500,221 @@ object CitationIndex {
     victimIds.write.mode("append").parquet(s"$dir/_cit_tombs")
   }
 
+  /** DOCUMENT REVISION — the q156/q157 CDC verb on the citation
+    * index, and the hardest of the family because a revised text
+    * moves term df in BOTH directions at once: every term the old
+    * generation held loses one document, every term the new
+    * generation holds gains one, and each touched term must take
+    * exactly the right band transition (enter, die, fall sub-band,
+    * revive from purgatory, go deep) under the same algebra
+    * [[append]] and [[delete]] maintain one direction at a time.
+    *
+    * `docs` carries (doc_id, text, prev_text): `text` is the new
+    * generation, `prev_text` the CURRENT generation's text as
+    * committed (the same trust contract as [[delete]]'s re-derived
+    * victim postings — it is only consulted for DEEP term counters,
+    * whose postings the index no longer stores; sub-deep removals
+    * recount from the index's own rows). Null/absent prev_text means
+    * insert (the doc has no current generation).
+    *
+    * Mechanics: ONE classification pass. For each touched sub-deep
+    * term, `before` = live stored df, `after` = before − (target docs
+    * holding it now) + (target docs holding it in the new text); the
+    * eight transition branches reuse append's up-moves (entered /
+    * newlyDead / newlyDeep, reach-back pair regeneration) and
+    * delete's down-moves (fell / revived / revivedSub, survivor pair
+    * regeneration) verbatim. New-generation postings and pairs are
+    * rev-stamped; the `_cit_rev` registry row — written LAST, the
+    * commit point — flips every read to the new generation, and the
+    * old generation's postings and support rows die by STAMP
+    * INEQUALITY (never rewritten; compaction folds them). Deep terms
+    * advance by signed counter delta (new hits − old hits), with
+    * delete's revival refusal when the counter would fall to
+    * df ≤ dfMax. Monotone caller rev per doc; replaying any torn
+    * prefix heals ((term,k) delta anti-joins, (term,doc,rev) posting
+    * anti-join, registry-keyed batch freshness). Tombstoned ids stay
+    * dead. q160 proves upsert ≡ rebuilt-from-revised by oracle;
+    * CitationIndexSpec pins the band transitions, replay healing,
+    * and compaction folding. */
+  def upsert(docs: DataFrame, dir: String, rev: Long): Unit = {
+    require(rev > 0L, "revision must be positive")
+    val spark = docs.sparkSession
+    val (n, dfMin, dfMax, slack) = readMeta(spark, dir)
+    val committed = readOr(spark, s"$dir/_cit_docs", docSchema)
+    val tmb = tombstones(spark, dir).localCheckpoint()
+    val reg = revisions(spark, dir).localCheckpoint()
+    val cr = reg.groupBy(col("doc_id")).agg(max(col("rev")).as("cur_rev"))
+      .localCheckpoint()
+    val withPrev =
+      if (docs.columns.contains("prev_text")) docs
+      else docs.withColumn("prev_text", lit(null).cast("string"))
+    val targets0 = withPrev
+      .select(col("doc_id"), col("text"), col("prev_text"))
+      .join(tmb, Seq("doc_id"), "left_anti")
+    val stale = targets0.select(col("doc_id")).distinct()
+      .join(cr, Seq("doc_id")).filter(col("cur_rev") > lit(rev)).count()
+    require(stale == 0L,
+      s"upsert rev=$rev is older than the current revision of $stale " +
+        "docs — revisions must be monotone per doc")
+    // (doc, rev) already registered = fully applied (registry is the
+    // LAST write) — a replay drops to the genuinely unfinished docs
+    val targets = targets0
+      .join(reg.filter(col("rev") === rev).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (targets.count() == 0L) return
+    val targetIds = targets.select(col("doc_id")).distinct().localCheckpoint()
+    val k = "u" + targetIds.agg(min(col("doc_id"))).collect()(0).getLong(0) +
+      "." + rev
+    val deep = deepTerms(spark, dir).localCheckpoint()
+    val newAll = Graph.allPostings(targets, n).localCheckpoint()
+    val oldAll = Graph.allPostings(
+      targets.select(col("doc_id"), col("prev_text").as("text")), n)
+      .localCheckpoint()
+    // deep terms advance by exact counter: +new hits − old hits, with
+    // delete's revival refusal (their postings are gone — a counter
+    // that would land ≤ dfMax cannot regenerate its revived edges)
+    val deepDelta = newAll.join(deep, Seq("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("h_new"))
+      .join(oldAll.join(deep, Seq("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("h_old")),
+        Seq("term"), "full")
+      .select(col("term"),
+        (coalesce(col("h_new"), lit(0L)) - coalesce(col("h_old"), lit(0L)))
+          .as("d"))
+      .filter(col("d") =!= 0L).localCheckpoint()
+    if (deepDelta.limit(1).count() > 0L) {
+      val deepCur = deltas(spark, dir, "deep_df")
+        .filter(col("k") =!= k)
+        .groupBy(col("term")).agg(sum(col("s")).as("df"))
+      val bad = deepDelta.join(deepCur, Seq("term"), "left")
+        .filter(col("df").isNull || col("df") + col("d") <= dfMax)
+        .limit(5).collect()
+      require(bad.isEmpty,
+        s"upsert would revive deep term(s) ${bad.map(_.getString(0)).mkString(", ")} " +
+          "whose postings were dropped past dfMax + slack — " +
+          "compact/rebuild with a larger slack before this upsert")
+    }
+    // sub-deep sides: new-generation postings (rev-stamped) and the
+    // touched-term universe (old ∪ new)
+    val newPost = newAll.join(deep, Seq("term"), "left_anti")
+      .withColumn("rev", lit(rev)).localCheckpoint()
+    val touchedTerms = newPost.select(col("term"))
+      .unionByName(oldAll.join(deep, Seq("term"), "left_anti")
+        .select(col("term")))
+      .distinct().localCheckpoint()
+    val buckets = withBucket(touchedTerms).select(col("tb")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // live pre-upsert rows of the touched terms: committed, not
+    // tombstoned, generation-current (the registry has no row for this
+    // (doc, rev) yet, so a torn earlier attempt's rev-stamped residue
+    // is NOT current and drops out here — the upsert-side residue
+    // split)
+    val preRows = currentGen(
+      postRows(spark, dir)
+        .filter(col("tb").isin(buckets: _*))
+        .join(touchedTerms, Seq("term"))
+        .select(col("term"), col("doc_id"), col("rev"))
+        .join(committed.select(col("doc_id")), Seq("doc_id"), "left_semi")
+        .join(tmb, Seq("doc_id"), "left_anti"),
+      cr).localCheckpoint()
+    val tgtOldRows = preRows.join(targetIds, Seq("doc_id"), "left_semi")
+    val othersRows = preRows.join(targetIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // postings land first (the append discipline); replays anti-join
+    // the already-landed (term, doc, rev) rows
+    val landed = postRows(spark, dir)
+      .filter(col("tb").isin(buckets: _*) && col("rev") === rev)
+      .join(targetIds, Seq("doc_id"), "left_semi")
+      .select(col("term"), col("doc_id"))
+    val freshRows = newPost.join(landed, Seq("term", "doc_id"), "left_anti")
+    if (freshRows.limit(1).count() > 0L)
+      withBucket(freshRows).repartition(col("tb"))
+        .sortWithinPartitions(col("term"))
+        .write.partitionBy("tb").mode("append").parquet(s"$dir/post")
+    // one classification over both directions: before = live stored
+    // df, after = before − removed + added
+    val cls = touchedTerms
+      .join(preRows.groupBy(col("term")).agg(count(lit(1)).as("b")),
+        Seq("term"), "left")
+      .join(tgtOldRows.groupBy(col("term")).agg(count(lit(1)).as("r")),
+        Seq("term"), "left")
+      .join(newPost.groupBy(col("term")).agg(count(lit(1)).as("a")),
+        Seq("term"), "left")
+      .select(col("term"), coalesce(col("b"), lit(0L)).as("before"),
+        (coalesce(col("b"), lit(0L)) - coalesce(col("r"), lit(0L)) +
+          coalesce(col("a"), lit(0L))).as("after"))
+      .localCheckpoint()
+    val entered = cls
+      .filter(col("before") < dfMin && col("after").between(dfMin, dfMax))
+      .select(col("term")).localCheckpoint()
+    val stayed = cls
+      .filter(col("before").between(dfMin, dfMax) &&
+        col("after").between(dfMin, dfMax))
+      .select(col("term"))
+    val newlyDead = cls
+      .filter(col("before") <= dfMax && col("after") > dfMax)
+      .select(col("term"))
+    val newlyDeep = cls.filter(col("after") > dfMax + slack)
+      .select(col("term"), col("after")).localCheckpoint()
+    val revived = cls
+      .filter(col("before") > dfMax && col("after").between(dfMin, dfMax))
+      .select(col("term")).localCheckpoint()
+    val revivedSub = cls
+      .filter(col("before") > dfMax && col("after") < dfMin)
+      .select(col("term"))
+    val fell = cls
+      .filter(col("before").between(dfMin, dfMax) && col("after") < dfMin)
+      .select(col("term"))
+    // after-state holders: unchanged docs' live rows + the targets'
+    // new generation (a target that dropped the term simply has no
+    // after-row; its old pairs die by stamp inequality)
+    val afterRows = othersRows
+      .select(col("term"), col("doc_id"), col("rev"))
+      .unionByName(newPost.select(col("term"), col("doc_id"), col("rev")))
+      .localCheckpoint()
+    // entered/revived reach-back: ALL pairs among after-state holders
+    // (entered terms had none; revived terms' duplicates are benign
+    // under countDistinct and fold at compaction)
+    val regenRows = afterRows
+      .join(entered.unionByName(revived), Seq("term")).localCheckpoint()
+    // stayed terms: only pairs involving a changed doc (old×old pairs
+    // already exist and their stamps stay current)
+    val stNew = newPost.join(stayed, Seq("term")).localCheckpoint()
+    val stOld = othersRows.join(stayed, Seq("term")).localCheckpoint()
+    pairsOf(regenRows, regenRows)
+      .unionByName(pairsOf(stNew, stOld))
+      .unionByName(pairsOf(stOld, stNew))
+      .unionByName(pairsOf(stNew, stNew))
+      .write.mode("append").parquet(s"$dir/pairs")
+    appendDeltas(spark, dir, "dead_terms",
+      newlyDead.select(col("term"), lit(k).as("k"), lit(1L).as("s"))
+        .unionByName(revived.unionByName(revivedSub)
+          .select(col("term"), lit(k).as("k"), lit(-1L).as("s"))))
+    appendDeltas(spark, dir, "deep_df",
+      newlyDeep.select(col("term"), lit(k).as("k"), col("after").as("s"))
+        .unionByName(deepDelta
+          .select(col("term"), lit(k).as("k"), col("d").as("s"))))
+    val freshDeep = newlyDeep.select(col("term"))
+      .join(deep, Seq("term"), "left_anti").localCheckpoint()
+    if (freshDeep.count() > 0L)
+      freshDeep.write.mode("append").parquet(s"$dir/deep_terms")
+    val subN = subNow(spark, dir).localCheckpoint()
+    appendDeltas(spark, dir, "sub_terms",
+      fell.unionByName(revivedSub.join(subN, Seq("term"), "left_anti"))
+        .select(col("term"), lit(k).as("k"), lit(1L).as("s"))
+        .unionByName(entered.unionByName(revived).join(subN, Seq("term"))
+          .select(col("term"), lit(k).as("k"), lit(-1L).as("s"))))
+    val freshIds = targetIds.join(committed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    if (freshIds.count() > 0L)
+      freshIds.write.mode("append").parquet(s"$dir/_cit_docs")
+    // the commit point: registry rows flip every read to the new
+    // generation, atomically per batch
+    targetIds.select(col("doc_id"), lit(rev).as("rev"))
+      .write.mode("append").parquet(s"$dir/_cit_rev")
+  }
+
   /** The maintained WEIGHTED edge set: (src, dst, w) with w = distinct
     * supporting band terms — countDistinct, so replay-duplicated
     * support rows can never inflate a weight. Result-identical to
@@ -461,7 +724,20 @@ object CitationIndex {
     * anti-joins (O(deleted docs)). */
   def edgesWeighted(spark: SparkSession, dir: String): DataFrame = {
     val tmb = tombstones(spark, dir)
+    val cr = curRevs(spark, dir)
     readOr(spark, s"$dir/pairs", pairSchema)
+      // generation filter: a support row serves iff BOTH endpoint
+      // stamps equal the endpoints' current generations (pre-revision
+      // files read null → 0) — one broadcast join per endpoint against
+      // the O(revised docs) registry
+      .withColumn("src_rev", coalesce(col("src_rev"), lit(0L)))
+      .withColumn("dst_rev", coalesce(col("dst_rev"), lit(0L)))
+      .join(broadcast(cr.select(col("doc_id").as("src"),
+        col("cur_rev").as("src_cur"))), Seq("src"), "left")
+      .filter(col("src_rev") === coalesce(col("src_cur"), lit(0L)))
+      .join(broadcast(cr.select(col("doc_id").as("dst"),
+        col("cur_rev").as("dst_cur"))), Seq("dst"), "left")
+      .filter(col("dst_rev") === coalesce(col("dst_cur"), lit(0L)))
       .join(deadNow(spark, dir), Seq("term"), "left_anti")
       .join(subNow(spark, dir), Seq("term"), "left_anti")
       .join(tmb.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
@@ -494,11 +770,28 @@ object CitationIndex {
       // startsWith filter prunes them; real d-keys always parse
       .select(expr("try_cast(substring(k, 2) as long)").as("doc_id"))
       .filter(col("doc_id").isNotNull)
+    // probes 4+5: a rev-stamped posting row or a "u<minid>.<rev>"
+    // delta key whose (doc_id, rev) is unregistered is exactly an
+    // unfinished upsert (the registry is upsert's LAST write)
+    val reg = revisions(spark, dir)
+    val upsertKeys = Seq("dead_terms", "sub_terms", "deep_df")
+      .map(deltas(spark, dir, _).select(col("k")))
+      .reduce(_ unionByName _)
+      .filter(col("k").startsWith("u")).distinct()
+      .select(
+        expr("try_cast(substring_index(substring(k, 2), '.', 1) as long)")
+          .as("doc_id"),
+        expr("try_cast(substring_index(k, '.', -1) as long)").as("rev"))
+      .filter(col("doc_id").isNotNull && col("rev").isNotNull)
     postRows(spark, dir).select(col("doc_id")).distinct()
       .join(docs, Seq("doc_id"), "left_anti")
       .count() == 0L &&
     tmb.join(docs, Seq("doc_id"), "left_anti").count() == 0L &&
-    deleteKeys.join(tmb, Seq("doc_id"), "left_anti").count() == 0L
+    deleteKeys.join(tmb, Seq("doc_id"), "left_anti").count() == 0L &&
+    postRows(spark, dir).filter(col("rev") > 0L)
+      .select(col("doc_id"), col("rev")).distinct()
+      .join(reg, Seq("doc_id", "rev"), "left_anti").count() == 0L &&
+    upsertKeys.join(reg, Seq("doc_id", "rev"), "left_anti").count() == 0L
   }
 
   /** Copy-compaction into `destDir`: tombstoned docs, dead/sub terms'
@@ -520,19 +813,35 @@ object CitationIndex {
     val deep = deepTerms(spark, dir).localCheckpoint()
     val deadN = deadNow(spark, dir).localCheckpoint()
     val subN = subNow(spark, dir).localCheckpoint()
-    postRows(spark, dir)
+    // generations FOLD here: only each doc's current-generation rows
+    // survive, stamped back to 0, and the registry empties — the
+    // compacted index is indistinguishable from one built over the
+    // revised corpus from scratch
+    val cr = curRevs(spark, dir).localCheckpoint()
+    currentGen(postRows(spark, dir), cr)
       .join(deep, Seq("term"), "left_anti")
       .join(tmb, Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id")).distinct()
+      .withColumn("rev", lit(0L))
       .transform(withBucket)
       .repartition(col("tb")).sortWithinPartitions(col("term"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$destDir/post")
     readOr(spark, s"$dir/pairs", pairSchema)
+      .withColumn("src_rev", coalesce(col("src_rev"), lit(0L)))
+      .withColumn("dst_rev", coalesce(col("dst_rev"), lit(0L)))
+      .join(broadcast(cr.select(col("doc_id").as("src"),
+        col("cur_rev").as("src_cur"))), Seq("src"), "left")
+      .filter(col("src_rev") === coalesce(col("src_cur"), lit(0L)))
+      .join(broadcast(cr.select(col("doc_id").as("dst"),
+        col("cur_rev").as("dst_cur"))), Seq("dst"), "left")
+      .filter(col("dst_rev") === coalesce(col("dst_cur"), lit(0L)))
       .join(deadN, Seq("term"), "left_anti")
       .join(subN, Seq("term"), "left_anti")
       .join(tmb.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
       .join(tmb.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"), col("term")).distinct()
+      .select(col("src"), col("dst"), col("term"),
+        lit(0L).as("src_rev"), lit(0L).as("dst_rev"))
       .write.mode("overwrite").parquet(s"$destDir/pairs")
     deadN.select(col("term"), lit("b").as("k"), lit(1L).as("s"))
       .write.mode("overwrite").parquet(s"$destDir/dead_terms")
@@ -542,12 +851,15 @@ object CitationIndex {
       .select(col("term"), lit("b").as("k"), col("sd").as("s"))
       .write.mode("overwrite").parquet(s"$destDir/deep_df")
     // folded state: tombstones empty, sub marks empty (their stale
-    // pairs were dropped above) — written explicitly so a reused
+    // pairs were dropped above), revision registry empty (superseded
+    // generations were dropped above) — written explicitly so a reused
     // destination dir cannot leak a previous life's state
     IndexIo.emptyFrame(spark, deltaSchema)
       .write.mode("overwrite").parquet(s"$destDir/sub_terms")
     IndexIo.emptyFrame(spark, docSchema)
       .write.mode("overwrite").parquet(s"$destDir/_cit_tombs")
+    IndexIo.emptyFrame(spark, revSchema)
+      .write.mode("overwrite").parquet(s"$destDir/_cit_rev")
     readOr(spark, s"$dir/_cit_docs", docSchema)
       .join(tmb, Seq("doc_id"), "left_anti")
       .coalesce(1)
