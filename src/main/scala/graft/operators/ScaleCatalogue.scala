@@ -2393,9 +2393,14 @@ object ScaleCatalogue {
   // DuckDB replays the window arithmetic and the hash bit for bit.
   // ---------------------------------------------------------------------
   /** The 64/32 sliding-window chunk table (shared by q104 and q106). */
-  private def chunksOf(s: SparkSession, d: String): DataFrame = {
+  private def chunksOf(s: SparkSession, d: String): DataFrame =
+    chunksOfDocs(documents(s, d))
+
+  /** The q104 chunking rule over an arbitrary (doc_id, text) frame —
+    * q161 feeds it revised texts. */
+  private def chunksOfDocs(docs: DataFrame): DataFrame = {
     val (win, stride) = (64, 32)
-    documents(s, d)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("n"))
       .select(col("doc_id"), col("w"), col("n"),
@@ -4642,9 +4647,10 @@ object ScaleCatalogue {
         (col("doc_id") === col("rep")).cast("int"))
       .orderBy(col("doc_id"))
   }
-  private def clusterStoreSqlOver(docFilter: String): String =
+  private def clusterStoreSqlOver(docFilter: String,
+      liveBody: String = "SELECT * FROM documents"): String =
     s"""WITH RECURSIVE live AS MATERIALIZED (
-       |  SELECT * FROM documents WHERE $docFilter),
+       |  $liveBody WHERE $docFilter),
        |tok AS MATERIALIZED (
        |  SELECT doc_id, string_split(text, ' ') AS w,
        |    len(string_split(text, ' ')) AS n FROM live),
@@ -5045,6 +5051,55 @@ object ScaleCatalogue {
       |""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q161 — DOCUMENT REVISION on the cluster store (ClusterStore.
+  // upsert): re-chunked content replaces a doc's memberships in ONE
+  // epoch that may both SPLIT and MERGE components — the only index
+  // verb in the family where a revision can rewire arbitrary
+  // cross-component topology. Old chunks' links sever via delete's
+  // machinery (affected components expand by reverse closure and
+  // re-cluster over surviving memberships); new chunks merge via
+  // append's (external hubs absorbed by ROOT pointer rows — one row
+  // per absorbed root, never a member rewrite). The rev/e=E registry
+  // flips the doc's membership generation so old posts/fwd rows stop
+  // counting unrewritten; compaction folds them physically. The query
+  // builds the store in four batches (q149's shape), upserts the
+  // doc_id%9==0 slice's chunks recomputed from token-order-reversed
+  // text, and serves assignments; the oracle clusters from scratch
+  // over the REVISED corpus — hash match proves upsert ≡
+  // rebuild-from-revised at the component level. ClusterStoreSpec
+  // pins split+merge in one epoch, external-hub root absorption,
+  // committed-replay no-op, insert admission, tombstone permanence,
+  // and compaction folding.
+  // ---------------------------------------------------------------------
+  def q161ClusterUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("cluster-store-upsert", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val ch = clusterChunksOf(s, d)
+      graft.scale.ClusterStore.build(ch.filter(col("doc_id") % 4 === 0), p)
+      (1 to 3).foreach { i =>
+        graft.scale.ClusterStore.append(ch.filter(col("doc_id") % 4 === i), p)
+      }
+      val revisedDocs = documents(s, d).filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      graft.scale.ClusterStore.upsert(
+        chunksOfDocs(revisedDocs).select(col("doc_id"), col("chunk_hash")), p)
+      require(graft.scale.ClusterStore.consistent(s, p),
+        "cluster store failed its consistency probes after upsert")
+    }
+    graft.scale.ClusterStore.assignments(s, dir)
+      .withColumn("is_canonical",
+        (col("doc_id") === col("rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+  val q161Sql: String = clusterStoreSqlOver("TRUE",
+    liveBody = """SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0
+      |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |      ELSE text END AS text
+      |  FROM documents""".stripMargin)
+
+  // ---------------------------------------------------------------------
   // q160 — DOCUMENT REVISION on the citation index (CitationIndex.
   // upsert): the hardest revision verb in the index family, because a
   // revised text moves term df in BOTH directions in one batch —
@@ -5275,6 +5330,7 @@ object ScaleCatalogue {
     "q158_ivf_upsert_probe" -> q158IvfUpsertProbe _,
     "q159_ivfpq_upsert_probe" -> q159IvfPqUpsertProbe _,
     "q160_citation_upsert_edges" -> q160CitationUpsertEdges _,
+    "q161_cluster_upsert" -> q161ClusterUpsert _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5404,5 +5460,6 @@ object ScaleCatalogue {
     "q158_ivf_upsert_probe" -> q158Sql,
     "q159_ivfpq_upsert_probe" -> q159Sql,
     "q160_citation_upsert_edges" -> q160Sql,
+    "q161_cluster_upsert" -> q161Sql,
   )
 }

@@ -50,9 +50,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * state only and mode("overwrite")s the same e=E dirs, so crash
   * residue is REPLACED, never reconciled — the anti-join healing the
   * row-append indexes need is structurally unnecessary here. An
-  * in-place [[build]] wipes the four dir roots first so a previous
-  * life's committed epochs cannot leak. Single-writer, like every
-  * graft index layout.
+  * in-place [[build]] wipes the dir roots (posts/fwd/stars/tombs/rev)
+  * first so a previous life's committed epochs cannot leak.
+  * Single-writer, like every graft index layout.
   *
   * [[delete]] (takedown/recrawl) is where components SPLIT: removing
   * a doc removes its chunk memberships, and a hub's star edges must
@@ -127,6 +127,28 @@ object ClusterStore {
     committed(spark, dir, "tombs", tombSchema, epoch)
       .select(col("doc_id")).distinct()
 
+  private val revSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("e", LongType)))
+
+  /** Membership-generation registry (`rev/e=N/`, one row per doc
+    * [[upsert]] revised in that epoch): a doc's CURRENT chunk
+    * memberships are its rows from its max registered epoch — its
+    * ingest rows if never revised. Written with the revising epoch's
+    * dirs, committed by the same meta flip. */
+  private def memberEpochs(spark: SparkSession, dir: String,
+      epoch: Long): DataFrame =
+    committed(spark, dir, "rev", revSchema, epoch)
+      .groupBy(col("doc_id")).agg(max(col("e")).as("me"))
+
+  /** Generation filter for posts/fwd membership rows: unregistered
+    * docs keep every row (they only ever wrote one epoch); revised
+    * docs keep their max-registered epoch's rows only. One broadcast
+    * join against the O(revised docs) registry. */
+  private def currentRows(rows: DataFrame, me: DataFrame): DataFrame =
+    rows.join(broadcast(me), Seq("doc_id"), "left")
+      .filter(col("me").isNull || col("e") === col("me"))
+      .drop("me")
+
   /** One epoch's four dirs, overwritten as a unit (replay heals by
     * replacement). Empty frames still land their e=E dir so a stale
     * same-numbered dir from a torn previous life cannot outlive this
@@ -159,7 +181,7 @@ object ClusterStore {
   def build(chunks: DataFrame, dir: String): Unit = {
     val spark = chunks.sparkSession
     val conf = spark.sessionState.newHadoopConf()
-    Seq("posts", "fwd", "stars", "tombs").foreach { sub =>
+    Seq("posts", "fwd", "stars", "tombs", "rev").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       p.getFileSystem(conf).delete(p, true)
     }
@@ -195,9 +217,10 @@ object ClusterStore {
     val hbs = ch.select(pmod(col("chunk_hash"), lit(HashBuckets)).as("hb"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val tmb = tombsC(spark, dir, epoch)
-    val oldHubs = postsC(spark, dir, epoch)
-      .filter(col("hb").isin(hbs: _*))
-      .join(ch.select(col("chunk_hash")).distinct(), Seq("chunk_hash"))
+    val oldHubs = currentRows(postsC(spark, dir, epoch)
+        .filter(col("hb").isin(hbs: _*))
+        .join(ch.select(col("chunk_hash")).distinct(), Seq("chunk_hash")),
+        memberEpochs(spark, dir, epoch))
       .join(tmb, Seq("doc_id"), "left_anti")
       .groupBy(col("chunk_hash")).agg(min(col("doc_id")).as("old_hub"))
     val batchMin = ch.groupBy(col("chunk_hash"))
@@ -311,7 +334,9 @@ object ClusterStore {
     // exist (sharing a chunk implies same component)
     val sdbs = survivors.select(pmod(col("doc_id"), lit(DocBuckets)).as("db"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val sChunks = fwdC(spark, dir, epoch).filter(col("db").isin(sdbs: _*))
+    val sChunks = currentRows(
+        fwdC(spark, dir, epoch).filter(col("db").isin(sdbs: _*)),
+        memberEpochs(spark, dir, epoch))
       .join(survivors, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("chunk_hash"))
     val hub2 = sChunks.groupBy(col("chunk_hash"))
@@ -333,6 +358,169 @@ object ClusterStore {
       emptyPosts(spark).select(col("doc_id"), col("chunk_hash")),
       stars, vs)
     writeMeta(spark, dir, e, nDocs - vs.count())
+  }
+
+  /** DOCUMENT REVISION — re-chunked content replaces a doc's
+    * memberships in place, in ONE epoch that may both SPLIT and MERGE
+    * components: the old chunks' links sever (delete's machinery —
+    * affected components re-cluster over surviving memberships) and
+    * the new chunks may connect the doc to ANY other component
+    * (append's machinery — external hubs absorbed by root pointer
+    * rows, never member rewrites). `chunks` is the target docs' NEW
+    * complete (doc_id, chunk_hash) relation; unknown docs are
+    * admitted as inserts, tombstoned ids stay dead.
+    *
+    * Mechanics: targets' affected components expand by reverse
+    * closure (delete's bound — O(affected components)); the working
+    * set W = members ∪ targets re-clusters over unchanged members'
+    * current memberships + targets' new chunks; each new chunk also
+    * probes the live corpus OUTSIDE W for its external hub (append's
+    * bucket-pruned read), whose resolved ROOT joins the fixed point
+    * and takes one transition row on absorption. Every W member gets
+    * a fresh pointer row (self-rows sever stale chains — delete's
+    * rule); the `rev/e=E` registry row flips the doc's membership
+    * generation, so its old posts/fwd rows stop counting without
+    * being rewritten ([[compactTo]] folds them physically). The
+    * whole epoch commits at the meta flip; a torn run replays by
+    * dir replacement, and a fully-committed replay (same docs, same
+    * chunk sets) is detected and skipped — state-level exactly-once
+    * under at-least-once delivery. */
+  def upsert(chunks: DataFrame, dir: String): Unit = {
+    val spark = chunks.sparkSession
+    val (epoch, nDocs) = readMeta(spark, dir)
+    val e = epoch + 1L
+    val ch0 = chunks
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("chunk_hash").cast("long").as("chunk_hash"))
+      .na.drop().distinct()
+    val tmb = tombsC(spark, dir, epoch)
+    val ch = ch0.join(tmb, Seq("doc_id"), "left_anti").localCheckpoint()
+    if (ch.isEmpty) return
+    val targets = ch.select(col("doc_id")).distinct().localCheckpoint()
+    val me = memberEpochs(spark, dir, epoch).localCheckpoint()
+
+    // committed-replay detection: if every target's CURRENT membership
+    // set already equals the batch's rows, this revision is applied —
+    // return without burning an epoch (state-level idempotence)
+    val tdbs = targets.select(pmod(col("doc_id"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val curRows = currentRows(
+      fwdC(spark, dir, epoch).filter(col("db").isin(tdbs: _*)), me)
+      .join(targets, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("chunk_hash")).localCheckpoint()
+    val inserts = targets.join(
+      fwdC(spark, dir, epoch).filter(col("db").isin(tdbs: _*))
+        .select(col("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    if (ch.join(curRows, Seq("doc_id", "chunk_hash"), "left_anti").isEmpty &&
+        curRows.join(ch, Seq("doc_id", "chunk_hash"), "left_anti").isEmpty)
+      return
+
+    // affected components: targets' roots, then reverse closure (the
+    // delete discipline — old chunks' co-holders share a component
+    // with their target by definition, so the closure covers every
+    // doc a sever can re-label)
+    val tRoots = resolveAt(spark, dir, epoch,
+      targets.select(col("doc_id").as("id")))
+      .select(col("root")).distinct().localCheckpoint()
+    val starsAll = starsC(spark, dir, epoch).localCheckpoint()
+    var acc = tRoots.select(col("root").as("v"))
+    var frontier = acc
+    var rounds = 0
+    val maxRounds = roundBound(epoch)
+    while (!frontier.isEmpty && rounds < maxRounds) {
+      val next = starsAll.join(frontier, starsAll("dst") === frontier("v"))
+        .select(col("src").as("v")).distinct()
+        .join(acc, Seq("v"), "left_anti").localCheckpoint()
+      acc = acc.unionByName(next).localCheckpoint()
+      frontier = next
+      rounds += 1
+    }
+    require(frontier.isEmpty,
+      s"cluster-store upsert: reverse closure did not terminate in " +
+        s"$maxRounds rounds at epoch $epoch — corrupt star-edge state; " +
+        "rebuild the store")
+    val candDbs = acc.select(pmod(col("v"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val candLive = fwdC(spark, dir, epoch).filter(col("db").isin(candDbs: _*))
+      .select(col("doc_id")).distinct()
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .join(acc.withColumnRenamed("v", "doc_id"), Seq("doc_id"), "left_semi")
+    val members = resolveAt(spark, dir, epoch,
+        candLive.select(col("doc_id").as("id")))
+      .join(tRoots, Seq("root"), "left_semi")
+      .select(col("id").as("doc_id")).localCheckpoint()
+    // the working set: every member of an affected component plus the
+    // targets themselves (inserts included)
+    val w = members.unionByName(targets).distinct().localCheckpoint()
+
+    // working memberships: unchanged members keep their current rows,
+    // targets contribute their NEW chunks
+    val wdbs = w.select(pmod(col("doc_id"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val wRows = currentRows(
+        fwdC(spark, dir, epoch).filter(col("db").isin(wdbs: _*)), me)
+      .join(w, Seq("doc_id"), "left_semi")
+      .join(targets, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("chunk_hash"))
+      .unionByName(ch.select(col("doc_id"), col("chunk_hash")))
+      .localCheckpoint()
+
+    // in-W star edges: doc -> min W holder per chunk
+    val wHub = wRows.groupBy(col("chunk_hash"))
+      .agg(min(col("doc_id")).as("whub")).localCheckpoint()
+    val eIn = wRows.join(wHub, Seq("chunk_hash"))
+      .filter(col("doc_id") =!= col("whub"))
+      .select(col("doc_id").as("d1"), col("whub").as("d2"))
+    // cross-component merges: targets' new chunks held by live docs
+    // OUTSIDE W (bucket-pruned probe, the append discipline); the
+    // external hub enters the fixed point as its resolved ROOT
+    val hbs = ch.select(pmod(col("chunk_hash"), lit(HashBuckets)).as("hb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val extHubs = currentRows(postsC(spark, dir, epoch)
+        .filter(col("hb").isin(hbs: _*))
+        .join(ch.select(col("chunk_hash")).distinct(), Seq("chunk_hash")), me)
+      .join(tmb, Seq("doc_id"), "left_anti")
+      .join(w, Seq("doc_id"), "left_anti")
+      .groupBy(col("chunk_hash")).agg(min(col("doc_id")).as("ext_hub"))
+      .localCheckpoint()
+    val extRoots = resolveAt(spark, dir, epoch,
+      extHubs.select(col("ext_hub").as("id")).distinct()).localCheckpoint()
+    val eOut = extHubs.join(wHub, Seq("chunk_hash"))
+      .join(extRoots.withColumnRenamed("id", "ext_hub"), Seq("ext_hub"))
+      .select(col("whub").as("d1"), col("root").as("d2"))
+      .filter(col("d1") =!= col("d2"))
+    val edges = eIn.unionByName(eOut)
+    val labels =
+      if (edges.isEmpty) IndexIo.emptyFrame(spark, StructType(Seq(
+        StructField("doc_id", LongType), StructField("cluster", LongType))))
+      else Dedup.connectedComponents(edges).localCheckpoint()
+
+    // fresh pointer rows: every W member (self-rows INCLUDED — they
+    // sever stale chains, delete's rule), one transition row per
+    // absorbed external root (labels cover them: eOut's endpoints),
+    // and path compression for the chased external hubs
+    val wStars = w.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id").as("src"),
+        coalesce(col("cluster"), col("doc_id")).as("dst"))
+    val extRootStars = labels.join(w, Seq("doc_id"), "left_anti")
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("src"), col("cluster").as("dst"))
+    val extHubFlat = extHubs.select(col("ext_hub").as("id")).distinct()
+      .join(extRoots, Seq("id"))
+      .join(labels.withColumnRenamed("doc_id", "root"), Seq("root"), "left")
+      .select(col("id").as("src"),
+        coalesce(col("cluster"), col("root")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val stars = wStars.unionByName(extRootStars).unionByName(extHubFlat)
+      .distinct()
+
+    writeEpoch(spark, dir, e, ch.select(col("chunk_hash"), col("doc_id")),
+      ch.select(col("doc_id"), col("chunk_hash")), stars,
+      emptyTombs(spark))
+    targets.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/rev/e=$e")
+    writeMeta(spark, dir, e, nDocs + inserts.count())
   }
 
   /** Current (doc_id, rep) for every live committed document — the
@@ -417,12 +605,13 @@ object ClusterStore {
   def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
     val (epoch, _) = readMeta(spark, dir)
     val tmb = tombsC(spark, dir, epoch)
-    val livePosts = postsC(spark, dir, epoch)
+    val livePosts = currentRows(postsC(spark, dir, epoch),
+        memberEpochs(spark, dir, epoch))
       .join(tmb, Seq("doc_id"), "left_anti")
       .select(col("chunk_hash"), col("doc_id")).localCheckpoint()
     val asg = assignments(spark, dir).localCheckpoint()
     val conf = spark.sessionState.newHadoopConf()
-    Seq("posts", "fwd", "stars", "tombs").foreach { sub =>
+    Seq("posts", "fwd", "stars", "tombs", "rev").foreach { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$destDir/$sub")
       p.getFileSystem(conf).delete(p, true)
     }
@@ -441,7 +630,7 @@ object ClusterStore {
   def consistent(spark: SparkSession, dir: String): Boolean = {
     val (epoch, nDocs) = readMeta(spark, dir)
     val conf = spark.sessionState.newHadoopConf()
-    val maxDir = Seq("posts", "fwd", "stars", "tombs").flatMap { sub =>
+    val maxDir = Seq("posts", "fwd", "stars", "tombs", "rev").flatMap { sub =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
       val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) Seq.empty

@@ -228,6 +228,83 @@ class ClusterStoreSpec extends AnyFunSuite {
     assert(ClusterStore.roundBound(500L) == 502L)
   }
 
+  test("upsert splits AND merges in one epoch; equals scratch clustering over revised chunks") {
+    // comps: {1,2,3} via chunk 100, {5,6} via 200, singleton 9
+    val base = ch(1L -> Seq(100L), 2L -> Seq(100L, 110L), 3L -> Seq(100L),
+      5L -> Seq(200L), 6L -> Seq(200L), 9L -> Seq(300L))
+    val dir = tmp("graft-cs-upsert")
+    ClusterStore.build(base, dir)
+    assert(got(dir) == truth(base))
+    // revise doc 2: drops chunk 100/110 (it LEAVES {1,2,3} — no split
+    // of the others since 1,3 still share 100) and gains 200 (it
+    // MERGES into {5,6}) plus a fresh chunk 500
+    val rev = ch(2L -> Seq(200L, 500L))
+    ClusterStore.upsert(rev, dir)
+    val revised = ch(1L -> Seq(100L), 2L -> Seq(200L, 500L),
+      3L -> Seq(100L), 5L -> Seq(200L), 6L -> Seq(200L), 9L -> Seq(300L))
+    assert(got(dir) == truth(revised),
+      "split+merge upsert diverged from scratch clustering over revised chunks")
+    assert(got(dir)(2L) == 2L && got(dir)(6L) == 2L && got(dir)(5L) == 2L,
+      "doc 2 must now lead the {2,5,6} component")
+    assert(got(dir)(1L) == 1L && got(dir)(3L) == 1L,
+      "{1,3} must survive doc 2's departure intact")
+    assert(ClusterStore.consistent(spark, dir))
+    // committed replay is a PURE no-op: same epoch counter after
+    val (e1, _) = (spark.read.parquet(s"$dir/_cs_meta").head().getLong(0), 0)
+    ClusterStore.upsert(rev, dir)
+    assert(spark.read.parquet(s"$dir/_cs_meta").head().getLong(0) == e1,
+      "committed-replay upsert burned an epoch")
+    assert(got(dir) == truth(revised))
+    // revise BACK: doc 2 rejoins {1,3}, leaves {5,6}
+    ClusterStore.upsert(ch(2L -> Seq(100L, 110L)), dir)
+    assert(got(dir) == truth(base), "reverse revision must restore the base clustering")
+    // a genuine component SPLIT: {1,2,3} hangs on chunk 100; revising
+    // doc 1 (the hub AND the rep) away splits nothing structurally but
+    // relabels; revising doc 2 away from 100 while 1 keeps it...
+    // instead revise ALL of doc 3's chunks to fresh ones: {1,2} keep
+    // 100, 3 becomes singleton-ish under 600
+    ClusterStore.upsert(ch(3L -> Seq(600L)), dir)
+    val afterSplit = ch(1L -> Seq(100L), 2L -> Seq(100L, 110L),
+      3L -> Seq(600L), 5L -> Seq(200L), 6L -> Seq(200L), 9L -> Seq(300L))
+    assert(got(dir) == truth(afterSplit),
+      "membership-drop split diverged from scratch clustering")
+    assert(got(dir)(3L) == 3L, "doc 3 must be its own representative now")
+    // upsert doubles as insert; tombstoned ids stay dead
+    ClusterStore.upsert(ch(11L -> Seq(100L)), dir)
+    assert(got(dir)(11L) == 1L, "inserted doc must join chunk 100's component")
+    ClusterStore.delete(Seq(11L).toDF("doc_id"), dir)
+    ClusterStore.upsert(ch(11L -> Seq(100L)), dir)
+    assert(!got(dir).contains(11L), "tombstoned id re-entered via upsert")
+    assert(ClusterStore.consistent(spark, dir))
+    // compaction folds superseded generations physically
+    val dest = tmp("graft-cs-upsert-cmp")
+    ClusterStore.compactTo(spark, dir, dest)
+    val want = got(dir)
+    assert(got(dest) == want, "compaction changed assignments")
+    assert(spark.read.parquet(s"$dest/posts")
+      .filter(col("doc_id") === 3L && col("chunk_hash") =!= 600L)
+      .count() == 0L, "superseded membership rows survived compaction")
+  }
+
+  test("upsert merges across components through an external hub's root chain") {
+    // two multi-hop components built across batches so roots have
+    // transition history: {1,2} + {3,4} merged via doc 0 later
+    val dir = tmp("graft-cs-upsert-ext")
+    ClusterStore.build(ch(3L -> Seq(310L), 4L -> Seq(310L)), dir)
+    ClusterStore.append(ch(1L -> Seq(101L), 2L -> Seq(101L)), dir)
+    ClusterStore.append(ch(10L -> Seq(400L), 11L -> Seq(400L)), dir)
+    // revise doc 4: keeps 310, gains 400 — merges {3,4} with {10,11}
+    // through external hub 10's root
+    ClusterStore.upsert(ch(4L -> Seq(310L, 400L)), dir)
+    val revised = ch(3L -> Seq(310L), 4L -> Seq(310L, 400L),
+      1L -> Seq(101L), 2L -> Seq(101L), 10L -> Seq(400L), 11L -> Seq(400L))
+    assert(got(dir) == truth(revised),
+      "external-hub merge diverged from scratch clustering")
+    assert(got(dir)(11L) == 3L && got(dir)(4L) == 3L,
+      "merged component must relabel to global min 3")
+    assert(ClusterStore.consistent(spark, dir))
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
