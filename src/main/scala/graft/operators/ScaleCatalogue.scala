@@ -5051,6 +5051,61 @@ object ScaleCatalogue {
       |""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q162 — ROW REVISION on the z-order layout (Layout.upsertZOrdered /
+  // readCurrent): the seventh serving layout gains the CDC verb, with
+  // the IVF complication in key-space — a revised row's (x, y) move
+  // changes its z-value, so its current generation must be free to
+  // land in a DIFFERENT z-bucket directory than the stale one. Rev
+  // rows live in `_z_rev_rows/z_bucket=N/` (underscore-hidden from
+  // main reads), the `_z_rev` registry is the visibility point, and
+  // readCurrent composes both trees so a box read's partition filter
+  // pushes into each side of the union — serving stays bucket-pruned.
+  // The query builds the layout over events, upserts the
+  // event_id%9==0 slice with yb shifted by +128 mod 256 (rows cross
+  // the box boundary both ways), and box-reads through readCurrent;
+  // the oracle filters the REVISED table by the plain box predicate —
+  // hash equality proves upsert ≡ rewritten-from-revised, including
+  // the z recompute. ZOrderSpec pins bucket migration, replay
+  // healing, monotone refusal, and revision-folding compaction.
+  // ---------------------------------------------------------------------
+  def q162ZOrderUpsert(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("zorder-upsert", d, "v1",
+      datasets = Seq("events.parquet")) { p =>
+      val ev = events(s, d)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("xb"),
+          pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+      graft.scale.Layout.writeZOrdered(ev, col("xb"), col("yb"), s"$p/base")
+      val revised = ev.filter(col("event_id") % 9 === 0)
+        .withColumn("yb", pmod(col("yb") + lit(128L), lit(256L)))
+      graft.scale.Layout.upsertZOrdered(revised, "event_id",
+        col("xb"), col("yb"), s"$p/base", rev = 1L)
+    }
+    graft.scale.Layout
+      .boxScanTight(
+        graft.scale.Layout.readCurrent(s, s"$dir/base", "event_id"),
+        16, 31, 32, 63)
+      .select(col("event_id"), col("xb"), col("yb"), col("z"))
+      .orderBy(col("event_id"))
+  }
+  val q162Sql: String = {
+    val zExpr = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH b0 AS (
+       |  SELECT event_id, user_id % 256 AS xb,
+       |    (epoch_ms(ts) // 60000) % 256 AS yb
+       |  FROM events),
+       |b AS (
+       |  SELECT event_id, xb,
+       |    CASE WHEN event_id % 9 = 0 THEN (yb + 128) % 256 ELSE yb END AS yb
+       |  FROM b0)
+       |SELECT event_id, xb, yb, CAST($zExpr AS BIGINT) AS z
+       |FROM b WHERE xb BETWEEN 16 AND 31 AND yb BETWEEN 32 AND 63
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q161 — DOCUMENT REVISION on the cluster store (ClusterStore.
   // upsert): re-chunked content replaces a doc's memberships in ONE
   // epoch that may both SPLIT and MERGE components — the only index
@@ -5331,6 +5386,7 @@ object ScaleCatalogue {
     "q159_ivfpq_upsert_probe" -> q159IvfPqUpsertProbe _,
     "q160_citation_upsert_edges" -> q160CitationUpsertEdges _,
     "q161_cluster_upsert" -> q161ClusterUpsert _,
+    "q162_zorder_upsert" -> q162ZOrderUpsert _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5461,5 +5517,6 @@ object ScaleCatalogue {
     "q159_ivfpq_upsert_probe" -> q159Sql,
     "q160_citation_upsert_edges" -> q160Sql,
     "q161_cluster_upsert" -> q161Sql,
+    "q162_zorder_upsert" -> q162Sql,
   )
 }

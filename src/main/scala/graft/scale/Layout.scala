@@ -212,6 +212,85 @@ object Layout {
         .write.partitionBy("z_bucket").mode("append").parquet(path)
   }
 
+  /** ROW REVISION — the upsert verb on the z layout ([[IvfIndex]]'s
+    * pattern, for the same reason): a revised row's key columns move
+    * it in (x, y) space, so its current generation must be free to
+    * land in a DIFFERENT z-bucket directory than the stale one.
+    * Revision rows live in their own bucketed subdir
+    * (`_z_rev_rows/z_bucket=N/`, underscore-hidden from main-layout
+    * reads), the `_z_rev` registry (idCol, rev) is the visibility
+    * point, and [[readCurrent]] composes both trees — the z_bucket
+    * partition filter of a box read pushes into each side of the
+    * union, so serving stays bucket-pruned. Unknown ids are admitted
+    * (upsert doubles as insert); monotone caller rev per id; a
+    * replayed (batch, rev) is a pure heal via the (id, rev)
+    * anti-joins. [[compactZOrderedTo]] with `foldRevisionsBy` folds
+    * the generations away. */
+  def upsertZOrdered(df: DataFrame, idCol: String, x: Column, y: Column,
+      path: String, rev: Long, bucketWidth: Long = 4096L,
+      bits: Int = 8): Unit = {
+    require(rev > 0L, "revision must be positive")
+    val spark = df.sparkSession
+    val withZ = df.withColumn("z", zValue(x, y, bits))
+      .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
+      .withColumn("rev", lit(rev))
+      .localCheckpoint()
+    if (withZ.isEmpty) return
+    val reg = registry(spark, path, idCol)
+    val stale = reg.groupBy(col(idCol)).agg(max(col("rev")).as("cur_rev"))
+      .join(withZ.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      .filter(col("cur_rev") > lit(rev)).count()
+    require(stale == 0L,
+      s"upsert rev=$rev is older than the current revision of $stale " +
+        "rows — revisions must be monotone per id")
+    val landed =
+      if (!IndexIo.exists(spark, s"$path/_z_rev_rows"))
+        spark.range(0).select(col("id").as(idCol))
+      else spark.read.parquet(s"$path/_z_rev_rows")
+        .filter(col("rev") === rev).select(col(idCol)).distinct()
+    val fresh = withZ.join(landed, Seq(idCol), "left_anti").localCheckpoint()
+    if (fresh.count() > 0L)
+      fresh.repartition(col("z_bucket"))
+        .sortWithinPartitions(col("z_bucket"), col("z"))
+        .write.partitionBy("z_bucket").mode("append")
+        .parquet(s"$path/_z_rev_rows")
+    val freshReg = withZ.select(col(idCol), lit(rev).as("rev")).distinct()
+      .join(reg.filter(col("rev") === rev).select(col(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (freshReg.count() > 0L)
+      freshReg.write.mode("append").parquet(s"$path/_z_rev")
+  }
+
+  private def registry(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame =
+    if (!IndexIo.exists(spark, s"$path/_z_rev"))
+      spark.range(0).select(col("id").as(idCol), col("id").as("rev"))
+    else spark.read.parquet(s"$path/_z_rev")
+
+  /** The current-generation view of a revised layout — what box reads
+    * scan: a registered id's main-layout row drops, its max-rev
+    * revision row (possibly in a DIFFERENT bucket) serves; both
+    * filters are one broadcast join against the O(revised) registry,
+    * and a box read's z_bucket partition filter pushes into both
+    * sides of the union. Never-revised layouts return the plain read
+    * (zero overhead — the registry probe is one file-existence
+    * check). */
+  def readCurrent(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): DataFrame = {
+    val main = spark.read.parquet(path)
+    if (!IndexIo.exists(spark, s"$path/_z_rev")) return main
+    val cur = registry(spark, path, idCol)
+      .groupBy(col(idCol)).agg(max(col("rev")).as("cur_rev"))
+    val mainCur = main.join(broadcast(cur.select(col(idCol))),
+      Seq(idCol), "left_anti")
+    val revCur = spark.read.parquet(s"$path/_z_rev_rows")
+      .join(broadcast(cur), Seq(idCol))
+      .filter(col("rev") === col("cur_rev"))
+      .drop("rev", "cur_rev")
+    mainCur.unionByName(revCur)
+  }
+
   /** Copy-compaction of an append-decayed z layout into `destPath`
     * (the [[LshIndex.compactTo]] crash-safety shape: the source stays
     * untouched; the caller swaps dirs): every [[appendZOrdered]] adds
@@ -226,8 +305,14 @@ object Layout {
     * because it never reapplies them. Cost: one layout scan + one
     * bucket shuffle — layout-sized, never source-table-sized. */
   def compactZOrderedTo(spark: org.apache.spark.sql.SparkSession,
-      path: String, destPath: String): Unit =
-    spark.read.parquet(path)
+      path: String, destPath: String,
+      foldRevisionsBy: Option[String] = None): Unit =
+    // foldRevisionsBy = the layout's id column: superseded generations
+    // drop, current revision rows fold into their buckets, and the
+    // destination carries no registry — indistinguishable from a
+    // layout written over the revised source
+    foldRevisionsBy.fold(spark.read.parquet(path))(
+        idCol => readCurrent(spark, path, idCol))
       .repartition(col("z_bucket"))
       .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrdered
       .write.partitionBy("z_bucket").mode("overwrite").parquet(destPath)

@@ -269,4 +269,78 @@ class ZOrderSpec extends AnyFunSuite {
         assert(zs == zs.sorted, s"compacted file ${f.getName} not z-sorted")
       }
   }
+
+  test("upsertZOrdered: revised rows serve from their NEW bucket; compaction folds") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zupsert")
+    val dir = base.resolve("events_z").toString
+    val dest = base.resolve("events_z_c").toString
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+    Layout.writeZOrdered(ev, col("xb"), col("yb"), dir)
+    // user ids only span a few xb values at this sf — shift yb, which
+    // covers the full 0..255 range, so rows cross boundaries both ways
+    val revised = ev.filter(col("event_id") % 9 === 0)
+      .withColumn("yb", pmod(col("yb") + lit(128L), lit(256L)))
+    Layout.upsertZOrdered(revised, "event_id", col("xb"), col("yb"),
+      dir, rev = 1L)
+
+    // bucket migration across the two trees
+    val migrated = spark.read.parquet(dir)
+      .filter(col("event_id") % 9 === 0)
+      .select(col("event_id"), col("z_bucket").as("ob"))
+      .join(spark.read.parquet(s"$dir/_z_rev_rows")
+        .select(col("event_id"), col("z_bucket").as("nb")), "event_id")
+      .filter(col("ob") =!= col("nb")).count()
+    assert(migrated > 0, "no revised row changed bucket — weak fixture")
+
+    // box read over readCurrent equals the brute filter on REVISED data
+    val revEv = ev.withColumn("yb",
+      when(col("event_id") % 9 === 0, pmod(col("yb") + lit(128L), lit(256L)))
+        .otherwise(col("yb")))
+    def brute(b: (Int, Int, Int, Int)) = revEv
+      .filter(col("xb").between(b._1, b._2) && col("yb").between(b._3, b._4))
+      .select("event_id").as[Long].collect().toSet
+    def got(path: String, b: (Int, Int, Int, Int)) = Layout
+      .boxScanTight(Layout.readCurrent(spark, path, "event_id"),
+        b._1, b._2, b._3, b._4)
+      .select("event_id").as[Long].collect().toSet
+    // y half-space: the +128 shift moves every revised row across it
+    val box = (0, 255, 0, 127)
+    assert(got(dir, box) == brute(box),
+      "box read over the revised layout diverged from the revised truth")
+    // rows crossed the boundary BOTH ways (in and out of the box)
+    val before = ev.filter(col("xb").between(0, 255) &&
+      col("yb").between(0, 127)).select("event_id").as[Long].collect().toSet
+    assert((brute(box) -- before).nonEmpty && (before -- brute(box)).nonEmpty,
+      "weak fixture: revision moved no rows across the box boundary")
+
+    // replay heal + monotone refusal
+    val rowsBefore = spark.read.parquet(s"$dir/_z_rev_rows").count()
+    Layout.upsertZOrdered(revised, "event_id", col("xb"), col("yb"),
+      dir, rev = 1L)
+    assert(spark.read.parquet(s"$dir/_z_rev_rows").count() == rowsBefore,
+      "upsert replay duplicated revision rows")
+    Layout.upsertZOrdered(ev.filter(col("event_id") % 9 === 0), "event_id",
+      col("xb"), col("yb"), dir, rev = 2L)
+    assert(got(dir, box) == before,
+      "rev-2 restore must restore the original box results")
+    intercept[IllegalArgumentException] {
+      Layout.upsertZOrdered(revised, "event_id", col("xb"), col("yb"),
+        dir, rev = 1L)
+    }
+    Layout.upsertZOrdered(revised, "event_id", col("xb"), col("yb"),
+      dir, rev = 3L)
+
+    // revision-folding compaction: dest carries no registry, same reads
+    Layout.compactZOrderedTo(spark, dir, dest,
+      foldRevisionsBy = Some("event_id"))
+    assert(!new java.io.File(s"$dest/_z_rev").exists() &&
+      !new java.io.File(s"$dest/_z_rev_rows").exists())
+    assert(got(dest, box) == brute(box),
+      "revision-folding compaction changed box results")
+    assert(spark.read.parquet(dest).count() == ev.count(),
+      "folded layout must hold exactly one generation per row")
+  }
 }
