@@ -66,4 +66,22 @@ object IncrementalCitations {
       .foreachBatch(deleteBatch(indexDir) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The REVISION loop — q160's upsert verb as a running pipeline:
+    * each micro-batch carries re-fetched documents as (doc_id, text,
+    * prev_text) and the index takes every band transition the content
+    * change implies, in place. The foreachBatch epoch id (+1, to stay
+    * positive) is the monotone revision number, so a replayed epoch
+    * is a pure heal via upsert's (doc, rev) registry anti-joins —
+    * exactly the [[IncrementalNearDup.runRevisions]] contract. The
+    * single-writer rule above applies across all three loops. */
+  def upsertBatch(indexDir: String)(batch: DataFrame, epochId: Long): Unit =
+    graft.scale.CitationIndex.upsert(batch, indexDir, rev = epochId + 1L)
+
+  def runRevisions(docs: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(upsertBatch(indexDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -51,4 +51,24 @@ object IncrementalClusters {
       .foreachBatch(deleteBatch(storeDir) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The REVISION loop — the q161 upsert verb as a running pipeline:
+    * each micro-batch carries re-chunked (doc_id, chunk_hash) rows
+    * for re-fetched documents, and the store rewires their components
+    * in one epoch (splits via severed chunks, merges via new shared
+    * ones). Replay safety needs no epoch bookkeeping here: a
+    * committed revision replays as a chunk-set-equality no-op inside
+    * [[graft.scale.ClusterStore.upsert]] itself, and a torn epoch
+    * recomputes and overwrites its own dirs — the same state-level
+    * exactly-once the append loop carries. The single-writer rule
+    * above applies across all three loops. */
+  def upsertBatch(storeDir: String)(batch: DataFrame, epochId: Long): Unit =
+    graft.scale.ClusterStore.upsert(batch, storeDir)
+
+  def runRevisions(chunks: DataFrame, storeDir: String,
+      checkpoint: String): StreamingQuery =
+    chunks.writeStream
+      .foreachBatch(upsertBatch(storeDir) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -91,4 +91,47 @@ class IncrementalCitationsSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSet == want,
       "take-down epoch replay changed the edge set")
   }
+
+  test("streamed revisions serve the exact revised-corpus edge set; replay heals") {
+    implicit val sqlCtx = spark.sqlContext
+    val idx = tmp("graft-incit-rev") + "/idx"
+    val base = docs.filter(col("doc_id") < 400)
+    val pred = col("doc_id") % 9 === 0
+    val rev = concat_ws(" ", reverse(split(col("text"), " ")))
+    val revisions = base.filter(pred)
+      .select(col("doc_id"), rev.as("text"), col("text").as("prev_text"))
+    CitationIndex.build(base, idx, slack = revisions.count())
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = IncrementalCitations.runRevisions(
+      mem.toDF().toDF("doc_id", "text", "prev_text"), idx,
+      checkpoint = tmp("graft-incit-rev-ckpt"))
+    try {
+      val b1 = revisions.filter(col("doc_id") < 200)
+        .as[(Long, String, String)].collect().toSeq
+      val b2 = revisions.filter(col("doc_id") >= 200)
+        .as[(Long, String, String)].collect().toSeq
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = CitationIndex.edgesWeighted(spark, idx)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = Graph.citationEdgesWeighted(
+        base.select(col("doc_id"),
+          when(pred, rev).otherwise(col("text")).as("text")),
+        n = 3, dfMin = 2, dfMax = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      "streamed revisions diverged from the revised-corpus derivation")
+    assert(got.nonEmpty)
+    assert(CitationIndex.consistent(spark, idx))
+
+    // epoch replay at the same rev heals to a no-op
+    IncrementalCitations.upsertBatch(idx)(
+      revisions.filter(col("doc_id") >= 200), 1L)
+    assert(CitationIndex.edgesWeighted(spark, idx)
+      .as[(Long, Long, Long)].collect().toSet == want,
+      "revision epoch replay changed the edge set")
+  }
 }

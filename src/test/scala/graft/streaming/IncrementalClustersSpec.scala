@@ -71,5 +71,29 @@ class IncrementalClustersSpec extends AnyFunSuite {
     assert(got() == truth((b1 ++ b2).filter(_._1 != 1L)),
       "streamed take-down diverged from the survivor clustering")
     assert(ClusterStore.consistent(spark, store))
+
+    // streamed REVISIONS: doc 2 re-chunks from 100 to 200 — in one
+    // epoch it leaves {2,7} (7 still bridges) and stays merged via
+    // 200; doc 9 re-chunks to 100 and joins the component
+    val mem3 = MemoryStream[(Long, Long)]
+    val q3 = IncrementalClusters.runRevisions(
+      mem3.toDF().toDF("doc_id", "chunk_hash"), store,
+      checkpoint = tmp("graft-incl-rev-ckpt"))
+    val r1 = Seq(2L -> 200L, 9L -> 100L)
+    try {
+      mem3.addData(r1: _*); q3.processAllAvailable()
+    } finally q3.stop()
+    val revised = Seq(2L -> 200L, 5L -> 200L, 6L -> 200L,
+      7L -> 100L, 7L -> 200L, 9L -> 100L)
+    assert(got() == truth(revised),
+      "streamed revision diverged from the revised-corpus clustering")
+    assert(ClusterStore.consistent(spark, store))
+    // committed-replay of the revision batch is a pure no-op
+    val (e1, _) = (spark.read.parquet(s"$store/_cs_meta").head().getLong(0), 0)
+    IncrementalClusters.upsertBatch(store)(
+      r1.toDF("doc_id", "chunk_hash"), 99L)
+    assert(spark.read.parquet(s"$store/_cs_meta").head().getLong(0) == e1 &&
+      got() == truth(revised),
+      "revision epoch replay changed the store")
   }
 }
