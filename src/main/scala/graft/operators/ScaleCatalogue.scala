@@ -5051,6 +5051,62 @@ object ScaleCatalogue {
       |""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q163 — the FULL CDC LIFECYCLE composed on one index: build(80%) →
+  // append(20%) → revise(doc%9, token-reversed) → delete(doc%7) →
+  // serve, all four verbs against the citation index — the subtlest
+  // maintenance surface in the family, where each verb moves term df
+  // and band membership and the four must COMPOSE exactly (append's
+  // reach-back over rows a later upsert supersedes, upsert's
+  // registry under a later delete's recount, delete's revival over
+  // mixed-generation postings). The oracle derives from-scratch
+  // weighted edges over ((corpus with %9 revised) minus %7) — one
+  // hash match proving the whole verb algebra closes. This is the
+  // shape a production crawl actually runs per day: new docs land,
+  // re-fetched docs change, takedowns arrive, and the served graph
+  // must equal a rebuild nobody can afford.
+  // ---------------------------------------------------------------------
+  def q163CitationCdcLifecycle(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val dir = cachedIndexDir("citation-cdc", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val revised = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"),
+          col("text").as("prev_text"))
+      val victims = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat_ws(" ", reverse(split(col("text"), " "))))
+            .otherwise(col("text")).as("text"))
+      graft.scale.CitationIndex.build(
+        docs.filter(col("doc_id") % 5 =!= 4), p,
+        slack = revised.count() + victims.count())
+      graft.scale.CitationIndex.append(docs.filter(col("doc_id") % 5 === 4), p)
+      graft.scale.CitationIndex.upsert(revised, p, rev = 1L)
+      // delete AFTER revision: victims pass their CURRENT text (the
+      // revised generation for %9 ∩ %7 docs — the delete contract)
+      graft.scale.CitationIndex.delete(victims, p)
+      require(graft.scale.CitationIndex.consistent(s, p),
+        "citation index failed its consistency probes after the CDC cycle")
+    }
+    graft.scale.CitationIndex.edgesWeighted(s, dir)
+      .orderBy(col("src"), col("dst"))
+  }
+  val q163Sql: String =
+    s"""WITH docs2 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |      ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 0),
+       |${citationPostCtesOver("TRUE", table = "docs2")}
+       |SELECT a.doc_id AS src, b.doc_id AS dst,
+       |  count(*)::BIGINT AS w
+       |FROM post a JOIN post b
+       |  ON a.term = b.term AND a.doc_id > b.doc_id
+       |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q162 — ROW REVISION on the z-order layout (Layout.upsertZOrdered /
   // readCurrent): the seventh serving layout gains the CDC verb, with
   // the IVF complication in key-space — a revised row's (x, y) move
@@ -5387,6 +5443,7 @@ object ScaleCatalogue {
     "q160_citation_upsert_edges" -> q160CitationUpsertEdges _,
     "q161_cluster_upsert" -> q161ClusterUpsert _,
     "q162_zorder_upsert" -> q162ZOrderUpsert _,
+    "q163_citation_cdc_lifecycle" -> q163CitationCdcLifecycle _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5518,5 +5575,6 @@ object ScaleCatalogue {
     "q160_citation_upsert_edges" -> q160Sql,
     "q161_cluster_upsert" -> q161Sql,
     "q162_zorder_upsert" -> q162Sql,
+    "q163_citation_cdc_lifecycle" -> q163Sql,
   )
 }

@@ -242,6 +242,35 @@ class CitationUpsertSpec extends AnyFunSuite {
       "delete-after-upsert diverged from the revised-survivor derivation")
   }
 
+  test("full CDC lifecycle: build + append + upsert + delete compose (q163)") {
+    // the q163 shape at spec scale: every maintenance verb once, in
+    // production order, against one index — append's reach-back over
+    // rows the later upsert supersedes, upsert's registry under the
+    // later delete's generation-filtered recount, delete current-text
+    // contract for revised victims (%9 ∩ %7).
+    val dir = tmp("graft-citup-cdc")
+    val base = corpus.filter(col("doc_id") < 300)
+    val pred = col("doc_id") % 9 === 0
+    val revised = revisedOf(base, pred)
+    val victimPred = col("doc_id") % 7 === 0
+    CitationIndex.build(base.filter(col("doc_id") % 5 =!= 4), dir,
+      slack = revised.count() + base.filter(victimPred).count())
+    CitationIndex.append(base.filter(col("doc_id") % 5 === 4), dir)
+    CitationIndex.upsert(revised, dir, rev = 1L)
+    CitationIndex.delete(revisedCorpus(base, pred).filter(victimPred), dir)
+    assert(CitationIndex.consistent(spark, dir))
+    val served = got(dir)
+    assert(served == want(
+      revisedCorpus(base, pred).filter(!victimPred)),
+      "CDC lifecycle diverged from the revised-survivor derivation")
+    assert(served.nonEmpty)
+    // and the whole lifecycle folds at compaction
+    val dest = tmp("graft-citup-cdc-dst")
+    CitationIndex.compactTo(spark, dir, dest)
+    assert(CitationIndex.consistent(spark, dest))
+    assert(got(dest) == served, "compaction changed the CDC-served edges")
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
