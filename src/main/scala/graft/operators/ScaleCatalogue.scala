@@ -5107,6 +5107,134 @@ object ScaleCatalogue {
        |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q164/q165 — SNAPSHOT READS (time travel) + the CDC lifecycle on
+  // the cluster store. One store lives through every maintenance verb
+  // (build → append ×3 → upsert(%9 revised) → delete(%7); epochs
+  // 0..5), then serves TWO truths from the same files:
+  //   q164 reads AS OF epoch 3 — the full corpus as it stood before
+  //        the revision and the takedown ever happened. The oracle is
+  //        the from-scratch clustering of the ORIGINAL corpus, so the
+  //        hash match proves epochs 4-5 are invisible to the snapshot
+  //        even though their dirs sit in the same tree. This is the
+  //        read a reproducible training run pins: "train X used dedup
+  //        state E" stays answerable after the corpus moves on.
+  //   q165 reads the CURRENT state — upsert-then-delete composed, the
+  //        cluster-store face of q163's verb-algebra closure; oracle
+  //        re-clusters the revised survivors from scratch.
+  // Storage is epoch-scoped (e=N partition dirs + one meta pointer),
+  // so time travel costs a partition filter, not a copy; compactTo is
+  // the explicit vacuum that trades history for geometry.
+  // ---------------------------------------------------------------------
+  /** The full-history store q164/q165 serve from (six epochs, all
+    * four verbs in production order). */
+  private def clusterCdcDir(s: SparkSession, d: String): String =
+    cachedIndexDir("cluster-store-cdc", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val ch = clusterChunksOf(s, d)
+      graft.scale.ClusterStore.build(ch.filter(col("doc_id") % 4 === 0), p)
+      (1 to 3).foreach { i =>
+        graft.scale.ClusterStore.append(ch.filter(col("doc_id") % 4 === i), p)
+      }
+      val revisedDocs = documents(s, d).filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      graft.scale.ClusterStore.upsert(
+        chunksOfDocs(revisedDocs).select(col("doc_id"), col("chunk_hash")), p)
+      graft.scale.ClusterStore.delete(
+        documents(s, d).filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id")), p)
+      require(graft.scale.ClusterStore.consistent(s, p),
+        "cluster store failed its consistency probes after the CDC cycle")
+      require(graft.scale.ClusterStore.committedEpoch(s, p) == 5L,
+        "CDC fixture must commit exactly epochs 0..5 (q164 pins asOf=3)")
+    }
+
+  def q164ClusterAsOf(s: SparkSession, d: String): DataFrame =
+    graft.scale.ClusterStore.assignmentsAsOf(s, clusterCdcDir(s, d), asOf = 3L)
+      .withColumn("is_canonical",
+        (col("doc_id") === col("rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  val q164Sql: String = clusterStoreSqlOver("TRUE")
+
+  def q165ClusterCdcServe(s: SparkSession, d: String): DataFrame =
+    graft.scale.ClusterStore.assignments(s, clusterCdcDir(s, d))
+      .withColumn("is_canonical",
+        (col("doc_id") === col("rep")).cast("int"))
+      .orderBy(col("doc_id"))
+  val q165Sql: String = clusterStoreSqlOver("doc_id % 7 <> 0",
+    liveBody = """SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0
+      |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |      ELSE text END AS text
+      |  FROM documents""".stripMargin)
+
+  // ---------------------------------------------------------------------
+  // q166 — CROSS-SNAPSHOT DIFF (ClusterStore.diffAsOf): the read that
+  // makes time travel operational. Between two training runs nobody
+  // re-exports 100 TB — they ask "which docs entered, left, or
+  // changed cluster since snapshot E" and refresh only those slices.
+  // One full-outer join of two epoch-filtered assignment maps over
+  // the q164/q165 store (as-of 3 = original corpus, as-of 5 = revised
+  // survivors): %7 docs come out `deleted`, docs whose component the
+  // %9 revision rewired come out `relabeled`, the rest `kept`
+  // (`inserted` is spec-covered — this fixture admits none). The
+  // oracle runs BOTH from-scratch clusterings as prefixed recursive
+  // chains and joins them — hash match proves the maintained diff
+  // equals the truth diff row for row, change labels included.
+  // ---------------------------------------------------------------------
+  def q166ClusterDiff(s: SparkSession, d: String): DataFrame =
+    graft.scale.ClusterStore.diffAsOf(s, clusterCdcDir(s, d),
+        from = 3L, to = 5L)
+      .select(col("doc_id"),
+        coalesce(col("old_rep"), lit(-1L)).as("old_rep"),
+        coalesce(col("new_rep"), lit(-1L)).as("new_rep"),
+        col("change"))
+      .orderBy(col("doc_id"))
+  /** One prefixed from-scratch clustering chain (the
+    * [[clusterStoreSqlOver]] body without its final SELECT) — q166
+    * runs two side by side. */
+  private def clusterAsgChain(p: String, docFilter: String,
+      liveBody: String = "SELECT * FROM documents"): String =
+    s"""${p}live AS MATERIALIZED (
+       |  $liveBody WHERE $docFilter),
+       |${p}tok AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, ' ') AS w,
+       |    len(string_split(text, ' ')) AS n FROM ${p}live),
+       |${p}st AS (SELECT doc_id, w, n, unnest(range(0, n, 32)) AS start FROM ${p}tok),
+       |${p}ch AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |  CAST('0x' || substr(md5(
+       |    array_to_string(w[start + 1 : start + 64], ' ')), 1, 15)
+       |    AS BIGINT) AS chunk_hash FROM ${p}st),
+       |${p}own AS MATERIALIZED (
+       |  SELECT chunk_hash, min(doc_id) AS owner FROM ${p}ch GROUP BY chunk_hash),
+       |${p}e AS MATERIALIZED (
+       |  SELECT DISTINCT c.doc_id AS a, o.owner AS b
+       |  FROM ${p}ch c JOIN ${p}own o USING (chunk_hash) WHERE c.doc_id <> o.owner),
+       |${p}sym AS MATERIALIZED (SELECT a, b FROM ${p}e UNION SELECT b, a FROM ${p}e),
+       |${p}reach AS (SELECT doc_id AS v, doc_id AS r FROM ${p}live
+       |  UNION SELECT s.a, t.r FROM ${p}sym s JOIN ${p}reach t ON s.b = t.v),
+       |${p}asg AS MATERIALIZED (
+       |  SELECT v AS doc_id, min(r) AS rep FROM ${p}reach GROUP BY v)"""
+      .stripMargin
+  val q166Sql: String =
+    s"""WITH RECURSIVE ${clusterAsgChain("a_", "TRUE")},
+       |${clusterAsgChain("b_", "doc_id % 7 <> 0",
+           liveBody = """SELECT doc_id,
+             |    CASE WHEN doc_id % 9 = 0
+             |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+             |      ELSE text END AS text
+             |  FROM documents""".stripMargin)}
+       |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       |  coalesce(a.rep, -1)::BIGINT AS old_rep,
+       |  coalesce(b.rep, -1)::BIGINT AS new_rep,
+       |  CASE WHEN a.doc_id IS NULL THEN 'inserted'
+       |       WHEN b.doc_id IS NULL THEN 'deleted'
+       |       WHEN a.rep = b.rep THEN 'kept'
+       |       ELSE 'relabeled' END AS change
+       |FROM a_asg a FULL OUTER JOIN b_asg b ON a.doc_id = b.doc_id
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q162 — ROW REVISION on the z-order layout (Layout.upsertZOrdered /
   // readCurrent): the seventh serving layout gains the CDC verb, with
   // the IVF complication in key-space — a revised row's (x, y) move
@@ -5444,6 +5572,9 @@ object ScaleCatalogue {
     "q161_cluster_upsert" -> q161ClusterUpsert _,
     "q162_zorder_upsert" -> q162ZOrderUpsert _,
     "q163_citation_cdc_lifecycle" -> q163CitationCdcLifecycle _,
+    "q164_cluster_asof" -> q164ClusterAsOf _,
+    "q165_cluster_cdc_serve" -> q165ClusterCdcServe _,
+    "q166_cluster_diff" -> q166ClusterDiff _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5576,5 +5707,8 @@ object ScaleCatalogue {
     "q161_cluster_upsert" -> q161Sql,
     "q162_zorder_upsert" -> q162Sql,
     "q163_citation_cdc_lifecycle" -> q163Sql,
+    "q164_cluster_asof" -> q164Sql,
+    "q165_cluster_cdc_serve" -> q165Sql,
+    "q166_cluster_diff" -> q166Sql,
   )
 }

@@ -526,12 +526,58 @@ object ClusterStore {
   /** Current (doc_id, rep) for every live committed document — the
     * bulk serve/export read (one linear pass over fwd's id column +
     * the bounded pointer chase). */
-  def assignments(spark: SparkSession, dir: String): DataFrame = {
+  def assignments(spark: SparkSession, dir: String): DataFrame =
+    assignmentsAsOf(spark, dir, readMeta(spark, dir)._1)
+
+  /** SNAPSHOT (time-travel) serve: the assignment map exactly as it
+    * stood when epoch `asOf` committed — the read a reproducible
+    * training run pins its dedup state to ("train X used corpus
+    * snapshot E"). Every store table is already epoch-scoped on disk
+    * (rows carry their writing epoch under `e=N` partition dirs, a
+    * commit flips one meta pointer), so serving history costs a
+    * partition filter, not a copy: epochs later than `asOf` are never
+    * listed, and the pointer chase, tombstone set, and membership
+    * rows all stop at the snapshot boundary. Valid for any
+    * 0 ≤ asOf ≤ [[committedEpoch]]; [[compactTo]] trades this history
+    * for file geometry (the fold re-bases the survivors to epoch 0) —
+    * the vacuum bargain every epoch-versioned table format strikes. */
+  def assignmentsAsOf(spark: SparkSession, dir: String, asOf: Long): DataFrame = {
     val (epoch, _) = readMeta(spark, dir)
-    val docs = fwdC(spark, dir, epoch).select(col("doc_id")).distinct()
-      .join(tombsC(spark, dir, epoch), Seq("doc_id"), "left_anti")
-    resolveAt(spark, dir, epoch, docs.select(col("doc_id").as("id")))
+    require(asOf >= 0L && asOf <= epoch,
+      s"as-of epoch $asOf outside the committed history [0, $epoch]" +
+        (if (epoch < 0L) " — cold store, nothing committed" else ""))
+    val docs = fwdC(spark, dir, asOf).select(col("doc_id")).distinct()
+      .join(tombsC(spark, dir, asOf), Seq("doc_id"), "left_anti")
+    resolveAt(spark, dir, asOf, docs.select(col("doc_id").as("id")))
       .select(col("id").as("doc_id"), col("root").as("rep"))
+  }
+
+  /** The committed epoch counter (−1 on a cold dir) — the handle a
+    * caller records at ingest time to pin an [[assignmentsAsOf]]
+    * snapshot later. */
+  def committedEpoch(spark: SparkSession, dir: String): Long =
+    readMeta(spark, dir)._1
+
+  /** Cross-snapshot diff — the incremental-refresh read between two
+    * training runs: which docs entered, left, or changed cluster
+    * between snapshot `from` and snapshot `to`, so only the affected
+    * slices re-export instead of the whole corpus. One full-outer
+    * join of the two epoch-filtered assignment maps (both sides hash
+    * on doc_id — one shuffle each, no extra pass over the store);
+    * `change` ∈ inserted / deleted / relabeled / kept. */
+  def diffAsOf(spark: SparkSession, dir: String, from: Long,
+      to: Long): DataFrame = {
+    require(from <= to, s"diff runs forward: from=$from > to=$to")
+    val a = assignmentsAsOf(spark, dir, from)
+      .select(col("doc_id"), col("rep").as("old_rep"))
+    val b = assignmentsAsOf(spark, dir, to)
+      .select(col("doc_id"), col("rep").as("new_rep"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_rep").isNull, lit("inserted"))
+          .when(col("new_rep").isNull, lit("deleted"))
+          .when(col("old_rep") === col("new_rep"), lit("kept"))
+          .otherwise(lit("relabeled")))
   }
 
   /** Point resolution for an arbitrary doc set (pruned to the

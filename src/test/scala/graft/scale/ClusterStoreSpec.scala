@@ -305,6 +305,79 @@ class ClusterStoreSpec extends AnyFunSuite {
     assert(ClusterStore.consistent(spark, dir))
   }
 
+  test("time travel: assignmentsAsOf replays every epoch's exact state (q164)") {
+    val dir = tmp("graft-cs-asof")
+    val b0 = ch(1L -> Seq(100L), 2L -> Seq(100L), 5L -> Seq(200L))
+    val b1 = ch(6L -> Seq(200L), 9L -> Seq(300L))
+    ClusterStore.build(b0, dir)                      // epoch 0
+    ClusterStore.append(b1, dir)                     // epoch 1: {5,6} merge
+    // epoch 2: doc 2 drops chunk 100 (splits {1,2}), gains 300
+    // (merges with 9 through an external hub)
+    ClusterStore.upsert(ch(2L -> Seq(300L)), dir)
+    ClusterStore.delete(Seq(5L).toDF("doc_id"), dir) // epoch 3: {5,6} split
+    assert(ClusterStore.committedEpoch(spark, dir) == 3L)
+    val history = Seq(
+      0L -> b0,
+      1L -> b0.unionByName(b1),
+      2L -> ch(1L -> Seq(100L), 2L -> Seq(300L), 5L -> Seq(200L),
+        6L -> Seq(200L), 9L -> Seq(300L)),
+      3L -> ch(1L -> Seq(100L), 2L -> Seq(300L), 6L -> Seq(200L),
+        9L -> Seq(300L)))
+    history.foreach { case (e, chunks) =>
+      val gotE = ClusterStore.assignmentsAsOf(spark, dir, e)
+        .as[(Long, Long)].collect().toMap
+      assert(gotE == truth(chunks),
+        s"as-of epoch $e diverged from that epoch's from-scratch truth")
+    }
+    // as-of the committed epoch IS the current serve
+    assert(ClusterStore.assignmentsAsOf(spark, dir, 3L)
+      .as[(Long, Long)].collect().toMap == got(dir))
+    // outside the committed history: loud refusal both ways
+    intercept[IllegalArgumentException] {
+      ClusterStore.assignmentsAsOf(spark, dir, 4L)
+    }
+    intercept[IllegalArgumentException] {
+      ClusterStore.assignmentsAsOf(spark, dir, -1L)
+    }
+    // compaction is the explicit vacuum: history folds to epoch 0 and
+    // only the final state remains addressable
+    val dest = tmp("graft-cs-asof-dst")
+    ClusterStore.compactTo(spark, dir, dest)
+    assert(ClusterStore.committedEpoch(spark, dest) == 0L)
+    assert(ClusterStore.assignmentsAsOf(spark, dest, 0L)
+      .as[(Long, Long)].collect().toMap == got(dir),
+      "compacted epoch 0 must serve the pre-compaction final state")
+  }
+
+  test("cross-snapshot diff labels inserted/deleted/relabeled/kept exactly (q166)") {
+    val dir = tmp("graft-cs-diff")
+    // epoch 0: comps {1,2} (chunk 100), singletons 5, 7
+    ClusterStore.build(ch(1L -> Seq(100L), 2L -> Seq(100L),
+      5L -> Seq(200L), 7L -> Seq(500L)), dir)
+    // epoch 1: doc 2 revises away from 1 and onto chunk 300, which the
+    // brand-new doc 12 (an INSERT through upsert) also carries
+    ClusterStore.upsert(ch(2L -> Seq(300L), 12L -> Seq(300L)), dir)
+    // epoch 2: takedown of 5
+    ClusterStore.delete(Seq(5L).toDF("doc_id"), dir)
+    val diff = ClusterStore.diffAsOf(spark, dir, 0L, 2L)
+      .select(col("doc_id"), col("old_rep"), col("new_rep"), col("change"))
+      .as[(Long, Option[Long], Option[Long], String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(diff == Map(
+      1L -> ((Some(1L), Some(1L), "kept")),       // lost 2, still rep 1
+      2L -> ((Some(1L), Some(2L), "relabeled")),  // split then new comp
+      5L -> ((Some(5L), None, "deleted")),
+      7L -> ((Some(7L), Some(7L), "kept")),
+      12L -> ((None, Some(2L), "inserted"))),
+      "diff labels diverged from the epoch truth")
+    // a self-diff is all kept; a backwards window refuses
+    assert(ClusterStore.diffAsOf(spark, dir, 2L, 2L)
+      .filter(col("change") =!= "kept").count() == 0L)
+    intercept[IllegalArgumentException] {
+      ClusterStore.diffAsOf(spark, dir, 2L, 0L)
+    }
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
