@@ -5235,6 +5235,63 @@ object ScaleCatalogue {
        |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q167 — CHANGE DATA FEED (ClusterStore.emitChangeFeed): the
+  // writer-side CDC primitive. q166's diffAsOf resolves the whole
+  // live corpus on both sides — right for rare snapshot-to-snapshot
+  // reads, wrong per epoch at 100 TB. The feed derives each epoch's
+  // delta at O(affected) cost from what that epoch actually wrote
+  // (a rep can only change if the chain passes a stars-e=N src, or
+  // the doc entered fwd e=N / left via tombs e=N; reverse closure
+  // over those seeds, resolve candidates at N−1 and N, keep non-kept)
+  // and persists it under feedDir/e=N. Emission is derived, not
+  // captured, so it self-heals any crash between a store commit and
+  // its feed write. The oracle runs SIX from-scratch clusterings (one
+  // per epoch state) and unions the five truth diffs — hash match
+  // proves every epoch's O(affected) delta is COMPLETE (no changed
+  // doc escapes the candidate set) and exact, labels included.
+  // ---------------------------------------------------------------------
+  def q167ClusterChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val store = clusterCdcDir(s, d)
+    val feed = cachedIndexDir("cluster-feed", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.ClusterStore.emitChangeFeed(s, store, p, baseline = 0L)
+    }
+    graft.scale.ClusterStore.changeFeed(s, feed)
+      .select(col("e"), col("doc_id"),
+        coalesce(col("old_rep"), lit(-1L)).as("old_rep"),
+        coalesce(col("new_rep"), lit(-1L)).as("new_rep"),
+        col("change"))
+      .orderBy(col("e"), col("doc_id"))
+  }
+  val q167Sql: String = {
+    val rev = """SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 0
+      |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+      |      ELSE text END AS text
+      |  FROM documents""".stripMargin
+    val chains = Seq(
+      clusterAsgChain("c0_", "doc_id % 4 = 0"),
+      clusterAsgChain("c1_", "doc_id % 4 IN (0, 1)"),
+      clusterAsgChain("c2_", "doc_id % 4 IN (0, 1, 2)"),
+      clusterAsgChain("c3_", "TRUE"),
+      clusterAsgChain("c4_", "TRUE", rev),
+      clusterAsgChain("c5_", "doc_id % 7 <> 0", rev)).mkString(",\n")
+    val diffs = (1 to 5).map { n =>
+      s"""SELECT $n::BIGINT AS e, coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  coalesce(a.rep, -1)::BIGINT AS old_rep,
+         |  coalesce(b.rep, -1)::BIGINT AS new_rep,
+         |  CASE WHEN a.doc_id IS NULL THEN 'inserted'
+         |       WHEN b.doc_id IS NULL THEN 'deleted'
+         |       ELSE 'relabeled' END AS change
+         |FROM c${n - 1}_asg a FULL OUTER JOIN c${n}_asg b
+         |  ON a.doc_id = b.doc_id
+         |WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.rep <> b.rep"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"WITH RECURSIVE $chains\nSELECT * FROM (\n$diffs\n) ORDER BY e, doc_id"
+  }
+
+  // ---------------------------------------------------------------------
   // q162 — ROW REVISION on the z-order layout (Layout.upsertZOrdered /
   // readCurrent): the seventh serving layout gains the CDC verb, with
   // the IVF complication in key-space — a revised row's (x, y) move
@@ -5575,6 +5632,7 @@ object ScaleCatalogue {
     "q164_cluster_asof" -> q164ClusterAsOf _,
     "q165_cluster_cdc_serve" -> q165ClusterCdcServe _,
     "q166_cluster_diff" -> q166ClusterDiff _,
+    "q167_cluster_change_feed" -> q167ClusterChangeFeed _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5710,5 +5768,6 @@ object ScaleCatalogue {
     "q164_cluster_asof" -> q164Sql,
     "q165_cluster_cdc_serve" -> q165Sql,
     "q166_cluster_diff" -> q166Sql,
+    "q167_cluster_change_feed" -> q167Sql,
   )
 }

@@ -2,7 +2,7 @@ package graft.scale
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Incrementally-maintained dedup-cluster assignments — the "index,
   * don't recompute" move for CONNECTED COMPONENTS. The dedup family
@@ -298,23 +298,8 @@ object ClusterStore {
     val vRoots = resolveAt(spark, dir, epoch,
       vs.select(col("doc_id").as("id")))
       .select(col("root")).distinct().localCheckpoint()
-    val starsAll = starsC(spark, dir, epoch).localCheckpoint()
-    var acc = vRoots.select(col("root").as("v"))
-    var frontier = acc
-    var rounds = 0
-    val maxRounds = roundBound(epoch)
-    while (!frontier.isEmpty && rounds < maxRounds) {
-      val next = starsAll.join(frontier, starsAll("dst") === frontier("v"))
-        .select(col("src").as("v")).distinct()
-        .join(acc, Seq("v"), "left_anti").localCheckpoint()
-      acc = acc.unionByName(next).localCheckpoint()
-      frontier = next
-      rounds += 1
-    }
-    require(frontier.isEmpty,
-      s"cluster-store delete: reverse closure did not terminate in " +
-        s"$maxRounds rounds at epoch $epoch — corrupt star-edge state; " +
-        "rebuild the store")
+    val acc = reverseClosure(spark, dir, epoch,
+      vRoots.select(col("root").as("v")))
     val candDbs = acc.select(pmod(col("v"), lit(DocBuckets)).as("db"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val candLive = fwdC(spark, dir, epoch).filter(col("db").isin(candDbs: _*))
@@ -423,23 +408,8 @@ object ClusterStore {
     val tRoots = resolveAt(spark, dir, epoch,
       targets.select(col("doc_id").as("id")))
       .select(col("root")).distinct().localCheckpoint()
-    val starsAll = starsC(spark, dir, epoch).localCheckpoint()
-    var acc = tRoots.select(col("root").as("v"))
-    var frontier = acc
-    var rounds = 0
-    val maxRounds = roundBound(epoch)
-    while (!frontier.isEmpty && rounds < maxRounds) {
-      val next = starsAll.join(frontier, starsAll("dst") === frontier("v"))
-        .select(col("src").as("v")).distinct()
-        .join(acc, Seq("v"), "left_anti").localCheckpoint()
-      acc = acc.unionByName(next).localCheckpoint()
-      frontier = next
-      rounds += 1
-    }
-    require(frontier.isEmpty,
-      s"cluster-store upsert: reverse closure did not terminate in " +
-        s"$maxRounds rounds at epoch $epoch — corrupt star-edge state; " +
-        "rebuild the store")
+    val acc = reverseClosure(spark, dir, epoch,
+      tRoots.select(col("root").as("v")))
     val candDbs = acc.select(pmod(col("v"), lit(DocBuckets)).as("db"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val candLive = fwdC(spark, dir, epoch).filter(col("db").isin(candDbs: _*))
@@ -580,6 +550,98 @@ object ClusterStore {
           .otherwise(lit("relabeled")))
   }
 
+  private val feedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("old_rep", LongType),
+    StructField("new_rep", LongType), StructField("change", StringType),
+    StructField("e", LongType)))
+
+  /** One epoch's assignment delta at O(affected) cost — the writer-
+    * side CDC primitive [[emitChangeFeed]] persists. [[diffAsOf]]
+    * resolves the WHOLE live corpus on both sides (right for rare
+    * snapshot-to-snapshot reads, wrong per epoch at 100 TB); this
+    * derives the candidate set from what epoch `n` actually wrote:
+    * a doc's rep can only change if its chain passes through a node
+    * whose outgoing pointer changed (= a `stars e=n` src), or the doc
+    * itself entered (`fwd e=n`) or left (`tombs e=n`). Reverse
+    * closure over those seeds, resolve the candidates at n−1 and n,
+    * keep the non-`kept` rows. Completeness is oracle-proven (q167):
+    * the union of per-epoch deltas hash-matches the from-scratch
+    * per-epoch truth diffs. */
+  private def epochDelta(spark: SparkSession, dir: String,
+      n: Long): DataFrame = {
+    require(n >= 1L, s"epoch delta needs a predecessor: n=$n")
+    val starsN = IndexIo.readOr(spark, s"$dir/stars/e=$n",
+      StructType(starSchema.filterNot(_.name == "e")))
+    val fwdN = IndexIo.readOr(spark, s"$dir/fwd/e=$n",
+      StructType(fwdSchema.filterNot(_.name == "e")))
+    val tombsN = IndexIo.readOr(spark, s"$dir/tombs/e=$n",
+      StructType(tombSchema.take(1)))
+    val seeds = starsN.select(col("src").as("v"))
+      .unionByName(fwdN.select(col("doc_id").as("v")))
+      .unionByName(tombsN.select(col("doc_id").as("v")))
+      .distinct().localCheckpoint()
+    val out = IndexIo.emptyFrame(spark, feedSchema).drop("e")
+    if (seeds.isEmpty) return out
+    val aff = reverseClosure(spark, dir, n, seeds)
+    val affDbs = aff.select(pmod(col("v"), lit(DocBuckets)).as("db"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def liveAt(e: Long) =
+      fwdC(spark, dir, e).filter(col("db").isin(affDbs: _*))
+        .select(col("doc_id")).distinct()
+        .join(tombsC(spark, dir, e), Seq("doc_id"), "left_anti")
+        .join(aff.withColumnRenamed("v", "doc_id"), Seq("doc_id"),
+          "left_semi")
+    val before = resolveAt(spark, dir, n - 1L,
+        liveAt(n - 1L).select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("root").as("old_rep"))
+    val after = resolveAt(spark, dir, n,
+        liveAt(n).select(col("doc_id").as("id")))
+      .select(col("id").as("doc_id"), col("root").as("new_rep"))
+    before.join(after, Seq("doc_id"), "full_outer")
+      .withColumn("change",
+        when(col("old_rep").isNull, lit("inserted"))
+          .when(col("new_rep").isNull, lit("deleted"))
+          .when(col("old_rep") === col("new_rep"), lit("kept"))
+          .otherwise(lit("relabeled")))
+      .filter(col("change") =!= "kept")
+  }
+
+  /** CHANGE DATA FEED: persist each committed epoch's assignment
+    * delta to `feedDir/e=N` (doc_id, old_rep, new_rep,
+    * change ∈ inserted/deleted/relabeled), at O(affected) cost per
+    * epoch — see [[epochDelta]]. Emission is DERIVED, not captured:
+    * it reads the store's epoch dirs after the fact, so it heals
+    * itself — call it any time and it writes exactly the epochs in
+    * (max(baseline, last complete feed epoch), committedEpoch], each
+    * dir an idempotent overwrite. A crash between a store commit and
+    * its feed write leaves no hole: the next call re-derives the
+    * missing epoch from the store. Pair the feed with
+    * [[assignmentsAsOf]](baseline): baseline snapshot + replayed
+    * deltas ≡ the final map (spec-pinned). Feeds for epochs folded
+    * away by [[compactTo]] cannot be derived after the fold — emit
+    * before compacting. */
+  def emitChangeFeed(spark: SparkSession, dir: String, feedDir: String,
+      baseline: Long = 0L): Unit = {
+    val (committed, _) = readMeta(spark, dir)
+    require(baseline >= 0L && baseline <= committed,
+      s"feed baseline $baseline outside committed history [0, $committed]")
+    val fs = new org.apache.hadoop.fs.Path(feedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val done = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$feedDir/e=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
+    val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
+    (from to committed).foreach { n =>
+      epochDelta(spark, dir, n).coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+    }
+  }
+
+  /** Read the feed (all epochs; filter `e` for a window). */
+  def changeFeed(spark: SparkSession, feedDir: String): DataFrame =
+    IndexIo.readOr(spark, feedDir, feedSchema)
+
   /** Point resolution for an arbitrary doc set (pruned to the
     * frontier's src buckets each hop). Unknown/dead ids resolve to
     * themselves — pair with a liveness probe if that matters. */
@@ -595,6 +657,34 @@ object ClusterStore {
     * depth is bounded by epochs-since-compaction (hub rows are
     * path-compressed at append), so the loop is short; each round's
     * pointer read prunes to the frontier's src buckets. */
+  /** Every node whose pointer chain (over stars ≤ `epoch`) can reach a
+    * seed: BFS over REVERSED star edges, frontier-deduped per round —
+    * the shared engine behind delete's affected-component expansion,
+    * upsert's working-set growth, and the change feed's candidate
+    * set. Overapproximates through stale chains by design; callers
+    * re-resolve the candidates and filter. Input/output column: `v`. */
+  private def reverseClosure(spark: SparkSession, dir: String,
+      epoch: Long, seeds: DataFrame): DataFrame = {
+    val starsAll = starsC(spark, dir, epoch).localCheckpoint()
+    var acc = seeds.select(col("v")).distinct().localCheckpoint()
+    var frontier = acc
+    var rounds = 0
+    val maxRounds = roundBound(epoch)
+    while (!frontier.isEmpty && rounds < maxRounds) {
+      val next = starsAll.join(frontier, starsAll("dst") === frontier("v"))
+        .select(col("src").as("v")).distinct()
+        .join(acc, Seq("v"), "left_anti").localCheckpoint()
+      acc = acc.unionByName(next).localCheckpoint()
+      frontier = next
+      rounds += 1
+    }
+    require(frontier.isEmpty,
+      s"cluster-store reverse closure did not terminate in " +
+        s"$maxRounds rounds at epoch $epoch — corrupt star-edge state; " +
+        "rebuild the store")
+    acc
+  }
+
   private def resolveAt(spark: SparkSession, dir: String, epoch: Long,
       ids: DataFrame): DataFrame = {
     val stars = starsC(spark, dir, epoch)

@@ -71,4 +71,26 @@ object IncrementalClusters {
       .foreachBatch(upsertBatch(storeDir) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** CHANGE-DATA-FEED decorator: wrap any of the three batch bodies so
+    * every committed store epoch also lands its assignment delta in
+    * `feedDir/e=N` (doc_id, old_rep, new_rep, change). Emission is
+    * [[graft.scale.ClusterStore.emitChangeFeed]] — DERIVED from the
+    * store's epoch dirs, not captured in-flight, so it self-heals: a
+    * crash between the store commit and the feed write is repaired by
+    * the next batch's call, and a replayed batch (store no-op) emits
+    * nothing new. Downstream incremental exporters tail the feed
+    * instead of re-diffing snapshots:
+    * {{{
+    * chunks.writeStream.foreachBatch(
+    *   IncrementalClusters.withChangeFeed(store, feed)(
+    *     IncrementalClusters.appendBatch(store)))
+    * }}} */
+  def withChangeFeed(storeDir: String, feedDir: String,
+      baseline: Long = 0L)(body: (DataFrame, Long) => Unit): (DataFrame, Long) => Unit =
+    (batch, epochId) => {
+      body(batch, epochId)
+      graft.scale.ClusterStore.emitChangeFeed(
+        batch.sparkSession, storeDir, feedDir, baseline)
+    }
 }

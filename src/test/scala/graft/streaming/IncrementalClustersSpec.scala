@@ -96,4 +96,77 @@ class IncrementalClustersSpec extends AnyFunSuite {
       got() == truth(revised),
       "revision epoch replay changed the store")
   }
+
+  test("change feed: per-epoch deltas exact, compose to the final map, tail self-heals (q167)") {
+    implicit val sqlCtx = spark.sqlContext
+    val root = tmp("graft-incl-cdf")
+    val store = root + "/store"
+    val feed = root + "/feed"
+    // epoch 0 = the feed's baseline snapshot
+    val b0 = Seq(1L -> 100L, 2L -> 100L, 5L -> 200L)
+    ClusterStore.build(b0.toDF("doc_id", "chunk_hash"), store)
+    val b1 = Seq(6L -> 200L, 9L -> 300L)          // epoch 1: inserts
+    val b2 = Seq(7L -> 100L, 7L -> 300L)          // epoch 2: bridge 9 into {1,2}
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("doc_id", "chunk_hash").writeStream
+      .foreachBatch(IncrementalClusters.withChangeFeed(store, feed)(
+        IncrementalClusters.appendBatch(store)))
+      .option("checkpointLocation", tmp("graft-incl-cdf-ckpt"))
+      .start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // epoch 3: a take-down through the same decorator
+    IncrementalClusters.withChangeFeed(store, feed)(
+      IncrementalClusters.deleteBatch(store))(Seq(1L).toDF("doc_id"), 99L)
+
+    def feedRows(): Map[(Long, Long), (Long, Long, String)] =
+      ClusterStore.changeFeed(spark, feed)
+        .select(col("e"), col("doc_id"),
+          coalesce(col("old_rep"), lit(-1L)),
+          coalesce(col("new_rep"), lit(-1L)), col("change"))
+        .as[(Long, Long, Long, Long, String)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val want = Map(
+      (1L, 6L) -> ((-1L, 5L, "inserted")),
+      (1L, 9L) -> ((-1L, 9L, "inserted")),
+      (2L, 7L) -> ((-1L, 1L, "inserted")),
+      (2L, 9L) -> ((9L, 1L, "relabeled")),
+      (3L, 1L) -> ((1L, -1L, "deleted")),
+      (3L, 2L) -> ((1L, 2L, "relabeled")),
+      (3L, 7L) -> ((1L, 2L, "relabeled")),
+      (3L, 9L) -> ((1L, 2L, "relabeled")))
+    assert(feedRows() == want, "per-epoch feed deltas diverged from truth")
+
+    // the CDF contract: baseline snapshot + replayed deltas ≡ final map
+    val baseline = ClusterStore.assignmentsAsOf(spark, store, 0L)
+      .as[(Long, Long)].collect().toMap
+    val replayed = feedRows().toSeq.sortBy(_._1._1)
+      .foldLeft(baseline) { case (m, ((_, doc), (_, nw, chg))) =>
+        if (chg == "deleted") m - doc else m + (doc -> nw)
+      }
+    val fin = ClusterStore.assignments(spark, store)
+      .as[(Long, Long)].collect().toMap
+    assert(replayed == fin, "baseline + deltas failed to rebuild the final map")
+
+    // tail self-heal: lose the last feed epoch (the crash window is
+    // between a store commit and its feed write), re-emit, identical
+    val before = feedRows()
+    deleteDir(s"$feed/e=3")
+    assert(feedRows() != before, "weak fixture: nothing deleted")
+    ClusterStore.emitChangeFeed(spark, store, feed)
+    assert(feedRows() == before, "healed feed diverged from the original")
+    // and a no-change call emits nothing new
+    ClusterStore.emitChangeFeed(spark, store, feed)
+    assert(feedRows() == before)
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
 }
