@@ -5051,6 +5051,53 @@ object ScaleCatalogue {
       |""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q168 — the FULL CDC LIFECYCLE on the VECTOR side (IvfIndex):
+  // build(80%) → append(20%) → re-embed(%9, reversed vectors) →
+  // delete(%7) → probe, composing the verbs q146/q158 proved one at a
+  // time. The compositions under test: append under frozen centroids
+  // feeding rows a later upsert supersedes; upsert's rev rows and
+  // registry under a later delete's tombstones (a tombstoned id must
+  // vanish from BOTH trees — main and _ivf_rev_rows — at probe time);
+  // cluster migration surviving the whole chain. Centroids stay
+  // frozen throughout (re-clustering is rebuild's job). The oracle
+  // replays flat assignment + probe scoring over ((corpus with %9
+  // re-embedded) minus %7) against the ORIGINAL centroid set — one
+  // hash match proving the vector verb algebra closes end to end.
+  // ---------------------------------------------------------------------
+  def q168IvfCdcLifecycle(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    val dir = cachedIndexDir("ivf-cdc", d, "v1") { p =>
+      graft.scale.IvfIndex.build(
+        emb.filter(col("vec_id") % 5 =!= 4), centroids, p,
+        centroidCount = cc)
+      graft.scale.IvfIndex.append(
+        emb.filter(col("vec_id") % 5 === 4), centroids, p,
+        centroidCount = cc)
+      val revised = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfIndex.upsert(revised, centroids, p, rev = 1L,
+        centroidCount = cc)
+      graft.scale.IvfIndex.delete(
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), p)
+    }
+    graft.scale.IvfIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q168Sql: String = ivfProbeSqlOver("emb3",
+    prelude = """emb3 AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CASE WHEN vec_id % 9 = 0 THEN list_reverse(embedding)
+      |      ELSE embedding END AS embedding
+      |  FROM embeddings WHERE vec_id % 7 <> 0),
+      |""".stripMargin)
+
+  // ---------------------------------------------------------------------
   // q163 — the FULL CDC LIFECYCLE composed on one index: build(80%) →
   // append(20%) → revise(doc%9, token-reversed) → delete(doc%7) →
   // serve, all four verbs against the citation index — the subtlest
@@ -5633,6 +5680,7 @@ object ScaleCatalogue {
     "q165_cluster_cdc_serve" -> q165ClusterCdcServe _,
     "q166_cluster_diff" -> q166ClusterDiff _,
     "q167_cluster_change_feed" -> q167ClusterChangeFeed _,
+    "q168_ivf_cdc_lifecycle" -> q168IvfCdcLifecycle _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5769,5 +5817,6 @@ object ScaleCatalogue {
     "q165_cluster_cdc_serve" -> q165Sql,
     "q166_cluster_diff" -> q166Sql,
     "q167_cluster_change_feed" -> q167Sql,
+    "q168_ivf_cdc_lifecycle" -> q168Sql,
   )
 }

@@ -380,6 +380,47 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(top(dir) == got, "rebuild-folded serving diverged")
   }
 
+  test("full CDC lifecycle: build + append + upsert + delete compose (q168)") {
+    // every maintenance verb once, in production order, against one
+    // index under frozen centroids — the compositions under test:
+    // append rows a later upsert supersedes, upsert's rev tree under a
+    // later delete's tombstones (a tombstoned id must vanish from BOTH
+    // trees at probe time).
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val queries = emb.filter(col("vec_id") === 1)
+    def top(dir: String) = IvfIndex
+      .topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+
+    val dir = Files.createTempDirectory("graft-ivf-cdc").toString
+    IvfIndex.build(emb.filter(col("vec_id") % 5 =!= 4), centroids, dir)
+    IvfIndex.append(emb.filter(col("vec_id") % 5 === 4), centroids, dir)
+    val revised = emb.filter(col("vec_id") % 9 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    IvfIndex.upsert(revised, centroids, dir, rev = 1L)
+    IvfIndex.delete(
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+    // a %9 ∩ %7 victim existed, so the delete crossed the rev tree
+    assert(emb.filter(col("vec_id") % 63 === 0).count() > 0,
+      "weak fixture: no victim had a revised generation")
+
+    val refDir = Files.createTempDirectory("graft-ivf-cdc-ref").toString
+    IvfIndex.build(
+      emb.withColumn("embedding",
+          when(col("vec_id") % 9 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        .filter(col("vec_id") % 7 =!= 0),
+      centroids, refDir)
+    val got = top(dir)
+    assert(got == top(refDir),
+      "CDC lifecycle diverged from a rebuild over revised survivors")
+    assert(got.nonEmpty)
+    // no tombstoned id serves from either tree
+    assert(!got.exists(_._3 % 7 == 0), "a deleted vector still served")
+  }
+
   private def countParquet(dir: String): Int = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
