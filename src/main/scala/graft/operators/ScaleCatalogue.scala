@@ -5098,6 +5098,44 @@ object ScaleCatalogue {
       |""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q169 — the FULL CDC LIFECYCLE on the BM25 index, where the
+  // composition is about CORPUS STATISTICS: every verb moves
+  // n_docs/sum_dl/df, and a probed score is only right if the ledger
+  // nets build(80%) + append(20%) + revise(%9, every-2nd-token — dl
+  // halves) + delete(%7, including docs whose CURRENT generation is
+  // the revised one, so the tombstone must subtract the revised dl
+  // while the revision delta stays counted) to exactly the
+  // revised-survivor corpus's stats. One oracle hash over the q92
+  // scoring chain proves scores, df, and avgdl all close.
+  // ---------------------------------------------------------------------
+  def q169Bm25CdcLifecycle(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("bm-index-cdc", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.BmIndex.build(docs.filter(col("doc_id") % 5 =!= 4), p)
+      graft.scale.BmIndex.append(docs.filter(col("doc_id") % 5 === 4), p)
+      val revised = docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("text", concat_ws(" ",
+          filter(split(col("text"), " "), (_, i) => i % 2 === 0)))
+      graft.scale.BmIndex.upsert(revised, p, rev = 1L)
+      graft.scale.BmIndex.delete(
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), p)
+      require(graft.scale.BmIndex.consistent(s, p),
+        "BM25 index failed its consistency probes after the CDC cycle")
+    }
+    graft.scale.BmIndex.topK(s, dir, doc1Terms(s, d), k = 15)
+  }
+  val q169Sql: String = {
+    val revisedText =
+      """CASE WHEN doc_id % 9 = 0 THEN array_to_string(
+        | list_filter(string_split(text, ' '), (x, i) -> (i-1) % 2 = 0),
+        | ' ') ELSE text END""".stripMargin.replace("\n", "")
+    s"""WITH ${bm25CtesOver("doc_id % 7 <> 0", revisedText)}
+       |SELECT rank, doc_id, n_hit, score_q FROM lexranked
+       |WHERE rank <= 15 ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q163 — the FULL CDC LIFECYCLE composed on one index: build(80%) →
   // append(20%) → revise(doc%9, token-reversed) → delete(doc%7) →
   // serve, all four verbs against the citation index — the subtlest
@@ -5681,6 +5719,7 @@ object ScaleCatalogue {
     "q166_cluster_diff" -> q166ClusterDiff _,
     "q167_cluster_change_feed" -> q167ClusterChangeFeed _,
     "q168_ivf_cdc_lifecycle" -> q168IvfCdcLifecycle _,
+    "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5818,5 +5857,6 @@ object ScaleCatalogue {
     "q166_cluster_diff" -> q166Sql,
     "q167_cluster_change_feed" -> q167Sql,
     "q168_ivf_cdc_lifecycle" -> q168Sql,
+    "q169_bm25_cdc_lifecycle" -> q169Sql,
   )
 }

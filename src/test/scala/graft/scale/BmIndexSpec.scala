@@ -259,4 +259,39 @@ class BmIndexSpec extends AnyFunSuite {
       "rebuild inherited stale tombstones")
     assert(BmIndex.consistent(spark, dir))
   }
+
+  test("full CDC lifecycle: build + append + upsert + delete net the stats exactly (q169)") {
+    // every verb moves n_docs/sum_dl/df; a probed score is only right
+    // if the ledger nets the four to exactly the revised-survivor
+    // corpus's stats — including victims whose CURRENT generation is
+    // the revised one (tombstone subtracts the revised dl, the
+    // revision delta stays counted).
+    val dir = tmp("graft-bmidx-cdc")
+    BmIndex.build(docs.filter(col("doc_id") % 5 =!= 4), dir)
+    BmIndex.append(docs.filter(col("doc_id") % 5 === 4), dir)
+    val revised = docs.filter(col("doc_id") % 9 === 0)
+      .withColumn("text", concat_ws(" ",
+        filter(split(col("text"), " "), (_, i) => i % 2 === 0)))
+    BmIndex.upsert(revised, dir, rev = 1L)
+    BmIndex.delete(docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id")), dir)
+    assert(BmIndex.consistent(spark, dir))
+    val got = BmIndex.topK(spark, dir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    // twin: an index built once over the revised survivors
+    val refDir = tmp("graft-bmidx-cdc-ref")
+    val survivorCorpus = docs
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+          concat_ws(" ",
+            filter(split(col("text"), " "), (_, i) => i % 2 === 0)))
+        .otherwise(col("text")))
+      .filter(col("doc_id") % 7 =!= 0)
+    BmIndex.build(survivorCorpus, refDir)
+    val want = BmIndex.topK(spark, refDir, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == want,
+      "CDC lifecycle scores diverged from the revised-survivor rebuild")
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2 % 7 == 0), "a deleted doc still scored")
+  }
 }
