@@ -5098,6 +5098,95 @@ object ScaleCatalogue {
       |""".stripMargin)
 
   // ---------------------------------------------------------------------
+  // q170 — the FULL CDC LIFECYCLE on the LSH dedup index, where the
+  // composition is about CANDIDATE GENERATION across generations:
+  // append's bands feeding buckets a later upsert's generations
+  // supersede (stale bands must stop producing candidates, not just
+  // stop verifying), the upsert registry under a later delete's
+  // tombstones (a tombstoned id must vanish whether its last
+  // generation was build, append, or rev rows), and signature
+  // verification joining only CURRENT-generation sigs. Oracle replays
+  // the whole portable-MinHash chain over the revised survivor corpus
+  // — one hash match proves probe ≡ probe-of-never-differed index.
+  // ---------------------------------------------------------------------
+  def q170LshCdcLifecycle(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("lsh-index-cdc", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val corpus = docs.filter(col("doc_id") < 400)
+      graft.scale.LshIndex.build(corpus.filter(col("doc_id") % 5 =!= 4), p)
+      graft.scale.LshIndex.append(corpus.filter(col("doc_id") % 5 === 4), p)
+      val revised = corpus.filter(col("doc_id") % 9 === 0)
+        .withColumn("text",
+          concat_ws(" ", reverse(split(col("text"), " "))))
+      graft.scale.LshIndex.upsert(revised, p, rev = 1L)
+      graft.scale.LshIndex.delete(
+        corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")), p)
+      require(graft.scale.LshIndex.consistent(s, p),
+        "LSH index failed its consistency probes after the CDC cycle")
+    }
+    graft.scale.LshIndex
+      .dedupBatch(s, dir, docs.filter(col("doc_id") >= 400), minMatches = 8)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+  }
+  val q170Sql: String = {
+    val revText =
+      """CASE WHEN doc_id < 400 AND doc_id % 9 = 0
+        | THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+        | ELSE text END""".stripMargin.replace("\n", "")
+    val base = lshProbeSqlOver(revText)
+    val out = base.replace(
+      "AND a.doc_id < 400 AND b.doc_id >= 400",
+      "AND a.doc_id < 400 AND a.doc_id % 7 <> 0 AND b.doc_id >= 400")
+    require(out != base, "q170Sql corpus-side rewrite target not found")
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // q171 — the FULL CDC LIFECYCLE on the IVF+PQ index: q168's verb
+  // composition with the second frozen artifact in play — appended
+  // and revised vectors re-encode under the codebooks STORED at
+  // build (pinned to the full-table derivation so the oracle's
+  // replay agrees), while the coarse centroids gate which partition
+  // dirs exist; the tombstone must reach code rows in both the main
+  // and _pq_rev_rows trees. Oracle = q159's replay with the %7 slice
+  // excluded from the assigned corpus — serving still scans m-byte
+  // codes only, and one hash match closes the verb algebra on the
+  // compressed-vector side.
+  // ---------------------------------------------------------------------
+  def q171IvfPqCdcLifecycle(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    val dir = cachedIndexDir("ivfpq-cdc", d, "v1") { p =>
+      graft.scale.IvfPqIndex.build(
+        emb.filter(col("vec_id") % 5 =!= 4), centroids, p,
+        centroidCount = cc,
+        codebooks = Some(graft.scale.Similarity.pqInitCodebooks(emb)))
+      graft.scale.IvfPqIndex.append(
+        emb.filter(col("vec_id") % 5 === 4), centroids, p,
+        centroidCount = cc)
+      val revised = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfPqIndex.upsert(revised, centroids, p, rev = 1L,
+        centroidCount = cc)
+      graft.scale.IvfPqIndex.delete(
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), p)
+    }
+    graft.scale.IvfPqIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  // lazy: derives from q159Sql, which initializes later in this object
+  lazy val q171Sql: String = {
+    val out = q159Sql.replace("FROM emb2 a, cent c)",
+      "FROM emb2 a, cent c WHERE a.vec_id % 7 <> 0)")
+    require(out != q159Sql, "q171Sql corpus-side rewrite target not found")
+    out
+  }
+
+  // ---------------------------------------------------------------------
   // q169 — the FULL CDC LIFECYCLE on the BM25 index, where the
   // composition is about CORPUS STATISTICS: every verb moves
   // n_docs/sum_dl/df, and a probed score is only right if the ledger
@@ -5720,6 +5809,8 @@ object ScaleCatalogue {
     "q167_cluster_change_feed" -> q167ClusterChangeFeed _,
     "q168_ivf_cdc_lifecycle" -> q168IvfCdcLifecycle _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
+    "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
+    "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5858,5 +5949,7 @@ object ScaleCatalogue {
     "q167_cluster_change_feed" -> q167Sql,
     "q168_ivf_cdc_lifecycle" -> q168Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
+    "q170_lsh_cdc_lifecycle" -> q170Sql,
+    "q171_ivfpq_cdc_lifecycle" -> q171Sql,
   )
 }

@@ -209,4 +209,43 @@ class IvfPqIndexSpec extends AnyFunSuite {
       "build-over must reset the revision state")
     assert(top(dir) == before, "rebuilt-from-source serving diverged")
   }
+
+  test("full CDC lifecycle: build + append + upsert + delete compose (q171)") {
+    // both frozen artifacts in play across all four verbs: appended
+    // and revised vectors re-encode under the codebooks stored at
+    // build; the tombstone must reach code rows in the main AND rev
+    // trees. Codebooks pinned to the full-table derivation so the
+    // rebuild twin agrees.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = Similarity.strideCentroids(emb, stride = 50)
+    val cb = Some(Similarity.pqInitCodebooks(emb))
+    val queries = emb.filter(col("vec_id") === 1)
+    def top(dir: String) = IvfPqIndex
+      .topK(spark, dir, queries, centroids, k = 5)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+
+    val dir = Files.createTempDirectory("graft-ivfpq-cdc").toString
+    IvfPqIndex.build(emb.filter(col("vec_id") % 5 =!= 4), centroids, dir,
+      codebooks = cb)
+    IvfPqIndex.append(emb.filter(col("vec_id") % 5 === 4), centroids, dir)
+    val revised = emb.filter(col("vec_id") % 9 === 0)
+      .withColumn("embedding", reverse(col("embedding")))
+    IvfPqIndex.upsert(revised, centroids, dir, rev = 1L)
+    IvfPqIndex.delete(
+      emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), dir)
+
+    val refDir = Files.createTempDirectory("graft-ivfpq-cdc-ref").toString
+    IvfPqIndex.build(
+      emb.withColumn("embedding",
+          when(col("vec_id") % 9 === 0, reverse(col("embedding")))
+            .otherwise(col("embedding")))
+        .filter(col("vec_id") % 7 =!= 0),
+      centroids, refDir, codebooks = cb)
+    val got = top(dir)
+    assert(got == top(refDir),
+      "CDC lifecycle diverged from a rebuild over revised survivors")
+    assert(got.nonEmpty)
+    assert(!got.exists(_._3 % 7 == 0), "a deleted vector still served")
+  }
 }

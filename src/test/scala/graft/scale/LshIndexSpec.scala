@@ -395,4 +395,31 @@ class LshIndexSpec extends AnyFunSuite {
     LshIndex.append(gone, dir)
     assert(LshIndex.consistent(spark, dir), "gone-batch replay did not heal")
   }
+
+  test("full CDC lifecycle: build + append + upsert + delete compose (q170)") {
+    // the candidate-generation composition: append's bands that a
+    // later upsert supersedes, the upsert registry under a later
+    // delete's tombstones — probe must equal an index that never held
+    // anything but the revised survivors.
+    val dir = tmp("graft-lshidx-cdc")
+    LshIndex.build(corpus.filter(col("doc_id") % 5 =!= 4), dir)
+    LshIndex.append(corpus.filter(col("doc_id") % 5 === 4), dir)
+    val revised = corpus.filter(col("doc_id") % 9 === 0)
+      .withColumn("text", concat_ws(" ", reverse(split(col("text"), " "))))
+    LshIndex.upsert(revised, dir, rev = 1L)
+    LshIndex.delete(
+      corpus.filter(col("doc_id") % 7 === 0).select(col("doc_id")), dir)
+    assert(LshIndex.consistent(spark, dir))
+    val got = result(dir)
+    val refDir = tmp("graft-lshidx-cdc-ref")
+    LshIndex.build(corpus
+      .withColumn("text", when(col("doc_id") % 9 === 0,
+          concat_ws(" ", reverse(split(col("text"), " "))))
+        .otherwise(col("text")))
+      .filter(col("doc_id") % 7 =!= 0), refDir)
+    assert(got == result(refDir),
+      "CDC lifecycle probe diverged from the revised-survivor rebuild")
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2 % 7 == 0), "a deleted corpus doc still matched")
+  }
 }
