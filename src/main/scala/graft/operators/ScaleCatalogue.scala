@@ -5187,6 +5187,68 @@ object ScaleCatalogue {
   }
 
   // ---------------------------------------------------------------------
+  // q172 — the FULL CDC LIFECYCLE on the z-order layout, closing the
+  // verb matrix at 7/7: write(⅓) → append(⅔) → upsert(%9, yb+128 —
+  // rows cross the box boundary both ways AND change bucket) →
+  // delete(%7, Layout.deleteZOrdered — the layout's new take-down
+  // verb: tombstoned ids drop from BOTH trees at read time) →
+  // compactZOrderedTo(fold) → tight box read over the COMPACTED
+  // layout. The fold is the composition-sensitive step: it must drop
+  // superseded generations AND tombstoned ids while folding current
+  // rev rows into their migrated buckets (a geometry-only compaction
+  // of a CDC-carrying layout is refused loudly). Oracle filters the
+  // revised survivor table by the plain box predicate — hash equality
+  // proves the five-verb chain ≡ a layout written once over the
+  // revised survivors, z recompute included.
+  // ---------------------------------------------------------------------
+  def q172ZOrderCdcLifecycle(s: SparkSession, d: String): DataFrame = {
+    val dir = cachedIndexDir("zorder-cdc", d, "v1",
+      datasets = Seq("events.parquet")) { p =>
+      val ev = events(s, d)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("xb"),
+          pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+      graft.scale.Layout.writeZOrdered(
+        ev.filter(col("event_id") % 3 === 0), col("xb"), col("yb"),
+        s"$p/base")
+      (1 to 2).foreach { i =>
+        graft.scale.Layout.appendZOrdered(
+          ev.filter(col("event_id") % 3 === i), col("xb"), col("yb"),
+          s"$p/base")
+      }
+      val revised = ev.filter(col("event_id") % 9 === 0)
+        .withColumn("yb", pmod(col("yb") + lit(128L), lit(256L)))
+      graft.scale.Layout.upsertZOrdered(revised, "event_id",
+        col("xb"), col("yb"), s"$p/base", rev = 1L)
+      graft.scale.Layout.deleteZOrdered(
+        ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+        "event_id", s"$p/base")
+      graft.scale.Layout.compactZOrderedTo(s, s"$p/base", s"$p/compact",
+        foldRevisionsBy = Some("event_id"))
+    }
+    graft.scale.Layout
+      .boxScanTight(s.read.parquet(s"$dir/compact"), 16, 31, 32, 63)
+      .select(col("event_id"), col("xb"), col("yb"), col("z"))
+      .orderBy(col("event_id"))
+  }
+  val q172Sql: String = {
+    val zExpr = (0 until 8).map { i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) | (((yb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""WITH b0 AS (
+       |  SELECT event_id, user_id % 256 AS xb,
+       |    (epoch_ms(ts) // 60000) % 256 AS yb
+       |  FROM events),
+       |b AS (
+       |  SELECT event_id, xb,
+       |    CASE WHEN event_id % 9 = 0 THEN (yb + 128) % 256 ELSE yb END AS yb
+       |  FROM b0 WHERE event_id % 7 <> 0)
+       |SELECT event_id, xb, yb, CAST($zExpr AS BIGINT) AS z
+       |FROM b WHERE xb BETWEEN 16 AND 31 AND yb BETWEEN 32 AND 63
+       |ORDER BY event_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q169 — the FULL CDC LIFECYCLE on the BM25 index, where the
   // composition is about CORPUS STATISTICS: every verb moves
   // n_docs/sum_dl/df, and a probed score is only right if the ledger
@@ -5811,6 +5873,7 @@ object ScaleCatalogue {
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
+    "q172_zorder_cdc_lifecycle" -> q172ZOrderCdcLifecycle _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -5951,5 +6014,6 @@ object ScaleCatalogue {
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,
+    "q172_zorder_cdc_lifecycle" -> q172Sql,
   )
 }

@@ -268,27 +268,60 @@ object Layout {
       spark.range(0).select(col("id").as(idCol), col("id").as("rev"))
     else spark.read.parquet(s"$path/_z_rev")
 
+  private def tombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame =
+    if (!IndexIo.exists(spark, s"$path/_z_tombs"))
+      spark.range(0).select(col("id").as(idCol))
+    else spark.read.parquet(s"$path/_z_tombs")
+
+  /** TAKE-DOWN — the delete verb on the z layout, completing its CDC
+    * set (write/append/upsert/delete/compact): victim ids land in
+    * `_z_tombs` (append-only; the anti-join makes a replayed batch a
+    * no-op), [[readCurrent]] anti-joins them against BOTH trees at
+    * read time — one broadcast of the O(deleted) id set — so a
+    * deleted id's EVERY generation (main row, rev rows, registry
+    * entries) stops serving unrewritten, and [[compactZOrderedTo]]
+    * with `foldRevisionsBy` folds them physically. Family contract
+    * ([[LshIndex.delete]]): a tombstoned id stays dead until a
+    * compaction folds it out — re-ingest after takedown is
+    * compact-then-append, never upsert-over-tombstone. */
+  def deleteZOrdered(ids: DataFrame, idCol: String, path: String): Unit = {
+    val spark = ids.sparkSession
+    val fresh = ids.select(col(idCol)).na.drop().distinct()
+      .join(tombstones(spark, path, idCol), Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (fresh.count() > 0L)
+      fresh.write.mode("append").parquet(s"$path/_z_tombs")
+  }
+
   /** The current-generation view of a revised layout — what box reads
     * scan: a registered id's main-layout row drops, its max-rev
-    * revision row (possibly in a DIFFERENT bucket) serves; both
-    * filters are one broadcast join against the O(revised) registry,
-    * and a box read's z_bucket partition filter pushes into both
-    * sides of the union. Never-revised layouts return the plain read
-    * (zero overhead — the registry probe is one file-existence
-    * check). */
+    * revision row (possibly in a DIFFERENT bucket) serves, and
+    * tombstoned ids drop from both trees; each filter is one
+    * broadcast join against an O(revised)/O(deleted) table, and a box
+    * read's z_bucket partition filter pushes into both sides of the
+    * union. Never-revised, never-deleted layouts return the plain
+    * read (zero overhead — the probes are file-existence checks). */
   def readCurrent(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String): DataFrame = {
     val main = spark.read.parquet(path)
-    if (!IndexIo.exists(spark, s"$path/_z_rev")) return main
-    val cur = registry(spark, path, idCol)
-      .groupBy(col(idCol)).agg(max(col("rev")).as("cur_rev"))
-    val mainCur = main.join(broadcast(cur.select(col(idCol))),
+    val served =
+      if (!IndexIo.exists(spark, s"$path/_z_rev")) main
+      else {
+        val cur = registry(spark, path, idCol)
+          .groupBy(col(idCol)).agg(max(col("rev")).as("cur_rev"))
+        val mainCur = main.join(broadcast(cur.select(col(idCol))),
+          Seq(idCol), "left_anti")
+        val revCur = spark.read.parquet(s"$path/_z_rev_rows")
+          .join(broadcast(cur), Seq(idCol))
+          .filter(col("rev") === col("cur_rev"))
+          .drop("rev", "cur_rev")
+        mainCur.unionByName(revCur)
+      }
+    if (!IndexIo.exists(spark, s"$path/_z_tombs")) served
+    else served.join(
+      broadcast(tombstones(spark, path, idCol).distinct()),
       Seq(idCol), "left_anti")
-    val revCur = spark.read.parquet(s"$path/_z_rev_rows")
-      .join(broadcast(cur), Seq(idCol))
-      .filter(col("rev") === col("cur_rev"))
-      .drop("rev", "cur_rev")
-    mainCur.unionByName(revCur)
   }
 
   /** Copy-compaction of an append-decayed z layout into `destPath`
@@ -306,14 +339,24 @@ object Layout {
     * bucket shuffle — layout-sized, never source-table-sized. */
   def compactZOrderedTo(spark: org.apache.spark.sql.SparkSession,
       path: String, destPath: String,
-      foldRevisionsBy: Option[String] = None): Unit =
+      foldRevisionsBy: Option[String] = None): Unit = {
     // foldRevisionsBy = the layout's id column: superseded generations
-    // drop, current revision rows fold into their buckets, and the
-    // destination carries no registry — indistinguishable from a
-    // layout written over the revised source
+    // and tombstoned ids drop, current revision rows fold into their
+    // buckets, and the destination carries no registry or tombstones —
+    // indistinguishable from a layout written over the revised
+    // survivors. A layout carrying CDC state REQUIRES the fold: a
+    // geometry-only compaction would copy main rows while dropping the
+    // underscore-hidden registry/tombstones, silently resurrecting
+    // superseded generations and deleted ids at the destination.
+    require(foldRevisionsBy.isDefined ||
+      (!IndexIo.exists(spark, s"$path/_z_rev") &&
+        !IndexIo.exists(spark, s"$path/_z_tombs")),
+      "layout carries revision/tombstone state — compact with " +
+        "foldRevisionsBy = Some(<id column>) so the fold serves it")
     foldRevisionsBy.fold(spark.read.parquet(path))(
         idCol => readCurrent(spark, path, idCol))
       .repartition(col("z_bucket"))
       .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrdered
       .write.partitionBy("z_bucket").mode("overwrite").parquet(destPath)
+  }
 }

@@ -343,4 +343,62 @@ class ZOrderSpec extends AnyFunSuite {
     assert(spark.read.parquet(dest).count() == ev.count(),
       "folded layout must hold exactly one generation per row")
   }
+
+  test("full CDC lifecycle with deleteZOrdered: tombstones reach both trees, fold required (q172)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zcdc")
+    val dir = base.resolve("events_z").toString
+    val dest = base.resolve("events_z_c").toString
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+    Layout.writeZOrdered(ev.filter(col("event_id") % 3 === 0),
+      col("xb"), col("yb"), dir)
+    (1 to 2).foreach { i =>
+      Layout.appendZOrdered(ev.filter(col("event_id") % 3 === i),
+        col("xb"), col("yb"), dir)
+    }
+    val revised = ev.filter(col("event_id") % 9 === 0)
+      .withColumn("yb", pmod(col("yb") + lit(128L), lit(256L)))
+    Layout.upsertZOrdered(revised, "event_id", col("xb"), col("yb"),
+      dir, rev = 1L)
+    Layout.deleteZOrdered(
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      "event_id", dir)
+    // replayed take-down is a no-op on the tombstone table
+    val tombsBefore = spark.read.parquet(s"$dir/_z_tombs").count()
+    Layout.deleteZOrdered(
+      ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+      "event_id", dir)
+    assert(spark.read.parquet(s"$dir/_z_tombs").count() == tombsBefore,
+      "delete replay duplicated tombstones")
+
+    // serving truth: revised survivors only — a %63 id proves the
+    // tombstone reached the REVISION tree, a plain %7 id the main tree
+    val truth = ev.withColumn("yb",
+        when(col("event_id") % 9 === 0,
+          pmod(col("yb") + lit(128L), lit(256L)))
+          .otherwise(col("yb")))
+      .filter(col("event_id") % 7 =!= 0)
+      .select("event_id").as[Long].collect().toSet
+    def served(path: String) = Layout
+      .boxScanTight(Layout.readCurrent(spark, path, "event_id"),
+        0, 255, 0, 255)
+      .select("event_id").as[Long].collect().toSet
+    assert(served(dir) == truth,
+      "post-delete serving diverged from the revised-survivor truth")
+    assert(ev.filter(col("event_id") % 63 === 0).count() > 0,
+      "weak fixture: no victim had a revised generation")
+
+    // geometry-only compaction of a CDC-carrying layout refuses loudly
+    intercept[IllegalArgumentException] {
+      Layout.compactZOrderedTo(spark, dir, dest)
+    }
+    // the fold serves identically and carries no CDC residue
+    Layout.compactZOrderedTo(spark, dir, dest,
+      foldRevisionsBy = Some("event_id"))
+    assert(!new java.io.File(s"$dest/_z_tombs").exists() &&
+      !new java.io.File(s"$dest/_z_rev").exists())
+    assert(served(dest) == truth, "folded CDC layout changed the serve")
+  }
 }
