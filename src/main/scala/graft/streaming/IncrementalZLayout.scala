@@ -44,4 +44,23 @@ object IncrementalZLayout {
       .foreachBatch(appendBatch(dir, idCol, x, y, bucketWidth, bits) _)
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** The take-down foreachBatch body
+    * ([[graft.scale.Layout.deleteZOrdered]]): victim ids tombstone in
+    * `_z_tombs`, `readCurrent` drops every generation immediately, the
+    * next revision-folding compaction folds them physically. Replay
+    * safety is the tombstone anti-join — a committed batch re-lands
+    * nothing. Single-writer rule as everywhere in this family: never
+    * run ingest and take-down loops concurrently against one dir. */
+  def deleteBatch(dir: String, idCol: String)(
+      batch: DataFrame, epochId: Long): Unit =
+    graft.scale.Layout.deleteZOrdered(batch, idCol, dir)
+
+  /** Run the take-down loop over a streaming removal feed (idCol). */
+  def runDeletes(removals: DataFrame, dir: String, idCol: String,
+      checkpoint: String): StreamingQuery =
+    removals.writeStream
+      .foreachBatch(deleteBatch(dir, idCol) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

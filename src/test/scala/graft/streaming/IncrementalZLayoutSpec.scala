@@ -71,6 +71,34 @@ class IncrementalZLayoutSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSet == brute)
   }
 
+  test("streamed take-downs: tombstoned ids leave readCurrent; replay no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("graft-zstream-del")
+    Layout.writeZOrdered(ev, col("xb"), col("yb"), dir)
+    val mem = MemoryStream[Long]
+    val q = IncrementalZLayout.runDeletes(
+      mem.toDF().toDF("event_id"), dir, "event_id",
+      checkpoint = tmp("graft-zstream-del-ckpt"))
+    val victims = ev.filter(col("event_id") % 7 === 0)
+      .select("event_id").as[Long].collect().toSeq
+    try {
+      val (v1, v2) = victims.splitAt(victims.length / 2)
+      mem.addData(v1: _*); q.processAllAvailable()
+      mem.addData(v2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val served = Layout.readCurrent(spark, dir, "event_id")
+      .select("event_id").as[Long].collect().toSet
+    assert(served == ev.filter(col("event_id") % 7 =!= 0)
+      .select("event_id").as[Long].collect().toSet,
+      "streamed take-down diverged from the survivor set")
+    // committed-replay is a no-op on the tombstone table
+    val before = spark.read.parquet(s"$dir/_z_tombs").count()
+    IncrementalZLayout.deleteBatch(dir, "event_id")(
+      victims.toDF("event_id"), 99L)
+    assert(spark.read.parquet(s"$dir/_z_tombs").count() == before,
+      "take-down replay duplicated tombstones")
+  }
+
   test("partial-commit heal: a torn append completes on replay without duplicates") {
     // stage the tear: append half a batch's rows manually (as if some
     // bucket files committed and the epoch then died), then replay the
