@@ -5187,6 +5187,71 @@ object ScaleCatalogue {
   }
 
   // ---------------------------------------------------------------------
+  // q173 — PER-SOURCE BOILERPLATE EXCISION (Dedup.boilerplateExcision,
+  // the CCNet/RefinedWeb pre-dedup pass): a fixed-width token segment
+  // occurring in ≥ half of one source's documents is site chrome and
+  // every document of that source drops it — the dedup family's
+  // domain-keyed member (span dedup hunts copies BETWEEN documents
+  // corpus-wide; this hunts repeats WITHIN a source at
+  // document-fraction scale, so a quoted passage survives while a
+  // footer dies). The synthetic corpus has no site chrome, so the
+  // fixture injects it by an oracle-replayable rule (the q41/q130/
+  // q132/q136 discipline): three 16-token front blocks per doc —
+  // header (100% of the source → excised), footer (80% → excised),
+  // promo (33% → BELOW threshold, must survive) — so both threshold
+  // directions are load-bearing in the hash. Scale: segments generate
+  // per row, df counts shuffle 16-byte keys map-side-combined, the
+  // flagged set is docs/minFrac-bounded and broadcasts; documents
+  // never move.
+  // ---------------------------------------------------------------------
+  def q173BoilerplateExcision(s: SparkSession, d: String): DataFrame = {
+    def blk(tag: String) = concat_ws(" ",
+      transform(sequence(lit(0), lit(15)),
+        j => concat(lit("h"), col("source"), lit(tag), j)))
+    val synth = documents(s, d).select(col("doc_id"), col("source"),
+      concat_ws(" ",
+        blk("x"),
+        when(col("doc_id") % 5 =!= 0, blk("f")),
+        when(col("doc_id") % 3 === 0, blk("p")),
+        col("text")).as("text"))
+    graft.scale.Dedup.boilerplateExcision(synth, win = 16, minFrac = 0.5)
+      .orderBy(col("doc_id"))
+  }
+  val q173Sql: String = {
+    def blk(tag: String) =
+      s"array_to_string(list_transform(range(0, 16), j -> 'h' || source || '$tag' || j), ' ')"
+    s"""WITH d2 AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    concat_ws(' ', ${blk("x")},
+       |      CASE WHEN doc_id % 5 <> 0 THEN ${blk("f")} END,
+       |      CASE WHEN doc_id % 3 = 0 THEN ${blk("p")} END,
+       |      text) AS text
+       |  FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, source, string_split(text, ' ') AS w,
+       |  len(string_split(text, ' ')) AS n FROM d2),
+       |st AS (SELECT doc_id, source, w, unnest(range(0, n, 16)) AS s FROM tok),
+       |seg AS MATERIALIZED (SELECT doc_id, source, s // 16 AS seg_ix,
+       |  CAST('0x' || substr(md5(array_to_string(w[s+1:s+16], ' ')), 1, 15)
+       |    AS BIGINT) AS seg_hash FROM st),
+       |srcn AS (SELECT source, count(DISTINCT doc_id) AS nd
+       |  FROM documents GROUP BY 1),
+       |bdf AS (SELECT source, seg_hash, count(DISTINCT doc_id) AS df
+       |  FROM seg GROUP BY 1, 2),
+       |boiler AS (SELECT source, seg_hash FROM bdf JOIN srcn USING (source)
+       |  WHERE df >= greatest(2, ceil(0.5 * nd))),
+       |bix AS (SELECT s.doc_id, list(DISTINCT s.seg_ix) AS ixs
+       |  FROM seg s JOIN boiler b USING (source, seg_hash) GROUP BY 1)
+       |SELECT t.doc_id,
+       |  CAST(ceil(t.n / 16.0) AS BIGINT) AS n_segs,
+       |  CAST(coalesce(len(x.ixs), 0) AS BIGINT) AS n_boiler,
+       |  array_to_string(list_filter(t.w,
+       |    (tk, i) -> NOT list_contains(coalesce(x.ixs, []), (i - 1) // 16)),
+       |    ' ') AS cleaned_text
+       |FROM tok t LEFT JOIN bix x USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // q172 — the FULL CDC LIFECYCLE on the z-order layout, closing the
   // verb matrix at 7/7: write(⅓) → append(⅔) → upsert(%9, yb+128 —
   // rows cross the box boundary both ways AND change bucket) →
@@ -5874,6 +5939,7 @@ object ScaleCatalogue {
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
     "q172_zorder_cdc_lifecycle" -> q172ZOrderCdcLifecycle _,
+    "q173_boilerplate_excision" -> q173BoilerplateExcision _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -6015,5 +6081,6 @@ object ScaleCatalogue {
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,
     "q172_zorder_cdc_lifecycle" -> q172Sql,
+    "q173_boilerplate_excision" -> q173Sql,
   )
 }

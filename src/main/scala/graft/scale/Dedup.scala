@@ -656,4 +656,65 @@ object Dedup {
           (_, i) => !array_contains(col("covered"), i)), " ")
           .as("cleaned_text"))
   }
+
+  /** PER-SOURCE boilerplate excision — the dedup family's domain-keyed
+    * member (the CCNet/RefinedWeb pre-dedup pass): a fixed-width token
+    * segment occurring in ≥ `minFrac` of one source's documents is
+    * site chrome (header, nav, footer — injected by the serving site,
+    * not authored), and every document of that source drops it.
+    * Differs from [[spanExcision]] on the KEY: span dedup hunts
+    * content copied BETWEEN documents corpus-wide; boilerplate hunts
+    * content repeated WITHIN a source at document-fraction scale, so
+    * a passage quoted by two documents survives here while a footer
+    * stamped on most of a site's pages dies. (Reference analogue: the
+    * wikitext rule pack strips marked-up site chrome per page,
+    * process-mw-dump.py:193-254 — this is the statistical form when
+    * no markup marks the chrome.)
+    *
+    * Scale shape: segments are non-overlapping fixed-width windows
+    * generated per row (zero shuffle); the df count shuffles 16-byte
+    * (source, seg_hash) rows with map-side combine; per-source doc
+    * counts are one tiny aggregate; the flagged set is bounded by
+    * docs/minFrac segments per source and BROADCASTS back, so
+    * documents never move. Same md5-based 60-bit fingerprints as the
+    * portable-LSH chain ([[portableSignatures]]) — the collision note
+    * on [[spanExcision]] applies.
+    *
+    * Returns (doc_id, n_segs, n_boiler, cleaned_text). */
+  def boilerplateExcision(docs: DataFrame, win: Int = 16,
+      minFrac: Double = 0.5): DataFrame = {
+    val tok = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("w"))
+    val segs = tok
+      .select(col("doc_id"), col("source"), col("w"),
+        explode(sequence(lit(0),
+          greatest(size(col("w")) - 1, lit(0)), lit(win))).as("s"))
+      .select(col("doc_id"), col("source"),
+        (col("s") / win).cast("long").as("seg_ix"),
+        graft.functions.Md5_64.md5_64(
+          array_join(slice(col("w"), col("s") + 1, lit(win)), " "))
+          .as("seg_hash"))
+    val perSource = docs.groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    // df floor of 2: boilerplate means REPEATED — on a tiny source the
+    // bare fraction would flag every segment of a 1-2 doc site
+    val boiler = segs.groupBy(col("source"), col("seg_hash"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .join(perSource, "source")
+      .filter(col("df") >= greatest(lit(2), ceil(lit(minFrac) * col("nd"))))
+      .select(col("source"), col("seg_hash"))
+    val boilerIx = segs
+      .join(broadcast(boiler), Seq("source", "seg_hash"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("seg_ix")).as("bix"))
+    tok.join(boilerIx, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("bix"), array().cast("array<long>")).as("bix"))
+      .select(col("doc_id"),
+        ceil(size(col("w")) / lit(win.toDouble)).cast("long").as("n_segs"),
+        size(col("bix")).cast("long").as("n_boiler"),
+        array_join(filter(col("w"),
+          (_, i) => !array_contains(col("bix"), (i / win).cast("long"))),
+          " ").as("cleaned_text"))
+  }
 }

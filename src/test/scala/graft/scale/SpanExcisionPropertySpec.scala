@@ -95,4 +95,34 @@ class SpanExcisionPropertySpec extends AnyFunSuite {
         got.drop(1).forall(r => r._4 == "" && r._3 == r._2)
     })
   }
+
+  test("boilerplate excision: threshold cuts per source, quotes between sources survive (q173)") {
+    // source A: 4 docs — a shared 16-token header (4/4 ≥ 50%, dies)
+    // and a 16-token promo on one doc (1/4 < 50%, survives).
+    // source B: 2 docs, one QUOTING A's header verbatim (1/2 < 50%
+    // within B — survives: the key is per source, not corpus-wide).
+    def blk(tag: String) = (0 until 16).map(j => s"$tag$j").mkString(" ")
+    val hdr = blk("h"); val promo = blk("p")
+    def body(i: Int) = (0 until 16).map(j => s"w${i}_$j").mkString(" ")
+    val rows = Seq(
+      (0L, "A", s"$hdr ${body(0)}"),
+      (1L, "A", s"$hdr $promo ${body(1)}"),
+      (2L, "A", s"$hdr ${body(2)}"),
+      (3L, "A", s"$hdr ${body(3)}"),
+      (10L, "B", s"$hdr ${body(10)}"),   // quote of A's header
+      (11L, "B", body(11)))
+      .toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateExcision(rows, win = 16, minFrac = 0.5)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(0L) == ((2L, 1L, body(0))), "header must die in A")
+    assert(got(1L) == ((3L, 1L, s"$promo ${body(1)}")),
+      "sub-threshold promo must survive")
+    assert(got(2L)._3 == body(2) && got(3L)._3 == body(3))
+    assert(got(10L) == ((2L, 0L, s"$hdr ${body(10)}")),
+      "a cross-source quote is NOT that source's boilerplate")
+    assert(got(11L) == ((1L, 0L, body(11))))
+    // bookkeeping: n_segs counts ceil(tokens/win), n_boiler the excised
+    assert(got.values.forall { case (segs, boiler, _) => boiler <= segs })
+  }
 }
