@@ -390,6 +390,36 @@ class ZOrderSpec extends AnyFunSuite {
     assert(ev.filter(col("event_id") % 63 === 0).count() > 0,
       "weak fixture: no victim had a revised generation")
 
+    // the scale claim: a bounded box read through the CDC-carrying
+    // readCurrent (union + two broadcast anti-joins) still pushes the
+    // z_bucket range as a PARTITION filter into BOTH trees
+    val boxed = Layout.boxScanTight(
+      Layout.readCurrent(spark, dir, "event_id"), 16, 31, 32, 63)
+    boxed.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case s: FileSourceScanExec => Seq(s)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case other => other.children.flatMap(scans)
+      }
+    // the registry (_z_rev) and tombstones (_z_tombs) are O(revised)/
+    // O(deleted) broadcast sides — no bucket filter expected there
+    val layoutScans = scans(boxed.queryExecution.executedPlan).filter(s =>
+      s.relation.location.rootPaths.exists(_.toString.contains("events_z")) &&
+        !s.relation.location.rootPaths.exists(p =>
+          p.toString.endsWith("_z_rev") || p.toString.endsWith("_z_tombs")))
+    val (revScans, mainScans) = layoutScans.partition(
+      _.relation.location.rootPaths.exists(_.toString.contains("_z_rev_rows")))
+    assert(mainScans.nonEmpty && revScans.nonEmpty,
+      "box read must scan both the main and the revision tree")
+    (mainScans ++ revScans).foreach { sc =>
+      assert(sc.partitionFilters.exists(_.toString.contains("z_bucket")),
+        s"bucket range must stay a partition filter through readCurrent: " +
+          s"${sc.relation.location.rootPaths.headOption} -> ${sc.partitionFilters}")
+    }
+
     // geometry-only compaction of a CDC-carrying layout refuses loudly
     intercept[IllegalArgumentException] {
       Layout.compactZOrderedTo(spark, dir, dest)
