@@ -76,9 +76,15 @@ object BmIndex {
       .withColumn("term_bucket",
         pmod(graft.functions.Md5_64.md5_64(col("term")), lit(Buckets)))
 
+  // coalesce: an empty frame sums to NULL, and a NULL sum_dl baked
+  // into _bm_stats poisons every later stats read — build over an
+  // empty frame (the LshIndex-documented cold start) must write (0, 0)
+  // (found by BmIndexPropertySpec's delete-everything-then-serve
+  // history, which needs the same zero on the rebuild twin)
   private def statsDelta(docs: DataFrame): DataFrame =
     docs.agg(count(lit(1)).as("n_docs"),
-      sum(size(split(col("text"), " ")).cast("long")).as("sum_dl"))
+      coalesce(sum(size(split(col("text"), " ")).cast("long")), lit(0L))
+        .as("sum_dl"))
 
   private def writePostings(docs: DataFrame, dir: String,
       mode: String): Unit =
@@ -393,11 +399,15 @@ object BmIndex {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     // stats NET of tombstones: IDF and avgdl shift when docs leave the
     // corpus — delete(X) then topK must score exactly like an index
-    // that never held X
+    // that never held X. try_divide: an index whose every doc was
+    // tombstoned has n_docs 0 — it must serve an EMPTY top-k (probed
+    // is already empty, the null avgdl never scores a row), not throw
+    // on the avgdl division (found by BmIndexPropertySpec's random
+    // delete-everything history)
     val stats = adjustedStats(spark, dir)
       .select(col("n_docs").cast("double").as("n_docs"),
-        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
-          .as("avgdl"))
+        try_divide(col("sum_dl").cast("double"),
+          col("n_docs").cast("double")).as("avgdl"))
     Bm25.rank(probed, stats, k, k1, b)
   }
 }
