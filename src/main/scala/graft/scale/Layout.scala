@@ -192,6 +192,18 @@ object Layout {
     * appends only the rows whose files didn't commit; a fully-landed
     * replay is a complete no-op. Cost: O(touched buckets) read +
     * O(batch) write, never layout-sized. */
+  /** REPLAY-idempotent, NOT key-idempotent: the anti-join reads
+    * existing ids only in the buckets the batch TOUCHES, which is
+    * exactly right for an epoch replay (same rows land in the same
+    * buckets, the probe stays partition-pruned) and exactly wrong for
+    * a known id arriving with MOVED coordinates — its committed row
+    * sits in a bucket this batch never touches, so a second serving
+    * row lands and both generations serve (found by
+    * ZOrderPropertySpec). A moved key is a ROW REVISION: route it
+    * through [[upsertZOrdered]], whose registry is the key-level
+    * dedup. Checking all buckets here would turn every append into a
+    * full-layout scan — the O(batch) contract this method exists
+    * for. */
   def appendZOrderedIdempotent(df: DataFrame, idCol: String,
       x: Column, y: Column, path: String,
       bucketWidth: Long = 4096L, bits: Int = 8): Unit = {

@@ -60,6 +60,10 @@ class ZOrderPropertySpec extends AnyFunSuite {
       // model: current generation per live id; tombstoned ids stay dead
       var live = base.map(r => r.id -> r).toMap
       var dead = Set.empty[Long]
+      // physical coordinates ever landed in the CURRENT main tree —
+      // the append path may only see an id again at the same coords
+      // (same-batch replay); anything else is upsert's job
+      var everCoords = base.map(r => r.id -> ((r.x, r.y))).toMap
       var rev = 0L
       Layout.writeZOrdered(df(base), col("xb"), col("yb"), dir)
       var lastReplay: () => Unit = () => ()
@@ -85,18 +89,24 @@ class ZOrderPropertySpec extends AnyFunSuite {
       ops.foreach { op =>
         op match {
           case App(rows) =>
-            // idempotent append admits only unknown live ids; known ids
-            // keep their committed generation, tombstoned ids stay dead
-            // at read time
+            // the append contract is REPLAY-idempotent, not
+            // key-idempotent (see appendZOrderedIdempotent's scaladoc):
+            // a known id with moved coordinates is a revision and must
+            // go through upsert — so the ingest feed carries only
+            // unknown ids. Rows for DEAD ids may land physically but
+            // never serve (tombstone anti-join); same-batch replay is
+            // the documented guarantee and stays under test.
             val fresh = rows.filter(r =>
-              !live.contains(r.id) && !dead.contains(r.id))
-            Layout.appendZOrderedIdempotent(df(rows), "event_id",
-              col("xb"), col("yb"), dir)
-            // rows for DEAD ids may land physically but never serve;
-            // rows for live ids are anti-joined away
-            live ++= fresh.map(r => r.id -> r)
-            lastReplay = () => Layout.appendZOrderedIdempotent(df(rows),
-              "event_id", col("xb"), col("yb"), dir)
+              !live.contains(r.id) && !dead.contains(r.id) &&
+                !everCoords.get(r.id).exists(_ != (r.x, r.y)))
+            if (fresh.nonEmpty) {
+              Layout.appendZOrderedIdempotent(df(fresh), "event_id",
+                col("xb"), col("yb"), dir)
+              live ++= fresh.map(r => r.id -> r)
+              everCoords ++= fresh.map(r => r.id -> ((r.x, r.y)))
+              lastReplay = () => Layout.appendZOrderedIdempotent(df(fresh),
+                "event_id", col("xb"), col("yb"), dir)
+            }
           case Ups(rows) =>
             rev += 1L
             val r0 = rev
@@ -125,8 +135,11 @@ class ZOrderPropertySpec extends AnyFunSuite {
               foldRevisionsBy = Some("event_id"))
             dir = dest
             // the fold clears tombstones physically: folded-out ids
-            // are re-admittable afterwards (compact-then-append)
+            // are re-admittable afterwards (compact-then-append), and
+            // their old physical rows are gone — any coords are safe
             dead = Set.empty
+            everCoords = everCoords.filter { case (id, _) =>
+              live.contains(id) }
             lastReplay = () => ()
         }
         check(op)
