@@ -45,6 +45,29 @@ object IncrementalZLayout {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** The REVISION foreachBatch body — the route for a known id whose
+    * coordinates MOVED (the append path is replay-idempotent, not
+    * key-idempotent: a moved key through append would double-serve;
+    * see [[graft.scale.Layout.appendZOrderedIdempotent]]). The
+    * micro-batch epoch drives the monotone revision stamp
+    * ([[IncrementalNearDup]]'s rule), so a replayed epoch heals via
+    * the (id, rev) anti-joins and a later epoch always outranks an
+    * earlier generation. */
+  def upsertBatch(dir: String, idCol: String, x: Column, y: Column,
+      bucketWidth: Long = 4096L, bits: Int = 8)(
+      batch: DataFrame, epochId: Long): Unit =
+    graft.scale.Layout.upsertZOrdered(batch, idCol, x, y, dir,
+      rev = epochId + 1L, bucketWidth, bits)
+
+  /** Run the revision loop over a streaming re-crawl feed. */
+  def runRevisions(rows: DataFrame, dir: String, idCol: String,
+      x: Column, y: Column, checkpoint: String,
+      bucketWidth: Long = 4096L, bits: Int = 8): StreamingQuery =
+    rows.writeStream
+      .foreachBatch(upsertBatch(dir, idCol, x, y, bucketWidth, bits) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** The take-down foreachBatch body
     * ([[graft.scale.Layout.deleteZOrdered]]): victim ids tombstone in
     * `_z_tombs`, `readCurrent` drops every generation immediately, the

@@ -99,6 +99,44 @@ class IncrementalZLayoutSpec extends AnyFunSuite {
       "take-down replay duplicated tombstones")
   }
 
+  test("streamed revisions: moved keys re-home their bucket; epoch replay heals") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmp("graft-zstream-rev")
+    Layout.writeZOrdered(ev, col("xb"), col("yb"), dir)
+    val mem = MemoryStream[(Long, Long, Long)]
+    val q = IncrementalZLayout.runRevisions(
+      mem.toDF().toDF("event_id", "xb", "yb"), dir, "event_id",
+      col("xb"), col("yb"), checkpoint = tmp("graft-zstream-rev-ckpt"))
+    // two revision waves: the same %9 slice moves yb twice — the
+    // SECOND epoch's generation must win
+    val r1 = ev.filter(col("event_id") % 9 === 0)
+      .withColumn("yb", pmod(col("yb") + lit(128L), lit(256L)))
+      .as[(Long, Long, Long)].collect().toSeq
+    val r2 = ev.filter(col("event_id") % 9 === 0)
+      .withColumn("yb", pmod(col("yb") + lit(64L), lit(256L)))
+      .as[(Long, Long, Long)].collect().toSeq
+    try {
+      mem.addData(r1: _*); q.processAllAvailable()
+      mem.addData(r2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val truth = ev.withColumn("yb",
+        when(col("event_id") % 9 === 0, pmod(col("yb") + lit(64L), lit(256L)))
+          .otherwise(col("yb")))
+      .select("event_id", "xb", "yb")
+      .as[(Long, Long, Long)].collect().toSet
+    def served() = Layout.readCurrent(spark, dir, "event_id")
+      .select("event_id", "xb", "yb")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(served() == truth,
+      "streamed revisions diverged from the latest-generation truth")
+    // epoch replay (same epochId → same rev) is a pure heal
+    val rowsBefore = spark.read.parquet(s"$dir/_z_rev_rows").count()
+    IncrementalZLayout.upsertBatch(dir, "event_id",
+      col("xb"), col("yb"))(r2.toDF("event_id", "xb", "yb"), 1L)
+    assert(spark.read.parquet(s"$dir/_z_rev_rows").count() == rowsBefore &&
+      served() == truth, "epoch replay changed the layout")
+  }
+
   test("partial-commit heal: a torn append completes on replay without duplicates") {
     // stage the tear: append half a batch's rows manually (as if some
     // bucket files committed and the epoch then died), then replay the
