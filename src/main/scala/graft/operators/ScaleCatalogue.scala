@@ -5807,6 +5807,135 @@ object ScaleCatalogue {
         |codes AS (""".stripMargin)
   }
 
+  // ---------------------------------------------------------------------
+  // q174 — SNAPSHOT READS on the citation index (CitationIndex
+  // .edgesWeightedAsOf): the q164 story extended beyond the cluster
+  // store — a reproducible-training pipeline pins ALL its index state,
+  // not just dedup clusters. One index lives through the full verb
+  // history (build 80% → append 20% → upsert %9 → delete %7; epochs
+  // 0..3), then q174 reads the edge set AS OF epoch 1 — the full
+  // corpus exactly as it stood before the revision and the takedown
+  // ever happened. Every non-commit row is batch-keyed and gates
+  // through its batch's commit epoch, so the snapshot costs two
+  // narrow filters + one key semi-join, never a copy; torn residue is
+  // invisible at its own epoch by construction (its commit row never
+  // landed there — CitationAsOfSpec pins this plus the compactTo
+  // vacuum). The oracle derives from-scratch weighted edges over the
+  // ORIGINAL full corpus; the hash match proves epochs 2-3 are
+  // invisible to the snapshot even though their rows sit in the same
+  // files. Downstream composes freely: warm PageRank over
+  // edgesAsOf(E) is "rank the citation graph as of snapshot E".
+  // ---------------------------------------------------------------------
+  /** The full-history citation index q174/q175 serve from (epochs
+    * 0..3, all four verbs in production order). */
+  private def citationAsOfDir(s: SparkSession, d: String): String = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    cachedIndexDir("citation-asof", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val revised = docs.filter(col("doc_id") % 9 === 0)
+        .select(col("doc_id"),
+          concat_ws(" ", reverse(split(col("text"), " "))).as("text"),
+          col("text").as("prev_text"))
+      val victims = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 9 === 0,
+            concat_ws(" ", reverse(split(col("text"), " "))))
+            .otherwise(col("text")).as("text"))
+      graft.scale.CitationIndex.build(
+        docs.filter(col("doc_id") % 5 =!= 4), p,
+        slack = revised.count() + victims.count())          // epoch 0
+      graft.scale.CitationIndex.append(
+        docs.filter(col("doc_id") % 5 === 4), p)            // epoch 1
+      graft.scale.CitationIndex.upsert(revised, p, rev = 1L) // epoch 2
+      graft.scale.CitationIndex.delete(victims, p)          // epoch 3
+      require(graft.scale.CitationIndex.consistent(s, p),
+        "citation index failed its consistency probes after the CDC cycle")
+      require(graft.scale.CitationIndex.committedEpoch(s, p) == 3L,
+        "as-of fixture must commit exactly epochs 0..3 (q174 pins asOf=1)")
+    }
+  }
+
+  def q174CitationAsOf(s: SparkSession, d: String): DataFrame =
+    graft.scale.CitationIndex.edgesWeightedAsOf(s, citationAsOfDir(s, d),
+        asOf = 1L)
+      .orderBy(col("src"), col("dst"))
+  val q174Sql: String =
+    s"""WITH $citationPostCtes
+       |SELECT a.doc_id AS src, b.doc_id AS dst,
+       |  count(*)::BIGINT AS w
+       |FROM post a JOIN post b
+       |  ON a.term = b.term AND a.doc_id > b.doc_id
+       |GROUP BY 1, 2 ORDER BY src, dst""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q175 — CHANGE DATA FEED on the citation index (CitationIndex
+  // .emitChangeFeed): q167's writer-side CDC primitive on the edge
+  // graph. Each committed epoch's edge delta derives post-hoc at
+  // O(affected) — the candidate set seeds from exactly the rows that
+  // epoch committed (new pair rows, flipped dead/sub terms,
+  // tombstoned or revised endpoints) and both diff sides resolve
+  // RESTRICTED to those (src, dst) — and persists under feedDir/e=N,
+  // self-healing across crashes. The oracle runs FOUR from-scratch
+  // edge derivations (one per epoch state) and unions the three truth
+  // diffs; the hash match proves every epoch's O(affected) delta is
+  // COMPLETE (no changed edge escapes the candidate set) and exact,
+  // weights and labels included. CitationAsOfSpec additionally pins
+  // the restore contract: baseline snapshot + replayed deltas ≡ the
+  // final edge set.
+  // ---------------------------------------------------------------------
+  def q175CitationChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val store = citationAsOfDir(s, d)
+    val feed = cachedIndexDir("citation-feed", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.CitationIndex.emitChangeFeed(s, store, p, baseline = 0L)
+    }
+    graft.scale.CitationIndex.changeFeed(s, feed)
+      .select(col("e"), col("src"), col("dst"),
+        coalesce(col("old_w"), lit(-1L)).as("old_w"),
+        coalesce(col("new_w"), lit(-1L)).as("new_w"),
+        col("change"))
+      .orderBy(col("e"), col("src"), col("dst"))
+  }
+  val q175Sql: String = {
+    def edgesCte(p: String) =
+      s"""${p}edges AS MATERIALIZED (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*)::BIGINT AS w
+         |  FROM ${p}post a JOIN ${p}post b
+         |    ON a.term = b.term AND a.doc_id > b.doc_id
+         |  GROUP BY 1, 2)""".stripMargin
+    val states = Seq(
+      citationPostCtesOver("doc_id % 5 <> 4", "c0_"),
+      citationPostCtesOver("TRUE", "c1_"),
+      citationPostCtesOver("TRUE", "c2_", table = "docs2"),
+      citationPostCtesOver("doc_id % 7 <> 0", "c3_", table = "docs2"))
+      .zipWithIndex
+      .map { case (ctes, i) => s"$ctes,\n${edgesCte(s"c${i}_")}" }
+      .mkString(",\n")
+    val diffs = (1 to 3).map { n =>
+      s"""SELECT $n::BIGINT AS e,
+         |  coalesce(a.src, b.src) AS src, coalesce(a.dst, b.dst) AS dst,
+         |  coalesce(a.w, -1)::BIGINT AS old_w,
+         |  coalesce(b.w, -1)::BIGINT AS new_w,
+         |  CASE WHEN a.src IS NULL THEN 'added'
+         |       WHEN b.src IS NULL THEN 'removed'
+         |       ELSE 'reweighted' END AS change
+         |FROM c${n - 1}_edges a FULL OUTER JOIN c${n}_edges b
+         |  ON a.src = b.src AND a.dst = b.dst
+         |WHERE a.src IS NULL OR b.src IS NULL OR a.w <> b.w"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH docs2 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0
+       |      THEN array_to_string(list_reverse(string_split(text, ' ')), ' ')
+       |      ELSE text END AS text
+       |  FROM documents),
+       |$states
+       |SELECT * FROM (
+       |$diffs
+       |) ORDER BY e, src, dst""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -5940,6 +6069,8 @@ object ScaleCatalogue {
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
     "q172_zorder_cdc_lifecycle" -> q172ZOrderCdcLifecycle _,
     "q173_boilerplate_excision" -> q173BoilerplateExcision _,
+    "q174_citation_asof" -> q174CitationAsOf _,
+    "q175_citation_change_feed" -> q175CitationChangeFeed _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -6082,5 +6213,7 @@ object ScaleCatalogue {
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,
     "q172_zorder_cdc_lifecycle" -> q172Sql,
     "q173_boilerplate_excision" -> q173Sql,
+    "q174_citation_asof" -> q174Sql,
+    "q175_citation_change_feed" -> q175Sql,
   )
 }

@@ -169,9 +169,11 @@ object BmIndex {
   /** Keep each doc's CURRENT generation of posting rows: never-revised
     * docs keep their rev-null rows, revised docs keep exactly their
     * max-rev rows ([[LshIndex]]'s currentOnly discipline — one
-    * broadcast join against the O(revised docs) registry). */
+    * size-guarded join against the O(revised docs) registry,
+    * [[IndexIo.maybeBroadcast]]). */
   private def currentOnly(rows: DataFrame, revs: DataFrame): DataFrame =
-    rows.join(broadcast(revs.select(col("doc_id"), col("cur_rev"))),
+    rows.join(
+        IndexIo.maybeBroadcast(revs.select(col("doc_id"), col("cur_rev"))),
         Seq("doc_id"), "left")
       .filter((col("cur_rev").isNull && col("rev").isNull) ||
         col("rev") === col("cur_rev"))

@@ -144,20 +144,35 @@ object CitationIndex {
 
   import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
+  // `bk` = writing batch's key ("b" for build/compact, append's
+  // "a<minid>", delete's "d<minid>", upsert's "u<minid>.<rev>") on
+  // every non-commit row; `e` = commit epoch on the three COMMIT
+  // tables only (docs, tombs, rev). Together they are the snapshot
+  // machinery: a row serves as-of epoch E iff its batch's commit row
+  // landed at epoch ≤ E — exact under torn writes (residue's commit
+  // row never lands at its own epoch) and under interleaved replays
+  // (the batch's rows keep their bk; only the commit row's e counts).
+  // Legacy files read null bk → "b" (pre-snapshot history = epoch 0)
+  // and null e → 0.
   private val postSchema = StructType(Seq(
     StructField("term", StringType), StructField("doc_id", LongType),
-    StructField("rev", LongType), StructField("tb", LongType)))
+    StructField("rev", LongType), StructField("bk", StringType),
+    StructField("tb", LongType)))
   private val pairSchema = StructType(Seq(
     StructField("src", LongType), StructField("dst", LongType),
     StructField("term", StringType),
-    StructField("src_rev", LongType), StructField("dst_rev", LongType)))
+    StructField("src_rev", LongType), StructField("dst_rev", LongType),
+    StructField("bk", StringType)))
   private val revSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("rev", LongType)))
+    StructField("doc_id", LongType), StructField("rev", LongType),
+    StructField("e", LongType)))
   private val deltaSchema = StructType(Seq(
     StructField("term", StringType), StructField("k", StringType),
     StructField("s", LongType)))
-  private val termSchema = StructType(Seq(StructField("term", StringType)))
-  private val docSchema = StructType(Seq(StructField("doc_id", LongType)))
+  private val termSchema = StructType(Seq(StructField("term", StringType),
+    StructField("bk", StringType)))
+  private val docSchema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("e", LongType)))
 
   private def readOr(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
@@ -181,12 +196,14 @@ object CitationIndex {
       .agg(max(col("rev")).as("cur_rev"))
 
   /** Keep only each doc's CURRENT-generation rows of a rev-carrying
-    * postings frame — one broadcast join against the O(revised docs)
-    * registry. The df recounts and pair regenerations in
+    * postings frame — one size-guarded join against the O(revised
+    * docs) registry ([[IndexIo.maybeBroadcast]]: the registry grows
+    * without bound between compactions, so the broadcast hint must
+    * not be forced). The df recounts and pair regenerations in
     * append/delete/upsert all count a revised doc's postings exactly
     * once through this filter. */
   private def currentGen(rows: DataFrame, cr: DataFrame): DataFrame =
-    rows.join(broadcast(cr), Seq("doc_id"), "left")
+    rows.join(IndexIo.maybeBroadcast(cr), Seq("doc_id"), "left")
       .filter(col("rev") === coalesce(col("cur_rev"), lit(0L)))
       .drop("cur_rev")
 
@@ -217,7 +234,7 @@ object CitationIndex {
   private def deepTerms(spark: SparkSession, dir: String): DataFrame =
     if (!exists(spark, s"$dir/deep_terms") && exists(spark, s"$dir/dead_terms"))
       deadNow(spark, dir)
-    else readOr(spark, s"$dir/deep_terms", termSchema)
+    else readOr(spark, s"$dir/deep_terms", termSchema).select(col("term"))
 
   private def tombstones(spark: SparkSession, dir: String): DataFrame =
     readOr(spark, s"$dir/_cit_tombs", docSchema)
@@ -261,18 +278,18 @@ object CitationIndex {
       .select(col("term"), col("df")).localCheckpoint()
     val retained = post.join(deep.select(col("term")), Seq("term"), "left_anti")
       .localCheckpoint()
-    withBucket(retained).repartition(col("tb"))
+    withBucket(retained.withColumn("bk", lit("b"))).repartition(col("tb"))
       .sortWithinPartitions(col("term"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/post")
     val band = df.filter(col("df").between(dfMin, dfMax)).select(col("term"))
     val bp = retained.join(band, Seq("term"))
       .withColumn("rev", lit(0L)).localCheckpoint()
-    pairsOf(bp, bp)
+    pairsOf(bp, bp).withColumn("bk", lit("b"))
       .write.mode("overwrite").parquet(s"$dir/pairs")
     df.filter(col("df") > dfMax).select(col("term"))
       .select(col("term"), lit("b").as("k"), lit(1L).as("s"))
       .write.mode("overwrite").parquet(s"$dir/dead_terms")
-    deep.select(col("term"))
+    deep.select(col("term"), lit("b").as("bk"))
       .write.mode("overwrite").parquet(s"$dir/deep_terms")
     deep.select(col("term"), lit("b").as("k"), col("df").as("s"))
       .write.mode("overwrite").parquet(s"$dir/deep_df")
@@ -285,8 +302,24 @@ object CitationIndex {
       .write.mode("overwrite").parquet(s"$dir/_cit_tombs")
     IndexIo.emptyFrame(spark, revSchema)
       .write.mode("overwrite").parquet(s"$dir/_cit_rev")
-    docs.select(col("doc_id")).distinct()
+    docs.select(col("doc_id")).distinct().withColumn("e", lit(0L))
       .write.mode("overwrite").parquet(s"$dir/_cit_docs")
+  }
+
+  /** The committed snapshot counter: max commit epoch across the three
+    * commit tables (docs for appends, tombs for deletes, the registry
+    * for upserts) — the handle a reproducible-training caller records
+    * at ingest time to pin an [[edgesWeightedAsOf]] snapshot later.
+    * 0 right after [[build]] (pre-snapshot/legacy rows read as epoch
+    * 0); −1 on a cold dir. */
+  def committedEpoch(spark: SparkSession, dir: String): Long = {
+    val es = readOr(spark, s"$dir/_cit_docs", docSchema).select(col("e"))
+      .unionByName(readOr(spark, s"$dir/_cit_tombs", docSchema)
+        .select(col("e")))
+      .unionByName(readOr(spark, s"$dir/_cit_rev", revSchema)
+        .select(col("e")))
+    val r = es.agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   /** O(batch) growth, self-healing under replay — see the class-doc
@@ -332,7 +365,7 @@ object CitationIndex {
       .localCheckpoint()
     val newRows = batchPost.join(touched, Seq("term", "doc_id"), "left_anti")
     if (newRows.limit(1).count() > 0L)
-      withBucket(newRows).repartition(col("tb"))
+      withBucket(newRows.withColumn("bk", lit(k))).repartition(col("tb"))
         .sortWithinPartitions(col("term"))
         .write.partitionBy("tb").mode("append").parquet(s"$dir/post")
     // per-term df before/after the batch (postings are distinct per
@@ -373,6 +406,7 @@ object CitationIndex {
       .unionByName(pairsOf(stNew, stOld))
       .unionByName(pairsOf(stOld, stNew))
       .unionByName(pairsOf(stNew, stNew))
+      .withColumn("bk", lit(k))
       .write.mode("append").parquet(s"$dir/pairs")
     appendDeltas(spark, dir, "dead_terms",
       newlyDead.select(col("term"), lit(k).as("k"), lit(1L).as("s")))
@@ -385,13 +419,19 @@ object CitationIndex {
     val freshDeep = newlyDeep.select(col("term"))
       .join(deep, Seq("term"), "left_anti").localCheckpoint()
     if (freshDeep.count() > 0L)
-      freshDeep.write.mode("append").parquet(s"$dir/deep_terms")
+      freshDeep.select(col("term"), lit(k).as("bk"))
+        .write.mode("append").parquet(s"$dir/deep_terms")
     // a sub term (fell below dfMin via deletes) re-entering the band:
     // the reach-back above regenerated its surviving pairs; unmark it
     appendDeltas(spark, dir, "sub_terms",
       entered.join(subNow(spark, dir), Seq("term"))
         .select(col("term"), lit(k).as("k"), lit(-1L).as("s")))
-    freshIds.write.mode("append").parquet(s"$dir/_cit_docs")
+    // the commit: doc rows carry this batch's snapshot epoch — the
+    // visibility point every bk-gated row of the batch resolves
+    // through at as-of reads
+    freshIds.select(col("doc_id"),
+        lit(committedEpoch(spark, dir) + 1L).as("e"))
+      .write.mode("append").parquet(s"$dir/_cit_docs")
   }
 
   /** O(batch) shrink: tombstone `docs` (doc_id, text — the text
@@ -495,9 +535,12 @@ object CitationIndex {
         .unionByName(revived.join(subN, Seq("term"))
           .select(col("term"), lit(k).as("k"), lit(-1L).as("s"))))
     val revRows = afterRows.join(revived, Seq("term")).localCheckpoint()
-    pairsOf(revRows, revRows)
+    pairsOf(revRows, revRows).withColumn("bk", lit(k))
       .write.mode("append").parquet(s"$dir/pairs")
-    victimIds.write.mode("append").parquet(s"$dir/_cit_tombs")
+    // the commit: tombstone rows carry this batch's snapshot epoch
+    victimIds.select(col("doc_id"),
+        lit(committedEpoch(spark, dir) + 1L).as("e"))
+      .write.mode("append").parquet(s"$dir/_cit_tombs")
   }
 
   /** DOCUMENT REVISION — the q156/q157 CDC verb on the citation
@@ -629,7 +672,7 @@ object CitationIndex {
       .select(col("term"), col("doc_id"))
     val freshRows = newPost.join(landed, Seq("term", "doc_id"), "left_anti")
     if (freshRows.limit(1).count() > 0L)
-      withBucket(freshRows).repartition(col("tb"))
+      withBucket(freshRows.withColumn("bk", lit(k))).repartition(col("tb"))
         .sortWithinPartitions(col("term"))
         .write.partitionBy("tb").mode("append").parquet(s"$dir/post")
     // one classification over both directions: before = live stored
@@ -686,6 +729,7 @@ object CitationIndex {
       .unionByName(pairsOf(stNew, stOld))
       .unionByName(pairsOf(stOld, stNew))
       .unionByName(pairsOf(stNew, stNew))
+      .withColumn("bk", lit(k))
       .write.mode("append").parquet(s"$dir/pairs")
     appendDeltas(spark, dir, "dead_terms",
       newlyDead.select(col("term"), lit(k).as("k"), lit(1L).as("s"))
@@ -698,20 +742,23 @@ object CitationIndex {
     val freshDeep = newlyDeep.select(col("term"))
       .join(deep, Seq("term"), "left_anti").localCheckpoint()
     if (freshDeep.count() > 0L)
-      freshDeep.write.mode("append").parquet(s"$dir/deep_terms")
+      freshDeep.select(col("term"), lit(k).as("bk"))
+        .write.mode("append").parquet(s"$dir/deep_terms")
     val subN = subNow(spark, dir).localCheckpoint()
     appendDeltas(spark, dir, "sub_terms",
       fell.unionByName(revivedSub.join(subN, Seq("term"), "left_anti"))
         .select(col("term"), lit(k).as("k"), lit(1L).as("s"))
         .unionByName(entered.unionByName(revived).join(subN, Seq("term"))
           .select(col("term"), lit(k).as("k"), lit(-1L).as("s"))))
+    val ep = committedEpoch(spark, dir) + 1L
     val freshIds = targetIds.join(committed.select(col("doc_id")),
       Seq("doc_id"), "left_anti").localCheckpoint()
     if (freshIds.count() > 0L)
-      freshIds.write.mode("append").parquet(s"$dir/_cit_docs")
+      freshIds.select(col("doc_id"), lit(ep).as("e"))
+        .write.mode("append").parquet(s"$dir/_cit_docs")
     // the commit point: registry rows flip every read to the new
-    // generation, atomically per batch
-    targetIds.select(col("doc_id"), lit(rev).as("rev"))
+    // generation, atomically per batch, and carry the snapshot epoch
+    targetIds.select(col("doc_id"), lit(rev).as("rev"), lit(ep).as("e"))
       .write.mode("append").parquet(s"$dir/_cit_rev")
   }
 
@@ -728,14 +775,14 @@ object CitationIndex {
     readOr(spark, s"$dir/pairs", pairSchema)
       // generation filter: a support row serves iff BOTH endpoint
       // stamps equal the endpoints' current generations (pre-revision
-      // files read null → 0) — one broadcast join per endpoint against
-      // the O(revised docs) registry
+      // files read null → 0) — one size-guarded join per endpoint
+      // against the O(revised docs) registry (IndexIo.maybeBroadcast)
       .withColumn("src_rev", coalesce(col("src_rev"), lit(0L)))
       .withColumn("dst_rev", coalesce(col("dst_rev"), lit(0L)))
-      .join(broadcast(cr.select(col("doc_id").as("src"),
+      .join(IndexIo.maybeBroadcast(cr.select(col("doc_id").as("src"),
         col("cur_rev").as("src_cur"))), Seq("src"), "left")
       .filter(col("src_rev") === coalesce(col("src_cur"), lit(0L)))
-      .join(broadcast(cr.select(col("doc_id").as("dst"),
+      .join(IndexIo.maybeBroadcast(cr.select(col("doc_id").as("dst"),
         col("cur_rev").as("dst_cur"))), Seq("dst"), "left")
       .filter(col("dst_rev") === coalesce(col("dst_cur"), lit(0L)))
       .join(deadNow(spark, dir), Seq("term"), "left_anti")
@@ -749,6 +796,212 @@ object CitationIndex {
   /** Unweighted projection ([[Graph.citationEdges]] shape). */
   def edges(spark: SparkSession, dir: String): DataFrame =
     edgesWeighted(spark, dir).select(col("src"), col("dst"))
+
+  // ---- SNAPSHOT (time-travel) serving — [[ClusterStore
+  // .assignmentsAsOf]]'s contract on the citation index. Every
+  // non-commit row carries its writing batch's key (`bk`); the three
+  // commit tables carry the batch's snapshot epoch (`e`). A row
+  // serves as-of epoch E iff its batch's commit row landed at
+  // epoch ≤ E — so a torn batch's residue is invisible at its own
+  // epoch (its commit row never landed there), and a replay that
+  // commits later under an interleaved epoch number serves exactly
+  // from its real commit point. Serving history costs two narrow
+  // filters + one key semi-join, never a copy; [[compactTo]] trades
+  // the history away (everything re-bases to epoch 0). ----
+
+  private def docsAsOf(spark: SparkSession, dir: String, asOf: Long) =
+    readOr(spark, s"$dir/_cit_docs", docSchema)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .select(col("doc_id"))
+
+  private def tombsAsOf(spark: SparkSession, dir: String, asOf: Long) =
+    readOr(spark, s"$dir/_cit_tombs", docSchema)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .select(col("doc_id"))
+
+  private def regAsOf(spark: SparkSession, dir: String, asOf: Long) =
+    readOr(spark, s"$dir/_cit_rev", revSchema)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .select(col("doc_id"), col("rev"))
+
+  /** Batch keys committed as of `asOf`, CONSTRUCTED from the commit
+    * tables (the key grammar is deterministic: build/compact "b",
+    * append "a"+min doc id, delete "d"+min victim id, upsert
+    * "u"+min target id+"."+rev — the same grammar [[consistent]]
+    * parses back). The constructed set is a superset containing every
+    * real key (built from ALL committed ids, not just batch minima);
+    * gating is a semi-join, so the extras match nothing. */
+  private def committedKeysAsOf(spark: SparkSession, dir: String,
+      asOf: Long): DataFrame = {
+    import org.apache.spark.sql.types.StringType
+    IndexIo.emptyFrame(spark,
+        StructType(Seq(StructField("bk", StringType))))
+      .unionByName(spark.range(1).select(lit("b").as("bk")))
+      .unionByName(docsAsOf(spark, dir, asOf)
+        .select(concat(lit("a"), col("doc_id").cast("string")).as("bk")))
+      .unionByName(tombsAsOf(spark, dir, asOf)
+        .select(concat(lit("d"), col("doc_id").cast("string")).as("bk")))
+      .unionByName(regAsOf(spark, dir, asOf)
+        .select(concat(lit("u"), col("doc_id").cast("string"),
+          lit("."), col("rev").cast("string")).as("bk")))
+  }
+
+  /** The maintained weighted edge set exactly as it stood when epoch
+    * `asOf` committed — [[edgesWeighted]]'s read plan over
+    * batch-gated inputs: pairs/dead/sub/tombstone/registry rows all
+    * stop at the snapshot boundary. Valid for any
+    * 0 ≤ asOf ≤ [[committedEpoch]]; at the committed epoch this is
+    * the current serve (spec-pinned). Consumers compose freely — a
+    * warm PageRank over `edgesAsOf(E)` is "rank the citation graph
+    * as of snapshot E". */
+  def edgesWeightedAsOf(spark: SparkSession, dir: String,
+      asOf: Long): DataFrame = {
+    val ce = committedEpoch(spark, dir)
+    require(asOf >= 0L && asOf <= ce,
+      s"as-of epoch $asOf outside the committed history [0, $ce]" +
+        (if (ce < 0L) " — cold index, nothing committed" else ""))
+    edgesWeightedAsOfImpl(spark, dir, asOf, None)
+  }
+
+  /** Shared as-of read plan; `restrict` (an O(affected) (src, dst)
+    * set) keeps the change feed's per-epoch derivation from paying
+    * two full edge materializations. */
+  private def edgesWeightedAsOfImpl(spark: SparkSession, dir: String,
+      asOf: Long, restrict: Option[DataFrame]): DataFrame = {
+    val keys = committedKeysAsOf(spark, dir, asOf).localCheckpoint()
+    def gated(name: String) = nowSet(
+      deltas(spark, dir, name)
+        .join(keys.withColumnRenamed("bk", "k"), Seq("k"), "left_semi"))
+    val tmb = tombsAsOf(spark, dir, asOf)
+    val cr = regAsOf(spark, dir, asOf)
+      .groupBy(col("doc_id")).agg(max(col("rev")).as("cur_rev"))
+    val base = readOr(spark, s"$dir/pairs", pairSchema)
+      .withColumn("bk", coalesce(col("bk"), lit("b")))
+      .join(keys, Seq("bk"), "left_semi")
+    restrict.fold(base)(r => base.join(r, Seq("src", "dst"), "left_semi"))
+      .withColumn("src_rev", coalesce(col("src_rev"), lit(0L)))
+      .withColumn("dst_rev", coalesce(col("dst_rev"), lit(0L)))
+      .join(IndexIo.maybeBroadcast(cr.select(col("doc_id").as("src"),
+        col("cur_rev").as("src_cur"))), Seq("src"), "left")
+      .filter(col("src_rev") === coalesce(col("src_cur"), lit(0L)))
+      .join(IndexIo.maybeBroadcast(cr.select(col("doc_id").as("dst"),
+        col("cur_rev").as("dst_cur"))), Seq("dst"), "left")
+      .filter(col("dst_rev") === coalesce(col("dst_cur"), lit(0L)))
+      .join(gated("dead_terms"), Seq("term"), "left_anti")
+      .join(gated("sub_terms"), Seq("term"), "left_anti")
+      .join(tmb.withColumnRenamed("doc_id", "src"), Seq("src"), "left_anti")
+      .join(tmb.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_anti")
+      .groupBy(col("src"), col("dst"))
+      .agg(countDistinct(col("term")).as("w"))
+  }
+
+  /** Unweighted as-of projection. */
+  def edgesAsOf(spark: SparkSession, dir: String, asOf: Long): DataFrame =
+    edgesWeightedAsOf(spark, dir, asOf).select(col("src"), col("dst"))
+
+  private val feedSchema = StructType(Seq(
+    StructField("src", LongType), StructField("dst", LongType),
+    StructField("old_w", LongType), StructField("new_w", LongType),
+    StructField("change", StringType), StructField("e", LongType)))
+
+  /** One epoch's EDGE delta at O(affected) cost — the citation twin
+    * of [[ClusterStore.epochDelta]]. An edge's weight can change
+    * between epochs n−1 and n only through (i) a pair row the epoch's
+    * batch wrote, (ii) a term whose dead/sub status the batch
+    * flipped, (iii) an endpoint the batch tombstoned, or (iv) an
+    * endpoint whose generation the batch revised — so the candidate
+    * set seeds from exactly the rows committed at n and expands to
+    * the pair rows sharing a churned term or touched endpoint, and
+    * both sides of the diff resolve RESTRICTED to those (src, dst). */
+  private def epochEdgeDelta(spark: SparkSession, dir: String,
+      n: Long): DataFrame = {
+    require(n >= 1L, s"epoch delta needs a predecessor: n=$n")
+    def commitAt(name: String, prefix: String, withRev: Boolean) = {
+      val t = readOr(spark, s"$dir/$name",
+        if (withRev) revSchema else docSchema)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+      if (withRev)
+        t.select(col("doc_id"),
+          concat(lit(prefix), col("doc_id").cast("string"),
+            lit("."), col("rev").cast("string")).as("bk"))
+      else
+        t.select(col("doc_id"),
+          concat(lit(prefix), col("doc_id").cast("string")).as("bk"))
+    }
+    val commits = commitAt("_cit_docs", "a", withRev = false)
+      .unionByName(commitAt("_cit_tombs", "d", withRev = false))
+      .unionByName(commitAt("_cit_rev", "u", withRev = true))
+      .localCheckpoint()
+    val out = IndexIo.emptyFrame(spark, feedSchema).drop("e")
+    if (commits.isEmpty) return out
+    val keysAtN = commits.select(col("bk")).distinct()
+    val touchedDocs = commits.select(col("doc_id")).distinct()
+    val allPairs = readOr(spark, s"$dir/pairs", pairSchema)
+      .withColumn("bk", coalesce(col("bk"), lit("b")))
+    val newPairs = allPairs.join(keysAtN, Seq("bk"), "left_semi")
+    val churnTerms = Seq("dead_terms", "sub_terms")
+      .map(deltas(spark, dir, _)
+        .join(keysAtN.withColumnRenamed("bk", "k"), Seq("k"), "left_semi")
+        .select(col("term")))
+      .reduce(_ unionByName _)
+      .unionByName(newPairs.select(col("term")))
+      .distinct()
+    val affected = allPairs.join(churnTerms, Seq("term"), "left_semi")
+      .select(col("src"), col("dst"))
+      .unionByName(allPairs.join(
+        touchedDocs.withColumnRenamed("doc_id", "src"),
+        Seq("src"), "left_semi").select(col("src"), col("dst")))
+      .unionByName(allPairs.join(
+        touchedDocs.withColumnRenamed("doc_id", "dst"),
+        Seq("dst"), "left_semi").select(col("src"), col("dst")))
+      .distinct().localCheckpoint()
+    if (affected.isEmpty) return out
+    val before = edgesWeightedAsOfImpl(spark, dir, n - 1L, Some(affected))
+      .withColumnRenamed("w", "old_w")
+    val after = edgesWeightedAsOfImpl(spark, dir, n, Some(affected))
+      .withColumnRenamed("w", "new_w")
+    before.join(after, Seq("src", "dst"), "full_outer")
+      .withColumn("change",
+        when(col("old_w").isNull, lit("added"))
+          .when(col("new_w").isNull, lit("removed"))
+          .when(col("old_w") === col("new_w"), lit("kept"))
+          .otherwise(lit("reweighted")))
+      .filter(col("change") =!= "kept")
+  }
+
+  /** CHANGE DATA FEED — [[ClusterStore.emitChangeFeed]]'s contract on
+    * the citation index: persist each committed epoch's edge delta to
+    * `feedDir/e=N` (src, dst, old_w, new_w,
+    * change ∈ added/removed/reweighted) at O(affected) cost per
+    * epoch. DERIVED, not captured: it reads the index after the fact
+    * and writes exactly the epochs in (max(baseline, last complete
+    * feed epoch), committedEpoch], each an idempotent per-dir
+    * overwrite — a crash between an index commit and its feed write
+    * leaves no hole. Baseline snapshot ([[edgesWeightedAsOf]] at
+    * `baseline`) + replayed deltas ≡ the final edge set
+    * (spec-pinned). Feeds for epochs folded away by [[compactTo]]
+    * cannot be derived after the fold — emit before compacting. */
+  def emitChangeFeed(spark: SparkSession, dir: String, feedDir: String,
+      baseline: Long = 0L): Unit = {
+    val committed = committedEpoch(spark, dir)
+    require(baseline >= 0L && baseline <= committed,
+      s"feed baseline $baseline outside committed history [0, $committed]")
+    val fs = new org.apache.hadoop.fs.Path(feedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val done = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$feedDir/e=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
+    val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
+    (from to committed).foreach { n =>
+      epochEdgeDelta(spark, dir, n).coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+    }
+  }
+
+  /** Read the feed (all epochs; filter `e` for a window). */
+  def changeFeed(spark: SparkSession, feedDir: String): DataFrame =
+    IndexIo.readOr(spark, feedDir, feedSchema)
 
   /** Torn-write detector, three probes: (1) every doc id present in
     * post/ must be committed — append writes post first and docs
@@ -822,17 +1075,17 @@ object CitationIndex {
       .join(deep, Seq("term"), "left_anti")
       .join(tmb, Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id")).distinct()
-      .withColumn("rev", lit(0L))
+      .withColumn("rev", lit(0L)).withColumn("bk", lit("b"))
       .transform(withBucket)
       .repartition(col("tb")).sortWithinPartitions(col("term"))
       .write.partitionBy("tb").mode("overwrite").parquet(s"$destDir/post")
     readOr(spark, s"$dir/pairs", pairSchema)
       .withColumn("src_rev", coalesce(col("src_rev"), lit(0L)))
       .withColumn("dst_rev", coalesce(col("dst_rev"), lit(0L)))
-      .join(broadcast(cr.select(col("doc_id").as("src"),
+      .join(IndexIo.maybeBroadcast(cr.select(col("doc_id").as("src"),
         col("cur_rev").as("src_cur"))), Seq("src"), "left")
       .filter(col("src_rev") === coalesce(col("src_cur"), lit(0L)))
-      .join(broadcast(cr.select(col("doc_id").as("dst"),
+      .join(IndexIo.maybeBroadcast(cr.select(col("doc_id").as("dst"),
         col("cur_rev").as("dst_cur"))), Seq("dst"), "left")
       .filter(col("dst_rev") === coalesce(col("dst_cur"), lit(0L)))
       .join(deadN, Seq("term"), "left_anti")
@@ -841,11 +1094,14 @@ object CitationIndex {
       .join(tmb.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_anti")
       .select(col("src"), col("dst"), col("term")).distinct()
       .select(col("src"), col("dst"), col("term"),
-        lit(0L).as("src_rev"), lit(0L).as("dst_rev"))
+        lit(0L).as("src_rev"), lit(0L).as("dst_rev"), lit("b").as("bk"))
       .write.mode("overwrite").parquet(s"$destDir/pairs")
     deadN.select(col("term"), lit("b").as("k"), lit(1L).as("s"))
       .write.mode("overwrite").parquet(s"$destDir/dead_terms")
-    deep.write.mode("overwrite").parquet(s"$destDir/deep_terms")
+    // the fold is the history vacuum (ClusterStore.compactTo's
+    // bargain): every surviving row re-bases to epoch 0 / batch "b"
+    deep.select(col("term"), lit("b").as("bk"))
+      .write.mode("overwrite").parquet(s"$destDir/deep_terms")
     deltas(spark, dir, "deep_df")
       .groupBy(col("term")).agg(sum(col("s")).as("sd"))
       .select(col("term"), lit("b").as("k"), col("sd").as("s"))
@@ -862,6 +1118,7 @@ object CitationIndex {
       .write.mode("overwrite").parquet(s"$destDir/_cit_rev")
     readOr(spark, s"$dir/_cit_docs", docSchema)
       .join(tmb, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("e"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_cit_docs")
   }

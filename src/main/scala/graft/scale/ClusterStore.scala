@@ -142,20 +142,26 @@ object ClusterStore {
 
   /** Generation filter for posts/fwd membership rows: unregistered
     * docs keep every row (they only ever wrote one epoch); revised
-    * docs keep their max-registered epoch's rows only. One broadcast
-    * join against the O(revised docs) registry. */
+    * docs keep their max-registered epoch's rows only. One
+    * size-guarded join against the O(revised docs) registry
+    * ([[IndexIo.maybeBroadcast]]: the registry grows without bound
+    * between compactions, so the hint must not be forced). */
   private def currentRows(rows: DataFrame, me: DataFrame): DataFrame =
-    rows.join(broadcast(me), Seq("doc_id"), "left")
+    rows.join(IndexIo.maybeBroadcast(me), Seq("doc_id"), "left")
       .filter(col("me").isNull || col("e") === col("me"))
       .drop("me")
 
-  /** One epoch's four dirs, overwritten as a unit (replay heals by
+  /** One epoch's FIVE dirs, overwritten as a unit (replay heals by
     * replacement). Empty frames still land their e=E dir so a stale
     * same-numbered dir from a torn previous life cannot outlive this
-    * commit. */
+    * commit — including `rev/e=E`: append/delete overwrite it with an
+    * empty frame precisely so a torn upsert's registry residue at the
+    * same epoch number cannot be committed by a different verb's meta
+    * flip (which would pin the residue docs' membership generation to
+    * an epoch holding no membership rows and lose them at compaction). */
   private def writeEpoch(spark: SparkSession, dir: String, e: Long,
       posts: DataFrame, fwd: DataFrame, stars: DataFrame,
-      tombs: DataFrame): Unit = {
+      tombs: DataFrame, rev: DataFrame): Unit = {
     posts.select(col("chunk_hash"), col("doc_id"),
         pmod(col("chunk_hash"), lit(HashBuckets)).as("hb"))
       .write.partitionBy("hb").mode("overwrite").parquet(s"$dir/posts/e=$e")
@@ -167,6 +173,8 @@ object ClusterStore {
       .write.partitionBy("sb").mode("overwrite").parquet(s"$dir/stars/e=$e")
     tombs.select(col("doc_id"))
       .write.mode("overwrite").parquet(s"$dir/tombs/e=$e")
+    rev.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$dir/rev/e=$e")
   }
 
   private def emptyPosts(s: SparkSession) = IndexIo.emptyFrame(s,
@@ -175,6 +183,8 @@ object ClusterStore {
     StructType(starSchema.take(2)))
   private def emptyTombs(s: SparkSession) = IndexIo.emptyFrame(s,
     StructType(tombSchema.take(1)))
+  private def emptyRev(s: SparkSession) = IndexIo.emptyFrame(s,
+    StructType(revSchema.take(1)))
 
   /** Build from scratch at epoch 0, wiping any previous life of `dir`
     * (stale committed epochs must not leak into the new index). */
@@ -269,7 +279,7 @@ object ClusterStore {
 
     writeEpoch(spark, dir, e, ch.select(col("chunk_hash"), col("doc_id")),
       ch.select(col("doc_id"), col("chunk_hash")), stars,
-      emptyTombs(spark))
+      emptyTombs(spark), emptyRev(spark))
     writeMeta(spark, dir, e, nDocs + nNew)
   }
 
@@ -341,7 +351,7 @@ object ClusterStore {
 
     writeEpoch(spark, dir, e, emptyPosts(spark),
       emptyPosts(spark).select(col("doc_id"), col("chunk_hash")),
-      stars, vs)
+      stars, vs, emptyRev(spark))
     writeMeta(spark, dir, e, nDocs - vs.count())
   }
 
@@ -487,9 +497,7 @@ object ClusterStore {
 
     writeEpoch(spark, dir, e, ch.select(col("chunk_hash"), col("doc_id")),
       ch.select(col("doc_id"), col("chunk_hash")), stars,
-      emptyTombs(spark))
-    targets.select(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$dir/rev/e=$e")
+      emptyTombs(spark), targets.select(col("doc_id")))
     writeMeta(spark, dir, e, nDocs + inserts.count())
   }
 
@@ -755,7 +763,7 @@ object ClusterStore {
       livePosts.select(col("doc_id"), col("chunk_hash")),
       asg.select(col("doc_id").as("src"), col("rep").as("dst"))
         .filter(col("src") =!= col("dst")),
-      emptyTombs(spark))
+      emptyTombs(spark), emptyRev(spark))
     writeMeta(spark, destDir, 0L, asg.count())
   }
 

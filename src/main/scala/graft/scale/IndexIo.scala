@@ -24,4 +24,27 @@ private[scale] object IndexIo {
   def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
     if (!exists(spark, path)) emptyFrame(spark, schema)
     else spark.read.schema(schema).parquet(path)
+
+  /** Size-guarded broadcast hint for the CDC serving reads (round-14
+    * advice): every index family joins its main tree against a
+    * revision registry or tombstone set that is O(revised)/O(deleted)
+    * *by compaction discipline* — but grows without bound between
+    * compactions, and a forced `broadcast()` hint has no size guard
+    * (AQE will not demote a hint), so a lazy compaction schedule turns
+    * the hint into a driver/executor OOM at 100 TB. Gate the hint on
+    * the optimizer's own size estimate (for these parquet-backed
+    * registries that is actual file bytes — exactly the signal that
+    * grows with revisions and resets at compaction) against the
+    * session's auto-broadcast threshold: within it, keep the hint
+    * (estimates after aggregation can otherwise lose the broadcast to
+    * conservative planning); past it, fall back to a plain join that
+    * Catalyst/AQE plan from true runtime sizes. Threshold <= 0
+    * (user disabled broadcast) always falls back. */
+  def maybeBroadcast(df: DataFrame): DataFrame = {
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
+      org.apache.spark.sql.functions.broadcast(df)
+    else df
+  }
 }

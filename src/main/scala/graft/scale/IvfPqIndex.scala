@@ -249,15 +249,17 @@ object IvfPqIndex {
     // revised vectors serve their CURRENT generation: a registered
     // id's main code row is dropped (its max-rev row — possibly in a
     // DIFFERENT probed cluster — replaces it); both filters are one
-    // broadcast join against the O(revised) registry
+    // size-guarded join against the O(revised) registry
+    // ([[IndexIo.maybeBroadcast]])
     val reg = currentRevs(spark, path).localCheckpoint()
     val mainRows = spark.read.parquet(path)
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("codes"), col("cluster_id"))
-      .join(broadcast(reg.select(col("vec_id"))), Seq("vec_id"), "left_anti")
+      .join(IndexIo.maybeBroadcast(reg.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
     val revisedRows = revRows(spark, path)
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
-      .join(broadcast(reg), Seq("vec_id"))
+      .join(IndexIo.maybeBroadcast(reg), Seq("vec_id"))
       .filter(col("rev") === col("cur_rev"))
       .select(col("vec_id"), col("codes"), col("cluster_id"))
     val codeCells = mainRows.unionByName(revisedRows)

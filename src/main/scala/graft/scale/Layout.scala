@@ -309,11 +309,15 @@ object Layout {
   /** The current-generation view of a revised layout — what box reads
     * scan: a registered id's main-layout row drops, its max-rev
     * revision row (possibly in a DIFFERENT bucket) serves, and
-    * tombstoned ids drop from both trees; each filter is one
-    * broadcast join against an O(revised)/O(deleted) table, and a box
-    * read's z_bucket partition filter pushes into both sides of the
-    * union. Never-revised, never-deleted layouts return the plain
-    * read (zero overhead — the probes are file-existence checks). */
+    * tombstoned ids drop from both trees; each filter is one join
+    * against an O(revised)/O(deleted) table — broadcast-hinted only
+    * while the registry's size estimate stays under the session's
+    * auto-broadcast threshold ([[IndexIo.maybeBroadcast]]; past it the
+    * join plans as a shuffle the compaction discipline shrinks back) —
+    * and a box read's z_bucket partition filter pushes into both sides
+    * of the union. Never-revised, never-deleted layouts return the
+    * plain read (zero overhead — the probes are file-existence
+    * checks). */
   def readCurrent(spark: org.apache.spark.sql.SparkSession, path: String,
       idCol: String): DataFrame = {
     val main = spark.read.parquet(path)
@@ -322,17 +326,18 @@ object Layout {
       else {
         val cur = registry(spark, path, idCol)
           .groupBy(col(idCol)).agg(max(col("rev")).as("cur_rev"))
-        val mainCur = main.join(broadcast(cur.select(col(idCol))),
+        val mainCur = main.join(
+          IndexIo.maybeBroadcast(cur.select(col(idCol))),
           Seq(idCol), "left_anti")
         val revCur = spark.read.parquet(s"$path/_z_rev_rows")
-          .join(broadcast(cur), Seq(idCol))
+          .join(IndexIo.maybeBroadcast(cur), Seq(idCol))
           .filter(col("rev") === col("cur_rev"))
           .drop("rev", "cur_rev")
         mainCur.unionByName(revCur)
       }
     if (!IndexIo.exists(spark, s"$path/_z_tombs")) served
     else served.join(
-      broadcast(tombstones(spark, path, idCol).distinct()),
+      IndexIo.maybeBroadcast(tombstones(spark, path, idCol).distinct()),
       Seq(idCol), "left_anti")
   }
 

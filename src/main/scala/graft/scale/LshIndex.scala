@@ -139,10 +139,13 @@ object LshIndex {
     * docs keep their rev-null build/append rows; revised docs keep
     * exactly the rows stamped with their max revision (their original
     * rev-null rows and any superseded revision rows become invisible).
-    * `revs` is O(revised docs) — broadcast-small next to the table it
-    * filters. */
+    * `revs` is O(revised docs) — broadcast-hinted only while its size
+    * estimate stays under the auto-broadcast threshold
+    * ([[IndexIo.maybeBroadcast]]: between compactions the registry
+    * grows without bound, and a forced hint would OOM before the
+    * compaction discipline folds it). */
   private def currentOnly(rows: DataFrame, revs: DataFrame): DataFrame =
-    rows.join(broadcast(revs), Seq("doc_id"), "left")
+    rows.join(IndexIo.maybeBroadcast(revs), Seq("doc_id"), "left")
       .filter((col("cur_rev").isNull && col("rev").isNull) ||
         col("rev") === col("cur_rev"))
       .drop("cur_rev")

@@ -85,9 +85,17 @@ class HttpNotionApi(
             case 'n' => sb += '\n'; i += 2
             case 'r' => sb += '\r'; i += 2
             case 't' => sb += '\t'; i += 2
-            case 'u' if i + 5 < s.length + 1 =>
+            case 'u' if i + 6 <= s.length &&
+                s.substring(i + 2, i + 6).forall(c =>
+                  Character.digit(c, 16) >= 0) =>
               sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
               i += 6
+            case 'u' =>
+              // truncated (\u12 at end-of-value) or non-hex escape from
+              // a malformed server: degrade to the raw chars instead of
+              // crashing the sink mid-drain with a StringIndexOOB /
+              // NumberFormatException (round-14 advice)
+              sb += 'u'; i += 2
             case c => sb += c; i += 2
           }
         } else { sb += s.charAt(i); i += 1 }

@@ -159,6 +159,46 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(keys.last == "queries")
   }
 
+  test("canary line parses, totals successes, and embeds whole into the full line") {
+    // round-14 verdict item 1: the canary's fresh-JVM medians are the
+    // cross-round comparison basis, so they must live IN the artifact
+    val canary = Bench.formatCanaryJson(5, "/root/testdata/sf0.1", all,
+      cpus = 32, gcMs = 1234L, wallSec = 98.5)
+    val cj = JsonMethods.parse(canary)
+    assert((cj \ "metric").extract[String] == "canary")
+    assert((cj \ "reps").extract[Int] == 5)
+    assert((cj \ "value").extract[Double] == 1.210)
+    assert((cj \ "gc_ms").extract[Long] == 1234L)
+    assert((cj \ "queries" \ "q01_fast").extract[Double] == 0.110)
+    assert((cj \ "queries" \ "q99_broken").extract[String] == "err")
+    // the full line splices it verbatim under "canary", still valid
+    // JSON, medians still LAST
+    val full = Bench.formatJson(3, "/sf", all, Nil, cpus = 32,
+      canary = Some(canary), gcMs = 5678L)
+    val fj = JsonMethods.parse(full)
+    assert((fj \ "canary" \ "value").extract[Double] == 1.210)
+    assert((fj \ "canary" \ "queries" \ "q01_fast").extract[Double] == 0.110)
+    assert((fj \ "gc_ms").extract[Long] == 5678L)
+    assert(fj.asInstanceOf[JObject].obj.map(_._1).last == "queries")
+    // absent canary: no key, line unchanged in shape
+    val bare = JsonMethods.parse(Bench.formatJson(3, "/sf", all, Nil))
+    assert((bare \ "canary") == JNothing && (bare \ "gc_ms") == JNothing)
+    // the fixed canary subset is append-only and starts from the
+    // round-15 list — a reshuffle would break cross-round comparability
+    assert(Bench.CanaryPrefixes.take(19) == Seq(
+      "q01_", "q07_", "q31_", "q32_", "q67_", "q92_", "q93_", "q96_",
+      "q100_", "q105_", "q108_", "q110_", "q113_", "q129_", "q135_",
+      "q139_", "q150_", "q161_", "q166_"))
+  }
+
+  test("total-only line carries the canary total when present, stays O(1)") {
+    val t = Bench.formatTotalOnlyJson(all, "/sf", cpus = 32,
+      canaryTotal = Some(42.125))
+    val json = JsonMethods.parse(t)
+    assert((json \ "canary_total").extract[Double] == 42.125)
+    assert(t.getBytes("UTF-8").length < 200)
+  }
+
   test("a throwing rep is a Left, not a near-zero Right") {
     val r = Bench.time(() => throw new IllegalStateException("deliberate"))
     assert(r.isLeft)

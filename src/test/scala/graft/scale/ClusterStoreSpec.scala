@@ -169,6 +169,44 @@ class ClusterStoreSpec extends AnyFunSuite {
       "replay over residue diverged from the derivation")
   }
 
+  test("torn upsert's rev residue cannot be committed by a later verb at the same epoch") {
+    // round-14 advice: upsert's rev/e=E registry dir used to be written
+    // OUTSIDE writeEpoch's replace-as-a-unit discipline, and append/
+    // delete never touched rev/ — so a torn upsert's residue was
+    // committed by the next verb's meta flip at the same epoch number,
+    // pinning those docs' membership generation to an epoch holding
+    // none of their membership rows (currentRows drops them; compactTo
+    // loses them physically). writeEpoch now owns rev/e=E for EVERY
+    // verb (empty overwrite for append/delete/compact).
+    val b0 = ch(1L -> Seq(100L), 2L -> Seq(100L), 5L -> Seq(200L))
+    val dir = tmp("graft-cs-torn-rev")
+    ClusterStore.build(b0, dir) // epoch 0
+    // stage the tear: run an UPSERT of doc 2 on a mirror, copy its e=1
+    // dirs back (rev/ included) WITHOUT the meta commit
+    val mirror = tmp("graft-cs-torn-rev-mirror")
+    copyDir(dir, mirror)
+    ClusterStore.upsert(ch(2L -> Seq(300L)), mirror)
+    Seq("posts", "fwd", "stars", "tombs", "rev").foreach { sub =>
+      copyDir(s"$mirror/$sub/e=1", s"$dir/$sub/e=1")
+    }
+    assert(!ClusterStore.consistent(spark, dir), "tear went undetected")
+    assert(got(dir) == truth(b0), "uncommitted residue leaked into serving")
+    // a DIFFERENT verb now commits epoch 1: an append of a fresh doc.
+    // Its meta flip must not also commit the upsert's rev/e=1 residue.
+    ClusterStore.append(ch(9L -> Seq(900L)), dir)
+    val all = b0.unionByName(ch(9L -> Seq(900L)))
+    assert(got(dir).contains(2L),
+      "doc 2's membership generation was pinned to the residue epoch")
+    assert(got(dir) == truth(all),
+      "torn-upsert rev residue was committed by the next verb's meta flip")
+    assert(ClusterStore.consistent(spark, dir))
+    // and compaction must carry every doc through
+    val dest = tmp("graft-cs-torn-rev-cmp")
+    ClusterStore.compactTo(spark, dir, dest)
+    assert(got(dest) == got(dir),
+      "compaction physically lost a residue-pinned doc")
+  }
+
   test("compaction flattens chains to depth 1 and physically drops tombstoned postings") {
     val b1 = ch(10L -> Seq(1L), 11L -> Seq(1L))
     val b2 = ch(5L -> Seq(2L), 6L -> Seq(2L, 1L))

@@ -158,6 +158,24 @@ class HttpNotionApiSpec extends AnyFunSuite {
     } finally stub.stop()
   }
 
+  test("malformed server escapes degrade to raw chars instead of crashing") {
+    // round-14 advice: the \u guard was off by one — a value ENDING in
+    // a truncated escape (\u12) passed it and substring(i+2, i+6) threw
+    // StringIndexOutOfBounds; non-hex digits threw NumberFormatException
+    // unguarded. A malformed server response must not crash the sink.
+    val stub = new Stub
+    try {
+      // served verbatim as {"url":"AA-\uzzzz-\u12"}: one valid
+      // escape, one non-hex, one truncated at end-of-value
+      stub.pages.put("esc",
+        "A" + "\\" + "u0041-" + "\\" + "uzzzz-" + "\\" + "u12")
+      val api = new HttpNotionApi(stub.base, backoffFactorMs = 1L)
+      val u = api.getOrCreatePage("esc", "Main/esc.md", "https://p")
+      assert(u == "AA-uzzzz-u12",
+        s"valid escape must decode, malformed must pass through raw: $u")
+    } finally stub.stop()
+  }
+
   test("drain sink end-to-end over real localhost HTTP with injected throttles") {
     val stub = new Stub
     try {
