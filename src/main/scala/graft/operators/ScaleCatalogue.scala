@@ -5936,6 +5936,54 @@ object ScaleCatalogue {
        |) ORDER BY e, src, dst""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q176 — k-D Z-ORDER (Layout.zValueK / zIntervalsK at k = 3): the
+  // production lakehouse ask is rarely 2-D — time × user × shard is
+  // the common three-column clustering — and q99's exactness proof
+  // must survive the generalization. Events bucket to (user mod 256,
+  // epoch-minute mod 256, event mod 256), interleave to a 24-bit
+  // 3-D Morton value, and the Spark side selects an axis-aligned BOX
+  // purely through the 2^k-tree interval cover (an OR of 26 z ranges
+  // — NO per-dimension predicates anywhere), while the oracle states
+  // the plain 3-D box predicate over a bit-for-bit z replay. Hash
+  // equality = data-level proof the k-D cover is EXACT, so
+  // boxScanTightK's serving reads can drop residual filters at any
+  // k. The 2-D API is the k = 2 case of the same engine
+  // (bit-identical — ZOrderSpec pins it), so existing layouts cannot
+  // drift; ZOrderSpec also pins the k = 3 exactness property on
+  // randomized boxes and the CDC verbs composing on a k = 3 layout.
+  // ---------------------------------------------------------------------
+  def q176ZOrder3d(s: SparkSession, d: String): DataFrame = {
+    val ivs = graft.scale.Layout.zIntervalsK(
+      Seq(16L, 32L, 8L), Seq(31L, 63L, 199L))
+    events(s, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"),
+        pmod(col("event_id"), lit(256L)).as("wb"))
+      .withColumn("z", graft.scale.Layout.zValueK(
+        Seq(col("xb"), col("yb"), col("wb"))))
+      .filter(ivs.map { case (lo, hi) => col("z").between(lo, hi) }
+        .reduce(_ || _))
+      .orderBy(col("event_id"))
+  }
+  val q176Sql: String = {
+    val zExpr = (0 until 8).flatMap { i =>
+      Seq(s"(((xb >> $i) & 1) << ${3 * i})",
+        s"(((yb >> $i) & 1) << ${3 * i + 1})",
+        s"(((wb >> $i) & 1) << ${3 * i + 2})")
+    }.mkString(" | ")
+    s"""WITH b AS (
+       |  SELECT event_id, user_id % 256 AS xb,
+       |    (epoch_ms(ts) // 60000) % 256 AS yb,
+       |    event_id % 256 AS wb
+       |  FROM events)
+       |SELECT event_id, xb, yb, wb, CAST($zExpr AS BIGINT) AS z
+       |FROM b WHERE xb BETWEEN 16 AND 31 AND yb BETWEEN 32 AND 63
+       |  AND wb BETWEEN 8 AND 199
+       |ORDER BY event_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6071,6 +6119,7 @@ object ScaleCatalogue {
     "q173_boilerplate_excision" -> q173BoilerplateExcision _,
     "q174_citation_asof" -> q174CitationAsOf _,
     "q175_citation_change_feed" -> q175CitationChangeFeed _,
+    "q176_zorder_3d" -> q176ZOrder3d _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -6215,5 +6264,6 @@ object ScaleCatalogue {
     "q173_boilerplate_excision" -> q173Sql,
     "q174_citation_asof" -> q174Sql,
     "q175_citation_change_feed" -> q175Sql,
+    "q176_zorder_3d" -> q176Sql,
   )
 }

@@ -3,11 +3,14 @@ package graft.scale
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Multi-dimensional data layout: Z-order (Morton) clustering so that a
-  * parquet table filtered on TWO columns prunes on both — the standard
-  * lakehouse trick (Delta/Iceberg `OPTIMIZE ZORDER BY`) for serving
-  * reads like "this user band in this time band" without maintaining
-  * two sort orders.
+/** Multi-dimensional data layout: Z-order (Morton) clustering so that
+  * a parquet table filtered on k columns prunes on all of them — the
+  * standard lakehouse trick (Delta/Iceberg `OPTIMIZE ZORDER BY`) for
+  * serving reads like "this user band in this time band on this
+  * shard" without maintaining k sort orders. The 2-D API is the k = 2
+  * case of the k-D one ([[zValueK]]/[[zIntervalsK]]/
+  * [[writeZOrderedK]]), bit-identical, so existing layouts cannot
+  * drift.
   *
   * The z-value computation is pure Column bit algebra (shifts/AND/OR),
   * codegen'd per row with zero shuffle. Because interleaving is
@@ -30,70 +33,105 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Interleave the low `bits` bits of k columns into a z-value:
+    * bit i of column j lands at position i·k + j (column 0 in the
+    * lowest lane — for k = 2 exactly the classic x-even/y-odd Morton
+    * order, so the 2-D API below is the k = 2 case of this one and
+    * on-disk z values cannot drift between the two). Pure bit
+    * algebra — stays inside whole-stage codegen. k·bits must fit a
+    * non-negative long. */
+  def zValueK(cols: Seq[Column], bits: Int = 8): Column = {
+    val k = cols.size
+    require(k >= 1 && k * bits <= 62,
+      s"z-order geometry out of range: $k dims x $bits bits")
+    (for { i <- 0 until bits; (c, j) <- cols.zipWithIndex } yield
+      shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * k + j))
+      .reduce(_.bitwiseOR(_))
+  }
+
   /** Interleave the low `bits` bits of x (even positions) and y (odd
-    * positions) into a z-value. Pure bit algebra — stays inside
-    * whole-stage codegen. */
+    * positions) into a z-value — [[zValueK]] at k = 2. */
   def zValue(x: Column, y: Column, bits: Int = 8): Column =
-    (0 until bits).map { i =>
-      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i)
-        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
-    }.reduce(_.bitwiseOR(_))
+    zValueK(Seq(x, y), bits)
+
+  /** Driver-side twin of [[zValueK]] for computing box bounds. */
+  def zValueOfK(xs: Seq[Long], bits: Int = 8): Long = {
+    val k = xs.size
+    (for { i <- 0 until bits; (x, j) <- xs.zipWithIndex } yield
+      ((x >> i) & 1L) << (i * k + j))
+      .foldLeft(0L)(_ | _)
+  }
 
   /** Driver-side twin of [[zValue]] for computing box bounds. */
   def zValueOf(x: Long, y: Long, bits: Int = 8): Long =
-    (0 until bits).map { i =>
-      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
-    }.reduce(_ | _)
+    zValueOfK(Seq(x, y), bits)
 
   /** The valid coarse z interval covering an axis-aligned box. */
   def zRange(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
       bits: Int = 8): (Long, Long) =
     (zValueOf(xlo, ylo, bits), zValueOf(xhi, yhi, bits))
 
-  /** EXACT cover of a box's z-values as a short list of disjoint
-    * intervals — the BIGMIN-family refinement of [[zRange]]'s single
-    * coarse interval, via quadtree recursion: a quadrant fully inside
-    * the box contributes its (contiguous) z interval, a disjoint
-    * quadrant nothing, a straddling quadrant recurses. Adjacent
-    * intervals are merged, so the list length is O(box perimeter in
-    * quadtree cells), ≤ ~8·bits in practice. Driver-side arithmetic
-    * only — at serving time the intervals become an OR of range
-    * predicates (and a bucket id set for partition pruning).
+  /** EXACT cover of a k-dimensional box's z-values as a short list of
+    * disjoint intervals — the BIGMIN-family refinement of a single
+    * coarse interval, via 2^k-tree recursion: a cell fully inside the
+    * box contributes its (contiguous — aligned power-of-two Morton
+    * cells are z-runs) interval, a disjoint cell nothing, a
+    * straddling cell recurses into its 2^k children. Adjacent
+    * intervals are merged, so the list length is O(box surface in
+    * tree cells). Driver-side arithmetic only — at serving time the
+    * intervals become an OR of range predicates (and a bucket id set
+    * for partition pruning).
     *
-    * Exactness (spec-pinned): z ∈ one of the intervals ⟺ (x,y) ∈ box,
-    * for coordinates within the `bits` range — so a tight box read
-    * needs NO residual per-dimension predicates. */
-  def zIntervals(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+    * Exactness (spec-pinned at k = 2 and k = 3): z ∈ one of the
+    * intervals ⟺ the point ∈ box, for coordinates within the `bits`
+    * range — so a tight box read needs NO residual per-dimension
+    * predicates. */
+  def zIntervalsK(lo: Seq[Long], hi: Seq[Long],
       bits: Int = 8): Seq[(Long, Long)] = {
+    val k = lo.size
+    require(hi.size == k && k >= 1 && k * bits <= 62,
+      s"z-order geometry out of range: $k dims x $bits bits")
     val max = (1L << bits) - 1
-    require(xlo >= 0 && ylo >= 0 && xlo <= xhi && ylo <= yhi &&
-      xhi <= max && yhi <= max, s"box out of $bits-bit range")
-    def rec(cx: Long, cy: Long, level: Int): List[(Long, Long)] = {
+    require((0 until k).forall(j =>
+      lo(j) >= 0 && lo(j) <= hi(j) && hi(j) <= max),
+      s"box out of $bits-bit range")
+    def rec(corner: Seq[Long], level: Int): List[(Long, Long)] = {
       val size = 1L << level
-      val (x1, y1) = (cx + size - 1, cy + size - 1)
-      if (cx > xhi || x1 < xlo || cy > yhi || y1 < ylo) Nil
-      else if (cx >= xlo && x1 <= xhi && cy >= ylo && y1 <= yhi)
-        List((zValueOf(cx, cy, bits), zValueOf(x1, y1, bits)))
+      val upper = corner.map(_ + size - 1)
+      if ((0 until k).exists(j => corner(j) > hi(j) || upper(j) < lo(j)))
+        Nil
+      else if ((0 until k).forall(j =>
+          corner(j) >= lo(j) && upper(j) <= hi(j)))
+        List((zValueOfK(corner, bits), zValueOfK(upper, bits)))
       else {
         val h = size >> 1
-        rec(cx, cy, level - 1) ::: rec(cx + h, cy, level - 1) :::
-          rec(cx, cy + h, level - 1) ::: rec(cx + h, cy + h, level - 1)
+        (0 until (1 << k)).toList.flatMap { m =>
+          rec(corner.zipWithIndex.map { case (c, j) =>
+            c + (((m >> j) & 1) * h) }, level - 1)
+        }
       }
     }
-    rec(0L, 0L, bits).sortBy(_._1)
+    rec(Seq.fill(k)(0L), bits).sortBy(_._1)
       .foldLeft(List.empty[(Long, Long)]) {
-        case ((alo, ahi) :: acc, (lo, hi)) if lo <= ahi + 1 =>
-          (alo, math.max(ahi, hi)) :: acc
+        case ((alo, ahi) :: acc, (lo2, hi2)) if lo2 <= ahi + 1 =>
+          (alo, math.max(ahi, hi2)) :: acc
         case (acc, iv) => iv :: acc
       }.reverse
   }
 
-  /** Write `df` z-clustered on (x, y): coarse z bucket as a partition
-    * directory (planning-time pruning), fine z sorted within files
-    * (row-group pruning). One shuffle, on the bucket id. */
-  def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String,
+  /** 2-D cover — [[zIntervalsK]] at k = 2 (bit-identical to the
+    * pre-k-D quadtree implementation; ZOrderSpec pins exactness). */
+  def zIntervals(xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      bits: Int = 8): Seq[(Long, Long)] =
+    zIntervalsK(Seq(xlo, ylo), Seq(xhi, yhi), bits)
+
+  /** Write `df` z-clustered on k key columns: coarse z bucket as a
+    * partition directory (planning-time pruning), fine z sorted
+    * within files (row-group pruning). One shuffle, on the bucket
+    * id. */
+  def writeZOrderedK(df: DataFrame, keys: Seq[Column], path: String,
       bucketWidth: Long = 4096L, bits: Int = 8): Unit =
-    df.withColumn("z", zValue(x, y, bits))
+    df.withColumn("z", zValueK(keys, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .repartition(col("z_bucket"))
       // (z_bucket, z), not z alone: a partitionBy write whose input is
@@ -104,6 +142,11 @@ object Layout {
       // (ZOrderSpec pins per-file sortedness)
       .sortWithinPartitions(col("z_bucket"), col("z"))
       .write.partitionBy("z_bucket").mode("overwrite").parquet(path)
+
+  /** 2-D write — [[writeZOrderedK]] at k = 2. */
+  def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String,
+      bucketWidth: Long = 4096L, bits: Int = 8): Unit =
+    writeZOrderedK(df, Seq(x, y), path, bucketWidth, bits)
 
   /** Box read over a z-ordered layout: bucket-range partition filter
     * (prunes directories at planning), fine z-interval pushdown, then
@@ -141,8 +184,15 @@ object Layout {
     * (ZOrderSpec pins both the bounded plan and result identity). */
   def boxScanTight(zdf: DataFrame,
       xlo: Long, xhi: Long, ylo: Long, yhi: Long,
+      bucketWidth: Long = 4096L, bits: Int = 8): DataFrame =
+    boxScanTightK(zdf, Seq(xlo, ylo), Seq(xhi, yhi), bucketWidth, bits)
+
+  /** k-D tight box read — [[boxScanTight]]'s contract over a
+    * [[writeZOrderedK]] layout: the [[zIntervalsK]] exact cover as an
+    * OR of z ranges + the same bounded bucket partition filter. */
+  def boxScanTightK(zdf: DataFrame, lo: Seq[Long], hi: Seq[Long],
       bucketWidth: Long = 4096L, bits: Int = 8): DataFrame = {
-    val ivs = zIntervals(xlo, xhi, ylo, yhi, bits)
+    val ivs = zIntervalsK(lo, hi, bits)
     // per-interval bucket ranges, re-merged (adjacent intervals can
     // land in adjacent-or-same buckets)
     val ranges = ivs.map { case (lo, hi) => (lo / bucketWidth, hi / bucketWidth) }
@@ -172,13 +222,18 @@ object Layout {
     * IvfIndex.append's contract: the layout parameters (bits,
     * bucketWidth, and the x/y bucketization) are frozen at build
     * time and must match. */
-  def appendZOrdered(df: DataFrame, x: Column, y: Column, path: String,
+  def appendZOrderedK(df: DataFrame, keys: Seq[Column], path: String,
       bucketWidth: Long = 4096L, bits: Int = 8): Unit =
-    df.withColumn("z", zValue(x, y, bits))
+    df.withColumn("z", zValueK(keys, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .repartition(col("z_bucket"))
-      .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrdered
+      .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrderedK
       .write.partitionBy("z_bucket").mode("append").parquet(path)
+
+  /** 2-D append — [[appendZOrderedK]] at k = 2. */
+  def appendZOrdered(df: DataFrame, x: Column, y: Column, path: String,
+      bucketWidth: Long = 4096L, bits: Int = 8): Unit =
+    appendZOrderedK(df, Seq(x, y), path, bucketWidth, bits)
 
   /** [[appendZOrdered]] made IDEMPOTENT under epoch replay — the
     * foreachBatch contract a streaming ingest loop needs
@@ -206,9 +261,15 @@ object Layout {
     * for. */
   def appendZOrderedIdempotent(df: DataFrame, idCol: String,
       x: Column, y: Column, path: String,
+      bucketWidth: Long = 4096L, bits: Int = 8): Unit =
+    appendZOrderedIdempotentK(df, idCol, Seq(x, y), path, bucketWidth, bits)
+
+  /** k-D replay-idempotent append — same contract at k dims. */
+  def appendZOrderedIdempotentK(df: DataFrame, idCol: String,
+      keys: Seq[Column], path: String,
       bucketWidth: Long = 4096L, bits: Int = 8): Unit = {
     val spark = df.sparkSession
-    val withZ = df.withColumn("z", zValue(x, y, bits))
+    val withZ = df.withColumn("z", zValueK(keys, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .localCheckpoint()
     val buckets = withZ.select(col("z_bucket")).distinct()
@@ -240,10 +301,16 @@ object Layout {
     * the generations away. */
   def upsertZOrdered(df: DataFrame, idCol: String, x: Column, y: Column,
       path: String, rev: Long, bucketWidth: Long = 4096L,
+      bits: Int = 8): Unit =
+    upsertZOrderedK(df, idCol, Seq(x, y), path, rev, bucketWidth, bits)
+
+  /** k-D row revision — same contract at k dims. */
+  def upsertZOrderedK(df: DataFrame, idCol: String, keys: Seq[Column],
+      path: String, rev: Long, bucketWidth: Long = 4096L,
       bits: Int = 8): Unit = {
     require(rev > 0L, "revision must be positive")
     val spark = df.sparkSession
-    val withZ = df.withColumn("z", zValue(x, y, bits))
+    val withZ = df.withColumn("z", zValueK(keys, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .withColumn("rev", lit(rev))
       .localCheckpoint()

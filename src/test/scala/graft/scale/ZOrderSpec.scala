@@ -67,6 +67,76 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("zIntervalsK is an EXACT cover at k=3: z in intervals <=> (x,y,w) in box") {
+    // exhaustive over a 4-bit 3-D space, randomized boxes (fixed seed)
+    val rnd = new scala.util.Random(11)
+    val bits = 4
+    val side = 1 << bits
+    for (_ <- 1 to 20) {
+      def range() = {
+        val (a, b) = (rnd.nextInt(side).toLong, rnd.nextInt(side).toLong)
+        (math.min(a, b), math.max(a, b))
+      }
+      val dims = Seq.fill(3)(range())
+      val (lo, hi) = (dims.map(_._1), dims.map(_._2))
+      val ivs = Layout.zIntervalsK(lo, hi, bits)
+      ivs.sliding(2).foreach {
+        case Seq((_, h1), (l2, _)) => assert(l2 > h1 + 1, "not fully merged")
+        case _ =>
+      }
+      val inIvs = (0L until (1L << (3 * bits))).filter(z =>
+        ivs.exists { case (l, h) => z >= l && z <= h }).toSet
+      val inBox = (for {
+        x <- lo(0) to hi(0); y <- lo(1) to hi(1); w <- lo(2) to hi(2)
+      } yield Layout.zValueOfK(Seq(x, y, w), bits)).toSet
+      assert(inIvs == inBox, s"3-D cover wrong for $lo..$hi")
+    }
+    // column twin agrees with the driver twin at k=3
+    val rows = graft.Tables.events(spark, d)
+      .select(pmod(col("user_id"), lit(16L)).as("x"),
+        pmod(expr("unix_millis(ts) div 60000"), lit(16L)).as("y"),
+        pmod(col("event_id"), lit(16L)).as("w"))
+      .withColumn("z",
+        Layout.zValueK(Seq(col("x"), col("y"), col("w")), bits))
+      .limit(2000)
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (x, y, w, z) =>
+      assert(z == Layout.zValueOfK(Seq(x, y, w), bits),
+        s"k=3 column/driver mismatch at ($x,$y,$w)")
+    }
+    // the 2-D API is EXACTLY the k=2 case — no on-disk drift
+    for (x <- 0L to 63L; y <- 0L to 63L)
+      assert(Layout.zValueOf(x, y) == Layout.zValueOfK(Seq(x, y)))
+  }
+
+  test("k=3 layout: write, tight box read via boxScanTightK, lifecycle verbs compose") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-z3").resolve("z").toString
+    val rows = (0L until 512L)
+      .map(i => (i, i % 8L, (i / 8L) % 8L, (i / 64L) % 8L))
+      .toDF("id", "x", "y", "w")
+    val keys = Seq(col("x"), col("y"), col("w"))
+    Layout.writeZOrderedK(rows.filter(col("id") < 300L), keys, base,
+      bucketWidth = 32L, bits = 3)
+    Layout.appendZOrderedK(rows.filter(col("id") >= 300L), keys, base,
+      bucketWidth = 32L, bits = 3)
+    // revision moves a row in all three dims (bucket migration)
+    Layout.upsertZOrderedK(Seq((5L, 7L, 7L, 7L)).toDF("id", "x", "y", "w"),
+      "id", keys, base, rev = 1L, bucketWidth = 32L, bits = 3)
+    Layout.deleteZOrdered(Seq(6L).toDF("id"), "id", base)
+    val served = Layout.readCurrent(spark, base, "id")
+    val got = Layout.boxScanTightK(served, Seq(2L, 2L, 2L), Seq(7L, 7L, 7L),
+        bucketWidth = 32L, bits = 3)
+      .select(col("id")).as[Long].collect().toSet
+    val truth = (0L until 512L).flatMap { i =>
+      val (x0, y0, w0) =
+        if (i == 5L) (7L, 7L, 7L) else (i % 8L, (i / 8L) % 8L, (i / 64L) % 8L)
+      if (i != 6L && x0 >= 2 && y0 >= 2 && w0 >= 2) Some(i) else None
+    }.toSet
+    assert(got == truth,
+      "k=3 tight box read over the CDC-composed layout diverged")
+  }
+
   test("z-clustered layout serves a box read from a strict subset of files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder")
       .resolve("events_z").toString
