@@ -5984,6 +5984,85 @@ object ScaleCatalogue {
        |ORDER BY event_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q177 — CENTROID-DRIFT METRIC on the IVF index (IvfIndex
+  // .quantErrors / driftRatio / needsRebuild): the frozen-centroids
+  // contract's docstrings promised "drift = a rebuild decision" —
+  // this is the machinery that MAKES the decision measurable. The
+  // fixture builds over the full embeddings table (centroids = the
+  // first 16 vectors, frozen) and appends a PLANTED-DRIFT batch:
+  // 4x-scaled copies under fresh ids — scaling by a power of two is
+  // EXACT in float arithmetic, so the oracle replays the plant
+  // bit-for-bit. The query serves the metric's defining aggregate per
+  // segment: own-centroid quantization error in exact integer space
+  // (embeddings quantize once to floor(x·1e6) longs, distances are
+  // exact integer sums — the q76/q82 recipe), read through the
+  // index's CURRENT-GENERATION corpus. The hash match proves (1) the
+  // CDC corpus read is exact and (2) the drift observable is
+  // bit-reproducible cross-engine — a drift signal that wobbles with
+  // reduction order would manufacture phantom rebuilds. The appended
+  // segment's mean error is many multiples of the build segment's
+  // (the ratio driftRatio reports and needsRebuild thresholds —
+  // IvfDriftSpec pins monotone response to planted drift, baseline
+  // reset at rebuild, and the PQ-codebook twin IvfPqIndex.driftRatio).
+  // ---------------------------------------------------------------------
+  private def ivfDriftCents(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < 16)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+
+  private def ivfDriftDir(s: SparkSession, d: String): String = {
+    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    cachedIndexDir("ivf-drift", d, "v1",
+      datasets = Seq("embeddings.parquet")) { p =>
+      graft.scale.IvfIndex.build(emb, ivfDriftCents(s, d), p)
+      // the plant: 4x-scaled copies (exact float op) under fresh ids
+      graft.scale.IvfIndex.append(
+        emb.select((col("vec_id") + lit(10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            e => (e * lit(4.0f)).cast("float")).as("embedding")),
+        ivfDriftCents(s, d), p)
+    }
+  }
+
+  def q177IvfDrift(s: SparkSession, d: String): DataFrame =
+    graft.scale.IvfIndex.quantErrors(s, ivfDriftDir(s, d),
+        ivfDriftCents(s, d))
+      .select(
+        when(col("vec_id") >= 10000000L, lit("appended"))
+          .otherwise(lit("build")).as("segment"),
+        col("d2"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_vec"), sum(col("d2")).as("qerr_sum"))
+      .orderBy(col("segment"))
+  val q177Sql: String = {
+    val d2 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      "list_transform(range(1, 65), " +
+      "j -> (v.qv[j] - c.cv[j]) * (v.qv[j] - c.cv[j]))), (a, b) -> a + b)"
+    s"""WITH qc AS (
+       |  SELECT vec_id AS cid,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS cv
+       |  FROM embeddings WHERE vec_id < 16),
+       |corpus AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 10000000,
+       |    list_transform(embedding, x -> CAST(x * 4 AS FLOAT))
+       |  FROM embeddings),
+       |qv AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
+       |  FROM corpus),
+       |mind AS (
+       |  SELECT v.vec_id, min($d2) AS d2
+       |  FROM qv v CROSS JOIN qc c GROUP BY v.vec_id)
+       |SELECT CASE WHEN vec_id >= 10000000 THEN 'appended'
+       |  ELSE 'build' END AS segment,
+       |  count(*) AS n_vec, CAST(sum(d2) AS BIGINT) AS qerr_sum
+       |FROM mind GROUP BY 1 ORDER BY segment""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6120,6 +6199,7 @@ object ScaleCatalogue {
     "q174_citation_asof" -> q174CitationAsOf _,
     "q175_citation_change_feed" -> q175CitationChangeFeed _,
     "q176_zorder_3d" -> q176ZOrder3d _,
+    "q177_ivf_drift" -> q177IvfDrift _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -6265,5 +6345,6 @@ object ScaleCatalogue {
     "q174_citation_asof" -> q174Sql,
     "q175_citation_change_feed" -> q175Sql,
     "q176_zorder_3d" -> q176Sql,
+    "q177_ivf_drift" -> q177Sql,
   )
 }

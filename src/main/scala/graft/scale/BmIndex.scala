@@ -166,6 +166,22 @@ object BmIndex {
       .select(col("doc_id"), col("m.rev").as("cur_rev"),
         col("m.old_dl").as("old_dl"), col("m.new_dl").as("new_dl"))
 
+  /** Compaction-need probe ([[IndexIo.compactionStats]]): posting
+    * files per term bucket (append decay) and rev/tombstone bytes vs
+    * the posting tree (CDC decay). Listing-only cost. */
+  def compactionStats(spark: SparkSession,
+      dir: String): IndexIo.CompactionStats =
+    IndexIo.compactionStats(spark, s"$dir/postings",
+      Seq(s"$dir/_bm_rev", s"$dir/_bm_tombstones"))
+
+  /** The decision [[compactionStats]] exists to make: time to
+    * [[compactTo]]? */
+  def needsCompaction(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Double = 8.0,
+      maxCdcFraction: Double = 0.2): Boolean =
+    compactionStats(spark, dir)
+      .needsCompaction(maxFilesPerBucket, maxCdcFraction)
+
   /** Keep each doc's CURRENT generation of posting rows: never-revised
     * docs keep their rev-null rows, revised docs keep exactly their
     * max-rev rows ([[LshIndex]]'s currentOnly discipline — one

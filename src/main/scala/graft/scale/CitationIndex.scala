@@ -1003,6 +1003,26 @@ object CitationIndex {
   def changeFeed(spark: SparkSession, feedDir: String): DataFrame =
     IndexIo.readOr(spark, feedDir, feedSchema)
 
+  /** Compaction-need probe ([[IndexIo.compactionStats]]): posting
+    * files per term bucket (append decay) and the churn state every
+    * read filters through — revision registry, tombstones, and the
+    * three signed delta tables — vs the posting tree. Listing-only
+    * cost; stale PAIR generations decay too but are invisible to
+    * geometry (they fold at the same [[compactTo]]). */
+  def compactionStats(spark: SparkSession,
+      dir: String): IndexIo.CompactionStats =
+    IndexIo.compactionStats(spark, s"$dir/post",
+      Seq(s"$dir/_cit_rev", s"$dir/_cit_tombs", s"$dir/dead_terms",
+        s"$dir/sub_terms", s"$dir/deep_df"))
+
+  /** The decision [[compactionStats]] exists to make: time to
+    * [[compactTo]]? */
+  def needsCompaction(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Double = 8.0,
+      maxCdcFraction: Double = 0.2): Boolean =
+    compactionStats(spark, dir)
+      .needsCompaction(maxFilesPerBucket, maxCdcFraction)
+
   /** Torn-write detector, three probes: (1) every doc id present in
     * post/ must be committed — append writes post first and docs
     * last, so residue ids are exactly an unfinished append; (2) every

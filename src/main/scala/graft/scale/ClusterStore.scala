@@ -767,6 +767,28 @@ object ClusterStore {
     writeMeta(spark, destDir, 0L, asg.count())
   }
 
+  /** Compaction-need probe — the store's decay axes differ from the
+    * bucketed layouts': the dominant cost of NOT compacting is
+    * pointer-chain depth, which grows one hop per absorbing epoch
+    * since the last fold (every resolve pays one frontier round per
+    * hop — [[roundBound]] is the same fact as a safety margin), so
+    * the first signal is simply the committed epoch count; the second
+    * is tombstone + revision-registry bytes vs the three data trees
+    * (read-side anti-join/generation-filter state, folded by
+    * [[compactTo]]). Listing-only cost. */
+  def needsCompaction(spark: SparkSession, dir: String,
+      maxEpochs: Long = 32L, maxCdcFraction: Double = 0.2): Boolean = {
+    val (epoch, _) = readMeta(spark, dir)
+    val mainBytes = Seq("posts", "fwd", "stars")
+      .map(s => IndexIo.compactionStats(spark, s"$dir/$s", Nil).mainBytes)
+      .sum
+    val cdcBytes = Seq("tombs", "rev")
+      .map(s => IndexIo.compactionStats(spark, s"$dir/$s", Nil).mainBytes)
+      .sum
+    epoch + 1L > maxEpochs ||
+      cdcBytes.toDouble / math.max(1L, mainBytes) > maxCdcFraction
+  }
+
   /** Detector: torn epochs (any e=N dir beyond the meta pointer) and
     * doc-count drift both flip this false. Committed state is never
     * touched by a tear, so serving stays correct while this reports

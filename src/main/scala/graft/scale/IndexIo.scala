@@ -9,8 +9,10 @@ import org.apache.spark.sql.types.StructType
   * build-over-an-empty-frame cold start, an all-duplicate append)
   * leaves a directory schema inference cannot read, and every index
   * reader must keep working through it. One definition so the
-  * tolerance semantics cannot drift between index families. */
-private[scale] object IndexIo {
+  * tolerance semantics cannot drift between index families. Public
+  * because [[CompactionStats]] is part of every layout's operator
+  * surface (the `needsCompaction` wrappers return it). */
+object IndexIo {
 
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
@@ -24,6 +26,80 @@ private[scale] object IndexIo {
   def readOr(spark: SparkSession, path: String, schema: StructType): DataFrame =
     if (!exists(spark, path)) emptyFrame(spark, schema)
     else spark.read.schema(schema).parquet(path)
+
+  /** File-geometry snapshot of a bucketed layout — the shared
+    * compaction-need probe (round-14 verdict item 9): every serving
+    * layout's CDC story leans on "compaction folds it", and this is
+    * the metric that makes the discipline OPERABLE instead of
+    * aspirational. Two decay axes, both visible from listings alone
+    * (no data scan):
+    *  - `filesPerBucket`: each append lands one file per touched
+    *    bucket, so after k appends a pruned read opens k files per
+    *    surviving bucket and their min/max stats overlap instead of
+    *    tiling — read amplification that only a rewrite fixes;
+    *  - `cdcFraction`: revision registries / revision rows /
+    *    tombstones are anti-joined or generation-filtered by EVERY
+    *    read; they are O(revised + deleted) by discipline but grow
+    *    without bound between compactions (the same growth the
+    *    [[maybeBroadcast]] guard defends the plan against — this
+    *    probe is the signal to go fold it). */
+  final case class CompactionStats(mainFiles: Long, mainBytes: Long,
+      buckets: Long, filesPerBucket: Double, cdcBytes: Long,
+      cdcFraction: Double) {
+    /** The decision: past either threshold, schedule the layout's
+      * compaction verb. Defaults: 8 files per bucket ≈ 8 appends
+      * since the last fold; CDC state past 20% of the main tree's
+      * bytes means reads filter through a side table a fifth the size
+      * of the data. */
+    def needsCompaction(maxFilesPerBucket: Double = 8.0,
+        maxCdcFraction: Double = 0.2): Boolean =
+      (buckets > 0L && filesPerBucket > maxFilesPerBucket) ||
+        cdcFraction > maxCdcFraction
+  }
+
+  /** Compute [[CompactionStats]] for `mainDir` (its `col=value`
+    * first-level dirs are the buckets; underscore/dot children are
+    * skipped — they are meta or CDC state, not data) against the
+    * layout's CDC side dirs. Listing-only cost. */
+  def compactionStats(spark: SparkSession, mainDir: String,
+      cdcDirs: Seq[String]): CompactionStats = {
+    val conf = spark.sessionState.newHadoopConf()
+    def hidden(name: String) =
+      name.startsWith("_") || name.startsWith(".")
+    // (files, bytes, bucket names) under a root, skipping hidden
+    // CHILDREN (the root itself may be an underscore dir)
+    def walk(root: String): (Long, Long, Set[String]) = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) return (0L, 0L, Set.empty)
+      var files = 0L
+      var bytes = 0L
+      var buckets = Set.empty[String]
+      def rec(dir: org.apache.hadoop.fs.Path, firstLevel: Boolean): Unit =
+        fs.listStatus(dir).foreach { st =>
+          val name = st.getPath.getName
+          if (!hidden(name)) {
+            if (st.isDirectory) {
+              if (firstLevel && name.contains("=")) buckets += name
+              rec(st.getPath, firstLevel = false)
+            } else {
+              files += 1L
+              bytes += st.getLen
+            }
+          }
+        }
+      rec(p, firstLevel = true)
+      (files, bytes, buckets)
+    }
+    val (mf, mb, bk) = walk(mainDir)
+    val cdcBytes = cdcDirs.map(d => walk(d)._2).sum
+    CompactionStats(
+      mainFiles = mf, mainBytes = mb, buckets = bk.size.toLong,
+      filesPerBucket =
+        if (bk.isEmpty) mf.toDouble else mf.toDouble / bk.size,
+      cdcBytes = cdcBytes,
+      cdcFraction = cdcBytes.toDouble / math.max(1L, mb))
+  }
 
   /** Size-guarded broadcast hint for the CDC serving reads (round-14
     * advice): every index family joins its main tree against a

@@ -35,7 +35,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .withColumnRenamed("centroid_id", "cluster_id")
     withOwnDist2(assigned, centroids)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
-    writeMeta(corpus.sparkSession, path)
+    writeMeta(corpus.sparkSession, path, centroids)
   }
 
   /** Incrementally add vectors to an EXISTING index — the shape at
@@ -325,17 +325,22 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .drop("c_emb")
 
   /** Record the build corpus's p95 own-centroid dist2 (approx_percentile
-    * — sketch-mergeable, scale-safe) next to the data files. Temp+rename
-    * so a crash mid-write can never leave a torn file (the same recipe
-    * every other commit point in the repo uses). */
-  private def writeMeta(spark: SparkSession, path: String): Unit = {
+    * — sketch-mergeable, scale-safe) AND its exact integer-space
+    * quantization-error stats (the [[driftRatio]] baseline) next to
+    * the data files. Temp+rename so a crash mid-write can never leave
+    * a torn file (the same recipe every other commit point in the
+    * repo uses). */
+  private def writeMeta(spark: SparkSession, path: String,
+      centroids: DataFrame): Unit = {
     val row = spark.read.parquet(path)
       .agg(expr("approx_percentile(dist2, 0.95)")).head()
     val p95 = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val (n, qsum) = quantErrorStats(spark, path, centroids)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val tmp = new Path(path, s"._ivf_meta.${java.util.UUID.randomUUID()}.tmp")
     val out = fs.create(tmp, false)
-    try out.write(s"""{"p95_dist2":$p95}""".getBytes(UTF_8)) finally out.close()
+    try out.write(s"""{"p95_dist2":$p95,"n":$n,"qsum":$qsum}"""
+      .getBytes(UTF_8)) finally out.close()
     val target = new Path(path, "_ivf_meta.json")
     fs.delete(target, false)
     if (!fs.rename(tmp, target)) {
@@ -366,6 +371,126 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         None
     }
   }
+
+  /** Build-time exact quantization-error baseline (n, qsum) from the
+    * meta file; None on a pre-metric legacy index or unreadable
+    * meta. */
+  private def readMetaQuant(spark: SparkSession,
+      path: String): Option[(Long, Long)] = {
+    val p = new Path(path, "_ivf_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    try {
+      val in = fs.open(p)
+      try {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val j = org.json4s.jackson.JsonMethods.parse(
+          new java.io.InputStreamReader(in, UTF_8))
+        ((j \ "n"), (j \ "qsum")) match {
+          case (org.json4s.JNothing, _) | (_, org.json4s.JNothing) => None
+          case (n, q) => Some((n.extract[Long], q.extract[Long]))
+        }
+      } finally in.close()
+    } catch {
+      case e: Exception =>
+        logWarning(s"ivf-index: unreadable _ivf_meta.json at $path — " +
+          s"drift ratio degrades to NaN until the next build", e)
+        None
+    }
+  }
+
+  /** Per-vector EXACT own-centroid quantization error over the
+    * CURRENT corpus the index serves (revisions current, tombstones
+    * dropped): embeddings quantize once to floor(x·1e6) longs and
+    * distances are exact integer sums ([[Similarity.quantDist2]], the
+    * q76/q82 recipe) — so the number is bit-reproducible across
+    * engines, rounds, and partitionings, which a drift SIGNAL must be
+    * (a metric that wobbles with reduction order manufactures phantom
+    * drift). Returns (vec_id, d2). One corpus scan + one broadcast of
+    * the k-sized centroid table. */
+  def quantErrors(spark: SparkSession, path: String,
+      centroids: DataFrame): DataFrame = {
+    val qemb = corpus(spark, path)
+      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("qv"))
+    val qc = centroids.select(col("centroid_id").as("cid"),
+      Similarity.quantized(col("c_emb")).as("cv"))
+    qemb.crossJoin(broadcast(qc))
+      .select(col("vec_id"),
+        Similarity.quantDist2(col("qv"), col("cv")).as("d2"))
+      .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
+  }
+
+  /** One aggregate over [[quantErrors]]: (n, Σd2). */
+  def quantErrorStats(spark: SparkSession, path: String,
+      centroids: DataFrame): (Long, Long) = {
+    val r = quantErrors(spark, path, centroids)
+      .agg(count(lit(1)), sum(col("d2"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  /** CENTROID-DRIFT RATIO — the dir-level rebuild decision the
+    * [[append]]-time fraction only hints at (round-14 verdict item
+    * 6): mean own-centroid quantization error of the POST-BUILD rows
+    * over the build-time mean recorded in `_ivf_meta.json`. A
+    * same-distribution corpus measures ≈1 (both sides estimate the
+    * same E[min-centroid d²]); a shifted corpus lands its mass in the
+    * quantizer's tails and the ratio climbs multiplicatively
+    * (spec-pinned monotone on planted drift). The post-build rows are
+    * isolated by EXACT SUBTRACTION (current − build sums) when the
+    * index is subtraction-clean (no deletes/revisions and grown since
+    * build); under CDC state the subtraction basis is gone and the
+    * ratio degrades to whole-corpus mean over build mean — still
+    * monotone in drift, diluted by the clean mass (documented, not
+    * hidden). NaN on a pre-metric legacy index or an empty/degenerate
+    * baseline. */
+  def driftRatio(spark: SparkSession, path: String,
+      centroids: DataFrame): Double =
+    readMetaQuant(spark, path) match {
+      case Some((bn, bq)) if bn > 0L && bq > 0L =>
+        val (cn, cq) = quantErrorStats(spark, path, centroids)
+        if (cn == 0L) Double.NaN
+        else {
+          val buildMean = bq.toDouble / bn
+          val clean = !IndexIo.exists(spark, s"$path/_ivf_rev") &&
+            !IndexIo.exists(spark, s"$path/_ivf_tombstones")
+          if (clean && cn > bn)
+            ((cq - bq).toDouble / (cn - bn)) / buildMean
+          else (cq.toDouble / cn) / buildMean
+        }
+      case _ => Double.NaN
+    }
+
+  /** Post-build rows above this multiple of the build-time mean
+    * quantization error call for a re-cluster + [[rebuild]]. */
+  val DriftRatioThreshold = 2.0
+
+  /** The operator decision [[driftRatio]] exists to make: true when
+    * the measured ratio exceeds `threshold`. NaN (legacy index, empty
+    * corpus) is false — an unmeasurable index must not trigger
+    * rebuild storms. */
+  def needsRebuild(spark: SparkSession, path: String, centroids: DataFrame,
+      threshold: Double = DriftRatioThreshold): Boolean = {
+    val r = driftRatio(spark, path, centroids)
+    !r.isNaN && r > threshold
+  }
+
+  /** Compaction-need probe ([[IndexIo.compactionStats]]): data files
+    * per cluster dir (append decay) and rev/tombstone bytes vs the
+    * main tree (CDC decay — this index's fold is [[rebuild]]).
+    * Listing-only cost; [[driftRatio]] is the complementary
+    * DISTRIBUTION signal. */
+  def compactionStats(spark: SparkSession,
+      path: String): IndexIo.CompactionStats =
+    IndexIo.compactionStats(spark, path,
+      Seq(s"$path/_ivf_rev", s"$path/_ivf_rev_rows",
+        s"$path/_ivf_tombstones"))
+
+  /** The geometry half of the rebuild decision: time to [[rebuild]]? */
+  def needsCompaction(spark: SparkSession, path: String,
+      maxFilesPerBucket: Double = 8.0,
+      maxCdcFraction: Double = 0.2): Boolean =
+    compactionStats(spark, path)
+      .needsCompaction(maxFilesPerBucket, maxCdcFraction)
 
   /** IVF top-k over a built index: identical results to
     * [[Similarity.ivfTopKWith]] on the same corpus/centroids/k/nProbe,

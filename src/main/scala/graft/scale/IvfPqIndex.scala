@@ -60,9 +60,119 @@ object IvfPqIndex {
         .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
       // after the data write: overwrite mode clears the directory first
       cents.write.mode("overwrite").parquet(s"$path/_pq_codebooks")
+      writeMeta(corpus.sparkSession, path,
+        quantRecStats(corpus, cents, m, sub))
     } finally org.apache.spark.sql.graftbridge.CheckpointBridge
       .unpinCheckpoint(cents)
   }
+
+  /** Exact integer-space PQ reconstruction-error stats of `vectors`
+    * under codebooks `cents`: per (vector, subspace) cell the min
+    * quantized distance to any codebook entry — exactly the error the
+    * stored code commits to — summed. (n = subspace cells, qsum).
+    * Quantize-once integer math ([[Similarity.quantDist2]]) so the
+    * baseline and every later measurement are bit-comparable. */
+  private def quantRecStats(vectors: DataFrame, cents: DataFrame,
+      m: Int, sub: Int): (Long, Long) = {
+    // pqSubvecs/pqInitCodebooks output is ALREADY in quantized integer
+    // space (floor(x·1e6) longs) — no further quantization here
+    val sv = Similarity.pqSubvecs(vectors, m, sub)
+    val qc = cents.select(col("s"), col("cid"), col("cv"))
+    val best = sv.join(broadcast(qc), Seq("s"))
+      .select(col("vec_id"), col("s"),
+        Similarity.quantDist2(col("sv"), col("cv")).as("d2"))
+      .groupBy(col("vec_id"), col("s")).agg(min(col("d2")).as("d2"))
+    val r = best.agg(count(lit(1)), sum(col("d2"))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+      stats: (Long, Long)): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path, "_pq_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._pq_meta.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(s"""{"n":${stats._1},"qsum":${stats._2}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"pq-index: failed to publish $p")
+    }
+  }
+
+  private def readMeta(spark: SparkSession,
+      path: String): Option[(Long, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(path, "_pq_meta.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return None
+    try {
+      val in = fs.open(p)
+      try {
+        implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+        val j = org.json4s.jackson.JsonMethods.parse(
+          new java.io.InputStreamReader(in,
+            java.nio.charset.StandardCharsets.UTF_8))
+        Some(((j \ "n").extract[Long], (j \ "qsum").extract[Long]))
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** CODEBOOK-DRIFT RATIO — the rebuild decision for the SECOND
+    * frozen artifact (round-14 verdict item 6): mean PQ
+    * reconstruction error of `batch` under the STORED codebooks over
+    * the build-time mean recorded in `_pq_meta.json`. The index
+    * stores codes, never embeddings (by design — that is the whole
+    * point of PQ), so reconstruction error cannot be derived from the
+    * dir alone; the caller passes the rows to judge (typically its
+    * most recent append batch — exactly "appended rows vs build-time
+    * baseline"). A same-distribution batch measures ≈1; a shifted
+    * batch quantizes badly under the frozen codebooks and the ratio
+    * climbs multiplicatively (spec-pinned monotone on planted drift).
+    * NaN on a pre-metric legacy index or a degenerate baseline. */
+  def driftRatio(spark: SparkSession, path: String,
+      batch: DataFrame): Double =
+    readMeta(spark, path) match {
+      case Some((bn, bq)) if bn > 0L && bq > 0L =>
+        val cents = spark.read.parquet(s"$path/_pq_codebooks")
+        val (m, sub) = geometry(cents)
+        val (cn, cq) = quantRecStats(batch, cents, m, sub)
+        if (cn == 0L) Double.NaN
+        else (cq.toDouble / cn) / (bq.toDouble / bn)
+      case _ => Double.NaN
+    }
+
+  /** Batches above this multiple of the build-time mean
+    * reconstruction error call for re-trained codebooks + a rebuild. */
+  val DriftRatioThreshold = 2.0
+
+  /** The operator decision [[driftRatio]] exists to make; NaN
+    * (legacy index, empty batch) is false — an unmeasurable index
+    * must not trigger rebuild storms. */
+  def needsRebuild(spark: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = DriftRatioThreshold): Boolean = {
+    val r = driftRatio(spark, path, batch)
+    !r.isNaN && r > threshold
+  }
+
+  /** Compaction-need probe ([[IndexIo.compactionStats]]): code files
+    * per cluster dir (append decay) and rev/tombstone bytes vs the
+    * code tree (CDC decay). Listing-only cost; [[driftRatio]] is the
+    * complementary DISTRIBUTION signal. */
+  def compactionStats(spark: SparkSession,
+      path: String): IndexIo.CompactionStats =
+    IndexIo.compactionStats(spark, path,
+      Seq(s"$path/_pq_rev", s"$path/_pq_rev_rows",
+        s"$path/_pq_tombstones"))
+
+  /** The geometry half of the rebuild decision. */
+  def needsCompaction(spark: SparkSession, path: String,
+      maxFilesPerBucket: Double = 8.0,
+      maxCdcFraction: Double = 0.2): Boolean =
+    compactionStats(spark, path)
+      .needsCompaction(maxFilesPerBucket, maxCdcFraction)
 
   /** Incrementally add vectors to an EXISTING code index — the growth
     * path at 100 TB, where corpus lands continuously and re-encoding

@@ -408,6 +408,22 @@ object Layout {
       Seq(idCol), "left_anti")
   }
 
+  /** Compaction-need probe ([[IndexIo.compactionStats]]): files per
+    * z_bucket dir (append decay) and rev/tombstone bytes vs the main
+    * tree (CDC decay). Listing-only cost. */
+  def compactionStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): IndexIo.CompactionStats =
+    IndexIo.compactionStats(spark, path,
+      Seq(s"$path/_z_rev", s"$path/_z_rev_rows", s"$path/_z_tombs"))
+
+  /** The decision [[compactionStats]] exists to make: time to
+    * [[compactZOrderedTo]]? */
+  def needsCompaction(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxFilesPerBucket: Double = 8.0,
+      maxCdcFraction: Double = 0.2): Boolean =
+    compactionStats(spark, path)
+      .needsCompaction(maxFilesPerBucket, maxCdcFraction)
+
   /** Copy-compaction of an append-decayed z layout into `destPath`
     * (the [[LshIndex.compactTo]] crash-safety shape: the source stays
     * untouched; the caller swaps dirs): every [[appendZOrdered]] adds

@@ -135,6 +135,22 @@ object LshIndex {
     revisions(spark, dir).groupBy(col("doc_id"))
       .agg(max(col("rev")).as("cur_rev"))
 
+  /** Compaction-need probe ([[IndexIo.compactionStats]]): band files
+    * per bucket dir (append decay) and rev/tombstone bytes vs the
+    * band tree (CDC decay). Listing-only cost. */
+  def compactionStats(spark: SparkSession,
+      dir: String): IndexIo.CompactionStats =
+    IndexIo.compactionStats(spark, s"$dir/bands",
+      Seq(s"$dir/_lsh_rev", s"$dir/_lsh_tombstones"))
+
+  /** The decision [[compactionStats]] exists to make: time to
+    * [[compactTo]]? */
+  def needsCompaction(spark: SparkSession, dir: String,
+      maxFilesPerBucket: Double = 8.0,
+      maxCdcFraction: Double = 0.2): Boolean =
+    compactionStats(spark, dir)
+      .needsCompaction(maxFilesPerBucket, maxCdcFraction)
+
   /** Keep only each doc's CURRENT generation of rows: never-revised
     * docs keep their rev-null build/append rows; revised docs keep
     * exactly the rows stamped with their max revision (their original

@@ -424,6 +424,12 @@ object Similarity {
   def quantDist2(a: Column, b: Column): Column = aggregate(
     zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
+  /** Quantize a float-array column to exact integer space
+    * (floor(x·1e6) longs) — the q76/q82 cross-engine recipe, shared
+    * by the drift metrics so every engine computes the same number. */
+  def quantized(c: Column): Column =
+    transform(c, e => floor(e.cast("double") * 1e6).cast("long"))
+
   private def pqD2(a: Column, b: Column): Column = quantDist2(a, b)
 
   /** Per-(vector, subspace) argmin over the broadcast codebook — THE one

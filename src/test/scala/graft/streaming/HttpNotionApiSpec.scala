@@ -1,94 +1,25 @@
 package graft.streaming
 
-import java.net.InetSocketAddress
-import java.util.concurrent.ConcurrentLinkedQueue
-import java.util.concurrent.atomic.AtomicInteger
-
-import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.NotionBlock
 import graft.scale.SparkTestSession
 
-/** The real HTTP client against an in-process stub server: retry
-  * schedule on 429/502/503/504 (upload_notion_blocks.py:164-181 —
-  * status=5, backoff_factor=0.2, raise after exhaustion), Retry-After
-  * honored, non-retryable statuses fail immediately, get-or-create
-  * idempotence, and the full drain sink end-to-end over localhost
-  * HTTP with injected throttles. */
+/** The real HTTP client against an in-process stub server
+  * ([[StubNotionServer]] — shared with EndToEndSpec's composed run):
+  * retry schedule on 429/502/503/504 (upload_notion_blocks.py:164-181
+  * — status=5, backoff_factor=0.2, raise after exhaustion),
+  * Retry-After honored, non-retryable statuses fail immediately,
+  * get-or-create idempotence, and the full drain sink end-to-end over
+  * localhost HTTP with injected throttles. */
 class HttpNotionApiSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
-
-  /** Minimal conforming server for the client's wire protocol. Pages
-    * registry + upload log + a scriptable failure queue: each enqueued
-    * (status, retryAfterSeconds) is served to one /v1/blocks call
-    * before the real handler runs. */
-  private class Stub {
-    val pages = new java.util.concurrent.ConcurrentHashMap[String, String]()
-    val uploads = new ConcurrentLinkedQueue[String]()
-    val blockCalls = new AtomicInteger(0)
-    val failScript = new ConcurrentLinkedQueue[(Int, Option[Long])]()
-    val sleepTimes = new ConcurrentLinkedQueue[Long]()
-
-    private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
-      val b = body.getBytes("UTF-8")
-      ex.sendResponseHeaders(status, if (b.isEmpty) -1 else b.length)
-      if (b.nonEmpty) ex.getResponseBody.write(b)
-      ex.close()
-    }
-
-    private def bodyOf(ex: HttpExchange): String =
-      new String(ex.getRequestBody.readAllBytes(), "UTF-8")
-
-    private def field(json: String, name: String): String = {
-      val m = ("\"" + name + "\"\\s*:\\s*\"([^\"]*)\"").r
-      m.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-    }
-
-    val server: HttpServer = HttpServer.create(new InetSocketAddress(0), 0)
-    server.createContext("/v1/pages", (ex: HttpExchange) => {
-      if (ex.getRequestMethod == "GET") {
-        val batch = java.net.URLDecoder.decode(
-          ex.getRequestURI.getPath.stripPrefix("/v1/pages/"), "UTF-8")
-        Option(pages.get(batch)) match {
-          case Some(url) => respond(ex, 200, s"""{"url":"$url"}""")
-          case None => respond(ex, 404, """{"error":"not found"}""")
-        }
-      } else {
-        val body = bodyOf(ex)
-        val batch = field(body, "block_batch")
-        val url = pages.computeIfAbsent(batch,
-          b => s"${field(body, "parent_url")}/$b")
-        respond(ex, 201, s"""{"url":"$url"}""")
-      }
-    })
-    server.createContext("/v1/blocks", (ex: HttpExchange) => {
-      blockCalls.incrementAndGet()
-      sleepTimes.add(System.nanoTime())
-      Option(failScript.poll()) match {
-        case Some((status, retryAfter)) =>
-          retryAfter.foreach(s =>
-            ex.getResponseHeaders.add("Retry-After", s.toString))
-          respond(ex, status, s"""{"error":"injected $status"}""")
-        case None =>
-          val body = bodyOf(ex)
-          uploads.add(field(body, "block_batch") + ":" +
-            "\"block_index\"\\s*:\\s*(\\d+)".r
-              .findFirstMatchIn(body).map(_.group(1)).getOrElse("?"))
-          respond(ex, 200, """{"ok":true}""")
-      }
-    })
-    server.setExecutor(null)
-    server.start()
-    def base: String = s"http://localhost:${server.getAddress.getPort}"
-    def stop(): Unit = server.stop(0)
-  }
 
   private def block(batch: String, i: Int): NotionBlock =
     NotionBlock(batch, i, "b", s"Main/$batch.md", "text", s"t$i")
 
   test("get-or-create is idempotent and creates only on 404") {
-    val stub = new Stub
+    val stub = new StubNotionServer
     try {
       val api = new HttpNotionApi(stub.base, backoffFactorMs = 1L)
       val u1 = api.getOrCreatePage("batch-1", "Main/a.md", "https://parent")
@@ -100,7 +31,7 @@ class HttpNotionApiSpec extends AnyFunSuite {
   }
 
   test("retryable statuses retry with exponential backoff then succeed; order preserved") {
-    val stub = new Stub
+    val stub = new StubNotionServer
     try {
       // 429, 502, 503, 504 — one of each, then success on attempt 5
       stub.failScript.add((429, None)); stub.failScript.add((502, None))
@@ -123,7 +54,7 @@ class HttpNotionApiSpec extends AnyFunSuite {
   }
 
   test("Retry-After header overrides the computed backoff") {
-    val stub = new Stub
+    val stub = new StubNotionServer
     try {
       stub.failScript.add((429, Some(1L))) // server demands 1 s
       val api = new HttpNotionApi(stub.base, backoffFactorMs = 1L)
@@ -137,7 +68,7 @@ class HttpNotionApiSpec extends AnyFunSuite {
   }
 
   test("exhausted retries raise NotionApiError; non-retryable statuses raise immediately") {
-    val stub = new Stub
+    val stub = new StubNotionServer
     try {
       (1 to 6).foreach(_ => stub.failScript.add((503, None)))
       val api = new HttpNotionApi(stub.base, statusRetries = 5,
@@ -163,7 +94,7 @@ class HttpNotionApiSpec extends AnyFunSuite {
     // a truncated escape (\u12) passed it and substring(i+2, i+6) threw
     // StringIndexOutOfBounds; non-hex digits threw NumberFormatException
     // unguarded. A malformed server response must not crash the sink.
-    val stub = new Stub
+    val stub = new StubNotionServer
     try {
       // served verbatim as {"url":"AA-\uzzzz-\u12"}: one valid
       // escape, one non-hex, one truncated at end-of-value
@@ -177,7 +108,7 @@ class HttpNotionApiSpec extends AnyFunSuite {
   }
 
   test("drain sink end-to-end over real localhost HTTP with injected throttles") {
-    val stub = new Stub
+    val stub = new StubNotionServer
     try {
       // throttle twice mid-stream; the client's transport retry (not
       // the writer's) must absorb them invisibly
