@@ -6063,6 +6063,113 @@ object ScaleCatalogue {
        |FROM mind GROUP BY 1 ORDER BY segment""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q178 — WARM-START MULTILEVEL Louvain (Graph.
+  // modularityCommunitiesMultilevelResumeQ): q153 closed the
+  // "PageRank warm-starts but Louvain recomputes" asymmetry for the
+  // single-level sweep; the MULTILEVEL loop still restarted every
+  // level from identity labels. Now each level resumes from the
+  // cached label map of yesterday's sweep AT THAT LEVEL: level-l node
+  // ids are level-(l−1) community ids (min-member labels — stable for
+  // unchanged communities), so stored labels apply verbatim where the
+  // structure held and drift to self exactly where it moved; degrees
+  // and 2m re-derive from today's (coarsened) graphs per level, so
+  // the priors shorten each level's descent without freezing stale
+  // merges. Phase 1 caches BOTH level maps of yesterday's subgraph
+  // (doc %10 != 9, 2 rounds × 2 levels) beside the edge table;
+  // phase 2 — the per-ingest query — resumes the full graph for ONE
+  // round per level. The oracle replays all four sweeps verbatim
+  // (cold level 1+2 on the old slice, warm level 1+2 on the full
+  // graph, per-graph 2m, weighted coarsening with doubled
+  // self-loops). GraphSpec pins rounds=0 ≡ cached answer, the
+  // prior-seeded integer replay, and strictly fewer warm rounds to
+  // the cold fixed point on a small-delta append.
+  // ---------------------------------------------------------------------
+  def q178LouvainMultilevelWarm(s: SparkSession, d: String): DataFrame = {
+    val eAll = citationEdgesCached(s, d).select(col("src"), col("dst"))
+    val eOld = eAll.filter(col("src") % 10 =!= 9 && col("dst") % 10 =!= 9)
+    val priorDir = cachedIndexDir("citation-mlabels", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val (_, levels) = graft.scale.Graph
+        .modularityCommunitiesMultilevelLevelsQ(eOld, rounds = 2, levels = 2)
+      levels(0).coalesce(1).write.mode("overwrite").parquet(s"$p/l1")
+      levels(1).coalesce(1).write.mode("overwrite").parquet(s"$p/l2")
+    }
+    graft.scale.Graph.modularityCommunitiesMultilevelResumeQ(
+        eAll, rounds = 1, levels = 2,
+        priors = Seq(s.read.parquet(s"$priorDir/l1"),
+          s.read.parquet(s"$priorDir/l2")))
+      .orderBy(col("node"))
+  }
+  val q178Sql: String = {
+    // q139's weighted local-move rounds with the 2m name parameterized
+    // (two GRAPHS are in play here — old slice and full — so 2m is
+    // per-graph, not global)
+    def wroundsT(iters: Int, p: String, tm: String): String =
+      (1 to iters).map { t =>
+        val q = t - 1
+        s"""${p}s$t AS (SELECT l.comm AS cand, sum(d.k) AS sigma
+           |  FROM ${p}l$q l JOIN ${p}degs d USING (node) GROUP BY 1),
+           |${p}k$t AS (SELECT s.u AS node, l.comm AS cand, sum(s.wt) AS kic
+           |  FROM ${p}sym s JOIN ${p}l$q l ON s.v = l.node
+           |  WHERE s.u <> s.v GROUP BY 1, 2),
+           |${p}c$t AS (SELECT node, cand, max(kic) AS kic FROM (
+           |  SELECT k.node, k.cand, k.kic FROM ${p}k$t k
+           |    JOIN ${p}l$q l USING (node) WHERE k.cand <= l.comm
+           |  UNION ALL SELECT node, comm AS cand, 0 AS kic FROM ${p}l$q)
+           |  GROUP BY 1, 2),
+           |${p}l$t AS MATERIALIZED (SELECT node, cand AS comm FROM (
+           |  SELECT c.node, c.cand, row_number() OVER (PARTITION BY c.node
+           |    ORDER BY ($tm.m2 * c.kic - d.k * (g.sigma -
+           |      CASE WHEN c.cand = l.comm THEN d.k ELSE 0 END)) DESC,
+           |      c.cand ASC) AS rn
+           |  FROM ${p}c$t c JOIN ${p}degs d USING (node)
+           |    JOIN ${p}l$q l USING (node)
+           |    JOIN ${p}s$t g ON g.cand = c.cand, $tm) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+    s"""WITH $citationPostCtes,
+       |$citationDedgesCte,
+       |aedges AS MATERIALIZED (SELECT src, dst FROM dedges
+       |  WHERE src % 10 <> 9 AND dst % 10 <> 9),
+       |asym AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v, CAST(1 AS BIGINT) AS wt FROM aedges
+       |  UNION ALL SELECT dst, src, CAST(1 AS BIGINT) FROM aedges),
+       |adegs AS MATERIALIZED (
+       |  SELECT u AS node, sum(wt) AS k FROM asym GROUP BY 1),
+       |atm AS MATERIALIZED (SELECT sum(wt) AS m2 FROM asym),
+       |al0 AS MATERIALIZED (SELECT node, node AS comm FROM adegs),
+       |${wroundsT(2, "a", "atm")},
+       |bsym AS MATERIALIZED (
+       |  SELECT la.comm AS u, lb.comm AS v, sum(s.wt) AS wt
+       |  FROM asym s JOIN al2 la ON s.u = la.node
+       |    JOIN al2 lb ON s.v = lb.node GROUP BY 1, 2),
+       |bdegs AS MATERIALIZED (
+       |  SELECT u AS node, sum(wt) AS k FROM bsym GROUP BY 1),
+       |bl0 AS MATERIALIZED (SELECT node, node AS comm FROM bdegs),
+       |${wroundsT(2, "b", "atm")},
+       |wsym AS MATERIALIZED (
+       |  SELECT src AS u, dst AS v, CAST(1 AS BIGINT) AS wt FROM dedges
+       |  UNION ALL SELECT dst, src, CAST(1 AS BIGINT) FROM dedges),
+       |wdegs AS MATERIALIZED (
+       |  SELECT u AS node, sum(wt) AS k FROM wsym GROUP BY 1),
+       |wtm AS MATERIALIZED (SELECT sum(wt) AS m2 FROM wsym),
+       |wl0 AS MATERIALIZED (SELECT d.node, coalesce(p.comm, d.node) AS comm
+       |  FROM wdegs d LEFT JOIN al2 p ON d.node = p.node),
+       |${wroundsT(1, "w", "wtm")},
+       |xsym AS MATERIALIZED (
+       |  SELECT la.comm AS u, lb.comm AS v, sum(s.wt) AS wt
+       |  FROM wsym s JOIN wl1 la ON s.u = la.node
+       |    JOIN wl1 lb ON s.v = lb.node GROUP BY 1, 2),
+       |xdegs AS MATERIALIZED (
+       |  SELECT u AS node, sum(wt) AS k FROM xsym GROUP BY 1),
+       |xl0 AS MATERIALIZED (SELECT d.node, coalesce(p.comm, d.node) AS comm
+       |  FROM xdegs d LEFT JOIN bl2 p ON d.node = p.node),
+       |${wroundsT(1, "x", "wtm")}
+       |SELECT w.node, x.comm FROM wl1 w JOIN xl1 x ON w.comm = x.node
+       |ORDER BY w.node""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6200,6 +6307,7 @@ object ScaleCatalogue {
     "q175_citation_change_feed" -> q175CitationChangeFeed _,
     "q176_zorder_3d" -> q176ZOrder3d _,
     "q177_ivf_drift" -> q177IvfDrift _,
+    "q178_louvain_multilevel_warm" -> q178LouvainMultilevelWarm _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -6346,5 +6454,6 @@ object ScaleCatalogue {
     "q175_citation_change_feed" -> q175Sql,
     "q176_zorder_3d" -> q176Sql,
     "q177_ivf_drift" -> q177Sql,
+    "q178_louvain_multilevel_warm" -> q178Sql,
   )
 }

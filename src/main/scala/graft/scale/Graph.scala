@@ -895,7 +895,44 @@ object Graph {
     *
     * Returns (node, comm) over the ORIGINAL nodes. */
   def modularityCommunitiesMultilevelQ(edges: DataFrame, rounds: Int,
-      levels: Int): DataFrame = {
+      levels: Int): DataFrame =
+    modularityCommunitiesMultilevelLevelsQ(edges, rounds, levels)._1
+
+  /** The multilevel sweep ALSO returning its per-level label maps —
+    * what a warm-start cache stores. `levelLabels(l)` maps level-l
+    * node ids (original nodes at l = 0, the previous level's
+    * community ids above) to that level's communities; feeding them
+    * back through [[modularityCommunitiesMultilevelResumeQ]] resumes
+    * the whole descent. */
+  def modularityCommunitiesMultilevelLevelsQ(edges: DataFrame, rounds: Int,
+      levels: Int): (DataFrame, Seq[DataFrame]) =
+    runMultilevel(edges, rounds, levels, None)
+
+  /** WARM-START the MULTILEVEL descent (round-14 verdict item 8 —
+    * q153's resume only warmed the single-level sweep; the multilevel
+    * loop restarted every level from identity labels): each level's
+    * local moves resume from the CACHED label map of yesterday's
+    * sweep at that level. Level l's node ids are level l−1's
+    * community ids — min-member labels, so an UNCHANGED community
+    * keeps its id across days and its stored level-(l+1) label
+    * applies verbatim, while a community whose id drifted (min member
+    * left, merge, split) misses the prior left-join and enters at
+    * self exactly like a cold start. Degrees, community degrees, and
+    * 2m re-derive from TODAY'S (coarsened) graphs at every level, so
+    * the priors only shorten each level's descent, never freeze stale
+    * merges — the same contract as [[modularityCommunitiesResumeQ]],
+    * applied per level. GraphSpec pins replay-exactness at rounds = 0
+    * and the strictly-fewer-warm-rounds advantage on a small-delta
+    * append; the q178 oracle replays both phases verbatim. */
+  def modularityCommunitiesMultilevelResumeQ(edges: DataFrame, rounds: Int,
+      levels: Int, priors: Seq[DataFrame]): DataFrame = {
+    require(priors.length == levels,
+      s"need one prior label map per level: got ${priors.length} for $levels")
+    runMultilevel(edges, rounds, levels, Some(priors))._1
+  }
+
+  private def runMultilevel(edges: DataFrame, rounds: Int, levels: Int,
+      priors: Option[Seq[DataFrame]]): (DataFrame, Seq[DataFrame]) = {
     require(levels >= 1)
     var w = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
@@ -904,8 +941,10 @@ object Graph {
     // assign: original node -> current community (composed per level)
     var assign = w.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comm")).localCheckpoint()
-    for (_ <- 1 to levels) {
-      val lab = localMoveWeighted(w, rounds)
+    val levelLabels = Seq.newBuilder[DataFrame]
+    for (l <- 0 until levels) {
+      val lab = localMoveWeighted(w, rounds, priors.map(_(l)))
+      levelLabels += lab
       assign = assign
         .join(lab.select(col("node").as("comm"), col("comm").as("next")),
           "comm")
@@ -913,7 +952,7 @@ object Graph {
         .localCheckpoint()
       w = coarsenWeighted(w, lab).repartition(col("u")).localCheckpoint()
     }
-    assign.select(col("node"), col("comm"))
+    (assign.select(col("node"), col("comm")), levelLabels.result())
   }
 
   /** Per-node triangle counts via DEGREE-ORDERED edge orientation —

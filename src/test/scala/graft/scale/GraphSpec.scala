@@ -665,14 +665,16 @@ class GraphSpec extends AnyFunSuite {
     * weighted gains, self-loop-carrying coarsening, per-level monotone
     * descent, composed maps — no Spark. */
   private def modRefMulti(und: Seq[(Long, Long)], rounds: Int,
-      levels: Int): Map[Long, Long] = {
+      levels: Int, priors: Seq[Map[Long, Long]] = Nil): Map[Long, Long] = {
     var sym: Map[(Long, Long), Long] =
       (und ++ und.map(_.swap)).groupBy(identity)
         .map { case (e, es) => e -> es.size.toLong }
-    def localMove(w: Map[(Long, Long), Long]): Map[Long, Long] = {
+    def localMove(w: Map[(Long, Long), Long],
+        prior: Map[Long, Long]): Map[Long, Long] = {
       val deg = w.groupBy(_._1._1).map { case (n, es) => n -> es.values.sum }
       val twoM = w.values.sum
-      var lab: Map[Long, Long] = deg.keys.map(n => n -> n).toMap
+      var lab: Map[Long, Long] =
+        deg.keys.map(n => n -> prior.getOrElse(n, n)).toMap
       for (_ <- 1 to rounds) {
         val sigma = lab.toSeq.groupBy(_._2)
           .map { case (c, ns) => c -> ns.map(x => deg(x._1)).sum }
@@ -693,8 +695,9 @@ class GraphSpec extends AnyFunSuite {
     }
     var assign: Map[Long, Long] =
       sym.keys.map(_._1).toSet.map((n: Long) => n -> n).toMap
-    for (_ <- 1 to levels) {
-      val lab = localMove(sym)
+    for (l <- 0 until levels) {
+      val lab = localMove(sym,
+        if (priors.isEmpty) Map.empty else priors(l))
       assign = assign.map { case (n, c) => n -> lab(c) }
       sym = sym.toSeq
         .map { case ((u, v), wt) => (lab(u), lab(v)) -> wt }
@@ -733,6 +736,56 @@ class GraphSpec extends AnyFunSuite {
         edgesDf(und), rounds = 2, levels = levels)
       .select(col("comm")).distinct().count()
     assert(nComms(2) <= nComms(1), "level 2 split a level-1 community")
+  }
+
+  test("warm-start MULTILEVEL Louvain: rounds=0 composes stored maps, replay-exact, fewer warm rounds") {
+    // two triangles + bridge + pendant chain — structure at two scales,
+    // with label chains cold descent must walk down
+    val old = Seq(1L -> 2L, 2L -> 3L, 1L -> 3L,
+      4L -> 5L, 5L -> 6L, 4L -> 6L, 3L -> 4L, 6L -> 20L, 20L -> 21L)
+    val (assignOld, levelMaps) =
+      Graph.modularityCommunitiesMultilevelLevelsQ(edgesDf(old),
+        rounds = 2, levels = 2)
+    val priors = levelMaps.map(_.as[(Long, Long)].collect().toMap)
+    def priorDfs = priors.map(_.toSeq.toDF("node", "comm"))
+    val oldAssign = assignOld.as[(Long, Long)].collect().toMap
+
+    // rounds = 0 on the unchanged graph: the resume composes the
+    // stored per-level maps verbatim — yesterday's answer, no work
+    val zero = Graph.modularityCommunitiesMultilevelResumeQ(
+        edgesDf(old), 0, 2, priorDfs)
+      .as[(Long, Long)].collect().toMap
+    assert(zero == oldAssign,
+      "rounds=0 resume must reproduce the cached multilevel assignment")
+
+    // REPLAY-exact against the prior-seeded pure model on an append
+    val app = old ++ Seq(30L -> 1L)
+    val warm = Graph.modularityCommunitiesMultilevelResumeQ(
+        edgesDf(app), 1, 2, priorDfs)
+      .as[(Long, Long)].collect().toMap
+    assert(warm == modRefMulti(app, 1, 2, priors),
+      "warm multilevel diverged from the prior-seeded integer replay")
+
+    // STRICTLY FEWER warm rounds to the cold fixed-point partition on
+    // the small-delta append (the q153 discipline, per level)
+    def parts(m: Map[Long, Long]): Set[Set[Long]] =
+      m.groupBy(_._2).values.map(_.keySet.toSet).toSet
+    val fix = parts(modRefMulti(app, 6, 2))
+    assert(parts(modRefMulti(app, 7, 2)) == fix,
+      "6 rounds/level must be past the fixed point")
+    def roundsTo(f: Int => Map[Long, Long]): Int =
+      (0 to 6).find(r => parts(f(r)) == fix).getOrElse(99)
+    val warmRounds = roundsTo(r => modRefMulti(app, r, 2, priors))
+    val coldRounds = roundsTo(r => modRefMulti(app, r, 2))
+    assert(warmRounds < 99, "warm descent never reached the cold fixed point")
+    assert(warmRounds < coldRounds,
+      s"warm multilevel must beat cold on a small delta: " +
+        s"$warmRounds vs $coldRounds")
+    // and the Spark operator lands on the fixed point at that budget
+    assert(parts(Graph.modularityCommunitiesMultilevelResumeQ(
+        edgesDf(app), warmRounds, 2, priorDfs)
+      .as[(Long, Long)].collect().toMap) == fix,
+      "Spark warm multilevel disagreed with the replay at the warm budget")
   }
 
   test("modularity: monotone descent reaches a fixpoint; extra rounds are no-ops") {
