@@ -63,15 +63,35 @@ import org.apache.spark.sql.functions._
   * `target/bench_canary.json`). Rationale: the r13→r14 idle drift on
   * the common subset (63.8→80.0 s, 1.25×; q108 1.69→2.72, q100
   * 0.92→1.48, q93 0.75→1.36, q32 0.57→0.97 — all on diff-verified
-  * unchanged code) tracked the suite growing 151→176 entries in ONE
-  * JVM, not the queries: the full-suite denominator accumulates heap/
-  * GC pressure, codegen-cache and listener state across every plan
-  * that ran before. The canary numbers carry none of that, so
+  * unchanged code) needed a denominator that does not depend on the
+  * suite's one-JVM history. The canary numbers carry none of it, so
   * CROSS-ROUND COMPARISONS CITE CANARY MEDIANS FIRST; the full-suite
   * medians remain the coverage record. Both lines record `gc_ms`
-  * (cumulative stop-the-world time) so the accumulation itself is a
-  * measurement, not a narrative: ratio the full-suite gc_ms/wall
-  * against the canary's to see what the suite's denominator paid.
+  * (cumulative stop-the-world time) so the accumulation story is a
+  * measurement, not a narrative.
+  *
+  * ROUND-15 ADJUDICATION of the r14 idle steps, from the first canary
+  * artifact (sf0.1; canary = fresh JVM reps=5, suite = same run,
+  * reps=3 after 175 prior entries):
+  *  - q100 0.906, q93 0.804, q32 0.644 suite medians are BACK AT
+  *    r13 levels (0.92 / 0.75 / 0.57) with no code change on those
+  *    paths since r14 either — so the r14 "steps" did not persist:
+  *    they were r14-run measurement variance, not regressions.
+  *  - q108 reads ~2.1 in BOTH the fresh-JVM canary (2.103) and the
+  *    deep-warm suite (2.109) — a 5-rep fresh-JVM agreement that
+  *    brackets the true level between r13's 1.69 and r14's 2.72:
+  *    r13's 3-rep median was the low outlier, r14's the high one.
+  *  - gc_ms: canary 4,983 ms / 288 s wall (1.7%), full suite
+  *    6,783 ms (≈1.2%) — GC pressure is REAL but minor; the "GC
+  *    across 176 plans" narrative is hereby quantified and retired.
+  *  - The warm-suite effect is BIDIRECTIONAL: most canary/suite
+  *    ratios sit at 0.6–1.0 (the suite JVM is deeply JIT/cache-warm
+  *    after 175 entries, so its medians read LOW, not high — e.g.
+  *    q92 0.40×). This is exactly why the fixed-protocol canary, not
+  *    the suite, is the cross-round denominator.
+  *  - phase2_continuous (now deterministic AvailableNow passes):
+  *    canary 5.103 s at 10% spread — the three-round wall-clock
+  *    upward trend is closed; ≤r14 values are not comparable.
   */
 object Bench {
   private[graft] def median(xs: Seq[Double]): Double = {
