@@ -6170,6 +6170,52 @@ object ScaleCatalogue {
        |ORDER BY w.node""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q179 — SNAPSHOT READS on the LSH dedup index (LshIndex
+  // .dedupBatchAsOf): the q164/q174 reproducible-training pin on the
+  // THIRD index family. One index lives through q170's full verb
+  // history (build 80% → append 20% → upsert %9 → delete %7; epochs
+  // 0..3) and q179 probes it AS OF epoch 1 — the full original corpus
+  // before the revision and the take-down ever happened. Machinery:
+  // the three epoch tables (docs/tombstones/registry) carry commit
+  // epochs, and a doc's per-snapshot commit point is its SIG ROW
+  // (append's last data write) — so torn-append id residue is
+  // invisible to snapshots until the replay completes it
+  // (LshAsOfSpec stages the tear and pins both invisibility and the
+  // forward heal, plus every epoch's probe ≡ a fresh index built over
+  // that epoch's corpus, and compactTo as the history vacuum). The
+  // oracle is q113's full portable-MinHash replay over the ORIGINAL
+  // corpus — the hash match proves epochs 2-3 are invisible to the
+  // snapshot even though their rows share the files.
+  // ---------------------------------------------------------------------
+  def q179LshAsOf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("lsh-asof", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      val corpus = docs.filter(col("doc_id") < 400)
+      graft.scale.LshIndex.build(
+        corpus.filter(col("doc_id") % 5 =!= 4), p)         // epoch 0
+      graft.scale.LshIndex.append(
+        corpus.filter(col("doc_id") % 5 === 4), p)         // epoch 1
+      val revised = corpus.filter(col("doc_id") % 9 === 0)
+        .withColumn("text",
+          concat_ws(" ", reverse(split(col("text"), " "))))
+      graft.scale.LshIndex.upsert(revised, p, rev = 1L)    // epoch 2
+      graft.scale.LshIndex.delete(
+        corpus.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id")), p)                       // epoch 3
+      require(graft.scale.LshIndex.consistent(s, p),
+        "LSH index failed its consistency probes after the CDC cycle")
+      require(graft.scale.LshIndex.committedEpoch(s, p) == 3L,
+        "as-of fixture must commit exactly epochs 0..3 (q179 pins asOf=1)")
+    }
+    graft.scale.LshIndex
+      .dedupBatchAsOf(s, dir, docs.filter(col("doc_id") >= 400),
+        minMatches = 8, asOf = 1L)
+      .orderBy(col("new_doc"), col("corpus_doc"))
+  }
+  val q179Sql: String = q113Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6308,6 +6354,7 @@ object ScaleCatalogue {
     "q176_zorder_3d" -> q176ZOrder3d _,
     "q177_ivf_drift" -> q177IvfDrift _,
     "q178_louvain_multilevel_warm" -> q178LouvainMultilevelWarm _,
+    "q179_lsh_asof" -> q179LshAsOf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -6455,5 +6502,6 @@ object ScaleCatalogue {
     "q176_zorder_3d" -> q176Sql,
     "q177_ivf_drift" -> q177Sql,
     "q178_louvain_multilevel_warm" -> q178Sql,
+    "q179_lsh_asof" -> q179Sql,
   )
 }

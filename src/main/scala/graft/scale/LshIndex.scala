@@ -104,7 +104,16 @@ object LshIndex {
   import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
     StringType, StructField, StructType}
 
-  private val docIdSchema = StructType(Seq(StructField("doc_id", LongType)))
+  // `e` = snapshot epoch on the three epoch-stamped tables (docs,
+  // tombstones, revision registry); legacy files read null → 0. A
+  // doc's rows serve as-of E iff its docs row landed at epoch ≤ E AND
+  // its sig row exists (sigs is append's LAST data write, so the sig
+  // row is the per-doc commit point — torn-append residue ids are
+  // invisible to snapshots until the replay completes them);
+  // revisions gate by the registry rows at ≤ E, deletions by the
+  // tombstone rows at ≤ E.
+  private val docIdSchema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("e", LongType)))
   // rev is nullable by design: rows written by build/append carry no
   // revision (read back null through the explicit schema), rows written
   // by [[upsert]] carry the revision they belong to — so every
@@ -119,7 +128,8 @@ object LshIndex {
     StructField("bk", StringType), StructField("rev", LongType),
     StructField("band_bucket", LongType)))
   private val revSchema = StructType(Seq(
-    StructField("doc_id", LongType), StructField("rev", LongType)))
+    StructField("doc_id", LongType), StructField("rev", LongType),
+    StructField("e", LongType)))
 
   private def readOr(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
@@ -205,7 +215,8 @@ object LshIndex {
       bands: Int = 4): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val ids = docs.select(col("doc_id")).localCheckpoint()
-    ids.write.mode("overwrite").parquet(s"$dir/_lsh_docs")
+    ids.withColumn("e", lit(0L))
+      .write.mode("overwrite").parquet(s"$dir/_lsh_docs")
     writeParts(docs, dir, "overwrite", n, numHashes, bands)
     // An in-place rebuild is the documented torn-append recovery; a dir
     // that previously saw delete() still holds `_lsh_tombstones`, and
@@ -253,7 +264,8 @@ object LshIndex {
       return
     }
     if (freshIds.count() > 0L)
-      freshIds.write.mode("append").parquet(s"$dir/_lsh_docs")
+      freshIds.withColumn("e", lit(committedEpoch(spark, dir) + 1L))
+        .write.mode("append").parquet(s"$dir/_lsh_docs")
     if (freshData.count() > 0L)
       writeParts(freshData, dir, "append", n, numHashes, bands)
     val total = readOr(spark, s"$dir/_lsh_docs", docIdSchema).count()
@@ -329,7 +341,8 @@ object LshIndex {
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (freshReg.count() > 0L)
-      freshReg.write.mode("append").parquet(s"$dir/_lsh_rev")
+      freshReg.withColumn("e", lit(committedEpoch(spark, dir) + 1L))
+        .write.mode("append").parquet(s"$dir/_lsh_rev")
   }
 
   /** Torn-append detector, two-sided. Under the docs → bands → sigs →
@@ -377,6 +390,80 @@ object LshIndex {
   private[scale] def tombstones(spark: SparkSession, dir: String): DataFrame =
     readOr(spark, s"$dir/_lsh_tombstones", docIdSchema)
 
+  /** Committed docs whose per-doc commit point (the sig row — append's
+    * LAST data write) has landed: a torn append's id residue never
+    * appears here, so snapshots cannot see half-written docs. */
+  private def committedDocs(spark: SparkSession, dir: String): DataFrame =
+    readOr(spark, s"$dir/_lsh_docs", docIdSchema)
+      .join(readOr(spark, s"$dir/sigs", sigSchema)
+        .select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+
+  /** The committed snapshot counter ([[CitationIndex.committedEpoch]]'s
+    * contract on this index): max epoch across sig-confirmed doc rows,
+    * tombstones, and the revision registry. 0 right after [[build]]
+    * (legacy rows read as epoch 0); −1 on a cold dir. */
+  def committedEpoch(spark: SparkSession, dir: String): Long = {
+    val es = committedDocs(spark, dir).select(col("e"))
+      .unionByName(tombstones(spark, dir).select(col("e")))
+      .unionByName(revisions(spark, dir).select(col("e")))
+    val r = es.agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
+  /** SNAPSHOT near-dup probe — [[dedupBatch]] exactly as the index
+    * stood when epoch `asOf` committed: the reproducible-training read
+    * "which of these documents were near-dups of the corpus AT
+    * snapshot E". Corpus docs gate by their sig-confirmed commit epoch
+    * (later appends invisible), generations by the registry rows at
+    * ≤ asOf (later revisions serve their OLD signatures), deletions by
+    * the tombstone rows at ≤ asOf (later take-downs still serve).
+    * Serving history costs three narrow epoch filters; [[compactTo]]
+    * is the vacuum (survivors re-base to epoch 0). Valid for any
+    * 0 ≤ asOf ≤ [[committedEpoch]]. */
+  def dedupBatchAsOf(spark: SparkSession, dir: String, batch: DataFrame,
+      minMatches: Int, asOf: Long): DataFrame = {
+    val ce = committedEpoch(spark, dir)
+    require(asOf >= 0L && asOf <= ce,
+      s"as-of epoch $asOf outside the committed history [0, $ce]" +
+        (if (ce < 0L) " — cold index, nothing committed" else ""))
+    val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
+    val (n, numHashes, bands) = (meta.getInt(1), meta.getInt(2),
+      meta.getInt(3))
+    val docsAt = committedDocs(spark, dir)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .select(col("doc_id")).localCheckpoint()
+    val probe = batch.join(docsAt, Seq("doc_id"), "left_anti")
+    val sig = signatures(probe, n, numHashes).localCheckpoint()
+    val bk = banded(sig, bands, numHashes / bands).localCheckpoint()
+    val buckets = bk.select(col("band_bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val revsAt = revisions(spark, dir)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .groupBy(col("doc_id")).agg(max(col("rev")).as("cur_rev"))
+      .localCheckpoint()
+    val idx = currentOnly(readOr(spark, s"$dir/bands", bandSchema)
+        .filter(col("band_bucket").isin(buckets: _*)), revsAt)
+      .join(docsAt, Seq("doc_id"), "left_semi")
+    val cand = idx.as("c").join(bk.as("q"),
+        col("c.band") === col("q.band") && col("c.bk") === col("q.bk"))
+      .select(col("q.doc_id").as("new_doc"), col("c.doc_id").as("corpus_doc"))
+      .distinct()
+    val corpusSig = currentOnly(readOr(spark, s"$dir/sigs", sigSchema), revsAt)
+      .join(docsAt, Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("corpus_doc"), col("sig").as("sig_c"))
+    val batchSig = sig.select(col("doc_id").as("new_doc"),
+      col("sig").as("sig_q"))
+    val dead = tombstones(spark, dir)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .select(col("doc_id").as("corpus_doc"))
+    cand.join(dead, Seq("corpus_doc"), "left_anti")
+      .join(batchSig, "new_doc").join(corpusSig, "corpus_doc")
+      .select(col("new_doc"), col("corpus_doc"),
+        size(filter(zip_with(col("sig_q"), col("sig_c"), (x, y) => x === y),
+          b => b)).cast("long").as("matches"))
+      .filter(col("matches") >= minMatches)
+  }
+
   /** Tombstone delete — the takedown/right-to-be-forgotten path the
     * append-only contract lacked: the doc's physical rows stay until
     * [[compactTo]] folds them, but every probe excludes it NOW (the
@@ -397,7 +484,8 @@ object LshIndex {
       .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (fresh.count() > 0L)
-      fresh.write.mode("append").parquet(s"$dir/_lsh_tombstones")
+      fresh.withColumn("e", lit(committedEpoch(spark, dir) + 1L))
+        .write.mode("append").parquet(s"$dir/_lsh_tombstones")
   }
 
   /** Copy-compaction: every [[append]] adds small files to sigs/ and
@@ -419,7 +507,9 @@ object LshIndex {
     val dead = tombstones(spark, dir).localCheckpoint()
     val docs = readOr(spark, s"$dir/_lsh_docs", docIdSchema)
       .join(dead, Seq("doc_id"), "left_anti").localCheckpoint()
-    docs.coalesce(1)
+    // the fold is the history vacuum (ClusterStore.compactTo's
+    // bargain): every surviving doc re-bases to epoch 0
+    docs.select(col("doc_id"), lit(0L).as("e")).coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_lsh_docs")
     // revisions FOLD too: only each doc's current generation survives,
     // written rev-less (the fresh-build form), and the destination's
