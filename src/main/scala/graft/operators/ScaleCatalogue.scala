@@ -6216,6 +6216,47 @@ object ScaleCatalogue {
   }
   val q179Sql: String = q113Sql
 
+  // ---------------------------------------------------------------------
+  // q180 — SNAPSHOT READS on the BM25 index (BmIndex.topKAsOf): the
+  // fourth index family gains time travel, and this one carries the
+  // obligation the others don't — SCORES depend on corpus statistics
+  // (idf on n_docs, length normalization on avgdl), so a snapshot
+  // read must reproduce the HISTORICAL statistics exactly, not just
+  // the historical posting set. Machinery: a `_bm_epochs` ledger row
+  // (e, n_docs, sum_dl) is each verb's LAST write — one tiny row per
+  // epoch records the exact post-verb statistics, so historical
+  // idf/avgdl are a one-row read, never a re-aggregation, and a torn
+  // verb never advances the snapshot counter. Postings gate by their
+  // doc's commit epoch + the registry rows at ≤ asOf; tombstones at
+  // ≤ asOf. One index lives through q169's lifecycle (build 80% →
+  // append 20% → upsert %9 → delete %7; epochs 0..3) and q180 serves
+  // top-15 AS OF epoch 1 — the full original corpus — hash-matching
+  // q92's plain full-corpus oracle, scores included: epochs 2-3
+  // invisible, statistics bit-exact. BmAsOfSpec pins every epoch ≡ a
+  // fresh index built over that epoch's corpus, the staged tear, and
+  // compactTo as the vacuum.
+  // ---------------------------------------------------------------------
+  def q180Bm25AsOf(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val dir = cachedIndexDir("bm-asof", d, "v1",
+      datasets = Seq("documents.parquet")) { p =>
+      graft.scale.BmIndex.build(docs.filter(col("doc_id") % 5 =!= 4), p)
+      graft.scale.BmIndex.append(docs.filter(col("doc_id") % 5 === 4), p)
+      val revised = docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("text", concat_ws(" ",
+          filter(split(col("text"), " "), (_, i) => i % 2 === 0)))
+      graft.scale.BmIndex.upsert(revised, p, rev = 1L)
+      graft.scale.BmIndex.delete(
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), p)
+      require(graft.scale.BmIndex.consistent(s, p),
+        "BM25 index failed its consistency probes after the CDC cycle")
+      require(graft.scale.BmIndex.committedEpoch(s, p) == 3L,
+        "as-of fixture must commit exactly epochs 0..3 (q180 pins asOf=1)")
+    }
+    graft.scale.BmIndex.topKAsOf(s, dir, doc1Terms(s, d), k = 15, asOf = 1L)
+  }
+  val q180Sql: String = q92Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6355,6 +6396,7 @@ object ScaleCatalogue {
     "q177_ivf_drift" -> q177IvfDrift _,
     "q178_louvain_multilevel_warm" -> q178LouvainMultilevelWarm _,
     "q179_lsh_asof" -> q179LshAsOf _,
+    "q180_bm25_asof" -> q180Bm25AsOf _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -6503,5 +6545,6 @@ object ScaleCatalogue {
     "q177_ivf_drift" -> q177Sql,
     "q178_louvain_multilevel_warm" -> q178Sql,
     "q179_lsh_asof" -> q179Sql,
+    "q180_bm25_asof" -> q180Sql,
   )
 }

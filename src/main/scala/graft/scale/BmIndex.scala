@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *                              registry ([[upsert]]; probes serve each
   *                              doc's max revision, stats shift by the
   *                              latest dl delta, [[compactTo]] folds)
+  *   _bm_epochs/…               (e, n_docs, sum_dl) snapshot ledger —
+  *                              one row per committed verb, appended
+  *                              LAST (the per-epoch commit point), so
+  *                              [[topKAsOf]] reads any epoch's EXACT
+  *                              post-verb statistics from one tiny row
+  *                              instead of re-aggregating the corpus
   * }}}
   *
   * Serving read: the probe terms' bucket ids are driver-computed
@@ -94,8 +100,44 @@ object BmIndex {
       .write.partitionBy("term_bucket").mode(mode)
       .parquet(s"$dir/postings")
 
+  /** Snapshot ledger `(e, n_docs, sum_dl)` — one row per committed
+    * verb (appended LAST, the per-epoch commit point); absent on a
+    * pre-snapshot index (reads empty; [[committedEpoch]] then treats
+    * the whole current state as epoch 0). */
+  private def epochsLedger(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_bm_epochs")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.range(0).select(col("id").as("e"), col("id").as("n_docs"),
+      col("id").as("sum_dl"))
+  }
+
+  /** Append the epoch-E ledger row carrying the CURRENT adjusted
+    * stats; idempotent by epoch (a replayed verb's second attempt
+    * skips). */
+  private def commitEpoch(spark: SparkSession, dir: String,
+      e: Long): Unit = {
+    val exists = epochsLedger(spark, dir).filter(col("e") === e)
+      .limit(1).count() > 0L
+    if (!exists)
+      adjustedStats(spark, dir).select(lit(e).as("e"),
+          col("n_docs"), col("sum_dl"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/_bm_epochs")
+  }
+
+  /** The committed snapshot counter: the ledger's max epoch; 0 on a
+    * pre-snapshot index that has stats (its whole state reads as
+    * epoch 0); −1 on a cold dir. */
+  def committedEpoch(spark: SparkSession, dir: String): Long = {
+    val r = epochsLedger(spark, dir).agg(max(col("e"))).collect()(0)
+    if (!r.isNullAt(0)) r.getLong(0)
+    else if (IndexIo.exists(spark, s"$dir/_bm_stats")) 0L
+    else -1L
+  }
+
   def build(docs: DataFrame, dir: String): Unit = {
-    docs.select(col("doc_id")).write.mode("overwrite")
+    docs.select(col("doc_id")).withColumn("e", lit(0L))
+      .write.mode("overwrite")
       .parquet(s"$dir/_bm_docs")
     writePostings(docs, dir, "overwrite")
     // Rebuild (idempotent overwrite) is the documented torn-append
@@ -115,6 +157,9 @@ object BmIndex {
       .write.mode("overwrite").parquet(s"$dir/_bm_rev")
     statsDelta(docs).coalesce(1).write.mode("overwrite")
       .parquet(s"$dir/_bm_stats")
+    // snapshot ledger resets with the dir: epoch 0 = the build state
+    statsDelta(docs).select(lit(0L).as("e"), col("n_docs"), col("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_epochs")
   }
 
   /** O(batch) growth: the batch anti-joins the committed-id table (dup
@@ -133,13 +178,16 @@ object BmIndex {
       Seq("doc_id"), "left_anti")
     val delta = statsDelta(fresh).collect()(0)
     if (delta.getLong(0) == 0L) return // every doc_id already committed
-    fresh.select(col("doc_id")).write.mode("append")
+    val e = committedEpoch(spark, dir) + 1L
+    fresh.select(col("doc_id")).withColumn("e", lit(e))
+      .write.mode("append")
       .parquet(s"$dir/_bm_docs")
     writePostings(fresh, dir, "append")
     spark.range(1)
       .select(lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
         lit(old.getLong(1) + delta.getLong(1)).as("sum_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_stats")
+    commitEpoch(spark, dir, e)
   }
 
   /** Revision registry `(doc_id, rev, old_dl, new_dl)` — one row per
@@ -259,8 +307,12 @@ object BmIndex {
       .join(revisions(spark, dir).filter(col("rev") === rev)
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    if (freshReg.count() > 0L)
-      freshReg.write.mode("append").parquet(s"$dir/_bm_rev")
+    if (freshReg.count() > 0L) {
+      val e = committedEpoch(spark, dir) + 1L
+      freshReg.withColumn("e", lit(e))
+        .write.mode("append").parquet(s"$dir/_bm_rev")
+      commitEpoch(spark, dir, e)
+    }
   }
 
   /** Tombstone table (doc_id, dl) — absent until the first [[delete]];
@@ -305,8 +357,12 @@ object BmIndex {
       .select(col("doc_id"),
         coalesce(col("pdl"), lit(0L)).cast("long").as("dl"))
       .localCheckpoint()
-    if (dead.count() > 0L)
-      dead.write.mode("append").parquet(s"$dir/_bm_tombstones")
+    if (dead.count() > 0L) {
+      val e = committedEpoch(spark, dir) + 1L
+      dead.withColumn("e", lit(e))
+        .write.mode("append").parquet(s"$dir/_bm_tombstones")
+      commitEpoch(spark, dir, e)
+    }
   }
 
   /** Fold-compaction into a fresh directory (the [[LshIndex.compactTo]]
@@ -319,7 +375,9 @@ object BmIndex {
     val dead = tombstones(spark, dir).select(col("doc_id")).localCheckpoint()
     val docs = spark.read.parquet(s"$dir/_bm_docs")
       .join(dead, Seq("doc_id"), "left_anti").localCheckpoint()
-    docs.coalesce(1).write.mode("overwrite").parquet(s"$destDir/_bm_docs")
+    // the fold is the history vacuum: survivors re-base to epoch 0
+    docs.select(col("doc_id"), lit(0L).as("e"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$destDir/_bm_docs")
     // revisions FOLD too: only each doc's current generation survives,
     // written rev-less, and the destination registry resets — the
     // adjusted stats already carry the revision dl deltas, so the
@@ -341,6 +399,9 @@ object BmIndex {
       .write.mode("overwrite").parquet(s"$destDir/_bm_rev")
     adjustedStats(spark, dir).coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_bm_stats")
+    adjustedStats(spark, dir)
+      .select(lit(0L).as("e"), col("n_docs"), col("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$destDir/_bm_epochs")
   }
 
   /** Stored stats net of tombstones and revisions — the base row
@@ -423,6 +484,81 @@ object BmIndex {
     // on the avgdl division (found by BmIndexPropertySpec's random
     // delete-everything history)
     val stats = adjustedStats(spark, dir)
+      .select(col("n_docs").cast("double").as("n_docs"),
+        try_divide(col("sum_dl").cast("double"),
+          col("n_docs").cast("double")).as("avgdl"))
+    Bm25.rank(probed, stats, k, k1, b)
+  }
+
+  // explicit schemas for the as-of readers: mixed legacy/epoch-stamped
+  // files must always surface the e column (null → 0)
+  private val docEpochSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("e", LongType)))
+  private val tombEpochSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("dl", LongType),
+    StructField("e", LongType)))
+  private val revEpochSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("rev", LongType),
+    StructField("old_dl", LongType), StructField("new_dl", LongType),
+    StructField("e", LongType)))
+
+  private def readAt(spark: SparkSession, path: String,
+      schema: StructType, asOf: Long): DataFrame =
+    IndexIo.readOr(spark, path, schema)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+
+  /** SNAPSHOT BM25 top-k — [[topK]] exactly as the index stood when
+    * epoch `asOf` committed, SCORES INCLUDED: postings gate by their
+    * doc's commit epoch and by the registry rows at ≤ asOf (later
+    * revisions serve their OLD generation), tombstones at ≤ asOf, and
+    * the corpus statistics come from the `_bm_epochs` ledger row the
+    * epoch's verb committed — so historical idf/avgdl are EXACT
+    * without re-aggregating anything (the one-tiny-row read that
+    * makes "score these queries against the corpus as of snapshot E"
+    * an O(probe) operation). The ledger row is each verb's LAST
+    * write, so a torn verb never advances [[committedEpoch]] and its
+    * residue is invisible to snapshots (BmAsOfSpec stages the tear).
+    * Valid for any 0 ≤ asOf ≤ [[committedEpoch]]; [[compactTo]] is
+    * the history vacuum. */
+  def topKAsOf(spark: SparkSession, dir: String, queryTerms: DataFrame,
+      k: Int, asOf: Long, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val ce = committedEpoch(spark, dir)
+    require(asOf >= 0L && asOf <= ce,
+      s"as-of epoch $asOf outside the committed history [0, $ce]" +
+        (if (ce < 0L) " — cold index, nothing committed" else ""))
+    val terms = queryTerms.select(col("term")).distinct()
+    val buckets = terms.collect().map(r =>
+      graft.functions.Md5_64.hash60(r.getString(0)) % Buckets)
+      .distinct.toSeq
+    val docsAt = readAt(spark, s"$dir/_bm_docs", docEpochSchema, asOf)
+      .select(col("doc_id"))
+    val revsAt = readAt(spark, s"$dir/_bm_rev", revEpochSchema, asOf)
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("rev"), col("old_dl"), col("new_dl"))).as("m"))
+      .select(col("doc_id"), col("m.rev").as("cur_rev"))
+    val probed = readPostings(spark, dir)
+      .filter(col("term_bucket").isin(buckets: _*))
+      .join(IndexIo.maybeBroadcast(revsAt), Seq("doc_id"), "left")
+      .filter((col("cur_rev").isNull && col("rev").isNull) ||
+        col("rev") === col("cur_rev"))
+      .drop("cur_rev")
+      .join(docsAt, Seq("doc_id"), "left_semi")
+      .join(broadcast(terms), Seq("term"))
+      .join(readAt(spark, s"$dir/_bm_tombstones", tombEpochSchema, asOf)
+        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+    // the epoch's exact post-verb statistics from the ledger (a
+    // pre-snapshot legacy index has no ledger — its whole state IS
+    // epoch 0, served by the adjusted current stats)
+    val ledgerRow = epochsLedger(spark, dir).filter(col("e") <= asOf)
+      .orderBy(col("e").desc).limit(1)
+      .select(col("n_docs"), col("sum_dl")).collect()
+    val statsBase =
+      if (ledgerRow.isEmpty) adjustedStats(spark, dir)
+      else spark.range(1).select(
+        lit(ledgerRow(0).getLong(0)).as("n_docs"),
+        lit(ledgerRow(0).getLong(1)).as("sum_dl"))
+    val stats = statsBase
       .select(col("n_docs").cast("double").as("n_docs"),
         try_divide(col("sum_dl").cast("double"),
           col("n_docs").cast("double")).as("avgdl"))

@@ -1,0 +1,132 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot (as-of) serving on the BM25 index — the family's hardest
+  * time-travel obligation because SCORES depend on corpus statistics:
+  * a snapshot must reproduce historical idf/avgdl exactly, not just
+  * the historical posting set. The `_bm_epochs` ledger (one
+  * (e, n_docs, sum_dl) row per committed verb, written LAST) makes
+  * that a one-row read; this spec pins every epoch's
+  * [[BmIndex.topKAsOf]] against a FRESH index built over that epoch's
+  * corpus (scores included), torn-verb invisibility, refusals, and
+  * compactTo as the history vacuum. */
+class BmAsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+  private def docs = graft.Tables.documents(spark, d)
+    .select(col("doc_id"), col("text"))
+  private def corpusA = docs.filter(col("doc_id") < 200)
+  private def corpusB = docs.filter(col("doc_id") >= 200 && col("doc_id") < 400)
+  private def qTerms = docs.filter(col("doc_id") === 1)
+    .select(explode(split(col("text"), " ")).as("term"))
+    .distinct().orderBy(col("term").asc).limit(8)
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).resolve("idx").toString
+
+  private def probeAsOf(dir: String, e: Long): Seq[(Int, Long, Long, Long)] =
+    BmIndex.topKAsOf(spark, dir, qTerms, k = 15, asOf = e)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+
+  /** Ground truth for one epoch state: a fresh index over exactly that
+    * corpus, probed the ordinary way — scores and all. */
+  private def want(corpus: DataFrame): Seq[(Int, Long, Long, Long)] = {
+    val w = tmp("graft-bm-asof-want")
+    BmIndex.build(corpus, w)
+    BmIndex.topK(spark, w, qTerms, k = 15)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+  }
+
+  test("time travel: topKAsOf replays every epoch's exact ranking, scores included") {
+    val dir = tmp("graft-bm-asof")
+    BmIndex.build(corpusA, dir)                          // epoch 0
+    assert(BmIndex.committedEpoch(spark, dir) == 0L)
+    BmIndex.append(corpusB, dir)                         // epoch 1
+    // pick CDC targets from the epoch-1 ranking so the revision and
+    // the take-down observably change history
+    val e1 = probeAsOf(dir, 1L)
+    assert(e1.nonEmpty, "fixture produced no hits at epoch 1")
+    val tgt = e1.head._2
+    val vic = e1.map(_._2).find(_ != tgt).getOrElse(tgt)
+    // epoch 2: revise tgt — keep every other token (dl and tf change)
+    val revised = docs.filter(col("doc_id") === tgt)
+      .withColumn("text", concat_ws(" ",
+        filter(split(col("text"), " "), (_, i) => i % 2 === 0)))
+    BmIndex.upsert(revised, dir, rev = 1L)
+    // epoch 3: take down vic
+    BmIndex.delete(Seq(vic).toDF("doc_id"), dir)
+    assert(BmIndex.committedEpoch(spark, dir) == 3L)
+
+    val both = corpusA.unionByName(corpusB)
+    val revisedCorpus = both.filter(col("doc_id") =!= tgt)
+      .unionByName(revised)
+    assert(probeAsOf(dir, 0L) == want(corpusA),
+      "as-of epoch 0 diverged from a fresh build over corpus A")
+    assert(probeAsOf(dir, 1L) == want(both),
+      "as-of epoch 1 diverged from a fresh build over A+B")
+    assert(probeAsOf(dir, 2L) == want(revisedCorpus),
+      "as-of epoch 2 diverged from a fresh build over the revised corpus")
+    assert(probeAsOf(dir, 3L) ==
+      want(revisedCorpus.filter(col("doc_id") =!= vic)),
+      "as-of epoch 3 diverged from a fresh build over the survivors")
+    // as-of the committed epoch IS the current serve
+    assert(probeAsOf(dir, 3L) ==
+      BmIndex.topK(spark, dir, qTerms, k = 15)
+        .as[(Int, Long, Long, Long)].collect().toSeq)
+    // outside the committed history: loud refusal both ways
+    intercept[IllegalArgumentException] {
+      BmIndex.topKAsOf(spark, dir, qTerms, 15, asOf = 4L)
+    }
+    intercept[IllegalArgumentException] {
+      BmIndex.topKAsOf(spark, dir, qTerms, 15, asOf = -1L)
+    }
+    // compaction is the explicit vacuum: history folds to epoch 0
+    val dest = tmp("graft-bm-asof-cmp")
+    BmIndex.compactTo(spark, dir, dest)
+    assert(BmIndex.committedEpoch(spark, dest) == 0L)
+    assert(probeAsOf(dest, 0L) == probeAsOf(dir, 3L),
+      "compacted epoch 0 must serve the pre-compaction final state")
+    intercept[IllegalArgumentException] {
+      BmIndex.topKAsOf(spark, dest, qTerms, 15, asOf = 1L)
+    }
+  }
+
+  test("torn verb leaves the snapshot counter and history untouched") {
+    val dir = tmp("graft-bm-asof-torn")
+    BmIndex.build(corpusA, dir)                          // epoch 0
+    // stage the tear: run the append on a mirror, copy back ids and
+    // postings but NOT the stats row and NOT the epochs ledger
+    val mirror = tmp("graft-bm-asof-mirror")
+    copyDir(dir, mirror)
+    BmIndex.append(corpusB, mirror)
+    Seq("_bm_docs", "postings").foreach { sub =>
+      copyDir(s"$mirror/$sub", s"$dir/$sub")
+    }
+    assert(BmIndex.committedEpoch(spark, dir) == 0L,
+      "ledger-less residue advanced the snapshot counter")
+    assert(probeAsOf(dir, 0L) == want(corpusA),
+      "torn-append residue leaked into the epoch-0 snapshot " +
+        "(postings must gate on their doc's commit epoch)")
+    assert(!BmIndex.consistent(spark, dir), "tear went undetected")
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+}
