@@ -6257,6 +6257,95 @@ object ScaleCatalogue {
   }
   val q180Sql: String = q92Sql
 
+  // ---------------------------------------------------------------------
+  // q181 — SNAPSHOT READS on the IVF vector index (IvfIndex.topKAsOf):
+  // the FIFTH index family gains time travel, closing the gap round-15
+  // called out ("the embedding index is precisely the one a 'run X
+  // used ANN state E' audit asks about"). Machinery: an id→epoch
+  // registry (`_ivf_docs`, written FIRST by append so a tear leaves
+  // phantom rows that gate in nothing), epoch stamps on tombstones and
+  // the revision registry, all gated under the probe's partition
+  // filter; legacy rows read as epoch 0; rebuild is the vacuum. One
+  // index lives through q168's lifecycle (build 80% → append 20% →
+  // re-embed %9 → delete %7; epochs 0..3) and q181 serves top-5 AS OF
+  // epoch 1 — the full original corpus before the revision and the
+  // take-down — hash-matching q35's plain full-corpus oracle.
+  // IvfAsOfSpec pins every epoch ≡ a fresh index over that epoch's
+  // corpus under the frozen centroids, the staged tear + heal, and
+  // rebuild as the history vacuum.
+  // ---------------------------------------------------------------------
+  def q181IvfAsOf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    val dir = cachedIndexDir("ivf-asof", d, "v1") { p =>
+      graft.scale.IvfIndex.build(
+        emb.filter(col("vec_id") % 5 =!= 4), centroids, p,
+        centroidCount = cc)                                // epoch 0
+      graft.scale.IvfIndex.append(
+        emb.filter(col("vec_id") % 5 === 4), centroids, p,
+        centroidCount = cc)                                // epoch 1
+      val revised = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfIndex.upsert(revised, centroids, p, rev = 1L,
+        centroidCount = cc)                                // epoch 2
+      graft.scale.IvfIndex.delete(
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), p)
+      require(graft.scale.IvfIndex.committedEpoch(s, p) == 3L,
+        "as-of fixture must commit exactly epochs 0..3 (q181 pins asOf=1)")
+    }
+    graft.scale.IvfIndex
+      .topKAsOf(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 5, asOf = 1L, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q181Sql: String = q35Sql
+
+  // ---------------------------------------------------------------------
+  // q182 — SNAPSHOT READS on the IVF+PQ code index
+  // (IvfPqIndex.topKAsOf): the SIXTH family, under BOTH frozen
+  // artifacts at once — history shares the coarse centroids AND the
+  // stored codebooks trivially (codes are meaningless under any
+  // others), so a snapshot is purely a membership/generation gate over
+  // m-byte code rows: `_pq_docs` commit epochs for appends, the
+  // registry at ≤ asOf for revisions, tombstones at ≤ asOf for
+  // take-downs. One index lives through q171's lifecycle (epochs
+  // 0..3); q182 serves ADC top-10 AS OF epoch 1 — the full original
+  // corpus — hash-matching q90's plain full-corpus oracle.
+  // IvfPqAsOfSpec pins every epoch ≡ a fresh build over that epoch's
+  // corpus under identical artifacts, the staged tear + heal, and
+  // build-from-source as the vacuum.
+  // ---------------------------------------------------------------------
+  def q182IvfPqAsOf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    val dir = cachedIndexDir("ivfpq-asof", d, "v1") { p =>
+      graft.scale.IvfPqIndex.build(
+        emb.filter(col("vec_id") % 5 =!= 4), centroids, p,
+        centroidCount = cc,
+        codebooks = Some(graft.scale.Similarity.pqInitCodebooks(emb)))
+      graft.scale.IvfPqIndex.append(
+        emb.filter(col("vec_id") % 5 === 4), centroids, p,
+        centroidCount = cc)                                // epoch 1
+      val revised = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfPqIndex.upsert(revised, centroids, p, rev = 1L,
+        centroidCount = cc)                                // epoch 2
+      graft.scale.IvfPqIndex.delete(
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), p)
+      require(graft.scale.IvfPqIndex.committedEpoch(s, p) == 3L,
+        "as-of fixture must commit exactly epochs 0..3 (q182 pins asOf=1)")
+    }
+    graft.scale.IvfPqIndex
+      .topKAsOf(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 10, asOf = 1L, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q182Sql: String = q90Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6385,6 +6474,8 @@ object ScaleCatalogue {
     "q166_cluster_diff" -> q166ClusterDiff _,
     "q167_cluster_change_feed" -> q167ClusterChangeFeed _,
     "q168_ivf_cdc_lifecycle" -> q168IvfCdcLifecycle _,
+    "q181_ivf_asof" -> q181IvfAsOf _,
+    "q182_ivfpq_asof" -> q182IvfPqAsOf _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -6534,6 +6625,8 @@ object ScaleCatalogue {
     "q166_cluster_diff" -> q166Sql,
     "q167_cluster_change_feed" -> q167Sql,
     "q168_ivf_cdc_lifecycle" -> q168Sql,
+    "q181_ivf_asof" -> q181Sql,
+    "q182_ivfpq_asof" -> q182Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,

@@ -135,6 +135,45 @@ object BmIndex {
     else -1L
   }
 
+  /** Epoch a mutating verb stamps its rows with. NOT simply
+    * [[committedEpoch]] + 1 (round-15 advice item 2): a torn verb's
+    * rows are stamped but never ledger-committed, so allocating from
+    * the ledger alone would let the NEXT successful verb reuse the
+    * residue's epoch number — its ledger row would then legitimize
+    * the residue rows at that snapshot while its statistics exclude
+    * them. Allocating past the max epoch STAMPED anywhere (committed
+    * or not) keeps residue epochs permanently ledger-less, and
+    * [[topKAsOf]]'s ledger-membership gate keeps them invisible.
+    * Three narrow single-column aggregates over the epoch-stamped
+    * tables — verb-time cost, never probe-time. */
+  private def nextEpoch(spark: SparkSession, dir: String): Long = {
+    val stamped = IndexIo.readOr(spark, s"$dir/_bm_docs", docEpochSchema)
+      .select(col("e"))
+      .unionByName(
+        IndexIo.readOr(spark, s"$dir/_bm_tombstones", tombEpochSchema)
+          .select(col("e")))
+      .unionByName(IndexIo.readOr(spark, s"$dir/_bm_rev", revEpochSchema)
+        .select(col("e")))
+      .agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    val raw = if (stamped.isNullAt(0)) -1L else stamped.getLong(0)
+    math.max(committedEpoch(spark, dir), raw) + 1L
+  }
+
+  /** Round-15 advice item 1: on a pre-ledger index (stats exist, no
+    * `_bm_epochs`), the FIRST mutating verb must pin epoch 0's TRUE
+    * pre-verb statistics before writing anything — otherwise
+    * [[commitEpoch]] only ever records e ≥ 1 rows and
+    * [[topKAsOf]](asOf = 0) would fall back to the CURRENT post-verb
+    * stats, silently breaking the "historical idf/avgdl are EXACT"
+    * contract. Idempotent (only fires while the ledger is empty);
+    * called by every verb before its first write. */
+  private def ensureEpoch0Ledger(spark: SparkSession, dir: String): Unit =
+    if (IndexIo.exists(spark, s"$dir/_bm_stats") &&
+        epochsLedger(spark, dir).limit(1).count() == 0L)
+      adjustedStats(spark, dir)
+        .select(lit(0L).as("e"), col("n_docs"), col("sum_dl"))
+        .coalesce(1).write.mode("append").parquet(s"$dir/_bm_epochs")
+
   def build(docs: DataFrame, dir: String): Unit = {
     docs.select(col("doc_id")).withColumn("e", lit(0L))
       .write.mode("overwrite")
@@ -178,7 +217,8 @@ object BmIndex {
       Seq("doc_id"), "left_anti")
     val delta = statsDelta(fresh).collect()(0)
     if (delta.getLong(0) == 0L) return // every doc_id already committed
-    val e = committedEpoch(spark, dir) + 1L
+    ensureEpoch0Ledger(spark, dir)
+    val e = nextEpoch(spark, dir)
     fresh.select(col("doc_id")).withColumn("e", lit(e))
       .write.mode("append")
       .parquet(s"$dir/_bm_docs")
@@ -278,6 +318,7 @@ object BmIndex {
     require(stale == 0L,
       s"upsert rev=$rev is older than the current revision of $stale " +
         "docs — revisions must be monotone per doc")
+    ensureEpoch0Ledger(spark, dir)
     // heal guard: (doc, rev) posting rows that already landed
     val landed = readPostings(spark, dir)
       .filter(col("rev") === rev).select(col("doc_id")).distinct()
@@ -308,7 +349,7 @@ object BmIndex {
         .select(col("doc_id")), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (freshReg.count() > 0L) {
-      val e = committedEpoch(spark, dir) + 1L
+      val e = nextEpoch(spark, dir)
       freshReg.withColumn("e", lit(e))
         .write.mode("append").parquet(s"$dir/_bm_rev")
       commitEpoch(spark, dir, e)
@@ -358,7 +399,8 @@ object BmIndex {
         coalesce(col("pdl"), lit(0L)).cast("long").as("dl"))
       .localCheckpoint()
     if (dead.count() > 0L) {
-      val e = committedEpoch(spark, dir) + 1L
+      ensureEpoch0Ledger(spark, dir)
+      val e = nextEpoch(spark, dir)
       dead.withColumn("e", lit(e))
         .write.mode("append").parquet(s"$dir/_bm_tombstones")
       commitEpoch(spark, dir, e)
@@ -490,6 +532,63 @@ object BmIndex {
     Bm25.rank(probed, stats, k, k1, b)
   }
 
+  private val feedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("change", StringType),
+    StructField("rev", LongType), StructField("e", LongType)))
+
+  /** CHANGE DATA FEED — [[LshIndex.emitChangeFeed]]'s contract on the
+    * BM25 index: persist each committed epoch's id-level delta to
+    * `feedDir/e=N` as (doc_id, change ∈ inserted/revised/deleted,
+    * rev), derived POST-HOC from the epoch stamps at O(affected) per
+    * epoch. Emission gates on LEDGER MEMBERSHIP: an epoch with no
+    * `_bm_epochs` row is a torn verb's residue and emits an EMPTY
+    * delta (its rows never served, so nothing changed). Each dir is
+    * an idempotent `_SUCCESS`-gated overwrite; re-emission after new
+    * commits writes exactly the missing epochs. Restore contract
+    * (spec-pinned): baseline membership/revision state + replayed
+    * deltas ≡ the as-of state at the last emitted epoch. Emit before
+    * [[compactTo]] — the fold vacuums the history the feed derives
+    * from. */
+  def emitChangeFeed(spark: SparkSession, dir: String, feedDir: String,
+      baseline: Long = 0L): Unit = {
+    val committed = committedEpoch(spark, dir)
+    require(baseline >= 0L && baseline <= committed,
+      s"feed baseline $baseline outside committed history [0, $committed]")
+    val fs = new org.apache.hadoop.fs.Path(feedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val done = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$feedDir/e=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
+    val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
+    if (from > committed) return
+    val okEs = epochsLedger(spark, dir).select(col("e"))
+      .collect().map(_.getLong(0)).toSet
+    (from to committed).foreach { n =>
+      val rows = if (!okEs.contains(n))
+        IndexIo.emptyFrame(spark, feedSchema).drop("e")
+      else {
+        val ins = IndexIo.readOr(spark, s"$dir/_bm_docs", docEpochSchema)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("doc_id"), lit("inserted").as("change"),
+            lit(null).cast("long").as("rev"))
+        val rev = revisions(spark, dir)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("doc_id"), lit("revised").as("change"), col("rev"))
+        val del = tombstones(spark, dir)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("doc_id"), lit("deleted").as("change"),
+            lit(null).cast("long").as("rev"))
+        ins.unionByName(rev).unionByName(del)
+      }
+      rows.coalesce(1).write.mode("overwrite").parquet(s"$feedDir/e=$n")
+    }
+  }
+
+  /** Read the feed (all epochs; filter `e` for a window). */
+  def changeFeed(spark: SparkSession, feedDir: String): DataFrame =
+    IndexIo.readOr(spark, feedDir, feedSchema)
+
   // explicit schemas for the as-of readers: mixed legacy/epoch-stamped
   // files must always surface the e column (null → 0)
   private val docEpochSchema = StructType(Seq(
@@ -502,10 +601,23 @@ object BmIndex {
     StructField("old_dl", LongType), StructField("new_dl", LongType),
     StructField("e", LongType)))
 
+  /** Epoch-gated CDC table read for the as-of path. Two gates, both
+    * required: `e ≤ asOf` (the snapshot boundary) AND `e` is a
+    * LEDGER-COMMITTED epoch (round-15 advice item 2 — a torn verb's
+    * residue rows carry a stamped epoch that never got its ledger
+    * row; without the membership gate they would serve at every
+    * later snapshot with statistics that exclude them). Epoch 0 is
+    * always admitted: build commits it, [[ensureEpoch0Ledger]]
+    * backfills it on legacy indexes, and a pre-ledger index that no
+    * verb ever touched has no ledger at all yet its whole state IS
+    * epoch 0. The ledger is one row per committed verb —
+    * [[IndexIo.maybeBroadcast]]-sized by construction. */
   private def readAt(spark: SparkSession, path: String,
-      schema: StructType, asOf: Long): DataFrame =
+      schema: StructType, asOf: Long, committedEs: DataFrame): DataFrame =
     IndexIo.readOr(spark, path, schema)
-      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .withColumn("e", coalesce(col("e"), lit(0L)))
+      .filter(col("e") <= asOf)
+      .join(IndexIo.maybeBroadcast(committedEs), Seq("e"), "left_semi")
 
   /** SNAPSHOT BM25 top-k — [[topK]] exactly as the index stood when
     * epoch `asOf` committed, SCORES INCLUDED: postings gate by their
@@ -530,9 +642,13 @@ object BmIndex {
     val buckets = terms.collect().map(r =>
       graft.functions.Md5_64.hash60(r.getString(0)) % Buckets)
       .distinct.toSeq
-    val docsAt = readAt(spark, s"$dir/_bm_docs", docEpochSchema, asOf)
+    // committed-epoch set for the residue gate: ledger epochs + 0
+    val okEs = epochsLedger(spark, dir).select(col("e"))
+      .unionByName(spark.range(1).select(lit(0L).as("e")))
+      .distinct().localCheckpoint()
+    val docsAt = readAt(spark, s"$dir/_bm_docs", docEpochSchema, asOf, okEs)
       .select(col("doc_id"))
-    val revsAt = readAt(spark, s"$dir/_bm_rev", revEpochSchema, asOf)
+    val revsAt = readAt(spark, s"$dir/_bm_rev", revEpochSchema, asOf, okEs)
       .groupBy(col("doc_id"))
       .agg(max(struct(col("rev"), col("old_dl"), col("new_dl"))).as("m"))
       .select(col("doc_id"), col("m.rev").as("cur_rev"))
@@ -544,8 +660,8 @@ object BmIndex {
       .drop("cur_rev")
       .join(docsAt, Seq("doc_id"), "left_semi")
       .join(broadcast(terms), Seq("term"))
-      .join(readAt(spark, s"$dir/_bm_tombstones", tombEpochSchema, asOf)
-        .select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .join(readAt(spark, s"$dir/_bm_tombstones", tombEpochSchema, asOf,
+        okEs).select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     // the epoch's exact post-verb statistics from the ledger (a
     // pre-snapshot legacy index has no ledger — its whole state IS

@@ -54,7 +54,8 @@ import org.apache.spark.sql.functions._
   *     sub status change direction over time, so `dead_terms/` and
   *     `sub_terms/` hold (term, k, s = ±1) rows and `deep_df/` holds
   *     (term, k, d) count deltas, with k a deterministic per-batch
-  *     key (min doc id of the batch). Current status = sign of the
+  *     key (min doc id + an id-set content hash — replays reproduce
+  *     it, distinct batches never collide). Current status = sign of the
   *     per-term sum. Replay-healing is an anti-join on (term, k):
   *     a crashed batch's recompute is deterministic, so re-inserting
   *     is exactly the rows the tear lost.
@@ -119,6 +120,18 @@ object CitationIndex {
 
   private def md5_64(c: Column) = graft.functions.Md5_64.md5_64(c)
 
+  /** Order-independent 64-bit content hash of a batch's distinct id
+    * set (xor-fold of per-id xxhash64) — the collision term in the
+    * batch-key grammar (round-15 advice item 3). Deterministic per id
+    * SET, so a replay of the same batch reproduces the key and its
+    * (term, k) anti-joins heal; two DIFFERENT batches sharing a min id
+    * no longer share a key, so a torn batch's residue rows can never
+    * gate in under a later batch's commit. */
+  private def idSetHash(ids: DataFrame): String = {
+    val r = ids.agg(expr("bit_xor(xxhash64(doc_id))")).collect()(0)
+    java.lang.Long.toHexString(if (r.isNullAt(0)) 0L else r.getLong(0))
+  }
+
   private def withBucket(post: DataFrame): DataFrame =
     post.withColumn("tb", pmod(md5_64(col("term")), lit(Buckets)))
 
@@ -165,14 +178,14 @@ object CitationIndex {
     StructField("bk", StringType)))
   private val revSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("rev", LongType),
-    StructField("e", LongType)))
+    StructField("e", LongType), StructField("bk", StringType)))
   private val deltaSchema = StructType(Seq(
     StructField("term", StringType), StructField("k", StringType),
     StructField("s", LongType)))
   private val termSchema = StructType(Seq(StructField("term", StringType),
     StructField("bk", StringType)))
   private val docSchema = StructType(Seq(StructField("doc_id", LongType),
-    StructField("e", LongType)))
+    StructField("e", LongType), StructField("bk", StringType)))
 
   private def readOr(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
@@ -303,6 +316,7 @@ object CitationIndex {
     IndexIo.emptyFrame(spark, revSchema)
       .write.mode("overwrite").parquet(s"$dir/_cit_rev")
     docs.select(col("doc_id")).distinct().withColumn("e", lit(0L))
+      .withColumn("bk", lit("b"))
       .write.mode("overwrite").parquet(s"$dir/_cit_docs")
   }
 
@@ -332,7 +346,8 @@ object CitationIndex {
       Seq("doc_id"), "left_anti").localCheckpoint()
     if (fresh.count() == 0L) return
     val freshIds = fresh.select(col("doc_id")).distinct().localCheckpoint()
-    val k = "a" + freshIds.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val k = "a" + freshIds.agg(min(col("doc_id"))).collect()(0).getLong(0) +
+      "." + idSetHash(freshIds)
     val deep = deepTerms(spark, dir).localCheckpoint()
     // deep terms: postings stopped — their df advances by counter
     val allB = Graph.allPostings(fresh, n).localCheckpoint()
@@ -354,12 +369,17 @@ object CitationIndex {
       .join(batchTerms, Seq("term"))
       .select(col("term"), col("doc_id"), col("rev"))
       .localCheckpoint()
-    // crash-residue split: uncommitted doc ids inside post/ can only be
-    // THIS batch's torn earlier attempt — dfBefore must exclude them
-    // (and tombstoned docs, and revised docs' SUPERSEDED generations)
-    // or a replay would misclassify transitions
+    // crash-residue split: dfBefore counts COMMITTED postings only —
+    // a semi-join against _cit_docs, not an anti-join against this
+    // batch's ids (round-15 advice item 3's verb-side twin: residue
+    // postings of a DIFFERENTLY-GROUPED torn batch are uncommitted
+    // but not ours, and counting them would misclassify df
+    // transitions). Committed excludes this batch (its ids commit
+    // last) and every torn attempt's, whoever wrote it; tombstoned
+    // docs and superseded generations drop as before.
     val preRows = currentGen(
-      touched.join(freshIds, Seq("doc_id"), "left_anti")
+      touched.join(committed.select(col("doc_id")), Seq("doc_id"),
+          "left_semi")
         .join(tombstones(spark, dir), Seq("doc_id"), "left_anti"),
       curRevs(spark, dir))
       .localCheckpoint()
@@ -430,7 +450,7 @@ object CitationIndex {
     // visibility point every bk-gated row of the batch resolves
     // through at as-of reads
     freshIds.select(col("doc_id"),
-        lit(committedEpoch(spark, dir) + 1L).as("e"))
+        lit(committedEpoch(spark, dir) + 1L).as("e"), lit(k).as("bk"))
       .write.mode("append").parquet(s"$dir/_cit_docs")
   }
 
@@ -453,7 +473,8 @@ object CitationIndex {
       .localCheckpoint()
     if (victims.count() == 0L) return
     val victimIds = victims.select(col("doc_id")).distinct().localCheckpoint()
-    val k = "d" + victimIds.agg(min(col("doc_id"))).collect()(0).getLong(0)
+    val k = "d" + victimIds.agg(min(col("doc_id"))).collect()(0).getLong(0) +
+      "." + idSetHash(victimIds)
     val deep = deepTerms(spark, dir).localCheckpoint()
     val vPost = Graph.allPostings(victims, n).localCheckpoint()
     // deep guard: exact current df from the counter deltas (excluding
@@ -539,7 +560,7 @@ object CitationIndex {
       .write.mode("append").parquet(s"$dir/pairs")
     // the commit: tombstone rows carry this batch's snapshot epoch
     victimIds.select(col("doc_id"),
-        lit(committedEpoch(spark, dir) + 1L).as("e"))
+        lit(committedEpoch(spark, dir) + 1L).as("e"), lit(k).as("bk"))
       .write.mode("append").parquet(s"$dir/_cit_tombs")
   }
 
@@ -608,7 +629,7 @@ object CitationIndex {
     if (targets.count() == 0L) return
     val targetIds = targets.select(col("doc_id")).distinct().localCheckpoint()
     val k = "u" + targetIds.agg(min(col("doc_id"))).collect()(0).getLong(0) +
-      "." + rev
+      "." + idSetHash(targetIds) + "." + rev
     val deep = deepTerms(spark, dir).localCheckpoint()
     val newAll = Graph.allPostings(targets, n).localCheckpoint()
     val oldAll = Graph.allPostings(
@@ -754,11 +775,12 @@ object CitationIndex {
     val freshIds = targetIds.join(committed.select(col("doc_id")),
       Seq("doc_id"), "left_anti").localCheckpoint()
     if (freshIds.count() > 0L)
-      freshIds.select(col("doc_id"), lit(ep).as("e"))
+      freshIds.select(col("doc_id"), lit(ep).as("e"), lit(k).as("bk"))
         .write.mode("append").parquet(s"$dir/_cit_docs")
     // the commit point: registry rows flip every read to the new
     // generation, atomically per batch, and carry the snapshot epoch
-    targetIds.select(col("doc_id"), lit(rev).as("rev"), lit(ep).as("e"))
+    targetIds.select(col("doc_id"), lit(rev).as("rev"), lit(ep).as("e"),
+        lit(k).as("bk"))
       .write.mode("append").parquet(s"$dir/_cit_rev")
   }
 
@@ -772,7 +794,15 @@ object CitationIndex {
   def edgesWeighted(spark: SparkSession, dir: String): DataFrame = {
     val tmb = tombstones(spark, dir)
     val cr = curRevs(spark, dir)
+    // endpoint-committed gate (round-15 advice item 3, current-serve
+    // twin): a gone-batch tear (pairs landed, commit row never, batch
+    // never replayed) must not serve support rows of docs that never
+    // committed; every legitimate pair's endpoints are committed docs
+    val ids = readOr(spark, s"$dir/_cit_docs", docSchema)
+      .select(col("doc_id")).localCheckpoint()
     readOr(spark, s"$dir/pairs", pairSchema)
+      .join(ids.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
       // generation filter: a support row serves iff BOTH endpoint
       // stamps equal the endpoints' current generations (pre-revision
       // files read null → 0) — one size-guarded join per endpoint
@@ -824,26 +854,40 @@ object CitationIndex {
       .filter(coalesce(col("e"), lit(0L)) <= asOf)
       .select(col("doc_id"), col("rev"))
 
-  /** Batch keys committed as of `asOf`, CONSTRUCTED from the commit
-    * tables (the key grammar is deterministic: build/compact "b",
-    * append "a"+min doc id, delete "d"+min victim id, upsert
-    * "u"+min target id+"."+rev — the same grammar [[consistent]]
-    * parses back). The constructed set is a superset containing every
-    * real key (built from ALL committed ids, not just batch minima);
-    * gating is a semi-join, so the extras match nothing. */
+  /** Batch keys committed as of `asOf`. Since round 16 the commit
+    * rows STORE their batch's key (the per-batch-nonce fix from
+    * round-15 advice item 3 — keys carry an id-set content hash, so a
+    * key is committed iff the exact batch that wrote it committed and
+    * reconstruction-collisions are unrepresentable); rows written by
+    * older verbs carry a null `bk` and fall back to the CONSTRUCTED
+    * legacy grammar (build/compact "b", append "a"+min doc id, delete
+    * "d"+min victim id, upsert "u"+min target id+"."+rev — built from
+    * ALL legacy ids, a superset whose extras match nothing among
+    * legacy-keyed rows). */
   private def committedKeysAsOf(spark: SparkSession, dir: String,
       asOf: Long): DataFrame = {
     import org.apache.spark.sql.types.StringType
+    def at(name: String, schema: StructType) =
+      readOr(spark, s"$dir/$name", schema)
+        .filter(coalesce(col("e"), lit(0L)) <= asOf)
+    val docs = at("_cit_docs", docSchema)
+    val tombs = at("_cit_tombs", docSchema)
+    val regs = at("_cit_rev", revSchema)
+    val stored = Seq(docs, tombs, regs)
+      .map(_.select(col("bk")).filter(col("bk").isNotNull))
+      .reduce(_ unionByName _)
     IndexIo.emptyFrame(spark,
         StructType(Seq(StructField("bk", StringType))))
       .unionByName(spark.range(1).select(lit("b").as("bk")))
-      .unionByName(docsAsOf(spark, dir, asOf)
+      .unionByName(stored)
+      .unionByName(docs.filter(col("bk").isNull)
         .select(concat(lit("a"), col("doc_id").cast("string")).as("bk")))
-      .unionByName(tombsAsOf(spark, dir, asOf)
+      .unionByName(tombs.filter(col("bk").isNull)
         .select(concat(lit("d"), col("doc_id").cast("string")).as("bk")))
-      .unionByName(regAsOf(spark, dir, asOf)
+      .unionByName(regs.filter(col("bk").isNull)
         .select(concat(lit("u"), col("doc_id").cast("string"),
           lit("."), col("rev").cast("string")).as("bk")))
+      .distinct()
   }
 
   /** The maintained weighted edge set exactly as it stood when epoch
@@ -875,9 +919,24 @@ object CitationIndex {
     val tmb = tombsAsOf(spark, dir, asOf)
     val cr = regAsOf(spark, dir, asOf)
       .groupBy(col("doc_id")).agg(max(col("rev")).as("cur_rev"))
+    // Endpoint-committed gate (round-15 advice item 3): the bk gate
+    // alone is not airtight under torn writes — a torn append's pair
+    // rows carry bk="a<m>" with m then-fresh, and if a LATER,
+    // differently-grouped batch commits doc m, that key becomes
+    // constructible and the residue would gate in, endpoints the torn
+    // batch never committed included. Every LEGITIMATE pair's two
+    // endpoints are committed docs (pairs are generated between
+    // indexed documents only), so semi-joining both endpoints against
+    // the as-of committed-doc set drops residue rows whose doc never
+    // committed while passing every real row unchanged.
+    val docsAt = docsAsOf(spark, dir, asOf).localCheckpoint()
     val base = readOr(spark, s"$dir/pairs", pairSchema)
       .withColumn("bk", coalesce(col("bk"), lit("b")))
       .join(keys, Seq("bk"), "left_semi")
+      .join(docsAt.withColumnRenamed("doc_id", "src"), Seq("src"),
+        "left_semi")
+      .join(docsAt.withColumnRenamed("doc_id", "dst"), Seq("dst"),
+        "left_semi")
     restrict.fold(base)(r => base.join(r, Seq("src", "dst"), "left_semi"))
       .withColumn("src_rev", coalesce(col("src_rev"), lit(0L)))
       .withColumn("dst_rev", coalesce(col("dst_rev"), lit(0L)))
@@ -920,13 +979,17 @@ object CitationIndex {
       val t = readOr(spark, s"$dir/$name",
         if (withRev) revSchema else docSchema)
         .filter(coalesce(col("e"), lit(0L)) === n)
+      // stored batch key when present (round-16 nonce grammar);
+      // legacy rows reconstruct theirs from the old grammar
       if (withRev)
         t.select(col("doc_id"),
-          concat(lit(prefix), col("doc_id").cast("string"),
-            lit("."), col("rev").cast("string")).as("bk"))
+          coalesce(col("bk"),
+            concat(lit(prefix), col("doc_id").cast("string"),
+              lit("."), col("rev").cast("string"))).as("bk"))
       else
         t.select(col("doc_id"),
-          concat(lit(prefix), col("doc_id").cast("string")).as("bk"))
+          coalesce(col("bk"),
+            concat(lit(prefix), col("doc_id").cast("string"))).as("bk"))
     }
     val commits = commitAt("_cit_docs", "a", withRev = false)
       .unionByName(commitAt("_cit_tombs", "d", withRev = false))
@@ -1040,8 +1103,12 @@ object CitationIndex {
       .reduce(_ unionByName _)
       .filter(col("k").startsWith("d")).distinct()
       // try_cast: literal-key columns ("b") constant-fold BEFORE the
-      // startsWith filter prunes them; real d-keys always parse
-      .select(expr("try_cast(substring(k, 2) as long)").as("doc_id"))
+      // startsWith filter prunes them; real d-keys always parse.
+      // substring_index: the round-16 grammar is "d<min>.<idhash>" —
+      // the min id is the first dot segment either way
+      .select(expr(
+        "try_cast(substring_index(substring(k, 2), '.', 1) as long)")
+        .as("doc_id"))
       .filter(col("doc_id").isNotNull)
     // probes 4+5: a rev-stamped posting row or a "u<minid>.<rev>"
     // delta key whose (doc_id, rev) is unregistered is exactly an
@@ -1138,7 +1205,7 @@ object CitationIndex {
       .write.mode("overwrite").parquet(s"$destDir/_cit_rev")
     readOr(spark, s"$dir/_cit_docs", docSchema)
       .join(tmb, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(0L).as("e"))
+      .select(col("doc_id"), lit(0L).as("e"), lit("b").as("bk"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$destDir/_cit_docs")
   }

@@ -35,6 +35,11 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .withColumnRenamed("centroid_id", "cluster_id")
     withOwnDist2(assigned, centroids)
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+    // id→epoch registry for snapshot reads: every build row is epoch 0
+    // (the data overwrite just cleared any previous life's registry;
+    // meta stays LAST as the completeness marker rebuild() relies on)
+    corpus.select(col("vec_id")).withColumn("e", lit(0L))
+      .write.mode("overwrite").parquet(s"$path/_ivf_docs")
     writeMeta(corpus.sparkSession, path, centroids)
   }
 
@@ -76,6 +81,23 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         .withColumnRenamed("centroid_id", "cluster_id"), centroids)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // registry FIRST, data second: a tear between the two leaves
+      // phantom (id, e) rows that gate in nothing (no data), while the
+      // reverse order would leave data rows that read as epoch 0 and
+      // serve at EVERY snapshot. The anti-join keeps a replayed batch
+      // from re-stamping its ids at a second epoch (the data write
+      // below stays deliberately non-deduping — caller owns id
+      // novelty, the documented append contract). A legacy index
+      // without the registry keeps working: its main rows read as
+      // epoch 0 through the as-of left join.
+      val spark = newVectors.sparkSession
+      val freshIds = newVectors.select(col("vec_id")).distinct()
+        .join(IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
+          .select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      if (freshIds.count() > 0L)
+        freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+          .write.mode("append").parquet(s"$path/_ivf_docs")
       assigned.write.mode("append").partitionBy("cluster_id").parquet(path)
       readMeta(newVectors.sparkSession, path) match {
         case Some(p95) =>
@@ -193,7 +215,13 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     StructField("dist2", DoubleType), StructField("rev", LongType),
     StructField("cluster_id", LongType)))
   private val revRegSchema = StructType(Seq(
-    StructField("vec_id", LongType), StructField("rev", LongType)))
+    StructField("vec_id", LongType), StructField("rev", LongType),
+    StructField("e", LongType)))
+  // (vec_id, e) commit registry for snapshot reads — see [[committedEpoch]]
+  private val docRegSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("e", LongType)))
+  private val tombEpochSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("e", LongType)))
 
   /** Revision rows live in their OWN bucketed subdir
     * (`_ivf_rev_rows/cluster_id=N/`, underscore-prefixed so the main
@@ -267,7 +295,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (freshReg.count() > 0L)
-      freshReg.write.mode("append").parquet(s"$path/_ivf_rev")
+      freshReg.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .write.mode("append").parquet(s"$path/_ivf_rev")
   }
 
   /** Tombstone delete — the [[LshIndex.delete]]/[[BmIndex.delete]]
@@ -288,7 +317,93 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (fresh.count() > 0L)
-      fresh.write.mode("append").parquet(s"$path/_ivf_tombstones")
+      fresh.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .write.mode("append").parquet(s"$path/_ivf_tombstones")
+  }
+
+  /** The committed snapshot counter ([[BmIndex.committedEpoch]]'s
+    * contract on the vector index): max epoch across the id→epoch
+    * registry, tombstones, and the revision registry. 0 right after
+    * [[build]] and on a legacy (pre-registry) index; −1 on a cold
+    * dir. Because [[append]] writes its registry rows FIRST, a torn
+    * append advances this counter with a phantom epoch whose data
+    * never landed — snapshots at that epoch simply serve the
+    * predecessor state until the replay completes the batch
+    * (IvfAsOfSpec stages the tear). */
+  def committedEpoch(spark: SparkSession, path: String): Long = {
+    val es = IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
+      .select(col("e"))
+      .unionByName(
+        IndexIo.readOr(spark, s"$path/_ivf_tombstones", tombEpochSchema)
+          .select(col("e")))
+      .unionByName(IndexIo.readOr(spark, s"$path/_ivf_rev", revRegSchema)
+        .select(col("e")))
+    val r = es.agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    if (!r.isNullAt(0)) r.getLong(0)
+    else if (IndexIo.exists(spark, path)) 0L
+    else -1L
+  }
+
+  /** SNAPSHOT ANN top-k — [[topK]] exactly as the index stood when
+    * epoch `asOf` committed, under the SAME frozen centroids (the
+    * quantizer is a build-time artifact, so history never re-homes a
+    * row): main rows gate by their id's commit epoch in `_ivf_docs`
+    * (a legacy row with no registry entry is epoch 0), revisions by
+    * the registry rows at ≤ asOf (later revisions serve their OLD
+    * embedding — possibly from a different cluster directory, which
+    * is why both trees share the probe's partition filter),
+    * deletions by the tombstone rows at ≤ asOf. IVF scores are
+    * per-vector, so unlike [[BmIndex.topKAsOf]] no statistics ledger
+    * is needed — the posting set IS the snapshot. Serving history
+    * costs one narrow left join against the O(corpus-ids) registry
+    * on the PRUNED row set, nothing corpus-sized moves. Valid for
+    * any 0 ≤ asOf ≤ [[committedEpoch]]; [[rebuild]] is the history
+    * vacuum (the swap replaces the directory, every survivor
+    * re-bases to epoch 0). */
+  def topKAsOf(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: DataFrame, k: Int, asOf: Long,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ce = committedEpoch(spark, path)
+    require(asOf >= 0L && asOf <= ce,
+      s"as-of epoch $asOf outside the committed history [0, $ce]" +
+        (if (ce < 0L) " — cold index, nothing committed" else ""))
+    val probes = Similarity.probesFor(queries, centroids, nProbe)
+      .localCheckpoint()
+    val probed = probes.select(col("cluster_id").cast("long"))
+      .distinct().as[Long].collect().sorted
+    // one row per id before the gate's LEFT join: the registry is
+    // 1:1 by the append anti-join, but a healed tear can leave
+    // duplicate epoch-0 files — min(e) (the first commit) keeps the
+    // join duplicate-proof either way
+    val docsE = IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
+      .groupBy(col("vec_id"))
+      .agg(min(coalesce(col("e"), lit(0L))).as("e"))
+    val regAt = revisions(spark, path)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .groupBy(col("vec_id")).agg(max(col("rev")).as("cur_rev"))
+      .localCheckpoint()
+    val deadAt = IndexIo.readOr(spark, s"$path/_ivf_tombstones",
+        tombEpochSchema)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .select(col("vec_id"))
+    val mainRows = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+      .join(IndexIo.maybeBroadcast(docsE), Seq("vec_id"), "left")
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .drop("e")
+      .join(IndexIo.maybeBroadcast(regAt.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    val revisedRows = revRows(spark, path)
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .join(IndexIo.maybeBroadcast(regAt), Seq("vec_id"))
+      .filter(col("rev") === col("cur_rev"))
+      .select(col("vec_id"), col("embedding"), col("cluster_id"))
+    val assigned = mainRows.unionByName(revisedRows)
+      .join(deadAt, Seq("vec_id"), "left_anti")
+      .withColumn("c_norm", Similarity.norm(col("embedding")))
+    Similarity.scoreProbed(probes, assigned, k)
   }
 
   /** The stored corpus in the (vec_id, embedding) shape [[build]]

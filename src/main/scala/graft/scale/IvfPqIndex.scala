@@ -58,6 +58,11 @@ object IvfPqIndex {
     try {
       codeRows(corpus, centroids, cents, m, sub, centroidCount)
         .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
+      // id→epoch registry for snapshot reads: every build row is epoch
+      // 0 (the data overwrite just cleared any previous life's state;
+      // meta stays LAST as the commit point)
+      corpus.select(col("vec_id")).withColumn("e", lit(0L))
+        .write.mode("overwrite").parquet(s"$path/_pq_docs")
       // after the data write: overwrite mode clears the directory first
       cents.write.mode("overwrite").parquet(s"$path/_pq_codebooks")
       writeMeta(corpus.sparkSession, path,
@@ -193,6 +198,17 @@ object IvfPqIndex {
     val cents = spark.read.parquet(s"$path/_pq_codebooks")
     val (m, sub) = geometry(cents)
     requireDim(newVectors, m, sub)
+    // registry FIRST, codes second ([[IvfIndex.append]]'s tear
+    // argument: a phantom (id, e) row gates in nothing, while data
+    // without a registry row would read as epoch 0 at every snapshot);
+    // legacy indexes without the registry serve their rows as epoch 0
+    val freshIds = newVectors.select(col("vec_id")).distinct()
+      .join(IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (freshIds.count() > 0L)
+      freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .write.mode("append").parquet(s"$path/_pq_docs")
     codeRows(newVectors, centroids, cents, m, sub, centroidCount)
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
@@ -253,7 +269,13 @@ object IvfPqIndex {
     StructField("codes", ArrayType(LongType)),
     StructField("rev", LongType), StructField("cluster_id", LongType)))
   private val revRegSchema = StructType(Seq(
-    StructField("vec_id", LongType), StructField("rev", LongType)))
+    StructField("vec_id", LongType), StructField("rev", LongType),
+    StructField("e", LongType)))
+  // (vec_id, e) commit registry for snapshot reads — [[committedEpoch]]
+  private val docRegSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("e", LongType)))
+  private val tombEpochSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("e", LongType)))
 
   /** Revision code rows in their own bucketed subdir
     * (`_pq_rev_rows/cluster_id=N/`) — the [[IvfIndex.upsert]] layout
@@ -319,7 +341,8 @@ object IvfPqIndex {
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (freshReg.count() > 0L)
-      freshReg.write.mode("append").parquet(s"$path/_pq_rev")
+      freshReg.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .write.mode("append").parquet(s"$path/_pq_rev")
   }
 
   /** Tombstone table under `_pq_tombstones/` — the [[IvfIndex.delete]]
@@ -336,7 +359,8 @@ object IvfPqIndex {
       .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     if (fresh.count() > 0L)
-      fresh.write.mode("append").parquet(s"$path/_pq_tombstones")
+      fresh.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .write.mode("append").parquet(s"$path/_pq_tombstones")
   }
 
   private[scale] def tombstones(spark: SparkSession, path: String): DataFrame = {
@@ -344,6 +368,84 @@ object IvfPqIndex {
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(p)) spark.read.parquet(p.toString).select(col("vec_id"))
     else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** The committed snapshot counter — [[IvfIndex.committedEpoch]]'s
+    * contract on the compressed layout. */
+  def committedEpoch(spark: SparkSession, path: String): Long = {
+    val es = IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
+      .select(col("e"))
+      .unionByName(
+        IndexIo.readOr(spark, s"$path/_pq_tombstones", tombEpochSchema)
+          .select(col("e")))
+      .unionByName(IndexIo.readOr(spark, s"$path/_pq_rev", revRegSchema)
+        .select(col("e")))
+    val r = es.agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    if (!r.isNullAt(0)) r.getLong(0)
+    else if (IndexIo.exists(spark, path)) 0L
+    else -1L
+  }
+
+  /** SNAPSHOT ADC top-k — [[IvfIndex.topKAsOf]]'s contract on the
+    * compressed layout, under BOTH frozen artifacts (coarse centroids
+    * AND stored codebooks — codes are meaningless under any others,
+    * so history trivially shares them): main code rows gate by their
+    * id's commit epoch (legacy rows read as epoch 0), revisions by
+    * the registry rows at ≤ asOf, deletions by the tombstones at
+    * ≤ asOf. Per-vector ADC scores need no statistics ledger. The
+    * history vacuum is the next [[build]] from source (the overwrite
+    * replaces the directory). */
+  def topKAsOf(spark: SparkSession, path: String, queries: DataFrame,
+      centroids: DataFrame, k: Int, asOf: Long,
+      nProbe: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ce = committedEpoch(spark, path)
+    require(asOf >= 0L && asOf <= ce,
+      s"as-of epoch $asOf outside the committed history [0, $ce]" +
+        (if (ce < 0L) " — cold index, nothing committed" else ""))
+    val cents = spark.read.parquet(s"$path/_pq_codebooks")
+    val (m, sub) = geometry(cents)
+    val probes = Similarity.probesFor(queries, centroids, nProbe)
+      .select(col("query_id"), col("cluster_id"))
+      .localCheckpoint()
+    val probed = probes.select(col("cluster_id").cast("long"))
+      .distinct().as[Long].collect().sorted
+    // one row per id before the gate's LEFT join: the registry is
+    // 1:1 by the append anti-join, but a healed tear can leave
+    // duplicate epoch-0 files — min(e) (the first commit) keeps the
+    // join duplicate-proof either way
+    val docsE = IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
+      .groupBy(col("vec_id"))
+      .agg(min(coalesce(col("e"), lit(0L))).as("e"))
+    val regAt = revisions(spark, path)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .groupBy(col("vec_id")).agg(max(col("rev")).as("cur_rev"))
+      .localCheckpoint()
+    val deadAt = IndexIo.readOr(spark, s"$path/_pq_tombstones",
+        tombEpochSchema)
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .select(col("vec_id"))
+    val mainRows = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), col("codes"), col("cluster_id"))
+      .join(IndexIo.maybeBroadcast(docsE), Seq("vec_id"), "left")
+      .filter(coalesce(col("e"), lit(0L)) <= asOf)
+      .drop("e")
+      .join(IndexIo.maybeBroadcast(regAt.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    val revisedRows = revRows(spark, path)
+      .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
+      .join(IndexIo.maybeBroadcast(regAt), Seq("vec_id"))
+      .filter(col("rev") === col("cur_rev"))
+      .select(col("vec_id"), col("codes"), col("cluster_id"))
+    val codeCells = mainRows.unionByName(revisedRows)
+      .join(deadAt, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cluster_id"),
+        posexplode(col("codes")).as(Seq("s", "code")))
+    val lut = Similarity.pqLut(queries, cents, m, sub)
+      .withColumnRenamed("cid", "code")
+    Similarity.adcTopK(
+      codeCells.join(broadcast(probes), "cluster_id"), lut, k)
   }
 
   def topK(spark: SparkSession, path: String, queries: DataFrame,

@@ -272,6 +272,18 @@ object Layout {
     val withZ = df.withColumn("z", zValueK(keys, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .localCheckpoint()
+    // id→epoch registry FIRST, data second ([[IvfIndex.append]]'s tear
+    // argument: a phantom (id, e) row gates in nothing at snapshots,
+    // while data without a registry row would read as build-era epoch
+    // 0); the anti-join keeps a replayed epoch from re-stamping
+    val freshIds = withZ.select(col(idCol)).distinct()
+      .join(docRegistry(spark, path, idCol).select(col(idCol)),
+        Seq(idCol), "left_anti")
+      .localCheckpoint()
+    if (freshIds.count() > 0L)
+      freshIds.withColumn("e",
+          lit(committedEpoch(spark, path, idCol) + 1L))
+        .write.mode("append").parquet(s"$path/_z_docs")
     val buckets = withZ.select(col("z_bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
     val existing = IndexIo.readOr(spark, path, withZ.schema)
@@ -338,20 +350,44 @@ object Layout {
         Seq(idCol), "left_anti")
       .localCheckpoint()
     if (freshReg.count() > 0L)
-      freshReg.write.mode("append").parquet(s"$path/_z_rev")
+      freshReg.withColumn("e",
+          lit(committedEpoch(spark, path, idCol) + 1L))
+        .write.mode("append").parquet(s"$path/_z_rev")
   }
+
+  /** Surface the snapshot-epoch column on a CDC side table whose
+    * files may predate it (the id column's type is caller-defined, so
+    * these tables read schema-merged rather than schema-explicit —
+    * they are O(revised)/O(deleted) small). */
+  private def withE(df: DataFrame): DataFrame =
+    if (df.columns.contains("e")) df
+    else df.withColumn("e", lit(null).cast("long"))
 
   private def registry(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String): DataFrame =
     if (!IndexIo.exists(spark, s"$path/_z_rev"))
-      spark.range(0).select(col("id").as(idCol), col("id").as("rev"))
-    else spark.read.parquet(s"$path/_z_rev")
+      spark.range(0).select(col("id").as(idCol), col("id").as("rev"),
+        col("id").as("e"))
+    else withE(spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/_z_rev"))
 
   private def tombstones(spark: org.apache.spark.sql.SparkSession,
       path: String, idCol: String): DataFrame =
     if (!IndexIo.exists(spark, s"$path/_z_tombs"))
-      spark.range(0).select(col("id").as(idCol))
-    else spark.read.parquet(s"$path/_z_tombs")
+      spark.range(0).select(col("id").as(idCol), col("id").as("e"))
+    else withE(spark.read.option("mergeSchema", "true")
+      .parquet(s"$path/_z_tombs"))
+
+  /** id→epoch commit registry (`_z_docs`) for snapshot reads: one row
+    * per id APPENDED through [[appendZOrderedIdempotentK]] (written
+    * FIRST, so a torn append leaves phantom rows that gate in
+    * nothing); rows of the original [[writeZOrderedK]] build carry no
+    * entry and read as epoch 0 through the as-of left join. */
+  private def docRegistry(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): DataFrame =
+    if (!IndexIo.exists(spark, s"$path/_z_docs"))
+      spark.range(0).select(col("id").as(idCol), col("id").as("e"))
+    else spark.read.parquet(s"$path/_z_docs")
 
   /** TAKE-DOWN — the delete verb on the z layout, completing its CDC
     * set (write/append/upsert/delete/compact): victim ids land in
@@ -367,10 +403,13 @@ object Layout {
   def deleteZOrdered(ids: DataFrame, idCol: String, path: String): Unit = {
     val spark = ids.sparkSession
     val fresh = ids.select(col(idCol)).na.drop().distinct()
-      .join(tombstones(spark, path, idCol), Seq(idCol), "left_anti")
+      .join(tombstones(spark, path, idCol).select(col(idCol)),
+        Seq(idCol), "left_anti")
       .localCheckpoint()
     if (fresh.count() > 0L)
-      fresh.write.mode("append").parquet(s"$path/_z_tombs")
+      fresh.withColumn("e",
+          lit(committedEpoch(spark, path, idCol) + 1L))
+        .write.mode("append").parquet(s"$path/_z_tombs")
   }
 
   /** The current-generation view of a revised layout — what box reads
@@ -408,13 +447,146 @@ object Layout {
       Seq(idCol), "left_anti")
   }
 
+  /** The committed snapshot counter ([[IvfIndex.committedEpoch]]'s
+    * contract on the z layout): max epoch across the id→epoch
+    * registry, the revision registry, and the tombstones. 0 right
+    * after [[writeZOrderedK]] (build-era rows read as epoch 0) and on
+    * any legacy layout; −1 on a cold path. Because the idempotent
+    * append stamps its registry FIRST, a torn append advances the
+    * counter with a phantom epoch that serves its predecessor's state
+    * until the replay completes the batch. */
+  def committedEpoch(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String): Long = {
+    val es = docRegistry(spark, path, idCol).select(col("e"))
+      .unionByName(registry(spark, path, idCol).select(col("e")))
+      .unionByName(tombstones(spark, path, idCol).select(col("e")))
+    val r = es.agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    if (!r.isNullAt(0)) r.getLong(0)
+    else if (IndexIo.exists(spark, path)) 0L
+    else -1L
+  }
+
+  /** SNAPSHOT read — [[readCurrent]] exactly as the layout stood when
+    * epoch `asOf` committed: main rows gate by their id's commit
+    * epoch in `_z_docs` (build-era rows with no entry are epoch 0),
+    * revisions by the registry rows at ≤ asOf (later revisions serve
+    * their OLD generation — possibly from a different bucket, which
+    * is why both trees share a box read's z_bucket partition filter),
+    * deletions by the tombstone rows at ≤ asOf. Three narrow
+    * epoch-filtered joins over O(appended)/O(revised)/O(deleted)
+    * tables — serving history never copies the layout. Valid for any
+    * 0 ≤ asOf ≤ [[committedEpoch]]; [[compactZOrderedTo]] is the
+    * history vacuum (the destination carries no epoch state — every
+    * surviving row re-bases to epoch 0). */
+  def readCurrentAsOf(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, asOf: Long): DataFrame = {
+    val ce = committedEpoch(spark, path, idCol)
+    require(asOf >= 0L && asOf <= ce,
+      s"as-of epoch $asOf outside the committed history [0, $ce]" +
+        (if (ce < 0L) " — cold layout, nothing committed" else ""))
+    val main = spark.read.parquet(path)
+    // one row per id before the LEFT join (the registry is 1:1 by the
+    // append anti-join; min(e) keeps the join duplicate-proof even
+    // against healed-tear file duplication)
+    val docsE = docRegistry(spark, path, idCol)
+      .groupBy(col(idCol)).agg(min(coalesce(col("e"), lit(0L))).as("e"))
+    val mainAt =
+      if (!IndexIo.exists(spark, s"$path/_z_docs")) main
+      else main.join(IndexIo.maybeBroadcast(docsE), Seq(idCol), "left")
+        .filter(coalesce(col("e"), lit(0L)) <= asOf).drop("e")
+    val served =
+      if (!IndexIo.exists(spark, s"$path/_z_rev")) mainAt
+      else {
+        val cur = registry(spark, path, idCol)
+          .filter(coalesce(col("e"), lit(0L)) <= asOf)
+          .groupBy(col(idCol)).agg(max(col("rev")).as("cur_rev"))
+        val mainCur = mainAt.join(
+          IndexIo.maybeBroadcast(cur.select(col(idCol))),
+          Seq(idCol), "left_anti")
+        val revCur = spark.read.parquet(s"$path/_z_rev_rows")
+          .join(IndexIo.maybeBroadcast(cur), Seq(idCol))
+          .filter(col("rev") === col("cur_rev"))
+          .drop("rev", "cur_rev")
+        mainCur.unionByName(revCur)
+      }
+    if (!IndexIo.exists(spark, s"$path/_z_tombs")) served
+    else served.join(
+      IndexIo.maybeBroadcast(tombstones(spark, path, idCol)
+        .filter(coalesce(col("e"), lit(0L)) <= asOf)
+        .select(col(idCol)).distinct()),
+      Seq(idCol), "left_anti")
+  }
+
+  /** CHANGE DATA FEED — [[graft.scale.ClusterStore.emitChangeFeed]]'s
+    * contract on the z layout: persist each committed epoch's id-level
+    * delta to `feedDir/e=N` as (id, change ∈ inserted/revised/deleted,
+    * rev), at O(affected) cost per epoch — exactly the rows the
+    * epoch's verb committed, derived POST-HOC from the epoch stamps
+    * (inserted ids additionally confirm their data landed, so a torn
+    * append's phantom epoch emits an empty delta until its replay
+    * heals it — re-derive by deleting that epoch's feed dir). Each
+    * dir is an idempotent overwrite; a crash between a layout commit
+    * and its feed write leaves no hole (the next call re-derives).
+    * Restore contract (spec-pinned): baseline membership/revision
+    * state + replayed deltas ≡ the as-of state at the last emitted
+    * epoch. Feeds for epochs folded away by [[compactZOrderedTo]]
+    * cannot be derived after the fold — emit before compacting. */
+  def emitChangeFeed(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, feedDir: String,
+      baseline: Long = 0L): Unit = {
+    val committed = committedEpoch(spark, path, idCol)
+    require(baseline >= 0L && baseline <= committed,
+      s"feed baseline $baseline outside committed history [0, $committed]")
+    val fs = new org.apache.hadoop.fs.Path(feedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val done = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$feedDir/e=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
+    val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
+    if (from > committed) return
+    // landed-id confirmation for inserts: one column-pruned pass over
+    // the layout's id column, shared by every epoch in the window
+    val landed = spark.read.parquet(path).select(col(idCol)).distinct()
+      .localCheckpoint()
+    (from to committed).foreach { n =>
+      val ins = docRegistry(spark, path, idCol)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .join(landed, Seq(idCol), "left_semi")
+        .select(col(idCol), lit("inserted").as("change"),
+          lit(null).cast("long").as("rev"))
+      val rev = registry(spark, path, idCol)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col(idCol), lit("revised").as("change"), col("rev"))
+      val del = tombstones(spark, path, idCol)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col(idCol), lit("deleted").as("change"),
+          lit(null).cast("long").as("rev"))
+      ins.unionByName(rev).unionByName(del).coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+    }
+  }
+
+  /** Read the feed (all epochs; filter `e` for a window). The id
+    * column's type is caller-defined, so the read is schema-merged
+    * over the tiny per-epoch dirs. */
+  def changeFeed(spark: org.apache.spark.sql.SparkSession,
+      feedDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(feedDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p), s"no change feed at $feedDir")
+    spark.read.option("basePath", feedDir).option("mergeSchema", "true")
+      .parquet(feedDir)
+  }
+
   /** Compaction-need probe ([[IndexIo.compactionStats]]): files per
     * z_bucket dir (append decay) and rev/tombstone bytes vs the main
     * tree (CDC decay). Listing-only cost. */
   def compactionStats(spark: org.apache.spark.sql.SparkSession,
       path: String): IndexIo.CompactionStats =
     IndexIo.compactionStats(spark, path,
-      Seq(s"$path/_z_rev", s"$path/_z_rev_rows", s"$path/_z_tombs"))
+      Seq(s"$path/_z_rev", s"$path/_z_rev_rows", s"$path/_z_tombs",
+        s"$path/_z_docs"))
 
   /** The decision [[compactionStats]] exists to make: time to
     * [[compactZOrderedTo]]? */
@@ -458,5 +630,15 @@ object Layout {
       .repartition(col("z_bucket"))
       .sortWithinPartitions(col("z_bucket"), col("z")) // see writeZOrdered
       .write.partitionBy("z_bucket").mode("overwrite").parquet(destPath)
+    // the fold is the history vacuum: the destination must carry NO
+    // epoch/CDC state even when destPath is a recycled dir whose
+    // previous life had some (the overwrite above clears the tree, but
+    // make the reset explicit — the LshIndex.compactTo discipline)
+    val conf = spark.sessionState.newHadoopConf()
+    Seq("_z_docs", "_z_rev", "_z_rev_rows", "_z_tombs").foreach { sub =>
+      val sp = new org.apache.hadoop.fs.Path(s"$destPath/$sub")
+      val fs = sp.getFileSystem(conf)
+      if (fs.exists(sp)) fs.delete(sp, true)
+    }
   }
 }

@@ -264,7 +264,7 @@ object LshIndex {
       return
     }
     if (freshIds.count() > 0L)
-      freshIds.withColumn("e", lit(committedEpoch(spark, dir) + 1L))
+      freshIds.withColumn("e", lit(nextEpoch(spark, dir)))
         .write.mode("append").parquet(s"$dir/_lsh_docs")
     if (freshData.count() > 0L)
       writeParts(freshData, dir, "append", n, numHashes, bands)
@@ -341,7 +341,7 @@ object LshIndex {
         Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (freshReg.count() > 0L)
-      freshReg.withColumn("e", lit(committedEpoch(spark, dir) + 1L))
+      freshReg.withColumn("e", lit(nextEpoch(spark, dir)))
         .write.mode("append").parquet(s"$dir/_lsh_rev")
   }
 
@@ -408,6 +408,24 @@ object LshIndex {
       .unionByName(revisions(spark, dir).select(col("e")))
     val r = es.agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
     if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
+  /** Epoch a mutating verb stamps its rows with. NOT
+    * [[committedEpoch]] + 1 (round-15 advice item 2): that counter
+    * deliberately ignores sig-UNCONFIRMED id rows (torn-append
+    * residue), so allocating from it would hand the residue's epoch
+    * number to the NEXT verb — and a replay that later completes the
+    * residue's sigs would make those docs visible at an epoch a
+    * DIFFERENT verb committed. Allocating past the max epoch stamped
+    * on the RAW tables (confirmed or not) keeps every residue epoch
+    * its own: after a heal, the residue serves from its original
+    * stamp, never inside another verb's snapshot. */
+  private def nextEpoch(spark: SparkSession, dir: String): Long = {
+    val es = readOr(spark, s"$dir/_lsh_docs", docIdSchema).select(col("e"))
+      .unionByName(tombstones(spark, dir).select(col("e")))
+      .unionByName(revisions(spark, dir).select(col("e")))
+    val r = es.agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    (if (r.isNullAt(0)) -1L else r.getLong(0)) + 1L
   }
 
   /** SNAPSHOT near-dup probe — [[dedupBatch]] exactly as the index
@@ -484,7 +502,7 @@ object LshIndex {
       .join(tombstones(spark, dir), Seq("doc_id"), "left_anti")
       .localCheckpoint()
     if (fresh.count() > 0L)
-      fresh.withColumn("e", lit(committedEpoch(spark, dir) + 1L))
+      fresh.withColumn("e", lit(nextEpoch(spark, dir)))
         .write.mode("append").parquet(s"$dir/_lsh_tombstones")
   }
 
@@ -538,6 +556,60 @@ object LshIndex {
     writeMeta(spark, destDir, docs.count(), meta.getInt(1),
       meta.getInt(2), meta.getInt(3))
   }
+
+  private val feedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("change", StringType),
+    StructField("rev", LongType), StructField("e", LongType)))
+
+  /** CHANGE DATA FEED — [[ClusterStore.emitChangeFeed]]'s contract on
+    * the LSH index: persist each committed epoch's id-level delta to
+    * `feedDir/e=N` as (doc_id, change ∈ inserted/revised/deleted,
+    * rev), at O(affected) cost per epoch — exactly the rows the
+    * epoch's verb committed, derived POST-HOC from the epoch stamps.
+    * Inserts additionally confirm their per-doc commit point (the sig
+    * row), so a torn append's id residue emits an EMPTY delta until
+    * its replay heals it (re-derive by deleting that epoch's feed
+    * dir). Each dir is an idempotent overwrite gated on `_SUCCESS`; a
+    * crash between an index commit and its feed write leaves no hole
+    * — the next call re-derives the missing epochs. Restore contract
+    * (spec-pinned): baseline membership/revision state + replayed
+    * deltas ≡ the as-of state at the last emitted epoch. Feeds for
+    * epochs folded away by [[compactTo]] cannot be derived after the
+    * fold — emit before compacting. */
+  def emitChangeFeed(spark: SparkSession, dir: String, feedDir: String,
+      baseline: Long = 0L): Unit = {
+    val committed = committedEpoch(spark, dir)
+    require(baseline >= 0L && baseline <= committed,
+      s"feed baseline $baseline outside committed history [0, $committed]")
+    val fs = new org.apache.hadoop.fs.Path(feedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val done = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$feedDir/e=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
+    val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
+    if (from > committed) return
+    val confirmed = committedDocs(spark, dir).localCheckpoint()
+    (from to committed).foreach { n =>
+      val ins = confirmed
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col("doc_id"), lit("inserted").as("change"),
+          lit(null).cast("long").as("rev"))
+      val rev = revisions(spark, dir)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col("doc_id"), lit("revised").as("change"), col("rev"))
+      val del = tombstones(spark, dir)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col("doc_id"), lit("deleted").as("change"),
+          lit(null).cast("long").as("rev"))
+      ins.unionByName(rev).unionByName(del).coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+    }
+  }
+
+  /** Read the feed (all epochs; filter `e` for a window). */
+  def changeFeed(spark: SparkSession, feedDir: String): DataFrame =
+    IndexIo.readOr(spark, feedDir, feedSchema)
 
   /** Batch-vs-corpus near-dup probe: which of `batch`'s documents are
     * near-duplicates of ALREADY-INDEXED documents. Returns

@@ -115,6 +115,53 @@ class BmAsOfSpec extends AnyFunSuite {
     assert(!BmIndex.consistent(spark, dir), "tear went undetected")
   }
 
+  test("round-15 advice: a pre-ledger index's first verb backfills epoch 0's true stats") {
+    val dir = tmp("graft-bm-asof-legacy")
+    BmIndex.build(corpusA, dir)
+    // simulate a legacy index written before the snapshot ledger existed
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_bm_epochs")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+    assert(BmIndex.committedEpoch(spark, dir) == 0L)
+    val want0 = want(corpusA)
+    val vic = probeAsOf(dir, 0L).map(_._2).headOption.getOrElse(1L)
+    // the FIRST mutating verb must pin epoch 0's pre-verb statistics
+    // before its own writes — without the backfill, asOf=0 would fall
+    // back to the post-delete stats and the scores would silently skew
+    BmIndex.delete(Seq(vic).toDF("doc_id"), dir)         // epoch 1
+    assert(BmIndex.committedEpoch(spark, dir) == 1L)
+    assert(probeAsOf(dir, 0L) == want0,
+      "asOf=0 on an upgraded legacy index must serve the TRUE " +
+        "pre-verb statistics, not the current post-verb ones")
+    assert(probeAsOf(dir, 1L) ==
+      want(corpusA.filter(col("doc_id") =!= vic)))
+  }
+
+  test("round-15 advice: a later verb's ledger row cannot legitimize torn residue") {
+    val dir = tmp("graft-bm-asof-collide")
+    BmIndex.build(corpusA, dir)                          // epoch 0
+    // tear an append: ids + postings land (stamped e=1), stats and
+    // ledger never
+    val mirror = tmp("graft-bm-asof-collide-mirror")
+    copyDir(dir, mirror)
+    BmIndex.append(corpusB, mirror)
+    Seq("_bm_docs", "postings").foreach { sub =>
+      copyDir(s"$mirror/$sub", s"$dir/$sub")
+    }
+    // a later verb must allocate PAST the residue's stamp (else its
+    // ledger row would legitimize residue docs at that snapshot while
+    // its statistics exclude them)
+    val vic = probeAsOf(dir, 0L).map(_._2).headOption.getOrElse(1L)
+    BmIndex.delete(Seq(vic).toDF("doc_id"), dir)
+    assert(BmIndex.committedEpoch(spark, dir) == 2L,
+      "the delete reused the torn append's stamped epoch number")
+    assert(probeAsOf(dir, 1L) == probeAsOf(dir, 0L),
+      "the residue's ledger-less epoch must serve its predecessor's state")
+    assert(probeAsOf(dir, 2L) ==
+      want(corpusA.filter(col("doc_id") =!= vic)),
+      "residue docs served at the later verb's snapshot with " +
+        "understated statistics")
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)

@@ -169,6 +169,38 @@ class CitationAsOfSpec extends AnyFunSuite {
     assert(CitationIndex.consistent(spark, dir))
   }
 
+  test("round-16 nonce keys: residue cannot ride a later batch's colliding min id") {
+    val dir = tmp("graft-cit-bkcollide")
+    // slack = 500: no term can cross dfMax + slack on this corpus, so
+    // the staged tear can never create deep-tier residue and the test
+    // isolates the batch-KEY collision it exists to pin
+    CitationIndex.build(s1, dir, slack = 500L)           // epoch 0
+    // tear an append of the odd docs below 40 (min id 1): every data
+    // table lands, the commit table never
+    val torn = s2.filter(col("doc_id") < 40)
+    val mirror = tmp("graft-cit-bkcollide-mirror")
+    copyDir(dir, mirror)
+    CitationIndex.append(torn, mirror)
+    Seq("post", "pairs", "dead_terms", "sub_terms", "deep_terms",
+      "deep_df").foreach { sub =>
+      copyDir(s"$mirror/$sub", s"$dir/$sub")
+    }
+    // a later, DIFFERENTLY-GROUPED batch commits doc 1 — the torn
+    // batch's min id. Under the legacy reconstructed grammar the
+    // residue's key ("a1") would become constructible and its pair
+    // and delta rows would gate into the snapshot, endpoints the torn
+    // batch never committed included; the stored content-hash keys
+    // make that collision unrepresentable.
+    val b2 = corpus.filter(col("doc_id") === 1L)
+    CitationIndex.append(b2, dir)                        // epoch 1
+    assert(CitationIndex.committedEpoch(spark, dir) == 1L)
+    assert(gotAsOf(dir, 0L) == want(s1),
+      "torn-batch residue leaked into the epoch-0 snapshot")
+    assert(gotAsOf(dir, 1L) == want(s1.unionByName(b2)),
+      "torn-batch residue rode the later batch's colliding key " +
+        "into the snapshot")
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)

@@ -126,6 +126,36 @@ class LshAsOfSpec extends AnyFunSuite {
     assert(LshIndex.consistent(spark, dir))
   }
 
+  test("round-15 advice: a later verb never reuses a torn append's stamped epoch") {
+    val dir = tmp("graft-lsh-asof-collide")
+    LshIndex.build(corpusA, dir)                         // epoch 0
+    // tear: the id rows land stamped e=1, the data never
+    val mirror = tmp("graft-lsh-asof-collide-mirror")
+    copyDir(dir, mirror)
+    LshIndex.append(corpusB, mirror)
+    copyDir(s"$mirror/_lsh_docs", s"$dir/_lsh_docs")
+    // the later verb must allocate PAST the residue's raw stamp — a
+    // reused number would, after the heal below, put the residue
+    // inside a snapshot a DIFFERENT verb committed
+    val vic = probeAsOf(dir, 0L).map(_._2).headOption.getOrElse(0L)
+    LshIndex.delete(Seq(vic).toDF("doc_id"), dir)
+    assert(LshIndex.committedEpoch(spark, dir) == 2L,
+      "the delete reused the torn append's stamped epoch number")
+    assert(probeAsOf(dir, 1L) == probeAsOf(dir, 0L),
+      "unhealed residue served at its stamped epoch")
+    assert(probeAsOf(dir, 2L) ==
+      want(corpusA.filter(col("doc_id") =!= vic)))
+    // the replay completes the batch AT ITS OWN epoch: the heal lands
+    // at e=1 and the delete's snapshot stays exactly what it was
+    LshIndex.append(corpusB, dir)
+    assert(LshIndex.committedEpoch(spark, dir) == 2L)
+    assert(probeAsOf(dir, 1L) == want(corpusA.unionByName(corpusB)),
+      "healed batch must serve at its own stamped epoch")
+    assert(probeAsOf(dir, 2L) == want(corpusA.unionByName(corpusB)
+      .filter(col("doc_id") =!= vic)),
+      "the later verb's snapshot must compose heal + delete")
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)

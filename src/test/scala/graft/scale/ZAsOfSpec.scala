@@ -1,0 +1,171 @@
+package graft.scale
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Snapshot (as-of) reads + change data feed on the z-order layout —
+  * the SEVENTH family, closing the time-travel matrix: `_z_docs`
+  * (id→epoch, written FIRST by the idempotent append), epoch stamps
+  * on `_z_rev`/`_z_tombs`, [[Layout.readCurrentAsOf]] gating all
+  * three, and [[Layout.emitChangeFeed]] deriving per-epoch id-level
+  * deltas post-hoc at O(affected). Pins: every epoch ≡ a model
+  * replay, current ≡ as-of(committed), the feed's restore contract
+  * (baseline state + replayed deltas ≡ final state), feed
+  * idempotence, and compaction as the history vacuum. */
+class ZAsOfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(name).resolve("z").toString
+
+  private val W = 64L // bucketWidth
+  private val B = 4   // bits
+
+  private def base = (0L until 64L).map(i => (i, i % 16L, i / 16L))
+  private def appended = (100L until 116L).map(i => (i, i % 16L, 15L))
+
+  private def build(dir: String): Unit = {
+    Layout.writeZOrdered(base.toDF("id", "x", "y"),
+      col("x"), col("y"), dir, W, B)                     // epoch 0
+    Layout.appendZOrderedIdempotentK(appended.toDF("id", "x", "y"),
+      "id", Seq(col("x"), col("y")), dir, W, B)          // epoch 1
+    Layout.upsertZOrdered(
+      Seq((3L, 9L, 3L), (100L, 1L, 2L)).toDF("id", "x", "y"),
+      "id", col("x"), col("y"), dir, rev = 1L, W, B)     // epoch 2
+    Layout.deleteZOrdered(Seq(5L, 101L).toDF("id"), "id", dir) // epoch 3
+  }
+
+  private def rowsAsOf(dir: String, e: Long): Set[(Long, Long, Long)] =
+    Layout.readCurrentAsOf(spark, dir, "id", e)
+      .select(col("id"), col("x"), col("y"))
+      .as[(Long, Long, Long)].collect().toSet
+
+  // the pure model of each epoch's state
+  private def model(e: Long): Set[(Long, Long, Long)] = {
+    var m = base.map(t => t._1 -> (t._2, t._3)).toMap
+    if (e >= 1) m ++= appended.map(t => t._1 -> (t._2, t._3)).toMap
+    if (e >= 2) m ++= Map(3L -> ((9L, 3L)), 100L -> ((1L, 2L)))
+    if (e >= 3) m --= Seq(5L, 101L)
+    m.map { case (id, (x, y)) => (id, x, y) }.toSet
+  }
+
+  test("time travel: readCurrentAsOf replays every epoch; current = as-of(committed)") {
+    val dir = tmp("graft-z-asof")
+    build(dir)
+    assert(Layout.committedEpoch(spark, dir, "id") == 3L)
+    (0L to 3L).foreach { e =>
+      assert(rowsAsOf(dir, e) == model(e),
+        s"as-of epoch $e diverged from the model replay")
+    }
+    assert(rowsAsOf(dir, 3L) ==
+      Layout.readCurrent(spark, dir, "id")
+        .select(col("id"), col("x"), col("y"))
+        .as[(Long, Long, Long)].collect().toSet,
+      "as-of the committed epoch must be the current serve")
+    intercept[IllegalArgumentException] {
+      Layout.readCurrentAsOf(spark, dir, "id", 4L)
+    }
+    intercept[IllegalArgumentException] {
+      Layout.readCurrentAsOf(spark, dir, "id", -1L)
+    }
+    // compaction is the explicit vacuum: history folds to epoch 0
+    val dest = tmp("graft-z-asof-cmp")
+    Layout.compactZOrderedTo(spark, dir, dest,
+      foldRevisionsBy = Some("id"))
+    assert(Layout.committedEpoch(spark, dest, "id") == 0L)
+    assert(rowsAsOf(dest, 0L) == model(3L),
+      "compacted epoch 0 must serve the pre-compaction final state")
+    intercept[IllegalArgumentException] {
+      Layout.readCurrentAsOf(spark, dest, "id", 1L)
+    }
+  }
+
+  test("change feed: per-epoch deltas restore the final state; emission self-heals") {
+    val dir = tmp("graft-z-feed")
+    build(dir)
+    val feed = tmp("graft-z-feed-out")
+    Layout.emitChangeFeed(spark, dir, "id", feed)
+    val rows = Layout.changeFeed(spark, feed)
+      .select(col("id"), col("change"), col("rev"), col("e"))
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(rows.map(_._4).toSet == Set(1L, 2L, 3L),
+      "feed must cover exactly epochs 1..committed")
+    assert(rows.filter(_._4 == 1L).map(r => (r._1, r._2)).toSet ==
+      appended.map(t => (t._1, "inserted")).toSet,
+      "epoch 1 must emit exactly the appended ids")
+    assert(rows.filter(_._4 == 2L).map(r => (r._1, r._2)).toSet ==
+      Set((3L, "revised"), (100L, "revised")))
+    assert(rows.filter(_._4 == 3L).map(r => (r._1, r._2)).toSet ==
+      Set((5L, "deleted"), (101L, "deleted")))
+    // restore contract: baseline membership/revision state + replayed
+    // deltas in epoch order ≡ the as-of state at the committed epoch
+    var live = rowsAsOf(dir, 0L).map(_._1)
+    var revs = Map.empty[Long, Long]
+    rows.sortBy(_._4).foreach {
+      case (id, "inserted", _, _) => live += id
+      case (id, "revised", Some(r), _) =>
+        revs += id -> r; live += id // upsert doubles as insert
+      case (id, "deleted", _, _) => live -= id
+      case r => fail(s"malformed feed row $r")
+    }
+    val finalRows = rowsAsOf(dir, 3L)
+    assert(live == finalRows.map(_._1),
+      "baseline + replayed deltas diverged from the final membership")
+    // the replayed revision state matches the layout's registry
+    val reg = spark.read.parquet(s"$dir/_z_rev")
+      .groupBy(col("id")).agg(max(col("rev")).as("rev"))
+      .as[(Long, Long)].collect().toMap
+    assert(revs == reg,
+      "replayed revision state diverged from the registry")
+    // derived emission is idempotent: a second call writes nothing new
+    val n0 = Layout.changeFeed(spark, feed).count()
+    Layout.emitChangeFeed(spark, dir, "id", feed)
+    assert(Layout.changeFeed(spark, feed).count() == n0,
+      "feed re-emission duplicated epochs")
+  }
+
+  test("torn append: phantom registry rows serve nothing and emit nothing until healed") {
+    val dir = tmp("graft-z-asof-torn")
+    Layout.writeZOrdered(base.toDF("id", "x", "y"),
+      col("x"), col("y"), dir, W, B)                     // epoch 0
+    // stage the docs-first tear on a mirror, copy back ONLY _z_docs
+    val mirror = tmp("graft-z-asof-mirror")
+    copyDir(dir, mirror)
+    Layout.appendZOrderedIdempotentK(appended.toDF("id", "x", "y"),
+      "id", Seq(col("x"), col("y")), mirror, W, B)
+    copyDir(s"$mirror/_z_docs", s"$dir/_z_docs")
+    assert(Layout.committedEpoch(spark, dir, "id") == 1L)
+    assert(rowsAsOf(dir, 1L) == rowsAsOf(dir, 0L),
+      "phantom registry rows served data that never landed")
+    // the feed emits an EMPTY delta for the phantom epoch
+    val feed = tmp("graft-z-asof-torn-feed")
+    Layout.emitChangeFeed(spark, dir, "id", feed)
+    assert(Layout.changeFeed(spark, feed)
+      .filter(col("e") === 1L).count() == 0L,
+      "phantom epoch must emit an empty delta until the heal")
+    // the replay completes the batch AT the residue's stamped epoch
+    Layout.appendZOrderedIdempotentK(appended.toDF("id", "x", "y"),
+      "id", Seq(col("x"), col("y")), dir, W, B)
+    assert(Layout.committedEpoch(spark, dir, "id") == 1L)
+    assert(rowsAsOf(dir, 1L) == model(1L),
+      "healed batch's snapshot diverged from the model")
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Paths.get(from)
+    val dst = java.nio.file.Paths.get(to)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else {
+        java.nio.file.Files.createDirectories(t.getParent)
+        java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+}
