@@ -6188,9 +6188,9 @@ object ScaleCatalogue {
   // corpus — the hash match proves epochs 2-3 are invisible to the
   // snapshot even though their rows share the files.
   // ---------------------------------------------------------------------
-  def q179LshAsOf(s: SparkSession, d: String): DataFrame = {
+  private def lshAsOfFixture(s: SparkSession, d: String): String = {
     val docs = documents(s, d)
-    val dir = cachedIndexDir("lsh-asof", d, "v1",
+    cachedIndexDir("lsh-asof", d, "v1",
       datasets = Seq("documents.parquet")) { p =>
       val corpus = docs.filter(col("doc_id") < 400)
       graft.scale.LshIndex.build(
@@ -6209,8 +6209,13 @@ object ScaleCatalogue {
       require(graft.scale.LshIndex.committedEpoch(s, p) == 3L,
         "as-of fixture must commit exactly epochs 0..3 (q179 pins asOf=1)")
     }
+  }
+
+  def q179LshAsOf(s: SparkSession, d: String): DataFrame = {
+    val dir = lshAsOfFixture(s, d)
     graft.scale.LshIndex
-      .dedupBatchAsOf(s, dir, docs.filter(col("doc_id") >= 400),
+      .dedupBatchAsOf(s, dir,
+        documents(s, d).filter(col("doc_id") >= 400),
         minMatches = 8, asOf = 1L)
       .orderBy(col("new_doc"), col("corpus_doc"))
   }
@@ -6236,9 +6241,9 @@ object ScaleCatalogue {
   // fresh index built over that epoch's corpus, the staged tear, and
   // compactTo as the vacuum.
   // ---------------------------------------------------------------------
-  def q180Bm25AsOf(s: SparkSession, d: String): DataFrame = {
+  private def bmAsOfFixture(s: SparkSession, d: String): String = {
     val docs = documents(s, d)
-    val dir = cachedIndexDir("bm-asof", d, "v1",
+    cachedIndexDir("bm-asof", d, "v1",
       datasets = Seq("documents.parquet")) { p =>
       graft.scale.BmIndex.build(docs.filter(col("doc_id") % 5 =!= 4), p)
       graft.scale.BmIndex.append(docs.filter(col("doc_id") % 5 === 4), p)
@@ -6253,6 +6258,10 @@ object ScaleCatalogue {
       require(graft.scale.BmIndex.committedEpoch(s, p) == 3L,
         "as-of fixture must commit exactly epochs 0..3 (q180 pins asOf=1)")
     }
+  }
+
+  def q180Bm25AsOf(s: SparkSession, d: String): DataFrame = {
+    val dir = bmAsOfFixture(s, d)
     graft.scale.BmIndex.topKAsOf(s, dir, doc1Terms(s, d), k = 15, asOf = 1L)
   }
   val q180Sql: String = q92Sql
@@ -6345,6 +6354,136 @@ object ScaleCatalogue {
       .orderBy(col("query_id"), col("rank"))
   }
   val q182Sql: String = q90Sql
+
+  // ---------------------------------------------------------------------
+  // q183/q184 — SNAPSHOT READS + CHANGE DATA FEED on the z-order
+  // layout, closing the time-travel matrix at 7/7 families. Fixture:
+  // one layout lives through build(%3=0) → idempotent-append(%3=1) →
+  // idempotent-append(%3=2) → upsert(%9=0, yb shifted 128) →
+  // delete(%7=0) — epochs 0..4, every verb epoch-stamped (`_z_docs`
+  // id→epoch registry written FIRST by the append, `_z_rev`/`_z_tombs`
+  // stamps). q183 serves the q99 tight box read AS OF epoch 2 — the
+  // full original corpus before the revision and the take-down —
+  // hash-matching q99's plain full-table oracle (epochs 3-4 invisible
+  // even though their rows share the bucket dirs). q184 emits the
+  // layout's change feed and hash-matches the slice algebra directly:
+  // per-epoch id-level deltas derived post-hoc from the epoch stamps
+  // at O(affected). ZAsOfSpec pins every epoch ≡ model, the restore
+  // contract, feed idempotence, the staged tear (phantom epoch serves
+  // nothing, emits nothing), and compaction as the history vacuum.
+  // ---------------------------------------------------------------------
+  private def zAsOfFixture(s: SparkSession, d: String): String =
+    cachedIndexDir("zorder-asof", d, "v1",
+      datasets = Seq("events.parquet")) { p =>
+      val ev = events(s, d)
+        .select(col("event_id"),
+          pmod(col("user_id"), lit(256L)).as("xb"),
+          pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
+      graft.scale.Layout.writeZOrdered(
+        ev.filter(col("event_id") % 3 === 0), col("xb"), col("yb"),
+        s"$p/base")                                        // epoch 0
+      (1 to 2).foreach { i =>                              // epochs 1, 2
+        graft.scale.Layout.appendZOrderedIdempotentK(
+          ev.filter(col("event_id") % 3 === i), "event_id",
+          Seq(col("xb"), col("yb")), s"$p/base")
+      }
+      val revised = ev.filter(col("event_id") % 9 === 0)
+        .withColumn("yb", pmod(col("yb") + lit(128L), lit(256L)))
+      graft.scale.Layout.upsertZOrdered(revised, "event_id",
+        col("xb"), col("yb"), s"$p/base", rev = 1L)        // epoch 3
+      graft.scale.Layout.deleteZOrdered(
+        ev.filter(col("event_id") % 7 === 0).select(col("event_id")),
+        "event_id", s"$p/base")                            // epoch 4
+      require(graft.scale.Layout
+          .committedEpoch(s, s"$p/base", "event_id") == 4L,
+        "as-of fixture must commit exactly epochs 0..4 (q183 pins asOf=2)")
+    }
+
+  def q183ZOrderAsOf(s: SparkSession, d: String): DataFrame = {
+    val dir = zAsOfFixture(s, d)
+    graft.scale.Layout.boxScanTight(
+        graft.scale.Layout.readCurrentAsOf(s, s"$dir/base", "event_id",
+          asOf = 2L),
+        16, 31, 32, 63)
+      .select(col("event_id"), col("xb"), col("yb"), col("z"))
+      .orderBy(col("event_id"))
+  }
+  val q183Sql: String = q99Sql
+
+  def q184ZOrderChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = zAsOfFixture(s, d)
+    // derived + idempotent: emitting on every call writes exactly the
+    // missing epochs (none, once the fixture's feed is complete)
+    graft.scale.Layout.emitChangeFeed(s, s"$dir/base", "event_id",
+      s"$dir/feed")
+    graft.scale.Layout.changeFeed(s, s"$dir/feed")
+      .select(col("event_id"), col("change"), col("rev"),
+        col("e").cast("long").as("e"))
+      .orderBy(col("e"), col("event_id"))
+  }
+  val q184Sql: String =
+    """SELECT event_id, 'inserted' AS change, CAST(NULL AS BIGINT) AS rev,
+      |  CAST(1 AS BIGINT) AS e FROM events WHERE event_id % 3 = 1
+      |UNION ALL
+      |SELECT event_id, 'inserted', CAST(NULL AS BIGINT), CAST(2 AS BIGINT)
+      |  FROM events WHERE event_id % 3 = 2
+      |UNION ALL
+      |SELECT event_id, 'revised', CAST(1 AS BIGINT), CAST(3 AS BIGINT)
+      |  FROM events WHERE event_id % 9 = 0
+      |UNION ALL
+      |SELECT event_id, 'deleted', CAST(NULL AS BIGINT), CAST(4 AS BIGINT)
+      |  FROM events WHERE event_id % 7 = 0
+      |ORDER BY e, event_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q185/q186 — CHANGE DATA FEEDS on the LSH and BM25 indexes
+  // (round-15 verdict item 3): the incremental re-export read "which
+  // doc ids' dedup/retrieval state changed this epoch", derived
+  // POST-HOC from the epoch stamps at O(affected) per epoch —
+  // `_SUCCESS`-gated idempotent per-epoch dirs, inserts confirmed on
+  // the per-doc commit point (LSH: the sig row; BM25: the epoch's
+  // ledger row), so torn residue emits nothing. Both ride the
+  // q179/q180 lifecycle fixtures (epochs 0..3) and hash-match the
+  // slice algebra directly: epoch 1 inserted the appended 20%, epoch
+  // 2 revised the %9 slice at rev 1, epoch 3 deleted the %7 slice.
+  // IndexChangeFeedSpec pins the restore contract (baseline
+  // membership/revision state + replayed deltas ≡ the as-of state)
+  // and re-emission idempotence on both.
+  // ---------------------------------------------------------------------
+  def q185LshChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = lshAsOfFixture(s, d)
+    graft.scale.LshIndex.emitChangeFeed(s, dir, s"$dir/_cdc_feed")
+    graft.scale.LshIndex.changeFeed(s, s"$dir/_cdc_feed")
+      .orderBy(col("e"), col("doc_id"))
+  }
+  val q185Sql: String =
+    """SELECT doc_id, 'inserted' AS change, CAST(NULL AS BIGINT) AS rev,
+      |  CAST(1 AS BIGINT) AS e
+      |  FROM documents WHERE doc_id < 400 AND doc_id % 5 = 4
+      |UNION ALL
+      |SELECT doc_id, 'revised', CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+      |  FROM documents WHERE doc_id < 400 AND doc_id % 9 = 0
+      |UNION ALL
+      |SELECT doc_id, 'deleted', CAST(NULL AS BIGINT), CAST(3 AS BIGINT)
+      |  FROM documents WHERE doc_id < 400 AND doc_id % 7 = 0
+      |ORDER BY e, doc_id""".stripMargin
+
+  def q186BmChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = bmAsOfFixture(s, d)
+    graft.scale.BmIndex.emitChangeFeed(s, dir, s"$dir/_cdc_feed")
+    graft.scale.BmIndex.changeFeed(s, s"$dir/_cdc_feed")
+      .orderBy(col("e"), col("doc_id"))
+  }
+  val q186Sql: String =
+    """SELECT doc_id, 'inserted' AS change, CAST(NULL AS BIGINT) AS rev,
+      |  CAST(1 AS BIGINT) AS e FROM documents WHERE doc_id % 5 = 4
+      |UNION ALL
+      |SELECT doc_id, 'revised', CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+      |  FROM documents WHERE doc_id % 9 = 0
+      |UNION ALL
+      |SELECT doc_id, 'deleted', CAST(NULL AS BIGINT), CAST(3 AS BIGINT)
+      |  FROM documents WHERE doc_id % 7 = 0
+      |ORDER BY e, doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
@@ -6476,6 +6615,10 @@ object ScaleCatalogue {
     "q168_ivf_cdc_lifecycle" -> q168IvfCdcLifecycle _,
     "q181_ivf_asof" -> q181IvfAsOf _,
     "q182_ivfpq_asof" -> q182IvfPqAsOf _,
+    "q183_zorder_asof" -> q183ZOrderAsOf _,
+    "q184_zorder_change_feed" -> q184ZOrderChangeFeed _,
+    "q185_lsh_change_feed" -> q185LshChangeFeed _,
+    "q186_bm_change_feed" -> q186BmChangeFeed _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -6627,6 +6770,10 @@ object ScaleCatalogue {
     "q168_ivf_cdc_lifecycle" -> q168Sql,
     "q181_ivf_asof" -> q181Sql,
     "q182_ivfpq_asof" -> q182Sql,
+    "q183_zorder_asof" -> q183Sql,
+    "q184_zorder_change_feed" -> q184Sql,
+    "q185_lsh_change_feed" -> q185Sql,
+    "q186_bm_change_feed" -> q186Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,

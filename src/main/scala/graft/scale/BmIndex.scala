@@ -572,10 +572,14 @@ object BmIndex {
           .filter(coalesce(col("e"), lit(0L)) === n)
           .select(col("doc_id"), lit("inserted").as("change"),
             lit(null).cast("long").as("rev"))
-        val rev = revisions(spark, dir)
+        // explicit epoch schemas: build()'s reset files predate the e
+        // column, and inference would resolve to whichever file it
+        // sampled (the readAt discipline)
+        val rev = IndexIo.readOr(spark, s"$dir/_bm_rev", revEpochSchema)
           .filter(coalesce(col("e"), lit(0L)) === n)
           .select(col("doc_id"), lit("revised").as("change"), col("rev"))
-        val del = tombstones(spark, dir)
+        val del = IndexIo.readOr(spark, s"$dir/_bm_tombstones",
+            tombEpochSchema)
           .filter(coalesce(col("e"), lit(0L)) === n)
           .select(col("doc_id"), lit("deleted").as("change"),
             lit(null).cast("long").as("rev"))
