@@ -55,6 +55,31 @@ object IncrementalCitations {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** [[appendBatch]] with the compaction discipline OPERATED
+    * (round-15 verdict item 4): every `compactEvery`-th epoch consult
+    * [[graft.scale.CitationIndex.needsCompaction]] and fold in place
+    * behind the crash-safe retire-rename-vacuum swap
+    * ([[graft.scale.Maintenance]]). The fold vacuums as-of history —
+    * emit the change feed first if consumers replay it. */
+  def appendBatchMaintained(indexDir: String, compactEvery: Long = 8L)(
+      batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.scale.Maintenance.healSwap(spark, indexDir)
+    appendBatch(indexDir)(batch, epochId)
+    graft.scale.Maintenance.maybeCompact(spark, indexDir, epochId,
+      compactEvery,
+      graft.scale.CitationIndex.needsCompaction(spark, indexDir),
+      graft.scale.CitationIndex.compactTo(spark, _, _))
+  }
+
+  /** [[run]] with the maintained body (compactEvery > 0). */
+  def runMaintained(docs: DataFrame, indexDir: String,
+      checkpoint: String, compactEvery: Long = 8L): StreamingQuery =
+    docs.writeStream
+      .foreachBatch(appendBatchMaintained(indexDir, compactEvery) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Run the take-down loop over a streaming removal feed (doc_id,
     * text — the text re-derives victim postings, deep hits included).
     * The index's own guard applies per micro-batch: a batch that

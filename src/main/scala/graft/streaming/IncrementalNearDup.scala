@@ -45,13 +45,43 @@ object IncrementalNearDup {
     graft.scale.LshIndex.append(batch, indexDir)
   }
 
+  /** [[probeAndAppend]] with the compaction discipline OPERATED
+    * (round-15 verdict item 4): heal any crashed earlier fold, run the
+    * batch, then every `compactEvery`-th epoch consult
+    * [[graft.scale.LshIndex.needsCompaction]] and fold in place
+    * ([[graft.scale.Maintenance.compactInPlace]] — the crash-safe
+    * retire-rename-vacuum swap over [[graft.scale.LshIndex.compactTo]])
+    * when it fires. Probe epochs cost a listing; fold epochs cost one
+    * index rewrite — amortized O(index / every-k-appends), the price
+    * that keeps probe read-amplification bounded forever. The fold
+    * vacuums as-of history (emit change feeds first if consumers
+    * replay them). */
+  def probeAppendMaintained(indexDir: String, matchesDir: String,
+      minMatches: Int, compactEvery: Long = 8L)(
+      batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.scale.Maintenance.healSwap(spark, indexDir)
+    probeAndAppend(indexDir, matchesDir, minMatches)(batch, epochId)
+    graft.scale.Maintenance.maybeCompact(spark, indexDir, epochId,
+      compactEvery, graft.scale.LshIndex.needsCompaction(spark, indexDir),
+      graft.scale.LshIndex.compactTo(spark, _, _))
+  }
+
   /** Run the loop over a streaming `docs` source (doc_id, text).
     * `indexDir` must hold a built [[graft.scale.LshIndex]] (the
-    * initial corpus; build over an empty frame for a cold start). */
+    * initial corpus; build over an empty frame for a cold start).
+    * `compactEvery` > 0 runs the maintained body — the loop folds its
+    * own file-geometry/CDC decay instead of leaving compaction as an
+    * out-of-band discipline. */
   def run(docs: DataFrame, indexDir: String, matchesDir: String,
-      checkpoint: String, minMatches: Int = 8): StreamingQuery =
+      checkpoint: String, minMatches: Int = 8,
+      compactEvery: Long = 0L): StreamingQuery =
     docs.writeStream
-      .foreachBatch(probeAndAppend(indexDir, matchesDir, minMatches) _)
+      .foreachBatch(
+        if (compactEvery > 0L)
+          probeAppendMaintained(indexDir, matchesDir, minMatches,
+            compactEvery) _
+        else probeAndAppend(indexDir, matchesDir, minMatches) _)
       .option("checkpointLocation", checkpoint)
       .start()
 
