@@ -524,8 +524,12 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * drift). Returns (vec_id, d2). One corpus scan + one broadcast of
     * the k-sized centroid table. */
   def quantErrors(spark: SparkSession, path: String,
+      centroids: DataFrame): DataFrame =
+    quantErrorsOver(corpus(spark, path), centroids)
+
+  private def quantErrorsOver(vectors: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val qemb = corpus(spark, path)
+    val qemb = vectors
       .select(col("vec_id"), Similarity.quantized(col("embedding")).as("qv"))
     val qc = centroids.select(col("centroid_id").as("cid"),
       Similarity.quantized(col("c_emb")).as("cv"))
@@ -535,13 +539,15 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
   }
 
-  /** One aggregate over [[quantErrors]]: (n, Σd2). */
-  def quantErrorStats(spark: SparkSession, path: String,
-      centroids: DataFrame): (Long, Long) = {
-    val r = quantErrors(spark, path, centroids)
-      .agg(count(lit(1)), sum(col("d2"))).head()
+  private def statsOf(errs: DataFrame): (Long, Long) = {
+    val r = errs.agg(count(lit(1)), sum(col("d2"))).head()
     (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
   }
+
+  /** One aggregate over [[quantErrors]]: (n, Σd2). */
+  def quantErrorStats(spark: SparkSession, path: String,
+      centroids: DataFrame): (Long, Long) =
+    statsOf(quantErrors(spark, path, centroids))
 
   /** CENTROID-DRIFT RATIO — the dir-level rebuild decision the
     * [[append]]-time fraction only hints at (round-14 verdict item
@@ -562,15 +568,45 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       centroids: DataFrame): Double =
     readMetaQuant(spark, path) match {
       case Some((bn, bq)) if bn > 0L && bq > 0L =>
-        val (cn, cq) = quantErrorStats(spark, path, centroids)
-        if (cn == 0L) Double.NaN
-        else {
-          val buildMean = bq.toDouble / bn
-          val clean = !IndexIo.exists(spark, s"$path/_ivf_rev") &&
-            !IndexIo.exists(spark, s"$path/_ivf_tombstones")
-          if (clean && cn > bn)
-            ((cq - bq).toDouble / (cn - bn)) / buildMean
-          else (cq.toDouble / cn) / buildMean
+        val buildMean = bq.toDouble / bn
+        if (IndexIo.exists(spark, s"$path/_ivf_docs")) {
+          // REGISTRY-KNOWN post-build basis (round-15 verdict item 6):
+          // the id→epoch registry names the appended ids (e > 0) and
+          // the revision registry names the revised/inserted ones, so
+          // "the rows that arrived after the baseline" is an exact id
+          // set, never a diluted whole-corpus mean — drift planted
+          // ONLY in revised rows is detected at full strength
+          // (IvfDriftSpec pins it). Under appends alone this equals
+          // the old exact subtraction (same integer sums, computed
+          // directly).
+          val postIds = IndexIo
+            .readOr(spark, s"$path/_ivf_docs", docRegSchema)
+            .filter(coalesce(col("e"), lit(0L)) > 0L).select(col("vec_id"))
+            .unionByName(revisions(spark, path).select(col("vec_id")))
+            .distinct()
+          val post = corpus(spark, path)
+            .join(IndexIo.maybeBroadcast(postIds), Seq("vec_id"),
+              "left_semi")
+          val (pn, pq) = statsOf(quantErrorsOver(post, centroids))
+          if (pn > 0L) (pq.toDouble / pn) / buildMean
+          else {
+            // nothing post-build (just built, or deletes only): the
+            // surviving corpus against its own baseline
+            val (cn, cq) = quantErrorStats(spark, path, centroids)
+            if (cn == 0L) Double.NaN
+            else (cq.toDouble / cn) / buildMean
+          }
+        } else {
+          // legacy index without the registry: the pre-round-16 bases
+          val (cn, cq) = quantErrorStats(spark, path, centroids)
+          if (cn == 0L) Double.NaN
+          else {
+            val clean = !IndexIo.exists(spark, s"$path/_ivf_rev") &&
+              !IndexIo.exists(spark, s"$path/_ivf_tombstones")
+            if (clean && cn > bn)
+              ((cq - bq).toDouble / (cn - bn)) / buildMean
+            else (cq.toDouble / cn) / buildMean
+          }
         }
       case _ => Double.NaN
     }

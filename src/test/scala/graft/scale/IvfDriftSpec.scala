@@ -69,6 +69,35 @@ class IvfDriftSpec extends AnyFunSuite {
     assert(!IvfIndex.needsRebuild(spark, dir2, cents))
   }
 
+  test("IVF drift planted ONLY in revised rows is detected at full strength") {
+    val base = emb.filter(col("vec_id") < 300)
+    val dir = tmp("graft-ivf-drift-rev")
+    IvfIndex.build(base, cents, dir)
+    // revise ~1/7 of the corpus IN PLACE to 4x-scaled embeddings
+    // (power-of-two float scaling is exact): under the old diluted
+    // whole-corpus basis this measures ≈ 0.86·1 + 0.14·16 ≈ 3, but the
+    // registry-known post-build basis isolates exactly the revised
+    // rows and measures the full ≈16x quantization-error blowup
+    val revised = base.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"), e => (e * lit(4.0f)).cast("float"))
+          .as("embedding"))
+    IvfIndex.upsert(revised, cents, dir, rev = 1L)
+    val r = IvfIndex.driftRatio(spark, dir, cents)
+    assert(r > 8.0,
+      s"revision-planted drift measured $r — diluted, not isolated")
+    assert(IvfIndex.needsRebuild(spark, dir, cents))
+    // and a same-distribution revision stays stationary
+    val dir2 = tmp("graft-ivf-drift-rev2")
+    IvfIndex.build(base, cents, dir2)
+    IvfIndex.upsert(
+      base.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"), col("embedding")), cents, dir2, rev = 1L)
+    val rSame = IvfIndex.driftRatio(spark, dir2, cents)
+    assert(rSame > 0.3 && rSame < 3.0,
+      s"same-content revision measured ratio $rSame — not stationary")
+  }
+
   test("PQ codebook drift ratio: ~1 on same-distribution batches, monotone under planted drift") {
     val base = emb.filter(col("vec_id") < 300)
     val dir = tmp("graft-pq-drift")
