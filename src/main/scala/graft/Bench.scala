@@ -214,9 +214,16 @@ object Bench {
       .mkString("{", ",", "}")
     val canaryField = canary.fold("")(c => s""""canary":$c,""")
     val gcField = if (gcMs >= 0L) s""""gc_ms":$gcMs,""" else ""
+    // round-15 verdict item 8: the artifact names which number is each
+    // scenario's COST OF RECORD — phase2_continuous reads ~50x apart
+    // between a fresh JVM (fixture-build-dominated; the canary line)
+    // and the deep-warm suite, and cross-round trend reads must use
+    // the canary value
+    val basis = """"scenario_basis":{"phase2_continuous":""" +
+      """"canary_fresh_jvm"},"""
     s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       s""""cpus":$cpus,"sf":${jsonStr(sfDir)},"spread":$sp,"errors":$errs,""" +
-      s""""rerun":$rr,"dump":$dump,$gcField$canaryField"queries":$qs}"""
+      s""""rerun":$rr,"dump":$dump,$gcField$canaryField$basis"queries":$qs}"""
   }
 
   /** Second, self-contained artifact line (round-6 verdict item 3): the
@@ -631,8 +638,40 @@ object Bench {
         }
       }
 
-    val allSamples = samples ++ phase2Healed ++ dumpSamples
-    val allReruns = reruns ++ phase2Reruns ++ dumpReruns.toSeq
+    // ---- END-OF-SUITE idle re-check (round-15 verdict item 7): the
+    // r15 driver artifact carried q161 8.12 s vs 1.33 s idle — SUSTAINED
+    // contention across every rep, which neither in-flight trigger can
+    // see (the fastest rep was itself contended). By the time the dump
+    // scans finish the machine is usually quiet again, so each ≥0.5 s
+    // catalogue entry gets ONE probe rep here; a probe under half the
+    // recorded median proves the recorded reps measured the machine,
+    // and the entry re-runs at RerunReps. The >2x gate sits far above
+    // the documented warm-JVM drift (0.6-1.0x), so genuine medians are
+    // never replaced. Goal: no per-query value in the artifact exceeds
+    // 2x its idle median. ----
+    val (lateSamples, lateReruns) = {
+      val healed = samples.map { case (name, v) =>
+        val ok = v.collect { case Right(t) => t }
+        if (v.forall(_.isRight) && median(ok) >= 0.5) {
+          val rerun = () => SparkEntry.benchQueries(name)(spark, sfDir)
+            .count(): Unit
+          time(rerun) match {
+            case Right(t) if t < median(ok) / 2.0 =>
+              val re = (1 to RerunReps).map(_ => time(rerun))
+              if (re.forall(_.isRight))
+                (name -> re, Some(name -> (median(ok), ok.max - ok.min)))
+              else (name -> v, None)
+            case _ => (name -> v, None)
+          }
+        } else (name -> v, None)
+      }
+      (healed.map(_._1), healed.flatMap(_._2))
+    }
+
+    val allSamples = lateSamples ++ phase2Healed ++ dumpSamples
+    val allReruns = lateReruns ++
+      reruns.filterNot(r => lateReruns.exists(_._1 == r._1)) ++
+      phase2Reruns ++ dumpReruns.toSeq
     val line = formatJson(reps, sfDir, allSamples, dumpStats.toSeq,
       allReruns, cpus.toInt, canaryLine, gcMillis())
     Files.createDirectories(Paths.get("target"))
