@@ -6283,11 +6283,11 @@ object ScaleCatalogue {
   // corpus under the frozen centroids, the staged tear + heal, and
   // rebuild as the history vacuum.
   // ---------------------------------------------------------------------
-  def q181IvfAsOf(s: SparkSession, d: String): DataFrame = {
+  private def ivfAsOfFixture(s: SparkSession, d: String): String = {
     val emb = embeddings(s, d)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
     val cc = Some(strideCentroidCount(s, d, 97))
-    val dir = cachedIndexDir("ivf-asof", d, "v1") { p =>
+    cachedIndexDir("ivf-asof", d, "v1") { p =>
       graft.scale.IvfIndex.build(
         emb.filter(col("vec_id") % 5 =!= 4), centroids, p,
         centroidCount = cc)                                // epoch 0
@@ -6303,6 +6303,12 @@ object ScaleCatalogue {
       require(graft.scale.IvfIndex.committedEpoch(s, p) == 3L,
         "as-of fixture must commit exactly epochs 0..3 (q181 pins asOf=1)")
     }
+  }
+
+  def q181IvfAsOf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = ivfAsOfFixture(s, d)
     graft.scale.IvfIndex
       .topKAsOf(s, dir, emb.filter(col("vec_id") < 10), centroids,
         k = 5, asOf = 1L, nProbe = 3)
@@ -6327,11 +6333,11 @@ object ScaleCatalogue {
   // corpus under identical artifacts, the staged tear + heal, and
   // build-from-source as the vacuum.
   // ---------------------------------------------------------------------
-  def q182IvfPqAsOf(s: SparkSession, d: String): DataFrame = {
+  private def ivfPqAsOfFixture(s: SparkSession, d: String): String = {
     val emb = embeddings(s, d)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
     val cc = Some(strideCentroidCount(s, d, 97))
-    val dir = cachedIndexDir("ivfpq-asof", d, "v1") { p =>
+    cachedIndexDir("ivfpq-asof", d, "v1") { p =>
       graft.scale.IvfPqIndex.build(
         emb.filter(col("vec_id") % 5 =!= 4), centroids, p,
         centroidCount = cc,
@@ -6348,12 +6354,54 @@ object ScaleCatalogue {
       require(graft.scale.IvfPqIndex.committedEpoch(s, p) == 3L,
         "as-of fixture must commit exactly epochs 0..3 (q182 pins asOf=1)")
     }
+  }
+
+  def q182IvfPqAsOf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = ivfPqAsOfFixture(s, d)
     graft.scale.IvfPqIndex
       .topKAsOf(s, dir, emb.filter(col("vec_id") < 10), centroids,
         k = 10, asOf = 1L, nProbe = 3)
       .orderBy(col("query_id"), col("rank"))
   }
   val q182Sql: String = q90Sql
+
+  // ---------------------------------------------------------------------
+  // q187/q188 — CHANGE DATA FEEDS on the IVF and IVF+PQ indexes,
+  // closing the feed matrix at 7/7 serving layouts: with the round-16
+  // id→epoch registries in place, "which vec ids' ANN state changed
+  // this epoch" derives post-hoc exactly like q185/q186 — inserts
+  // confirmed against landed data rows (a torn append's phantom epoch
+  // emits empty), revisions from the registry, deletions from the
+  // tombstones. Both ride the q181/q182 lifecycle fixtures and
+  // hash-match the slice algebra directly. The fold here is rebuild /
+  // build-from-source (directory replacement) — emit before it.
+  // ---------------------------------------------------------------------
+  def q187IvfChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfAsOfFixture(s, d)
+    graft.scale.IvfIndex.emitChangeFeed(s, dir, s"$dir/_cdc_feed")
+    graft.scale.IvfIndex.changeFeed(s, s"$dir/_cdc_feed")
+      .orderBy(col("e"), col("vec_id"))
+  }
+  val q187Sql: String =
+    """SELECT vec_id, 'inserted' AS change, CAST(NULL AS BIGINT) AS rev,
+      |  CAST(1 AS BIGINT) AS e FROM embeddings WHERE vec_id % 5 = 4
+      |UNION ALL
+      |SELECT vec_id, 'revised', CAST(1 AS BIGINT), CAST(2 AS BIGINT)
+      |  FROM embeddings WHERE vec_id % 9 = 0
+      |UNION ALL
+      |SELECT vec_id, 'deleted', CAST(NULL AS BIGINT), CAST(3 AS BIGINT)
+      |  FROM embeddings WHERE vec_id % 7 = 0
+      |ORDER BY e, vec_id""".stripMargin
+
+  def q188IvfPqChangeFeed(s: SparkSession, d: String): DataFrame = {
+    val dir = ivfPqAsOfFixture(s, d)
+    graft.scale.IvfPqIndex.emitChangeFeed(s, dir, s"$dir/_cdc_feed")
+    graft.scale.IvfPqIndex.changeFeed(s, s"$dir/_cdc_feed")
+      .orderBy(col("e"), col("vec_id"))
+  }
+  val q188Sql: String = q187Sql
 
   // ---------------------------------------------------------------------
   // q183/q184 — SNAPSHOT READS + CHANGE DATA FEED on the z-order
@@ -6619,6 +6667,8 @@ object ScaleCatalogue {
     "q184_zorder_change_feed" -> q184ZOrderChangeFeed _,
     "q185_lsh_change_feed" -> q185LshChangeFeed _,
     "q186_bm_change_feed" -> q186BmChangeFeed _,
+    "q187_ivf_change_feed" -> q187IvfChangeFeed _,
+    "q188_ivfpq_change_feed" -> q188IvfPqChangeFeed _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -6774,6 +6824,8 @@ object ScaleCatalogue {
     "q184_zorder_change_feed" -> q184Sql,
     "q185_lsh_change_feed" -> q185Sql,
     "q186_bm_change_feed" -> q186Sql,
+    "q187_ivf_change_feed" -> q187Sql,
+    "q188_ivfpq_change_feed" -> q188Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,

@@ -406,6 +406,59 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     Similarity.scoreProbed(probes, assigned, k)
   }
 
+  import org.apache.spark.sql.types.{StringType, StructField => SF,
+    StructType => ST}
+  private val feedSchema = ST(Seq(
+    SF("vec_id", LongType), SF("change", StringType),
+    SF("rev", LongType), SF("e", LongType)))
+
+  /** CHANGE DATA FEED — [[LshIndex.emitChangeFeed]]'s contract on the
+    * vector index: per-epoch id-level deltas (vec_id, change ∈
+    * inserted/revised/deleted, rev) derived POST-HOC from the epoch
+    * stamps, `_SUCCESS`-gated idempotent dirs. Inserts confirm their
+    * data landed (one column-pruned id scan shared across the
+    * window), so a torn append's phantom epoch emits an EMPTY delta
+    * until its replay heals it. Restore contract (spec-pinned):
+    * baseline membership/revision state + replayed deltas ≡ the
+    * as-of state at the last emitted epoch. [[rebuild]] vacuums the
+    * history the feed derives from — emit before rebuilding. */
+  def emitChangeFeed(spark: SparkSession, path: String, feedDir: String,
+      baseline: Long = 0L): Unit = {
+    val committed = committedEpoch(spark, path)
+    require(baseline >= 0L && baseline <= committed,
+      s"feed baseline $baseline outside committed history [0, $committed]")
+    val fs = new Path(feedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val done = Option(fs.globStatus(new Path(s"$feedDir/e=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
+    val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
+    if (from > committed) return
+    val landed = spark.read.parquet(path).select(col("vec_id"))
+      .distinct().localCheckpoint()
+    (from to committed).foreach { n =>
+      val ins = IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .join(landed, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), lit("inserted").as("change"),
+          lit(null).cast("long").as("rev"))
+      val rev = revisions(spark, path)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col("vec_id"), lit("revised").as("change"), col("rev"))
+      val del = IndexIo.readOr(spark, s"$path/_ivf_tombstones",
+          tombEpochSchema)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col("vec_id"), lit("deleted").as("change"),
+          lit(null).cast("long").as("rev"))
+      ins.unionByName(rev).unionByName(del).coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+    }
+  }
+
+  /** Read the feed (all epochs; filter `e` for a window). */
+  def changeFeed(spark: SparkSession, feedDir: String): DataFrame =
+    IndexIo.readOr(spark, feedDir, feedSchema)
+
   /** The stored corpus in the (vec_id, embedding) shape [[build]]
     * consumes — what a re-train ([[KMeans.fit]]) and [[rebuild]] read.
     * Net of tombstones: a rebuild therefore physically folds deletes

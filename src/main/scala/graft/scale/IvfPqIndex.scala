@@ -448,6 +448,52 @@ object IvfPqIndex {
       codeCells.join(broadcast(probes), "cluster_id"), lut, k)
   }
 
+  private val feedSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("change", org.apache.spark.sql.types.StringType),
+    StructField("rev", LongType), StructField("e", LongType)))
+
+  /** CHANGE DATA FEED — [[IvfIndex.emitChangeFeed]]'s contract on the
+    * compressed layout; the history vacuum is the next [[build]] from
+    * source, so emit before rebuilding. */
+  def emitChangeFeed(spark: SparkSession, path: String, feedDir: String,
+      baseline: Long = 0L): Unit = {
+    val committed = committedEpoch(spark, path)
+    require(baseline >= 0L && baseline <= committed,
+      s"feed baseline $baseline outside committed history [0, $committed]")
+    val fs = new org.apache.hadoop.fs.Path(feedDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val done = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$feedDir/e=*/_SUCCESS")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
+    val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
+    if (from > committed) return
+    val landed = spark.read.parquet(path).select(col("vec_id"))
+      .distinct().localCheckpoint()
+    (from to committed).foreach { n =>
+      val ins = IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .join(landed, Seq("vec_id"), "left_semi")
+        .select(col("vec_id"), lit("inserted").as("change"),
+          lit(null).cast("long").as("rev"))
+      val rev = revisions(spark, path)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col("vec_id"), lit("revised").as("change"), col("rev"))
+      val del = IndexIo.readOr(spark, s"$path/_pq_tombstones",
+          tombEpochSchema)
+        .filter(coalesce(col("e"), lit(0L)) === n)
+        .select(col("vec_id"), lit("deleted").as("change"),
+          lit(null).cast("long").as("rev"))
+      ins.unionByName(rev).unionByName(del).coalesce(1)
+        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+    }
+  }
+
+  /** Read the feed (all epochs; filter `e` for a window). */
+  def changeFeed(spark: SparkSession, feedDir: String): DataFrame =
+    IndexIo.readOr(spark, feedDir, feedSchema)
+
   def topK(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
     import spark.implicits._

@@ -101,6 +101,56 @@ class IndexChangeFeedSpec extends AnyFunSuite {
     assert(BmIndex.changeFeed(spark, feed).count() == rows.size.toLong)
   }
 
+  test("IVF feed: restore contract holds; a torn append's phantom epoch emits empty") {
+    val sfDir = "/root/testdata/sf0.001"
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = tmp("graft-ivf-feed") + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), cents, dir) // e0
+    IvfIndex.append(emb.filter(col("vec_id") % 2 === 1), cents, dir) // e1
+    val revised = emb.filter(col("vec_id") === 4L)
+      .select(col("vec_id"), reverse(col("embedding")).as("embedding"))
+    IvfIndex.upsert(revised, cents, dir, rev = 1L)                  // e2
+    IvfIndex.delete(Seq(6L, 8L).toDF("vec_id"), dir)                // e3
+    // stage a docs-first torn append on top: phantom rows at e4
+    val mirror = tmp("graft-ivf-feed-mirror") + "/idx"
+    copyDir(dir, mirror)
+    IvfIndex.append(emb.filter(col("vec_id") === 3L)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding")),
+      cents, mirror)
+    copyDir(s"$mirror/_ivf_docs", s"$dir/_ivf_docs")
+    assert(IvfIndex.committedEpoch(spark, dir) == 4L)
+    val feed = tmp("graft-ivf-feed-out")
+    IvfIndex.emitChangeFeed(spark, dir, feed)
+    val rows = IvfIndex.changeFeed(spark, feed)
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(rows.map(_._4).toSet == Set(1L, 2L, 3L),
+      "phantom epoch 4 must emit an EMPTY delta; epochs 1..3 their verbs")
+    val odd = emb.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id")).as[Long].collect().toSet
+    assert(rows.filter(_._4 == 1L).map(_._1).toSet == odd)
+    assert(rows.filter(_._4 == 2L).map(r => (r._1, r._3)).toSet ==
+      Set((4L, Some(1L))))
+    assert(rows.filter(_._4 == 3L).map(_._1).toSet == Set(6L, 8L))
+    // restore: baseline membership + deltas = the served membership
+    var live = emb.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id")).as[Long].collect().toSet
+    rows.sortBy(_._4).foreach {
+      case (id, "inserted", _, _) => live += id
+      case (id, "revised", _, _) => live += id
+      case (id, "deleted", _, _) => live -= id
+      case r => fail(s"malformed feed row $r")
+    }
+    assert(live == IvfIndex.corpus(spark, dir).select(col("vec_id"))
+      .as[Long].collect().toSet,
+      "baseline + replayed deltas diverged from the served corpus")
+    // re-emission stays idempotent
+    IvfIndex.emitChangeFeed(spark, dir, feed)
+    assert(IvfIndex.changeFeed(spark, feed).count() == rows.size.toLong)
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
