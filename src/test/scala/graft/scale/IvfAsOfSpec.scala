@@ -104,6 +104,32 @@ class IvfAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of probe stays partition-pruned: the cluster filter survives the epoch gates") {
+    val dir = tmp("graft-ivf-asof-plan")
+    IvfIndex.build(corpusA, centroids, dir)
+    IvfIndex.append(corpusB, centroids, dir)
+    val df = IvfIndex.topKAsOf(spark, dir, queries, centroids, k = 5,
+      asOf = 1L)
+    df.collect()
+    def scans(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case p => p.children.flatMap(scans)
+      }
+    val idxScan = scans(df.queryExecution.executedPlan)
+      .find(s => s.relation.location.rootPaths
+        .exists(_.toString.contains("graft-ivf-asof-plan")) &&
+        s.partitionFilters.nonEmpty)
+      .getOrElse(fail("no partition-filtered scan over the index — " +
+        "the epoch gates must not strip the probe's cluster pruning"))
+    assert(idxScan.partitionFilters.exists(_.toString.contains("cluster_id")))
+  }
+
   test("torn append serves the predecessor state until the replay completes it") {
     val dir = tmp("graft-ivf-asof-torn")
     IvfIndex.build(corpusA, centroids, dir)              // epoch 0

@@ -83,6 +83,37 @@ class ZAsOfSpec extends AnyFunSuite {
     }
   }
 
+  test("box reads over the as-of view keep the z_bucket partition filter") {
+    val dir = tmp("graft-z-asof-plan")
+    build(dir)
+    val df = Layout.boxScanTight(
+      Layout.readCurrentAsOf(spark, dir, "id", asOf = 3L),
+      xlo = 0, xhi = 7, ylo = 0, yhi = 7, bucketWidth = W, bits = B)
+    df.collect()
+    def scans(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case p => p.children.flatMap(scans)
+      }
+    // the MAIN layout scan (not the narrow registry side tables) must
+    // carry the bucket filter — the box predicate pushes through the
+    // epoch-gate joins and the rev-union
+    val mainScans = scans(df.queryExecution.executedPlan)
+      .filter(s => s.relation.location.rootPaths
+        .exists(p => p.toString.contains("graft-z-asof-plan") &&
+          !p.toString.contains("_z_")))
+    assert(mainScans.nonEmpty, "no scan over the main layout in the plan")
+    assert(mainScans.exists(_.partitionFilters
+        .exists(_.toString.contains("z_bucket"))),
+      s"z_bucket partition filter lost through the as-of view:\n" +
+        mainScans.map(_.partitionFilters).mkString("; "))
+  }
+
   test("change feed: per-epoch deltas restore the final state; emission self-heals") {
     val dir = tmp("graft-z-feed")
     build(dir)
