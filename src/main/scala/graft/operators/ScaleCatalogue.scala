@@ -6533,6 +6533,138 @@ object ScaleCatalogue {
       |  FROM documents WHERE doc_id % 7 = 0
       |ORDER BY e, doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q189 — MANIFEST-PINNED HYBRID RETRIEVAL (`SnapshotManifest` +
+  // `BmIndex.topKAsOf` + `IvfIndex.topKAsOf` + `Hybrid.rrf`): the
+  // run-level reproducibility pin, composed. A training run reads
+  // through SEVERAL indexes at once, and "run X used ANN state E" is
+  // only half an audit — the full question is "run X used THESE
+  // epochs of ALL its indexes". Fixture: a BM25 index and an IVF
+  // index each live build(80%) → append(20%), ONE manifest captures
+  // both committed epochs (the run's pin — one tiny parquet row per
+  // layout), then history moves on (revisions %9 + take-downs %7 on
+  // BOTH sides, epochs 2..3). The query re-reads the manifest and
+  // serves q94's reciprocal-rank fusion with each side AS OF its
+  // pinned epoch — lexical ranks from the historical BM25 statistics
+  // (the `_bm_epochs` ledger row), semantic ranks from the historical
+  // IVF posting set under the frozen centroids — hash-matching a
+  // from-scratch oracle over the ORIGINAL corpus (bm25 scoring chain
+  // + the IVF-probed ranking + the same integer RRF fold). Epochs 2-3
+  // are invisible on both sides simultaneously: the pinned hybrid
+  // read is bit-stable under any amount of later ingest.
+  // ---------------------------------------------------------------------
+  def q189HybridAsOfManifest(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    val dir = cachedIndexDir("hybrid-asof", d, "v1",
+      datasets = Seq("documents.parquet", "embeddings.parquet")) { p =>
+      val docs = documents(s, d)
+      graft.scale.BmIndex.build(
+        docs.filter(col("doc_id") % 5 =!= 4), s"$p/bm")
+      graft.scale.BmIndex.append(
+        docs.filter(col("doc_id") % 5 === 4), s"$p/bm")   // bm epoch 1
+      graft.scale.IvfIndex.build(
+        emb.filter(col("vec_id") % 5 =!= 4), centroids, s"$p/ivf",
+        centroidCount = cc)
+      graft.scale.IvfIndex.append(
+        emb.filter(col("vec_id") % 5 === 4), centroids, s"$p/ivf",
+        centroidCount = cc)                               // ivf epoch 1
+      // THE PIN: one manifest captures the run's whole serving state
+      graft.scale.SnapshotManifest.write(s,
+        graft.scale.SnapshotManifest.capture(s,
+          Seq(("lex", "bm", s"$p/bm"), ("sem", "ivf", s"$p/ivf"))),
+        s"$p/manifest")
+      // history moves on — the pinned run must never see any of it
+      val revisedD = docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("text", concat_ws(" ",
+          filter(split(col("text"), " "), (_, i) => i % 2 === 0)))
+      graft.scale.BmIndex.upsert(revisedD, s"$p/bm", rev = 1L)
+      graft.scale.BmIndex.delete(
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        s"$p/bm")
+      val revisedV = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfIndex.upsert(revisedV, centroids, s"$p/ivf",
+        rev = 1L, centroidCount = cc)
+      graft.scale.IvfIndex.delete(
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")),
+        s"$p/ivf")
+      require(graft.scale.BmIndex.committedEpoch(s, s"$p/bm") == 3L &&
+        graft.scale.IvfIndex.committedEpoch(s, s"$p/ivf") == 3L,
+        "hybrid fixture must commit epochs 0..3 on both sides")
+    }
+    val pins = graft.scale.SnapshotManifest.read(s, s"$dir/manifest")
+    val lex = graft.scale.BmIndex.topKAsOf(s, s"$dir/bm",
+        doc1Terms(s, d), k = 20,
+        asOf = graft.scale.SnapshotManifest.epochOf(pins, "lex"))
+      .select(col("doc_id").as("id"), col("rank"))
+    val sem = graft.scale.IvfIndex.topKAsOf(s, s"$dir/ivf",
+        emb.filter(col("vec_id") === 1), centroids, k = 20,
+        asOf = graft.scale.SnapshotManifest.epochOf(pins, "sem"))
+      .select(col("vec_id").as("id"), col("rank"))
+    val fused = graft.scale.Hybrid.rrf(Seq(lex, sem))
+      .filter(col("id") =!= 1) // the query document itself
+      .select(col("id").as("doc_id"),
+        coalesce(col("rank_0"), lit(0)).as("lex_rank"),
+        coalesce(col("rank_1"), lit(0)).as("sem_rank"),
+        floor(col("rrf") * lit(1e9)).cast("long").as("rrf_q"))
+    val top = fused.orderBy(col("rrf_q").desc, col("doc_id").asc).limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rrf_q").desc, col("doc_id").asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col("rank"), col("doc_id"), col("lex_rank"), col("sem_rank"),
+        col("rrf_q"))
+  }
+  val q189Sql: String = {
+    val ivfCtes =
+      s"""ivcent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |ivcorp AS (
+         |  SELECT a.vec_id, a.embedding, c.centroid_id,
+         |    ${duckDist2("a.embedding", "c.c_emb")} AS dist2
+         |  FROM embeddings a, ivcent c),
+         |ivassigned AS (
+         |  SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
+         |    FROM ivcorp) t WHERE rk = 1),
+         |ivprobe AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.centroid_id,
+         |    ${duckDist2("q.embedding", "c.c_emb")} AS dist2
+         |  FROM embeddings q, ivcent c WHERE q.vec_id = 1),
+         |ivprobes AS (
+         |  SELECT query_id, q_emb, centroid_id AS cluster_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
+         |    FROM ivprobe) t WHERE rk <= 3),
+         |ivscored AS (
+         |  SELECT p.query_id, a.vec_id, ${duckCos("p.q_emb", "a.embedding")} AS sim
+         |  FROM ivprobes p JOIN ivassigned a USING (cluster_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |sem AS (
+         |  SELECT vec_id AS id, row_number() OVER (
+         |    ORDER BY sim DESC, vec_id ASC) AS sem_rank FROM ivscored)""".stripMargin
+    s"""WITH $bm25Ctes,
+       |$ivfCtes,
+       |fused AS (
+       |  SELECT coalesce(l.doc_id, s.id) AS doc_id,
+       |    coalesce(l.rank, 0) AS lex_rank,
+       |    coalesce(s.sem_rank, 0) AS sem_rank,
+       |    CAST(floor((
+       |      (CASE WHEN l.rank IS NULL THEN 0.0
+       |            ELSE 1.0 / (60 + l.rank) END) +
+       |      (CASE WHEN s.sem_rank IS NULL THEN 0.0
+       |            ELSE 1.0 / (60 + s.sem_rank) END)) * 1000000000.0)
+       |      AS BIGINT) AS rrf_q
+       |  FROM (SELECT doc_id, rank FROM lexranked WHERE rank <= 20) l
+       |  FULL OUTER JOIN (SELECT id, sem_rank FROM sem
+       |    WHERE sem_rank <= 20) s ON l.doc_id = s.id
+       |  WHERE coalesce(l.doc_id, s.id) <> 1)
+       |SELECT row_number() OVER (ORDER BY rrf_q DESC, doc_id ASC) AS rank,
+       |  doc_id, lex_rank, sem_rank, rrf_q
+       |FROM fused ORDER BY rank LIMIT 10""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6669,6 +6801,7 @@ object ScaleCatalogue {
     "q186_bm_change_feed" -> q186BmChangeFeed _,
     "q187_ivf_change_feed" -> q187IvfChangeFeed _,
     "q188_ivfpq_change_feed" -> q188IvfPqChangeFeed _,
+    "q189_hybrid_asof_manifest" -> q189HybridAsOfManifest _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -6826,6 +6959,7 @@ object ScaleCatalogue {
     "q186_bm_change_feed" -> q186Sql,
     "q187_ivf_change_feed" -> q187Sql,
     "q188_ivfpq_change_feed" -> q188Sql,
+    "q189_hybrid_asof_manifest" -> q189Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,
