@@ -115,6 +115,46 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     } finally assigned.unpersist()
   }
 
+  /** [[append]] made IDEMPOTENT under epoch replay — the foreachBatch
+    * contract a streaming ingest loop needs
+    * ([[graft.streaming.IncrementalVectors]]): [[append]] itself is
+    * deliberately non-deduping (caller owns id novelty), so a crash
+    * replay through it would double every data row. This variant
+    * anti-joins the batch against the rows already landed in the
+    * clusters the batch assigns to (assignment is deterministic under
+    * the frozen centroids, so a replayed row always probes its own
+    * cluster — a partition-pruned read, the
+    * [[Layout.appendZOrderedIdempotent]] shape) and writes only what
+    * didn't commit; the id→epoch registry keeps its own anti-join, so
+    * a heal never re-stamps a second epoch. A fully-landed replay is
+    * a complete no-op. */
+  def appendIdempotent(newVectors: DataFrame, centroids: DataFrame,
+      path: String, centroidCount: Option[Long] = None): Unit = {
+    val spark = newVectors.sparkSession
+    import spark.implicits._
+    val assigned = withOwnDist2(
+      Similarity.assign(newVectors, centroids, "vec_id", centroidCount)
+        .withColumnRenamed("centroid_id", "cluster_id"), centroids)
+      .localCheckpoint()
+    val clusters = assigned.select(col("cluster_id").cast("long"))
+      .distinct().as[Long].collect().sorted
+    val landed = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(clusters.toIndexedSeq: _*))
+      .select(col("vec_id"))
+    val freshData = assigned.join(landed, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val freshIds = newVectors.select(col("vec_id")).distinct()
+      .join(IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (freshIds.count() > 0L)
+      freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .write.mode("append").parquet(s"$path/_ivf_docs")
+    if (freshData.count() > 0L)
+      freshData.write.mode("append").partitionBy("cluster_id")
+        .parquet(path)
+  }
+
   /** Appends measuring a drift fraction above this call for a rebuild
     * (5× the ~0.05 a same-distribution batch measures against the
     * build-time p95 — see [[append]]). */

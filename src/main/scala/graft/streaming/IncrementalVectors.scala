@@ -1,0 +1,97 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The streaming form of the [[graft.scale.IvfIndex]] vector-index
+  * maintenance — the ANN member of the foreachBatch family, and the
+  * last serving layout without a streaming twin: every micro-batch of
+  * arriving (vec_id, embedding) rows assigns under the FROZEN
+  * centroids (the append contract — re-clustering is [[maintain]]'s
+  * deliberate corpus-wide event) and lands inside the live
+  * `cluster_id=N/` dirs, so the at-rest index continuously serves
+  * partition-pruned ANN probes — historical epochs included
+  * ([[graft.scale.IvfIndex.topKAsOf]]) — while the stream runs.
+  *
+  * Delivery contract: exactly-once at the index level through
+  * [[graft.scale.IvfIndex.appendIdempotent]] (the plain append is
+  * deliberately non-deduping, so the twin routes through the
+  * replay-safe variant: landed rows are anti-joined inside the
+  * batch's own assigned clusters — a partition-pruned probe — and the
+  * id→epoch registry never re-stamps). Revisions and take-downs
+  * follow the family rules (epoch-driven monotone rev; tombstone
+  * anti-joins). Single-writer per dir. */
+object IncrementalVectors {
+
+  /** The ingest foreachBatch body, usable directly in batch replays. */
+  def appendBatch(indexDir: String, centroids: DataFrame,
+      centroidCount: Option[Long] = None)(
+      batch: DataFrame, epochId: Long): Unit =
+    graft.scale.IvfIndex.appendIdempotent(batch, centroids, indexDir,
+      centroidCount)
+
+  /** [[appendBatch]] with MAINTENANCE operated: every `every`-th epoch
+    * consult the geometry probe ([[graft.scale.IvfIndex
+    * .needsCompaction]]) and fold with [[graft.scale.IvfIndex
+    * .rebuild]] under the SAME centroids — a same-quantizer rebuild
+    * re-homes nothing (assignment is deterministic), folds revisions
+    * and tombstones physically, and restores one-file-per-cluster
+    * geometry; it carries its own crash-safe build-retire-publish
+    * swap and heals its own windows, so no extra machinery is needed.
+    * Re-CLUSTERING (new centroids, [[graft.scale.IvfIndex
+    * .driftRatio]]-triggered) stays a deliberate operator event — the
+    * probes' centroids argument must change with it. */
+  def appendBatchMaintained(indexDir: String, centroids: DataFrame,
+      centroidCount: Option[Long] = None, compactEvery: Long = 8L)(
+      batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    appendBatch(indexDir, centroids, centroidCount)(batch, epochId)
+    if (compactEvery > 0L && epochId % compactEvery == compactEvery - 1L &&
+        graft.scale.IvfIndex.needsCompaction(spark, indexDir))
+      graft.scale.IvfIndex.rebuild(spark, indexDir, centroids,
+        centroidCount)
+  }
+
+  /** Run the ingest loop over a streaming (vec_id, embedding) source.
+    * `indexDir` must hold a built [[graft.scale.IvfIndex]] under
+    * `centroids`. `compactEvery` > 0 runs the maintained body. */
+  def run(rows: DataFrame, indexDir: String, centroids: DataFrame,
+      checkpoint: String, centroidCount: Option[Long] = None,
+      compactEvery: Long = 0L): StreamingQuery =
+    rows.writeStream
+      .foreachBatch(
+        if (compactEvery > 0L)
+          appendBatchMaintained(indexDir, centroids, centroidCount,
+            compactEvery) _
+        else appendBatch(indexDir, centroids, centroidCount) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The REVISION loop — [[graft.scale.IvfIndex.upsert]] per
+    * micro-batch of re-embedded rows (cluster migration allowed —
+    * that is the point); epoch id + 1 is the monotone revision, so a
+    * replayed epoch heals via the (vec, rev) anti-joins. */
+  def runRevisions(rows: DataFrame, indexDir: String,
+      centroids: DataFrame, checkpoint: String,
+      centroidCount: Option[Long] = None): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.scale.IvfIndex.upsert(batch, centroids, indexDir,
+          rev = epochId + 1L, centroidCount)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** The take-down loop — [[graft.scale.IvfIndex.delete]] per
+    * micro-batch of victim vec ids; probes exclude them immediately,
+    * physical rows wait for the next rebuild's fold. Replays are
+    * idempotent (the tombstone anti-join). */
+  def runDeletes(removals: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    removals.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.scale.IvfIndex.delete(batch, indexDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}
