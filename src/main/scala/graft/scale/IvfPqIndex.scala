@@ -213,6 +213,40 @@ object IvfPqIndex {
       .write.mode("append").partitionBy("cluster_id").parquet(path)
   }
 
+  /** [[append]] made IDEMPOTENT under epoch replay
+    * ([[IvfIndex.appendIdempotent]]'s contract on the compressed
+    * layout): landed code rows are anti-joined inside the batch's own
+    * assigned clusters (deterministic under the frozen centroids — a
+    * partition-pruned probe) and the id→epoch registry never
+    * re-stamps; a fully-landed replay is a complete no-op. */
+  def appendIdempotent(newVectors: DataFrame, centroids: DataFrame,
+      path: String, centroidCount: Option[Long] = None): Unit = {
+    val spark = newVectors.sparkSession
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$path/_pq_codebooks")
+    val (m, sub) = geometry(cents)
+    requireDim(newVectors, m, sub)
+    val rows = codeRows(newVectors, centroids, cents, m, sub,
+      centroidCount).localCheckpoint()
+    val clusters = rows.select(col("cluster_id").cast("long"))
+      .distinct().as[Long].collect().sorted
+    val landed = spark.read.parquet(path)
+      .filter(col("cluster_id").isin(clusters.toIndexedSeq: _*))
+      .select(col("vec_id"))
+    val freshData = rows.join(landed, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    val freshIds = newVectors.select(col("vec_id")).distinct()
+      .join(IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
+        .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    if (freshIds.count() > 0L)
+      freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .write.mode("append").parquet(s"$path/_pq_docs")
+    if (freshData.count() > 0L)
+      freshData.write.mode("append").partitionBy("cluster_id")
+        .parquet(path)
+  }
+
   /** The PQ geometry (m, sub) frozen in a codebook table — THE one
     * derivation, shared by [[append]] and [[topK]]. */
   private def geometry(cents: DataFrame): (Int, Int) = {

@@ -94,4 +94,52 @@ object IncrementalVectors {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  // ---- the COMPRESSED layout's loops ([[graft.scale.IvfPqIndex]]):
+  // identical family contracts under BOTH frozen artifacts (coarse
+  // centroids + stored codebooks — the encode reads the codebooks
+  // back from the index, so a caller cannot even supply wrong ones).
+  // The seventh and last maintained serving layout to stream. ----
+
+  /** PQ ingest body — replay-safe via
+    * [[graft.scale.IvfPqIndex.appendIdempotent]]. */
+  def pqAppendBatch(indexDir: String, centroids: DataFrame,
+      centroidCount: Option[Long] = None)(
+      batch: DataFrame, epochId: Long): Unit =
+    graft.scale.IvfPqIndex.appendIdempotent(batch, centroids, indexDir,
+      centroidCount)
+
+  /** Run the PQ ingest loop over a streaming (vec_id, embedding)
+    * source; `indexDir` must hold a built [[graft.scale.IvfPqIndex]]
+    * under `centroids`. */
+  def runPq(rows: DataFrame, indexDir: String, centroids: DataFrame,
+      checkpoint: String,
+      centroidCount: Option[Long] = None): StreamingQuery =
+    rows.writeStream
+      .foreachBatch(pqAppendBatch(indexDir, centroids, centroidCount) _)
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** PQ revision loop — [[graft.scale.IvfPqIndex.upsert]], epoch-driven
+    * monotone rev. */
+  def runPqRevisions(rows: DataFrame, indexDir: String,
+      centroids: DataFrame, checkpoint: String,
+      centroidCount: Option[Long] = None): StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.scale.IvfPqIndex.upsert(batch, centroids, indexDir,
+          rev = epochId + 1L, centroidCount)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
+  /** PQ take-down loop — [[graft.scale.IvfPqIndex.delete]]. */
+  def runPqDeletes(removals: DataFrame, indexDir: String,
+      checkpoint: String): StreamingQuery =
+    removals.writeStream
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        graft.scale.IvfPqIndex.delete(batch, indexDir)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

@@ -3,7 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.scale.{BmIndex, IvfIndex, Similarity, SparkTestSession}
+import graft.scale.{BmIndex, IvfIndex, IvfPqIndex, Similarity,
+  SparkTestSession}
 
 /** The last two serving layouts gain streaming twins: BM25
   * ([[IncrementalRetrieval]]) and IVF ([[IncrementalVectors]]).
@@ -110,5 +111,43 @@ class IncrementalRetrievalVectorsSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == n0 &&
       IvfIndex.committedEpoch(spark, idx) == 2L && probe(idx) == got,
       "replayed epoch duplicated rows or re-stamped an epoch")
+  }
+
+  test("IVF+PQ stream: idempotent code appends; serve equals a fresh build; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val cents = Similarity.strideCentroids(emb, 50).localCheckpoint()
+    val cb = Similarity.pqInitCodebooks(emb).localCheckpoint()
+    val idx = tmp("graft-ipq") + "/idx"
+    IvfPqIndex.build(emb.filter(col("vec_id") < 300), cents, idx,
+      codebooks = Some(cb))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = IncrementalVectors.runPq(
+      mem.toDF().toDF("vec_id", "embedding"), idx, cents,
+      checkpoint = tmp("graft-ipq-ckpt"))
+    try {
+      Seq((300L, 400L), (400L, 2001L)).foreach { case (lo, hi) =>
+        mem.addData(emb.filter(col("vec_id") >= lo && col("vec_id") < hi)
+          .as[(Long, Array[Float])].collect().toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(IvfPqIndex.committedEpoch(spark, idx) == 2L)
+    val queries = emb.filter(col("vec_id").isin(1L, 2L))
+    def probe(dir: String) =
+      IvfPqIndex.topK(spark, dir, queries, cents, k = 5)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+        .orderBy("query_id", "rank")
+        .as[(Long, Int, Long)].collect().toSeq
+    val got = probe(idx)
+    val fresh = tmp("graft-ipq-fresh") + "/idx"
+    IvfPqIndex.build(emb, cents, fresh, codebooks = Some(cb))
+    assert(got == probe(fresh),
+      "streamed PQ index diverged from a fresh build under the same codebooks")
+    val n0 = spark.read.parquet(idx).count()
+    IncrementalVectors.pqAppendBatch(idx, cents)(
+      emb.filter(col("vec_id") >= 300 && col("vec_id") < 400), 1L)
+    assert(spark.read.parquet(idx).count() == n0 &&
+      IvfPqIndex.committedEpoch(spark, idx) == 2L && probe(idx) == got,
+      "replayed PQ epoch duplicated code rows or re-stamped an epoch")
   }
 }
