@@ -230,6 +230,152 @@ object BmIndex {
     commitEpoch(spark, dir, e)
   }
 
+  /** [[append]] made replay-HEALING — the foreachBatch exactly-once
+    * contract ([[graft.streaming.IncrementalRetrieval]]). The plain
+    * [[append]]'s anti-join targets `_bm_docs`, the FIRST write of the
+    * protocol, so a crash between the id write and the
+    * postings/stats/ledger writes makes a replay see the whole batch
+    * as committed and return early — the batch's postings, stats
+    * delta, and ledger row are silently lost (plain append's
+    * documented torn recovery is rebuild). This variant distinguishes
+    * CONFIRMED ids (stamped with a ledger-committed epoch) from torn
+    * residue:
+    *
+    *  - the batch anti-joins confirmed ids only, so residue docs stay
+    *    in the work set;
+    *  - missing id rows are written by an anti-join against the FULL
+    *    registry (a doc never gets a second `_bm_docs` row —
+    *    [[consistent]]'s n_docs == count(_bm_docs) invariant holds
+    *    through every heal);
+    *  - missing postings anti-join the doc ids already landed inside
+    *    the batch's OWN term buckets — a partition-pruned probe, the
+    *    [[IvfIndex.appendIdempotent]]/[[LshIndex.append]] shape;
+    *  - the stats row is re-derived from the LAST LEDGER ROW (the
+    *    adjusted stats at the last commit) + the batch delta, never
+    *    from the current `_bm_stats` row, which a
+    *    crash-after-stats-write tear leaves already advanced;
+    *  - the ledger commit at the residue's ORIGINAL epoch stamp
+    *    finishes the heal (no re-stamp, so the as-of history gains
+    *    exactly one epoch however many replays it takes).
+    *
+    * A fully-committed replay is a complete no-op. Heal-at-original-
+    * stamp requires that no epoch committed PAST the residue — always
+    * true in the single-writer streaming loop, where the replay is the
+    * very next verb on the dir; residue that WAS overtaken (some other
+    * verb committed a later epoch first) can never heal consistently
+    * and the verb refuses loudly — rebuild is the recovery, exactly
+    * plain append's contract. CDC residue from a torn delete/upsert is
+    * out of scope (those verbs carry their own (id)/(id, rev)
+    * anti-join heals); [[consistent]] still detects any unreplayed
+    * tear. */
+  def appendIdempotent(docs: DataFrame, dir: String): Unit = {
+    val spark = docs.sparkSession
+    ensureEpoch0Ledger(spark, dir)
+    val okEs = epochsLedger(spark, dir).select(col("e"))
+      .unionByName(spark.range(1).select(lit(0L).as("e")))
+      .distinct().localCheckpoint()
+    val reg = IndexIo.readOr(spark, s"$dir/_bm_docs", docEpochSchema)
+      .withColumn("e", coalesce(col("e"), lit(0L)))
+    val confirmed = reg
+      .join(IndexIo.maybeBroadcast(okEs), Seq("e"), "left_semi")
+      .select(col("doc_id"))
+    val fresh = docs.join(confirmed, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    val delta = statsDelta(fresh).collect()(0)
+    if (delta.getLong(0) == 0L) return // fully-committed replay
+    // residue = this batch's ids already stamped but never
+    // ledger-confirmed; one torn verb leaves exactly one epoch (the id
+    // write is a single atomic job)
+    val resEs = reg
+      .join(IndexIo.maybeBroadcast(okEs), Seq("e"), "left_anti")
+      .join(fresh.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("e")).distinct().collect().map(_.getLong(0)).sorted
+    require(resEs.length <= 1,
+      s"batch overlaps torn residue from ${resEs.length} distinct " +
+        s"epochs (${resEs.mkString(", ")}) — one commit cannot heal " +
+        "two tears; rebuild is the recovery")
+    val ce = committedEpoch(spark, dir)
+    val e = resEs.headOption match {
+      case Some(r) =>
+        require(r > ce,
+          s"torn-append residue at epoch $r was overtaken by committed " +
+            s"epoch $ce — it can no longer heal in place; rebuild is " +
+            "the recovery")
+        r
+      case None => nextEpoch(spark, dir)
+    }
+    // 1. ids (skip rows that landed before the tear)
+    val missingIds = fresh.select(col("doc_id"))
+      .join(reg.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (missingIds.count() > 0L)
+      missingIds.withColumn("e", lit(e))
+        .write.mode("append").parquet(s"$dir/_bm_docs")
+    // 2. postings — landed docs probed inside the batch's own buckets
+    val bucketedFresh = bucketed(fresh).localCheckpoint()
+    val bks = bucketedFresh.select(col("term_bucket")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val landedDocs = readPostings(spark, dir)
+      .filter(col("term_bucket").isin(bks: _*))
+      .filter(col("rev").isNull)
+      .select(col("doc_id")).distinct()
+    val freshPost = bucketedFresh
+      .join(landedDocs, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    if (freshPost.count() > 0L)
+      freshPost.repartition(col("term_bucket"))
+        .sortWithinPartitions(col("term"))
+        .write.partitionBy("term_bucket").mode("append")
+        .parquet(s"$dir/postings")
+    // 3. stats re-based off the last ledger row: target adjusted stats
+    // are ledgerLast + delta, un-adjusted back to the base-row
+    // semantic (base.n = adj.n + dead.n; base.sdl = adj.sdl − rdl +
+    // ddl — [[adjustedStats]]'s algebra inverted)
+    val ledgerLast = epochsLedger(spark, dir)
+      .orderBy(col("e").desc).limit(1)
+      .select(col("n_docs"), col("sum_dl")).collect()(0)
+    val deadAgg = tombstones(spark, dir)
+      .agg(count(lit(1)).as("nd"), sum(col("dl")).as("ddl")).collect()(0)
+    val nd = deadAgg.getLong(0)
+    val ddl = if (deadAgg.isNullAt(1)) 0L else deadAgg.getLong(1)
+    val revAgg = currentRevs(spark, dir)
+      .agg(sum(col("new_dl") - col("old_dl"))).collect()(0)
+    val rdl = if (revAgg.isNullAt(0)) 0L else revAgg.getLong(0)
+    spark.range(1)
+      .select(lit(ledgerLast.getLong(0) + delta.getLong(0) + nd)
+          .as("n_docs"),
+        lit(ledgerLast.getLong(1) + delta.getLong(1) - rdl + ddl)
+          .as("sum_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_stats")
+    commitEpoch(spark, dir, e)
+  }
+
+  /** Test hook (BmHealSpec): perform [[append]]'s write protocol up to
+    * `stage` writes — 1 = ids only, 2 = ids + postings, 3 = ids +
+    * postings + stats — and never the ledger row, staging each torn-
+    * append window without a real crash. */
+  private[scale] def stageTornAppend(docs: DataFrame, dir: String,
+      stage: Int): Unit = {
+    require(stage >= 1 && stage <= 3, "stage must be 1, 2, or 3")
+    val spark = docs.sparkSession
+    val old = spark.read.parquet(s"$dir/_bm_stats")
+      .select(col("n_docs"), col("sum_dl")).collect()(0)
+    val committed = spark.read.parquet(s"$dir/_bm_docs")
+    val fresh = docs.join(committed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    val delta = statsDelta(fresh).collect()(0)
+    ensureEpoch0Ledger(spark, dir)
+    val e = nextEpoch(spark, dir)
+    fresh.select(col("doc_id")).withColumn("e", lit(e))
+      .write.mode("append").parquet(s"$dir/_bm_docs")
+    if (stage >= 2) writePostings(fresh, dir, "append")
+    if (stage >= 3)
+      spark.range(1)
+        .select(lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
+          lit(old.getLong(1) + delta.getLong(1)).as("sum_dl"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_stats")
+  }
+
   /** Revision registry `(doc_id, rev, old_dl, new_dl)` — one row per
     * [[upsert]] of a doc (absent until the first upsert; reads empty).
     * A doc's CURRENT revision is its max-rev row. The two document

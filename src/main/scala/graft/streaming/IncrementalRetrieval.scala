@@ -12,10 +12,17 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * BM25 top-k — historical epochs included ([[graft.scale.BmIndex
   * .topKAsOf]]) — while the stream runs.
   *
-  * Delivery contract: exactly-once at the INDEX level — append
-  * anti-joins the committed-id table, so a crash-replayed epoch
-  * re-appends nothing and the statistics ledger gains no duplicate
-  * row (the epoch ledger write is itself idempotent by epoch).
+  * Delivery contract: exactly-once at the INDEX level through
+  * [[graft.scale.BmIndex.appendIdempotent]] — the plain append's
+  * anti-join targets `_bm_docs`, the FIRST write of its protocol, so
+  * a replay of a crash that died between the id write and the
+  * postings/stats/ledger writes would see the whole batch as
+  * committed and silently lose its postings and stats delta; the
+  * replay-healing variant anti-joins the id write against the full
+  * registry but the postings write against the docs landed inside
+  * the batch's own term buckets, re-bases stats off the last ledger
+  * row, and commits the residue's original epoch — so every torn
+  * window heals on the replay (BmHealSpec stages all three).
   * Revision and take-down loops follow [[IncrementalNearDup]]'s
   * rules: the micro-batch epoch drives the monotone revision stamp,
   * and every verb's (id, rev)/(id) anti-joins turn replays into pure
@@ -25,7 +32,7 @@ object IncrementalRetrieval {
   /** The ingest foreachBatch body, usable directly in batch replays. */
   def appendBatch(indexDir: String)(batch: DataFrame,
       epochId: Long): Unit =
-    graft.scale.BmIndex.append(batch, indexDir)
+    graft.scale.BmIndex.appendIdempotent(batch, indexDir)
 
   /** [[appendBatch]] with the compaction discipline OPERATED: every
     * `compactEvery`-th epoch consult
