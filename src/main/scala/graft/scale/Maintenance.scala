@@ -24,10 +24,31 @@ import org.apache.spark.sql.SparkSession
   * VACUUM: as-of epochs re-base to 0 at the swap (emit change feeds
   * before compacting if history consumers need them — the documented
   * feed contract). */
-object Maintenance {
+object Maintenance extends org.apache.spark.internal.Logging {
 
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Live [[SnapshotManifest.register]] pins on a layout: (run name,
+    * pinned epoch) per marker under `<dir>/_pins/`. Listing-only cost
+    * plus one tiny read per marker — control-plane sized (one file
+    * per pinned run). */
+  def pinnedEpochs(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir, "_pins")
+    val f = fs(spark, p)
+    if (!f.exists(p)) return Nil
+    f.listStatus(p).toIndexedSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".json"))
+      .flatMap { st =>
+        val in = f.open(st.getPath)
+        val body = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        """"epoch"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+          .map(m => (st.getPath.getName.stripSuffix(".json"),
+            m.group(1).toLong))
+      }
+  }
 
   private def vacuum(spark: SparkSession, p: Path): Unit = {
     val f = fs(spark, p)
@@ -99,12 +120,44 @@ object Maintenance {
     * compaction-need probe and fold in place when it says so. Returns
     * true iff a fold ran (the specs observe it). Listing-only cost on
     * the epochs that only probe; nothing at all on the ones that
-    * don't. */
+    * don't.
+    *
+    * PIN-AWARE (round-16 verdict item 1): the fold is the history
+    * VACUUM, and a [[SnapshotManifest.register]]ed pin is a live
+    * training run still reading a historical epoch — folding under it
+    * would silently destroy the state the run's audit pin names. With
+    * live pins the fold is therefore (a) SKIPPED (the default — the
+    * warn names the blocking runs, and the probe fires again next
+    * period, so the fold lands on the first pin-free occasion), or
+    * (b) allowed AFTER `emitFeedFirst` runs — the caller passes the
+    * layout's own change-feed emission, which persists the pinned
+    * history's deltas so the documented feed-restore contract bridges
+    * the vacuum (the [[SnapshotManifest]] escape hatch, made
+    * mechanical). A feed-bridged fold CONSUMES the pins: `_pins/`
+    * lives inside the layout dir, so the retire-rename swap retires
+    * the markers with the history they pinned — the feed is their
+    * bridge from then on, and a run that wants to pin the FOLDED
+    * state re-captures. MaintenancePinSpec pins both paths. */
   def maybeCompact(spark: SparkSession, dir: String, epochId: Long,
       every: Long, needs: => Boolean,
-      compactTo: (String, String) => Unit): Boolean =
+      compactTo: (String, String) => Unit,
+      emitFeedFirst: Option[() => Unit] = None): Boolean =
     if (every > 0L && epochId % every == every - 1L && needs) {
-      compactInPlace(spark, dir, compactTo)
-      true
+      val pins = pinnedEpochs(spark, dir)
+      if (pins.isEmpty) {
+        compactInPlace(spark, dir, compactTo)
+        true
+      } else emitFeedFirst match {
+        case Some(emit) =>
+          emit()
+          compactInPlace(spark, dir, compactTo)
+          true
+        case None =>
+          logWarning(s"maintenance: skipping fold at $dir — live " +
+            s"manifest pins ${pins.map { case (r, e) => s"$r@e=$e" }
+              .mkString(", ")} still read its history (release the " +
+            "pins or pass emitFeedFirst to bridge via the change feed)")
+          false
+      }
     } else false
 }

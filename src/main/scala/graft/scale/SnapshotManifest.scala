@@ -23,8 +23,65 @@ import org.apache.spark.sql.functions._
   * survive exactly as long as the layouts' histories — each family's
   * compaction/rebuild verb is its documented history vacuum, so a
   * pinned run must either re-capture after maintenance or emit change
-  * feeds before it (the feed restore contracts bridge the gap). */
+  * feeds before it (the feed restore contracts bridge the gap). Pin
+  * stability is modulo heals of PRE-capture tears: a torn verb's
+  * residue that a later replay heals at its original stamp appears
+  * retroactively at every asOf ≥ its stamp, so capture a consistent
+  * index (each family's `consistent` probe) when bit-stability under
+  * replays matters.
+  *
+  * [[register]] makes a pin VISIBLE to maintenance (round-16 verdict
+  * item 1): a marker file under the layout's own `_pins/` dir that
+  * [[Maintenance.maybeCompact]] consults before folding — a live pin
+  * either blocks the fold or forces the change feed out first, so an
+  * auto-compaction loop can never silently vacuum the history a
+  * pinned training run still reads. [[release]] retires the markers
+  * when the run no longer needs its snapshot. */
 object SnapshotManifest {
+
+  /** Register each pin at its layout: an atomic marker
+    * `<dir>/_pins/<runName>.json` (temp+rename — the `_ivf_meta.json`
+    * recipe) recording the pinned epoch. `runName` scopes the marker
+    * so several runs can pin the same layout independently; a
+    * re-register under the same run name replaces. */
+  def register(spark: SparkSession, pins: Seq[Pin],
+      runName: String): Unit = {
+    require(runName.nonEmpty && !runName.exists(c => c == '/' || c == '.'),
+      s"run name '$runName' must be a plain token (no '/' or '.')")
+    val conf = spark.sessionState.newHadoopConf()
+    pins.foreach { pin =>
+      val dir = new org.apache.hadoop.fs.Path(pin.dir, "_pins")
+      val fs = dir.getFileSystem(conf)
+      fs.mkdirs(dir)
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s".$runName.${java.util.UUID.randomUUID()}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(
+        (s"""{"run":"$runName","name":"${pin.name}",""" +
+          s""""family":"${pin.family}","epoch":${pin.epoch}}""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val target = new org.apache.hadoop.fs.Path(dir, s"$runName.json")
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"snapshot-manifest: failed to publish pin $target")
+      }
+    }
+  }
+
+  /** Retire a run's pin markers from every pinned layout — the fold
+    * gate reopens. Unknown markers are no-ops (release is idempotent). */
+  def release(spark: SparkSession, pins: Seq[Pin],
+      runName: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    pins.foreach { pin =>
+      val target = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(pin.dir, "_pins"), s"$runName.json")
+      target.getFileSystem(conf).delete(target, false)
+    }
+  }
 
   final case class Pin(name: String, family: String, dir: String,
       epoch: Long)

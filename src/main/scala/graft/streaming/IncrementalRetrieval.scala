@@ -39,8 +39,13 @@ object IncrementalRetrieval {
     * [[graft.scale.BmIndex.needsCompaction]] and fold in place behind
     * the crash-safe retire-rename-vacuum swap
     * ([[graft.scale.Maintenance]]). The fold vacuums as-of history —
-    * emit the change feed first if consumers replay it. */
-  def appendBatchMaintained(indexDir: String, compactEvery: Long = 8L)(
+    * and it is PIN-AWARE: a [[graft.scale.SnapshotManifest.register]]ed
+    * pin blocks it (the probe retries next period), unless `feedDir`
+    * is given, in which case the change feed is emitted through the
+    * pinned history FIRST and the fold proceeds — the feed-restore
+    * contract bridges the vacuum (MaintenancePinSpec pins both). */
+  def appendBatchMaintained(indexDir: String, compactEvery: Long = 8L,
+      feedDir: Option[String] = None)(
       batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     graft.scale.Maintenance.healSwap(spark, indexDir)
@@ -48,7 +53,9 @@ object IncrementalRetrieval {
     graft.scale.Maintenance.maybeCompact(spark, indexDir, epochId,
       compactEvery,
       graft.scale.BmIndex.needsCompaction(spark, indexDir),
-      graft.scale.BmIndex.compactTo(spark, _, _))
+      graft.scale.BmIndex.compactTo(spark, _, _),
+      emitFeedFirst = feedDir.map(fd =>
+        () => graft.scale.BmIndex.emitChangeFeed(spark, indexDir, fd)))
   }
 
   /** Run the ingest loop over a streaming (doc_id, text) source.

@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * id→epoch registry never re-stamps). Revisions and take-downs
   * follow the family rules (epoch-driven monotone rev; tombstone
   * anti-joins). Single-writer per dir. */
-object IncrementalVectors {
+object IncrementalVectors extends org.apache.spark.internal.Logging {
 
   /** The ingest foreachBatch body, usable directly in batch replays. */
   def appendBatch(indexDir: String, centroids: DataFrame,
@@ -47,9 +47,20 @@ object IncrementalVectors {
     val spark = batch.sparkSession
     appendBatch(indexDir, centroids, centroidCount)(batch, epochId)
     if (compactEvery > 0L && epochId % compactEvery == compactEvery - 1L &&
-        graft.scale.IvfIndex.needsCompaction(spark, indexDir))
-      graft.scale.IvfIndex.rebuild(spark, indexDir, centroids,
-        centroidCount)
+        graft.scale.IvfIndex.needsCompaction(spark, indexDir)) {
+      // pin gate ([[graft.scale.Maintenance.maybeCompact]]'s contract,
+      // applied to the rebuild fold this twin uses instead of
+      // compactInPlace): a registered SnapshotManifest pin is a live
+      // run still reading this index's history — never vacuum under it
+      val pins = graft.scale.Maintenance.pinnedEpochs(spark, indexDir)
+      if (pins.isEmpty)
+        graft.scale.IvfIndex.rebuild(spark, indexDir, centroids,
+          centroidCount)
+      else
+        logWarning(s"incremental-vectors: skipping rebuild at $indexDir" +
+          s" — live manifest pins ${pins.map { case (r, e) => s"$r@e=$e" }
+            .mkString(", ")} still read its history")
+    }
   }
 
   /** Run the ingest loop over a streaming (vec_id, embedding) source.

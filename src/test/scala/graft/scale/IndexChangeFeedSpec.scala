@@ -151,6 +151,105 @@ class IndexChangeFeedSpec extends AnyFunSuite {
     assert(IvfIndex.changeFeed(spark, feed).count() == rows.size.toLong)
   }
 
+  test("IVF feed: emission halts at a torn epoch; the heal re-opens it — no frozen hole") {
+    val sfDir = "/root/testdata/sf0.001"
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = tmp("graft-ivf-feed-heal") + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") % 2 === 0), cents, dir)  // e0
+    IvfIndex.append(emb.filter(col("vec_id") % 2 === 1), cents, dir) // e1
+    // stage a docs-first tear at e2: registry rows land, data never
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val mirror = tmp("graft-ivf-feed-heal-mirror") + "/idx"
+    copyDir(dir, mirror)
+    IvfIndex.append(batch, cents, mirror)
+    copyDir(s"$mirror/_ivf_docs", s"$dir/_ivf_docs")
+    assert(IvfIndex.committedEpoch(spark, dir) == 2L)
+    val feed = tmp("graft-ivf-feed-heal-out")
+    IvfIndex.emitChangeFeed(spark, dir, feed)
+    val before = IvfIndex.changeFeed(spark, feed)
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(before.map(_._4).toSet == Set(1L),
+      "emission must HALT at the torn epoch, not pin an empty dir " +
+        "a later heal would invalidate")
+    // the pruned confirmation probe is what detected the tear: its
+    // executed plan must carry the cluster_id partition filter
+    // (round-16 verdict item 4 — O(affected), not O(corpus))
+    val probe = IvfIndex.unconfirmedInserts(spark, dir, 2L)
+    assert(probe.count() > 0L)
+    def scans(plan: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      plan match {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scans(q.plan)
+        case p => p.children.flatMap(scans)
+      }
+    val idxScan = scans(probe.queryExecution.executedPlan)
+      .find(s => s.relation.location.rootPaths
+        .exists(_.toString.contains("graft-ivf-feed-heal")) &&
+        s.partitionFilters.nonEmpty)
+      .getOrElse(fail("insert confirmation scanned the index without a " +
+        "partition filter — the probe must prune to the epoch's clusters"))
+    assert(idxScan.partitionFilters.exists(_.toString.contains("cluster_id")))
+    // the streaming replay heals the tear at the ORIGINAL stamp...
+    IvfIndex.appendIdempotent(batch, cents, dir)
+    assert(IvfIndex.committedEpoch(spark, dir) == 2L,
+      "heal must not allocate a new epoch")
+    // ...and re-emission now emits exactly the healed epoch
+    IvfIndex.emitChangeFeed(spark, dir, feed)
+    val after = IvfIndex.changeFeed(spark, feed)
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(after.map(_._4).toSet == Set(1L, 2L))
+    assert(after.filter(_._4 == 2L).map(_._1).toSet ==
+      batch.select(col("vec_id")).as[Long].collect().toSet,
+      "the healed epoch's feed must carry its full insert set — the " +
+        "restore contract bridges the tear")
+  }
+
+  test("z-layout feed: halt-then-heal keeps the restore contract across a torn epoch") {
+    val dir = tmp("graft-z-feed-heal") + "/z"
+    val base = spark.range(0, 300)
+      .select(col("id"), (col("id") % 97).as("x"), (col("id") % 89).as("y"))
+    Layout.writeZOrderedK(base, Seq(col("x"), col("y")), dir)       // e0
+    val b1 = spark.range(300, 400)
+      .select(col("id"), (col("id") % 97).as("x"), (col("id") % 89).as("y"))
+    Layout.appendZOrderedIdempotentK(b1, "id",
+      Seq(col("x"), col("y")), dir)                                 // e1
+    // tear e2: registry rows land, data never
+    val b2 = spark.range(400, 450)
+      .select(col("id"), (col("id") % 97).as("x"), (col("id") % 89).as("y"))
+    val mirror = tmp("graft-z-feed-heal-mirror") + "/z"
+    copyDir(dir, mirror)
+    Layout.appendZOrderedIdempotentK(b2, "id",
+      Seq(col("x"), col("y")), mirror)
+    copyDir(s"$mirror/_z_docs", s"$dir/_z_docs")
+    assert(Layout.committedEpoch(spark, dir, "id") == 2L)
+    val feed = tmp("graft-z-feed-heal-out")
+    Layout.emitChangeFeed(spark, dir, "id", feed)
+    val before = Layout.changeFeed(spark, feed)
+      .select(col("id"), col("change"), col("e"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(before.map(_._3).toSet == Set(1L),
+      "z-layout emission must halt at the torn epoch")
+    // heal (same batch through the idempotent verb), then re-emit
+    Layout.appendZOrderedIdempotentK(b2, "id",
+      Seq(col("x"), col("y")), dir)
+    assert(Layout.committedEpoch(spark, dir, "id") == 2L)
+    Layout.emitChangeFeed(spark, dir, "id", feed)
+    val after = Layout.changeFeed(spark, feed)
+      .select(col("id"), col("change"), col("e"))
+      .as[(Long, String, Long)].collect().toSeq
+    assert(after.map(_._3).toSet == Set(1L, 2L))
+    assert(after.filter(_._3 == 2L).map(_._1).toSet ==
+      (400L until 450L).toSet)
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)

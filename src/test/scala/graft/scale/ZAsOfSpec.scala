@@ -171,18 +171,28 @@ class ZAsOfSpec extends AnyFunSuite {
     assert(Layout.committedEpoch(spark, dir, "id") == 1L)
     assert(rowsAsOf(dir, 1L) == rowsAsOf(dir, 0L),
       "phantom registry rows served data that never landed")
-    // the feed emits an EMPTY delta for the phantom epoch
+    // the feed HALTS at the phantom epoch (round-16 advice item 2):
+    // an eagerly-pinned empty e=1 dir would freeze the hole forever —
+    // the heal lands data at the SAME stamp and re-emission resumes
+    // past done.max, never revisiting it
     val feed = tmp("graft-z-asof-torn-feed")
     Layout.emitChangeFeed(spark, dir, "id", feed)
-    assert(Layout.changeFeed(spark, feed)
-      .filter(col("e") === 1L).count() == 0L,
-      "phantom epoch must emit an empty delta until the heal")
+    assert(!IndexIo.exists(spark, s"$feed/e=1"),
+      "phantom epoch must not emit a dir until the heal")
     // the replay completes the batch AT the residue's stamped epoch
     Layout.appendZOrderedIdempotentK(appended.toDF("id", "x", "y"),
       "id", Seq(col("x"), col("y")), dir, W, B)
     assert(Layout.committedEpoch(spark, dir, "id") == 1L)
     assert(rowsAsOf(dir, 1L) == model(1L),
       "healed batch's snapshot diverged from the model")
+    // re-emission now emits the healed epoch's full insert set — the
+    // restore contract bridges the tear
+    Layout.emitChangeFeed(spark, dir, "id", feed)
+    assert(Layout.changeFeed(spark, feed)
+      .filter(col("e") === 1L && col("change") === "inserted")
+      .select(col("id")).as[Long].collect().toSet ==
+      appended.map(_._1).toSet,
+      "healed epoch's feed must carry its inserts")
   }
 
   private def copyDir(from: String, to: String): Unit = {
