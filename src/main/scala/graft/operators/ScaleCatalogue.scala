@@ -6665,6 +6665,267 @@ object ScaleCatalogue {
        |FROM fused ORDER BY rank LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q190 — PIN-AWARE MAINTENANCE, composed (round-16 verdict item 1):
+  // the as-of matrix and the auto-compaction loops must not compose
+  // UNSAFELY — a maintained twin's compactEvery firing would silently
+  // vacuum the history a pinned training run still reads. Fixture: a
+  // BM25 index lives build(80%) → append(20%) (epoch 1 = the FULL
+  // corpus), a SnapshotManifest pin is REGISTERED at the layout
+  // (`_pins/q190run.json`), then history and file geometry decay past
+  // the pin (a take-down epoch + 8 O(batch) streaming appends of
+  // remapped synthetic docs) until the REAL needsCompaction probe
+  // fires — and the maintained foreachBatch body runs with
+  // compactEvery=1. The live pin BLOCKS the fold (require()d in the
+  // fixture: the epoch counter keeps growing instead of re-basing to
+  // 0), so the query's as-of read at the pinned epoch still serves —
+  // hash-matching q92's plain full-corpus oracle. Without the pin
+  // gate the fold would vacuum the ledger and this very read would
+  // throw. MaintenancePinSpec pins the block/release/feed-bridge
+  // mechanics; this entry pins the composition end to end.
+  // ---------------------------------------------------------------------
+  private def bmPinnedFixture(s: SparkSession, d: String): String =
+    cachedIndexDir("bm-pinned", d, "v1",
+        datasets = Seq("documents.parquet")) { p =>
+      val docs = documents(s, d)
+      graft.scale.BmIndex.build(
+        docs.filter(col("doc_id") % 5 =!= 4), p)             // epoch 0
+      graft.scale.BmIndex.append(
+        docs.filter(col("doc_id") % 5 === 4), p)             // epoch 1
+      val pins = graft.scale.SnapshotManifest.capture(s,
+        Seq(("lex", "bm", p)))
+      require(pins.head.epoch == 1L,
+        "q190 fixture pins epoch 1 (the full corpus)")
+      graft.scale.SnapshotManifest.register(s, pins, "q190run")
+      // history + geometry decay past the pin: a take-down the fold
+      // would physically fold away, then remapped synthetic appends
+      // (one posting file per touched term bucket each)
+      graft.scale.BmIndex.delete(
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), p)
+      (0 until 7).foreach { i =>
+        graft.streaming.IncrementalRetrieval.appendBatch(p)(
+          docs.filter(col("doc_id") % 11 === i)
+            .select((col("doc_id") + 1000000L * (i + 1L)).as("doc_id"),
+              col("text")), i.toLong)
+      }
+      require(graft.scale.BmIndex.needsCompaction(s, p),
+        "q190 fixture must decay the geometry enough to trigger the probe")
+      val before = graft.scale.BmIndex.committedEpoch(s, p)
+      // the maintained loop fires its fold — the live pin must block it
+      graft.streaming.IncrementalRetrieval.appendBatchMaintained(
+        p, compactEvery = 1L)(
+        docs.filter(col("doc_id") % 11 === 8)
+          .select((col("doc_id") + 9000000L).as("doc_id"), col("text")),
+        0L)
+      require(graft.scale.BmIndex.committedEpoch(s, p) == before + 1L,
+        "live pin must block the maintained fold — history was vacuumed")
+    }
+
+  def q190PinnedMaintenance(s: SparkSession, d: String): DataFrame = {
+    val dir = bmPinnedFixture(s, d)
+    graft.scale.BmIndex.topKAsOf(s, dir, doc1Terms(s, d), k = 15, asOf = 1L)
+  }
+  val q190Sql: String = q92Sql
+
+  // ---------------------------------------------------------------------
+  // q191 — COMPOSED RUN-RESTORE PROOF (round-16 verdict item 6): the
+  // final mile of the audit story. Each family's feed restore contract
+  // is spec-pinned in isolation; this entry proves they COMPOSE across
+  // a whole run. Fixture: THREE families (BM25, IVF, z-order) each
+  // live build(80%) → append(20%); one SnapshotManifest captures all
+  // three at epoch 1 (= the full corpus) and records the pre-fold
+  // pinned reads; history then moves past the pin (a take-down on
+  // every family), ALL change feeds are emitted, and EVERYTHING is
+  // compacted — ledgers, registries, and epochs vacuumed to 0
+  // (require()d). Reconstruction: per family, baseline (epoch-0
+  // membership) + replayed feed deltas ≤ pin → rebuild a fresh layout
+  // over the restored membership (content from the source-of-truth
+  // tables, the documented restore pattern) — and the fixture
+  // require()s each restored serve COLLECT-EQUAL to the pre-fold
+  // pinned read (scores included). The query unions the three restored
+  // serves (family, rank, id, score_q); the oracle replays all three
+  // from scratch over the pinned corpus, so the driver's hash check
+  // independently confirms the reconstruction — a pinned run outlives
+  // the vacuum of every index it read through.
+  // ---------------------------------------------------------------------
+  private def runRestoreFixture(s: SparkSession, d: String): String = {
+    val embAll = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(embAll, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    cachedIndexDir("run-restore", d, "v1",
+        datasets = Seq("documents.parquet", "embeddings.parquet")) { p =>
+      import graft.scale._
+      val docs = documents(s, d)
+      val emb = embAll
+      BmIndex.build(docs.filter(col("doc_id") % 5 =!= 4), s"$p/bm")
+      BmIndex.append(docs.filter(col("doc_id") % 5 === 4), s"$p/bm")
+      IvfIndex.build(emb.filter(col("vec_id") % 5 =!= 4), centroids,
+        s"$p/ivf", centroidCount = cc)
+      IvfIndex.append(emb.filter(col("vec_id") % 5 === 4), centroids,
+        s"$p/ivf", centroidCount = cc)
+      def zsrc = docs.select(col("doc_id").as("id"),
+        pmod(col("doc_id"), lit(97L)).as("x"),
+        pmod(col("doc_id"), lit(89L)).as("y"))
+      Layout.writeZOrderedK(zsrc.filter(col("id") % 5 =!= 4),
+        Seq(col("x"), col("y")), s"$p/z")
+      Layout.appendZOrderedIdempotentK(zsrc.filter(col("id") % 5 === 4),
+        "id", Seq(col("x"), col("y")), s"$p/z")
+      // THE PIN: one manifest over all three families
+      val pins = SnapshotManifest.capture(s, Seq(
+        ("lex", "bm", s"$p/bm"), ("sem", "ivf", s"$p/ivf"),
+        ("slice", "zorder", s"$p/z")))
+      require(pins.forall(_.epoch == 1L),
+        "q191 fixture pins epoch 1 on every family")
+      SnapshotManifest.write(s, pins, s"$p/manifest")
+      // the pinned reads, recorded BEFORE the vacuum (the equality
+      // proof's left side)
+      val lex0 = BmIndex.topKAsOf(s, s"$p/bm", doc1Terms(s, d),
+        k = 15, asOf = 1L).orderBy(col("rank")).collect().toSeq
+      val sem0 = IvfIndex.topKAsOf(s, s"$p/ivf",
+          emb.filter(col("vec_id") === 1), centroids, k = 10, asOf = 1L,
+          nProbe = 3)
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+      val slice0 = Layout.readCurrentAsOf(s, s"$p/z", "id", 1L)
+        .filter(col("x").between(10, 40) && col("y").between(20, 60))
+        .select(col("id"), col("x"), col("y"))
+        .orderBy(col("id")).collect().toSeq
+      // history moves past the pin — state the folds will vacuum
+      BmIndex.delete(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id")), s"$p/bm")
+      IvfIndex.delete(emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id")), s"$p/ivf")
+      Layout.deleteZOrdered(docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("id")), "id", s"$p/z")
+      // EMIT EVERY FEED, then COMPACT EVERYTHING
+      BmIndex.emitChangeFeed(s, s"$p/bm", s"$p/feed_bm")
+      IvfIndex.emitChangeFeed(s, s"$p/ivf", s"$p/feed_ivf")
+      Layout.emitChangeFeed(s, s"$p/z", "id", s"$p/feed_z")
+      Maintenance.compactInPlace(s, s"$p/bm", BmIndex.compactTo(s, _, _))
+      IvfIndex.rebuild(s, s"$p/ivf", centroids, centroidCount = cc)
+      Maintenance.compactInPlace(s, s"$p/z",
+        Layout.compactZOrderedTo(s, _, _, foldRevisionsBy = Some("id")))
+      require(BmIndex.committedEpoch(s, s"$p/bm") == 0L &&
+        IvfIndex.committedEpoch(s, s"$p/ivf") == 0L &&
+        Layout.committedEpoch(s, s"$p/z", "id") == 0L,
+        "q191 folds must vacuum every family's history")
+      // RECONSTRUCT: baseline (epoch-0 membership) + feed deltas ≤ pin
+      def restoredIds(feed: DataFrame, idCol: String,
+          base: DataFrame): DataFrame = {
+        val f = feed.filter(col("e") <= 1L)
+        base.select(col(idCol))
+          .unionByName(f.filter(col("change") === "inserted")
+            .select(col(idCol)))
+          .distinct()
+          .join(f.filter(col("change") === "deleted").select(col(idCol)),
+            Seq(idCol), "left_anti")
+      }
+      val bmLive = restoredIds(BmIndex.changeFeed(s, s"$p/feed_bm"),
+        "doc_id", docs.filter(col("doc_id") % 5 =!= 4))
+      BmIndex.build(docs.join(bmLive, Seq("doc_id"), "left_semi"),
+        s"$p/bm_restored")
+      val ivfLive = restoredIds(IvfIndex.changeFeed(s, s"$p/feed_ivf"),
+        "vec_id", emb.filter(col("vec_id") % 5 =!= 4))
+      IvfIndex.build(emb.join(ivfLive, Seq("vec_id"), "left_semi"),
+        centroids, s"$p/ivf_restored", centroidCount = cc)
+      val zLive = restoredIds(Layout.changeFeed(s, s"$p/feed_z"),
+        "id", zsrc.filter(col("id") % 5 =!= 4))
+      Layout.writeZOrderedK(zsrc.join(zLive, Seq("id"), "left_semi"),
+        Seq(col("x"), col("y")), s"$p/z_restored")
+      // the equality proof: restored serve ≡ the recorded pinned read
+      val lex1 = BmIndex.topK(s, s"$p/bm_restored", doc1Terms(s, d),
+        k = 15).orderBy(col("rank")).collect().toSeq
+      val sem1 = IvfIndex.topK(s, s"$p/ivf_restored",
+          emb.filter(col("vec_id") === 1), centroids, k = 10, nProbe = 3)
+        .orderBy(col("query_id"), col("rank")).collect().toSeq
+      val slice1 = Layout.readCurrent(s, s"$p/z_restored", "id")
+        .filter(col("x").between(10, 40) && col("y").between(20, 60))
+        .select(col("id"), col("x"), col("y"))
+        .orderBy(col("id")).collect().toSeq
+      require(lex1 == lex0,
+        "restored BM25 serve diverged from the pre-fold pinned read")
+      require(sem1 == sem0,
+        "restored IVF serve diverged from the pre-fold pinned read")
+      require(slice1 == slice0,
+        "restored z-layout slice diverged from the pre-fold pinned read")
+    }
+  }
+
+  def q191RunRestore(s: SparkSession, d: String): DataFrame = {
+    val dir = runRestoreFixture(s, d)
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val lex = graft.scale.BmIndex.topK(s, s"$dir/bm_restored",
+        doc1Terms(s, d), k = 15)
+      .select(lit("bm").as("family"), col("rank"),
+        col("doc_id").as("id"), col("score_q"))
+    val sem = graft.scale.IvfIndex.topK(s, s"$dir/ivf_restored",
+        emb.filter(col("vec_id") === 1), centroids, k = 10, nProbe = 3)
+      .select(lit("ivf").as("family"), col("rank"),
+        col("vec_id").as("id"), q(col("sim")).as("score_q"))
+    val zw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("id").asc)
+    val slice = graft.scale.Layout
+      .readCurrent(s, s"$dir/z_restored", "id")
+      .filter(col("x").between(10, 40) && col("y").between(20, 60))
+      .select(col("id"),
+        (col("x") * lit(1000L) + col("y")).cast("long").as("score_q"))
+      .withColumn("rank", row_number().over(zw))
+      .select(lit("z").as("family"), col("rank"), col("id"),
+        col("score_q"))
+    lex.unionByName(sem).unionByName(slice)
+      .orderBy(col("family"), col("rank"))
+  }
+  val q191Sql: String = {
+    val ivfCtes =
+      s"""ivcent AS (
+         |  SELECT vec_id AS centroid_id, embedding AS c_emb
+         |  FROM embeddings WHERE vec_id % 97 = 0),
+         |ivcorp AS (
+         |  SELECT a.vec_id, a.embedding, c.centroid_id,
+         |    ${duckDist2("a.embedding", "c.c_emb")} AS dist2
+         |  FROM embeddings a, ivcent c),
+         |ivassigned AS (
+         |  SELECT vec_id, embedding, centroid_id AS cluster_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
+         |    FROM ivcorp) t WHERE rk = 1),
+         |ivprobe AS (
+         |  SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.centroid_id,
+         |    ${duckDist2("q.embedding", "c.c_emb")} AS dist2
+         |  FROM embeddings q, ivcent c WHERE q.vec_id = 1),
+         |ivprobes AS (
+         |  SELECT query_id, q_emb, centroid_id AS cluster_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, centroid_id ASC) AS rk
+         |    FROM ivprobe) t WHERE rk <= 3),
+         |ivscored AS (
+         |  SELECT p.query_id, a.vec_id, ${duckCos("p.q_emb", "a.embedding")} AS sim
+         |  FROM ivprobes p JOIN ivassigned a USING (cluster_id)
+         |  WHERE p.query_id <> a.vec_id),
+         |semranked AS (
+         |  SELECT vec_id AS id,
+         |    CAST(floor(sim * 1000000000.0) AS BIGINT) AS sim_q,
+         |    row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS sem_rank
+         |  FROM ivscored)""".stripMargin
+    s"""WITH $bm25Ctes,
+       |$ivfCtes,
+       |zbox AS (
+       |  SELECT doc_id AS id,
+       |    (doc_id % 97) * 1000 + (doc_id % 89) AS score_q
+       |  FROM documents
+       |  WHERE (doc_id % 97) BETWEEN 10 AND 40
+       |    AND (doc_id % 89) BETWEEN 20 AND 60)
+       |SELECT family, rank, id, score_q FROM (
+       |  SELECT 'bm' AS family, rank, doc_id AS id, score_q
+       |  FROM lexranked WHERE rank <= 15
+       |  UNION ALL
+       |  SELECT 'ivf' AS family, sem_rank AS rank, id, sim_q AS score_q
+       |  FROM semranked WHERE sem_rank <= 10
+       |  UNION ALL
+       |  SELECT 'z' AS family,
+       |    row_number() OVER (ORDER BY id ASC) AS rank, id, score_q
+       |  FROM zbox) u
+       |ORDER BY family, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -6802,6 +7063,8 @@ object ScaleCatalogue {
     "q187_ivf_change_feed" -> q187IvfChangeFeed _,
     "q188_ivfpq_change_feed" -> q188IvfPqChangeFeed _,
     "q189_hybrid_asof_manifest" -> q189HybridAsOfManifest _,
+    "q190_pinned_maintenance" -> q190PinnedMaintenance _,
+    "q191_run_restore" -> q191RunRestore _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -6960,6 +7223,8 @@ object ScaleCatalogue {
     "q187_ivf_change_feed" -> q187Sql,
     "q188_ivfpq_change_feed" -> q188Sql,
     "q189_hybrid_asof_manifest" -> q189Sql,
+    "q190_pinned_maintenance" -> q190Sql,
+    "q191_run_restore" -> q191Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,
