@@ -142,7 +142,14 @@ object Bench {
   private[graft] val CanaryPrefixes: Seq[String] = Seq(
     "q01_", "q07_", "q31_", "q32_", "q67_", "q92_", "q93_", "q96_",
     "q100_", "q105_", "q108_", "q110_", "q113_", "q129_", "q135_",
-    "q139_", "q150_", "q161_", "q166_")
+    "q139_", "q150_", "q161_", "q166_",
+    // round-17 rotation (round-16 verdict item 8): the as-of probe
+    // class, the manifest-pinned hybrid, and the round-17 composition
+    // entries — appended, never reshuffled, so pre-r17 medians stay
+    // comparable and the new serving paths gain a fresh-JVM history
+    // from this round forward
+    "q180_", "q181_", "q182_", "q183_", "q189_", "q190_", "q191_",
+    "q192_")
   private[graft] val CanaryReps = 5
 
   /** Total stop-the-world GC milliseconds so far in this JVM — the

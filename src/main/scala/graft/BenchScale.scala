@@ -5,25 +5,33 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scaling-evidence run (round-15 verdict item 5): the index family's
-  * 100 TB claims — probe cost grows with the batch/candidates, append
-  * cost with the batch, build cost with the corpus — rest on plan
-  * shapes (pruned scans, partition filters, bounded joins). This main
-  * turns them into one measured data point: it derives a `factor`×
-  * corpus from the sf tables (copies with remapped ids and
-  * deterministically perturbed content, so near-dup/df/cluster
+/** Scaling-evidence run (round-15 verdict item 5; round-16 items 2-3):
+  * the index family's 100 TB claims — probe cost grows with the
+  * batch/candidates, append cost with the batch, build cost with the
+  * corpus — rest on plan shapes (pruned scans, partition filters,
+  * bounded joins). This main turns them into measured data points: it
+  * derives factor× corpora from the sf tables (copies with remapped
+  * ids and deterministically perturbed content, so near-dup/df/cluster
   * structure does NOT collapse into degenerate all-match behavior),
-  * builds LshIndex/BmIndex/IvfIndex at 1× and factor×, and times the
-  * SAME fixed-size probe / append / as-of read against both. Expected
-  * shape: build ≈ factor× (corpus-sized by design), append ≈ flat
-  * (O(batch)), probe and as-of ≪ factor× (partition-pruned scans grow
-  * with the probed slices, the joins with df/candidates — fixed
-  * overheads dominate at these absolute sizes, which the artifact
-  * records rather than hides).
+  * builds LshIndex/BmIndex/IvfIndex at 1× and each factor×, and times
+  * the SAME fixed-size probe / append / as-of read against all of
+  * them. Expected shape: build ≈ factor× (corpus-sized by design),
+  * append ≈ flat (O(batch)), sampled k-means training ≈ flat (the
+  * Lloyd rounds see only the fixed hash sample), probe and as-of ≪
+  * factor× (partition-pruned scans grow with the probed slices, the
+  * joins with df/candidates — fixed overheads dominate at these
+  * absolute sizes, which the artifact records rather than hides).
   *
-  * Emits one JSON line and mirrors it to `target/bench_scale.json`.
-  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE=10
-  * sbt "runMain graft.BenchScale"`. */
+  * Id remapping is collision-guarded (round-16 advice item 4): the
+  * copy stride derives from the observed max id (never the old silent
+  * c·10^7), and the fixed probe/append fixtures live ABOVE every
+  * copy's id range, so no factor can fold two rows onto one id and
+  * quietly shrink the scaled corpus.
+  *
+  * Emits one JSON line and mirrors it to `target/bench_scale.json`;
+  * with several factors each metric carries an `x<factor>`/`r<factor>`
+  * pair per point. Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1
+  * SPARK_GRAFT_SCALES=10,100 sbt "runMain graft.BenchScale"`. */
 object BenchScale {
 
   private def num(x: Double): String =
@@ -42,7 +50,10 @@ object BenchScale {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val factors = sys.env.get("SPARK_GRAFT_SCALES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt))
+      .sorted
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
@@ -63,7 +74,20 @@ object BenchScale {
     val nDocs = docs.count()
     val nVecs = emb.count()
 
-    // factor× corpus: copy c remaps ids by c·10^7 and suffixes every
+    // collision-guarded copy stride: past the observed max id, so no
+    // copy factor can alias two source rows onto one remapped id
+    val maxId = math.max(
+      docs.agg(max(col("doc_id"))).head().getLong(0),
+      emb.agg(max(col("vec_id"))).head().getLong(0))
+    val stride = math.max(10000000L, maxId + 1L)
+    val maxFactor = factors.max
+    require(maxFactor.toLong * stride < Long.MaxValue / 4,
+      s"factor $maxFactor × stride $stride overflows the id space")
+    // fixed work-item fixtures live ABOVE every copy's range
+    val probeOff = (maxFactor + 1L) * stride
+    val appendOff = (maxFactor + 2L) * stride
+
+    // factor× corpus: copy c remaps ids by c·stride and suffixes every
     // token with "~c" — disjoint vocabulary per copy, so df counts and
     // near-dup structure scale the corpus without turning every copy
     // into a near-duplicate of the original (which would inflate the
@@ -72,7 +96,7 @@ object BenchScale {
     def docCopies(k: Int): DataFrame =
       (0 until k).map { c =>
         if (c == 0) docs
-        else docs.select((col("doc_id") + lit(c * 10000000L)).as("doc_id"),
+        else docs.select((col("doc_id") + lit(c * stride)).as("doc_id"),
           concat_ws(" ", transform(split(col("text"), " "),
             t => concat(t, lit(s"~$c")))).as("text"))
       }.reduce(_ unionByName _)
@@ -81,17 +105,17 @@ object BenchScale {
     def embCopies(k: Int): DataFrame =
       (0 until k).map { c =>
         if (c == 0) emb
-        else emb.select((col("vec_id") + lit(c * 10000000L)).as("vec_id"),
+        else emb.select((col("vec_id") + lit(c * stride)).as("vec_id"),
           transform(col("embedding"),
             e => (e * lit(1.0f + c / 256.0f)).cast("float")).as("embedding"))
       }.reduce(_ unionByName _)
 
-    // fixed-size work items, identical at both scales
+    // fixed-size work items, identical at every scale
     val probeBatch = docs.filter(col("doc_id") < 200)
-      .select((col("doc_id") + lit(900000000L)).as("doc_id"), col("text"))
+      .select((col("doc_id") + lit(probeOff)).as("doc_id"), col("text"))
       .localCheckpoint()
     val appendDocs = docs.filter(col("doc_id") < 200)
-      .select((col("doc_id") + lit(950000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(appendOff)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit("~a")))).as("text"))
       .localCheckpoint()
@@ -100,7 +124,7 @@ object BenchScale {
       .distinct().orderBy(col("term").asc).limit(8).localCheckpoint()
     val queries = emb.filter(col("vec_id").isin(1L, 2L)).localCheckpoint()
     val appendVecs = emb.filter(col("vec_id") < 200)
-      .select((col("vec_id") + lit(950000000L)).as("vec_id"),
+      .select((col("vec_id") + lit(appendOff)).as("vec_id"),
         col("embedding")).localCheckpoint()
 
     def scalePoint(tag: String, k: Int): Map[String, Double] = {
@@ -139,29 +163,46 @@ object BenchScale {
         graft.scale.IvfIndex.append(appendVecs, cents, ivf); () })
       out += "ivf_probe" -> medianOf(reps)(() =>
         graft.scale.IvfIndex.topK(spark, ivf, queries, cents, 5).count())
+      // the SERVING shape: partition discovery over nlist dirs is a
+      // per-read job (nlist ∝ corpus — the path-based probe above
+      // measures it honestly); a serving process lists once and probes
+      // through the handle, so this twin is the flat-probe claim
+      val handle = graft.scale.IvfIndex.open(spark, ivf)
+      handle.count() // force the listing outside the timed region
+      out += "ivf_probe_handle" -> medianOf(reps)(() =>
+        graft.scale.IvfIndex.topKWith(spark, handle, ivf, queries,
+          cents, 5).count())
       out += "ivf_asof" -> medianOf(reps)(() =>
         graft.scale.IvfIndex.topKAsOf(spark, ivf, queries, cents, 5,
           asOf = 0L).count())
+      // ---- sampled k-means training (round-16 verdict item 2): the
+      // re-cluster event's TRAINING half sees only the fixed hash
+      // sample, so this should stay ≈flat while the corpus scales ----
+      out += "kmeans_train_sampled" -> timeIt(() => {
+        graft.scale.KMeans.fitSampled(v, k = 64, sampleN = 1024,
+          maxIter = 3); () })
       out.toMap
     }
 
-    // a discarded 1x pass first: the timed points must both run in a
+    // a discarded 1x pass first: the timed points must all run in a
     // JIT/codegen-warm JVM or the 1x build absorbs the session warmup
     // and the ratios read nonsense (first run measured lsh_build
     // RATIO 0.65 — the 10x build "faster" than the cold 1x)
     scalePoint("warm", 1)
     val base = scalePoint("1x", 1)
-    val big = scalePoint(s"${factor}x", factor)
+    val points = factors.map(f => f -> scalePoint(s"${f}x", f))
     val keys = base.keys.toSeq
     val fields = keys.map { k =>
-      val r = if (base(k) > 0) big(k) / base(k) else Double.NaN
-      s""""$k":{"base":${num(base(k))},"scaled":${num(big(k))},""" +
-        s""""ratio":${num(r)}}"""
+      val per = points.map { case (f, big) =>
+        val r = if (base(k) > 0) big(k) / base(k) else Double.NaN
+        s""""x$f":${num(big(k))},"r$f":${num(r)}"""
+      }.mkString(",")
+      s""""$k":{"base":${num(base(k))},$per}"""
     }.mkString(",")
     val line =
-      s"""{"metric":"scale","factor":$factor,"base_docs":$nDocs,""" +
-        s""""base_vecs":$nVecs,"reps":$reps,"cpus":$cpus,""" +
-        s""""sf":"$sfDir",$fields}"""
+      s"""{"metric":"scale","factors":[${factors.mkString(",")}],""" +
+        s""""base_docs":$nDocs,"base_vecs":$nVecs,"reps":$reps,""" +
+        s""""cpus":$cpus,"id_stride":$stride,"sf":"$sfDir",$fields}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target", "bench_scale.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))

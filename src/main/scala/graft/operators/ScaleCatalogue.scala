@@ -6012,7 +6012,10 @@ object ScaleCatalogue {
 
   private def ivfDriftDir(s: SparkSession, d: String): String = {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-    cachedIndexDir("ivf-drift", d, "v1",
+    // "v2": quantization-error baseline switched to the own-centroid
+    // definition — a v1 meta carries min-over-all-k sums and must
+    // rebuild once
+    cachedIndexDir("ivf-drift", d, "v2",
       datasets = Seq("embeddings.parquet")) { p =>
       graft.scale.IvfIndex.build(emb, ivfDriftCents(s, d), p)
       // the plant: 4x-scaled copies (exact float op) under fresh ids
@@ -6038,8 +6041,12 @@ object ScaleCatalogue {
     val d2 = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       "list_transform(range(1, 65), " +
       "j -> (v.qv[j] - c.cv[j]) * (v.qv[j] - c.cv[j]))), (a, b) -> a + b)"
-    s"""WITH qc AS (
-       |  SELECT vec_id AS cid,
+    // own-centroid definition (round-16 verdict item 2): replay the
+    // float argmin ASSIGNMENT (duckDist2, tie-broken by centroid id —
+    // exactly Similarity.assign's min-struct), then the exact integer
+    // error against the ASSIGNED centroid only
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS c_emb,
        |    list_transform(embedding,
        |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS cv
        |  FROM embeddings WHERE vec_id < 16),
@@ -6049,18 +6056,26 @@ object ScaleCatalogue {
        |  SELECT vec_id + 10000000,
        |    list_transform(embedding, x -> CAST(x * 4 AS FLOAT))
        |  FROM embeddings),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid, row_number() OVER (
+       |      PARTITION BY v.vec_id
+       |      ORDER BY ${duckDist2("v.embedding", "c.c_emb")} ASC,
+       |        c.cid ASC) AS rk
+       |    FROM corpus v, cents c) t WHERE rk = 1),
        |qv AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(floor(x::DOUBLE * 1000000.0) AS BIGINT)) AS qv
        |  FROM corpus),
-       |mind AS (
-       |  SELECT v.vec_id, min($d2) AS d2
-       |  FROM qv v CROSS JOIN qc c GROUP BY v.vec_id)
+       |errs AS (
+       |  SELECT v.vec_id, $d2 AS d2
+       |  FROM qv v JOIN assigned a USING (vec_id)
+       |  JOIN cents c ON c.cid = a.cid)
        |SELECT CASE WHEN vec_id >= 10000000 THEN 'appended'
        |  ELSE 'build' END AS segment,
        |  count(*) AS n_vec, CAST(sum(d2) AS BIGINT) AS qerr_sum
-       |FROM mind GROUP BY 1 ORDER BY segment""".stripMargin
+       |FROM errs GROUP BY 1 ORDER BY segment""".stripMargin
   }
 
   // ---------------------------------------------------------------------
@@ -6926,6 +6941,106 @@ object ScaleCatalogue {
        |ORDER BY family, rank""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q192 — SAMPLED k-means training (KMeans.fitSampled's shape, round-16
+  // verdict item 2): the re-cluster event bounded. Lloyd runs over a
+  // CONTENT-HASH DETERMINISTIC sample (the 64 lowest md5_64(vec_id)
+  // rows — q97's priority machinery on the id, so DuckDB replays the
+  // exact member set), initialized from the sample's 4 lowest ids, and
+  // the FULL corpus is assigned exactly ONCE under the sample-trained
+  // centroids — training cost scales with the sample, not the corpus
+  // (FAISS trains IVF coarse quantizers on a bounded sample for the
+  // same reason). Everything in exact integer space (floor(x·1e6)
+  // longs, integer distances, argmin tie-broken by centroid id — the
+  // q76/q82 recipe), so the oracle replays sample selection, the
+  // training round, and the full-corpus assignment bit for bit. Output:
+  // per-cluster per-dimension (trained centroid, assigned count, sum).
+  // ---------------------------------------------------------------------
+  def q192KmeansSampled(s: SparkSession, d: String): DataFrame = {
+    val k = 4
+    val sampleN = 64
+    val qemb = embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        e => floor(e.cast("double") * 1e6).cast("long")).as("qv"))
+    val sample = qemb
+      .withColumn("h",
+        graft.functions.Md5_64.md5_64(col("vec_id").cast("string")))
+      .orderBy(col("h").asc, col("vec_id").asc).limit(sampleN).drop("h")
+      .localCheckpoint()
+    val c0 = sample.orderBy(col("vec_id").asc).limit(k)
+      .select(col("vec_id").as("cid"), col("qv").as("cv"))
+    def assign(src: DataFrame, cents: DataFrame): DataFrame = {
+      val d2 = Similarity.quantDist2(col("qv"), col("cv"))
+      src.crossJoin(broadcast(cents))
+        .select(col("vec_id"), struct(d2.as("d2"), col("cid")).as("dc"))
+        .groupBy(col("vec_id"))
+        .agg(min(col("dc")).getField("cid").as("cid"))
+    }
+    // the training round runs on the SAMPLE only
+    val a1 = assign(sample, c0)
+    val c1e = a1.join(sample, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "eq")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(floor(sum(col("eq")).cast("double") / count(lit(1)))
+        .cast("long").as("cq"))
+    val c1 = c1e.groupBy(col("cid"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cq")))),
+        x => x.getField("cq")).as("cv"))
+    // ONE full-corpus assignment under the sample-trained centroids
+    val aFull = assign(qemb, c1)
+    val stats = aFull.join(qemb, "vec_id")
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "eq")))
+      .groupBy(col("cid"), col("pos"))
+      .agg(count(lit(1)).as("n_vec"), sum(col("eq")).as("sum_q"))
+    stats.join(c1e, Seq("cid", "pos"))
+      .select(col("cid").as("cluster"), col("pos"), col("cq").as("cq1"),
+        col("n_vec"), col("sum_q"))
+      .orderBy(col("cluster"), col("pos"))
+  }
+  val q192Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id, i - 1 AS pos,
+      |    CAST(floor(embedding[i]::DOUBLE * 1000000.0) AS BIGINT) AS eq
+      |  FROM embeddings, LATERAL (SELECT unnest(range(1, 65)) AS i) r),
+      |sampids AS (
+      |  SELECT vec_id FROM (
+      |    SELECT DISTINCT vec_id,
+      |      CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+      |        AS BIGINT) AS h
+      |    FROM q) t
+      |  ORDER BY h ASC, vec_id ASC LIMIT 64),
+      |samp AS (SELECT q.* FROM q JOIN sampids USING (vec_id)),
+      |c0ids AS (SELECT vec_id FROM sampids ORDER BY vec_id ASC LIMIT 4),
+      |c0 AS (
+      |  SELECT s.vec_id AS cid, s.pos, s.eq AS cq
+      |  FROM samp s JOIN c0ids USING (vec_id)),
+      |d1 AS (
+      |  SELECT s.vec_id, c.cid, sum((s.eq - c.cq) * (s.eq - c.cq)) AS d2
+      |  FROM samp s JOIN c0 c USING (pos) GROUP BY 1, 2),
+      |a1 AS (
+      |  SELECT vec_id, cid FROM d1
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+      |c1 AS (
+      |  SELECT a1.cid, s.pos,
+      |    CAST(floor(sum(s.eq)::DOUBLE / count(*)) AS BIGINT) AS cq
+      |  FROM a1 JOIN samp s USING (vec_id) GROUP BY 1, 2),
+      |dfull AS (
+      |  SELECT q.vec_id, c.cid, sum((q.eq - c.cq) * (q.eq - c.cq)) AS d2
+      |  FROM q JOIN c1 c USING (pos) GROUP BY 1, 2),
+      |afull AS (
+      |  SELECT vec_id, cid FROM dfull
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+      |st AS (
+      |  SELECT afull.cid, q.pos, count(*) AS n_vec,
+      |    CAST(sum(q.eq) AS BIGINT) AS sum_q
+      |  FROM afull JOIN q USING (vec_id) GROUP BY 1, 2)
+      |SELECT st.cid AS cluster, st.pos AS pos, c1.cq AS cq1,
+      |  st.n_vec, st.sum_q
+      |FROM st JOIN c1 ON c1.cid = st.cid AND c1.pos = st.pos
+      |ORDER BY cluster, st.pos""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -7065,6 +7180,7 @@ object ScaleCatalogue {
     "q189_hybrid_asof_manifest" -> q189HybridAsOfManifest _,
     "q190_pinned_maintenance" -> q190PinnedMaintenance _,
     "q191_run_restore" -> q191RunRestore _,
+    "q192_kmeans_sampled" -> q192KmeansSampled _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -7225,6 +7341,7 @@ object ScaleCatalogue {
     "q189_hybrid_asof_manifest" -> q189Sql,
     "q190_pinned_maintenance" -> q190Sql,
     "q191_run_restore" -> q191Sql,
+    "q192_kmeans_sampled" -> q192Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,

@@ -797,9 +797,13 @@ object CitationIndex {
     // endpoint-committed gate (round-15 advice item 3, current-serve
     // twin): a gone-batch tear (pairs landed, commit row never, batch
     // never replayed) must not serve support rows of docs that never
-    // committed; every legitimate pair's endpoints are committed docs
-    val ids = readOr(spark, s"$dir/_cit_docs", docSchema)
-      .select(col("doc_id")).localCheckpoint()
+    // committed; every legitimate pair's endpoints are committed docs.
+    // Size-guarded broadcast, no checkpoint (round-16 advice item 5:
+    // materializing the O(corpus) id set per read was pure overhead —
+    // the two left_semi joins consume the narrow frame lazily, and
+    // the as-of path already takes this exact shape)
+    val ids = IndexIo.maybeBroadcast(
+      readOr(spark, s"$dir/_cit_docs", docSchema).select(col("doc_id")))
     // NOT key-gated: the dead/sub status sums still read all delta
     // rows. Gating them on committed keys (as the as-of reads do)
     // would also make the CURRENT serve exact under an unhealed

@@ -668,27 +668,60 @@ object IvfIndex extends org.apache.spark.internal.Logging {
 
   /** Per-vector EXACT own-centroid quantization error over the
     * CURRENT corpus the index serves (revisions current, tombstones
-    * dropped): embeddings quantize once to floor(x·1e6) longs and
-    * distances are exact integer sums ([[Similarity.quantDist2]], the
-    * q76/q82 recipe) — so the number is bit-reproducible across
-    * engines, rounds, and partitionings, which a drift SIGNAL must be
-    * (a metric that wobbles with reduction order manufactures phantom
-    * drift). Returns (vec_id, d2). One corpus scan + one broadcast of
-    * the k-sized centroid table. */
+    * dropped): embeddings quantize once to floor(x·1e6) longs and the
+    * error is the exact integer distance to the row's OWN assigned
+    * centroid ([[Similarity.quantDist2]], the q76/q82 recipe) — so
+    * the number is bit-reproducible across engines, rounds, and
+    * partitionings, which a drift SIGNAL must be (a metric that
+    * wobbles with reduction order manufactures phantom drift).
+    * Returns (vec_id, d2). One corpus scan + one k-sized cluster_id
+    * join — O(corpus) pair evaluations, never O(corpus·k). */
   def quantErrors(spark: SparkSession, path: String,
       centroids: DataFrame): DataFrame =
-    quantErrorsOver(corpus(spark, path), centroids)
+    quantErrorsAssigned(corpusWithClusters(spark, path), centroids)
 
-  private def quantErrorsOver(vectors: DataFrame,
+  /** [[corpus]] plus each current-generation row's stored cluster_id
+    * — the assignment the index serves through, read back instead of
+    * recomputed. */
+  private def corpusWithClusters(spark: SparkSession,
+      path: String): DataFrame = {
+    val reg = currentRevs(spark, path)
+    val main = spark.read.parquet(path)
+      .select(col("vec_id"), col("embedding"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .join(IndexIo.maybeBroadcast(reg.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    val revised = revRows(spark, path)
+      .join(IndexIo.maybeBroadcast(reg), Seq("vec_id"))
+      .filter(col("rev") === col("cur_rev"))
+      .select(col("vec_id"), col("embedding"),
+        col("cluster_id").cast("long").as("cluster_id"))
+    main.unionByName(revised)
+      .join(tombstones(spark, path), Seq("vec_id"), "left_anti")
+  }
+
+  /** OWN-CENTROID integer quantization error per assigned row: one
+    * k-sized join on cluster_id, O(corpus) pair evaluations. The
+    * previous definition folded a min over ALL k centroids per row —
+    // O(n·k) pair work that at nlist ∝ corpus made this metric THE
+    * superlinear term of every build (measured 33 s of a 54 s 10×
+    * build — round-16 verdict item 2). For an argmin-assigned index
+    * the assigned centroid IS the minimum (the k-means objective the
+    * index optimizes; integer near-ties of the float argmin are the
+    * only divergence, and own-centroid is the error the serving reads
+    * actually incur). Exact integer space as before — q177 replays
+    * the assignment and the error bit for bit. */
+  private def quantErrorsAssigned(rows: DataFrame,
       centroids: DataFrame): DataFrame = {
-    val qemb = vectors
-      .select(col("vec_id"), Similarity.quantized(col("embedding")).as("qv"))
-    val qc = centroids.select(col("centroid_id").as("cid"),
+    val qc = centroids.select(
+      col("centroid_id").cast("long").as("cluster_id"),
       Similarity.quantized(col("c_emb")).as("cv"))
-    qemb.crossJoin(broadcast(qc))
+    rows
+      .select(col("vec_id"), col("cluster_id"),
+        Similarity.quantized(col("embedding")).as("qv"))
+      .join(qc, Seq("cluster_id"))
       .select(col("vec_id"),
         Similarity.quantDist2(col("qv"), col("cv")).as("d2"))
-      .groupBy(col("vec_id")).agg(min(col("d2")).as("d2"))
   }
 
   private def statsOf(errs: DataFrame): (Long, Long) = {
@@ -736,10 +769,10 @@ object IvfIndex extends org.apache.spark.internal.Logging {
             .filter(coalesce(col("e"), lit(0L)) > 0L).select(col("vec_id"))
             .unionByName(revisions(spark, path).select(col("vec_id")))
             .distinct()
-          val post = corpus(spark, path)
+          val post = corpusWithClusters(spark, path)
             .join(IndexIo.maybeBroadcast(postIds), Seq("vec_id"),
               "left_semi")
-          val (pn, pq) = statsOf(quantErrorsOver(post, centroids))
+          val (pn, pq) = statsOf(quantErrorsAssigned(post, centroids))
           if (pn > 0L) (pq.toDouble / pn) / buildMean
           else {
             // nothing post-build (just built, or deletes only): the
@@ -799,7 +832,37 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * [[Similarity.ivfTopKWith]] on the same corpus/centroids/k/nProbe,
     * but the corpus scan is pruned to the probed cluster partitions. */
   def topK(spark: SparkSession, path: String, queries: DataFrame,
-      centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+      centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame =
+    serveTopK(spark, spark.read.parquet(path), path, queries,
+      centroids, k, nProbe)
+
+  /** Long-lived SERVING HANDLE: the main tree's relation listed ONCE,
+    * reused across probes. A fresh `spark.read.parquet(path)` builds
+    * an InMemoryFileIndex by listing every `cluster_id=N/` dir — a
+    * per-read Spark job whose cost grows with nlist, and nlist ∝
+    * corpus is the 100 TB rule (measured: probe wall time grew 13.5×
+    * at 100× corpus from the listing alone while the pruned scan
+    * stayed flat — `bench_scale.json` r17, and the handle twin stays
+    * flat). A serving process opens the handle once; every probe then
+    * plans against the cached file index — partition PRUNING binds at
+    * planning time, so the probe filter still prunes (the handle
+    * caches the LISTING, never the data). Reopen after [[rebuild]] or
+    * a compaction swap — the directory is replaced under it. */
+  def open(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** [[topK]] through a long-lived [[open]] handle — identical
+    * results, zero per-probe partition discovery on the main tree
+    * (the CDC side tables are single flat dirs; their listings are
+    * O(1)). */
+  def topKWith(spark: SparkSession, handle: DataFrame, path: String,
+      queries: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int = 3): DataFrame =
+    serveTopK(spark, handle, path, queries, centroids, k, nProbe)
+
+  private def serveTopK(spark: SparkSession, main: DataFrame,
+      path: String, queries: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
     import spark.implicits._
     // materialize the probe assignment once: it is read twice (collected
     // for the partition filter, then joined in scoring) and is
@@ -814,7 +877,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // size-guarded join against the O(revised) registry
     // ([[IndexIo.maybeBroadcast]])
     val reg = currentRevs(spark, path).localCheckpoint()
-    val mainRows = spark.read.parquet(path)
+    val mainRows = main
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding"), col("cluster_id"))
       .join(IndexIo.maybeBroadcast(reg.select(col("vec_id"))),

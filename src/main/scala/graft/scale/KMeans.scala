@@ -113,4 +113,45 @@ object KMeans {
       Result(assign(emb, cents), cents, iter, converged)
     } finally data.unpersist()
   }
+
+  /** Content-hash deterministic sample: the `n` lowest
+    * md5_64(vec_id)-ordered rows — uniform pseudo-random, keyed on
+    * the id alone (q97's prioritySample machinery on the id instead
+    * of the text), so ANY engine with md5 replays the exact member
+    * set (the q192 oracle does, in DuckDB). Top-n' of a bigger top-n
+    * is a prefix — a smaller training sample is always a subset of a
+    * larger one, the same cut-without-recompute property q97 pins. */
+  def sampleByHash(emb: DataFrame, n: Int): DataFrame =
+    emb.withColumn("_h",
+        graft.functions.Md5_64.md5_64(col("vec_id").cast("string")))
+      .orderBy(col("_h").asc, col("vec_id").asc).limit(n).drop("_h")
+
+  /** SAMPLED k-means — the re-cluster event BOUNDED (round-16 verdict
+    * item 2): Lloyd iterations run over a content-hash deterministic
+    * sample of `sampleN` rows, and the FULL corpus is assigned exactly
+    * once under the trained centroids through the two-level
+    * [[Similarity.assign]] (O(n·√k), broadcast √k-sized). Training
+    * cost scales with the sample, not the corpus — the standard
+    * coarse-quantizer training shape (FAISS trains IVF quantizers on
+    * a bounded sample for the same reason); centroid QUALITY is a
+    * sampling question, centroid COUNT still follows nlist ∝ corpus.
+    * Deterministic end to end: hash-ordered sample, lowest-vec_id
+    * init, exact argmin tie-breaks — q192 replays the whole
+    * sample-train-assign pipeline in exact integer space by oracle. */
+  def fitSampled(emb: DataFrame, k: Int, sampleN: Int,
+      maxIter: Int = 20, tol: Double = 1e-4): Result = {
+    require(sampleN >= k,
+      s"sample size $sampleN must cover the centroid count $k")
+    val spark = emb.sparkSession
+    val sample = sampleByHash(
+      emb.select(col("vec_id"), col("embedding")), sampleN)
+    val trained = fit(sample, k, maxIter, tol)
+    val cents = centroidsDf(spark, trained)
+    val assignments = Similarity
+      .assign(emb.select(col("vec_id"), col("embedding")), cents,
+        "vec_id", Some(k.toLong))
+      .select(col("vec_id"), col("centroid_id").cast("int").as("cid"))
+    Result(assignments, trained.centroids, trained.iterations,
+      trained.converged)
+  }
 }

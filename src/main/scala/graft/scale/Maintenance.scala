@@ -94,6 +94,51 @@ object Maintenance extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** READER-RETRY contract for the in-place fold (round-16 verdict
+    * item 5): [[compactInPlace]]'s retire→publish swap makes `dir`
+    * vanish for the instant between its two renames, and the
+    * post-publish vacuum deletes the retired copy's files out from
+    * under any scan that was planned against them — so a CONCURRENT
+    * external reader (another session probing the layout while the
+    * single writer folds it) can catch a FileNotFound-rooted failure.
+    * Both windows are transient and both sides of the swap are
+    * COMPLETE layouts (compactTo finishes before the first rename),
+    * so a re-planned read only ever sees the old or the new state,
+    * never a torn one — re-running the read IS the correct recovery,
+    * and this wrapper is that contract made mechanical: retry when
+    * (and only when) the failure is FileNotFound-rooted, with a short
+    * bounded backoff. Writers must NOT use this — a writer racing a
+    * fold violates the single-writer discipline no retry can repair.
+    * MaintenanceConcurrentReadSpec hammers probes against a fold loop
+    * and pins zero surviving errors + correct results throughout. */
+  def withReaderRetry[T](attempts: Int = 10, backoffMs: Long = 50L)(
+      read: => T): T = {
+    def fnfRooted(t: Throwable): Boolean = {
+      var cur: Throwable = t
+      var seen = 0
+      while (cur != null && seen < 16) {
+        val name = cur.getClass.getName
+        val msg = Option(cur.getMessage).getOrElse("")
+        if (name.contains("FileNotFound") ||
+            msg.contains("does not exist") ||
+            msg.contains("No such file")) return true
+        cur = cur.getCause
+        seen += 1
+      }
+      false
+    }
+    var i = 0
+    while (true) {
+      try return read
+      catch {
+        case t: Throwable if fnfRooted(t) && i < attempts =>
+          i += 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Crash-safe in-place fold: run the layout's copy-compaction into a
     * sibling temp dir, then retire-rename-vacuum. `compactTo` is the
     * layout's own verb, e.g. `LshIndex.compactTo(spark, _, _)`. */

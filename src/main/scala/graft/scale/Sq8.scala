@@ -46,6 +46,38 @@ import org.apache.spark.sql.expressions.Window
   */
 object Sq8 {
 
+  // ---- family-contract pin (round-16 verdict item 7): SQ8 codes are
+  // a DERIVED artifact — a pure function of (corpus, dimStats) with no
+  // independent state, no epochs, and no registry. The training row
+  // (los, his) is corpus-GLOBAL: one upserted or deleted vector can
+  // shift a dimension's (min, max) and with it EVERY stored code, so
+  // incremental CDC verbs cannot exist without silently serving codes
+  // quantized under a stale grid. The lifecycle is therefore
+  // REBUILD-ONLY: re-derive dimStats + encode from the current corpus
+  // (one aggregate pass + one map) whenever the corpus changes;
+  // history is the CORPUS's history (serve an as-of corpus, then
+  // encode), never the codes'. The verbs below make the refusal
+  // explicit and spec-pinned (Sq8ContractSpec) rather than an absence
+  // a caller could misread as an unfinished surface. ----
+  private def refuse(verb: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"Sq8.$verb: SQ8 codes are a derived artifact (rebuild-only, no " +
+        "history) — the per-dimension (min, max) training grid is " +
+        "corpus-global, so an incremental verb would serve codes " +
+        "quantized under a stale grid; re-run dimStats + encode over " +
+        "the current corpus (or over an as-of corpus for history)")
+
+  /** Refused by contract — see the pin above. */
+  def append(vecs: DataFrame, dir: String): Unit = refuse("append")
+  /** Refused by contract — see the pin above. */
+  def upsert(vecs: DataFrame, dir: String, rev: Long): Unit =
+    refuse("upsert")
+  /** Refused by contract — see the pin above. */
+  def delete(ids: DataFrame, dir: String): Unit = refuse("delete")
+  /** Refused by contract — see the pin above. */
+  def topKAsOf(queries: DataFrame, corpus: DataFrame, k: Int,
+      asOf: Long): DataFrame = refuse("topKAsOf")
+
   /** Per-dimension corpus stats as ONE row: (los: array<double>,
     * his: array<double>), index-aligned with the embedding. */
   def dimStats(corpus: DataFrame): DataFrame =
