@@ -175,6 +175,9 @@ object BenchScale {
       out += "ivf_asof" -> medianOf(reps)(() =>
         graft.scale.IvfIndex.topKAsOf(spark, ivf, queries, cents, 5,
           asOf = 0L).count())
+      out += "ivf_asof_handle" -> medianOf(reps)(() =>
+        graft.scale.IvfIndex.topKAsOfWith(spark, handle, ivf, queries,
+          cents, 5, asOf = 0L).count())
       // ---- sampled k-means training (round-16 verdict item 2): the
       // re-cluster event's TRAINING half sees only the fixed hash
       // sample, so this should stay ≈flat while the corpus scales ----

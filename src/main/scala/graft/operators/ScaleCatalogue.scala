@@ -6566,7 +6566,11 @@ object ScaleCatalogue {
   // from-scratch oracle over the ORIGINAL corpus (bm25 scoring chain
   // + the IVF-probed ranking + the same integer RRF fold). Epochs 2-3
   // are invisible on both sides simultaneously: the pinned hybrid
-  // read is bit-stable under any amount of later ingest.
+  // read is bit-stable under any amount of later ingest (modulo heals
+  // of PRE-capture tears — a torn verb's residue healed at its
+  // original stamp appears retroactively, so capture consistent
+  // indexes when strict bit-stability matters; the SnapshotManifest
+  // scaladoc carries the same qualification).
   // ---------------------------------------------------------------------
   def q189HybridAsOfManifest(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)

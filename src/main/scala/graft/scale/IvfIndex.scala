@@ -421,7 +421,27 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * re-bases to epoch 0). */
   def topKAsOf(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, asOf: Long,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3): DataFrame =
+    serveTopKAsOf(spark, spark.read.parquet(path), path, queries,
+      centroids, k, asOf, nProbe)
+
+  /** [[topKAsOf]] through a long-lived [[open]] handle — the as-of
+    * twin of [[topKWith]]: snapshot reads re-list the main tree per
+    * probe exactly like current-serve reads do (measured ivf_asof
+    * 8.9x at 100x corpus from listing alone, bench_scale.json r17),
+    * and the same once-listed relation amortizes it. Same caveat: the
+    * handle is a LISTING snapshot — reopen after any write lands new
+    * files, or appended epochs' rows will be invisible to the probe
+    * (history ≤ the handle's listing is served exactly). */
+  def topKAsOfWith(spark: SparkSession, handle: DataFrame, path: String,
+      queries: DataFrame, centroids: DataFrame, k: Int, asOf: Long,
+      nProbe: Int = 3): DataFrame =
+    serveTopKAsOf(spark, handle, path, queries, centroids, k, asOf,
+      nProbe)
+
+  private def serveTopKAsOf(spark: SparkSession, main: DataFrame,
+      path: String, queries: DataFrame, centroids: DataFrame, k: Int,
+      asOf: Long, nProbe: Int): DataFrame = {
     import spark.implicits._
     val ce = committedEpoch(spark, path)
     require(asOf >= 0L && asOf <= ce,
@@ -446,7 +466,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         tombEpochSchema)
       .filter(coalesce(col("e"), lit(0L)) <= asOf)
       .select(col("vec_id"))
-    val mainRows = spark.read.parquet(path)
+    val mainRows = main
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding"), col("cluster_id"))
       .join(IndexIo.maybeBroadcast(docsE), Seq("vec_id"), "left")

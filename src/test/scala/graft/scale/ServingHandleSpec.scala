@@ -45,6 +45,18 @@ class ServingHandleSpec extends AnyFunSuite {
     assert(viaHandle() == viaPath(),
       "handle diverged after upsert + delete — CDC state must never " +
         "bind to the cached listing")
+    // the as-of twin serves history identically through the handle
+    // (CDC trees are separate dirs — the cached main listing stays
+    // complete under upsert/delete)
+    def asOfVia(h: Option[org.apache.spark.sql.DataFrame]) = (h match {
+      case Some(hd) => IvfIndex.topKAsOfWith(spark, hd, dir, queries,
+        cents, k = 5, asOf = 2L)
+      case None => IvfIndex.topKAsOf(spark, dir, queries, cents,
+        k = 5, asOf = 2L)
+    }).orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(asOfVia(Some(handle)) == asOfVia(None),
+      "as-of handle diverged from the path-based snapshot read")
     // the pruned plan: the partition filter binds at planning, so the
     // cached file index still prunes
     val df = IvfIndex.topKWith(spark, handle, dir, queries, cents, k = 5)
