@@ -694,7 +694,19 @@ object BmIndex {
     * (spec-pinned): baseline membership/revision state + replayed
     * deltas ≡ the as-of state at the last emitted epoch. Emit before
     * [[compactTo]] — the fold vacuums the history the feed derives
-    * from. */
+    * from.
+    *
+    * Unlike [[IvfIndex.emitChangeFeed]], BM25 keeps the eager empty
+    * dir for a ledger-less epoch — and that is CORRECT here, not the
+    * frozen-hole hazard round-16 advice item 2 fixed on the vector/z
+    * feeds: the window only reaches epochs ≤ [[committedEpoch]] (the
+    * max LEDGER epoch), and a ledger-less epoch BELOW a committed one
+    * is permanently unhealable by construction —
+    * [[appendIdempotent]] refuses overtaken residue (its guard), so
+    * no later heal can ever give that epoch content. A residue epoch
+    * that CAN still heal is above every committed epoch, outside the
+    * window, and the heal commits its ledger row before the feed can
+    * ever reach it. */
   def emitChangeFeed(spark: SparkSession, dir: String, feedDir: String,
       baseline: Long = 0L): Unit = {
     val committed = committedEpoch(spark, dir)

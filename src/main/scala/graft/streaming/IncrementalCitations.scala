@@ -60,8 +60,14 @@ object IncrementalCitations {
     * [[graft.scale.CitationIndex.needsCompaction]] and fold in place
     * behind the crash-safe retire-rename-vacuum swap
     * ([[graft.scale.Maintenance]]). The fold vacuums as-of history —
-    * emit the change feed first if consumers replay it. */
-  def appendBatchMaintained(indexDir: String, compactEvery: Long = 8L)(
+    * and it is PIN-AWARE: a [[graft.scale.SnapshotManifest.register]]ed
+    * pin blocks it (the probe retries next period) unless `feedDir`
+    * is given, in which case the change feed is emitted through the
+    * pinned history FIRST and the fold proceeds (the feed-restore
+    * contract bridges the vacuum — [[graft.scale.Maintenance
+    * .maybeCompact]]). */
+  def appendBatchMaintained(indexDir: String, compactEvery: Long = 8L,
+      feedDir: Option[String] = None)(
       batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     graft.scale.Maintenance.healSwap(spark, indexDir)
@@ -69,7 +75,10 @@ object IncrementalCitations {
     graft.scale.Maintenance.maybeCompact(spark, indexDir, epochId,
       compactEvery,
       graft.scale.CitationIndex.needsCompaction(spark, indexDir),
-      graft.scale.CitationIndex.compactTo(spark, _, _))
+      graft.scale.CitationIndex.compactTo(spark, _, _),
+      emitFeedFirst = feedDir.map(fd =>
+        () => graft.scale.CitationIndex.emitChangeFeed(spark, indexDir,
+          fd)))
   }
 
   /** [[run]] with the maintained body (compactEvery > 0). */

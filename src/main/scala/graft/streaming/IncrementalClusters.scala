@@ -47,8 +47,14 @@ object IncrementalClusters {
     * [[graft.scale.ClusterStore.needsCompaction]] and fold in place
     * behind the crash-safe retire-rename-vacuum swap
     * ([[graft.scale.Maintenance]]). The fold vacuums as-of history —
-    * emit the change feed first if consumers replay it. */
-  def appendBatchMaintained(storeDir: String, compactEvery: Long = 8L)(
+    * and it is PIN-AWARE: a [[graft.scale.SnapshotManifest.register]]ed
+    * pin blocks it (the probe retries next period) unless `feedDir`
+    * is given, in which case the change feed is emitted through the
+    * pinned history FIRST and the fold proceeds (the feed-restore
+    * contract bridges the vacuum — [[graft.scale.Maintenance
+    * .maybeCompact]]). */
+  def appendBatchMaintained(storeDir: String, compactEvery: Long = 8L,
+      feedDir: Option[String] = None)(
       batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     graft.scale.Maintenance.healSwap(spark, storeDir)
@@ -56,7 +62,10 @@ object IncrementalClusters {
     graft.scale.Maintenance.maybeCompact(spark, storeDir, epochId,
       compactEvery,
       graft.scale.ClusterStore.needsCompaction(spark, storeDir),
-      graft.scale.ClusterStore.compactTo(spark, _, _))
+      graft.scale.ClusterStore.compactTo(spark, _, _),
+      emitFeedFirst = feedDir.map(fd =>
+        () => graft.scale.ClusterStore.emitChangeFeed(spark, storeDir,
+          fd)))
   }
 
   /** [[run]] with the maintained body (compactEvery > 0). */

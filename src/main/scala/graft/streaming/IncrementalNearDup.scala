@@ -54,17 +54,24 @@ object IncrementalNearDup {
     * when it fires. Probe epochs cost a listing; fold epochs cost one
     * index rewrite — amortized O(index / every-k-appends), the price
     * that keeps probe read-amplification bounded forever. The fold
-    * vacuums as-of history (emit change feeds first if consumers
-    * replay them). */
+    * vacuums as-of history — and it is PIN-AWARE: a
+    * [[graft.scale.SnapshotManifest.register]]ed pin blocks it (the
+    * probe retries next period) unless `feedDir` is given, in which
+    * case the change feed is emitted through the pinned history FIRST
+    * and the fold proceeds ([[graft.scale.Maintenance.maybeCompact]]).
+    */
   def probeAppendMaintained(indexDir: String, matchesDir: String,
-      minMatches: Int, compactEvery: Long = 8L)(
+      minMatches: Int, compactEvery: Long = 8L,
+      feedDir: Option[String] = None)(
       batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     graft.scale.Maintenance.healSwap(spark, indexDir)
     probeAndAppend(indexDir, matchesDir, minMatches)(batch, epochId)
     graft.scale.Maintenance.maybeCompact(spark, indexDir, epochId,
       compactEvery, graft.scale.LshIndex.needsCompaction(spark, indexDir),
-      graft.scale.LshIndex.compactTo(spark, _, _))
+      graft.scale.LshIndex.compactTo(spark, _, _),
+      emitFeedFirst = feedDir.map(fd =>
+        () => graft.scale.LshIndex.emitChangeFeed(spark, indexDir, fd)))
   }
 
   /** Run the loop over a streaming `docs` source (doc_id, text).

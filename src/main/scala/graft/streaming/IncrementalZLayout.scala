@@ -39,17 +39,25 @@ object IncrementalZLayout {
     * [[graft.scale.Layout.needsCompaction]] and fold in place with
     * the revision-folding copy-compaction behind the crash-safe
     * retire-rename-vacuum swap. The fold vacuums as-of history —
-    * emit the change feed first if consumers replay it. */
+    * and it is PIN-AWARE: a [[graft.scale.SnapshotManifest.register]]ed
+    * pin blocks it (the probe retries next period) unless `feedDir`
+    * is given, in which case the change feed is emitted through the
+    * pinned history FIRST and the fold proceeds (the feed-restore
+    * contract bridges the vacuum — [[graft.scale.Maintenance
+    * .maybeCompact]]). */
   def appendBatchMaintained(dir: String, idCol: String, x: Column,
       y: Column, bucketWidth: Long = 4096L, bits: Int = 8,
-      compactEvery: Long = 8L)(batch: DataFrame, epochId: Long): Unit = {
+      compactEvery: Long = 8L, feedDir: Option[String] = None)(
+      batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     graft.scale.Maintenance.healSwap(spark, dir)
     appendBatch(dir, idCol, x, y, bucketWidth, bits)(batch, epochId)
     graft.scale.Maintenance.maybeCompact(spark, dir, epochId,
       compactEvery, graft.scale.Layout.needsCompaction(spark, dir),
       graft.scale.Layout.compactZOrderedTo(spark, _, _,
-        foldRevisionsBy = Some(idCol)))
+        foldRevisionsBy = Some(idCol)),
+      emitFeedFirst = feedDir.map(fd =>
+        () => graft.scale.Layout.emitChangeFeed(spark, dir, idCol, fd)))
   }
 
   /** Run the ingest over a streaming source; `x`/`y` are the two
