@@ -212,6 +212,39 @@ class IndexChangeFeedSpec extends AnyFunSuite {
         "restore contract bridges the tear")
   }
 
+  test("IVF+PQ feed: emission halts at a torn epoch; the heal re-opens it") {
+    val sfDir = "/root/testdata/sf0.001"
+    def emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = tmp("graft-pq-feed-heal") + "/idx"
+    IvfPqIndex.build(emb.filter(col("vec_id") % 2 === 0), cents, dir)  // e0
+    IvfPqIndex.append(emb.filter(col("vec_id") % 2 === 1), cents, dir) // e1
+    val batch = emb.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val mirror = tmp("graft-pq-feed-heal-mirror") + "/idx"
+    copyDir(dir, mirror)
+    IvfPqIndex.append(batch, cents, mirror)
+    copyDir(s"$mirror/_pq_docs", s"$dir/_pq_docs")
+    assert(IvfPqIndex.committedEpoch(spark, dir) == 2L)
+    val feed = tmp("graft-pq-feed-heal-out")
+    IvfPqIndex.emitChangeFeed(spark, dir, feed)
+    assert(IvfPqIndex.changeFeed(spark, feed)
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+      .map(_._4).toSet == Set(1L),
+      "PQ emission must halt at the torn epoch")
+    IvfPqIndex.appendIdempotent(batch, cents, dir)
+    assert(IvfPqIndex.committedEpoch(spark, dir) == 2L)
+    IvfPqIndex.emitChangeFeed(spark, dir, feed)
+    val after = IvfPqIndex.changeFeed(spark, feed)
+      .as[(Long, String, Option[Long], Long)].collect().toSeq
+    assert(after.map(_._4).toSet == Set(1L, 2L))
+    assert(after.filter(_._4 == 2L).map(_._1).toSet ==
+      batch.select(col("vec_id")).as[Long].collect().toSet,
+      "the healed PQ epoch's feed must carry its full insert set")
+  }
+
   test("z-layout feed: halt-then-heal keeps the restore contract across a torn epoch") {
     val dir = tmp("graft-z-feed-heal") + "/z"
     val base = spark.range(0, 300)

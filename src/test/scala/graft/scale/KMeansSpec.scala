@@ -7,6 +7,48 @@ class KMeansSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("fitSampled: trains on the hash sample only, assigns the full corpus once") {
+    // three tight blobs; the hash sample sees enough of each to place
+    // the centroids, and the FULL corpus (including rows outside the
+    // sample) must assign to its own blob under them
+    val centers = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val pts = (0 until 120).map { i =>
+      val c = centers(i % 3)
+      val jitter = 0.04f * ((i / 3) % 5 - 2)
+      (i.toLong, c.map(_ + jitter).toSeq)
+    }
+    val emb = pts.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val r = KMeans.fitSampled(emb, k = 3, sampleN = 30, maxIter = 10,
+      tol = 1e-6)
+    val got = r.assignments.as[(Long, Int)].collect().toMap
+    assert(got.size == 120,
+      "the FULL corpus must be assigned, not just the sample")
+    val byBlob = (0 until 120).groupBy(_ % 3)
+      .view.mapValues(_.map(i => got(i.toLong)).toSet).toMap
+    assert(byBlob.values.forall(_.size == 1) &&
+      byBlob.values.flatten.toSet.size == 3,
+      s"sample-trained centroids must separate the blobs: $byBlob")
+    // determinism: the hash sample and the whole pipeline replay
+    val r2 = KMeans.fitSampled(emb, k = 3, sampleN = 30, maxIter = 10,
+      tol = 1e-6)
+    assert(r2.centroids.map(_.toSeq).toSeq == r.centroids.map(_.toSeq).toSeq,
+      "fitSampled must be deterministic")
+    // prefix property (the q97 cut-without-recompute contract): a
+    // smaller hash sample is a prefix of a bigger one
+    val s20 = KMeans.sampleByHash(emb, 20).select(col("vec_id"))
+      .as[Long].collect().toSet
+    val s30 = KMeans.sampleByHash(emb, 30).select(col("vec_id"))
+      .as[Long].collect().toSet
+    assert(s20.subsetOf(s30), "hash sample must be prefix-stable")
+    // contract: the sample must cover the centroid count
+    intercept[IllegalArgumentException] {
+      KMeans.fitSampled(emb, k = 31, sampleN = 30)
+    }
+  }
+
   test("lloyd iterations recover well-separated blobs and converge") {
     // three blobs at distance 10 in 4-d; ids interleaved (i % 3 = blob)
     // so the deterministic lowest-id init starts with one seed per blob
