@@ -311,16 +311,25 @@ object BmIndex {
     if (missingIds.count() > 0L)
       missingIds.withColumn("e", lit(e))
         .write.mode("append").parquet(s"$dir/_bm_docs")
-    // 2. postings — landed docs probed inside the batch's own buckets
+    // 2. postings — landed docs probed inside the batch's own buckets.
+    // The anti-join key is (doc_id, term_bucket), NOT doc_id alone: one
+    // doc's postings span several term_bucket partition FILES written
+    // by a single job, and FileOutputCommitter moves task outputs
+    // sequentially — a crash mid-job-commit can leave a doc's postings
+    // visible in some buckets and missing in others. A doc-granular
+    // probe would skip such a doc entirely (its stats counted, its
+    // postings permanently incomplete); the per-bucket key heals
+    // exactly the missing files at unchanged probe cost (same pruned
+    // bucket scan, one extra tiny join column).
     val bucketedFresh = bucketed(fresh).localCheckpoint()
     val bks = bucketedFresh.select(col("term_bucket")).distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
-    val landedDocs = readPostings(spark, dir)
+    val landedBuckets = readPostings(spark, dir)
       .filter(col("term_bucket").isin(bks: _*))
       .filter(col("rev").isNull)
-      .select(col("doc_id")).distinct()
+      .select(col("doc_id"), col("term_bucket")).distinct()
     val freshPost = bucketedFresh
-      .join(landedDocs, Seq("doc_id"), "left_anti")
+      .join(landedBuckets, Seq("doc_id", "term_bucket"), "left_anti")
       .localCheckpoint()
     if (freshPost.count() > 0L)
       freshPost.repartition(col("term_bucket"))
@@ -374,6 +383,36 @@ object BmIndex {
         .select(lit(old.getLong(0) + delta.getLong(0)).as("n_docs"),
           lit(old.getLong(1) + delta.getLong(1)).as("sum_dl"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/_bm_stats")
+  }
+
+  /** Test hook (BmHealSpec): [[stageTornAppend]] with the POSTINGS
+    * write itself torn mid-job-commit — ids land in full, but only the
+    * term buckets satisfying `keepBucket` become visible, modeling
+    * FileOutputCommitter's sequential per-task output moves dying
+    * midway. The docs whose terms span kept AND dropped buckets are
+    * exactly the partial-visibility hazard the heal's
+    * (doc_id, term_bucket) anti-join exists for: a doc-granular probe
+    * would see such a doc "landed" and skip its missing buckets. */
+  private[scale] def stageTornAppendPartialPostings(docs: DataFrame,
+      dir: String, keepBucket: Long => Boolean): Unit = {
+    val spark = docs.sparkSession
+    val committed = spark.read.parquet(s"$dir/_bm_docs")
+    val fresh = docs.join(committed.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    ensureEpoch0Ledger(spark, dir)
+    val e = nextEpoch(spark, dir)
+    fresh.select(col("doc_id")).withColumn("e", lit(e))
+      .write.mode("append").parquet(s"$dir/_bm_docs")
+    val bf = bucketed(fresh).localCheckpoint()
+    val kept = bf.select(col("term_bucket")).distinct()
+      .collect().map(_.getLong(0)).filter(keepBucket).toIndexedSeq
+    require(kept.nonEmpty, "keepBucket dropped every bucket — use " +
+      "stageTornAppend(stage = 1) to model the no-postings tear")
+    bf.filter(col("term_bucket").isin(kept: _*))
+      .repartition(col("term_bucket"))
+      .sortWithinPartitions(col("term"))
+      .write.partitionBy("term_bucket").mode("append")
+      .parquet(s"$dir/postings")
   }
 
   /** Revision registry `(doc_id, rev, old_dl, new_dl)` — one row per

@@ -27,6 +27,70 @@ object IndexIo {
     if (!exists(spark, path)) emptyFrame(spark, schema)
     else spark.read.schema(schema).parquet(path)
 
+  // ---- GENERATION STAMP: mechanical serving-handle invalidation ----
+  // A long-lived handle caches a layout's FILE LISTING; the events that
+  // REPLACE the directory (build overwrite, rebuild swap, compaction
+  // fold) strand that listing permanently — every read FNFs, and
+  // Maintenance.withReaderRetry cannot heal it (the retry re-plans
+  // against the same cached listing). The stamp makes staleness a
+  // DETECTED state: each replacement writes a fresh `_generation`
+  // marker (temp+rename, the `_ivf_meta.json` recipe), a handle records
+  // the value at open, and each probe cheap-checks it (one tiny
+  // driver-side read, no Spark job) and REFUSES with a typed
+  // [[StaleHandleException]] naming the reopen — never a retry loop
+  // into a permanent FileNotFound. Appends/upserts/deletes do NOT bump
+  // it: they only ADD files (the handle stays readable; appended rows
+  // are invisible until reopen — the documented listing-snapshot
+  // semantic). A legacy layout without the marker degrades to the old
+  // convention (both sides None — no refusal, no protection).
+
+  /** The layout is at a NEW generation: write a fresh random stamp.
+    * Returns the stamp. Call on every event that replaces the
+    * directory's files (build, rebuild, the fold's temp dir before its
+    * publish rename). */
+  def stampGeneration(spark: SparkSession, dir: String): String = {
+    val gen = java.util.UUID.randomUUID().toString
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = new org.apache.hadoop.fs.Path(d, s"._generation.$gen.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(gen.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val target = new org.apache.hadoop.fs.Path(d, "_generation")
+    if (!fs.rename(tmp, target)) {
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(
+          s"index-io: failed to publish generation stamp $target")
+      }
+    }
+    gen
+  }
+
+  /** The layout's current generation stamp; None on a legacy layout
+    * that predates the marker (or a missing dir). */
+  def generation(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_generation")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim)
+      finally in.close()
+    }
+  }
+
+  /** The per-probe check: refuse (typed, actionable) when the layout
+    * moved past the generation the handle opened at. */
+  def requireFresh(spark: SparkSession, dir: String,
+      opened: Option[String]): Unit = {
+    val cur = generation(spark, dir)
+    if (cur != opened) throw new StaleHandleException(dir, opened, cur)
+  }
+
   /** File-geometry snapshot of a bucketed layout — the shared
     * compaction-need probe (round-14 verdict item 9): every serving
     * layout's CDC story leans on "compaction folds it", and this is
@@ -124,3 +188,17 @@ object IndexIo {
     else df
   }
 }
+
+/** A serving handle's cached listing no longer matches the layout on
+  * disk — the directory was replaced under it (build overwrite,
+  * rebuild swap, or compaction fold). Deliberately NOT a
+  * FileNotFoundException: [[Maintenance.withReaderRetry]] retries
+  * FNF-rooted failures, and this one is permanent — the only recovery
+  * is reopening the handle against the new generation. */
+final class StaleHandleException(val path: String,
+    val opened: Option[String], val current: Option[String])
+  extends RuntimeException(
+    s"serving handle for $path is stale: opened at generation " +
+      s"${opened.getOrElse("<unstamped>")}, layout now at " +
+      s"${current.getOrElse("<unstamped>")} — the directory was " +
+      "replaced (build/rebuild/compaction swap); reopen the handle")

@@ -41,6 +41,9 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     corpus.select(col("vec_id")).withColumn("e", lit(0L))
       .write.mode("overwrite").parquet(s"$path/_ivf_docs")
     writeMeta(corpus.sparkSession, path, centroids)
+    // the overwrite replaced every file a pre-existing handle listed:
+    // new generation, so stale handles refuse instead of FNF-looping
+    IndexIo.stampGeneration(corpus.sparkSession, path)
   }
 
   /** Incrementally add vectors to an EXISTING index — the shape at
@@ -871,14 +874,63 @@ object IvfIndex extends org.apache.spark.internal.Logging {
   def open(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The GENERATION-CHECKED serving handle (round-17 verdict item 2):
+    * [[open]]'s cached listing plus the layout's `_generation` stamp
+    * recorded at open time. Every probe through it re-reads the stamp
+    * (one tiny driver-side file read — no Spark job, no listing) and
+    * REFUSES with [[StaleHandleException]] if a [[build]]/[[rebuild]]/
+    * compaction fold replaced the directory since — turning the old
+    * "reopen after a fold" convention into a detected state: without
+    * the check a stale handle FNF-loops forever and
+    * [[Maintenance.withReaderRetry]] cannot heal it (the retry
+    * re-plans against the same cached listing of retired files).
+    * Recovery is mechanical: catch, [[reopen]], re-probe. Appended
+    * epochs do NOT bump the generation — the handle stays readable and
+    * serves exactly the history its listing saw (the documented
+    * listing-snapshot semantic); reopen to see new rows. */
+  final case class Handle(relation: DataFrame, path: String,
+      generation: Option[String])
+
+  def openHandle(spark: SparkSession, path: String): Handle =
+    Handle(spark.read.parquet(path), path,
+      IndexIo.generation(spark, path))
+
+  /** Fresh listing + fresh generation for the same layout path. */
+  def reopen(spark: SparkSession, handle: Handle): Handle =
+    openHandle(spark, handle.path)
+
+  /** True when a probe through `handle` would refuse — the layout
+    * moved generations since open. */
+  def isStale(spark: SparkSession, handle: Handle): Boolean =
+    IndexIo.generation(spark, handle.path) != handle.generation
+
   /** [[topK]] through a long-lived [[open]] handle — identical
     * results, zero per-probe partition discovery on the main tree
     * (the CDC side tables are single flat dirs; their listings are
-    * O(1)). */
+    * O(1)). UNCHECKED: the caller owns reopening after a fold; prefer
+    * the [[Handle]] overload, which refuses mechanically. */
   def topKWith(spark: SparkSession, handle: DataFrame, path: String,
       queries: DataFrame, centroids: DataFrame, k: Int,
       nProbe: Int = 3): DataFrame =
     serveTopK(spark, handle, path, queries, centroids, k, nProbe)
+
+  /** [[topKWith]] through the generation-checked [[Handle]]: refuses
+    * (never FNF-loops) when the layout was replaced since open. */
+  def topKWith(spark: SparkSession, handle: Handle, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    IndexIo.requireFresh(spark, handle.path, handle.generation)
+    serveTopK(spark, handle.relation, handle.path, queries, centroids,
+      k, nProbe)
+  }
+
+  /** [[topKAsOf]] through the generation-checked [[Handle]]. */
+  def topKAsOfWith(spark: SparkSession, handle: Handle,
+      queries: DataFrame, centroids: DataFrame, k: Int, asOf: Long,
+      nProbe: Int): DataFrame = {
+    IndexIo.requireFresh(spark, handle.path, handle.generation)
+    serveTopKAsOf(spark, handle.relation, handle.path, queries,
+      centroids, k, asOf, nProbe)
+  }
 
   private def serveTopK(spark: SparkSession, main: DataFrame,
       path: String, queries: DataFrame, centroids: DataFrame, k: Int,

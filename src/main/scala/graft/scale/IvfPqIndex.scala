@@ -67,6 +67,9 @@ object IvfPqIndex {
       cents.write.mode("overwrite").parquet(s"$path/_pq_codebooks")
       writeMeta(corpus.sparkSession, path,
         quantRecStats(corpus, cents, m, sub))
+      // the overwrite replaced every file a pre-existing handle
+      // listed: new generation — stale handles refuse, never FNF-loop
+      IndexIo.stampGeneration(corpus.sparkSession, path)
     } finally org.apache.spark.sql.graftbridge.CheckpointBridge
       .unpinCheckpoint(cents)
   }
@@ -449,7 +452,13 @@ object IvfPqIndex {
     * replaces the directory). */
   def topKAsOf(spark: SparkSession, path: String, queries: DataFrame,
       centroids: DataFrame, k: Int, asOf: Long,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3): DataFrame =
+    serveTopKAsOf(spark, spark.read.parquet(path), path, queries,
+      centroids, k, asOf, nProbe)
+
+  private def serveTopKAsOf(spark: SparkSession, main: DataFrame,
+      path: String, queries: DataFrame, centroids: DataFrame, k: Int,
+      asOf: Long, nProbe: Int): DataFrame = {
     import spark.implicits._
     val ce = committedEpoch(spark, path)
     require(asOf >= 0L && asOf <= ce,
@@ -477,7 +486,7 @@ object IvfPqIndex {
         tombEpochSchema)
       .filter(coalesce(col("e"), lit(0L)) <= asOf)
       .select(col("vec_id"))
-    val mainRows = spark.read.parquet(path)
+    val mainRows = main
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("codes"), col("cluster_id"))
       .join(IndexIo.maybeBroadcast(docsE), Seq("vec_id"), "left")
@@ -578,7 +587,77 @@ object IvfPqIndex {
     IndexIo.readOr(spark, feedDir, feedSchema)
 
   def topK(spark: SparkSession, path: String, queries: DataFrame,
-      centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame = {
+      centroids: DataFrame, k: Int, nProbe: Int = 3): DataFrame =
+    serveTopK(spark, spark.read.parquet(path), path, queries,
+      centroids, k, nProbe)
+
+  /** Long-lived SERVING HANDLE — [[IvfIndex.open]]'s contract on the
+    * compressed layout, and the same 100 TB rule: this index writes
+    * the IDENTICAL nlist ∝ corpus `cluster_id=N/` dir geometry, so a
+    * fresh `spark.read.parquet(path)` pays the same per-read
+    * partition-discovery job the r17 scale artifact measured at 11×
+    * on the uncompressed twin at 100× corpus. Open once, probe many:
+    * pruning binds at planning time against the cached listing (the
+    * handle caches the LISTING, never the data); the codebooks and
+    * CDC side tables are flat O(1)-listing dirs read fresh per probe.
+    * BM25/LSH need no handle — their bucket count is a FIXED constant
+    * ([[BmIndex.Buckets]]), so their listing cost is corpus-
+    * independent; see the LayoutContract note on bounded listings. */
+  def open(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** The generation-checked handle — [[IvfIndex.Handle]]'s contract on
+    * the compressed layout: probes refuse with
+    * [[StaleHandleException]] after a [[build]] replaced the
+    * directory, never FNF-loop. */
+  final case class Handle(relation: DataFrame, path: String,
+      generation: Option[String])
+
+  def openHandle(spark: SparkSession, path: String): Handle =
+    Handle(spark.read.parquet(path), path,
+      IndexIo.generation(spark, path))
+
+  def reopen(spark: SparkSession, handle: Handle): Handle =
+    openHandle(spark, handle.path)
+
+  def isStale(spark: SparkSession, handle: Handle): Boolean =
+    IndexIo.generation(spark, handle.path) != handle.generation
+
+  /** [[topK]] through a long-lived [[open]] handle — identical
+    * results, zero per-probe partition discovery on the code tree.
+    * UNCHECKED; prefer the [[Handle]] overload. */
+  def topKWith(spark: SparkSession, handle: DataFrame, path: String,
+      queries: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int = 3): DataFrame =
+    serveTopK(spark, handle, path, queries, centroids, k, nProbe)
+
+  /** [[topKWith]] through the generation-checked [[Handle]]. */
+  def topKWith(spark: SparkSession, handle: Handle, queries: DataFrame,
+      centroids: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    IndexIo.requireFresh(spark, handle.path, handle.generation)
+    serveTopK(spark, handle.relation, handle.path, queries, centroids,
+      k, nProbe)
+  }
+
+  /** [[topKAsOf]] through a long-lived handle (unchecked listing). */
+  def topKAsOfWith(spark: SparkSession, handle: DataFrame, path: String,
+      queries: DataFrame, centroids: DataFrame, k: Int, asOf: Long,
+      nProbe: Int = 3): DataFrame =
+    serveTopKAsOf(spark, handle, path, queries, centroids, k, asOf,
+      nProbe)
+
+  /** [[topKAsOf]] through the generation-checked [[Handle]]. */
+  def topKAsOfWith(spark: SparkSession, handle: Handle,
+      queries: DataFrame, centroids: DataFrame, k: Int, asOf: Long,
+      nProbe: Int): DataFrame = {
+    IndexIo.requireFresh(spark, handle.path, handle.generation)
+    serveTopKAsOf(spark, handle.relation, handle.path, queries,
+      centroids, k, asOf, nProbe)
+  }
+
+  private def serveTopK(spark: SparkSession, main: DataFrame,
+      path: String, queries: DataFrame, centroids: DataFrame, k: Int,
+      nProbe: Int): DataFrame = {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/_pq_codebooks")
     val (m, sub) = geometry(cents)
@@ -593,7 +672,7 @@ object IvfPqIndex {
     // size-guarded join against the O(revised) registry
     // ([[IndexIo.maybeBroadcast]])
     val reg = currentRevs(spark, path).localCheckpoint()
-    val mainRows = spark.read.parquet(path)
+    val mainRows = main
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("codes"), col("cluster_id"))
       .join(IndexIo.maybeBroadcast(reg.select(col("vec_id"))),

@@ -113,15 +113,29 @@ object Maintenance extends org.apache.spark.internal.Logging {
     * and pins zero surviving errors + correct results throughout. */
   def withReaderRetry[T](attempts: Int = 10, backoffMs: Long = 50L)(
       read: => T): T = {
+    // Classification is TYPE-first (round-17 advisor): a
+    // FileNotFoundException anywhere in the cause chain, or a Spark
+    // error CONDITION in the path-not-found family. Message substrings
+    // are the last resort only for throwables that carry NO Spark
+    // error condition — an AnalysisException whose condition is, say,
+    // TABLE_OR_VIEW_NOT_FOUND must NOT burn the retry budget just
+    // because its message says "does not exist".
     def fnfRooted(t: Throwable): Boolean = {
       var cur: Throwable = t
       var seen = 0
       while (cur != null && seen < 16) {
-        val name = cur.getClass.getName
-        val msg = Option(cur.getMessage).getOrElse("")
-        if (name.contains("FileNotFound") ||
-            msg.contains("does not exist") ||
-            msg.contains("No such file")) return true
+        cur match {
+          case _: java.io.FileNotFoundException => return true
+          case st: org.apache.spark.SparkThrowable =>
+            val cond = Option(st.getCondition).getOrElse("")
+            if (cond.startsWith("PATH_NOT_FOUND")) return true
+            // a DIFFERENT declared condition is authoritative: not ours
+          case other =>
+            val name = other.getClass.getName
+            val msg = Option(other.getMessage).getOrElse("")
+            if (name.contains("FileNotFound") ||
+                msg.contains("No such file or directory")) return true
+        }
         cur = cur.getCause
         seen += 1
       }
@@ -141,9 +155,19 @@ object Maintenance extends org.apache.spark.internal.Logging {
 
   /** Crash-safe in-place fold: run the layout's copy-compaction into a
     * sibling temp dir, then retire-rename-vacuum. `compactTo` is the
-    * layout's own verb, e.g. `LshIndex.compactTo(spark, _, _)`. */
+    * layout's own verb, e.g. `LshIndex.compactTo(spark, _, _)`.
+    *
+    * `abortIf` is a LAST-INSTANT guard evaluated after the (possibly
+    * multi-second) `compactTo` build, immediately before the retire
+    * rename — the round-17 advisor's pin race: a
+    * [[SnapshotManifest.register]] that lands while the fold is
+    * building would otherwise be silently vacuumed by a pin check that
+    * ran only once, before the build. A `Some(reason)` abort discards
+    * the built temp dir and leaves the live layout untouched; returns
+    * true iff the fold published. */
   def compactInPlace(spark: SparkSession, dir: String,
-      compactTo: (String, String) => Unit): Unit = {
+      compactTo: (String, String) => Unit,
+      abortIf: () => Option[String] = () => None): Boolean = {
     healSwap(spark, dir)
     val target = new Path(dir)
     val f = fs(spark, target)
@@ -151,6 +175,19 @@ object Maintenance extends org.apache.spark.internal.Logging {
     val retired = retiredOf(dir)
     vacuum(spark, tmp) // residue of a fold that died mid-write
     compactTo(dir, tmp.toString)
+    // the fold output is a NEW generation: stamp it before the publish
+    // rename (crash-clean — the temp dir is not live yet) so a serving
+    // handle opened on the pre-fold layout refuses mechanically
+    // ([[IndexIo.stampGeneration]]) instead of FNF-looping
+    IndexIo.stampGeneration(spark, tmp.toString)
+    abortIf() match {
+      case Some(reason) =>
+        logWarning(s"maintenance: aborting fold at $dir after build — " +
+          reason)
+        vacuum(spark, tmp)
+        return false
+      case None =>
+    }
     if (!f.rename(target, retired))
       throw new java.io.IOException(s"maintenance: failed to retire $target")
     if (!f.rename(tmp, target)) {
@@ -158,6 +195,7 @@ object Maintenance extends org.apache.spark.internal.Logging {
       throw new java.io.IOException(s"maintenance: failed to publish $tmp")
     }
     f.delete(retired, true)
+    true
   }
 
   /** The periodic hook: on every `every`-th epoch (0-based — fires at
@@ -190,10 +228,22 @@ object Maintenance extends org.apache.spark.internal.Logging {
     if (every > 0L && epochId % every == every - 1L && needs) {
       val pins = pinnedEpochs(spark, dir)
       if (pins.isEmpty) {
-        compactInPlace(spark, dir, compactTo)
-        true
+        // the pin check above races the multi-second fold build — a pin
+        // registered while compactTo runs must not be silently
+        // vacuumed, so re-check at the last instant before the retire
+        // rename and abort the swap if one landed (round-17 advisor)
+        compactInPlace(spark, dir, compactTo, abortIf = () => {
+          val late = pinnedEpochs(spark, dir)
+          if (late.isEmpty) None
+          else Some(s"pins ${late.map { case (r, e) => s"$r@e=$e" }
+            .mkString(", ")} registered during the fold build")
+        })
       } else emitFeedFirst match {
         case Some(emit) =>
+          // pins that land DURING the fold build are bridged by the
+          // feed just emitted: the single-writer rule means no epoch
+          // commits while the fold runs, so every pinnable epoch is
+          // already in the feed — no late re-check needed on this path
           emit()
           compactInPlace(spark, dir, compactTo)
           true

@@ -39,11 +39,40 @@ import org.apache.spark.sql.functions._
   * when the run no longer needs its snapshot. */
 object SnapshotManifest {
 
+  /** Minimal JSON string escaping for the marker body — pin names and
+    * families are caller-chosen strings, and a raw interpolation of a
+    * quote or backslash would leave malformed JSON in the marker
+    * (round-17 advisor). Epoch extraction is regex-based and immune,
+    * but the marker is a durable audit artifact other tools may parse. */
+  private def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   /** Register each pin at its layout: an atomic marker
     * `<dir>/_pins/<runName>.json` (temp+rename — the `_ivf_meta.json`
     * recipe) recording the pinned epoch. `runName` scopes the marker
     * so several runs can pin the same layout independently; a
-    * re-register under the same run name replaces. */
+    * re-register under the same run name replaces — by renaming OVER
+    * the live marker where the FS allows it (POSIX rename(2) replaces
+    * atomically; no un-pinned window), falling back to delete+rename
+    * only on filesystems that refuse an existing destination.
+    *
+    * RACE CONTRACT: register must not race an IN-FLIGHT fold of the
+    * same layout ([[Maintenance.compactInPlace]]'s retire→publish
+    * swap) — the mkdirs here can recreate the layout dir between the
+    * fold's two renames and break its publish. The fold gate itself is
+    * safe (maybeCompact re-checks `_pins/` immediately before the
+    * retire rename and aborts if a pin landed during the fold build),
+    * but the registering process must serialize registration with its
+    * own maintenance loop — in the single-writer twins the register
+    * happens between micro-batches, never inside one. */
   def register(spark: SparkSession, pins: Seq[Pin],
       runName: String): Unit = {
     require(runName.nonEmpty && !runName.exists(c => c == '/' || c == '.'),
@@ -57,16 +86,23 @@ object SnapshotManifest {
         s".$runName.${java.util.UUID.randomUUID()}.tmp")
       val out = fs.create(tmp, false)
       try out.write(
-        (s"""{"run":"$runName","name":"${pin.name}",""" +
-          s""""family":"${pin.family}","epoch":${pin.epoch}}""")
+        (s"""{"run":"${jsonEscape(runName)}",""" +
+          s""""name":"${jsonEscape(pin.name)}",""" +
+          s""""family":"${jsonEscape(pin.family)}","epoch":${pin.epoch}}""")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val target = new org.apache.hadoop.fs.Path(dir, s"$runName.json")
-      fs.delete(target, false)
+      // rename-over-existing first: on POSIX-backed local/HDFS-like
+      // stores this atomically replaces and the pin is NEVER absent;
+      // only if the FS refuses (rename returned false with the target
+      // still present) fall back to the delete+rename window
       if (!fs.rename(tmp, target)) {
-        fs.delete(tmp, false)
-        throw new java.io.IOException(
-          s"snapshot-manifest: failed to publish pin $target")
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) {
+          fs.delete(tmp, false)
+          throw new java.io.IOException(
+            s"snapshot-manifest: failed to publish pin $target")
+        }
       }
     }
   }

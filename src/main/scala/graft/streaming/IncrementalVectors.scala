@@ -40,9 +40,18 @@ object IncrementalVectors extends org.apache.spark.internal.Logging {
     * swap and heals its own windows, so no extra machinery is needed.
     * Re-CLUSTERING (new centroids, [[graft.scale.IvfIndex
     * .driftRatio]]-triggered) stays a deliberate operator event — the
-    * probes' centroids argument must change with it. */
+    * probes' centroids argument must change with it.
+    *
+    * `feedDir` is the pin ESCAPE HATCH every other maintained twin
+    * carries (round-17 advisor): with live pins and no feedDir the
+    * rebuild is skipped (a long-lived pin blocks compaction until
+    * released); with a feedDir the twin emits
+    * [[graft.scale.IvfIndex.emitChangeFeed]] FIRST so the pinned
+    * history's deltas survive the vacuum, then folds — the documented
+    * feed-restore contract bridges the pinned run. */
   def appendBatchMaintained(indexDir: String, centroids: DataFrame,
-      centroidCount: Option[Long] = None, compactEvery: Long = 8L)(
+      centroidCount: Option[Long] = None, compactEvery: Long = 8L,
+      feedDir: Option[String] = None)(
       batch: DataFrame, epochId: Long): Unit = {
     val spark = batch.sparkSession
     appendBatch(indexDir, centroids, centroidCount)(batch, epochId)
@@ -56,10 +65,17 @@ object IncrementalVectors extends org.apache.spark.internal.Logging {
       if (pins.isEmpty)
         graft.scale.IvfIndex.rebuild(spark, indexDir, centroids,
           centroidCount)
-      else
-        logWarning(s"incremental-vectors: skipping rebuild at $indexDir" +
-          s" — live manifest pins ${pins.map { case (r, e) => s"$r@e=$e" }
-            .mkString(", ")} still read its history")
+      else feedDir match {
+        case Some(fd) =>
+          graft.scale.IvfIndex.emitChangeFeed(spark, indexDir, fd)
+          graft.scale.IvfIndex.rebuild(spark, indexDir, centroids,
+            centroidCount)
+        case None =>
+          logWarning(s"incremental-vectors: skipping rebuild at $indexDir" +
+            s" — live manifest pins ${pins.map { case (r, e) => s"$r@e=$e" }
+              .mkString(", ")} still read its history (release the pins " +
+            "or pass feedDir to bridge via the change feed)")
+      }
     }
   }
 
@@ -68,12 +84,13 @@ object IncrementalVectors extends org.apache.spark.internal.Logging {
     * `centroids`. `compactEvery` > 0 runs the maintained body. */
   def run(rows: DataFrame, indexDir: String, centroids: DataFrame,
       checkpoint: String, centroidCount: Option[Long] = None,
-      compactEvery: Long = 0L): StreamingQuery =
+      compactEvery: Long = 0L,
+      feedDir: Option[String] = None): StreamingQuery =
     rows.writeStream
       .foreachBatch(
         if (compactEvery > 0L)
           appendBatchMaintained(indexDir, centroids, centroidCount,
-            compactEvery) _
+            compactEvery, feedDir) _
         else appendBatch(indexDir, centroids, centroidCount) _)
       .option("checkpointLocation", checkpoint)
       .start()

@@ -199,6 +199,62 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(t.getBytes("UTF-8").length < 200)
   }
 
+  test("contention self-identification: external cores, verdict, and " +
+      "artifact fields (round-17 verdict item 4)") {
+    val t0 = Bench.LoadSample(0L, 0L, 0L)
+    def at(busySec: Double, jvmSec: Double, wallSec: Double) =
+      Bench.LoadSample((busySec * 100).toLong, (jvmSec * 1e9).toLong,
+        (wallSec * 1e9).toLong)
+    // idle box: over 60 s wall the machine did 31 cpu-sec, 30 of them
+    // ours → 1/60 external core
+    val idle = Bench.externalCores(t0, at(31.0, 30.0, 60.0))
+    assert(math.abs(idle - 1.0 / 60) < 1e-6 && !Bench.isContended(idle))
+    // a concurrent suite: 600 external cpu-sec over 60 s = 10 cores —
+    // the uniform-1.3x inflation class the r17 driver artifact carried
+    val busy = Bench.externalCores(t0, at(630.0, 30.0, 60.0))
+    assert(math.abs(busy - 10.0) < 1e-6 && Bench.isContended(busy))
+    // an unavailable probe degrades to NaN, never to a false verdict
+    val nan = Bench.externalCores(Bench.LoadSample(-1L, 0L, 0L),
+      at(1.0, 1.0, 1.0))
+    assert(nan.isNaN && !Bench.isContended(nan))
+    // clock skew can make ours > machine: clamp at 0, not negative
+    assert(Bench.externalCores(t0, at(10.0, 20.0, 60.0)) == 0.0)
+    // the FINAL total-only line (the one the driver tail always parses)
+    // carries the verdict
+    val t = Bench.formatTotalOnlyJson(all, "/sf", cpus = 32,
+      extCores = Some(10.55))
+    val j = JsonMethods.parse(t)
+    assert((j \ "ext_cores").extract[Double] == 10.55)
+    assert((j \ "contended").extract[Boolean])
+    val tIdle = Bench.formatTotalOnlyJson(all, "/sf", 32,
+      extCores = Some(0.03))
+    assert(!(JsonMethods.parse(tIdle) \ "contended").extract[Boolean])
+    // NaN (probe unavailable) → fields absent, line still parses
+    val tNan = Bench.formatTotalOnlyJson(all, "/sf", 32,
+      extCores = Some(Double.NaN))
+    assert((JsonMethods.parse(tNan) \ "contended") == JNothing)
+    // full-line "load" context fragment
+    val lf = Bench.formatLoadJson(0.52, 31.9, 0.03)
+    val full = JsonMethods.parse(
+      Bench.formatJson(3, "/sf", all, Nil, load = Some(lf)))
+    assert((full \ "load" \ "load1_start").extract[Double] == 0.52)
+    assert((full \ "load" \ "external_cpu_cores").extract[Double] == 0.03)
+    assert(!(full \ "load" \ "contended").extract[Boolean])
+    assert(full.asInstanceOf[JObject].obj.map(_._1).last == "queries")
+    // NaN loads render as null, fragment still valid JSON
+    assert(JsonMethods.parse(
+      Bench.formatLoadJson(Double.NaN, Double.NaN, Double.NaN)) != JNothing)
+    // canary line variant
+    val c = Bench.formatCanaryJson(5, "/sf", all, 32, 1L, 9.9,
+      extCores = 5.0)
+    assert((JsonMethods.parse(c) \ "contended").extract[Boolean])
+    assert((JsonMethods.parse(c) \ "ext_cores").extract[Double] == 5.0)
+    // live probes on this machine return usable values (Linux /proc)
+    assert(Bench.machineBusyJiffies() > 0L)
+    assert(Bench.jvmCpuNanos() > 0L)
+    assert(!Bench.loadAvg1().isNaN)
+  }
+
   test("a throwing rep is a Left, not a near-zero Right") {
     val r = Bench.time(() => throw new IllegalStateException("deliberate"))
     assert(r.isLeft)

@@ -73,6 +73,29 @@ class BmHealSpec extends AnyFunSuite {
         "healed epoch must serve the full batch as-of its own commit")
     }
 
+  test("replay heals a postings write torn MID-JOB-COMMIT " +
+      "(partial term buckets visible — round-17 advisor medium)") {
+    // ids land fully, postings land for only half the term buckets:
+    // the sequential-task-move crash window. Docs whose terms span
+    // kept AND dropped buckets are the hazard — a doc-granular heal
+    // would skip them and leave their postings permanently incomplete.
+    val dir = tmp("graft-bm-heal-partial")
+    BmIndex.build(corpusA, dir)                         // epoch 0
+    BmIndex.stageTornAppendPartialPostings(corpusB, dir,
+      keepBucket = _ % 2 == 0)                          // torn epoch 1
+    assert(BmIndex.committedEpoch(spark, dir) == 0L)
+    BmIndex.appendIdempotent(corpusB, dir)              // the replay
+    assert(BmIndex.consistent(spark, dir),
+      "partial-bucket heal left the index inconsistent")
+    assert(BmIndex.committedEpoch(spark, dir) == 1L)
+    val clean = want(corpusA.unionByName(corpusB))
+    assert(probe(dir) == clean,
+      "partial-bucket heal diverged from a clean append — the " +
+        "(doc_id, term_bucket) anti-join missed a dropped bucket")
+    assert(probeAsOf(dir, 0L) == want(corpusA))
+    assert(probeAsOf(dir, 1L) == clean)
+  }
+
   test("fully-committed replay is a complete no-op") {
     val dir = tmp("graft-bm-heal-noop")
     BmIndex.build(corpusA, dir)

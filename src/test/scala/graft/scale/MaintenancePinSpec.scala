@@ -67,6 +67,38 @@ class MaintenancePinSpec extends AnyFunSuite {
       "the fold is the history vacuum — epochs re-base to 0")
   }
 
+  test("a pin registered DURING the fold build aborts the swap — " +
+      "never silently vacuumed (round-17 advisor)") {
+    val dir = tmp("graft-pin-race")
+    BmIndex.build(corpusA, dir)                         // epoch 0
+    BmIndex.append(corpusB, dir)                        // epoch 1
+    val pins = SnapshotManifest.capture(spark, Seq(("lex", "bm", dir)))
+    val pre = probeAsOf(dir, 1L)
+    // the race: maybeCompact's pin check passes (no pins yet), then a
+    // training run registers while compactTo is building the fold
+    val folded = Maintenance.maybeCompact(spark, dir, epochId = 0L,
+      every = 1L, needs = true,
+      compactTo = (src, dst) => {
+        BmIndex.compactTo(spark, src, dst)
+        SnapshotManifest.register(spark, pins, "laterun")
+      })
+    assert(!folded,
+      "fold published despite a pin registered during its build — the " +
+        "last-instant re-check must abort the swap")
+    assert(BmIndex.committedEpoch(spark, dir) == 1L,
+      "aborted fold must leave the pinned history untouched")
+    assert(probeAsOf(dir, 1L) == pre)
+    // the aborted fold's temp dir must not leak
+    val tmpFold = new org.apache.hadoop.fs.Path(dir + ".__compact")
+    assert(!tmpFold.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(tmpFold), "aborted fold leaked its .__compact build")
+    // release reopens the fold as usual
+    SnapshotManifest.release(spark, pins, "laterun")
+    assert(Maintenance.maybeCompact(spark, dir, 0L, 1L, needs = true,
+      BmIndex.compactTo(spark, _, _)))
+    assert(BmIndex.committedEpoch(spark, dir) == 0L)
+  }
+
   test("emitFeedFirst bridges the vacuum: feed-restore reproduces the pinned top-k") {
     val dir = tmp("graft-pin-bridge")
     BmIndex.build(corpusA, dir)                         // epoch 0
@@ -148,5 +180,52 @@ class MaintenancePinSpec extends AnyFunSuite {
       0L)
     assert(IvfIndex.committedEpoch(spark, dir) == 0L,
       "released pin must let the rebuild fold run (re-base to 0)")
+  }
+
+  test("IVF twin: feedDir bridges a pinned rebuild — feed out first, " +
+      "then fold (round-17 advisor: the twin lacked the escape hatch)") {
+    def emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.strideCentroids(emb, stride = 1500)
+      .localCheckpoint()
+    val dir = tmp("graft-pin-ivf-feed") + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 320), cents, dir)
+    (0 until 9).foreach { i =>
+      IvfIndex.append(emb.filter(col("vec_id") >= 320 + i * 20 &&
+        col("vec_id") < 340 + i * 20), cents, dir)
+    }
+    assert(IvfIndex.needsCompaction(spark, dir))
+    val pins = SnapshotManifest.capture(spark, Seq(("sem", "ivf", dir)))
+    SnapshotManifest.register(spark, pins, "ivffeedrun")
+    val pinE = pins.head.epoch
+    val preIds = IvfIndex.corpus(spark, dir).select(col("vec_id"))
+      .as[Long].collect().toSet
+    val feed = tmp("graft-pin-ivf-feed-out")
+    graft.streaming.IncrementalVectors.appendBatchMaintained(
+      dir, cents, compactEvery = 1L, feedDir = Some(feed))(
+      emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 3000L).as("vec_id"), col("embedding")),
+      0L)
+    assert(IvfIndex.committedEpoch(spark, dir) == 0L,
+      "with the feed bridge the pinned rebuild must RUN (re-base to 0)")
+    // the feed covers the pinned history: replaying deltas ≤ pin over
+    // the epoch-0 BASELINE (the feed contract — epoch 0 is the build's
+    // own membership, never emitted) reproduces the pinned membership;
+    // the batch appended above landed at pinE+1, so it must NOT
+    // appear ≤ pinE
+    val feedRows = IvfIndex.changeFeed(spark, feed)
+      .filter(col("e") <= pinE)
+      .select(col("vec_id"), col("change"))
+      .as[(Long, String)].collect().toSeq
+    var live = emb.filter(col("vec_id") < 320).select(col("vec_id"))
+      .as[Long].collect().toSet
+    feedRows.foreach {
+      case (id, "inserted") => live += id
+      case (id, "deleted") => live -= id
+      case _ => ()
+    }
+    assert(live == preIds,
+      "feed-restored membership at the pin diverged from the pre-fold " +
+        "corpus — the bridge does not cover the pinned history")
   }
 }

@@ -78,4 +78,137 @@ class ServingHandleSpec extends AnyFunSuite {
       .getOrElse(fail("no partition-filtered scan through the handle"))
     assert(idxScan.partitionFilters.exists(_.toString.contains("cluster_id")))
   }
+
+  private def scansOf(plan: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+    plan match {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansOf(q.plan)
+      case p => p.children.flatMap(scansOf)
+    }
+
+  test("IvfPq handle probes ≡ path probes through CDC; pruning survives " +
+      "(round-17 verdict item 1 — same nlist ∝ corpus dir geometry)") {
+    val cents = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-handle").toString + "/idx"
+    IvfPqIndex.build(emb.filter(col("vec_id") < 400), cents, dir)
+    val handle = IvfPqIndex.openHandle(spark, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    def viaPath() = IvfPqIndex.topK(spark, dir, queries, cents, k = 5)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    def viaHandle() = IvfPqIndex
+      .topKWith(spark, handle, queries, cents, k = 5, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(viaHandle() == viaPath(), "PQ handle diverged on the built index")
+    // CDC verbs mutate the SIDE tables only — the handle keeps serving
+    IvfPqIndex.upsert(emb.filter(col("vec_id") === 1)
+        .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+      cents, dir, rev = 1L)
+    IvfPqIndex.delete(Seq(2L).toDF("vec_id"), dir)
+    assert(viaHandle() == viaPath(),
+      "PQ handle diverged after upsert + delete")
+    // as-of through the handle ≡ the path-based snapshot read
+    val asOfH = IvfPqIndex.topKAsOfWith(spark, handle, queries, cents,
+        k = 5, asOf = 1L, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val asOfP = IvfPqIndex.topKAsOf(spark, dir, queries, cents,
+        k = 5, asOf = 1L)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(asOfH == asOfP, "PQ as-of handle diverged from the path read")
+    // pruning binds at planning against the cached listing
+    val df = IvfPqIndex.topKWith(spark, handle, queries, cents, k = 5,
+      nProbe = 3)
+    df.collect()
+    val idxScan = scansOf(df.queryExecution.executedPlan)
+      .find(s => s.relation.location.rootPaths
+        .exists(_.toString.contains("graft-pq-handle")) &&
+        s.partitionFilters.nonEmpty)
+      .getOrElse(fail("no partition-filtered scan through the PQ handle"))
+    assert(idxScan.partitionFilters.exists(_.toString.contains("cluster_id")))
+  }
+
+  test("a fold under a live handle REFUSES mechanically — never a " +
+      "permanent FNF loop (round-17 verdict item 2)") {
+    val cents = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gen-handle").toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 300), cents, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val h0 = IvfIndex.openHandle(spark, dir)
+    assert(h0.generation.nonEmpty, "build must stamp a generation")
+    assert(!IvfIndex.isStale(spark, h0))
+    val before = IvfIndex.topKWith(spark, h0, queries, cents, k = 5,
+        nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(before.nonEmpty)
+    // the fold: rebuild swaps the directory under the handle
+    IvfIndex.rebuild(spark, dir, cents)
+    assert(IvfIndex.isStale(spark, h0),
+      "rebuild must move the generation stamp")
+    val ex = intercept[StaleHandleException] {
+      IvfIndex.topKWith(spark, h0, queries, cents, k = 5, nProbe = 3)
+        .collect()
+    }
+    assert(ex.path == dir && ex.opened != ex.current)
+    // the as-of twin refuses identically
+    intercept[StaleHandleException] {
+      IvfIndex.topKAsOfWith(spark, h0, queries, cents, k = 5, asOf = 0L,
+        nProbe = 3).collect()
+    }
+    // recovery is mechanical: reopen, re-probe — same results (the
+    // rebuild used the same centroids, so the serve is unchanged)
+    val h1 = IvfIndex.reopen(spark, h0)
+    assert(!IvfIndex.isStale(spark, h1))
+    val after = IvfIndex.topKWith(spark, h1, queries, cents, k = 5,
+        nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(after == before,
+      "same-centroid rebuild must serve identically through a reopened " +
+        "handle")
+    // PQ twin: a build-over replaces the dir and the handle refuses
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-gen-pq").toString + "/idx"
+    IvfPqIndex.build(emb.filter(col("vec_id") < 300), cents, pqDir)
+    val ph = IvfPqIndex.openHandle(spark, pqDir)
+    assert(ph.generation.nonEmpty)
+    IvfPqIndex.build(emb.filter(col("vec_id") < 350), cents, pqDir)
+    assert(IvfPqIndex.isStale(spark, ph))
+    intercept[StaleHandleException] {
+      IvfPqIndex.topKWith(spark, ph, queries, cents, k = 5, nProbe = 3)
+        .collect()
+    }
+    val ph1 = IvfPqIndex.reopen(spark, ph)
+    assert(IvfPqIndex.topKWith(spark, ph1, queries, cents, k = 5,
+      nProbe = 3).count() > 0L)
+  }
+
+  test("appends do NOT invalidate the handle — listing-snapshot " +
+      "semantics are generation-stable") {
+    val cents = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gen-append").toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 200), cents, dir)
+    val h = IvfIndex.openHandle(spark, dir)
+    IvfIndex.append(emb.filter(col("vec_id") >= 200 &&
+      col("vec_id") < 250), cents, dir)
+    assert(!IvfIndex.isStale(spark, h),
+      "append must not bump the generation — the handle stays readable")
+    // the handle serves exactly its listing's history; no FNF, no refuse
+    val queries = emb.filter(col("vec_id") < 5)
+    assert(IvfIndex.topKWith(spark, h, queries, cents, k = 5,
+      nProbe = 3).count() > 0L)
+  }
 }

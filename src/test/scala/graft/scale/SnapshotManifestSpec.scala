@@ -83,6 +83,43 @@ class SnapshotManifestSpec extends AnyFunSuite {
         "assertion above would be vacuous")
   }
 
+  test("pin markers are well-formed JSON under hostile names, and " +
+      "re-registration replaces without an un-pinned window " +
+      "(round-17 advisor)") {
+    val root = tmp("graft-manifest-escape")
+    val bm = s"$root/bm"
+    BmIndex.build(docs.filter(col("doc_id") < 100), bm)
+    // a pin name carrying quotes, backslashes, and a control char must
+    // serialize to parseable JSON (the marker is a durable audit
+    // artifact other tools read back)
+    val hostile = SnapshotManifest.Pin(
+      "re\"trie\\val\nx", "bm", bm, 0L)
+    SnapshotManifest.register(spark, Seq(hostile), "runq")
+    val marker = new org.apache.hadoop.fs.Path(s"$bm/_pins/runq.json")
+    val fs = marker.getFileSystem(spark.sessionState.newHadoopConf())
+    val body = {
+      val in = fs.open(marker)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val j = org.json4s.jackson.JsonMethods.parse(body) // throws if torn
+    assert((j \ "name").extract[String] == "re\"trie\\val\nx",
+      "escaping must round-trip the hostile name")
+    assert((j \ "epoch").extract[Long] == 0L)
+    assert(Maintenance.pinnedEpochs(spark, bm) == Seq(("runq", 0L)))
+    // re-register under the same run name replaces the marker; at no
+    // point may the pin be ABSENT (rename-over-existing, not
+    // delete-then-rename) — observable here as: the marker exists
+    // before, exists after, and carries the new epoch
+    BmIndex.append(docs.filter(col("doc_id") >= 100 &&
+      col("doc_id") < 150), bm)                          // epoch 1
+    val rePin = SnapshotManifest.capture(spark, Seq(("lex", "bm", bm)))
+    SnapshotManifest.register(spark, rePin, "runq")
+    assert(Maintenance.pinnedEpochs(spark, bm) == Seq(("runq", 1L)),
+      "re-registration must replace the marker with the new epoch")
+  }
+
   test("refusals: cold layouts cannot be pinned, unknown names cannot be looked up") {
     val root = tmp("graft-manifest-refuse")
     intercept[IllegalArgumentException] {
