@@ -149,7 +149,10 @@ object Bench {
     // comparable and the new serving paths gain a fresh-JVM history
     // from this round forward
     "q180_", "q181_", "q182_", "q183_", "q189_", "q190_", "q191_",
-    "q192_")
+    "q192_",
+    // round-18 rotation: the generation-checked serving handles —
+    // appended, never reshuffled
+    "q193_", "q194_")
   private[graft] val CanaryReps = 5
 
   /** Total stop-the-world GC milliseconds so far in this JVM — the
@@ -647,7 +650,8 @@ object Bench {
     // so no timed rep ever pays a first-touch build
     val warmAtTargetPrefixes = Seq("q85_", "q91_", "q102_", "q95_",
       "q179_", "q180_", "q181_", "q182_", "q183_", "q184_", "q185_",
-      "q186_", "q187_", "q188_", "q189_", "q190_", "q191_")
+      "q186_", "q187_", "q188_", "q189_", "q190_", "q191_", "q193_",
+      "q194_")
     def warmAtTarget(name: String): Boolean =
       warmAtTargetPrefixes.exists(name.startsWith)
     SparkEntry.benchQueries.toSeq

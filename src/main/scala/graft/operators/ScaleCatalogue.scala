@@ -2233,8 +2233,11 @@ object ScaleCatalogue {
         pmod(col("user_id"), lit(256L)).as("xb"),
         pmod(expr("unix_millis(ts) div 60000"), lit(256L)).as("yb"))
       .withColumn("z", graft.scale.Layout.zValue(col("xb"), col("yb")))
-      .filter(ivs.map { case (lo, hi) => col("z").between(lo, hi) }
-        .reduce(_ || _))
+      // loop-shaped cover predicate, NOT an OR of betweens: over a
+      // COMPUTED z, filter codegen re-inlines the whole interleave
+      // into every OR branch (no CSE across short-circuits) — the
+      // round-17 janino hazard q176 actually hit
+      .filter(graft.functions.InIntervals(col("z"), ivs))
       .orderBy(col("event_id"))
   }
   val q99Sql: String = {
@@ -5963,8 +5966,13 @@ object ScaleCatalogue {
         pmod(col("event_id"), lit(256L)).as("wb"))
       .withColumn("z", graft.scale.Layout.zValueK(
         Seq(col("xb"), col("yb"), col("wb"))))
-      .filter(ivs.map { case (lo, hi) => col("z").between(lo, hi) }
-        .reduce(_ || _))
+      // the round-17 janino fallback lived HERE: 26 cover intervals ×
+      // the inline 24-bit interleave re-generated per OR branch grew
+      // the fused global count past 64 KB and the stage silently ran
+      // interpreted. One loop-shaped predicate keeps the generated
+      // bytes O(1) in the interval count — CacheHygieneSpec now
+      // asserts zero CodeGenerator errors over the full catalogue.
+      .filter(graft.functions.InIntervals(col("z"), ivs))
       .orderBy(col("event_id"))
   }
   val q176Sql: String = {
@@ -7045,6 +7053,97 @@ object ScaleCatalogue {
       |FROM st JOIN c1 ON c1.cid = st.cid AND c1.pos = st.pos
       |ORDER BY cluster, st.pos""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q193 — the IVF+PQ SERVING HANDLE (IvfPqIndex.openHandle /
+  // topKAsOfWith, round-17 verdict item 1): the compressed layout
+  // writes the same nlist ∝ corpus cluster_id dir geometry as IVF, so
+  // its per-read partition discovery pays the same listing tax the
+  // r17 scale artifact measured at 11× on the uncompressed twin — the
+  // handle lists once and every probe plans against the cached file
+  // index, generation-checked per probe (one tiny driver-side read)
+  // so a fold under it refuses instead of FNF-looping. q193 serves
+  // q182's exact snapshot read THROUGH the handle and hash-matches the
+  // same full-corpus oracle — data-level proof the cached-listing path
+  // is result-identical through the whole CDC lifecycle.
+  // ---------------------------------------------------------------------
+  def q193IvfPqHandleAsOf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = ivfPqAsOfFixture(s, d)
+    val handle = graft.scale.IvfPqIndex.openHandle(s, dir)
+    graft.scale.IvfPqIndex
+      .topKAsOfWith(s, handle, emb.filter(col("vec_id") < 10), centroids,
+        k = 10, asOf = 1L, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q193Sql: String = q90Sql
+
+  // ---------------------------------------------------------------------
+  // q194 — MECHANICAL HANDLE INVALIDATION (round-17 verdict item 2),
+  // the whole lifecycle as one proof: a serving handle's cached
+  // listing is stranded when a rebuild/fold replaces the directory,
+  // and before r18 the failure mode was a permanent FileNotFound that
+  // even withReaderRetry could not heal (the retry re-plans against
+  // the same cached listing). Generation stamps make it a DETECTED
+  // state. The fixture: build → open handle → probe → rebuild under
+  // the SAME centroids → require the stale handle REFUSES (typed
+  // StaleHandleException, not an FNF loop) on both current and as-of
+  // probes → reopen → require the reopened serve collect-equals the
+  // pre-rebuild serve (same centroids ⇒ same results). The query then
+  // serves top-5 through a fresh handle over the rebuilt index and
+  // hash-matches q35's plain full-corpus oracle — the proof's
+  // require()s gate inside the fixture, the oracle gates the data.
+  // ---------------------------------------------------------------------
+  private def handleGenFixture(s: SparkSession, d: String): String = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    cachedIndexDir("gen-handle", d, "v1") { p =>
+      graft.scale.IvfIndex.build(emb, centroids, p, centroidCount = cc)
+      val h0 = graft.scale.IvfIndex.openHandle(s, p)
+      require(h0.generation.nonEmpty, "build must stamp a generation")
+      def serve(h: graft.scale.IvfIndex.Handle) =
+        graft.scale.IvfIndex
+          .topKWith(s, h, emb.filter(col("vec_id") < 10), centroids,
+            k = 5, nProbe = 3)
+          .orderBy(col("query_id"), col("rank")).collect().toSeq
+      val pre = serve(h0)
+      graft.scale.IvfIndex.rebuild(s, p, centroids, centroidCount = cc)
+      require(graft.scale.IvfIndex.isStale(s, h0),
+        "rebuild must move the generation stamp")
+      val refusedCur =
+        try { serve(h0); false }
+        catch { case _: graft.scale.StaleHandleException => true }
+      require(refusedCur,
+        "stale handle must refuse the current-serve probe")
+      val refusedAsOf =
+        try {
+          graft.scale.IvfIndex.topKAsOfWith(s, h0,
+            emb.filter(col("vec_id") < 10), centroids, k = 5,
+            asOf = 0L, nProbe = 3).collect(); false
+        } catch { case _: graft.scale.StaleHandleException => true }
+      require(refusedAsOf, "stale handle must refuse the as-of probe")
+      val h1 = graft.scale.IvfIndex.reopen(s, h0)
+      require(serve(h1) == pre,
+        "same-centroid rebuild must serve identically through the " +
+          "reopened handle")
+    }
+  }
+
+  def q194HandleRefuseReopen(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = handleGenFixture(s, d)
+    val handle = graft.scale.IvfIndex.openHandle(s, dir)
+    graft.scale.IvfIndex
+      .topKWith(s, handle, emb.filter(col("vec_id") < 10), centroids,
+        k = 5, nProbe = 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        q(col("sim")).as("sim_q"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+  val q194Sql: String = q35Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -7185,6 +7284,8 @@ object ScaleCatalogue {
     "q190_pinned_maintenance" -> q190PinnedMaintenance _,
     "q191_run_restore" -> q191RunRestore _,
     "q192_kmeans_sampled" -> q192KmeansSampled _,
+    "q193_ivfpq_handle_asof" -> q193IvfPqHandleAsOf _,
+    "q194_handle_refuse_reopen" -> q194HandleRefuseReopen _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -7346,6 +7447,8 @@ object ScaleCatalogue {
     "q190_pinned_maintenance" -> q190Sql,
     "q191_run_restore" -> q191Sql,
     "q192_kmeans_sampled" -> q192Sql,
+    "q193_ivfpq_handle_asof" -> q193Sql,
+    "q194_handle_refuse_reopen" -> q194Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,

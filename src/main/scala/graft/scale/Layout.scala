@@ -209,6 +209,14 @@ object Layout {
       else
         ranges.map { case (lo, hi) => col("z_bucket").between(lo, hi) }
           .reduce(_ || _)
+    // Deliberately an OR of betweens, NOT [[graft.functions
+    // .InIntervals]]: here z is a STORED column, so each branch is one
+    // column reference (O(intervals) generated bytes — no janino
+    // hazard) and, critically, plain range predicates push down to
+    // parquet min/max stats and partition pruning, which a custom
+    // expression never does. InIntervals is for COMPUTED z (q99/q176's
+    // inline interleave, which OR branches would re-generate per
+    // branch — the round-17 64 KB fallback).
     zdf.filter(bucketPred)
       .filter(ivs.map { case (lo, hi) => col("z").between(lo, hi) }
         .reduce(_ || _))
