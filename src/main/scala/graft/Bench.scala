@@ -150,9 +150,9 @@ object Bench {
     // from this round forward
     "q180_", "q181_", "q182_", "q183_", "q189_", "q190_", "q191_",
     "q192_",
-    // round-18 rotation: the generation-checked serving handles —
-    // appended, never reshuffled
-    "q193_", "q194_")
+    // round-18 rotation: the generation-checked serving handles and
+    // the PQ code-level fold — appended, never reshuffled
+    "q193_", "q194_", "q195_")
   private[graft] val CanaryReps = 5
 
   /** Total stop-the-world GC milliseconds so far in this JVM — the
@@ -234,9 +234,11 @@ object Bench {
   }
 
   /** Sustained external cores at or above this = a contended artifact.
-    * Daemons measure <0.1; a concurrent build/suite measures ≥5; the
-    * gap is wide, so 2.0 neither false-flags idle runs nor misses the
-    * uniform-1.3× class the threshold exists for. */
+    * Calibrated live (r18): an idle box measures ≈1.1 (the sbt PARENT
+    * JVM is a separate process, so its bookkeeping counts as external);
+    * the same run beside a deliberate 8-core spin measured 8.24; a
+    * concurrent test suite measures ≥5. 2.0 sits above the parent's
+    * floor and far below every real-contention shape. */
   private[graft] val ContendedExternalCores = 2.0
   private[graft] def isContended(extCores: Double): Boolean =
     !extCores.isNaN && extCores >= ContendedExternalCores
@@ -651,7 +653,7 @@ object Bench {
     val warmAtTargetPrefixes = Seq("q85_", "q91_", "q102_", "q95_",
       "q179_", "q180_", "q181_", "q182_", "q183_", "q184_", "q185_",
       "q186_", "q187_", "q188_", "q189_", "q190_", "q191_", "q193_",
-      "q194_")
+      "q194_", "q195_")
     def warmAtTarget(name: String): Boolean =
       warmAtTargetPrefixes.exists(name.startsWith)
     SparkEntry.benchQueries.toSeq

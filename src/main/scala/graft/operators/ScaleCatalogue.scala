@@ -7144,6 +7144,63 @@ object ScaleCatalogue {
   }
   val q194Sql: String = q35Sql
 
+  // ---------------------------------------------------------------------
+  // q195 — CODE-LEVEL COMPACTION on the IVF+PQ index
+  // (IvfPqIndex.compactTo, round 18): the compressed layout's missing
+  // fold. Its documented history vacuum was "the next build from
+  // source" — but raw embeddings are exactly what a PQ index exists
+  // to NOT keep, so an operator without them had no fold and
+  // append-file decay + CDC residue grew forever. The current
+  // generation is fully determined by stored codes alone (main rows ∖
+  // revised ids ∪ current-rev rows ∖ tombstones), so the fold needs
+  // no re-encode. Fixture: q171's full CDC lifecycle (build 80% →
+  // append 20% → re-embed %9 → delete %7), then
+  // Maintenance.compactInPlace over compactTo with require()s pinning
+  // the vacuum (epochs re-base 0→, geometry back to one file per
+  // cluster, needsCompaction false). The query serves current top-10
+  // AFTER the fold and hash-matches q171's oracle — data-level proof
+  // the fold changed bytes, never answers, cross-engine.
+  // ---------------------------------------------------------------------
+  private def pqCompactFixture(s: SparkSession, d: String): String = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val cc = Some(strideCentroidCount(s, d, 97))
+    cachedIndexDir("ivfpq-compact", d, "v1") { p =>
+      graft.scale.IvfPqIndex.build(
+        emb.filter(col("vec_id") % 5 =!= 4), centroids, p,
+        centroidCount = cc,
+        codebooks = Some(graft.scale.Similarity.pqInitCodebooks(emb)))
+      graft.scale.IvfPqIndex.append(
+        emb.filter(col("vec_id") % 5 === 4), centroids, p,
+        centroidCount = cc)
+      val revised = emb.filter(col("vec_id") % 9 === 0)
+        .withColumn("embedding", reverse(col("embedding")))
+      graft.scale.IvfPqIndex.upsert(revised, centroids, p, rev = 1L,
+        centroidCount = cc)
+      graft.scale.IvfPqIndex.delete(
+        emb.filter(col("vec_id") % 7 === 0).select(col("vec_id")), p)
+      require(graft.scale.IvfPqIndex.committedEpoch(s, p) == 3L,
+        "q195 fixture must commit epochs 0..3 before the fold")
+      graft.scale.Maintenance.compactInPlace(s, p,
+        graft.scale.IvfPqIndex.compactTo(s, _, _))
+      require(graft.scale.IvfPqIndex.committedEpoch(s, p) == 0L,
+        "the fold is the history vacuum — epochs must re-base to 0")
+      require(!graft.scale.IvfPqIndex.needsCompaction(s, p),
+        "the fold must restore one-file-per-cluster geometry")
+    }
+  }
+
+  def q195IvfPqCompacted(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+    val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
+    val dir = pqCompactFixture(s, d)
+    graft.scale.IvfPqIndex
+      .topK(s, dir, emb.filter(col("vec_id") < 10), centroids,
+        k = 10, nProbe = 3)
+      .orderBy(col("query_id"), col("rank"))
+  }
+  lazy val q195Sql: String = q171Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_dedup_exact" -> q30DedupExact _,
     "q31_ngram_jaccard" -> q31NgramJaccard _,
@@ -7286,6 +7343,7 @@ object ScaleCatalogue {
     "q192_kmeans_sampled" -> q192KmeansSampled _,
     "q193_ivfpq_handle_asof" -> q193IvfPqHandleAsOf _,
     "q194_handle_refuse_reopen" -> q194HandleRefuseReopen _,
+    "q195_ivfpq_compacted" -> q195IvfPqCompacted _,
     "q169_bm25_cdc_lifecycle" -> q169Bm25CdcLifecycle _,
     "q170_lsh_cdc_lifecycle" -> q170LshCdcLifecycle _,
     "q171_ivfpq_cdc_lifecycle" -> q171IvfPqCdcLifecycle _,
@@ -7449,6 +7507,7 @@ object ScaleCatalogue {
     "q192_kmeans_sampled" -> q192Sql,
     "q193_ivfpq_handle_asof" -> q193Sql,
     "q194_handle_refuse_reopen" -> q194Sql,
+    "q195_ivfpq_compacted" -> q195Sql,
     "q169_bm25_cdc_lifecycle" -> q169Sql,
     "q170_lsh_cdc_lifecycle" -> q170Sql,
     "q171_ivfpq_cdc_lifecycle" -> q171Sql,

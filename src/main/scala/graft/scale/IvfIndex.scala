@@ -201,7 +201,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * (single-operator maintenance op, as documented on [[append]]'s
     * same-centroids contract). */
   def rebuild(spark: SparkSession, path: String, newCentroids: DataFrame,
-      centroidCount: Option[Long] = None): Unit = {
+      centroidCount: Option[Long] = None,
+      abortIf: () => Option[String] = () => None): Boolean = {
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val target = fs.makeQualified(new Path(path))
     val tmp = new Path(target.getParent, target.getName + ".__rebuild")
@@ -239,6 +240,19 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     vacuum(fs, tmp) // meta-less residue of a crashed build
     build(corpus(spark, target.toString), newCentroids, tmp.toString,
       centroidCount)
+    // last-instant guard before the swap ([[Maintenance.compactInPlace]]'s
+    // abortIf contract): the build above is the multi-second window a
+    // caller's precondition — e.g. the streaming twin's pin check —
+    // can go stale in; a Some(reason) abort discards the built temp
+    // and leaves the live index untouched. Returns true iff published.
+    abortIf() match {
+      case Some(reason) =>
+        logWarning(s"ivf-index: aborting rebuild at $path after build " +
+          s"— $reason")
+        vacuum(fs, tmp)
+        return false
+      case None =>
+    }
     if (!fs.rename(target, retired))
       throw new java.io.IOException(s"ivf-index: failed to retire $target")
     if (!fs.rename(tmp, target)) {
@@ -246,6 +260,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       throw new java.io.IOException(s"ivf-index: failed to publish $tmp")
     }
     fs.delete(retired, true)
+    true
   }
 
   /** Delete-or-throw: a vacuum whose failure would corrupt a later

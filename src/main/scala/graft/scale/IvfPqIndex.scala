@@ -182,6 +182,95 @@ object IvfPqIndex {
     compactionStats(spark, path)
       .needsCompaction(maxFilesPerBucket, maxCdcFraction)
 
+  /** CODE-LEVEL COMPACTION — the fold this layout was missing: the
+    * family scaladoc said "the history vacuum is the next [[build]]
+    * from source", but the source embeddings are exactly what a PQ
+    * index exists to NOT keep, so an operator without them had no fold
+    * at all — append-file decay and CDC residue grew forever. The
+    * codes ARE stored, and the current generation is fully determined
+    * without any re-encode: (main code rows ∖ revised ids) ∪ each
+    * revised id's current-rev code row ∖ tombstones. Fold it
+    * physically into `destDir` as a fresh epoch-0 layout: one code
+    * file per cluster (the build geometry restored), empty CDC trees
+    * (reset even on a recycled destDir — the [[LshIndex.compactTo]]
+    * inherited-state rule), codebooks copied (codes are meaningless
+    * under any others), `_pq_meta.json` carried verbatim (the
+    * reconstruction-error baseline derives from raw vectors at build
+    * time; a physical fold does not change the codebooks, so the
+    * baseline stays the right denominator), and a fresh generation
+    * stamp (a serving handle over the old directory must refuse, not
+    * FNF-loop). Composes with [[Maintenance.compactInPlace]] /
+    * [[Maintenance.maybeCompact]] exactly like every other layout's
+    * copy-compaction verb; the streaming twin operates it pin-aware
+    * ([[graft.streaming.IncrementalVectors.pqAppendBatchMaintained]]).
+    * As with every fold: this IS the history vacuum — as-of epochs
+    * re-base to 0; emit [[emitChangeFeed]] first if history consumers
+    * need the deltas. Re-CLUSTERING (new centroids/codebooks) remains
+    * [[build]]-from-source — this verb never re-homes a row. */
+  def compactTo(spark: SparkSession, dir: String, destDir: String): Unit = {
+    // types fully qualified: the object's sql.types import sits later
+    // in the file (scoped to the CDC schemas)
+    import org.apache.spark.sql.types.{ArrayType => AT, LongType => LT,
+      StructField => SF, StructType => ST}
+    val mainSchema = ST(Seq(SF("vec_id", LT), SF("codes", AT(LT)),
+      SF("cluster_id", LT)))
+    val cents = spark.read.parquet(s"$dir/_pq_codebooks").localCheckpoint()
+    val dead = tombstones(spark, dir).localCheckpoint()
+    val reg = currentRevs(spark, dir).localCheckpoint()
+    val main = spark.read.schema(mainSchema).parquet(dir)
+      .select(col("vec_id"), col("codes"),
+        col("cluster_id").cast("long").as("cluster_id"))
+      .join(IndexIo.maybeBroadcast(reg.select(col("vec_id"))),
+        Seq("vec_id"), "left_anti")
+    val revised = revRows(spark, dir)
+      .join(IndexIo.maybeBroadcast(reg), Seq("vec_id"))
+      .filter(col("rev") === col("cur_rev"))
+      .select(col("vec_id"), col("codes"),
+        col("cluster_id").cast("long").as("cluster_id"))
+    val current = main.unionByName(revised)
+      .join(dead, Seq("vec_id"), "left_anti")
+      .localCheckpoint()
+    current.repartition(col("cluster_id"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.partitionBy("cluster_id").mode("overwrite").parquet(destDir)
+    // every survivor re-bases to epoch 0 — the fold is the vacuum
+    current.select(col("vec_id"), lit(0L).as("e"), col("cluster_id"))
+      .write.mode("overwrite").parquet(s"$destDir/_pq_docs")
+    cents.write.mode("overwrite").parquet(s"$destDir/_pq_codebooks")
+    IndexIo.emptyFrame(spark, revRowSchema)
+      .write.mode("overwrite").parquet(s"$destDir/_pq_rev_rows")
+    IndexIo.emptyFrame(spark, revRegSchema)
+      .write.mode("overwrite").parquet(s"$destDir/_pq_rev")
+    IndexIo.emptyFrame(spark, tombEpochSchema)
+      .write.mode("overwrite").parquet(s"$destDir/_pq_tombstones")
+    copyMetaVerbatim(spark, dir, destDir)
+    IndexIo.stampGeneration(spark, destDir)
+  }
+
+  /** Carry `_pq_meta.json` across a fold byte-for-byte (temp+rename).
+    * Absent meta (legacy index) stays absent — drift degrades to NaN,
+    * never throws. */
+  private def copyMetaVerbatim(spark: SparkSession, dir: String,
+      destDir: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(dir, "_pq_meta.json")
+    val fs = src.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(src)) return
+    val in = fs.open(src)
+    val body = try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    val tmp = new org.apache.hadoop.fs.Path(destDir,
+      s"._pq_meta.${java.util.UUID.randomUUID()}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(body) finally out.close()
+    val target = new org.apache.hadoop.fs.Path(destDir, "_pq_meta.json")
+    fs.delete(target, false)
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"pq-index: failed to carry meta to $target")
+    }
+  }
+
   /** Incrementally add vectors to an EXISTING code index — the growth
     * path at 100 TB, where corpus lands continuously and re-encoding
     * the world per batch would re-shuffle everything ever ingested:

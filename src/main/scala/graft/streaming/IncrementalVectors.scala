@@ -63,8 +63,18 @@ object IncrementalVectors extends org.apache.spark.internal.Logging {
       // run still reading this index's history — never vacuum under it
       val pins = graft.scale.Maintenance.pinnedEpochs(spark, indexDir)
       if (pins.isEmpty)
+        // re-check at the last instant before the swap: a pin
+        // registered while the rebuild BUILDS (a multi-second window)
+        // must not be silently consumed — the same abortIf contract
+        // Maintenance.maybeCompact carries (round-17 advisor, applied
+        // to this twin's rebuild fold too)
         graft.scale.IvfIndex.rebuild(spark, indexDir, centroids,
-          centroidCount)
+          centroidCount, abortIf = () => {
+            val late = graft.scale.Maintenance.pinnedEpochs(spark, indexDir)
+            if (late.isEmpty) None
+            else Some(s"pins ${late.map { case (r, e) => s"$r@e=$e" }
+              .mkString(", ")} registered during the rebuild build")
+          })
       else feedDir match {
         case Some(fd) =>
           graft.scale.IvfIndex.emitChangeFeed(spark, indexDir, fd)
@@ -137,14 +147,46 @@ object IncrementalVectors extends org.apache.spark.internal.Logging {
     graft.scale.IvfPqIndex.appendIdempotent(batch, centroids, indexDir,
       centroidCount)
 
+  /** [[pqAppendBatch]] with MAINTENANCE operated — the compressed
+    * layout's fold is the round-18 [[graft.scale.IvfPqIndex
+    * .compactTo]] (a CODE-LEVEL fold: no raw vectors, no re-encode),
+    * run through [[graft.scale.Maintenance.maybeCompact]] like every
+    * other maintained twin: every `every`-th epoch consult the
+    * geometry probe and fold in place, pin-aware (a live
+    * [[graft.scale.SnapshotManifest]] pin blocks the fold, or
+    * `feedDir` emits [[graft.scale.IvfPqIndex.emitChangeFeed]] first
+    * and the fold proceeds — the feed-restore bridge). The fold
+    * carries compactInPlace's last-instant pin re-check, so a pin
+    * registered during the fold build aborts the swap. */
+  def pqAppendBatchMaintained(indexDir: String, centroids: DataFrame,
+      centroidCount: Option[Long] = None, compactEvery: Long = 8L,
+      feedDir: Option[String] = None)(
+      batch: DataFrame, epochId: Long): Unit = {
+    val spark = batch.sparkSession
+    graft.scale.Maintenance.healSwap(spark, indexDir)
+    pqAppendBatch(indexDir, centroids, centroidCount)(batch, epochId)
+    graft.scale.Maintenance.maybeCompact(spark, indexDir, epochId,
+      compactEvery,
+      graft.scale.IvfPqIndex.needsCompaction(spark, indexDir),
+      graft.scale.IvfPqIndex.compactTo(spark, _, _),
+      emitFeedFirst = feedDir.map(fd =>
+        () => graft.scale.IvfPqIndex.emitChangeFeed(spark, indexDir, fd)))
+  }
+
   /** Run the PQ ingest loop over a streaming (vec_id, embedding)
     * source; `indexDir` must hold a built [[graft.scale.IvfPqIndex]]
-    * under `centroids`. */
+    * under `centroids`. `compactEvery` > 0 runs the maintained body. */
   def runPq(rows: DataFrame, indexDir: String, centroids: DataFrame,
       checkpoint: String,
-      centroidCount: Option[Long] = None): StreamingQuery =
+      centroidCount: Option[Long] = None,
+      compactEvery: Long = 0L,
+      feedDir: Option[String] = None): StreamingQuery =
     rows.writeStream
-      .foreachBatch(pqAppendBatch(indexDir, centroids, centroidCount) _)
+      .foreachBatch(
+        if (compactEvery > 0L)
+          pqAppendBatchMaintained(indexDir, centroids, centroidCount,
+            compactEvery, feedDir) _
+        else pqAppendBatch(indexDir, centroids, centroidCount) _)
       .option("checkpointLocation", checkpoint)
       .start()
 

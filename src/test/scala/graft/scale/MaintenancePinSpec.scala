@@ -182,6 +182,35 @@ class MaintenancePinSpec extends AnyFunSuite {
       "released pin must let the rebuild fold run (re-base to 0)")
   }
 
+  test("rebuild abortIf: a failed last-instant check discards the " +
+      "built fold and leaves the live index untouched") {
+    def emb = spark.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.strideCentroids(emb, stride = 1500)
+      .localCheckpoint()
+    val dir = tmp("graft-rebuild-abort") + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 200), cents, dir)
+    IvfIndex.append(emb.filter(col("vec_id") >= 200 &&
+      col("vec_id") < 250), cents, dir)                    // epoch 1
+    val ce = IvfIndex.committedEpoch(spark, dir)
+    val pre = IvfIndex.topK(spark, dir,
+        emb.filter(col("vec_id") < 3), cents, k = 5)
+      .collect().toSeq
+    val published = IvfIndex.rebuild(spark, dir, cents,
+      abortIf = () => Some("pin landed during the build (staged)"))
+    assert(!published, "abortIf must stop the publish")
+    assert(IvfIndex.committedEpoch(spark, dir) == ce,
+      "aborted rebuild must not vacuum the history")
+    assert(IvfIndex.topK(spark, dir, emb.filter(col("vec_id") < 3),
+      cents, k = 5).collect().toSeq == pre)
+    val residue = new org.apache.hadoop.fs.Path(dir + ".__rebuild")
+    assert(!residue.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(residue), "aborted rebuild leaked its temp build")
+    // and the clean path still publishes
+    assert(IvfIndex.rebuild(spark, dir, cents))
+    assert(IvfIndex.committedEpoch(spark, dir) == 0L)
+  }
+
   test("IVF twin: feedDir bridges a pinned rebuild — feed out first, " +
       "then fold (round-17 advisor: the twin lacked the escape hatch)") {
     def emb = spark.read.parquet(s"$d/embeddings.parquet")
