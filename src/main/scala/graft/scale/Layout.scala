@@ -130,7 +130,7 @@ object Layout {
     * within files (row-group pruning). One shuffle, on the bucket
     * id. */
   def writeZOrderedK(df: DataFrame, keys: Seq[Column], path: String,
-      bucketWidth: Long = 4096L, bits: Int = 8): Unit =
+      bucketWidth: Long = 4096L, bits: Int = 8): Unit = {
     df.withColumn("z", zValueK(keys, bits))
       .withColumn("z_bucket", expr(s"z div ${bucketWidth}L"))
       .repartition(col("z_bucket"))
@@ -142,6 +142,10 @@ object Layout {
       // (ZOrderSpec pins per-file sortedness)
       .sortWithinPartitions(col("z_bucket"), col("z"))
       .write.partitionBy("z_bucket").mode("overwrite").parquet(path)
+    // the overwrite replaced every file a pre-existing handle listed:
+    // new generation, so stale handles refuse instead of FNF-looping
+    IndexIo.stampGeneration(df.sparkSession, path)
+  }
 
   /** 2-D write — [[writeZOrderedK]] at k = 2. */
   def writeZOrdered(df: DataFrame, x: Column, y: Column, path: String,
@@ -444,8 +448,11 @@ object Layout {
     * plain read (zero overhead — the probes are file-existence
     * checks). */
   def readCurrent(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String): DataFrame = {
-    val main = spark.read.parquet(path)
+      idCol: String): DataFrame =
+    serveCurrent(spark, spark.read.parquet(path), path, idCol)
+
+  private def serveCurrent(spark: org.apache.spark.sql.SparkSession,
+      main: DataFrame, path: String, idCol: String): DataFrame = {
     val served =
       if (!IndexIo.exists(spark, s"$path/_z_rev")) main
       else {
@@ -498,12 +505,16 @@ object Layout {
     * history vacuum (the destination carries no epoch state — every
     * surviving row re-bases to epoch 0). */
   def readCurrentAsOf(spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String, asOf: Long): DataFrame = {
+      path: String, idCol: String, asOf: Long): DataFrame =
+    serveCurrentAsOf(spark, spark.read.parquet(path), path, idCol, asOf)
+
+  private def serveCurrentAsOf(spark: org.apache.spark.sql.SparkSession,
+      main: DataFrame, path: String, idCol: String,
+      asOf: Long): DataFrame = {
     val ce = committedEpoch(spark, path, idCol)
     require(asOf >= 0L && asOf <= ce,
       s"as-of epoch $asOf outside the committed history [0, $ce]" +
         (if (ce < 0L) " — cold layout, nothing committed" else ""))
-    val main = spark.read.parquet(path)
     // one row per id before the LEFT join (the registry is 1:1 by the
     // append anti-join; min(e) keeps the join duplicate-proof even
     // against healed-tear file duplication)
@@ -694,5 +705,50 @@ object Layout {
       val fs = sp.getFileSystem(conf)
       if (fs.exists(sp)) fs.delete(sp, true)
     }
+    // the fold output is a NEW generation (see IndexIo.stampGeneration)
+    IndexIo.stampGeneration(spark, destPath)
+  }
+
+  /** The GENERATION-CHECKED serving handle for the z layout — the
+    * [[IvfIndex.Handle]] contract on the third CorpusProportional
+    * family ([[LayoutContract]]'s rule: data-proportional dirs need a
+    * handle at scale — this layout's z_bucket count grows with the
+    * table, so a per-read `spark.read.parquet` pays a listing that
+    * grows with it). Open once; serve box reads by composing
+    * [[boxScanTightK]] over [[readCurrentWith]]/[[readCurrentAsOfWith]]
+    * — partition pruning binds at planning time against the cached
+    * listing, and the CDC side tables (flat dirs, O(1) listings) are
+    * read fresh per serve. Probes refuse with
+    * [[StaleHandleException]] after a [[writeZOrderedK]] overwrite or
+    * a compaction fold replaced the directory; appends do NOT bump the
+    * generation (the handle serves exactly its listing's rows — the
+    * documented listing-snapshot semantic). */
+  final case class Handle(relation: DataFrame, path: String,
+      generation: Option[String])
+
+  def openHandle(spark: org.apache.spark.sql.SparkSession,
+      path: String): Handle =
+    Handle(spark.read.parquet(path), path,
+      IndexIo.generation(spark, path))
+
+  def reopen(spark: org.apache.spark.sql.SparkSession,
+      handle: Handle): Handle = openHandle(spark, handle.path)
+
+  def isStale(spark: org.apache.spark.sql.SparkSession,
+      handle: Handle): Boolean =
+    IndexIo.generation(spark, handle.path) != handle.generation
+
+  /** [[readCurrent]] through the generation-checked [[Handle]]. */
+  def readCurrentWith(spark: org.apache.spark.sql.SparkSession,
+      handle: Handle, idCol: String): DataFrame = {
+    IndexIo.requireFresh(spark, handle.path, handle.generation)
+    serveCurrent(spark, handle.relation, handle.path, idCol)
+  }
+
+  /** [[readCurrentAsOf]] through the generation-checked [[Handle]]. */
+  def readCurrentAsOfWith(spark: org.apache.spark.sql.SparkSession,
+      handle: Handle, idCol: String, asOf: Long): DataFrame = {
+    IndexIo.requireFresh(spark, handle.path, handle.generation)
+    serveCurrentAsOf(spark, handle.relation, handle.path, idCol, asOf)
   }
 }

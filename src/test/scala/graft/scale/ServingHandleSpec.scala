@@ -194,6 +194,60 @@ class ServingHandleSpec extends AnyFunSuite {
       nProbe = 3).count() > 0L)
   }
 
+  test("z-layout handle: serves ≡ path reads through CDC, refuses " +
+      "after a fold, reopen recovers (third CorpusProportional family)") {
+    val ev = graft.Tables.events(spark, d)
+      .select(col("event_id"),
+        pmod(col("user_id"), lit(256L)).as("xb"),
+        pmod(col("event_id"), lit(256L)).as("yb"))
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-z-handle").toString + "/layout"
+    Layout.writeZOrdered(ev, col("xb"), col("yb"), dir)
+    val h = Layout.openHandle(spark, dir)
+    assert(h.generation.nonEmpty, "writeZOrdered must stamp a generation")
+    def viaPath() = Layout.boxScanTight(
+        Layout.readCurrent(spark, dir, "event_id"), 16, 31, 32, 63)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .as[Long].collect().toSeq
+    def viaHandle() = Layout.boxScanTight(
+        Layout.readCurrentWith(spark, h, "event_id"), 16, 31, 32, 63)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .as[Long].collect().toSeq
+    assert(viaHandle() == viaPath(), "z handle diverged on the built layout")
+    // CDC verbs mutate side tables only — the handle keeps serving
+    val victim = viaPath().headOption.getOrElse(0L)
+    Layout.deleteZOrdered(Seq(victim).toDF("event_id"), "event_id", dir)
+    assert(!Layout.isStale(spark, h),
+      "a delete must not bump the generation")
+    assert(viaHandle() == viaPath(),
+      "z handle diverged after a delete — tombstones must bind fresh")
+    // the as-of twin serves history identically through the handle
+    val asOfH = Layout.boxScanTight(
+        Layout.readCurrentAsOfWith(spark, h, "event_id", asOf = 0L),
+        16, 31, 32, 63)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .as[Long].collect().toSeq
+    val asOfP = Layout.boxScanTight(
+        Layout.readCurrentAsOf(spark, dir, "event_id", asOf = 0L),
+        16, 31, 32, 63)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .as[Long].collect().toSeq
+    assert(asOfH == asOfP, "z as-of handle diverged from the path read")
+    // a compaction fold replaces the directory: refuse, reopen, serve
+    Maintenance.compactInPlace(spark, dir,
+      Layout.compactZOrderedTo(spark, _, _,
+        foldRevisionsBy = Some("event_id")))
+    assert(Layout.isStale(spark, h), "fold must move the generation")
+    intercept[StaleHandleException] { viaHandle() }
+    val h1 = Layout.reopen(spark, h)
+    assert(Layout.boxScanTight(
+        Layout.readCurrentWith(spark, h1, "event_id"), 16, 31, 32, 63)
+      .select(col("event_id")).orderBy(col("event_id"))
+      .as[Long].collect().toSeq == viaPath(),
+      "reopened z handle must serve the folded layout ≡ path read")
+  }
+
   test("appends do NOT invalidate the handle — listing-snapshot " +
       "semantics are generation-stable") {
     val cents = Similarity.strideCentroids(emb, stride = 50)
