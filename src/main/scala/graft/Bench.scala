@@ -195,11 +195,14 @@ object Bench {
     catch { case _: Throwable => Double.NaN }
 
   /** Whole-machine busy jiffies (user+nice+system+irq+softirq+steal)
-    * from /proc/stat's aggregate cpu line; -1 where unavailable. */
+    * from /proc/stat's aggregate cpu line; -1 where unavailable.
+    * Files.readString (not scala.io.Source) so the descriptor closes
+    * with the call — this samples twice per suite plus once per canary,
+    * and a leaked handle per sample accumulates for the JVM's life. */
   private[graft] def machineBusyJiffies(): Long =
     try {
-      val cols = scala.io.Source.fromFile("/proc/stat").getLines()
-        .next().trim.split("\\s+")
+      val cols = Files.readString(Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")
       // cpu user nice system idle iowait irq softirq steal ...
       Seq(1, 2, 3, 6, 7, 8).map(i =>
         if (i < cols.length) cols(i).toLong else 0L).sum

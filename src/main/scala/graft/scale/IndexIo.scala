@@ -84,12 +84,37 @@ object IndexIo {
   }
 
   /** The per-probe check: refuse (typed, actionable) when the layout
-    * moved past the generation the handle opened at. */
+    * moved past the generation the handle opened at.
+    *
+    * RESIDUAL RACE (round-18 advisor): this check runs EAGERLY at the
+    * serving call, but the DataFrame it guards is lazy and a serve
+    * spans multiple jobs — a fold landing between the check and the
+    * action (or mid-action) still surfaces as a raw task-side
+    * FileNotFound, so the refusal contract is best-effort at call
+    * time, not a guarantee over the serve's whole lifetime. The
+    * prescribed composition closes it: run the WHOLE check-then-act
+    * block under [[servingRead]] — the retry re-enters the serving
+    * call, whose fresh check converts the mid-serve fold into the
+    * typed [[StaleHandleException]] (which the retry deliberately does
+    * NOT swallow), while a transient swap-window FNF (the instant
+    * between a fold's two renames, generations unchanged) heals
+    * silently as before. ServingHandleSpec pins the conversion. */
   def requireFresh(spark: SparkSession, dir: String,
       opened: Option[String]): Unit = {
     val cur = generation(spark, dir)
     if (cur != opened) throw new StaleHandleException(dir, opened, cur)
   }
+
+  /** The handle-serving composition made mechanical: evaluate the
+    * serving call AND its action (`IvfIndex.topKWith(…).count()`,
+    * `Layout.readCurrentWith(…).collect()`, …) inside this block.
+    * FNF-rooted failures retry via [[Maintenance.withReaderRetry]];
+    * on the retry the serving call's own [[requireFresh]] re-runs, so
+    * a fold that landed mid-serve surfaces as [[StaleHandleException]]
+    * (permanent — reopen is the recovery; never retried) instead of an
+    * unhealed FileNotFound. */
+  def servingRead[T](action: => T): T =
+    Maintenance.withReaderRetry()(action)
 
   /** File-geometry snapshot of a bucketed layout — the shared
     * compaction-need probe (round-14 verdict item 9): every serving

@@ -902,7 +902,12 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     * Recovery is mechanical: catch, [[reopen]], re-probe. Appended
     * epochs do NOT bump the generation — the handle stays readable and
     * serves exactly the history its listing saw (the documented
-    * listing-snapshot semantic); reopen to see new rows. */
+    * listing-snapshot semantic); reopen to see new rows. The check
+    * fires at serving-call time; a fold landing MID-serve (after the
+    * check, before/during the action) is the documented residual race
+    * — compose the serve+action with [[IndexIo.servingRead]] so the
+    * retry's fresh check converts it to the typed refusal (see
+    * [[IndexIo.requireFresh]]). */
   final case class Handle(relation: DataFrame, path: String,
       generation: Option[String])
 

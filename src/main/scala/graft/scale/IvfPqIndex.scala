@@ -698,7 +698,10 @@ object IvfPqIndex {
   /** The generation-checked handle — [[IvfIndex.Handle]]'s contract on
     * the compressed layout: probes refuse with
     * [[StaleHandleException]] after a [[build]] replaced the
-    * directory, never FNF-loop. */
+    * directory instead of FNF-looping. The check fires at serving-call
+    * time; a fold landing mid-serve is the documented residual race —
+    * compose the serve with [[IndexIo.servingRead]] to convert it to
+    * the typed refusal (see [[IndexIo.requireFresh]]). */
   final case class Handle(relation: DataFrame, path: String,
       generation: Option[String])
 

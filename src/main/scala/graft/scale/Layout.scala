@@ -722,7 +722,10 @@ object Layout {
     * [[StaleHandleException]] after a [[writeZOrderedK]] overwrite or
     * a compaction fold replaced the directory; appends do NOT bump the
     * generation (the handle serves exactly its listing's rows — the
-    * documented listing-snapshot semantic). */
+    * documented listing-snapshot semantic). The check fires at
+    * serving-call time; compose the serve+action with
+    * [[IndexIo.servingRead]] to convert a fold landing MID-serve into
+    * the typed refusal too (see [[IndexIo.requireFresh]]). */
   final case class Handle(relation: DataFrame, path: String,
       generation: Option[String])
 

@@ -129,7 +129,21 @@ object Maintenance extends org.apache.spark.internal.Logging {
           case st: org.apache.spark.SparkThrowable =>
             val cond = Option(st.getCondition).getOrElse("")
             if (cond.startsWith("PATH_NOT_FOUND")) return true
-            // a DIFFERENT declared condition is authoritative: not ours
+            // a DIFFERENT declared condition is authoritative: not
+            // ours. But a SparkThrowable with NO declared condition
+            // (a legacy SparkException wrapping a task-side
+            // FileNotFound whose remote exception failed to
+            // deserialize — the detail survives only in the message)
+            // must fall back to the substring heuristic, or the retry
+            // stops healing exactly the transient read/fold races it
+            // exists for (round-18 advisor).
+            if (cond.isEmpty) {
+              val msg = Option(st.asInstanceOf[Throwable].getMessage)
+                .getOrElse("")
+              if (msg.contains("does not exist") ||
+                  msg.contains("No such file") ||
+                  msg.contains("FileNotFound")) return true
+            }
           case other =>
             val name = other.getClass.getName
             val msg = Option(other.getMessage).getOrElse("")
@@ -164,10 +178,30 @@ object Maintenance extends org.apache.spark.internal.Logging {
     * building would otherwise be silently vacuumed by a pin check that
     * ran only once, before the build. A `Some(reason)` abort discards
     * the built temp dir and leaves the live layout untouched; returns
-    * true iff the fold published. */
+    * true iff the fold published.
+    *
+    * PUBLISH VERIFICATION (round-18 advisor): a register whose
+    * `mkdirs` recreates the layout dir in the instant BETWEEN the
+    * retire and publish renames defeats `abortIf` (pins come from
+    * other processes), and Hadoop local-FS/HDFS `rename` onto an
+    * existing directory moves the source INSIDE it and still returns
+    * true — so an unverified swap would nest the fold one level down
+    * and the post-publish vacuum would delete the only complete
+    * layout. The publish is therefore verified: the fold's
+    * `_generation` marker (always stamped below, before the renames)
+    * must be a DIRECT child of the target and the temp dir's name must
+    * not appear under it. A failed verification unwinds to the same
+    * abort shape as a pin landing during the build — the fold is
+    * discarded, the pre-fold layout restored, and any pin markers the
+    * racing register wrote are preserved into the restored layout —
+    * because that is exactly what the race IS: a pin landing
+    * mid-fold. MaintenancePinSpec drives this window via
+    * `betweenRenames` (a test seam; production callers leave the
+    * default no-op). */
   def compactInPlace(spark: SparkSession, dir: String,
       compactTo: (String, String) => Unit,
-      abortIf: () => Option[String] = () => None): Boolean = {
+      abortIf: () => Option[String] = () => None,
+      betweenRenames: () => Unit = () => ()): Boolean = {
     healSwap(spark, dir)
     val target = new Path(dir)
     val f = fs(spark, target)
@@ -190,7 +224,36 @@ object Maintenance extends org.apache.spark.internal.Logging {
     }
     if (!f.rename(target, retired))
       throw new java.io.IOException(s"maintenance: failed to retire $target")
-    if (!f.rename(tmp, target)) {
+    betweenRenames()
+    val publishOk = f.rename(tmp, target)
+    val nested = new Path(target, tmp.getName)
+    val misPublished = publishOk &&
+      (f.exists(nested) || !f.exists(new Path(target, "_generation")))
+    if (misPublished || (!publishOk && f.exists(target))) {
+      // the layout dir was recreated between the renames — a
+      // concurrent pin registration; unwind to the abort shape
+      if (f.exists(nested) && !f.rename(nested, tmp))
+        throw new java.io.IOException(
+          s"maintenance: failed to un-nest mis-published fold $nested")
+      val pinsInTarget = new Path(target, "_pins")
+      if (f.exists(pinsInTarget)) {
+        val pinsInRetired = new Path(retired, "_pins")
+        f.mkdirs(pinsInRetired)
+        f.listStatus(pinsInTarget).foreach(st =>
+          f.rename(st.getPath, new Path(pinsInRetired, st.getPath.getName)))
+      }
+      vacuum(spark, target)
+      if (!f.rename(retired, target))
+        throw new java.io.IOException(
+          s"maintenance: failed to restore $retired after mis-publish")
+      vacuum(spark, tmp)
+      logWarning(s"maintenance: aborted fold at $dir — the layout dir " +
+        "was recreated (a concurrent pin registration) between the " +
+        "retire and publish renames; restored the pre-fold layout with " +
+        "the new pin markers preserved")
+      return false
+    }
+    if (!publishOk) {
       f.rename(retired, target) // roll back; the old layout stays live
       throw new java.io.IOException(s"maintenance: failed to publish $tmp")
     }

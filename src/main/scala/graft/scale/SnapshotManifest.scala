@@ -64,15 +64,22 @@ object SnapshotManifest {
     * atomically; no un-pinned window), falling back to delete+rename
     * only on filesystems that refuse an existing destination.
     *
-    * RACE CONTRACT: register must not race an IN-FLIGHT fold of the
-    * same layout ([[Maintenance.compactInPlace]]'s retire→publish
-    * swap) — the mkdirs here can recreate the layout dir between the
-    * fold's two renames and break its publish. The fold gate itself is
-    * safe (maybeCompact re-checks `_pins/` immediately before the
-    * retire rename and aborts if a pin landed during the fold build),
-    * but the registering process must serialize registration with its
-    * own maintenance loop — in the single-writer twins the register
-    * happens between micro-batches, never inside one. */
+    * RACE CONTRACT: a register CAN race an in-flight fold of the same
+    * layout ([[Maintenance.compactInPlace]]'s retire→publish swap) —
+    * the mkdirs here may recreate the layout dir between the fold's
+    * two renames, which on local FS/HDFS nests the publish rename
+    * INSIDE the recreated dir. Both windows are closed mechanically on
+    * the fold's side: maybeCompact re-checks `_pins/` immediately
+    * before the retire rename (a pin landing during the build aborts),
+    * and compactInPlace VERIFIES the publish landed at the target (its
+    * `_generation` a direct child, no nested temp dir) — a mis-publish
+    * unwinds to the abort shape with this register's markers preserved
+    * into the restored layout (round-18 advisor). Registering
+    * processes should still serialize registration with their own
+    * maintenance loop (in the single-writer twins the register happens
+    * between micro-batches, never inside one); the verification is the
+    * backstop for pins from OTHER processes, which no in-process gate
+    * can see. */
   def register(spark: SparkSession, pins: Seq[Pin],
       runName: String): Unit = {
     require(runName.nonEmpty && !runName.exists(c => c == '/' || c == '.'),

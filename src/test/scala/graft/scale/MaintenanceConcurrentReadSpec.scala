@@ -82,4 +82,55 @@ class MaintenanceConcurrentReadSpec extends AnyFunSuite {
       s"$mismatches reads saw a state that is neither old nor new — " +
         "the swap published a torn layout")
   }
+
+  test("withReaderRetry heals a condition-less SparkException whose " +
+      "FileNotFound detail survives only in the message (round-18 " +
+      "advisor: remote exceptions that fail to deserialize keep no " +
+      "cause chain and declare no error condition)") {
+    var calls = 0
+    val got = Maintenance.withReaderRetry(attempts = 3, backoffMs = 1L) {
+      calls += 1
+      if (calls == 1)
+        throw new org.apache.spark.SparkException(
+          "Job aborted due to stage failure: File " +
+            "file:/tmp/idx/cluster_id=3/part-0.parquet does not exist. " +
+            "It is possible the underlying files have been updated.")
+      42
+    }
+    assert(got == 42 && calls == 2,
+      s"message-only FNF in a condition-less SparkThrowable must retry " +
+        s"(calls=$calls)")
+  }
+
+  test("a SparkThrowable with a DIFFERENT declared condition is " +
+      "authoritative — never retried, even when its message says " +
+      "'does not exist'") {
+    var calls = 0
+    intercept[Exception] {
+      Maintenance.withReaderRetry(attempts = 3, backoffMs = 1L) {
+        calls += 1
+        throw new Exception("The table or view `t` does not exist")
+          with org.apache.spark.SparkThrowable {
+            override def getCondition: String = "TABLE_OR_VIEW_NOT_FOUND"
+          }
+      }
+    }
+    assert(calls == 1,
+      s"a declared non-path condition must not burn the retry budget " +
+        s"(calls=$calls)")
+  }
+
+  test("a declared PATH_NOT_FOUND condition retries regardless of message") {
+    var calls = 0
+    val got = Maintenance.withReaderRetry(attempts = 3, backoffMs = 1L) {
+      calls += 1
+      if (calls == 1)
+        throw new Exception("opaque")
+          with org.apache.spark.SparkThrowable {
+            override def getCondition: String = "PATH_NOT_FOUND"
+          }
+      7
+    }
+    assert(got == 7 && calls == 2)
+  }
 }

@@ -99,6 +99,44 @@ class MaintenancePinSpec extends AnyFunSuite {
     assert(BmIndex.committedEpoch(spark, dir) == 0L)
   }
 
+  test("a register whose mkdirs recreates the layout dir BETWEEN the " +
+      "retire and publish renames aborts the fold — never a nested " +
+      "mis-publish that vacuums the only complete copy (round-18 " +
+      "advisor)") {
+    val dir = tmp("graft-pin-nest")
+    BmIndex.build(corpusA, dir)                         // epoch 0
+    BmIndex.append(corpusB, dir)                        // epoch 1
+    val pins = SnapshotManifest.capture(spark, Seq(("lex", "bm", dir)))
+    val pre = probeAsOf(dir, 1L)
+    val published = Maintenance.compactInPlace(spark, dir,
+      BmIndex.compactTo(spark, _, _),
+      betweenRenames = () =>
+        // another PROCESS's register lands in the swap window: its
+        // mkdirs recreates the layout dir the retire rename just
+        // moved aside — the publish rename would nest INSIDE it
+        SnapshotManifest.register(spark, pins, "midswap"))
+    assert(!published,
+      "the mis-publish must be detected and unwind to the abort shape")
+    assert(BmIndex.committedEpoch(spark, dir) == 1L,
+      "aborted fold must restore the pre-fold history")
+    assert(probeAsOf(dir, 1L) == pre,
+      "pinned as-of read changed across the aborted swap")
+    assert(Maintenance.pinnedEpochs(spark, dir) == Seq(("midswap", 1L)),
+      "the racing pin's marker must survive into the restored layout")
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(".__compact", ".__retired").foreach { sfx =>
+      val p = new org.apache.hadoop.fs.Path(dir + sfx)
+      assert(!p.getFileSystem(conf).exists(p),
+        s"aborted swap leaked $sfx")
+    }
+    // release reopens the fold and a clean publish verifies through
+    SnapshotManifest.release(spark, pins, "midswap")
+    assert(Maintenance.compactInPlace(spark, dir,
+      BmIndex.compactTo(spark, _, _)))
+    assert(BmIndex.committedEpoch(spark, dir) == 0L)
+    assert(BmIndex.topK(spark, dir, qTerms, k = 15).count() > 0L)
+  }
+
   test("emitFeedFirst bridges the vacuum: feed-restore reproduces the pinned top-k") {
     val dir = tmp("graft-pin-bridge")
     BmIndex.build(corpusA, dir)                         // epoch 0

@@ -248,6 +248,39 @@ class ServingHandleSpec extends AnyFunSuite {
       "reopened z handle must serve the folded layout ≡ path read")
   }
 
+  test("servingRead converts a MID-serve fold into the typed refusal — " +
+      "never an unhealed FNF (round-18 advisor: requireFresh fires at " +
+      "call time but the serve is lazy)") {
+    val cents = Similarity.strideCentroids(emb, stride = 50)
+      .localCheckpoint()
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-midserve").toString + "/idx"
+    IvfIndex.build(emb.filter(col("vec_id") < 300), cents, dir)
+    val queries = emb.filter(col("vec_id") < 5).localCheckpoint()
+    val h = IvfIndex.openHandle(spark, dir)
+    // the residual race, staged deterministically: the serving call's
+    // generation check passes, THEN the fold replaces the directory
+    // before the action evaluates the lazy plan — the first attempt
+    // FNFs against the retired files, the retry re-enters the block,
+    // and the fresh check converts the failure to the typed refusal
+    var folded = false
+    val ex = intercept[StaleHandleException] {
+      IndexIo.servingRead {
+        val df = IvfIndex.topKWith(spark, h, queries, cents, k = 5,
+          nProbe = 3) // requireFresh passes on the first entry
+        if (!folded) { folded = true; IvfIndex.rebuild(spark, dir, cents) }
+        df.collect()
+      }
+    }
+    assert(ex.path == dir && ex.opened != ex.current)
+    // recovery is the usual reopen; the composed serve then succeeds
+    val h1 = IvfIndex.reopen(spark, h)
+    assert(IndexIo.servingRead {
+      IvfIndex.topKWith(spark, h1, queries, cents, k = 5, nProbe = 3)
+        .count()
+    } > 0L)
+  }
+
   test("appends do NOT invalidate the handle — listing-snapshot " +
       "semantics are generation-stable") {
     val cents = Similarity.strideCentroids(emb, stride = 50)
