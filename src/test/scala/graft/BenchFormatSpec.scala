@@ -255,6 +255,54 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(!Bench.loadAvg1().isNaN)
   }
 
+  test("stability verdict: the total-only line names the run of record " +
+      "(round-18 verdict item 3)") {
+    // the two same-day idle r18 artifacts: rerun_n 3/198 (clean) vs
+    // 16/198 (degraded) — the verdict must split them
+    assert(!Bench.isNoisy(3, 198))
+    assert(Bench.isNoisy(16, 198))
+    assert(!Bench.isNoisy(0, 0)) // empty run: no verdict, not noisy
+    val clean = Bench.formatTotalOnlyJson(all, "/sf", cpus = 32,
+      rerunN = 0)
+    val cj = JsonMethods.parse(clean)
+    assert((cj \ "rerun_n").extract[Int] == 0)
+    assert(!(cj \ "noisy").extract[Boolean])
+    val degraded = Bench.formatTotalOnlyJson(all, "/sf", cpus = 32,
+      rerunN = 2) // 2 of 3 entries re-ran
+    assert((JsonMethods.parse(degraded) \ "noisy").extract[Boolean])
+    // default (no rerun count supplied) keeps the legacy shape
+    val legacy = Bench.formatTotalOnlyJson(all, "/sf", cpus = 32)
+    assert((JsonMethods.parse(legacy) \ "noisy") == JNothing)
+    // the line stays O(1)-sized with every optional field present
+    val full = Bench.formatTotalOnlyJson(all, "/sf", 32,
+      canaryTotal = Some(42.1), extCores = Some(0.5), rerunN = 3)
+    assert(full.getBytes("UTF-8").length < 250)
+    assert(JsonMethods.parse(full) != JNothing)
+  }
+
+  test("scale-artifact inversion detector: flags x-low slower than " +
+      "x-high past both floors (round-18 verdict item 1)") {
+    // the r18 committed artifact's actual anomaly: ivf_append x10
+    // 8.16 s > x100 6.85 s (19%, 1.31 s absolute) — must flag
+    assert(BenchScale.inversions(Seq(
+      "ivf_append" -> Seq(1 -> 0.97, 10 -> 8.16, 100 -> 6.85)))
+      == Seq("ivf_append"))
+    // honest monotone series: clean
+    assert(BenchScale.inversions(Seq(
+      "ivf_build" -> Seq(1 -> 1.0, 10 -> 8.0, 100 -> 84.0))).isEmpty)
+    // flat probe with sub-second jitter downward: under the absolute
+    // floor — not an inversion
+    assert(BenchScale.inversions(Seq(
+      "lsh_probe" -> Seq(1 -> 0.50, 10 -> 0.39, 100 -> 0.45))).isEmpty)
+    // large but <15% dip: under the ratio floor
+    assert(BenchScale.inversions(Seq(
+      "bm_build" -> Seq(1 -> 1.0, 10 -> 10.0, 100 -> 9.1))).isEmpty)
+    // base (1x) slower than x10 counts too — the other r18 shape
+    assert(BenchScale.inversions(Seq(
+      "ivf_asof" -> Seq(1 -> 7.30, 10 -> 2.10, 100 -> 9.0)))
+      == Seq("ivf_asof"))
+  }
+
   test("a throwing rep is a Left, not a near-zero Right") {
     val r = Bench.time(() => throw new IllegalStateException("deliberate"))
     assert(r.isLeft)
