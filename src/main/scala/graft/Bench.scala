@@ -208,6 +208,50 @@ object Bench {
         if (i < cols.length) cols(i).toLong else 0L).sum
     } catch { case _: Throwable => -1L }
 
+  /** Whole-machine USER-SPACE jiffies (user+nice+steal) — the
+    * attribution variant for write-heavy windows: a 100×-corpus build
+    * drives multi-core KERNEL work (kworker writeback, FS journaling)
+    * that lands in system time, is caused by US, and yet counts as
+    * "external" under [[machineBusyJiffies]] because it runs outside
+    * this process — the r19 BenchScale run false-flagged its own big
+    * builds that way. Genuine contention (another JVM, a test suite,
+    * a spin hog) is user-space; kernel work on our behalf is not. */
+  private[graft] def machineUserJiffies(): Long =
+    try {
+      val cols = Files.readString(Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")
+      Seq(1, 2, 8).map(i =>
+        if (i < cols.length) cols(i).toLong else 0L).sum
+    } catch { case _: Throwable => -1L }
+
+  /** This process's cumulative user-mode jiffies (/proc/self/stat
+    * utime — the 12th field after the comm parenthetical); -1 where
+    * unavailable. */
+  private[graft] def jvmUserJiffies(): Long =
+    try {
+      val s = Files.readString(Paths.get("/proc/self/stat"))
+      s.substring(s.lastIndexOf(')') + 2).split(" ")(11).toLong
+    } catch { case _: Throwable => -1L }
+
+  private[graft] final case class UserLoadSample(machineUser: Long,
+      jvmUser: Long, wallNanos: Long)
+  private[graft] def userLoadSampleNow(): UserLoadSample =
+    UserLoadSample(machineUserJiffies(), jvmUserJiffies(),
+      System.nanoTime())
+
+  /** Average external USER-SPACE cores over the window — other
+    * processes' user time per wall second; immune to the kernel-I/O
+    * misattribution above. NaN when either probe is unavailable. */
+  private[graft] def externalUserCores(t0: UserLoadSample,
+      t1: UserLoadSample): Double = {
+    val wall = (t1.wallNanos - t0.wallNanos) / 1e9
+    if (wall <= 0 || t0.machineUser < 0L || t1.machineUser < 0L ||
+        t0.jvmUser < 0L || t1.jvmUser < 0L) Double.NaN
+    else math.max(0.0,
+      (t1.machineUser - t0.machineUser) -
+        (t1.jvmUser - t0.jvmUser)) / UserHz / wall
+  }
+
   /** This JVM's cumulative CPU nanos; -1 where unsupported. */
   private[graft] def jvmCpuNanos(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {

@@ -301,6 +301,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(BenchScale.inversions(Seq(
       "ivf_asof" -> Seq(1 -> 7.30, 10 -> 2.10, 100 -> 9.0)))
       == Seq("ivf_asof"))
+    // millisecond-unit series carry no verdict: the absolute floor is
+    // calibrated in seconds (gen_check_ms wobbling 1.7 -> 0.4 ms must
+    // not read as a half-second internal inconsistency)
+    assert(BenchScale.inversions(Seq(
+      "gen_check_ms" -> Seq(1 -> 1.663, 10 -> 0.371, 100 -> 0.361)))
+      .isEmpty)
   }
 
   test("a throwing rep is a Left, not a near-zero Right") {
