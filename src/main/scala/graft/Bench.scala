@@ -152,7 +152,12 @@ object Bench {
     "q192_",
     // round-18 rotation: the generation-checked serving handles and
     // the PQ code-level fold — appended, never reshuffled
-    "q193_", "q194_", "q195_")
+    "q193_", "q194_", "q195_",
+    // round-20 rotation (round-19 verdict item 3): q82/q17 read 2.6×/
+    // 2.9× in the r19 warm suite but were absent from the canary, so
+    // the 2-round-Lloyd and epoch-millis shapes had no fresh-JVM
+    // denominator to adjudicate against — appended, never reshuffled
+    "q17_", "q82_")
   private[graft] val CanaryReps = 5
 
   /** Total stop-the-world GC milliseconds so far in this JVM — the
@@ -422,7 +427,8 @@ object Bench {
       sfDir: String, cpus: Int = 0,
       canaryTotal: Option[Double] = None,
       extCores: Option[Double] = None,
-      rerunN: Int = -1): String = {
+      rerunN: Int = -1,
+      budget: Option[String] = None): String = {
     val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
       k -> v.collect { case Right(t) => t } }
     val nErr = all.count { case (_, v) => v.exists(_.isLeft) }
@@ -443,10 +449,54 @@ object Bench {
     // denominator — re-measure idle instead of comparing against it.
     val stability = if (rerunN < 0) "" else
       s""""rerun_n":$rerunN,"noisy":${isNoisy(rerunN, all.length)},"""
+    // budget degradations ride the driver-parsed line too: a reduced
+    // artifact must name itself (round-19 verdict item 1)
+    val budgetField = budget.fold("")(b => s""""budget":$b,""")
     s"""{"metric":"total","value":${num(total)},"unit":"sec",""" +
       s""""n":${all.length},"errors":$nErr,"cpus":$cpus,""" +
-      s"""$canaryField$loadField$stability"sf":${jsonStr(sfDir)}}"""
+      s"""$canaryField$loadField$stability$budgetField""" +
+      s""""sf":${jsonStr(sfDir)}}"""
   }
+
+  /** BUDGET-AWARE PHASES (round-19 verdict item 1): `BENCH_r19.json`
+    * was `rc:124, parsed:null` — the unconditional target-SF warm pass
+    * plus the 5-rep canary pushed the driver's sbt invocation past its
+    * wall-clock window (r18 cleared it at 43:58; r19 was killed
+    * mid-suite ~60 min in), and a killed run left NO parseable record.
+    * Two mechanisms close both failure modes:
+    *  - a soft budget (`SPARK_GRAFT_BUDGET_MIN`, default
+    *    [[DefaultBudgetMin]]) degrades the run instead of overrunning:
+    *    timed entries drop to 1 rep when under [[ReducedRepsFrac]] of
+    *    the budget remains, the end-of-suite idle re-check is skipped
+    *    under [[LateRecheckFrac]], the target-SF warm pass stops
+    *    warming under [[WarmStopFrac]] (a first-touch build inside a
+    *    timed rep is then flagged by the spread machinery — degraded
+    *    but honest), and the dump scans shrink to 1 rep / are skipped
+    *    at the lowest rungs. Every degradation is RECORDED on the
+    *    total-only line (`"budget"` object) so a reduced artifact
+    *    names itself.
+    *  - INCREMENTAL EMISSION: a one-line partial-totals record prints
+    *    after every timed entry (and every 10 warm entries) and
+    *    appends to `target/bench_progress.jsonl`, so even a
+    *    hard-killed run leaves the driver's bounded tail holding one
+    *    complete JSON document with `"partial":true`, the phase, and
+    *    the running total — `parsed:null` is structurally impossible
+    *    past the first warm checkpoint. */
+  private[graft] val DefaultBudgetMin = 50.0
+  private[graft] val ReducedRepsFrac = 0.20
+  private[graft] val LateRecheckFrac = 0.25
+  private[graft] val WarmStopFrac = 0.10
+  private[graft] def budgetReps(remainingFrac: Double, reps: Int): Int =
+    if (remainingFrac < ReducedRepsFrac) 1 else reps
+
+  /** One partial-progress line: complete JSON, `"partial":true`, the
+    * phase and running total — what a killed run's tail capture
+    * parses. Pure; unit-tested in BenchFormatSpec. */
+  private[graft] def formatPartialJson(phase: String, done: Int,
+      total: Int, runningSec: Double, sfDir: String): String =
+    s"""{"metric":"total","value":${num(runningSec)},"unit":"sec",""" +
+      s""""partial":true,"phase":${jsonStr(phase)},"n":$done,""" +
+      s""""of":$total,"sf":${jsonStr(sfDir)}}"""
 
   /** A run whose contention re-runs exceeded this fraction of its
     * entries measured the machine too often to anchor a cross-round
@@ -611,6 +661,15 @@ object Bench {
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target", "bench_canary.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // APPEND-ONLY history (round-19 verdict item 2): the single
+    // mutable bench_canary.json let the driver's contended-window run
+    // overwrite the idle canary SURVEY §8 cited (66.6 s → 75.5 s on
+    // disk). Every canary also appends here, so the cross-round
+    // denominator can never be destroyed by a later run.
+    Files.write(Paths.get("target", "bench_canary_history.jsonl"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     println(line)
     spark.stop()
   }
@@ -619,7 +678,7 @@ object Bench {
     * classpath, `SPARK_GRAFT_CANARY_CHILD=1`), wait, and return its
     * canary JSON line. Any failure degrades to None — the full suite
     * must never be blocked by canary machinery. */
-  private def spawnCanary(): Option[String] = {
+  private def spawnCanary(waitMinutes: Long): Option[String] = {
     import scala.jdk.CollectionConverters._
     try {
       val javaBin = Paths.get(System.getProperty("java.home"),
@@ -634,10 +693,12 @@ object Bench {
       pb.redirectOutput(out.toFile)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      val done = p.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)
+      val done = p.waitFor(waitMinutes,
+        java.util.concurrent.TimeUnit.MINUTES)
       if (!done) {
         p.destroyForcibly()
-        System.err.println("bench: canary child timed out after 30 min")
+        System.err.println(
+          s"bench: canary child timed out after $waitMinutes min")
         return None
       }
       Files.readAllLines(out).asScala.reverse
@@ -666,6 +727,29 @@ object Bench {
       return
     }
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    // ---- the soft wall-clock budget (round-19 verdict item 1) ----
+    val budgetMin = sys.env.getOrElse("SPARK_GRAFT_BUDGET_MIN", "")
+      .toDoubleOption.filter(_ > 0).getOrElse(DefaultBudgetMin)
+    val budgetT0 = System.nanoTime()
+    def remainingFrac: Double = math.max(0.0,
+      1.0 - (System.nanoTime() - budgetT0) / 6e10 / budgetMin)
+    val reducedRepEntries = scala.collection.mutable.ArrayBuffer
+      .empty[String]
+    var warmSkipped = 0
+    var lateRecheckSkipped = false
+    val progressPath = Paths.get("target", "bench_progress.jsonl")
+    Files.createDirectories(Paths.get("target"))
+    Files.deleteIfExists(progressPath)
+    def progress(phase: String, done: Int, total: Int,
+        runningSec: Double, sfDirP: String): Unit = {
+      val l = formatPartialJson(phase, done, total, runningSec, sfDirP)
+      println(l)
+      try Files.write(progressPath,
+        (l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
     // Optional subset for local iteration: SPARK_GRAFT_ONLY=q74,q72
     // (substring match on query names). Unset = full catalogue.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -682,7 +766,11 @@ object Bench {
     val canaryLine: Option[String] =
       if (only.isDefined || sys.env.get("SPARK_GRAFT_CANARY").contains("0"))
         None
-      else spawnCanary()
+      // the canary may not consume more than ~40% of the budget — a
+      // slow (contended) canary child must degrade to None, not eat
+      // the window the suite needs (round-19 verdict item 1)
+      else spawnCanary(math.min(30L, math.max(5L,
+        (budgetMin * 0.4).toLong)))
     // the contention window opens AFTER the canary child exits, so
     // every timed sample below runs inside it and the child's own CPU
     // (a different process) never counts as "external"
@@ -699,11 +787,14 @@ object Bench {
     // parquet-footer caches — mirrors a warm cluster; per-query numbers
     // then measure the query, not session startup. benchQueries = the
     // PRODUCTION forms (q65 sketch-only, no oracle apparatus).
-    SparkEntry.benchQueries.toSeq.sortBy(_._1).filter(q => selected(q._1))
-      .foreach { case (_, fn) =>
-        try fn(spark, "/root/testdata/sf0.001").count()
-        catch { case _: Throwable => () }
-      }
+    val warmSmall = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+      .filter(q => selected(q._1))
+    warmSmall.zipWithIndex.foreach { case ((_, fn), i) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      if ((i + 1) % 25 == 0)
+        progress("warm_small", i + 1, warmSmall.length, 0.0, sfDir)
+    }
 
     // FULL pre-warm at the TARGET SF (round-18 verdict item 2): a
     // prefix-listed warm set (q85/q91/q95/q102 + the r17 as-of/feed/
@@ -720,18 +811,36 @@ object Bench {
     // outside the timed window. Cost ≈ one extra suite pass; the timed
     // reps then measure the serve path only, for every entry, by
     // construction.
-    SparkEntry.benchQueries.toSeq.sortBy(_._1)
+    // Budget rung: past WarmStopFrac the warm pass stops — a
+    // first-touch fixture build then lands inside a timed rep and the
+    // spread/rerun machinery flags it (degraded but honest), instead
+    // of the whole invocation dying at the driver's window with no
+    // record at all (round-19 verdict item 1).
+    val warmTarget = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter(q => selected(q._1))
-      .foreach { case (_, fn) =>
+    warmTarget.zipWithIndex.foreach { case ((_, fn), i) =>
+      if (remainingFrac < WarmStopFrac) warmSkipped += 1
+      else {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => () }
       }
+      if ((i + 1) % 10 == 0)
+        progress("warm_target", i + 1, warmTarget.length, 0.0, sfDir)
+    }
 
+    val toMeasure = SparkEntry.benchQueries.toSeq
+      .sortBy(_._1).filter(q => selected(q._1))
+    var runningTotal = 0.0
     val rawSamples: Seq[(String, Seq[Either[String, Double]])] =
-      SparkEntry.benchQueries.toSeq
-        .sortBy(_._1).filter(q => selected(q._1)).map { case (name, fn) =>
-          name -> (1 to reps).map(_ => time(() => fn(spark, sfDir).count()))
-        }
+      toMeasure.zipWithIndex.map { case ((name, fn), i) =>
+        val r = budgetReps(remainingFrac, reps)
+        if (r < reps) reducedRepEntries += name
+        val xs = (1 to r).map(_ => time(() => fn(spark, sfDir).count()))
+        val ok = xs.collect { case Right(t) => t }
+        if (ok.nonEmpty) runningTotal += median(ok)
+        progress("measure", i + 1, toMeasure.length, runningTotal, sfDir)
+        name -> xs
+      }
 
     // ---- self-adjudicating noise (round-11 verdict item 7): entries
     // whose rep spread says the measurement is contention, not the
@@ -780,8 +889,10 @@ object Bench {
         // checkpoint-codepath warmup cost ~2x a steady pass and belongs
         // to no rep (same reasoning as the q85 index warm above)
         try benchPhase2Continuous(spark) catch { case _: Throwable => () }
+        val p2Reps = budgetReps(remainingFrac, reps)
+        if (p2Reps < reps) reducedRepEntries += "phase2_continuous"
         Seq("phase2_continuous" ->
-          (1 to reps).map(_ => time(() => benchPhase2Continuous(spark))))
+          (1 to p2Reps).map(_ => time(() => benchPhase2Continuous(spark))))
       }
     val (phase2Healed, phase2Reruns) = adjudicate(phase2Samples,
       _ => () => benchPhase2Continuous(spark))
@@ -794,8 +905,16 @@ object Bench {
     val dumpReruns =
       new scala.collection.mutable.ArrayBuffer[(String, (Double, Double))]
     val dumpSamples =
-      if (dumpMb <= 0 || !selected("dump_scan")) Nil
-      else {
+      // budget rung: the dump block (generation + two multi-MB scans ×
+      // reps) is the most expensive skippable tail — at the lowest rung
+      // it goes entirely (named in the budget record), one rung up it
+      // runs at 1 rep via the shared budgetReps inside
+      if (dumpMb <= 0 || !selected("dump_scan") ||
+          remainingFrac < WarmStopFrac / 2) {
+        if (dumpMb > 0 && selected("dump_scan"))
+          dumpStats += "skipped_budget" -> "true"
+        Nil
+      } else {
         val xml = BenchDump.plainXml(benchDir, dumpMb)
         // same LOGICAL size as the plain dump (round-5 verdict item 7) —
         // the two containers now scan comparable decompressed volumes
@@ -817,7 +936,9 @@ object Bench {
             BenchDump.multistreamLogicalBytes(benchDir, dumpMb)))
         entries.map { case (name, path, splitMb, logicalBytes) =>
           val splits = scan(path.toString, splitMb).rdd.getNumPartitions
-          val raw = (1 to reps).map(_ =>
+          val dumpReps = budgetReps(remainingFrac, reps)
+          if (dumpReps < reps) reducedRepEntries += name
+          val raw = (1 to dumpReps).map(_ =>
             time(() => fullScan(path.toString, splitMb)))
           // contention self-adjudication for the dump block too — the
           // r12 artifact shipped a 7.6 s-spread bz2 median undetected
@@ -853,6 +974,13 @@ object Bench {
     // never replaced. Goal: no per-query value in the artifact exceeds
     // 2x its idle median. ----
     val (lateSamples, lateReruns) = {
+      // budget rung: the re-check costs up to one probe rep per ≥0.5 s
+      // entry plus RerunReps for each hit — skippable, and skipped
+      // under LateRecheckFrac (recorded on the driver-parsed line)
+      if (remainingFrac < LateRecheckFrac) {
+        lateRecheckSkipped = true
+        (samples, Seq.empty[(String, (Double, Double))])
+      } else {
       val healed = samples.map { case (name, v) =>
         val ok = v.collect { case Right(t) => t }
         if (v.forall(_.isRight) && median(ok) >= 0.5) {
@@ -869,6 +997,7 @@ object Bench {
         } else (name -> v, None)
       }
       (healed.map(_._1), healed.flatMap(_._2))
+      }
     }
 
     val allSamples = lateSamples ++ phase2Healed ++ dumpSamples
@@ -887,12 +1016,30 @@ object Bench {
     // line LAST: at 153 entries even the compact line outgrew the
     // driver's ~2 KB tail window (BENCH_r13 parsed:null), so the final
     // line must stay O(1)-sized in the catalogue count
-    println(formatCompactJson(allSamples, allReruns.length, cpus.toInt))
+    val compactLine =
+      formatCompactJson(allSamples, allReruns.length, cpus.toInt)
+    println(compactLine)
     val canaryTotal = canaryLine.flatMap(l =>
       """"value":([0-9.]+)""".r.findFirstMatchIn(l)
         .flatMap(_.group(1).toDoubleOption))
-    println(formatTotalOnlyJson(allSamples, sfDir, cpus.toInt, canaryTotal,
-      extCores = Some(suiteExtCores), rerunN = allReruns.length))
+    val budgetRecord =
+      s"""{"min":${num(budgetMin, 1)},""" +
+        s""""reduced_reps":${reducedRepEntries.length},""" +
+        s""""warm_skipped":$warmSkipped,""" +
+        s""""late_recheck_skipped":$lateRecheckSkipped}"""
+    val finalLine = formatTotalOnlyJson(allSamples, sfDir, cpus.toInt,
+      canaryTotal, extCores = Some(suiteExtCores),
+      rerunN = allReruns.length, budget = Some(budgetRecord))
+    // run-of-record trio on disk (round-19 verdict item 2): the
+    // compact per-query line and the final stability line are written
+    // to stable paths so each round commits
+    // bench_r{N}_local/_final/_canary artifacts mechanically instead
+    // of scraping stdout
+    Files.write(Paths.get("target", "bench_compact.json"),
+      compactLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    Files.write(Paths.get("target", "bench_final.json"),
+      finalLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(finalLine)
     spark.stop()
   }
 }

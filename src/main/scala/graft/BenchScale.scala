@@ -42,10 +42,18 @@ import org.apache.spark.sql.functions._
   *    a window at or above [[Bench.ContendedExternalCores]] puts the
   *    entry in `"contended_entries"` so a polluted single-shot
   *    number names itself;
-  *  - whole-run `ext_cores`/`contended` ride the artifact line, and
-  *    `"inversions"` lists every metric whose lower scale point
-  *    measured SLOWER than a higher one by >20% — the internally-
-  *    inconsistent shape no honest scaling run produces.
+  *  - whole-run `ext_cores`/`contended` ride the artifact line
+  *    (USER-SPACE attribution, same rationale as the per-entry
+  *    verdicts — total-busy misattributes our own builds' kernel
+  *    writeback), and `"inversions"` lists every metric whose lower
+  *    scale point measured slower than a higher one past BOTH a 15%
+  *    ratio and a 0.5 s absolute floor — the internally-inconsistent
+  *    shape no honest scaling run produces. Since round 20 an
+  *    inversion on a READ-ONLY (rep-class) series triggers an
+  *    automatic [[Bench.RerunReps]]-rep re-measure of every point in
+  *    the series before the artifact is written (`"inv_rerun"`
+  *    records the originals) — an inversion surviving into the final
+  *    artifact implies the re-run already happened.
   *
   * OBJECT-STORE POINT (round-18 verdict item 6): the
   * `ivf_probe_slowlist` / `ivf_probe_handle_slowlist` pair re-reads
@@ -73,8 +81,13 @@ object BenchScale {
   /** Per-entry external USER-cores threshold — see [[Adjudicator.one]]. */
   private[graft] val PerEntryContendedCores = 2.0
 
-  /** Accumulated per-run adjudication state (filled by the timers). */
-  private final class Adjudicator {
+  /** Accumulated per-run adjudication state (filled by the timers).
+    * `private[graft]` so BenchAdjudicationSpec can drive a genuinely
+    * contended window end-to-end (round-19 verdict item 7): the
+    * user-space attribution is load-bearing for every clean/dirty
+    * call and must be regression-proof, not pinned only by live
+    * observation. */
+  private[graft] final class Adjudicator {
     val contendedEntries = scala.collection.mutable.ArrayBuffer.empty[String]
     val reruns =
       scala.collection.mutable.ArrayBuffer.empty[(String, (Double, Double))]
@@ -103,13 +116,20 @@ object BenchScale {
 
     /** Repeated read-only entry: per-rep samples; a suspect spread
       * re-runs at [[Bench.RerunReps]] (safe — probes are idempotent)
-      * and the contended original is recorded. */
-    def repeated(tag: String, name: String, reps: Int)(
-        run: () => Unit): Double = {
+      * and the contended original is recorded. `recordScale` rescales
+      * the RECORDED orig/spread into the entry's published unit — the
+      * gen_check_ms entry publishes ms-per-check but times a 100-check
+      * batch in seconds, and the r19 artifact recorded its rerun in
+      * raw batch seconds (orig 0.226 beside a published 1.663 ms),
+      * incomparable within one artifact. */
+    def repeated(tag: String, name: String, reps: Int,
+        recordScale: Double = 1.0)(run: () => Unit): Double = {
       val xs = (1 to reps).map(_ => timeIt(run))
       if (Bench.isSuspect(xs)) {
         val re = (1 to Bench.RerunReps).map(_ => timeIt(run))
-        reruns += s"$name@$tag" -> (Bench.median(xs), xs.max - xs.min)
+        reruns += s"$name@$tag" ->
+          (Bench.median(xs) * recordScale,
+            (xs.max - xs.min) * recordScale)
         Bench.median(re)
       } else Bench.median(xs)
     }
@@ -161,7 +181,17 @@ object BenchScale {
       .setLong("fs.slowfs.list.delay.ms", slowListMs)
 
     val adj = new Adjudicator
-    val runLoad0 = Bench.loadSampleNow()
+    // whole-run window: USER-SPACE attribution, same as the per-entry
+    // verdicts (round-19 advisor) — the suite's own 100× builds drive
+    // multi-core kernel writeback that total-busy counts as external,
+    // so a genuinely idle larger-SF run could flag itself contended
+    val runLoad0 = Bench.userLoadSampleNow()
+    // read-only (rep-class) entry closures, keyed (metric, tag) — the
+    // inversion auto-re-run below replays them; one-shot entries
+    // (build/append/fold) are deliberately absent (not idempotent)
+    val repRuns =
+      scala.collection.mutable.LinkedHashMap.empty[(String, String),
+        () => Unit]
 
     val root = Files.createTempDirectory("graft-bench-scale").toString
     val docs = Tables.documents(spark, sfDir)
@@ -244,8 +274,10 @@ object BenchScale {
       val out = scala.collection.mutable.LinkedHashMap[String, Double]()
       def one(name: String)(run: () => Unit): Unit =
         out += name -> adj.one(tag, name)(run)
-      def rep(name: String)(run: () => Unit): Unit =
+      def rep(name: String)(run: () => Unit): Unit = {
+        if (tag != "warm") repRuns((name, tag)) = run
         out += name -> adj.repeated(tag, name, reps)(run)
+      }
       // ---- LSH ----
       val lsh = s"$root/lsh-$tag"
       one("lsh_build")(() => graft.scale.LshIndex.build(d, lsh))
@@ -331,7 +363,8 @@ object BenchScale {
       // this is one file read (~sub-ms); on an object store it is a
       // GET per probe — this number is the input to the cache-or-not
       // decision documented at IndexIo.requireFresh. ----
-      out += "gen_check_ms" -> adj.repeated(tag, "gen_check_ms", reps)(
+      out += "gen_check_ms" -> adj.repeated(tag, "gen_check_ms", reps,
+        recordScale = 1000.0 / 100.0)(
         () => {
           var i = 0
           while (i < 100) {
@@ -374,6 +407,42 @@ object BenchScale {
       one("kmeans_train_sampled")(() => {
         graft.scale.KMeans.fitSampled(v, k = 64, sampleN = 1024,
           maxIter = 3); () })
+      // ---- BOUNDED-LISTING layouts under S3-class LIST semantics
+      // (round-19 verdict item 5): IVF's slowlist pair measured the
+      // corpus-proportional case (nlist ∝ corpus dirs → per-read LIST
+      // cost grows 6.7× at 100×; handle 0.60×). BM25's contract is the
+      // opposite shape — 64 term-bucket dirs REGARDLESS of corpus — so
+      // its per-read probe should pay a small FLAT LIST tax. One cheap
+      // confirming entry makes that claim match the IVF story's
+      // evidentiary standard instead of resting on the dir-count
+      // argument alone. NEW in r20 — appended after the r19 entry
+      // order, never reshuffled. ----
+      rep("bm_probe_slowlist")(() =>
+        graft.scale.BmIndex.topK(spark, s"slowfs:$bm", qTerms, 15)
+          .count())
+      // ---- z-order layout, same question (round-19 verdict item 5):
+      // bucket-dir count is bounded by the z-value space (≤16 dirs at
+      // the default bucketWidth/bits), not the corpus, so BOTH the
+      // per-read box probe and the handle twin should hold ≈flat under
+      // injected LIST latency — the handle's edge here is only the
+      // root-listing-once, not an nlist-sized discovery. ----
+      val zdir = s"$root/z-$tag"
+      val zdf = d.select(col("doc_id"),
+        pmod(col("doc_id"), lit(256L)).as("xb"),
+        pmod(length(col("text")).cast("long"), lit(256L)).as("yb"))
+      one("zorder_build")(() =>
+        graft.scale.Layout.writeZOrdered(zdf, col("xb"), col("yb"), zdir))
+      rep("zorder_box_slowlist")(() =>
+        graft.scale.Layout.boxScanTight(
+          spark.read.parquet(s"slowfs:$zdir"), 16, 31, 32, 63).count())
+      val zHandle = graft.scale.Layout.openHandle(spark, s"slowfs:$zdir")
+      zHandle.relation.count() // force the listing outside the timed region
+      rep("zorder_box_handle_slowlist")(() => {
+        graft.scale.IndexIo.requireFresh(spark, zHandle.path,
+          zHandle.generation)
+        graft.scale.Layout.boxScanTight(zHandle.relation, 16, 31, 32, 63)
+          .count()
+      })
       // ---- one GRAPH-family scale point (round-18 verdict item 7):
       // a single PageRank round over the rare-shingle citation graph —
       // the round-iterated recurrences' per-round cost is one O(E)
@@ -415,12 +484,45 @@ object BenchScale {
     // RATIO 0.65 — the 10x build "faster" than the cold 1x)
     scalePoint("warm", 1)
     reclaimBetweenPoints()
-    val base = scalePoint("1x", 1)
+    val base = scala.collection.mutable.LinkedHashMap(
+      scalePoint("1x", 1).toSeq: _*)
     val points = factors.map { f =>
       reclaimBetweenPoints()
-      f -> scalePoint(s"${f}x", f)
+      f -> scala.collection.mutable.LinkedHashMap(
+        scalePoint(s"${f}x", f).toSeq: _*)
     }
     val keys = base.keys.toSeq
+    def series() = keys.map(k =>
+      k -> ((1 -> base(k)) +: points.map { case (f, big) => f -> big(k) }))
+    // ---- AUTO-RE-RUN of inversion-flagged read-only series (round-19
+    // verdict item 6): the per-rep suspect trigger can miss an entry
+    // whose reps were UNIFORMLY inflated at one scale point (the r19
+    // bm_probe x10 median: 2.48 vs x100's 1.64, ordinary spread) — the
+    // inversion detector sees it, but only after all points ran. When
+    // the inverted series is rep-class (idempotent probes; closures
+    // recorded above), every point re-measures at Bench.RerunReps and
+    // the medians are REPLACED; `inv_rerun` records the originals. An
+    // inversion surviving in the final artifact therefore implies its
+    // re-run already happened (one-shot series, which cannot re-run,
+    // keep their honest flag). All fixtures are still on disk and the
+    // closures pin their checkpointed inputs, so replay is exact. ----
+    val invRerun =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+    inversions(series()).foreach { k =>
+      val tagOf = ("1x", 1) +: factors.map(f => (s"${f}x", f))
+      if (tagOf.forall { case (t, _) => repRuns.contains((k, t)) }) {
+        tagOf.foreach { case (t, f) =>
+          val run = repRuns((k, t))
+          val re = (1 to Bench.RerunReps).map(_ => timeIt(run))
+          val orig = if (f == 1) base(k)
+            else points.find(_._1 == f).get._2(k)
+          invRerun += ((k, t, orig))
+          val m = Bench.median(re)
+          if (f == 1) base(k) = m
+          else points.find(_._1 == f).get._2(k) = m
+        }
+      }
+    }
     val fields = keys.map { k =>
       val per = points.map { case (f, big) =>
         val r = if (base(k) > 0) big(k) / base(k) else Double.NaN
@@ -428,18 +530,41 @@ object BenchScale {
       }.mkString(",")
       s""""$k":{"base":${num(base(k))},$per}"""
     }.mkString(",")
-    val runExt = Bench.externalCores(runLoad0, Bench.loadSampleNow())
-    val inv = inversions(keys.map(k =>
-      k -> ((1 -> base(k)) +: points.map { case (f, big) => f -> big(k) })))
+    val runExt = Bench.externalUserCores(runLoad0,
+      Bench.userLoadSampleNow())
+    val inv = inversions(series())
     def strArr(xs: Seq[String]) =
       xs.map(s => "\"" + s + "\"").mkString("[", ",", "]")
     val rerunField = adj.reruns.map { case (n, (m, s)) =>
       s""""$n":{"orig":${num(m)},"spread":${num(s)}}"""
     }.mkString("{", ",", "}")
+    val invRerunField = invRerun.map { case (k, t, orig) =>
+      s""""$k@$t":{"orig":${num(orig)}}"""
+    }.mkString("{", ",", "}")
     val extField =
       if (runExt.isNaN) ""
       else s""""ext_cores":${num(runExt)},""" +
         s""""contended":${Bench.isContended(runExt)},"""
+    // entries whose superlinearity/linearity is STRUCTURAL carry their
+    // explanation in the artifact (round-19 verdict item 8) — the
+    // artifact is self-explaining, the per-round paragraph retires
+    val byDesign = Seq(
+      "ivf_build" -> ("superlinear by design: nlist = n/50 grows with " +
+        "the corpus and each cluster is a partition dir - local-FS " +
+        "dir metadata dominates; one-time build cost, not a serving " +
+        "path"),
+      "ivfpq_build" -> ("same nlist-proportional-to-corpus dir " +
+        "geometry as ivf_build; one-time build cost"),
+      "lsh_build" -> "corpus-sized one-shot build by design",
+      "bm_build" -> "corpus-sized one-shot build by design",
+      "zorder_build" -> "corpus-sized one-shot write by design",
+      "span_excision" -> ("~factor by design: corpus-sized candidate " +
+        "generation, df-bounded"),
+      "pagerank_round" -> ("~factor by design: one O(E) contribution " +
+        "shuffle per round"))
+      .filter { case (k, _) => keys.contains(k) }
+      .map { case (k, v) => s""""$k":"$v"""" }
+      .mkString("{", ",", "}")
     val line =
       s"""{"metric":"scale","factors":[${factors.mkString(",")}],""" +
         s""""base_docs":$nDocs,"base_vecs":$nVecs,"reps":$reps,""" +
@@ -447,6 +572,7 @@ object BenchScale {
         s""""slowlist_ms":$slowListMs,$extField""" +
         s""""contended_entries":${strArr(adj.contendedEntries.toSeq)},""" +
         s""""inversions":${strArr(inv)},"rerun":$rerunField,""" +
+        s""""inv_rerun":$invRerunField,"by_design":$byDesign,""" +
         s""""sf":"$sfDir",$fields}"""
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target", "bench_scale.json"),

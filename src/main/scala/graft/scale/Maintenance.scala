@@ -93,11 +93,16 @@ object Maintenance extends org.apache.spark.internal.Logging {
     if (f.exists(tmp) && f.exists(target) && f.exists(retired))
       throw new java.io.IOException(
         s"maintenance: $dir, $tmp and $retired all exist — a state " +
-          "atomic renames cannot produce. A non-atomic (object-store) " +
-          "rename tore mid-swap; refusing to heal because no side is " +
-          "provably complete. Recover manually: a torn RETIRE leaves " +
-          "the complete fold at .__compact; a torn PUBLISH leaves the " +
-          "complete pre-fold layout at .__retired.")
+          "one completed run of this protocol cannot produce. Either " +
+          "a non-atomic (object-store) rename tore mid-swap, or a " +
+          "compactInPlace mis-publish UNWIND crashed after un-nesting " +
+          "(atomic FS: a register recreated the layout dir between " +
+          "the renames and the crash hit the restore). Refusing to " +
+          "heal because no side is provably complete from names " +
+          "alone. Recover manually: a torn RETIRE leaves the complete " +
+          "fold at .__compact; a torn PUBLISH (and the crashed " +
+          "unwind, whose target holds only _pins and no _generation) " +
+          "leaves the complete pre-fold layout at .__retired.")
     if (!f.exists(target)) {
       if (f.exists(tmp)) {
         // died between retire and publish: the fold completed (the
@@ -113,10 +118,49 @@ object Maintenance extends org.apache.spark.internal.Logging {
             s"maintenance: failed to restore $retired")
       }
       // neither: a cold dir the caller is about to build — nothing to do
-    } else {
-      // died after publish: the retired copy is a leak — vacuum it so
-      // the next retire rename cannot nest into it
-      vacuum(spark, retired)
+    } else if (f.exists(retired)) {
+      // target AND retired exist, tmp absent. The common cause is a
+      // crash after a CLEAN publish (retired is a leak — vacuum it so
+      // the next retire rename cannot nest into it), but the same
+      // names also describe a crash inside [[compactInPlace]]'s
+      // MIS-PUBLISH window (round-19 advisor): a racing register's
+      // mkdirs recreated the target between the renames, the publish
+      // rename NESTED the fold inside it, and the crash hit before the
+      // unwind completed — then target is a shell holding only _pins
+      // and the nested fold, and vacuuming retired would destroy the
+      // only complete pre-fold copy. Apply the same publish
+      // verification compactInPlace itself gained: a clean publish has
+      // `_generation` as a DIRECT child (always stamped before the
+      // renames) and no nested temp dir. Verified → vacuum the leak;
+      // mis-published → COMPLETE THE UNWIND instead (un-nest the
+      // fold, preserve the racing register's pins, restore retired —
+      // exactly compactInPlace's abort shape, finished here).
+      val nested = new Path(target, tmp.getName)
+      val published = f.exists(new Path(target, "_generation")) &&
+        !f.exists(nested)
+      if (published) vacuum(spark, retired)
+      else {
+        if (f.exists(nested) && !f.rename(nested, tmp))
+          throw new java.io.IOException(
+            s"maintenance: failed to un-nest mis-published fold $nested")
+        val pinsInTarget = new Path(target, "_pins")
+        if (f.exists(pinsInTarget)) {
+          val pinsInRetired = new Path(retired, "_pins")
+          f.mkdirs(pinsInRetired)
+          f.listStatus(pinsInTarget).foreach(st =>
+            f.rename(st.getPath,
+              new Path(pinsInRetired, st.getPath.getName)))
+        }
+        vacuum(spark, target)
+        if (!f.rename(retired, target))
+          throw new java.io.IOException(
+            s"maintenance: failed to restore $retired after healing a " +
+              "crashed mis-publish unwind")
+        vacuum(spark, tmp)
+        logWarning(s"maintenance: healed a crashed mis-publish unwind " +
+          s"at $dir — restored the pre-fold layout with the racing " +
+          "register's pin markers preserved; the fold was discarded")
+      }
     }
   }
 

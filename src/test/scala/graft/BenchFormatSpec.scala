@@ -309,6 +309,41 @@ class BenchFormatSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("partial progress line: complete JSON, names its phase, carries " +
+      "the running total — what a budget-killed run's tail parses") {
+    val l = Bench.formatPartialJson("measure", 42, 198, 61.25, "/sf/0.1")
+    val parsed = org.json4s.jackson.JsonMethods.parse(l)
+    import org.json4s.DefaultFormats
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    assert((parsed \ "partial").extract[Boolean])
+    assert((parsed \ "phase").extract[String] == "measure")
+    assert((parsed \ "n").extract[Int] == 42)
+    assert((parsed \ "of").extract[Int] == 198)
+    assert((parsed \ "value").extract[Double] == 61.25)
+    assert(l.length < 200, "partial lines must always fit a tail window")
+  }
+
+  test("budget reps ladder: full reps until the reduced-reps rung, " +
+      "1 rep after") {
+    assert(Bench.budgetReps(1.0, 3) == 3)
+    assert(Bench.budgetReps(Bench.ReducedRepsFrac + 0.01, 3) == 3)
+    assert(Bench.budgetReps(Bench.ReducedRepsFrac - 0.01, 3) == 1)
+    assert(Bench.budgetReps(0.0, 5) == 1)
+  }
+
+  test("total-only line carries the budget record when present") {
+    val all = Seq("q1" -> Seq[Either[String, Double]](Right(1.0)))
+    val l = Bench.formatTotalOnlyJson(all, "/sf", 32,
+      budget = Some("""{"min":50.0,"reduced_reps":2,"warm_skipped":0,""" +
+        """"late_recheck_skipped":true}"""))
+    val parsed = org.json4s.jackson.JsonMethods.parse(l)
+    import org.json4s.DefaultFormats
+    implicit val fmts: org.json4s.Formats = DefaultFormats
+    assert((parsed \ "budget" \ "reduced_reps").extract[Int] == 2)
+    assert((parsed \ "budget" \ "late_recheck_skipped").extract[Boolean])
+    assert(l.length < 400)
+  }
+
   test("a throwing rep is a Left, not a near-zero Right") {
     val r = Bench.time(() => throw new IllegalStateException("deliberate"))
     assert(r.isLeft)

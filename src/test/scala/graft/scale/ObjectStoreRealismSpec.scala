@@ -117,12 +117,81 @@ class ObjectStoreRealismSpec extends AnyFunSuite {
       val heal = intercept[java.io.IOException] {
         Maintenance.healSwap(spark, dir)
       }
-      assert(heal.getMessage.contains("atomic renames cannot produce"))
+      assert(heal.getMessage.contains("cannot produce"))
+      // the widened diagnosis names BOTH producible causes (round-19
+      // advisor): the non-atomic tear and the crashed mis-publish unwind
+      assert(heal.getMessage.contains("non-atomic"))
+      assert(heal.getMessage.contains("UNWIND"))
       // the refusal preserved all three dirs for manual recovery
       assert(fs.exists(new Path(s"slowfs:$dir")))
       assert(fs.exists(new Path(s"slowfs:$dir.__retired")))
       assert(fs.exists(new Path(s"slowfs:$dir.__compact")))
     } finally fs.close()
+  }
+
+  test("healSwap completes a crashed mis-publish unwind: target shell " +
+      "without _generation is never mistaken for a clean publish, the " +
+      "pre-fold layout is restored, and the racing register's pins " +
+      "survive") {
+    // The round-19 advisor's window: compactInPlace's publish rename
+    // nested the fold into a register-recreated target, and the crash
+    // hit BEFORE the unwind completed. On-disk names then read
+    // tmp ABSENT ∧ target ∧ retired — the same names as a clean
+    // post-publish crash — but target is a shell holding only the
+    // racing register's _pins and the nested fold, no direct
+    // _generation. The old heal vacuumed retired here, destroying the
+    // only complete pre-fold copy at its published name.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-unwind").toString
+    val dir = base + "/idx"
+    BmIndex.build(docs.filter(col("doc_id") < 200), dir)
+    val qTerms = docs.filter(col("doc_id") === 1)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .distinct().orderBy(col("term").asc).limit(8)
+    val want = BmIndex.topK(spark, dir, qTerms, k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(want.nonEmpty)
+    // stage the window mechanically: completed fold, retire rename,
+    // racing register's mkdirs + pin, publish rename nesting the fold
+    val fs = new Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    BmIndex.compactTo(spark, dir, s"$dir.__compact")
+    IndexIo.stampGeneration(spark, s"$dir.__compact")
+    assert(fs.rename(new Path(dir), new Path(s"$dir.__retired")))
+    assert(fs.mkdirs(new Path(s"$dir/_pins")))
+    val pin = fs.create(new Path(s"$dir/_pins/run1.json"))
+    pin.write("""{"run":"run1","epoch":0}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    pin.close()
+    assert(fs.rename(new Path(s"$dir.__compact"),
+      new Path(s"$dir/idx.__compact")))
+    assert(!fs.exists(new Path(s"$dir.__compact")) &&
+      fs.exists(new Path(dir)) && fs.exists(new Path(s"$dir.__retired")),
+      "staging must produce the tmp-absent ∧ target ∧ retired shape")
+    Maintenance.healSwap(spark, dir)
+    // the pre-fold layout is back at its published name, the pins
+    // survived into it, and no swap residue remains
+    assert(BmIndex.topK(spark, dir, qTerms, k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq == want,
+      "heal must restore the pre-fold layout, not the discarded fold")
+    assert(Maintenance.pinnedEpochs(spark, dir) == Seq(("run1", 0L)),
+      "the racing register's pin must survive the heal")
+    assert(!fs.exists(new Path(s"$dir.__retired")))
+    assert(!fs.exists(new Path(s"$dir.__compact")))
+    assert(!fs.exists(new Path(s"$dir/idx.__compact")))
+    // and a CLEAN post-publish crash still vacuums the leak: stage
+    // target-with-_generation ∧ retired, heal, expect the leak gone
+    // and the published layout untouched
+    val dir2 = base + "/idx2"
+    BmIndex.build(docs.filter(col("doc_id") < 150), dir2)
+    IndexIo.stampGeneration(spark, dir2)
+    assert(fs.mkdirs(new Path(s"$dir2.__retired/old")))
+    val want2 = BmIndex.topK(spark, dir2, qTerms, k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    Maintenance.healSwap(spark, dir2)
+    assert(!fs.exists(new Path(s"$dir2.__retired")))
+    assert(BmIndex.topK(spark, dir2, qTerms, k = 10)
+      .as[(Int, Long, Long, Long)].collect().toSeq == want2)
   }
 
   test("atomic-mode slowfs rename keeps the swap protocol whole: a " +

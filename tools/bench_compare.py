@@ -12,12 +12,31 @@ import math
 import sys
 
 
+def _as_float(v):
+    # keep only values that genuinely parse as numbers: "err" (and any
+    # other sentinel a future artifact grows) must be dropped, not
+    # crash float() (round-19 advisor)
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, str):
+        try:
+            return float(v)
+        except ValueError:
+            return None
+    return None
+
+
 def load(path):
     with open(path) as f:
         j = json.load(f)
-    return {k: float(v) for k, v in j.get("queries", {}).items()
-            if isinstance(v, (int, float)) or
-            (isinstance(v, str) and v not in ("err",))}
+    out = {}
+    for k, v in j.get("queries", {}).items():
+        f_v = _as_float(v)
+        if f_v is not None:
+            out[k] = f_v
+    return out
 
 
 def main():
@@ -33,6 +52,11 @@ def main():
             ratios.append((new[k] / old[k], k))
     ratios.sort(reverse=True)
     logs = [math.log(r) for r, _ in ratios if r > 0]
+    if not logs:
+        # every common entry had a zero/negative old value — nothing
+        # ratio-comparable (round-19 advisor: no ZeroDivisionError)
+        print(f"common entries: {len(common)}, none ratio-comparable")
+        return 1
     geomean = math.exp(sum(logs) / len(logs))
     median = sorted(r for r, _ in ratios)[len(ratios) // 2]
     print(f"common entries: {len(common)}  "
