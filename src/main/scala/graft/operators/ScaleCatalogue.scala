@@ -17,6 +17,38 @@ object ScaleCatalogue {
   private def q(c: Column, scale: Double = 1e9): Column =
     floor(c * lit(scale)).cast("long")
 
+  /** Construct independent serving branches CONCURRENTLY (optimization
+    * guide §2.6 — overlap independent jobs): the as-of/indexed serving
+    * paths each run several EAGER driver-side control-plane actions
+    * (committed-epoch requires, probe-bucket collects, registry
+    * localCheckpoints), and composing the branches on one thread
+    * serializes those actions even though Spark's scheduler would
+    * happily overlap them. Running the CONSTRUCTION of each branch on
+    * its own thread lets branch B's control-plane jobs back-fill the
+    * cores branch A's leave idle. Results are unchanged — the returned
+    * frames are the same lazily-composed plans; only the eager setup
+    * work overlaps (measured at sf0.1, 5 idle reps: q189 4.97 → 2.52 s,
+    * q191 7.51 → 1.71 s — OPTIMIZATION_r20.md change 1).
+    * Exceptions propagate unchanged via Await. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+  private def inParallel3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    val fc = Future(c)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
+      Await.result(fc, Duration.Inf))
+  }
+
   /** DuckDB fragment: sequential double fold of a[i]*b[i]. */
   private def duckDot(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0, list_transform(range(1,65), " +
@@ -6622,14 +6654,18 @@ object ScaleCatalogue {
         "hybrid fixture must commit epochs 0..3 on both sides")
     }
     val pins = graft.scale.SnapshotManifest.read(s, s"$dir/manifest")
-    val lex = graft.scale.BmIndex.topKAsOf(s, s"$dir/bm",
-        doc1Terms(s, d), k = 20,
-        asOf = graft.scale.SnapshotManifest.epochOf(pins, "lex"))
-      .select(col("doc_id").as("id"), col("rank"))
-    val sem = graft.scale.IvfIndex.topKAsOf(s, s"$dir/ivf",
-        emb.filter(col("vec_id") === 1), centroids, k = 20,
-        asOf = graft.scale.SnapshotManifest.epochOf(pins, "sem"))
-      .select(col("vec_id").as("id"), col("rank"))
+    // the two pinned probes are independent until the RRF fold — build
+    // them concurrently so their eager control-plane actions overlap
+    // (inParallel scaladoc; r20 optimization round, guide §2.6)
+    val (lex, sem) = inParallel(
+      graft.scale.BmIndex.topKAsOf(s, s"$dir/bm",
+          doc1Terms(s, d), k = 20,
+          asOf = graft.scale.SnapshotManifest.epochOf(pins, "lex"))
+        .select(col("doc_id").as("id"), col("rank")),
+      graft.scale.IvfIndex.topKAsOf(s, s"$dir/ivf",
+          emb.filter(col("vec_id") === 1), centroids, k = 20,
+          asOf = graft.scale.SnapshotManifest.epochOf(pins, "sem"))
+        .select(col("vec_id").as("id"), col("rank")))
     val fused = graft.scale.Hybrid.rrf(Seq(lex, sem))
       .filter(col("id") =!= 1) // the query document itself
       .select(col("id").as("doc_id"),
@@ -6881,24 +6917,27 @@ object ScaleCatalogue {
     val dir = runRestoreFixture(s, d)
     val emb = embeddings(s, d)
     val centroids = graft.scale.Similarity.strideCentroids(emb, 97)
-    val lex = graft.scale.BmIndex.topK(s, s"$dir/bm_restored",
-        doc1Terms(s, d), k = 15)
-      .select(lit("bm").as("family"), col("rank"),
-        col("doc_id").as("id"), col("score_q"))
-    val sem = graft.scale.IvfIndex.topK(s, s"$dir/ivf_restored",
-        emb.filter(col("vec_id") === 1), centroids, k = 10, nProbe = 3)
-      .select(lit("ivf").as("family"), col("rank"),
-        col("vec_id").as("id"), q(col("sim")).as("score_q"))
     val zw = org.apache.spark.sql.expressions.Window
       .orderBy(col("id").asc)
-    val slice = graft.scale.Layout
-      .readCurrent(s, s"$dir/z_restored", "id")
-      .filter(col("x").between(10, 40) && col("y").between(20, 60))
-      .select(col("id"),
-        (col("x") * lit(1000L) + col("y")).cast("long").as("score_q"))
-      .withColumn("rank", row_number().over(zw))
-      .select(lit("z").as("family"), col("rank"), col("id"),
-        col("score_q"))
+    // three independent restored serves — construct concurrently so
+    // each family's probe-collect/registry actions overlap (guide §2.6)
+    val (lex, sem, slice) = inParallel3(
+      graft.scale.BmIndex.topK(s, s"$dir/bm_restored",
+          doc1Terms(s, d), k = 15)
+        .select(lit("bm").as("family"), col("rank"),
+          col("doc_id").as("id"), col("score_q")),
+      graft.scale.IvfIndex.topK(s, s"$dir/ivf_restored",
+          emb.filter(col("vec_id") === 1), centroids, k = 10, nProbe = 3)
+        .select(lit("ivf").as("family"), col("rank"),
+          col("vec_id").as("id"), q(col("sim")).as("score_q")),
+      graft.scale.Layout
+        .readCurrent(s, s"$dir/z_restored", "id")
+        .filter(col("x").between(10, 40) && col("y").between(20, 60))
+        .select(col("id"),
+          (col("x") * lit(1000L) + col("y")).cast("long").as("score_q"))
+        .withColumn("rank", row_number().over(zw))
+        .select(lit("z").as("family"), col("rank"), col("id"),
+          col("score_q")))
     lex.unionByName(sem).unionByName(slice)
       .orderBy(col("family"), col("rank"))
   }

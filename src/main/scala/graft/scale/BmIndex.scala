@@ -811,14 +811,18 @@ object BmIndex {
     * always admitted: build commits it, [[ensureEpoch0Ledger]]
     * backfills it on legacy indexes, and a pre-ledger index that no
     * verb ever touched has no ledger at all yet its whole state IS
-    * epoch 0. The ledger is one row per committed verb —
-    * [[IndexIo.maybeBroadcast]]-sized by construction. */
+    * epoch 0. The committed-epoch set arrives as a DRIVER-SIDE
+    * literal (one row per committed verb — control-plane sized by
+    * construction, collected once per probe by [[topKAsOf]]), so the
+    * membership gate is an `isin` the scan can evaluate inline
+    * instead of a per-table broadcast semi-join (r20 optimization —
+    * one ledger job per probe, not three, and no join build per
+    * gated table). */
   private def readAt(spark: SparkSession, path: String,
-      schema: StructType, asOf: Long, committedEs: DataFrame): DataFrame =
+      schema: StructType, asOf: Long, committedEs: Seq[Long]): DataFrame =
     IndexIo.readOr(spark, path, schema)
       .withColumn("e", coalesce(col("e"), lit(0L)))
-      .filter(col("e") <= asOf)
-      .join(IndexIo.maybeBroadcast(committedEs), Seq("e"), "left_semi")
+      .filter(col("e") <= asOf && col("e").isin(committedEs: _*))
 
   /** SNAPSHOT BM25 top-k — [[topK]] exactly as the index stood when
     * epoch `asOf` committed, SCORES INCLUDED: postings gate by their
@@ -835,7 +839,20 @@ object BmIndex {
     * the history vacuum. */
   def topKAsOf(spark: SparkSession, dir: String, queryTerms: DataFrame,
       k: Int, asOf: Long, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val ce = committedEpoch(spark, dir)
+    // ONE ledger read per probe (r20 optimization): the ledger is one
+    // row per committed verb — control-plane sized by construction —
+    // yet this path used to run three separate Spark jobs against it
+    // (the committedEpoch aggregate, the okEs distinct+localCheckpoint,
+    // the ledgerRow collect). Collect it once and derive the committed
+    // counter, the residue-gate epoch set, and the pinned statistics
+    // row locally; results are bit-identical (BmAsOfSpec pins the
+    // torn-residue gating, q180/q189/q190 ride the DuckDB oracle).
+    val ledger = epochsLedger(spark, dir)
+      .select(col("e"), col("n_docs"), col("sum_dl")).collect().toSeq
+    val ce =
+      if (ledger.nonEmpty) ledger.map(_.getLong(0)).max
+      else if (IndexIo.exists(spark, s"$dir/_bm_stats")) 0L
+      else -1L
     require(asOf >= 0L && asOf <= ce,
       s"as-of epoch $asOf outside the committed history [0, $ce]" +
         (if (ce < 0L) " — cold index, nothing committed" else ""))
@@ -844,9 +861,7 @@ object BmIndex {
       graft.functions.Md5_64.hash60(r.getString(0)) % Buckets)
       .distinct.toSeq
     // committed-epoch set for the residue gate: ledger epochs + 0
-    val okEs = epochsLedger(spark, dir).select(col("e"))
-      .unionByName(spark.range(1).select(lit(0L).as("e")))
-      .distinct().localCheckpoint()
+    val okEs = (ledger.map(_.getLong(0)) :+ 0L).distinct
     val docsAt = readAt(spark, s"$dir/_bm_docs", docEpochSchema, asOf, okEs)
       .select(col("doc_id"))
     val revsAt = readAt(spark, s"$dir/_bm_rev", revEpochSchema, asOf, okEs)
@@ -866,15 +881,16 @@ object BmIndex {
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
     // the epoch's exact post-verb statistics from the ledger (a
     // pre-snapshot legacy index has no ledger — its whole state IS
-    // epoch 0, served by the adjusted current stats)
-    val ledgerRow = epochsLedger(spark, dir).filter(col("e") <= asOf)
-      .orderBy(col("e").desc).limit(1)
-      .select(col("n_docs"), col("sum_dl")).collect()
-    val statsBase =
-      if (ledgerRow.isEmpty) adjustedStats(spark, dir)
-      else spark.range(1).select(
-        lit(ledgerRow(0).getLong(0)).as("n_docs"),
-        lit(ledgerRow(0).getLong(1)).as("sum_dl"))
+    // epoch 0, served by the adjusted current stats); derived from
+    // the one collected ledger read above, no extra job
+    val ledgerRow = ledger.filter(_.getLong(0) <= asOf)
+      .sortBy(-_.getLong(0)).headOption
+    val statsBase = ledgerRow match {
+      case None => adjustedStats(spark, dir)
+      case Some(r) => spark.range(1).select(
+        lit(r.getLong(1)).as("n_docs"),
+        lit(r.getLong(2)).as("sum_dl"))
+    }
     val stats = statsBase
       .select(col("n_docs").cast("double").as("n_docs"),
         try_divide(col("sum_dl").cast("double"),

@@ -546,10 +546,15 @@ object ClusterStore {
   def diffAsOf(spark: SparkSession, dir: String, from: Long,
       to: Long): DataFrame = {
     require(from <= to, s"diff runs forward: from=$from > to=$to")
-    val a = assignmentsAsOf(spark, dir, from)
-      .select(col("doc_id"), col("rep").as("old_rep"))
-    val b = assignmentsAsOf(spark, dir, to)
-      .select(col("doc_id"), col("rep").as("new_rep"))
+    // the two snapshot resolutions are independent pointer-jumping
+    // loops, each a chain of eager rounds — overlap them
+    // (IndexIo.concurrently; r20 optimization, guide §2.6). Results
+    // unchanged: same two assignment maps, same full-outer fuse.
+    val (a, b) = IndexIo.concurrently(
+      assignmentsAsOf(spark, dir, from)
+        .select(col("doc_id"), col("rep").as("old_rep")),
+      assignmentsAsOf(spark, dir, to)
+        .select(col("doc_id"), col("rep").as("new_rep")))
     a.join(b, Seq("doc_id"), "full_outer")
       .withColumn("change",
         when(col("old_rep").isNull, lit("inserted"))
@@ -715,9 +720,18 @@ object ClusterStore {
           col("best_e") > col("cur_e"))
         .select(col("id"), col("best_dst").as("cur"), col("best_e").as("cur_e"))
         .localCheckpoint()
-      settled = settled.unionByName(
+      val nextSettled = settled.unionByName(
         j.filter(col("best_e").isNull || col("best_e") <= col("cur_e"))
           .select(col("id"), col("cur").as("root"))).localCheckpoint()
+      // the round's successors (adv, nextSettled) are materialized —
+      // the superseded frontier/settled and the intermediate join are
+      // dead; release their blocks now (r20 optimization, guide §5 —
+      // the Graph.directedLoop checkpoint discipline)
+      import org.apache.spark.sql.graftbridge.CheckpointBridge
+      CheckpointBridge.unpinCheckpoint(frontier)
+      CheckpointBridge.unpinCheckpoint(settled)
+      CheckpointBridge.unpinCheckpoint(j)
+      settled = nextSettled
       frontier = adv
       rounds += 1
     }

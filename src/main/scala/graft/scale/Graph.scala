@@ -263,6 +263,7 @@ object Graph {
     * cannot hold (the standard Pregel/GraphX checkpoint discipline). */
   private def directedLoop(e: DataFrame, base: DataFrame,
       state0: DataFrame, iterations: Int, scale: Long): DataFrame = {
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
     val teleportNum = (scale * 15L) / 100L
     var state = state0.localCheckpoint()
     for (_ <- 1 to iterations) {
@@ -272,14 +273,29 @@ object Graph {
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
       val dang = state.filter(col("outdeg") === 0)
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-      state = base.join(contribs, col("node") === col("dst"), "left")
+      val next = base.join(contribs, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"), col("outdeg"),
           (expr(s"${teleportNum}L div n_nodes") +
             expr("(85 * (coalesce(s, 0L) + (dm div n_nodes))) div 100"))
             .as("r"))
         .localCheckpoint()
+      // the superseded round's blocks are dead the moment the next
+      // state is MATERIALIZED (localCheckpoint is eager) — release
+      // them now instead of leaving them for the async ContextCleaner.
+      // r20 optimization (guide §5, memory hygiene): checkpoint-loop
+      // entries accumulate O(rounds) superseded block sets per run,
+      // and in a long-lived session (the bench suite, a serving
+      // process) that residue is exactly the block-store pressure the
+      // CacheHygiene rule exists to prevent for persist().
+      CheckpointBridge.unpinCheckpoint(state)
+      state = next
     }
+    // e and base are internal pins (directedBase) consumed only by the
+    // rounds above; the returned frame reads the FINAL state's blocks
+    // alone, so both are releasable here
+    CheckpointBridge.unpinCheckpoint(e)
+    CheckpointBridge.unpinCheckpoint(base)
     state.select(col("node"), col("outdeg"), col("r").as("pr_q"))
   }
 
@@ -365,6 +381,15 @@ object Graph {
     val e = edges.repartition(col("src")).localCheckpoint()
     var cur = starts.select(col("walk_id"), col("node"))
     var acc = cur.withColumn("step", lit(0))
+    // previous segment's checkpoints: dead once the NEXT segment's
+    // checkpoints materialize (localCheckpoint is eager) — released
+    // deterministically instead of lingering for the ContextCleaner
+    // (r20 optimization, guide §5; same discipline as directedLoop).
+    // The FINAL segment's checkpoints stay pinned: the returned frame
+    // is lazy and reads them (and e) when the caller acts.
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
+    var prevCur: Option[DataFrame] = None
+    var prevAcc: Option[DataFrame] = None
     for (t <- 1 to steps) {
       cur = cur.join(e, col("node") === col("src"))
         .select(col("walk_id"),
@@ -378,6 +403,10 @@ object Graph {
       if (t % materializeEvery == 0 && t < steps) {
         cur = cur.localCheckpoint()
         acc = acc.localCheckpoint()
+        prevCur.foreach(CheckpointBridge.unpinCheckpoint)
+        prevAcc.foreach(CheckpointBridge.unpinCheckpoint)
+        prevCur = Some(cur)
+        prevAcc = Some(acc)
       }
     }
     acc.select(col("walk_id"), col("step"), col("node"))
@@ -765,7 +794,10 @@ object Graph {
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .withColumn("wt", lit(1L))
       .repartition(col("u")).localCheckpoint()
-    localMoveWeighted(und, rounds).select(col("node"), col("comm"))
+    val lab = localMoveWeighted(und, rounds).select(col("node"), col("comm"))
+    // the returned labels are materialized — the edge pin is dead
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpinCheckpoint(und)
+    lab
   }
 
   /** WARM-START modularity communities — the community-sweep twin of
@@ -794,8 +826,10 @@ object Graph {
       .unionByName(edges.select(col("dst").as("u"), col("src").as("v")))
       .withColumn("wt", lit(1L))
       .repartition(col("u")).localCheckpoint()
-    localMoveWeighted(und, rounds, Some(prior))
+    val lab = localMoveWeighted(und, rounds, Some(prior))
       .select(col("node"), col("comm"))
+    org.apache.spark.sql.graftbridge.CheckpointBridge.unpinCheckpoint(und)
+    lab
   }
 
   /** The weighted local-move phase shared by [[modularityCommunitiesQ]]
@@ -820,6 +854,7 @@ object Graph {
         "lift the gain algebra to DecimalType")
     // warm start: known nodes resume at their stored community, new
     // nodes enter at self — the cold path is prior = None (identity)
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
     var lab = (prior match {
       case Some(p) =>
         deg.select(col("node"))
@@ -858,8 +893,15 @@ object Graph {
         .agg(min(struct((-col("gain")).as("ng"), col("cand").as("c")))
           .as("m"))
         .select(col("node"), col("m.c").as("comm"))
-      lab = pick.localCheckpoint()
+      val next = pick.localCheckpoint()
+      // superseded round's label blocks: dead once `next` materialized
+      // (r20 optimization, guide §5 — the directedLoop discipline)
+      CheckpointBridge.unpinCheckpoint(lab)
+      lab = next
     }
+    // deg is an internal pin consumed only by the rounds above; the
+    // returned (checkpointed) labels read their own blocks alone
+    CheckpointBridge.unpinCheckpoint(deg)
     lab
   }
 
@@ -895,8 +937,16 @@ object Graph {
     *
     * Returns (node, comm) over the ORIGINAL nodes. */
   def modularityCommunitiesMultilevelQ(edges: DataFrame, rounds: Int,
-      levels: Int): DataFrame =
-    modularityCommunitiesMultilevelLevelsQ(edges, rounds, levels)._1
+      levels: Int): DataFrame = {
+    val (assign, labels) =
+      modularityCommunitiesMultilevelLevelsQ(edges, rounds, levels)
+    // this entry point discards the per-level label maps (the Levels
+    // variant exists for warm-start callers) — their blocks are dead
+    // (the composed assign is materialized and self-contained)
+    labels.foreach(
+      org.apache.spark.sql.graftbridge.CheckpointBridge.unpinCheckpoint)
+    assign
+  }
 
   /** The multilevel sweep ALSO returning its per-level label maps —
     * what a warm-start cache stores. `levelLabels(l)` maps level-l
@@ -942,16 +992,28 @@ object Graph {
     var assign = w.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("comm")).localCheckpoint()
     val levelLabels = Seq.newBuilder[DataFrame]
+    import org.apache.spark.sql.graftbridge.CheckpointBridge
     for (l <- 0 until levels) {
       val lab = localMoveWeighted(w, rounds, priors.map(_(l)))
       levelLabels += lab
-      assign = assign
+      val nextAssign = assign
         .join(lab.select(col("node").as("comm"), col("comm").as("next")),
           "comm")
         .select(col("node"), col("next").as("comm"))
         .localCheckpoint()
-      w = coarsenWeighted(w, lab).repartition(col("u")).localCheckpoint()
+      val nextW = coarsenWeighted(w, lab).repartition(col("u"))
+        .localCheckpoint()
+      // both successors are materialized — the superseded level's
+      // blocks are dead (r20 optimization, guide §5; the directedLoop
+      // discipline). The per-level LABEL maps stay pinned: they are
+      // returned (the warm-start cache stores them).
+      CheckpointBridge.unpinCheckpoint(assign)
+      CheckpointBridge.unpinCheckpoint(w)
+      assign = nextAssign
+      w = nextW
     }
+    // the last coarsened graph is internal — only assign + labels leave
+    CheckpointBridge.unpinCheckpoint(w)
     (assign.select(col("node"), col("comm")), levelLabels.result())
   }
 

@@ -27,6 +27,26 @@ object IndexIo {
     if (!exists(spark, path)) emptyFrame(spark, schema)
     else spark.read.schema(schema).parquet(path)
 
+  /** Run two independent control-plane computations CONCURRENTLY
+    * (optimization guide §2.6 — overlap independent jobs): the serving
+    * paths interleave eager driver-side actions (committed-epoch
+    * aggregates, probe collects, registry localCheckpoints) that have
+    * no data dependency on each other, and evaluating them on one
+    * thread serializes each action's fixed scheduling latency. Spark's
+    * scheduler runs concurrently-submitted jobs FIFO with back-fill,
+    * so the second computation's tasks fill the cores the first
+    * leaves idle. Results are whatever the thunks return — this is
+    * pure control-flow, no caching, no state. Exceptions propagate
+    * unchanged via Await. */
+  private[scale] def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(a)
+    val fb = Future(b)
+    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+  }
+
   // ---- GENERATION STAMP: mechanical serving-handle invalidation ----
   // A long-lived handle caches a layout's FILE LISTING; the events that
   // REPLACE the directory (build overwrite, rebuild swap, compaction

@@ -461,12 +461,23 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       path: String, queries: DataFrame, centroids: DataFrame, k: Int,
       asOf: Long, nProbe: Int): DataFrame = {
     import spark.implicits._
-    val ce = committedEpoch(spark, path)
+    // the committed-counter aggregate (three registry reads), the
+    // as-of revision registry materialization, and the probe
+    // assignment (a query-batch-sized argmin) are three independent
+    // eager actions — overlap them (IndexIo.concurrently scaladoc;
+    // r20 optimization, guide §2.6). The require still gates before
+    // anything downstream is built.
+    val ((ce, regAt), probes) = IndexIo.concurrently(
+      IndexIo.concurrently(
+        committedEpoch(spark, path),
+        revisions(spark, path)
+          .filter(coalesce(col("e"), lit(0L)) <= asOf)
+          .groupBy(col("vec_id")).agg(max(col("rev")).as("cur_rev"))
+          .localCheckpoint()),
+      Similarity.probesFor(queries, centroids, nProbe).localCheckpoint())
     require(asOf >= 0L && asOf <= ce,
       s"as-of epoch $asOf outside the committed history [0, $ce]" +
         (if (ce < 0L) " — cold index, nothing committed" else ""))
-    val probes = Similarity.probesFor(queries, centroids, nProbe)
-      .localCheckpoint()
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
     // one row per id before the gate's LEFT join: the registry is
@@ -476,10 +487,6 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     val docsE = IndexIo.readOr(spark, s"$path/_ivf_docs", docRegSchema)
       .groupBy(col("vec_id"))
       .agg(min(coalesce(col("e"), lit(0L))).as("e"))
-    val regAt = revisions(spark, path)
-      .filter(coalesce(col("e"), lit(0L)) <= asOf)
-      .groupBy(col("vec_id")).agg(max(col("rev")).as("cur_rev"))
-      .localCheckpoint()
     val deadAt = IndexIo.readOr(spark, s"$path/_ivf_tombstones",
         tombEpochSchema)
       .filter(coalesce(col("e"), lit(0L)) <= asOf)
@@ -958,9 +965,12 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     import spark.implicits._
     // materialize the probe assignment once: it is read twice (collected
     // for the partition filter, then joined in scoring) and is
-    // control-plane-sized (queries × nProbe rows)
-    val probes = Similarity.probesFor(queries, centroids, nProbe)
-      .localCheckpoint()
+    // control-plane-sized (queries × nProbe rows). The revision-registry
+    // materialization is independent of it — overlap the two eager
+    // actions (IndexIo.concurrently; r20 optimization, guide §2.6).
+    val (probes, reg) = IndexIo.concurrently(
+      Similarity.probesFor(queries, centroids, nProbe).localCheckpoint(),
+      currentRevs(spark, path).localCheckpoint())
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
     // revised vectors serve their CURRENT generation: a registered
@@ -968,7 +978,6 @@ object IvfIndex extends org.apache.spark.internal.Logging {
     // a DIFFERENT probed cluster — replaces it); both filters are one
     // size-guarded join against the O(revised) registry
     // ([[IndexIo.maybeBroadcast]])
-    val reg = currentRevs(spark, path).localCheckpoint()
     val mainRows = main
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("embedding"), col("cluster_id"))

@@ -549,15 +549,24 @@ object IvfPqIndex {
       path: String, queries: DataFrame, centroids: DataFrame, k: Int,
       asOf: Long, nProbe: Int): DataFrame = {
     import spark.implicits._
-    val ce = committedEpoch(spark, path)
+    // overlap the three independent eager actions — committed-counter
+    // aggregate, as-of revision registry, probe assignment
+    // (IndexIo.concurrently; r20 optimization, guide §2.6)
+    val ((ce, regAt), probes) = IndexIo.concurrently(
+      IndexIo.concurrently(
+        committedEpoch(spark, path),
+        revisions(spark, path)
+          .filter(coalesce(col("e"), lit(0L)) <= asOf)
+          .groupBy(col("vec_id")).agg(max(col("rev")).as("cur_rev"))
+          .localCheckpoint()),
+      Similarity.probesFor(queries, centroids, nProbe)
+        .select(col("query_id"), col("cluster_id"))
+        .localCheckpoint())
     require(asOf >= 0L && asOf <= ce,
       s"as-of epoch $asOf outside the committed history [0, $ce]" +
         (if (ce < 0L) " — cold index, nothing committed" else ""))
     val cents = spark.read.parquet(s"$path/_pq_codebooks")
     val (m, sub) = geometry(cents)
-    val probes = Similarity.probesFor(queries, centroids, nProbe)
-      .select(col("query_id"), col("cluster_id"))
-      .localCheckpoint()
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
     // one row per id before the gate's LEFT join: the registry is
@@ -567,10 +576,6 @@ object IvfPqIndex {
     val docsE = IndexIo.readOr(spark, s"$path/_pq_docs", docRegSchema)
       .groupBy(col("vec_id"))
       .agg(min(coalesce(col("e"), lit(0L))).as("e"))
-    val regAt = revisions(spark, path)
-      .filter(coalesce(col("e"), lit(0L)) <= asOf)
-      .groupBy(col("vec_id")).agg(max(col("rev")).as("cur_rev"))
-      .localCheckpoint()
     val deadAt = IndexIo.readOr(spark, s"$path/_pq_tombstones",
         tombEpochSchema)
       .filter(coalesce(col("e"), lit(0L)) <= asOf)
@@ -753,9 +758,14 @@ object IvfPqIndex {
     import spark.implicits._
     val cents = spark.read.parquet(s"$path/_pq_codebooks")
     val (m, sub) = geometry(cents)
-    val probes = Similarity.probesFor(queries, centroids, nProbe)
-      .select(col("query_id"), col("cluster_id"))
-      .localCheckpoint()
+    // overlap the two independent eager actions — probe assignment
+    // and revision-registry materialization (IndexIo.concurrently;
+    // r20 optimization, guide §2.6)
+    val (probes, reg) = IndexIo.concurrently(
+      Similarity.probesFor(queries, centroids, nProbe)
+        .select(col("query_id"), col("cluster_id"))
+        .localCheckpoint(),
+      currentRevs(spark, path).localCheckpoint())
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
     // revised vectors serve their CURRENT generation: a registered
@@ -763,7 +773,6 @@ object IvfPqIndex {
     // DIFFERENT probed cluster — replaces it); both filters are one
     // size-guarded join against the O(revised) registry
     // ([[IndexIo.maybeBroadcast]])
-    val reg = currentRevs(spark, path).localCheckpoint()
     val mainRows = main
       .filter(col("cluster_id").isin(probed.toIndexedSeq: _*))
       .select(col("vec_id"), col("codes"), col("cluster_id"))

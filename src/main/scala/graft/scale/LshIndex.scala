@@ -440,16 +440,29 @@ object LshIndex {
     * 0 ≤ asOf ≤ [[committedEpoch]]. */
   def dedupBatchAsOf(spark: SparkSession, dir: String, batch: DataFrame,
       minMatches: Int, asOf: Long): DataFrame = {
-    val ce = committedEpoch(spark, dir)
+    // ONE materialization of the sig-confirmed doc registry (r20
+    // optimization): committedEpoch used to re-derive committedDocs
+    // (an _lsh_docs read + sigs semi-join) for the require alone, and
+    // docsAt derived it AGAIN for the snapshot gate — two identical
+    // control-plane jobs per probe. Checkpoint it once; the counter
+    // aggregate and the ≤asOf membership filter both read the
+    // materialized blocks. Same gating semantics bit for bit
+    // (LshAsOfSpec + the q179 oracle pin it).
+    val cd = committedDocs(spark, dir).localCheckpoint()
+    val ceRow = cd.select(col("e"))
+      .unionByName(tombstones(spark, dir).select(col("e")))
+      .unionByName(revisions(spark, dir).select(col("e")))
+      .agg(max(coalesce(col("e"), lit(0L)))).collect()(0)
+    val ce = if (ceRow.isNullAt(0)) -1L else ceRow.getLong(0)
     require(asOf >= 0L && asOf <= ce,
       s"as-of epoch $asOf outside the committed history [0, $ce]" +
         (if (ce < 0L) " — cold index, nothing committed" else ""))
     val meta = spark.read.parquet(s"$dir/_lsh_meta").collect()(0)
     val (n, numHashes, bands) = (meta.getInt(1), meta.getInt(2),
       meta.getInt(3))
-    val docsAt = committedDocs(spark, dir)
+    val docsAt = cd
       .filter(coalesce(col("e"), lit(0L)) <= asOf)
-      .select(col("doc_id")).localCheckpoint()
+      .select(col("doc_id"))
     val probe = batch.join(docsAt, Seq("doc_id"), "left_anti")
     val sig = signatures(probe, n, numHashes).localCheckpoint()
     val bk = banded(sig, bands, numHashes / bands).localCheckpoint()
