@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Per-test durations in the report (-oD): the round-20 driver test run
+// expired its window with no way to tell WHICH suites carry the time —
+// the duration flag makes every future timing attributable from the
+// log alone.
+Test / testOptions += Tests.Argument(TestFrameworks.ScalaTest, "-oD")
 // Forked run output goes through sbt's logger by default, which
 // prefixes every line with "[info] " — that breaks line-oriented
 // consumers of Bench/Verify stdout (a JSON artifact line must land

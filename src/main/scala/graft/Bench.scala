@@ -157,7 +157,12 @@ object Bench {
     // 2.9× in the r19 warm suite but were absent from the canary, so
     // the 2-round-Lloyd and epoch-millis shapes had no fresh-JVM
     // denominator to adjudicate against — appended, never reshuffled
-    "q17_", "q82_")
+    "q17_", "q82_",
+    // round-21 rotation (round-20 verdict item 2): the I/O-heavy band
+    // the r20 disk-contamination inflated 15-100× (q67 was already a
+    // canary; these were not, so the canary-referenced rerun policy
+    // had no denominator for them) — appended, never reshuffled
+    "q68_", "q69_", "q71_", "q72_", "q74_", "q162_", "q164_")
   private[graft] val CanaryReps = 5
 
   /** Total stop-the-world GC milliseconds so far in this JVM — the
@@ -257,6 +262,85 @@ object Bench {
         (t1.jvmUser - t0.jvmUser)) / UserHz / wall
   }
 
+  // ---- I/O-CONTENTION ATTRIBUTION (round-20 verdict item 2): the r20
+  // 32-core run-of-record was ~3.5× inflated, concentrated in the
+  // I/O-heavy band (q67-q74, q162, q164 at 15-100× their idle medians),
+  // yet self-adjudicated clean — the CPU-jiffy attribution is blind to
+  // a neighbor hammering the DISK (our tasks block in D state; nobody
+  // burns user CPU). Two window observables close the hole, both
+  // calibrated live on an idle run of this suite (2026-08-18, warm
+  // phase: iowait 0.01 cores, busiest-device util 0.008 — the suite's
+  // OWN I/O is page-cached and async, so self-flagging is structurally
+  // out of reach of the thresholds):
+  //  - io_wait_cores: /proc/stat iowait delta per wall second — cores
+  //    sitting idle ONLY because a task waits on I/O;
+  //  - disk_util: /proc/diskstats io_ticks delta per wall ms, max over
+  //    devices — fraction of the window the busiest device was busy
+  //    (visible even when every core is CPU-busy and iowait reads 0).
+  // ----
+
+  /** Machine-wide iowait jiffies (/proc/stat field 5); -1 where
+    * unavailable. */
+  private[graft] def machineIowaitJiffies(): Long =
+    try {
+      val cols = Files.readString(Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")
+      if (cols.length > 5) cols(5).toLong else -1L
+    } catch { case _: Throwable => -1L }
+
+  /** Per-device io_ticks (ms the device spent with I/O in flight) from
+    * /proc/diskstats; empty where unavailable. Partition rows (vda1)
+    * ride along harmlessly — util is a max, and a partition's ticks
+    * never exceed its parent device's. */
+  private[graft] def diskTicksByDevice(): Map[String, Long] =
+    try Files.readString(Paths.get("/proc/diskstats"))
+      .linesIterator.flatMap { ln =>
+        val f = ln.trim.split("\\s+")
+        if (f.length >= 13) Some(f(2) -> f(12).toLong) else None
+      }.toMap
+    catch { case _: Throwable => Map.empty }
+
+  private[graft] final case class IoSample(iowaitJiffies: Long,
+      diskTicks: Map[String, Long], wallNanos: Long)
+  private[graft] def ioSampleNow(): IoSample =
+    IoSample(machineIowaitJiffies(), diskTicksByDevice(),
+      System.nanoTime())
+
+  /** Average cores blocked on I/O over the window; NaN where /proc is
+    * unavailable. Pure; unit-tested in BenchAdjudicationSpec. */
+  private[graft] def ioWaitCores(t0: IoSample, t1: IoSample): Double = {
+    val wall = (t1.wallNanos - t0.wallNanos) / 1e9
+    if (wall <= 0 || t0.iowaitJiffies < 0L || t1.iowaitJiffies < 0L)
+      Double.NaN
+    else math.max(0L, t1.iowaitJiffies - t0.iowaitJiffies) / UserHz / wall
+  }
+
+  /** Busiest-device utilization over the window (0..1); NaN where no
+    * device was sampled on both sides. Pure; unit-tested. */
+  private[graft] def diskUtil(t0: IoSample, t1: IoSample): Double = {
+    val wallMs = (t1.wallNanos - t0.wallNanos) / 1e6
+    val ds = t0.diskTicks.keySet.intersect(t1.diskTicks.keySet).toSeq
+      .map(d => math.max(0L, t1.diskTicks(d) - t0.diskTicks(d)))
+    if (wallMs <= 0 || ds.isEmpty) Double.NaN
+    else math.min(1.0, ds.max.toDouble / wallMs)
+  }
+
+  /** Sustained cores-blocked-on-I/O at or above this flags the window
+    * (idle-run self-noise: 0.01; an external disk hog parks many of
+    * our 32 task threads in D state). */
+  private[graft] val IoContendedWaitCores = 1.0
+
+  /** Busiest-device utilization at or above this flags the window
+    * (idle-run self-noise: 0.008 — the suite's I/O is page-cached;
+    * a sustained half-busy disk over a ~35-min suite is someone
+    * else's scan). */
+  private[graft] val IoContendedDiskUtil = 0.5
+
+  private[graft] def isIoContended(waitCores: Double,
+      util: Double): Boolean =
+    (!waitCores.isNaN && waitCores >= IoContendedWaitCores) ||
+      (!util.isNaN && util >= IoContendedDiskUtil)
+
   /** This JVM's cumulative CPU nanos; -1 where unsupported. */
   private[graft] def jvmCpuNanos(): Long =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
@@ -330,7 +414,8 @@ object Bench {
       cpus: Int = 0,
       canary: Option[String] = None,
       gcMs: Long = -1L,
-      load: Option[String] = None): String = {
+      load: Option[String] = None,
+      policy: Option[String] = None): String = {
     val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
       k -> v.collect { case Right(t) => t } }
     val failed = all.collect { case (k, v) if v.exists(_.isLeft) =>
@@ -354,6 +439,9 @@ object Bench {
     val canaryField = canary.fold("")(c => s""""canary":$c,""")
     val gcField = if (gcMs >= 0L) s""""gc_ms":$gcMs,""" else ""
     val loadField = load.fold("")(l => s""""load":$l,""")
+    // the canary-referenced rerun policy's record (round-20 verdict
+    // item 2): which entries tripped the factor, and what happened
+    val policyField = policy.fold("")(p => s""""rerun_policy":$p,""")
     // round-15 verdict item 8: the artifact names which number is each
     // scenario's COST OF RECORD — phase2_continuous reads ~50x apart
     // between a fresh JVM (fixture-build-dominated; the canary line)
@@ -363,18 +451,22 @@ object Bench {
       """"canary_fresh_jvm"},"""
     s"""{"metric":"total","value":${num(total)},"unit":"sec","reps":$reps,""" +
       s""""cpus":$cpus,"sf":${jsonStr(sfDir)},"spread":$sp,"errors":$errs,""" +
-      s""""rerun":$rr,"dump":$dump,$gcField$loadField$canaryField""" +
+      s""""rerun":$rr,$policyField"dump":$dump,$gcField$loadField$canaryField""" +
       s"""$basis"queries":$qs}"""
   }
 
   /** Render the "load" context fragment: load averages (context only —
     * polluted by our own preceding work) plus the external-cores
-    * measurement and the contended verdict it implies. */
+    * measurement, the I/O window observables (round-20 verdict item
+    * 2), and the contended verdicts they imply. */
   private[graft] def formatLoadJson(loadStart: Double, loadEnd: Double,
-      extCores: Double): String = {
+      extCores: Double, ioWait: Double = Double.NaN,
+      dUtil: Double = Double.NaN): String = {
     def d(x: Double) = if (x.isNaN) "null" else num(x, 2)
     s"""{"load1_start":${d(loadStart)},"load1_end":${d(loadEnd)},""" +
       s""""external_cpu_cores":${d(extCores)},""" +
+      s""""io_wait_cores":${d(ioWait)},"disk_util":${d(dUtil)},""" +
+      s""""io_contended":${isIoContended(ioWait, dUtil)},""" +
       s""""contended":${isContended(extCores)}}"""
   }
 
@@ -428,7 +520,9 @@ object Bench {
       canaryTotal: Option[Double] = None,
       extCores: Option[Double] = None,
       rerunN: Int = -1,
-      budget: Option[String] = None): String = {
+      budget: Option[String] = None,
+      ioWait: Double = Double.NaN,
+      dUtil: Double = Double.NaN): String = {
     val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
       k -> v.collect { case Right(t) => t } }
     val nErr = all.count { case (_, v) => v.exists(_.isLeft) }
@@ -436,9 +530,17 @@ object Bench {
     val canaryField =
       canaryTotal.fold("")(c => s""""canary_total":${num(c)},""")
     // the contended verdict must ride THIS line — it is the one the
-    // driver's bounded tail capture always parses (round-17 item 4)
+    // driver's bounded tail capture always parses (round-17 item 4).
+    // Since r21 it is the OR of the CPU and I/O attributions: the r20
+    // run-of-record was disk-contaminated yet CPU-clean, and signed
+    // itself "contended":false (round-20 verdict item 2).
+    val ioField =
+      if (ioWait.isNaN && dUtil.isNaN) ""
+      else s""""io_wait_cores":${num(if (ioWait.isNaN) 0 else ioWait, 2)},""" +
+        s""""disk_util":${num(if (dUtil.isNaN) 0 else dUtil, 2)},"""
     val loadField = extCores.filterNot(_.isNaN).fold("")(e =>
-      s""""ext_cores":${num(e, 2)},"contended":${isContended(e)},""")
+      s""""ext_cores":${num(e, 2)},$ioField""" +
+        s""""contended":${isContended(e) || isIoContended(ioWait, dUtil)},""")
     // STABILITY VERDICT (round-18 verdict item 3): two same-day idle
     // r18 runs disagreed 20% on the suite total — the internally-
     // cleaner one had rerun_n 3, the degraded one 16, so the re-run
@@ -507,6 +609,59 @@ object Bench {
   private[graft] def isNoisy(rerunN: Int, n: Int): Boolean =
     n > 0 && rerunN.toDouble / n > NoisyRerunFraction
 
+  // ---- CANARY-REFERENCED RERUN POLICY (round-20 verdict item 2): the
+  // r20 contamination put q69 at 41.0 s into the artifact against a
+  // same-day fresh-JVM 0.39 s — 100× — and every in-flight trigger
+  // missed it (all reps equally contended, budget had already dropped
+  // the late re-check). The canary history IS the per-entry reference
+  // the artifact should never silently exceed: any catalogue entry
+  // whose suite median lands past [[PolicyRerunFactor]] × its
+  // canary-history median re-runs at [[RerunReps]] BEFORE the artifact
+  // seals, and the re-run replaces the samples only when it is
+  // actually faster (a genuine regression reproduces and keeps its
+  // honest number; a contended window heals). Entries without a canary
+  // history are untouched — which is why the r21 canary rotation adds
+  // the I/O-heavy band. ----
+
+  private[graft] val PolicyRerunFactor = 3.0
+
+  /** Per-query reference medians from canary artifact lines (the
+    * current run's line + the append-only history): for each query,
+    * the median across lines of that line's median. Unparseable lines
+    * and "err" entries are skipped. Pure; unit-tested. */
+  private[graft] def canaryQueryMedians(
+      lines: Seq[String]): Map[String, Double] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val per: Seq[(String, Double)] = lines.flatMap { l =>
+      scala.util.Try {
+        JsonMethods.parse(l) \ "queries" match {
+          case JObject(fs) => fs.collect {
+            case (k, JDouble(v)) => k -> v
+            case (k, JInt(v)) => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }
+          case _ => List.empty[(String, Double)]
+        }
+      }.getOrElse(List.empty[(String, Double)])
+    }
+    per.groupBy(_._1).map { case (k, vs) => k -> median(vs.map(_._2)) }
+  }
+
+  /** The names the policy re-runs: all-rights entries whose median
+    * exceeds factor × a ≥50 ms reference. The floor keeps micro-
+    * entries (one scheduler hiccup IS 3×) out. Pure; unit-tested. */
+  private[graft] def policySuspects(
+      measured: Seq[(String, Seq[Either[String, Double]])],
+      refs: Map[String, Double],
+      factor: Double = PolicyRerunFactor): Seq[String] =
+    measured.collect {
+      case (name, v) if v.nonEmpty && v.forall(_.isRight) &&
+          refs.get(name).exists(r => r >= 0.05 &&
+            median(v.collect { case Right(t) => t }) > factor * r) =>
+        name
+    }
+
   /** One end-to-end pass of the reference's event-driven form
     * ([[graft.streaming.Phase2.runContinuous]]): 16 staged pages drain
     * from a cold start, then 8 more land and drain as an incremental
@@ -568,7 +723,9 @@ object Bench {
   private[graft] def formatCanaryJson(reps: Int, sfDir: String,
       all: Seq[(String, Seq[Either[String, Double]])], cpus: Int,
       gcMs: Long, wallSec: Double,
-      extCores: Double = Double.NaN): String = {
+      extCores: Double = Double.NaN,
+      ioWait: Double = Double.NaN,
+      dUtil: Double = Double.NaN): String = {
     val ok = all.collect { case (k, v) if v.forall(_.isRight) =>
       k -> v.collect { case Right(t) => t } }
     val failed = all.collect { case (k, v) if v.exists(_.isLeft) =>
@@ -583,10 +740,15 @@ object Bench {
       .sortBy(_._1)
       .map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val ioField =
+      if (ioWait.isNaN && dUtil.isNaN) ""
+      else s""""io_wait_cores":${num(if (ioWait.isNaN) 0 else ioWait, 2)},""" +
+        s""""disk_util":${num(if (dUtil.isNaN) 0 else dUtil, 2)},"""
     val loadField =
       if (extCores.isNaN) ""
-      else s""""ext_cores":${num(extCores, 2)},""" +
-        s""""contended":${isContended(extCores)},"""
+      else s""""ext_cores":${num(extCores, 2)},$ioField""" +
+        s""""contended":${isContended(extCores) ||
+          isIoContended(ioWait, dUtil)},"""
     s"""{"metric":"canary","value":${num(total)},"unit":"sec",""" +
       s""""reps":$reps,"cpus":$cpus,"sf":${jsonStr(sfDir)},""" +
       s""""gc_ms":$gcMs,"wall_sec":${num(wallSec)},$loadField""" +
@@ -612,6 +774,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val t0 = System.nanoTime()
     val load0 = loadSampleNow()
+    val io0 = ioSampleNow()
     val qs = SparkEntry.benchQueries.toSeq.sortBy(_._1)
       .filter { case (n, _) => CanaryPrefixes.exists(n.startsWith) }
     // same warmup discipline as the suite: JIT/codegen at the smallest
@@ -655,9 +818,11 @@ object Bench {
         Seq("dump_scan_xml" -> (1 to reps).map(_ => time(() => fullScan())))
       }
     val wallSec = (System.nanoTime() - t0) / 1e9
+    val io1 = ioSampleNow()
     val line = formatCanaryJson(reps, sfDir, samples ++ phase2 ++ dump,
       cpus.toInt, gcMillis(), wallSec,
-      extCores = externalCores(load0, loadSampleNow()))
+      extCores = externalCores(load0, loadSampleNow()),
+      ioWait = ioWaitCores(io0, io1), dUtil = diskUtil(io0, io1))
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target", "bench_canary.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -775,6 +940,7 @@ object Bench {
     // every timed sample below runs inside it and the child's own CPU
     // (a different process) never counts as "external"
     val suiteLoad0 = loadSampleNow()
+    val suiteIo0 = ioSampleNow()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -871,8 +1037,59 @@ object Bench {
       }
       (healed.map(_._1), healed.flatMap(_._2))
     }
-    val (samples, reruns) = adjudicate(rawSamples,
+    val (samples0, reruns) = adjudicate(rawSamples,
       name => () => SparkEntry.benchQueries(name)(spark, sfDir).count())
+
+    // ---- CANARY-REFERENCED RERUN POLICY (round-20 verdict item 2):
+    // every catalogue entry with a fresh-JVM canary history is checked
+    // against PolicyRerunFactor × that history's median BEFORE the
+    // artifact seals; a tripped entry re-runs at RerunReps and the
+    // re-run replaces the samples only when faster (a real regression
+    // reproduces and keeps its number; a contended window heals).
+    // Budget-gated like the late re-check, and recorded either way. ----
+    val canaryRefs: Map[String, Double] = {
+      import scala.jdk.CollectionConverters._
+      val hist = try {
+        val p = Paths.get("target", "bench_canary_history.jsonl")
+        if (Files.exists(p))
+          Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+        else Seq.empty
+      } catch { case _: Throwable => Seq.empty }
+      canaryQueryMedians((canaryLine.toSeq ++ hist).distinct)
+    }
+    val policySkipped = remainingFrac < LateRecheckFrac
+    val policyHits = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Double, Double, Boolean)] // name, orig, ref, healed
+    val (samples, policyReruns) =
+      if (policySkipped || canaryRefs.isEmpty)
+        (samples0, Seq.empty[(String, (Double, Double))])
+      else {
+        val suspects = policySuspects(samples0, canaryRefs).toSet
+        val healed = samples0.map { case (name, v) =>
+          if (!suspects(name)) (name -> v, None)
+          else {
+            val ok = v.collect { case Right(t) => t }
+            val re = (1 to RerunReps).map(_ => time(() =>
+              SparkEntry.benchQueries(name)(spark, sfDir).count()))
+            val reOk = re.collect { case Right(t) => t }
+            val take = re.forall(_.isRight) && median(reOk) < median(ok)
+            policyHits += ((name, median(ok), canaryRefs(name), take))
+            if (take)
+              (name -> re, Some(name -> (median(ok), ok.max - ok.min)))
+            else (name -> v, None)
+          }
+        }
+        (healed.map(_._1), healed.flatMap(_._2))
+      }
+    val policyRecord = {
+      val hits = policyHits.map { case (n, o, r, h) =>
+        jsonStr(n) + s""":{"orig":${num(o)},"ref":${num(r)},""" +
+          s""""healed":$h}"""
+      }.mkString("{", ",", "}")
+      s"""{"ref":"canary_history","factor":${num(PolicyRerunFactor, 1)},""" +
+        s""""n_refs":${canaryRefs.size},"skipped":$policySkipped,""" +
+        s""""hits":$hits}"""
+    }
 
     // ---- the event-driven pipeline at bench scale (round-8 verdict
     // item 5: runContinuous had zero bench presence; the bounded
@@ -1002,12 +1219,19 @@ object Bench {
 
     val allSamples = lateSamples ++ phase2Healed ++ dumpSamples
     val allReruns = lateReruns ++
-      reruns.filterNot(r => lateReruns.exists(_._1 == r._1)) ++
+      policyReruns.filterNot(r => lateReruns.exists(_._1 == r._1)) ++
+      reruns.filterNot(r => lateReruns.exists(_._1 == r._1) ||
+        policyReruns.exists(_._1 == r._1)) ++
       phase2Reruns ++ dumpReruns.toSeq
     val suiteExtCores = externalCores(suiteLoad0, loadSampleNow())
-    val loadJson = formatLoadJson(loadAtStart, loadAvg1(), suiteExtCores)
+    val suiteIo1 = ioSampleNow()
+    val suiteIoWait = ioWaitCores(suiteIo0, suiteIo1)
+    val suiteDiskUtil = diskUtil(suiteIo0, suiteIo1)
+    val loadJson = formatLoadJson(loadAtStart, loadAvg1(), suiteExtCores,
+      suiteIoWait, suiteDiskUtil)
     val line = formatJson(reps, sfDir, allSamples, dumpStats.toSeq,
-      allReruns, cpus.toInt, canaryLine, gcMillis(), Some(loadJson))
+      allReruns, cpus.toInt, canaryLine, gcMillis(), Some(loadJson),
+      Some(policyRecord))
     Files.createDirectories(Paths.get("target"))
     Files.write(Paths.get("target", "bench.json"),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -1029,7 +1253,8 @@ object Bench {
         s""""late_recheck_skipped":$lateRecheckSkipped}"""
     val finalLine = formatTotalOnlyJson(allSamples, sfDir, cpus.toInt,
       canaryTotal, extCores = Some(suiteExtCores),
-      rerunN = allReruns.length, budget = Some(budgetRecord))
+      rerunN = allReruns.length, budget = Some(budgetRecord),
+      ioWait = suiteIoWait, dUtil = suiteDiskUtil)
     // run-of-record trio on disk (round-19 verdict item 2): the
     // compact per-query line and the final stability line are written
     // to stable paths so each round commits

@@ -28,26 +28,14 @@ object ScaleCatalogue {
     * cores branch A's leave idle. Results are unchanged — the returned
     * frames are the same lazily-composed plans; only the eager setup
     * work overlaps (measured at sf0.1, 5 idle reps: q189 4.97 → 2.52 s,
-    * q191 7.51 → 1.71 s — OPTIMIZATION_r20.md change 1).
-    * Exceptions propagate unchanged via Await. */
-  private def inParallel[A, B](a: => A, b: => B): (A, B) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(a)
-    val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
-  }
-  private def inParallel3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val fa = Future(a)
-    val fb = Future(b)
-    val fc = Future(c)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf),
-      Await.result(fc, Duration.Inf))
-  }
+    * q191 7.51 → 1.71 s — OPTIMIZATION_r20.md change 1). One shared
+    * implementation since r21 (round-20 advice item 3): these are
+    * [[graft.scale.IndexIo.concurrently]]'s all-branches-awaited
+    * semantics, not local copies. */
+  private def inParallel[A, B](a: => A, b: => B): (A, B) =
+    graft.scale.IndexIo.concurrently(a, b)
+  private def inParallel3[A, B, C](a: => A, b: => B, c: => C): (A, B, C) =
+    graft.scale.IndexIo.concurrently3(a, b, c)
 
   /** DuckDB fragment: sequential double fold of a[i]*b[i]. */
   private def duckDot(a: String, b: String): String =

@@ -817,12 +817,18 @@ object BmIndex {
     * membership gate is an `isin` the scan can evaluate inline
     * instead of a per-table broadcast semi-join (r20 optimization —
     * one ledger job per probe, not three, and no join build per
-    * gated table). */
+    * gated table). SIZE-GUARDED since r21 (round-20 verdict item 5):
+    * past [[IndexIo.IsinGateMaxLiterals]] committed epochs the gate
+    * falls back to a broadcast LocalRelation semi-join built from the
+    * same collected ledger — bounded plan size, no extra scan, same
+    * rows (BmAsOfSpec exercises both sides of the threshold). */
   private def readAt(spark: SparkSession, path: String,
       schema: StructType, asOf: Long, committedEs: Seq[Long]): DataFrame =
-    IndexIo.readOr(spark, path, schema)
-      .withColumn("e", coalesce(col("e"), lit(0L)))
-      .filter(col("e") <= asOf && col("e").isin(committedEs: _*))
+    IndexIo.gateMembership(
+      IndexIo.readOr(spark, path, schema)
+        .withColumn("e", coalesce(col("e"), lit(0L)))
+        .filter(col("e") <= asOf),
+      "e", committedEs)
 
   /** SNAPSHOT BM25 top-k — [[topK]] exactly as the index stood when
     * epoch `asOf` committed, SCORES INCLUDED: postings gate by their

@@ -867,6 +867,40 @@ object CitationIndex {
       .filter(coalesce(col("e"), lit(0L)) <= asOf)
       .select(col("doc_id"), col("rev"))
 
+  /** ONE collected read of the three commit tables (r21 — the BM25
+    * r20 treatment on the citation index): one row per (batch key,
+    * min/max commit epoch). The commit tables are O(corpus) rows, but
+    * GROUPED BY batch key they are control-plane sized (one group per
+    * committed verb), so the aggregate ships a verb-count-sized result
+    * to the driver and the as-of probes derive the committed counter
+    * AND the key gate locally instead of running three separate Spark
+    * jobs per probe (committedEpoch aggregate + keys
+    * distinct+localCheckpoint + docsAt checkpoint). A null-bk group
+    * marks LEGACY rows (pre-round-16 verbs): their keys must be
+    * constructed per-doc-id, so the key gate falls back to the
+    * [[committedKeysAsOf]] DataFrame path for that index only.
+    * min(e) ≤ asOf ⟺ ∃ commit row with e ≤ asOf (a batch commits all
+    * its rows at one epoch), so the local filter is exact. */
+  private def commitLedger(spark: SparkSession,
+      dir: String): Seq[(Option[String], Long, Long)] = {
+    val es = readOr(spark, s"$dir/_cit_docs", docSchema)
+      .select(col("bk"), col("e"))
+      .unionByName(readOr(spark, s"$dir/_cit_tombs", docSchema)
+        .select(col("bk"), col("e")))
+      .unionByName(readOr(spark, s"$dir/_cit_rev", revSchema)
+        .select(col("bk"), col("e")))
+      .select(col("bk"), coalesce(col("e"), lit(0L)).as("e"))
+    es.groupBy(col("bk")).agg(min(col("e")).as("mn"), max(col("e")).as("mx"))
+      .collect().toSeq
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+  }
+
+  /** [[committedEpoch]] derived from a collected [[commitLedger]] —
+    * max commit epoch over every group, −1 on a cold dir. */
+  private def committedEpochOf(
+      ledger: Seq[(Option[String], Long, Long)]): Long =
+    if (ledger.isEmpty) -1L else ledger.map(_._3).max
+
   /** Batch keys committed as of `asOf`. Since round 16 the commit
     * rows STORE their batch's key (the per-batch-nonce fix from
     * round-15 advice item 3 — keys carry an id-set content hash, so a
@@ -876,7 +910,9 @@ object CitationIndex {
     * legacy grammar (build/compact "b", append "a"+min doc id, delete
     * "d"+min victim id, upsert "u"+min target id+"."+rev — built from
     * ALL legacy ids, a superset whose extras match nothing among
-    * legacy-keyed rows). */
+    * legacy-keyed rows). Since r21 this DataFrame path is the LEGACY
+    * fallback only — an index whose commit rows all carry stored keys
+    * gates through the collected [[commitLedger]] instead. */
   private def committedKeysAsOf(spark: SparkSession, dir: String,
       asOf: Long): DataFrame = {
     import org.apache.spark.sql.types.StringType
@@ -913,22 +949,50 @@ object CitationIndex {
     * as of snapshot E". */
   def edgesWeightedAsOf(spark: SparkSession, dir: String,
       asOf: Long): DataFrame = {
-    val ce = committedEpoch(spark, dir)
+    // ONE ledger job per probe (r21, the BM25 r20 treatment): the
+    // grouped commit ledger yields the committed counter for the
+    // require AND the key gate below — this path used to run a
+    // committedEpoch aggregate, a keys distinct+localCheckpoint, and a
+    // docsAt localCheckpoint (three sequential eager jobs) before the
+    // lazy read plan even existed.
+    val ledger = commitLedger(spark, dir)
+    val ce = committedEpochOf(ledger)
     require(asOf >= 0L && asOf <= ce,
       s"as-of epoch $asOf outside the committed history [0, $ce]" +
         (if (ce < 0L) " — cold index, nothing committed" else ""))
-    edgesWeightedAsOfImpl(spark, dir, asOf, None)
+    edgesWeightedAsOfImpl(spark, dir, asOf, None, Some(ledger))
   }
 
   /** Shared as-of read plan; `restrict` (an O(affected) (src, dst)
     * set) keeps the change feed's per-epoch derivation from paying
-    * two full edge materializations. */
+    * two full edge materializations; `ledger` (a collected
+    * [[commitLedger]]) lets callers that already probed the commit
+    * tables reuse that one read. */
   private def edgesWeightedAsOfImpl(spark: SparkSession, dir: String,
-      asOf: Long, restrict: Option[DataFrame]): DataFrame = {
-    val keys = committedKeysAsOf(spark, dir, asOf).localCheckpoint()
-    def gated(name: String) = nowSet(
-      deltas(spark, dir, name)
-        .join(keys.withColumnRenamed("bk", "k"), Seq("k"), "left_semi"))
+      asOf: Long, restrict: Option[DataFrame],
+      ledger: Option[Seq[(Option[String], Long, Long)]] = None): DataFrame = {
+    val led = ledger.getOrElse(commitLedger(spark, dir))
+    // key gate: committed-as-of keys derive LOCALLY from the ledger
+    // (always including build/compact's "b") and reach the pairs scan
+    // and the delta sums as a size-guarded isin literal — no
+    // distinct+localCheckpoint job, no per-table semi-join build. A
+    // legacy index (null-bk commit rows, pre-round-16) falls back to
+    // the constructed-key DataFrame path, whose keys cannot be derived
+    // driver-side.
+    val hasLegacy = led.exists(_._1.isEmpty)
+    val legacyKeys =
+      if (hasLegacy) Some(committedKeysAsOf(spark, dir, asOf).localCheckpoint())
+      else None
+    val okKeys: Seq[Any] =
+      ("b" +: led.collect { case (Some(bk), mn, _) if mn <= asOf => bk })
+        .distinct
+    def gateKeys(df: DataFrame, keyCol: String): DataFrame =
+      legacyKeys match {
+        case Some(k) =>
+          df.join(k.withColumnRenamed("bk", keyCol), Seq(keyCol), "left_semi")
+        case None => IndexIo.gateMembership(df, keyCol, okKeys)
+      }
+    def gated(name: String) = nowSet(gateKeys(deltas(spark, dir, name), "k"))
     val tmb = tombsAsOf(spark, dir, asOf)
     val cr = regAsOf(spark, dir, asOf)
       .groupBy(col("doc_id")).agg(max(col("rev")).as("cur_rev"))
@@ -941,11 +1005,14 @@ object CitationIndex {
     // endpoints are committed docs (pairs are generated between
     // indexed documents only), so semi-joining both endpoints against
     // the as-of committed-doc set drops residue rows whose doc never
-    // committed while passing every real row unchanged.
-    val docsAt = docsAsOf(spark, dir, asOf).localCheckpoint()
-    val base = readOr(spark, s"$dir/pairs", pairSchema)
-      .withColumn("bk", coalesce(col("bk"), lit("b")))
-      .join(keys, Seq("bk"), "left_semi")
+    // committed while passing every real row unchanged. LAZY +
+    // size-guarded broadcast since r21 (the current-serve shape,
+    // round-16 advice item 5): materializing the O(corpus) id set per
+    // probe was the third eager job this path paid.
+    val docsAt = IndexIo.maybeBroadcast(docsAsOf(spark, dir, asOf))
+    val base = gateKeys(
+      readOr(spark, s"$dir/pairs", pairSchema)
+        .withColumn("bk", coalesce(col("bk"), lit("b"))), "bk")
       .join(docsAt.withColumnRenamed("doc_id", "src"), Seq("src"),
         "left_semi")
       .join(docsAt.withColumnRenamed("doc_id", "dst"), Seq("dst"),
@@ -1032,9 +1099,12 @@ object CitationIndex {
         Seq("dst"), "left_semi").select(col("src"), col("dst")))
       .distinct().localCheckpoint()
     if (affected.isEmpty) return out
-    val before = edgesWeightedAsOfImpl(spark, dir, n - 1L, Some(affected))
+    // one collected ledger shared by both snapshot reads (r21)
+    val led = Some(commitLedger(spark, dir))
+    val before = edgesWeightedAsOfImpl(spark, dir, n - 1L, Some(affected),
+        led)
       .withColumnRenamed("w", "old_w")
-    val after = edgesWeightedAsOfImpl(spark, dir, n, Some(affected))
+    val after = edgesWeightedAsOfImpl(spark, dir, n, Some(affected), led)
       .withColumnRenamed("w", "new_w")
     before.join(after, Seq("src", "dst"), "full_outer")
       .withColumn("change",

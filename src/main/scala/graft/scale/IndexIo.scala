@@ -36,15 +36,88 @@ object IndexIo {
     * scheduler runs concurrently-submitted jobs FIFO with back-fill,
     * so the second computation's tasks fill the cores the first
     * leaves idle. Results are whatever the thunks return — this is
-    * pure control-flow, no caching, no state. Exceptions propagate
-    * unchanged via Await. */
-  private[scale] def concurrently[A, B](a: => A, b: => B): (A, B) = {
+    * pure control-flow, no caching, no state.
+    *
+    * FAILURE DISCIPLINE (round-20 advice item 2): EVERY branch is
+    * awaited before a failure is rethrown — awaiting only the first
+    * branch would leave a failing run's OTHER branch running detached
+    * (its eager jobs completing unobserved, any localCheckpoint it
+    * created pinned with nobody to release it). The first branch's
+    * exception wins; a second failure rides along as suppressed.
+    * Widened to private[graft] (round-20 advice item 3) so the
+    * catalogue layer stops carrying verbatim copies. */
+  private[graft] def concurrently[A, B](a: => A, b: => B): (A, B) = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Failure, Try}
     val fa = Future(a)
     val fb = Future(b)
-    (Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    val ra = Try(Await.result(fa, Duration.Inf))
+    val rb = Try(Await.result(fb, Duration.Inf))
+    (ra, rb) match {
+      case (scala.util.Success(x), scala.util.Success(y)) => (x, y)
+      case (Failure(e), r) =>
+        r.failed.foreach(o => if (o ne e) e.addSuppressed(o)); throw e
+      case (_, Failure(e)) => throw e
+    }
+  }
+
+  /** Arity-3 twin of [[concurrently]] — same overlap, same
+    * all-branches-awaited failure discipline. */
+  private[graft] def concurrently3[A, B, C](a: => A, b: => B,
+      c: => C): (A, B, C) = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.{Failure, Try}
+    val fa = Future(a)
+    val fb = Future(b)
+    val fc = Future(c)
+    val rs = Seq(Try(Await.result(fa, Duration.Inf)),
+      Try(Await.result(fb, Duration.Inf)),
+      Try(Await.result(fc, Duration.Inf)))
+    rs.collectFirst { case Failure(e) => e }.foreach { e =>
+      rs.foreach(_.failed.foreach(o => if (o ne e) e.addSuppressed(o)))
+      throw e
+    }
+    (rs(0).get.asInstanceOf[A], rs(1).get.asInstanceOf[B],
+      rs(2).get.asInstanceOf[C])
+  }
+
+  /** Literal-count guard for [[gateMembership]]: one `isin` literal per
+    * committed verb is control-plane sized *by compaction discipline*,
+    * but nothing bounds it between compactions (round-20 verdict item
+    * 5 — a layout with 10⁵ committed verbs would inline a 10⁵-element
+    * IN-list into every scan condition: expression-tree size, codegen
+    * limits). 128 covers every realistic epoch history between folds
+    * while keeping the scan-inline gate for the common case. */
+  private[graft] val IsinGateMaxLiterals = 128
+
+  /** Size-guarded membership gate for driver-collected control-plane
+    * sets (the r20 BM25 `isin` epoch gate, generalized): at or below
+    * `maxLiterals` the gate is an `isin` literal the scan evaluates
+    * INLINE (no join build, pushable); past it, the collected values
+    * become a broadcast LocalRelation semi-join — bounded plan size,
+    * no re-scan of the source table, same rows either way
+    * ([[IndexIo.maybeBroadcast]]'s philosophy: the guard is the
+    * difference between a discipline and a hope). Rows where the gate
+    * column is null never pass (both shapes agree). */
+  private[graft] def gateMembership(df: DataFrame, colName: String,
+      values: Seq[Any],
+      maxLiterals: Int = IsinGateMaxLiterals): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    if (values.size <= maxLiterals) df.filter(col(colName).isin(values: _*))
+    else {
+      import scala.jdk.CollectionConverters._
+      val spark = df.sparkSession
+      val vdf = spark.createDataFrame(
+        values.distinct.map(v =>
+          org.apache.spark.sql.Row(v)).asJava,
+        StructType(Seq(org.apache.spark.sql.types.StructField(
+          colName, df.schema(colName).dataType))))
+      df.join(broadcast(vdf), Seq(colName), "left_semi")
+    }
   }
 
   // ---- GENERATION STAMP: mechanical serving-handle invalidation ----

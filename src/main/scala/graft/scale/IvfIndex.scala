@@ -33,7 +33,15 @@ object IvfIndex extends org.apache.spark.internal.Logging {
       centroidCount: Option[Long] = None): Unit = {
     val assigned = Similarity.assign(corpus, centroids, "vec_id", centroidCount)
       .withColumnRenamed("centroid_id", "cluster_id")
+    // cluster the rows by their partition key BEFORE the dynamic-
+    // partition write (guide §2/§6; round-20 verdict item 3): without
+    // it every write task holds rows of ~every cluster and the build
+    // creates O(tasks × nlist) files — with nlist ∝ corpus that is the
+    // superlinear wall the 100× BenchScale point measured (57×). One
+    // small shuffle of the batch buys one file per cluster dir and
+    // dir-parallel writes; rows and results are unchanged.
     withOwnDist2(assigned, centroids)
+      .repartition(col("cluster_id"))
       .write.mode("overwrite").partitionBy("cluster_id").parquet(path)
     // id→epoch registry for snapshot reads: every build row is epoch 0
     // (the data overwrite just cleared any previous life's registry;
@@ -103,7 +111,10 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         freshIds.withColumn("e", lit(committedEpoch(spark, path) + 1L))
           .select(col("vec_id"), col("e"), col("cluster_id"))
           .write.mode("append").parquet(s"$path/_ivf_docs")
-      assigned.write.mode("append").partitionBy("cluster_id").parquet(path)
+      // one file per touched cluster dir per append (not per task ×
+      // cluster) — same repartition-before-partitionBy as build
+      assigned.repartition(col("cluster_id"))
+        .write.mode("append").partitionBy("cluster_id").parquet(path)
       readMeta(newVectors.sparkSession, path) match {
         case Some(p95) =>
           val row = assigned
@@ -158,7 +169,8 @@ object IvfIndex extends org.apache.spark.internal.Logging {
         .select(col("vec_id"), col("e"), col("cluster_id"))
         .write.mode("append").parquet(s"$path/_ivf_docs")
     if (freshData.count() > 0L)
-      freshData.write.mode("append").partitionBy("cluster_id")
+      freshData.repartition(col("cluster_id"))
+        .write.mode("append").partitionBy("cluster_id")
         .parquet(path)
   }
 
@@ -365,6 +377,7 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           Similarity.assign(fresh, centroids, "vec_id", centroidCount)
             .withColumnRenamed("centroid_id", "cluster_id"), centroids)
         .withColumn("rev", lit(rev))
+        .repartition(col("cluster_id"))
         .write.mode("append").partitionBy("cluster_id")
         .parquet(s"$path/_ivf_rev_rows")
     val freshReg = vecs.select(col("vec_id"), lit(rev).as("rev"))
@@ -475,9 +488,19 @@ object IvfIndex extends org.apache.spark.internal.Logging {
           .groupBy(col("vec_id")).agg(max(col("rev")).as("cur_rev"))
           .localCheckpoint()),
       Similarity.probesFor(queries, centroids, nProbe).localCheckpoint())
-    require(asOf >= 0L && asOf <= ce,
+    // invalid-asOf path (round-20 advice item 1): the two pinned
+    // checkpoint block sets built above must not be orphaned to the
+    // async ContextCleaner when the require throws
+    try require(asOf >= 0L && asOf <= ce,
       s"as-of epoch $asOf outside the committed history [0, $ce]" +
         (if (ce < 0L) " — cold index, nothing committed" else ""))
+    catch {
+      case t: Throwable =>
+        import org.apache.spark.sql.graftbridge.CheckpointBridge
+        CheckpointBridge.unpinCheckpoint(regAt)
+        CheckpointBridge.unpinCheckpoint(probes)
+        throw t
+    }
     val probed = probes.select(col("cluster_id").cast("long"))
       .distinct().as[Long].collect().sorted
     // one row per id before the gate's LEFT join: the registry is

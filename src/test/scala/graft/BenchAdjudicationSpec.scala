@@ -82,4 +82,82 @@ class BenchAdjudicationSpec extends AnyFunSuite {
       s"own-process window flagged in all $attempt attempts: " +
         s"${adj.contendedEntries}")
   }
+
+  // ---- I/O-contention attribution (round-20 verdict item 2): the r20
+  // 32-core run-of-record was disk-contaminated 15-100× in its
+  // I/O-heavy band yet CPU-clean, and signed itself contended:false.
+  // The window observables are pure functions over /proc samples —
+  // drive both directions with synthetic samples (deterministic; the
+  // live /proc readers are smoke-checked for monotonicity only). ----
+
+  test("a synthetic I/O-loaded window flags io-contended; an idle one " +
+      "does not") {
+    import Bench.{IoSample, ioWaitCores, diskUtil, isIoContended}
+    def s(iowait: Long, ticks: Long, atSec: Double) =
+      IoSample(iowait, Map("vda" -> ticks), (atSec * 1e9).toLong)
+    // 10 s window, 4 cores parked in iowait (4000 jiffies), disk busy
+    // 9.5 of 10 s — the r20 contamination shape
+    val t0 = s(100000L, 500000L, 0.0)
+    val bad = s(100000L + 4000L, 500000L + 9500L, 10.0)
+    assert(math.abs(ioWaitCores(t0, bad) - 4.0) < 0.01)
+    assert(math.abs(diskUtil(t0, bad) - 0.95) < 0.001)
+    assert(isIoContended(ioWaitCores(t0, bad), diskUtil(t0, bad)))
+    // idle window calibrated live 2026-08-18 (this suite's own warm
+    // phase): iowait 0.01 cores, util 0.008 — far under both thresholds
+    val idle = s(100000L + 10L, 500000L + 80L, 10.0)
+    assert(!isIoContended(ioWaitCores(t0, idle), diskUtil(t0, idle)))
+    // unavailable /proc degrades to NaN, never to a flag
+    val noProc = IoSample(-1L, Map.empty, (10 * 1e9).toLong)
+    assert(ioWaitCores(t0, noProc).isNaN)
+    assert(diskUtil(noProc, noProc).isNaN)
+    assert(!isIoContended(Double.NaN, Double.NaN))
+  }
+
+  test("live /proc I/O samplers are monotone and parse") {
+    val a = Bench.ioSampleNow()
+    Thread.sleep(50L)
+    val b = Bench.ioSampleNow()
+    assert(a.iowaitJiffies >= 0L, "/proc/stat iowait must parse here")
+    assert(b.iowaitJiffies >= a.iowaitJiffies)
+    assert(a.diskTicks.nonEmpty, "/proc/diskstats must parse here")
+    val u = Bench.diskUtil(a, b)
+    assert(u.isNaN || (u >= 0.0 && u <= 1.0))
+  }
+
+  test("canary-referenced rerun policy: suspects are entries past " +
+      "factor x their canary-history median, with a 50 ms floor") {
+    val canaryLines = Seq(
+      // two history lines; per-query reference = median across lines
+      """{"metric":"canary","value":10.0,"queries":{"q69_x":0.40,""" +
+        """"q01_agg":0.100,"q18_tiny":0.010,"q96_pr":"err"}}""",
+      """{"metric":"canary","value":11.0,"queries":{"q69_x":0.38,""" +
+        """"q01_agg":0.120}}""",
+      "not json at all")
+    val refs = Bench.canaryQueryMedians(canaryLines)
+    assert(math.abs(refs("q69_x") - 0.40) < 1e-9) // upper-middle median
+    assert(math.abs(refs("q01_agg") - 0.120) < 1e-9)
+    assert(!refs.contains("q96_pr")) // err entries never become refs
+    val measured: Seq[(String, Seq[Either[String, Double]])] = Seq(
+      "q69_x" -> Seq(Right(41.0), Right(40.5), Right(41.2)), // 100x: rerun
+      "q01_agg" -> Seq(Right(0.15), Right(0.16), Right(0.14)), // 1.4x: keep
+      "q18_tiny" -> Seq(Right(0.2), Right(0.2), Right(0.2)), // ref<50ms: skip
+      "q96_pr" -> Seq(Right(5.0)), // no ref: untouched
+      "q69_err" -> Seq(Left("boom"))) // errors never rerun here
+    assert(Bench.policySuspects(measured, refs) === Seq("q69_x"))
+  }
+
+  test("the artifact's contended verdict ORs the CPU and I/O " +
+      "attributions") {
+    val line = Bench.formatTotalOnlyJson(
+      Seq("q1" -> Seq(Right(1.0))), "/sf", cpus = 32,
+      extCores = Some(0.5), rerunN = 0,
+      ioWait = 6.0, dUtil = 0.99)
+    assert(line.contains(""""contended":true"""), line)
+    assert(line.contains(""""io_wait_cores":6.00"""), line)
+    val clean = Bench.formatTotalOnlyJson(
+      Seq("q1" -> Seq(Right(1.0))), "/sf", cpus = 32,
+      extCores = Some(0.5), rerunN = 0,
+      ioWait = 0.01, dUtil = 0.01)
+    assert(clean.contains(""""contended":false"""), clean)
+  }
 }

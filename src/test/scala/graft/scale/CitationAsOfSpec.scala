@@ -201,6 +201,31 @@ class CitationAsOfSpec extends AnyFunSuite {
         "into the snapshot")
   }
 
+  test("r21 collected-ledger probe: a legacy layout (null bk commit " +
+      "rows) falls back to the constructed-key gate and serves the " +
+      "same edges") {
+    val dir = tmp("graft-cit-legacy-asof")
+    CitationIndex.build(s1, dir, slack = 50L)            // epoch 0
+    CitationIndex.append(s2, dir)                        // epoch 1
+    val before0 = gotAsOf(dir, 0L)
+    val before1 = gotAsOf(dir, 1L)
+    // simulate a pre-round-16 layout: strip the stored batch key from
+    // the BUILD-era commit rows (legacy rows read null bk; their rows'
+    // own bk stays "b", exactly the mixed state an upgraded index has)
+    // — the collected ledger then sees a null-bk group and must take
+    // the legacy DataFrame key path
+    val docs0 = spark.read.parquet(s"$dir/_cit_docs").localCheckpoint()
+    docs0.withColumn("bk",
+        when(col("bk") === "b", lit(null).cast("string"))
+          .otherwise(col("bk")))
+      .write.mode("overwrite").parquet(s"$dir/_cit_docs")
+    assert(gotAsOf(dir, 0L) == before0,
+      "legacy-key fallback diverged at epoch 0")
+    assert(gotAsOf(dir, 1L) == before1,
+      "legacy-key fallback diverged at epoch 1")
+    assert(before1 == want(s1.unionByName(s2)))
+  }
+
   private def copyDir(from: String, to: String): Unit = {
     val src = java.nio.file.Paths.get(from)
     val dst = java.nio.file.Paths.get(to)
