@@ -318,14 +318,35 @@ object ScaleCatalogue {
     // index built from a join must go stale when either side changes
     val fp = version + ";" + datasets.map(ds =>
       datasetFingerprint(new java.io.File(d, ds))).mkString("|")
-    val stale = !marker.exists() ||
+    def stale = !marker.exists() ||
       new String(java.nio.file.Files.readAllBytes(marker.toPath), utf8) != fp
     if (stale) {
-      buildFn(dir)
-      java.nio.file.Files.write(marker.toPath, fp.getBytes(utf8))
+      // CROSS-PROCESS BUILD LOCK (r21): `sbt test` now runs suites in
+      // parallel forked JVMs, and two of them racing a cold fixture
+      // into the same target/<family> dir would tear it. A file lock
+      // serializes first-builds per family dir (warm reads never take
+      // it — the fast path above stays lock-free); the in-JVM monitor
+      // guards the same race between threads of ONE JVM, where a
+      // second FileChannel.lock would throw Overlapping instead of
+      // blocking. Stale is re-checked under the lock: the loser of
+      // the race finds the winner's marker and skips its build.
+      cachedBuildMonitor.synchronized {
+        new java.io.File(dir).getParentFile.mkdirs()
+        val lockPath = new java.io.File(
+          new java.io.File(dir).getParent, s".${new java.io.File(dir).getName}.buildlock")
+        val raf = new java.io.RandomAccessFile(lockPath, "rw")
+        try {
+          val lock = raf.getChannel.lock()
+          try if (stale) {
+            buildFn(dir)
+            java.nio.file.Files.write(marker.toPath, fp.getBytes(utf8))
+          } finally lock.release()
+        } finally raf.close()
+      }
     }
     dir
   }
+  private val cachedBuildMonitor = new Object
 
   def q85AnnIvfIndexed(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
@@ -2719,13 +2740,18 @@ object ScaleCatalogue {
 
   // ---------------------------------------------------------------------
   // q110 — LONG random walks (node2vec-length): 16 hops with the
-  // frontier materialized every 4 (Graph.randomWalks materializeEvery),
-  // so the final plan carries at most 4 hop-joins no matter the walk
+  // frontier materialized every 8 (Graph.randomWalks materializeEvery),
+  // so the final plan carries at most 8 hop-joins no matter the walk
   // length — the plan-depth bound a 40-80-hop walker needs
-  // (GraphSpec asserts the bound from the executed plan). Hop algebra
-  // identical to q100 (content-hash argmin, map-side combinable), so
-  // the oracle unrolls the same recurrence 16 deep; hash-equality
-  // proves the checkpoint cadence changes nothing about the data.
+  // (GraphSpec asserts the bound from the executed plan with its own
+  // cadences). Hop algebra identical to q100 (content-hash argmin,
+  // map-side combinable), so the oracle unrolls the same recurrence 16
+  // deep; hash-equality proves the checkpoint cadence changes nothing
+  // about the data. Cadence 4 → 8 adjudicated r21 (round-20 verdict
+  // item 7, two independent idle 7-rep fresh-JVM pairs: 7.58/7.28 s at
+  // 4 vs 6.90/5.23 s at 8 — every 8-run beat every 4-run; 16 steps at
+  // cadence 8 = one mid-walk checkpoint instead of three, trading two
+  // eager materializations for a deeper-but-bounded segment plan).
   // ---------------------------------------------------------------------
   private val LongWalkSteps = 16
   def q110LongWalks(s: SparkSession, d: String): DataFrame = {
@@ -2735,7 +2761,7 @@ object ScaleCatalogue {
         col("src") % 100 === 0)
       .select(col("src").as("walk_id"), col("src").as("node")).distinct()
     graft.scale.Graph.randomWalks(e, starts, steps = LongWalkSteps,
-        materializeEvery = 4)
+        materializeEvery = 8)
       .orderBy(col("walk_id"), col("step"))
   }
   val q110Sql: String = {

@@ -45,6 +45,19 @@ class BenchAdjudicationSpec extends AnyFunSuite {
 
   test("own-process load does NOT flag: our user time is subtracted " +
       "and our kernel I/O never enters the user-space counter") {
+    // this is a CALIBRATION test: it asserts a clean window stays
+    // unflagged, which requires the box to actually be clean. Under
+    // the r21 parallel test groups the sibling JVMs are genuine
+    // external user-space load (exactly what the attribution exists to
+    // flag), so probe first and cancel — not fail — on a busy box; the
+    // idle single-group protocol (SPARK_GRAFT_TEST_GROUPS=1) still
+    // exercises it.
+    val p0 = Bench.userLoadSampleNow()
+    Thread.sleep(400L)
+    val ext = Bench.externalUserCores(p0, Bench.userLoadSampleNow())
+    assume(ext.isNaN || ext < 1.0,
+      s"box not idle (external user cores $ext) — calibration test " +
+        "needs an idle window; run with SPARK_GRAFT_TEST_GROUPS=1")
     val adj = new BenchScale.Adjudicator
     var clean = false
     var attempt = 0
